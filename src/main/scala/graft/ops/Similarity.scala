@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (array<float>/array<double>).
+ *
+ * Scale posture: the query side is assumed small (≪ corpus) and is
+ * broadcast, so brute-force is a broadcast nested-loop with NO shuffle of
+ * the corpus; the LSH variant buckets both sides so the join is equi-key
+ * and each bucket is tiny. Dot products are pure `zip_with`/`aggregate`
+ * expressions — no UDF.
+ */
+object Similarity {
+
+  /** Dot product of two array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of an array column. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two array columns (0 for zero vectors). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Squared euclidean distance of two array columns. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /**
+   * Exact top-k cosine neighbors for each query vector.
+   * `queries`/`corpus`: (idCol, vecCol). Queries are broadcast; ranking is
+   * deterministic (similarity desc, then corpus id).
+   * Output: query_id, rank, neighbor_id, cosine.
+   */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /**
+   * Random-hyperplane LSH bucket key: `planes` sign bits packed into a
+   * long. Hyperplane coefficients are seeded literals (ship with the
+   * plan). `dim` is the embedding dimensionality.
+   */
+  def hyperplaneKey(vec: Column, dim: Int, planes: Int = 16, seed: Long = 7L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val bits = (0 until planes).map { p =>
+      val coeffs = Seq.fill(dim)(rnd.nextGaussian())
+      val proj = aggregate(
+        zip_with(vec, typedlit(coeffs), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * Approximate top-k via hyperplane LSH with `tables` independent hash
+   * tables: equi-join on (table, bucket), exact rerank inside buckets,
+   * union of tables, global top-k per query. Recall is tested in
+   * SimilaritySpec; misses are possible by construction.
+   */
+  def knnLsh(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
+    def keyed(df: DataFrame, id: String, vec: String) = {
+      val tbls = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"), hyperplaneKey(col(vec), dim, planes, seed = 100 + t).as("bucket")))
+      df.select(col(id), col(vec), explode(array(tbls: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    val q = keyed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val c = keyed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

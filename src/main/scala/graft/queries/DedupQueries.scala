@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup._
+import graft.ops.TextAnalysis.tokens
+import graft.tables.Tables
+
+/**
+ * Deduplication pack. The test corpus has no natural duplicates, so the
+ * near-dup queries first append deterministic synthetic duplicates
+ * (exact copies for d02, tail-truncated copies for d03/d04/d05) of the
+ * first 50 docs under `doc_id + 1000000` — the operators must find them.
+ */
+object DedupQueries {
+
+  /** documents ∪ exact copies of doc_id < 50 (ids shifted by 1e6). */
+  private def withExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select("doc_id", "text")
+    d.union(d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ copies of doc_id < 50 with the last `drop` words removed. */
+  private def withNearDups(s: SparkSession, dir: String, drop: Int): DataFrame = {
+    val d = Tables(s, dir).documents.select("doc_id", "text")
+    d.union(d.filter(col("doc_id") < 50)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), lit(1),
+          greatest(size(tokens(col("text"))) - drop, lit(1)))).as("text")))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "d01_exact_dedup",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .groupBy("text")
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT min(doc_id) AS doc_id FROM documents
+             |GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "d02_dup_groups",
+      (s, dir) => {
+        withExactDups(s, dir)
+          .groupBy("text")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1)
+          .agg(
+            count(lit(1)).as("dup_groups"),
+            coalesce(sum("cnt"), lit(0L)).cast("long").as("dup_docs"))
+      },
+      Some("""SELECT count(*) AS dup_groups,
+             |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS dup_docs
+             |FROM (SELECT count(*) AS cnt
+             |      FROM (SELECT doc_id, text FROM documents
+             |            UNION ALL
+             |            SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+             |      GROUP BY text HAVING count(*) > 1)""".stripMargin)),
+
+    Q(
+      "d03_minhash_pairs",
+      (s, dir) => {
+        val corpus = withNearDups(s, dir, drop = 3)
+          .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shingles"))
+        minHashCandidatePairs(corpus, "doc_id", "shingles")
+          .orderBy("id_a", "id_b")
+      }),
+
+    Q(
+      "d04_simhash",
+      (s, dir) => {
+        val corpus = withNearDups(s, dir, drop = 3)
+          .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shingles"))
+        simHashCandidatePairs(corpus, "doc_id", "shingles")
+          .filter(col("hamming") <= 8)
+          .orderBy("id_a", "id_b")
+      }),
+
+    Q(
+      "d05_jaccard_pairs",
+      (s, dir) => {
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 50)
+        val mutated = concat_ws(" ",
+          slice(tokens(col("text")), lit(1), greatest(size(tokens(col("text"))) - 3, lit(1))))
+        d.select(
+          col("doc_id"),
+          fround(jaccard(tokens(col("text")), tokens(mutated)), 4).as("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  floor(len(list_distinct(list_intersect(w, w2))) * 1.0
+             |    / len(list_distinct(w || w2)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |        string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)] AS w2
+             |      FROM documents WHERE doc_id < 50)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "d06_embedding_neardup",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings.filter(col("vec_id") < 100)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.crossJoin(broadcast(b))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.ops.Similarity.cosine(col("va"), col("vb")).as("cos"))
+          .filter(col("cos") > 0.3)
+          .select(col("id_a"), col("id_b"), fround(col("cos"), 4).as("cos"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings WHERE vec_id < 100),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM p
+             |WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin))
+  )
+
+  /** 3-word shingles used as the near-dup set representation. */
+  private def wordShingles(text: org.apache.spark.sql.Column) =
+    graft.ops.TextAnalysis.wordNGrams(text, 3)
+}

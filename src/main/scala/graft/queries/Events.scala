@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/**
+ * Batch event-stream analytics. `streaming/EventStreams.scala` hosts the
+ * Structured Streaming twins of these plans (same logic on `readStream`).
+ */
+object Events {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "e01_event_funnel",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "view", 1).otherwise(0)).cast("long").as("views"),
+            sum(when(col("event_type") === "click", 1).otherwise(0)).cast("long").as("clicks"),
+            sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("purchases"),
+            sum(when(col("event_type") === "error", 1).otherwise(0)).cast("long").as("errors"),
+            count(lit(1)).as("total"))
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+             |  count(*) AS total
+             |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)),
+
+    Q(
+      "e02_sessionize",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.events
+          .select(
+            col("user_id"), col("ts"), col("event_id"),
+            when(
+              lag(col("ts"), 1).over(w).isNull ||
+                unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L,
+              1).otherwise(0).as("new_session"))
+          .select(
+            col("user_id"),
+            sum("new_session").over(wRun).cast("long").as("session_id"))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""SELECT user_id, session_id, count(*) AS n_events FROM (
+             |  SELECT user_id,
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |        OR date_diff('microsecond',
+             |             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+             |        THEN 1 ELSE 0 END AS new_session
+             |    FROM events))
+             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+  )
+}
