@@ -1,0 +1,295 @@
+package graft.gp.kernel
+
+import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+import breeze.numerics.exp
+
+/**
+ * Covariance-function algebra for the graft Gaussian Process engine.
+ *
+ * Unlike the reference's mutable set-state kernels
+ * (spark-gp `commons/kernel/Kernel.scala:12` binds training vectors and
+ * hyperparameters into the kernel object), graft kernels are IMMUTABLE
+ * value objects: data is always passed explicitly and `withHypers`
+ * returns a new instance. That makes them safe to broadcast once and
+ * reuse across stages/threads at any scale.
+ *
+ * Hyperparameters are concatenated depth-first across composite kernels,
+ * each with box bounds for L-BFGS-B.
+ */
+trait Kernel extends Serializable {
+  def numHypers: Int
+  def hypers: BDV[Double]
+  def withHypers(h: BDV[Double]): Kernel
+  /** (lower, upper) element-wise box bounds for the hyperparameters. */
+  def bounds: (BDV[Double], BDV[Double])
+  /** Total white-noise variance contributed by this kernel (σ² terms). */
+  def noiseVar: Double
+
+  /** Gram matrix over the rows of `x` (includes any white-noise diagonal). */
+  def gram(x: ExpertData): BDM[Double]
+  /** Gram matrix plus per-hyperparameter partial derivatives. */
+  def gramWithGrad(x: ExpertData): (BDM[Double], Array[BDM[Double]])
+  /** Cross-covariance: rows = `a`, cols = `b`. White noise contributes 0. */
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double]
+  /** k(x, x) for a single point (includes white noise, as the reference's
+    * `EyeKernel.selfKernel` does — spark-gp `Kernel.scala:151`). */
+  def self(x: Array[Double]): Double
+
+  def +(other: Kernel): Kernel = new SumKernel(this, other)
+  def *(c: Double): Kernel = new ScaledKernel(this, c, trainable = false, c, c)
+}
+
+/**
+ * Per-expert training slice with a cached pairwise squared-distance
+ * matrix. `@transient lazy` so the cache is rebuilt at most once per
+ * executor after deserialization and then lives with the persisted
+ * partition — hyperparameter optimization re-evaluates the Gram many
+ * times without recomputing distances.
+ */
+final class ExpertData(val x: Array[Array[Double]], val y: Array[Double])
+    extends Serializable {
+  def size: Int = x.length
+
+  @transient lazy val sqDists: BDM[Double] = {
+    val n = x.length
+    val m = BDM.zeros[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        val d = Kernels.sqDist(x(i), x(j))
+        m(i, j) = d
+        m(j, i) = d
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** Warm-start latent mode for GP classification (persists with the
+    * cached partition between optimizer iterations). */
+  @transient lazy val latent: BDV[Double] = BDV.zeros[Double](y.length)
+}
+
+object Kernels {
+  def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** RBF with lengthscale ℓ: k(a,b) = exp(-‖a-b‖² / (2ℓ²)). */
+  def rbf(lengthscale: Double = 1.0, lower: Double = 1e-6,
+      upper: Double = Double.PositiveInfinity): Kernel =
+    new RBFKernel(lengthscale, lower, upper)
+
+  /** ARD RBF: k(a,b) = exp(-½ Σ_j (a_j-b_j)²/ℓ_j²), one ℓ per dim. */
+  def ardRbf(dim: Int, lengthscale: Double = 1.0, lower: Double = 1e-6,
+      upper: Double = Double.PositiveInfinity): Kernel =
+    new ARDRBFKernel(
+      BDV.fill(dim)(lengthscale), BDV.fill(dim)(lower), BDV.fill(dim)(upper))
+
+  /** Non-trainable white noise: k = σ²·1[a==b]. */
+  def white(variance: Double): Kernel = new WhiteKernel(variance)
+
+  /** Trainable amplitude: c·k with c optimized in [lower, upper]. */
+  def scaled(k: Kernel, c: Double, lower: Double = 0.0,
+      upper: Double = Double.PositiveInfinity): Kernel =
+    new ScaledKernel(k, c, trainable = true, lower, upper)
+
+  implicit final class KernelScalarOps(private val c: Double) extends AnyVal {
+    /** `2.0 * k` — trainable amplitude starting at 2.0. */
+    def *(k: Kernel): Kernel = scaled(k, c)
+  }
+}
+
+/** Isotropic RBF kernel; hyperparameter = lengthscale ℓ. */
+final class RBFKernel(ell: Double, lo: Double, hi: Double) extends Kernel {
+  require(ell > 0, "lengthscale must be positive")
+  def numHypers = 1
+  def hypers: BDV[Double] = BDV(ell)
+  def withHypers(h: BDV[Double]): Kernel = new RBFKernel(h(0), lo, hi)
+  def bounds: (BDV[Double], BDV[Double]) = (BDV(lo), BDV(hi))
+  def noiseVar: Double = 0.0
+
+  def gram(e: ExpertData): BDM[Double] = {
+    val k = e.sqDists / (-2.0 * ell * ell)
+    exp.inPlace(k)
+    k
+  }
+
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val k = gram(e)
+    // ∂k/∂ℓ = k · ‖a-b‖² / ℓ³
+    val g = (e.sqDists *:* k) / (ell * ell * ell)
+    (k, Array(g))
+  }
+
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] = {
+    val m = BDM.zeros[Double](a.length, b.length)
+    val c = -2.0 * ell * ell
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        m(i, j) = math.exp(Kernels.sqDist(a(i), b(j)) / c)
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  def self(x: Array[Double]): Double = 1.0
+  override def toString = f"rbf(ℓ=$ell%.4g)"
+}
+
+/** ARD RBF kernel; hyperparameters = per-dimension lengthscales. */
+final class ARDRBFKernel(ells: BDV[Double], lo: BDV[Double], hi: BDV[Double])
+    extends Kernel {
+  def numHypers: Int = ells.length
+  def hypers: BDV[Double] = ells
+  def withHypers(h: BDV[Double]): Kernel = new ARDRBFKernel(h, lo, hi)
+  def bounds: (BDV[Double], BDV[Double]) = (lo, hi)
+  def noiseVar: Double = 0.0
+
+  private def k(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < a.length) {
+      val d = (a(j) - b(j)) / ells(j)
+      s += d * d
+      j += 1
+    }
+    math.exp(-0.5 * s)
+  }
+
+  def gram(e: ExpertData): BDM[Double] = {
+    val n = e.size
+    val m = BDM.zeros[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        val v = k(e.x(i), e.x(j))
+        m(i, j) = v; m(j, i) = v
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val n = e.size
+    val km = gram(e)
+    // ∂k/∂ℓ_j = k · (a_j-b_j)² / ℓ_j³
+    val grads = Array.fill(numHypers)(BDM.zeros[Double](n, n))
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        val kij = km(i, j)
+        var d = 0
+        while (d < numHypers) {
+          val diff = e.x(i)(d) - e.x(j)(d)
+          val g = kij * diff * diff / (ells(d) * ells(d) * ells(d))
+          grads(d)(i, j) = g; grads(d)(j, i) = g
+          d += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (km, grads)
+  }
+
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] = {
+    val m = BDM.zeros[Double](a.length, b.length)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) { m(i, j) = k(a(i), b(j)); j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  def self(x: Array[Double]): Double = 1.0
+  override def toString = s"ardRbf(ℓ=${ells.toArray.map(v => f"$v%.3g").mkString(",")})"
+}
+
+/** Non-trainable white-noise kernel σ²·I. */
+final class WhiteKernel(variance: Double) extends Kernel {
+  require(variance >= 0, "noise variance must be non-negative")
+  def numHypers = 0
+  def hypers: BDV[Double] = BDV[Double]()
+  def withHypers(h: BDV[Double]): Kernel = this
+  def bounds: (BDV[Double], BDV[Double]) = (BDV[Double](), BDV[Double]())
+  def noiseVar: Double = variance
+  def gram(e: ExpertData): BDM[Double] = BDM.eye[Double](e.size) *:* variance
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) =
+    (gram(e), Array.empty)
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] =
+    BDM.zeros[Double](a.length, b.length)
+  def self(x: Array[Double]): Double = variance
+  override def toString = f"white($variance%.3g)"
+}
+
+/** c·k with optionally trainable c (prepended to the hyper vector). */
+final class ScaledKernel(inner: Kernel, c: Double, trainable: Boolean,
+    lo: Double, hi: Double) extends Kernel {
+  require(c >= 0, "amplitude must be non-negative")
+  def numHypers: Int = (if (trainable) 1 else 0) + inner.numHypers
+  def hypers: BDV[Double] =
+    if (trainable) BDV(c +: inner.hypers.toArray: _*) else inner.hypers
+  def withHypers(h: BDV[Double]): Kernel =
+    if (trainable)
+      new ScaledKernel(inner.withHypers(h(1 until h.length)), h(0), trainable, lo, hi)
+    else new ScaledKernel(inner.withHypers(h), c, trainable, lo, hi)
+  def bounds: (BDV[Double], BDV[Double]) = {
+    val (l, u) = inner.bounds
+    if (trainable)
+      (BDV(lo +: l.toArray: _*), BDV(hi +: u.toArray: _*))
+    else (l, u)
+  }
+  def noiseVar: Double = c * inner.noiseVar
+  def gram(e: ExpertData): BDM[Double] = inner.gram(e) *:* c
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val (k, g) = inner.gramWithGrad(e)
+    val scaledG = g.map(_ *:* c)
+    if (trainable) (k *:* c, k +: scaledG) else (k *:* c, scaledG)
+  }
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] =
+    inner.cross(a, b) *:* c
+  def self(x: Array[Double]): Double = c * inner.self(x)
+  override def toString = f"$c%.3g * $inner"
+}
+
+/** k₁ + k₂ with concatenated hyperparameters. */
+final class SumKernel(k1: Kernel, k2: Kernel) extends Kernel {
+  def numHypers: Int = k1.numHypers + k2.numHypers
+  def hypers: BDV[Double] = BDV(k1.hypers.toArray ++ k2.hypers.toArray: _*)
+  def withHypers(h: BDV[Double]): Kernel =
+    new SumKernel(
+      k1.withHypers(h(0 until k1.numHypers)),
+      k2.withHypers(h(k1.numHypers until h.length)))
+  def bounds: (BDV[Double], BDV[Double]) = {
+    val (l1, u1) = k1.bounds
+    val (l2, u2) = k2.bounds
+    (BDV(l1.toArray ++ l2.toArray: _*), BDV(u1.toArray ++ u2.toArray: _*))
+  }
+  def noiseVar: Double = k1.noiseVar + k2.noiseVar
+  def gram(e: ExpertData): BDM[Double] = k1.gram(e) + k2.gram(e)
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val (m1, g1) = k1.gramWithGrad(e)
+    val (m2, g2) = k2.gramWithGrad(e)
+    (m1 + m2, g1 ++ g2)
+  }
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] =
+    k1.cross(a, b) + k2.cross(a, b)
+  def self(x: Array[Double]): Double = k1.self(x) + k2.self(x)
+  override def toString = s"$k1 + $k2"
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: opaque binary payloads + typed metadata,
+ * with batched per-partition feature extraction.
+ *
+ * The decode step itself is a STUB — this container has no image/audio
+ * codecs — replaced by a deterministic fake that maps payload bytes to a
+ * fixed-width feature vector. Everything around it is real and is what
+ * matters at 100 TB: the schema (binary + metadata struct), the
+ * mapPartitions batching (the shape a vectorized decoder needs: on
+ * PySpark this is `mapInPandas` with arrow batches; on the JVM a batched
+ * `mapPartitions`), and the narrow, shuffle-free plan.
+ */
+object Multimodal {
+
+  /** One media row: id + opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      payload: Array[Byte],
+      kind: String,
+      width: Int,
+      height: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      feature: Array[Double])
+
+  /**
+   * Pack a text corpus as fake media rows: payload = UTF-8 bytes,
+   * metadata derived deterministically. (Stand-in for reading real
+   * image/audio blobs, which would arrive as parquet binary columns.)
+   */
+  def packAsMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val df = docs.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      when(col(idCol) % 2 === 0, "image").otherwise("audio").as("kind"),
+      (pmod(col(idCol), lit(4)) * 160 + 320).cast("int").as("width"),
+      (pmod(col(idCol), lit(3)) * 120 + 240).cast("int").as("height"))
+    df.as[MediaRow](Encoders.product[MediaRow])
+  }
+
+  /**
+   * Batched feature extraction over the payload column. Batches of
+   * `batchSize` rows are decoded together — exactly the call shape a
+   * vectorized (GPU/SIMD) decoder wants; the decoder here is the STUB.
+   */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // ---- STUB DECODER ----------------------------------------
+        // Real pipeline: decode image/audio batch here (libjpeg /
+        // ffmpeg / model inference). Deterministic fake: 8 moments of
+        // the byte histogram, so tests have stable expectations.
+        batch.map { row =>
+          val feats = stubDecode(row.payload)
+          MediaFeatures(row.media_id, row.kind, row.payload.length, feats)
+        }
+        // -----------------------------------------------------------
+      }
+    }
+  }
+
+  /** Deterministic fake decode: 8-dim feature from byte statistics. */
+  private[ops] def stubDecode(bytes: Array[Byte]): Array[Double] = {
+    val n = math.max(bytes.length, 1)
+    val feats = new Array[Double](8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      feats(b % 8) += b.toDouble / 255.0
+      i += 1
+    }
+    feats.map(_ / n)
+  }
+}

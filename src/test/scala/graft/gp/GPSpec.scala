@@ -1,0 +1,124 @@
+package graft.gp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.gp.kernel.Kernels._
+
+class GPSpec extends SparkTestBase {
+
+  test("GPRegressor recovers a smooth function") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val data = Seq.tabulate(400) { i =>
+      val x = 4.0 * i / 400.0
+      (Array(x), math.sin(2 * x) + 0.05 * rnd.nextGaussian())
+    }
+    val df = data.toDF("features", "label")
+
+    val model = new GPRegressor()
+      .setKernel(() => 1.0 * rbf(1.0))
+      .setNoise(1e-3)
+      .setExpertSize(100)
+      .setInducingSize(40)
+      .setMaxIter(40)
+      .setPredStdCol("std")
+      .fit(df)
+
+    val scored = model.transform(df)
+    val rmse = math.sqrt(
+      scored.select(avg(pow(col("prediction") - col("label"), 2))).head().getDouble(0))
+    assert(rmse < 0.1, s"rmse=$rmse")
+
+    val stds = scored.select(min("std"), max("std")).head()
+    assert(stds.getDouble(0) >= 0.0)
+    assert(stds.getDouble(1) < 1.0, "predictive std should be small inside the data")
+  }
+
+  test("GPRegressor with kmeans inducing points and ARD kernel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val data = Seq.fill(300) {
+      val x = Array(rnd.nextDouble() * 2, rnd.nextDouble() * 2)
+      (x, x(0) * x(0) - x(1) + 0.02 * rnd.nextGaussian())
+    }
+    val df = data.toDF("features", "label")
+    val model = new GPRegressor()
+      .setKernel(() => 1.0 * ardRbf(2, 1.0))
+      .setNoise(1e-3)
+      .setExpertSize(75)
+      .setInducingSize(50)
+      .setInducingStrategy("kmeans")
+      .setMaxIter(30)
+      .fit(df)
+    val rmse = math.sqrt(model.transform(df)
+      .select(avg(pow(col("prediction") - col("label"), 2))).head().getDouble(0))
+    assert(rmse < 0.15, s"rmse=$rmse")
+  }
+
+  test("GPClassifier separates two blobs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(300) {
+      val label = if (rnd.nextBoolean()) 1.0 else 0.0
+      val cx = if (label > 0.5) 1.5 else -1.5
+      (Array(cx + 0.6 * rnd.nextGaussian(), 0.6 * rnd.nextGaussian()), label)
+    }
+    val df = data.toDF("features", "label")
+    val model = new GPClassifier()
+      .setKernel(() => 1.0 * rbf(1.0))
+      .setNoise(1e-4)
+      .setExpertSize(100)
+      .setInducingSize(40)
+      .setMaxIter(20)
+      .fit(df)
+    val scored = model.transform(df)
+    val acc = scored.select(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc > 0.95, s"accuracy=$acc")
+
+    val probRange = scored.select(min("probability"), max("probability")).head()
+    assert(probRange.getDouble(0) >= 0.0 && probRange.getDouble(1) <= 1.0)
+  }
+
+  test("GPClassifier integrated probabilities stay calibrated-ish") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val data = Seq.fill(200) {
+      val label = if (rnd.nextBoolean()) 1.0 else 0.0
+      val cx = if (label > 0.5) 1.0 else -1.0
+      (Array(cx + 0.8 * rnd.nextGaussian()), label)
+    }
+    val df = data.toDF("features", "label")
+    val model = new GPClassifier()
+      .setKernel(() => 1.0 * rbf(1.0))
+      .setNoise(1e-4)
+      .setExpertSize(100)
+      .setInducingSize(30)
+      .setMaxIter(15)
+      .setProbabilityMode("integrated")
+      .fit(df)
+    val acc = model.transform(df)
+      .select(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc > 0.85, s"accuracy=$acc")
+  }
+
+  test("Gauss-Hermite expectation matches closed forms") {
+    val gh = new GaussHermite(32)
+    assert(math.abs(gh.expectation(1.0, 4.0, x => x * x) - 5.0) < 1e-8)
+    assert(math.abs(gh.expectation(2.0, 0.25, x => x) - 2.0) < 1e-8)
+    assert(math.abs(gh.expectation(0.0, 1.0, _ => 1.0) - 1.0) < 1e-8)
+  }
+
+  test("Standardizer zeroes means and unit-scales stds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(500)(Array(5.0 + 2.0 * rnd.nextGaussian(), -3.0 + 0.5 * rnd.nextGaussian()))
+      .toDF("features")
+    val out = Standardizer.standardize(df, "features")
+    val (m2, s2) = Standardizer.fit(out, "features")
+    assert(m2.forall(v => math.abs(v) < 1e-9))
+    assert(s2.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.gp
+
+import breeze.linalg.{sum, DenseMatrix => BDM, DenseVector => BDV}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gp.kernel._
+import graft.gp.kernel.Kernels._
+
+class KernelSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(7)
+  private def randomData(n: Int, d: Int): ExpertData = {
+    val x = Array.fill(n)(Array.fill(d)(rnd.nextGaussian()))
+    val y = Array.fill(n)(rnd.nextGaussian())
+    new ExpertData(x, y)
+  }
+
+  private def checkGradient(k: Kernel, e: ExpertData): Unit = {
+    val h = k.hypers.copy
+    val (_, grads) = k.withHypers(h).gramWithGrad(e)
+    val eps = 1e-6
+    for (j <- 0 until k.numHypers) {
+      val hp = h.copy; hp(j) += eps
+      val hm = h.copy; hm(j) -= eps
+      val kp = k.withHypers(hp).gram(e)
+      val km = k.withHypers(hm).gram(e)
+      val fd = (kp - km) / (2 * eps)
+      val err = sum(breeze.numerics.abs(fd - grads(j))) / (e.size * e.size)
+      assert(err < 1e-5, s"gradient mismatch for hyper $j of $k: $err")
+    }
+  }
+
+  test("rbf gram is symmetric PSD with unit diagonal") {
+    val e = randomData(20, 3)
+    val g = rbf(1.3).gram(e)
+    assert(breeze.linalg.max(breeze.numerics.abs(g - g.t)) < 1e-12)
+    for (i <- 0 until 20) assert(math.abs(g(i, i) - 1.0) < 1e-12)
+    val eig = breeze.linalg.eigSym(g + BDM.eye[Double](20) *:* 1e-9).eigenvalues
+    assert(breeze.linalg.min(eig) > -1e-8)
+  }
+
+  test("rbf gradient matches finite differences") {
+    checkGradient(rbf(0.9), randomData(15, 3))
+  }
+
+  test("ard gradient matches finite differences") {
+    checkGradient(ardRbf(4, 1.2), randomData(12, 4))
+  }
+
+  test("composite kernel concatenates hypers and matches finite differences") {
+    val k = scaled(rbf(1.1), 2.0) + scaled(ardRbf(3, 0.8), 0.5)
+    assert(k.numHypers == 1 + 1 + 1 + 3)
+    checkGradient(k, randomData(10, 3))
+  }
+
+  test("white kernel contributes noiseVar on the diagonal only") {
+    val e = randomData(8, 2)
+    val k = rbf(1.0) + white(0.25)
+    val g = k.gram(e)
+    assert(math.abs(g(0, 0) - 1.25) < 1e-12)
+    assert(k.noiseVar === 0.25)
+    assert(sum(breeze.numerics.abs(k.cross(e.x, e.x) -
+      rbf(1.0).cross(e.x, e.x))) < 1e-12)
+  }
+
+  test("scalar DSL builds trainable amplitude") {
+    val k = 3.0 * rbf(1.0)
+    assert(k.numHypers == 2)
+    assert(k.hypers(0) == 3.0)
+    val k2 = k.withHypers(BDV(5.0, 2.0))
+    assert(k2.hypers(0) == 5.0 && k2.hypers(1) == 2.0)
+  }
+
+  test("cross kernel agrees with gram on identical inputs") {
+    val e = randomData(9, 3)
+    for (k <- Seq(rbf(0.7), ardRbf(3, 1.4), scaled(rbf(2.0), 1.5))) {
+      val g = k.gram(e)
+      val c = k.cross(e.x, e.x)
+      assert(breeze.linalg.max(breeze.numerics.abs(g - c)) < 1e-12, k.toString)
+    }
+  }
+}
