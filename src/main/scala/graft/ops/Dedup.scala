@@ -7,30 +7,16 @@ import org.apache.spark.sql.functions._
  * Deduplication operators for document corpora.
  *
  * Scale posture (100 TB): every near-dup method reduces each document to
- * a fixed-width signature in ONE narrow pass (no UDF, pure expressions),
- * then shuffles only `(bucket_key, doc_id)` pairs — never text — for the
- * candidate join. Candidate verification re-reads only candidate rows.
+ * a fixed-width signature, then shuffles only `(bucket_key, doc_id)`
+ * pairs — never text — for the candidate join. Signatures are computed
+ * by hashing each shingle ONCE (explode → codegen'd hash aggregate with
+ * wide min/sum columns); higher-order-function lambdas are avoided on
+ * the hot path because Spark interprets them per element.
  */
 object Dedup {
 
   /** Large prime < 2^31 used by the universal hash family. */
   private val P = 2147483647L
-
-  /**
-   * MinHash signature of a set column (array<string>), as
-   * `numHashes` longs. Universal hashing h_i(x) = (a_i * x32 + b_i) mod P
-   * over the low 32 bits of xxhash64 of each element; coefficients are
-   * derived deterministically from `seed` via splitmix-style mixing, and
-   * inlined as literals (broadcast with the plan, not shuffled).
-   */
-  def minHashSignature(set: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
-    val coeffs = hashCoefficients(numHashes, seed)
-    val entries = coeffs.map { case (a, b) =>
-      array_min(transform(set,
-        e => (lit(a) * xxhash64(e).bitwiseAND(lit(0xffffffffL)) + lit(b)) % lit(P)))
-    }
-    array(entries: _*)
-  }
 
   /** Deterministic (a, b) pairs for the universal hash family. */
   private def hashCoefficients(n: Int, seed: Long): Seq[(Long, Long)] = {
@@ -43,6 +29,46 @@ object Dedup {
       z ^ (z >>> 31)
     }
     Seq.fill(n)((math.abs(next()) % (P - 1) + 1, math.abs(next()) % P))
+  }
+
+  /**
+   * Hashed word n-gram shingles: one row per (id, shingle hash). The
+   * shingle string is never materialized — words are exploded once and
+   * combined with windowed `lead`s into a multi-argument xxhash64, all
+   * codegen'd. The window and any downstream per-id aggregation share
+   * the same hash partitioning, so the id shuffle happens once.
+   * Documents with fewer than `n` words produce no shingles.
+   */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .select(col(idCol) +: col("w") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col(idCol),
+        xxhash64(col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("h"))
+  }
+
+  /**
+   * MinHash signatures from element hashes (`idCol`, `h`): one row per
+   * id with a `sig` array of `numHashes` longs. h_i(x) = (a_i·x32 + b_i)
+   * mod P over the low 32 bits of `h`; the per-id minima come from one
+   * codegen'd wide aggregate.
+   */
+  def minHashSignatures(elementHashes: DataFrame, idCol: String,
+      numHashes: Int = 128, seed: Long = 42L): DataFrame = {
+    val coeffs = hashCoefficients(numHashes, seed)
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h32") + lit(b)) % lit(P)).as(s"m$i")
+    }
+    elementHashes
+      .select(col(idCol), col("h").bitwiseAND(lit(0xffffffffL)).as("h32"))
+      .groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /**
@@ -60,13 +86,13 @@ object Dedup {
   }
 
   /**
-   * MinHash+LSH candidate pairs (id_a < id_b) from a corpus of
-   * (idCol, setCol). The pair shuffle carries only ids.
+   * MinHash+LSH candidate pairs (id_a < id_b) from a text corpus of
+   * (idCol, textCol), shingled as hashed word trigrams. The pair
+   * shuffle carries only ids.
    */
-  def minHashCandidatePairs(docs: DataFrame, idCol: String, setCol: String,
+  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
-    val sigs = docs.select(col(idCol),
-      minHashSignature(col(setCol), numHashes, seed).as("sig"))
+    val sigs = minHashSignatures(shingleHashes(docs, idCol, textCol), idCol, numHashes, seed)
     val bb = lshBands(sigs, "sig", bands, idCol)
     val left = bb.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val right = bb.select(col("band"), col("bucket"), col(idCol).as("id_b"))
@@ -77,25 +103,21 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash of a set column: sign-aggregated bitwise vote of
-   * element xxhash64 values. Pure expression: fold a 64-long counter
-   * array through `aggregate`, then reassemble the sign bits.
+   * 64-bit SimHash per id from element hashes (`idCol`, `h`): bitwise
+   * majority vote, as one codegen'd wide aggregate (64 conditional
+   * sums). Multiset semantics: repeated shingles vote repeatedly.
    */
-  def simHash(set: Column): Column = {
-    val counters = aggregate(
-      set,
-      array_repeat(lit(0L), 64),
-      (acc, e) => {
-        val h = xxhash64(e)
-        transform(acc, (c, i) =>
-          c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L)))
-      })
-    aggregate(
-      transform(counters,
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit))
+  def simHashSignatures(elementHashes: DataFrame, idCol: String): DataFrame = {
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val packed = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    elementHashes
+      .groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("sim"))
   }
 
   /**
@@ -103,8 +125,8 @@ object Dedup {
    * 16-bit chunks; docs sharing any chunk are candidates (catches all
    * pairs within Hamming distance 3 by pigeonhole).
    */
-  def simHashCandidatePairs(docs: DataFrame, idCol: String, setCol: String): DataFrame = {
-    val sigs = docs.select(col(idCol), simHash(col(setCol)).as("sim"))
+  def simHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = simHashSignatures(shingleHashes(docs, idCol, textCol), idCol)
     val chunks = sigs.select(col(idCol), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
@@ -122,10 +144,9 @@ object Dedup {
   /** Hamming distance between two 64-bit columns (popcount of XOR). */
   def hammingDistance64(a: Column, b: Column): Column = {
     val x = a.bitwiseXOR(b)
-    aggregate(
-      transform(sequence(lit(0), lit(63)),
-        i => call_function("shiftright", x, i).bitwiseAND(lit(1L))),
-      lit(0L), (acc, bit) => acc + bit).cast("int")
+    (0 until 64)
+      .map(i => shiftright(x, i).bitwiseAND(lit(1L)))
+      .reduce(_ + _).cast("int")
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */

@@ -41,15 +41,27 @@ object TextAnalysis {
   }
 
   /**
-   * 64-bit order-sensitive document fingerprint: fold token xxhash64
-   * values through `acc * 1000003 XOR h`. A pure expression (no UDF);
-   * identical token sequences — and only those — collide.
+   * 62-bit order-sensitive document fingerprint: two independent
+   * polynomial rolling hashes modulo Mersenne-ish primes, packed into
+   * one long. Modular form keeps every intermediate < 2^52, so it is
+   * safe under ANSI arithmetic (a plain wrapping `acc*k ^ h` would
+   * throw ARITHMETIC_OVERFLOW on Spark 4). Pure expression, no UDF;
+   * identical token sequences — and only those — collide (w.h.p.).
    */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = {
+    val p1 = 2147483629L
+    val p2 = 2147483647L
     aggregate(
       tokens(text),
-      lit(1469598103934665603L),
-      (acc, t) => (acc * lit(1000003L)).bitwiseXOR(xxhash64(t)))
+      struct(lit(17L).as("a"), lit(19L).as("b")),
+      (acc, t) => {
+        val h = pmod(xxhash64(t), lit(p2))
+        struct(
+          pmod(acc("a") * lit(1000003L) + h, lit(p1)).as("a"),
+          pmod(acc("b") * lit(1000033L) + h, lit(p2)).as("b"))
+      },
+      acc => acc("a") * lit(1L << 31) + acc("b"))
+  }
 
   /** Word n-grams (as space-joined strings) of a text column. */
   def wordNGrams(text: Column, n: Int): Column = {
@@ -73,19 +85,28 @@ object TextAnalysis {
    * stream through one explode + aggregation keyed by doc_id.
    */
   def langId(docs: DataFrame, profileSize: Int = 300): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), col("lang"), explode(charNGrams(col("text"), 3)).as("gram"))
-    val profiles = grams
-      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+    // (doc, gram) counts, computed ONCE and reused by both the profile
+    // build and the scoring join. Trigrams come from explode(sequence) +
+    // substring with column args — codegen'd, unlike HOF lambdas.
+    val positions = when(length(col("text")) >= 3,
+      sequence(lit(1), length(col("text")) - 2)).otherwise(array().cast("array<int>"))
+    val gramCounts = docs
+      .select(col("doc_id"), col("lang"), col("text"), explode(positions).as("pos"))
+      .select(col("doc_id"), col("lang"),
+        expr("substring(text, pos, 3)").as("gram"))
+      .groupBy("doc_id", "lang", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val profiles = gramCounts
+      .groupBy("lang", "gram").agg(sum("cnt").as("weight"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")
-          .orderBy(col("cnt").desc, col("gram"))))
+          .orderBy(col("weight").desc, col("gram"))))
       .filter(col("rnk") <= profileSize)
-      .select(col("lang").as("profile_lang"), col("gram"), col("cnt").as("weight"))
-    grams
+      .select(col("lang").as("profile_lang"), col("gram"), col("weight"))
+    gramCounts
       .join(broadcast(profiles), "gram")
       .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
-      .agg(sum("weight").as("score"))
+      .agg(sum(col("cnt") * col("weight")).as("score"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("profile_lang"))))

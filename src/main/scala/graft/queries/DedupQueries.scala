@@ -67,19 +67,20 @@ object DedupQueries {
     Q(
       "d03_minhash_pairs",
       (s, dir) => {
-        val corpus = withNearDups(s, dir, drop = 3)
-          .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shingles"))
-        minHashCandidatePairs(corpus, "doc_id", "shingles")
+        minHashCandidatePairs(withNearDups(s, dir, drop = 3), "doc_id", "text")
           .orderBy("id_a", "id_b")
       }),
 
     Q(
       "d04_simhash",
       (s, dir) => {
-        val corpus = withNearDups(s, dir, drop = 3)
-          .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shingles"))
-        simHashCandidatePairs(corpus, "doc_id", "shingles")
-          .filter(col("hamming") <= 8)
+        // drop=1: a one-word tail mutation keeps planted pairs within
+        // hamming ~2-6, the zone 4×16-bit banding is designed to catch
+        // (guaranteed ≤3, ~80% at 4-6). Wider mutations belong to
+        // MinHash (d03), which keys on set overlap, not bit margins.
+        // hamming ≤ 16 filter: random pairs center at 32.
+        simHashCandidatePairs(withNearDups(s, dir, drop = 1), "doc_id", "text")
+          .filter(col("hamming") <= 16)
           .orderBy("id_a", "id_b")
       }),
 
@@ -127,7 +128,4 @@ object DedupQueries {
              |WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin))
   )
 
-  /** 3-word shingles used as the near-dup set representation. */
-  private def wordShingles(text: org.apache.spark.sql.Column) =
-    graft.ops.TextAnalysis.wordNGrams(text, 3)
 }

@@ -55,8 +55,15 @@ object TextQueries {
     Q(
       "t04_bigram_freq",
       (s, dir) => {
+        // posexplode + windowed lead keeps bigram assembly codegen'd
+        // (the HOF wordNGrams variant interprets a lambda per token).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
         Tables(s, dir).documents
-          .select(explode(wordNGrams(col("text"), 2)).as("bigram"))
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .select(col("doc_id"), col("w"), lead(col("w"), 1).over(w).as("w1"))
+          .filter(col("w1").isNotNull)
+          .select(concat_ws(" ", col("w"), col("w1")).as("bigram"))
           .groupBy("bigram")
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("bigram"))

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming twins of the batch event queries
+ * (`graft.queries.Events`): the same logic expressed over `readStream`
+ * sources, with watermarks bounding state.
+ *
+ * Scale posture: state is per-key and bounded — the windowed aggregate
+ * keeps one row per (window, event_type) until the watermark passes;
+ * the sessionizer keeps one small SessionState per active user and
+ * expires it via event-time timeout. Both survive arbitrary input
+ * volume because expired state is dropped, never accumulated.
+ */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(sessionId: Long, lastTsMicros: Long, nEvents: Long)
+
+  final case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long,
+      closed: Boolean)
+
+  /**
+   * Tumbling-window event counts per type with a watermark: the batch
+   * twin is `e01_event_funnel` (daily buckets there, parameterized here).
+   */
+  def windowedCounts(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+
+  /**
+   * Gap-based sessionization with explicit state — the batch twin is
+   * `e02_sessionize` (30-minute gap there too). Emits an update per
+   * processed event-batch and a closing record when a session times out.
+   */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionUpdate] = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    implicit val updEnc = Encoders.product[SessionUpdate]
+    implicit val stEnc = Encoders.product[SessionState]
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, st.sessionId, st.nEvents, closed = true))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val out = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val tsMicros = e.ts.getTime * 1000L
+              if (st.lastTsMicros != Long.MinValue && tsMicros - st.lastTsMicros > gapMicros) {
+                out += SessionUpdate(userId, st.sessionId, st.nEvents, closed = true)
+                st = SessionState(st.sessionId + 1, tsMicros, 1L)
+              } else {
+                st = SessionState(st.sessionId, tsMicros, st.nEvents + 1)
+              }
+            }
+            if (sorted.nonEmpty) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTsMicros / 1000L + gapMinutes * 60L * 1000L)
+              out += SessionUpdate(userId, st.sessionId, st.nEvents, closed = false)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

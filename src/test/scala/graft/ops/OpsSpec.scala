@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+  import TextAnalysis._
+
+  test("token and ratio features") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick fox"), (2L, "a a a b!")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"), tokenCount(col("text")),
+      stopwordRatio(col("text")), punctRatio(col("text"))).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getInt(1) == 3)
+    assert(math.abs(r1.getDouble(2) - 1.0 / 3) < 1e-12)
+    assert(r1.getDouble(3) == 0.0)
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getInt(1) == 4)
+    assert(math.abs(r2.getDouble(2) - 0.75) < 1e-12)
+    assert(math.abs(r2.getDouble(3) - 1.0 / 8) < 1e-12)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("wordNGrams produces sliding windows") {
+    import spark.implicits._
+    val out = Seq(("w1 w2 w3 w4")).toDF("text")
+      .select(wordNGrams(col("text"), 3).as("g")).head().getSeq[String](0)
+    assert(out == Seq("w1 w2 w3", "w2 w3 w4"))
+  }
+
+  test("langId runs end-to-end and predicts a known lang") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      // two artificial 'languages' with disjoint character inventories
+      if (i % 2 == 0) (i.toLong, "aaab aabb abab aaab abba", "aa")
+      else (i.toLong, "zzzy zzyy zyzy zzzy zyyz", "zz")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(docs, profileSize = 50)
+    val acc = out.select(avg(when(col("predicted") === col("actual"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc == 1.0, s"accuracy $acc")
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  import Dedup._
+
+  private def corpusWithDups() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0L until 60L).map { i =>
+      (i, Seq.fill(100)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // ids 1000+i are near-dups of i (first 10 docs, last 2 words dropped)
+    val dups = base.take(10).map { case (i, t) =>
+      (1000L + i, t.split(" ").dropRight(2).mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val pairs = minHashCandidatePairs(corpusWithDups(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 10L)
+      assert(pairs.contains((i, 1000L + i)), s"missing planted pair $i")
+  }
+
+  test("simhash banding finds planted near-duplicates with small hamming") {
+    val pairs = simHashCandidatePairs(corpusWithDups(), "doc_id", "text")
+      .filter(col("hamming") <= 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 10L).count(i => pairs.contains((i, 1000L + i)))
+    assert(found >= 7, s"only $found/10 planted pairs found")
+  }
+
+  test("jaccard matches hand computation") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("shingleHashes drops short docs and hashes trigrams") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = shingleHashes(df, "doc_id", "text").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L))
+    assert(rows.length == 2) // "a b c", "b c d"
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import Similarity._
+
+  test("cosine and sqDist match hand computation") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 2.0)), (Seq(1.0, 1.0), Seq(2.0, 2.0)))
+      .toDF("a", "b")
+    val rows = df.select(cosine(col("a"), col("b")), sqDist(col("a"), col("b"))).collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.0) < 1e-12)
+    assert(math.abs(rows(0).getDouble(1) - 5.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(1) - 2.0) < 1e-12)
+  }
+
+  test("brute-force knn returns exact neighbors in rank order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val corpus = (100L until 400L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val queries = (0L until 5L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val got = knnBruteForce(qdf, cdf, "vec_id", "v", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = queries.flatMap { case (qid, qv) =>
+      corpus.map { case (cid, cv) => (qid, cid, cos(qv, cv)) }
+        .sortBy { case (_, cid, c) => (-c, cid) }
+        .take(3).zipWithIndex.map { case ((_, cid, _), r) => (qid, r + 1, cid) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("LSH knn achieves reasonable recall against exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    // clustered corpus so buckets are meaningful
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double]) = c.map(_ + 0.3 * rnd.nextGaussian()).toSeq
+    val corpus = (100L until 600L).map(i => (i, near(centers((i % 5).toInt))))
+    val queries = (0L until 10L).map(i => (i, near(centers((i % 5).toInt))))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val exact = knnBruteForce(qdf, cdf, "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = knnLsh(qdf, cdf, "vec_id", "v", 5, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import Multimodal._
+
+  test("packAsMedia + extractFeatures produce deterministic features") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val media = packAsMedia(docs, "doc_id", "text")
+    val feats = extractFeatures(media, batchSize = 2).collect()
+    assert(feats.length == 3)
+    val f1 = feats.find(_.media_id == 1L).get
+    val f2 = feats.find(_.media_id == 2L).get
+    val f3 = feats.find(_.media_id == 3L).get
+    assert(f1.feature.toSeq == f2.feature.toSeq)
+    assert(f1.feature.toSeq != f3.feature.toSeq)
+    assert(f1.n_bytes == "hello world".getBytes("UTF-8").length)
+    assert(f1.feature.length == 8)
+    assert(f1.kind == "audio" && f2.kind == "image")
+  }
+}
