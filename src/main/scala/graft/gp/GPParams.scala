@@ -38,8 +38,8 @@ trait GPParams extends Params {
     ParamValidators.gt(0))
   final val seed = new LongParam(this, "seed", "random seed")
   final val inducingStrategy = new Param[String](this, "inducingStrategy",
-    "inducing point selection: random | kmeans",
-    ParamValidators.inArray(Array("random", "kmeans")))
+    "inducing point selection: random | kmeans | greedy",
+    ParamValidators.inArray(Array("random", "kmeans", "greedy")))
 
   setDefault(featuresCol -> "features", labelCol -> "label",
     predictionCol -> "prediction", predStdCol -> "",

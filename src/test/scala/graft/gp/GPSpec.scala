@@ -104,6 +104,45 @@ class GPSpec extends SparkTestBase {
     assert(acc > 0.85, s"accuracy=$acc")
   }
 
+  test("greedy inducing points cover all clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0), Array(10.0, 10.0))
+    val pts = Seq.fill(400) {
+      val c = centers(rnd.nextInt(4))
+      Array(c(0) + 0.3 * rnd.nextGaussian(), c(1) + 0.3 * rnd.nextGaussian())
+    }
+    val rdd = spark.sparkContext.parallelize(pts, 4)
+    val z = InducingPoints.greedy(rdd, 12, seed = 7L, batch = 3)
+    assert(z.length == 12)
+    // every cluster center must have an inducing point within its spread
+    centers.foreach { c =>
+      val nearest = z.map(p => math.hypot(p(0) - c(0), p(1) - c(1))).min
+      assert(nearest < 2.0, s"cluster at ${c.toSeq} uncovered (nearest $nearest)")
+    }
+  }
+
+  test("GPRegressor with greedy inducing strategy trains end-to-end") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val data = Seq.tabulate(250) { i =>
+      val x = 4.0 * i / 250.0
+      (Array(x), math.cos(1.5 * x) + 0.05 * rnd.nextGaussian())
+    }
+    val df = data.toDF("features", "label")
+    val model = new GPRegressor()
+      .setKernel(() => 1.0 * rbf(1.0))
+      .setNoise(1e-3)
+      .setExpertSize(80)
+      .setInducingSize(25)
+      .setInducingStrategy("greedy")
+      .setMaxIter(25)
+      .fit(df)
+    val rmse = math.sqrt(model.transform(df)
+      .select(avg(pow(col("prediction") - col("label"), 2))).head().getDouble(0))
+    assert(rmse < 0.12, s"rmse=$rmse")
+  }
+
   test("Gauss-Hermite expectation matches closed forms") {
     val gh = new GaussHermite(32)
     assert(math.abs(gh.expectation(1.0, 4.0, x => x * x) - 5.0) < 1e-8)
