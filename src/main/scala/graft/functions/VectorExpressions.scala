@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/**
+ * Column-API entry points for graft's native codegen'd vector
+ * expressions (defined in org.apache.spark.sql.graftshim — they
+ * implement private[sql] interfaces). One tight Java loop per pair,
+ * inside whole-stage codegen; no HOF lambdas, no UDFs.
+ */
+object VectorExpressions {
+  import org.apache.spark.sql.graftshim.{ArrayCosine, ArrayDot, ArraySqDist}
+
+  private def bin(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
+    ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column = bin(ArrayDot.apply)(a, b)
+  def cosine(a: Column, b: Column): Column = bin(ArrayCosine.apply)(a, b)
+  def sqDist(a: Column, b: Column): Column = bin(ArraySqDist.apply)(a, b)
+}

@@ -10,33 +10,26 @@ import org.apache.spark.sql.functions._
  * Scale posture: the query side is assumed small (≪ corpus) and is
  * broadcast, so brute-force is a broadcast nested-loop with NO shuffle of
  * the corpus; the LSH variant buckets both sides so the join is equi-key
- * and each bucket is tiny. Dot products are pure `zip_with`/`aggregate`
- * expressions — no UDF.
+ * and each bucket is tiny. Vector math is native codegen'd Catalyst
+ * expressions (`graft.functions.VectorExpressions`) — a tight Java loop
+ * inside whole-stage codegen, not interpreted HOF lambdas, not UDFs.
  */
 object Similarity {
 
   /** Dot product of two array columns, computed in double. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dot(a, b)
 
   /** Euclidean norm of an array column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two array columns (0 for zero vectors). */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
 
   /** Squared euclidean distance of two array columns. */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.sqDist(a, b)
 
   /**
    * Exact top-k cosine neighbors for each query vector.

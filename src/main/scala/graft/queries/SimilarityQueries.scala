@@ -35,6 +35,29 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a03_cosine_sql",
+      (s, dir) => {
+        // Exercises the graft_cosine native expression through plain SQL
+        // (registered at runtime — works on any session).
+        graft.spark.GraftExtensions.ensureRegistered(s)
+        Tables(s, dir).embeddings.filter(col("vec_id") < 40)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .createOrReplaceTempView("graft_emb_small")
+        s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                |  floor(graft_cosine(a.v, b.v) * 1e6 + 0.5) / 1e6 AS cos
+                |FROM graft_emb_small a JOIN graft_emb_small b ON a.vec_id < b.vec_id
+                |ORDER BY id_a, id_b""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings WHERE vec_id < 40)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  floor(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1e6 + 0.5) / 1e6 AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "a02_knn_lsh",
       (s, dir) => {
         val e = Tables(s, dir).embeddings

@@ -1,0 +1,60 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import org.apache.spark.sql.graftshim.{ArrayCosine, ArrayDot, ArraySqDist}
+
+/**
+ * Registers graft's native expressions as SQL functions, so
+ * `SELECT graft_cosine(a.embedding, b.embedding)` works from plain SQL.
+ *
+ * Enable with:
+ *   SparkSession.builder().withExtensions(new GraftExtensions)
+ * or
+ *   --conf spark.sql.extensions=graft.spark.GraftExtensions
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.binary
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[org.apache.spark.sql.graftshim.ArrayDot].getName, null, name, usage, "")
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "_FUNC_(a, b) - dot product of two double arrays"),
+      binary("graft_dot", ArrayDot.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "_FUNC_(a, b) - cosine similarity of two double arrays"),
+      binary("graft_cosine", ArrayCosine.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      info("graft_sqdist", "_FUNC_(a, b) - squared euclidean distance of two double arrays"),
+      binary("graft_sqdist", ArraySqDist.apply)))
+  }
+}
+
+object GraftExtensions {
+
+  private def binary(name: String, f: (Expression, Expression) => Expression):
+      Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${children.length}")
+    f(children(0), children(1))
+  }
+
+  /** Idempotently register the graft_* SQL functions on a LIVE session
+    * (for sessions built without `spark.sql.extensions`). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftshim.FunctionRegistryBridge.register
+    register(spark, "graft_dot", "_FUNC_(a, b) - dot product",
+      binary("graft_dot", ArrayDot.apply))
+    register(spark, "graft_cosine", "_FUNC_(a, b) - cosine similarity",
+      binary("graft_cosine", ArrayCosine.apply))
+    register(spark, "graft_sqdist", "_FUNC_(a, b) - squared euclidean distance",
+      binary("graft_sqdist", ArraySqDist.apply))
+  }
+}

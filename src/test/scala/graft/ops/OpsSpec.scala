@@ -104,6 +104,25 @@ class DedupSpec extends SparkTestBase {
 class SimilaritySpec extends SparkTestBase {
   import Similarity._
 
+  test("native expressions survive strict codegen and SQL registration") {
+    import spark.implicits._
+    // fail hard if the generated Java doesn't compile
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      val r = df.select(dot(col("a"), col("b")), cosine(col("a"), col("b")),
+        sqDist(col("a"), col("b"))).head()
+      assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+      assert(math.abs(r.getDouble(1) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+      assert(math.abs(r.getDouble(2) - 27.0) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+
+    graft.spark.GraftExtensions.ensureRegistered(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0)
+    assert(math.abs(viaSql - 11.0) < 1e-12)
+  }
+
   test("cosine and sqDist match hand computation") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 2.0)), (Seq(1.0, 1.0), Seq(2.0, 2.0)))
