@@ -67,6 +67,59 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+   * partitions the corpus into `clusters` cells; each query probes its
+   * `nprobe` nearest cells and reranks exactly inside them.
+   *
+   * Scale posture: centroids are model-sized and broadcast; corpus cell
+   * assignment is ONE narrow map (argmin over broadcast centroids via a
+   * UDF — no corpus×clusters blowup); the probe join is equi-keyed on
+   * cell id, touching ~nprobe/clusters of the corpus per query. Cell
+   * skew is bounded by k-means balance; at extreme scale raise
+   * `clusters` so cells fit a task.
+   */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, clusters: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val centers = new KMeans().setK(clusters).setSeed(seed).setMaxIter(15)
+      .fit(corpusVec.select(array_to_vector(col("cv")).as("features")))
+      .clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centers)
+
+    def sq(a: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val assignUdf = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < bc.value.length) {
+        val d = sq(v, bc.value(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+      }
+      best
+    }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      bc.value.indices.map(c => (c, sq(v, bc.value(c)))).sortBy(_._2)
+        .take(nprobe).map(_._1)
+    }
+
+    val cell = corpusVec.withColumn("cell", assignUdf(col("cv")))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cell.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /**
    * Approximate top-k via hyperplane LSH with `tables` independent hash
    * tables: equi-join on (table, bucket), exact rerank inside buckets,
    * union of tables, global top-k per query. Recall is tested in

@@ -66,6 +66,21 @@ object SimilarityQueries {
           "vec_id", "embedding", k = 5, dim = 64)
           .select(col("query_id"), col("rank"), col("neighbor_id"), fround(col("cos"), 4).as("cos"))
           .orderBy("query_id", "rank")
+      }),
+
+    Q(
+      "a04_knn_ivf",
+      (s, dir) => {
+        // nprobe 6/16: the synthetic embeddings are near-uniform on the
+        // sphere (no cluster structure), so IVF needs wider probing for
+        // decent recall (~0.8 here vs 0.66 at nprobe=4; ≥0.9 on genuinely
+        // clustered data, see SimilaritySpec).
+        val e = Tables(s, dir).embeddings
+        knnIvf(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), fround(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rank")
       })
   )
 }

@@ -155,6 +155,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("IVF knn achieves high recall on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double]) = c.map(_ + 0.3 * rnd.nextGaussian()).toSeq
+    val corpus = (100L until 600L).map(i => (i, near(centers((i % 5).toInt))))
+    val queries = (0L until 10L).map(i => (i, near(centers((i % 5).toInt))))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val exact = knnBruteForce(qdf, cdf, "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = knnIvf(qdf, cdf, "vec_id", "v", 5, clusters = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("LSH knn achieves reasonable recall against exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
