@@ -66,6 +66,28 @@ object Events {
              |             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
              |        THEN 1 ELSE 0 END AS new_session
              |    FROM events))
-             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    Q(
+      "e04_asof_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val clicks = t.events.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val views = t.events.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+        graft.ops.AsOf.asofJoin(clicks, views, "user_id", "ts", Seq("view_id"))
+          .select("event_id", "user_id", "view_id")
+          .orderBy("event_id")
+      },
+      // DuckDB has a NATIVE ASOF JOIN — ideal oracle for the composed op.
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events
+             |                WHERE event_type = 'click'),
+             |views AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+             |          FROM events WHERE event_type = 'view')
+             |SELECT event_id, clicks.user_id AS user_id, view_id
+             |FROM clicks ASOF LEFT JOIN views
+             |  ON clicks.user_id = views.user_id AND clicks.ts >= views.view_ts
+             |ORDER BY event_id""".stripMargin))
   )
 }

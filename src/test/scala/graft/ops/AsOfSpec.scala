@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AsOfSpec extends SparkTestBase {
+
+  test("asof join picks latest right row at or before left time, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k1", 100L), // matches r at 90
+      (2L, "k1", 50L),  // matches r at 50 (equal time)
+      (3L, "k1", 10L),  // no right row at/before 10 -> null
+      (4L, "k2", 100L)  // other key: matches r at 100
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("k1", 50L, 900L), ("k1", 90L, 901L), ("k1", 120L, 902L),
+      ("k2", 100L, 903L)
+    ).toDF("key", "t", "rid")
+
+    val out = AsOf.asofJoin(left, right, "key", "t", Seq("rid"))
+      .select("id", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(901L))
+    assert(out(2L).contains(900L))
+    assert(out(3L).isEmpty)
+    assert(out(4L).contains(903L))
+  }
+
+  test("salted join returns exactly the plain join's rows under skew") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    // 90% of big rows share one hot key
+    val big = (0 until 2000).map { i =>
+      (if (rnd.nextDouble() < 0.9) "hot" else s"k${rnd.nextInt(20)}", i.toLong)
+    }.toDF("key", "v")
+    val small = (Seq("hot") ++ (0 until 20).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, i * 100) }.toDF("key", "w")
+    val plain = big.join(small, Seq("key")).select("key", "v", "w")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, "key", salt = 8)
+      .select("key", "v", "w").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("tolerance nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 100L), (2L, "k", 500L)).toDF("id", "key", "t")
+    val right = Seq(("k", 90L, 7L)).toDF("key", "t", "rid")
+    val out = AsOf.asofJoin(left, right, "key", "t", Seq("rid"), Some(lit(50L)))
+      .select("id", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(7L))  // 10 ticks back, within 50
+    assert(out(2L).isEmpty)       // 410 ticks back, stale
+  }
+}
