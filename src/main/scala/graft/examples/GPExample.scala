@@ -60,6 +60,29 @@ object GPExample {
       .head().getDouble(0)
     println(f"[classification/$strategy] accuracy=$acc%.12f")
 
+    // persistence round-trip
+    val dir = java.nio.file.Files.createTempDirectory("gp-example").toString
+    graft.gp.GPModelIO.save(gpr, s"$dir/gpr")
+    val loaded = graft.gp.GPModelIO.loadRegression(spark, s"$dir/gpr")
+    val rmse2 = math.sqrt(loaded.transform(reg)
+      .select(avg(pow(col("prediction") - col("label"), 2))).head().getDouble(0))
+    println(f"[persistence] reloaded-model rmse=$rmse2%.12f (must equal fit rmse)")
+
+    // multiclass one-vs-rest
+    val rnd3 = new scala.util.Random(9)
+    val multi = Seq.fill(300) {
+      val l = rnd3.nextInt(3).toDouble
+      val (cx, cy) = Seq((-2.0, 0.0), (2.0, 0.0), (0.0, 2.5))(l.toInt)
+      (Array(cx + 0.5 * rnd3.nextGaussian(), cy + 0.5 * rnd3.nextGaussian()), l)
+    }.toDF("features", "label")
+    val ovr = graft.gp.GPOneVsRest.fit(
+      new GPClassifier().setKernel(() => 1.0 * rbf(1.0)).setNoise(1e-4)
+        .setExpertSize(100).setInducingSize(25).setMaxIter(15), multi)
+    val accM = ovr.transform(multi)
+      .select(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    println(f"[one-vs-rest 3-class] accuracy=$accM%.4f")
+
     spark.stop()
   }
 }

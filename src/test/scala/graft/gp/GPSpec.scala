@@ -143,6 +143,48 @@ class GPSpec extends SparkTestBase {
     assert(rmse < 0.12, s"rmse=$rmse")
   }
 
+  test("model save/load round-trips predictions exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val df = Seq.tabulate(200) { i =>
+      val x = 3.0 * i / 200.0
+      (Array(x), math.sin(x) + 0.05 * rnd.nextGaussian())
+    }.toDF("features", "label")
+    val model = new GPRegressor()
+      .setKernel(() => 1.0 * rbf(1.0)).setNoise(1e-3)
+      .setExpertSize(100).setInducingSize(20).setMaxIter(15)
+      .setPredStdCol("std")
+      .fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("gpmodel").toString
+    GPModelIO.save(model, s"$dir/m")
+    val loaded = GPModelIO.loadRegression(spark, s"$dir/m")
+    val a = model.transform(df).select("prediction", "std").collect().map(_.toSeq)
+    val b = loaded.transform(df).select("prediction", "std").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("one-vs-rest classifies three blobs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val centers = Map(0.0 -> (-2.0, 0.0), 1.0 -> (2.0, 0.0), 2.0 -> (0.0, 2.5))
+    val df = Seq.fill(360) {
+      val l = rnd.nextInt(3).toDouble
+      val (cx, cy) = centers(l)
+      (Array(cx + 0.5 * rnd.nextGaussian(), cy + 0.5 * rnd.nextGaussian()), l)
+    }.toDF("features", "label")
+    val template = new GPClassifier()
+      .setKernel(() => 1.0 * rbf(1.0)).setNoise(1e-4)
+      .setExpertSize(120).setInducingSize(30).setMaxIter(15)
+    val fitted = GPOneVsRest.fit(template, df)
+    assert(fitted.labels == Seq(0.0, 1.0, 2.0))
+    val out = fitted.transform(df)
+    val acc = out.select(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc > 0.93, s"accuracy=$acc")
+    val conf = out.agg(min("confidence"), max("confidence")).head()
+    assert(conf.getDouble(0) >= 0.0 && conf.getDouble(1) <= 1.0)
+  }
+
   test("Gauss-Hermite expectation matches closed forms") {
     val gh = new GaussHermite(32)
     assert(math.abs(gh.expectation(1.0, 4.0, x => x * x) - 5.0) < 1e-8)
