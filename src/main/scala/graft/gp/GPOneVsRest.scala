@@ -19,7 +19,10 @@ object GPOneVsRest {
     def transform(df: DataFrame): DataFrame = {
       val scored = labels.zip(models).zipWithIndex.foldLeft(df) {
         case (acc, ((_, m), i)) =>
-          m.setPredictionCol(s"__ovr_pred_$i")
+          // copy before renaming columns: mutating the stored model would
+          // leak the __ovr_* names into later direct uses (and race).
+          m.copy(org.apache.spark.ml.param.ParamMap.empty)
+            .setPredictionCol(s"__ovr_pred_$i")
             .setProbabilityCol(s"__ovr_p_$i")
             .transform(acc)
             .drop(s"__ovr_pred_$i")

@@ -35,42 +35,44 @@ object AsOf {
     require(!payloadCols.contains(keyCol) && !leftCols.exists(payloadCols.contains),
       s"payload columns $payloadCols must not collide with left columns")
 
-    val matchTime = "__asof_time"
+    // The whole right row travels as ONE nullable struct, and the match
+    // is a single last(ignoreNulls) over it — per-column lasts would mix
+    // payload values from different right rows whenever a payload field
+    // is itself NULL.
+    val matchStruct = "__asof_match"
+    val structType = struct(col(timeCol).as("__t") +: payloadCols.map(col): _*)
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn(matchTime, lit(null).cast(right.schema(timeCol).dataType))
-      .select(Seq(col(keyCol), col(timeCol), col("__side"), col(matchTime)) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      .withColumn(matchStruct, lit(null).cast(
+        right.select(structType).schema.head.dataType))
+      .select(Seq(col(keyCol), col(timeCol), col("__side"), col(matchStruct)) ++
         leftCols.filterNot(c => c == keyCol || c == timeCol).map(col): _*)
     val r = right
       .withColumn("__side", lit(0))
-      .withColumn(matchTime, col(timeCol))
-      .select(Seq(col(keyCol), col(timeCol), col("__side"), col(matchTime)) ++
-        payloadCols.map(col) ++
+      .withColumn(matchStruct, structType)
+      .select(Seq(col(keyCol), col(timeCol), col("__side"), col(matchStruct)) ++
         leftCols.filterNot(c => c == keyCol || c == timeCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // Right rows sort before left rows at equal time, so `<=` matches;
-    // ties among right rows resolve by the first payload column.
-    val ord = Seq(col(timeCol), col("__side")) ++ payloadCols.headOption.map(col)
+    // ties among right rows resolve by the first payload field.
+    val ord = Seq(col(timeCol), col("__side")) ++
+      payloadCols.headOption.map(c => col(matchStruct).getField(c))
     val w = Window.partitionBy(keyCol).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val resolved = l.unionByName(r)
-      .select(
-        col("*") +:
-          (matchTime +: payloadCols).map(c =>
-            last(col(c), ignoreNulls = true).over(w).as(s"__m_$c")): _*)
+      .withColumn("__m", last(col(matchStruct), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
     val withinTol = tolerance match {
       case Some(tol) =>
-        col(s"__m_$matchTime").isNotNull &&
-          col(timeCol).cast("long") - col(s"__m_$matchTime").cast("long") <= tol.cast("long")
-      case None => col(s"__m_$matchTime").isNotNull
+        col("__m").isNotNull &&
+          col(timeCol).cast("long") - col("__m.__t").cast("long") <= tol.cast("long")
+      case None => col("__m").isNotNull
     }
     val out = payloadCols.foldLeft(resolved) { (df, c) =>
-      df.withColumn(c, when(withinTol, col(s"__m_$c")))
+      df.withColumn(c, when(withinTol, col(s"__m.$c")))
     }
     out.select(leftCols.map(col) ++ payloadCols.map(col): _*)
   }

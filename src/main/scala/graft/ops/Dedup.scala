@@ -75,8 +75,10 @@ object Dedup {
    * LSH banding over a MinHash signature column: one row per band,
    * keyed by (band index, xxhash64 of the band slice).
    */
-  def lshBands(df: DataFrame, sigCol: String, bands: Int, idCol: String): DataFrame = {
-    val rowsPerBand = 128 / bands
+  def lshBands(df: DataFrame, sigCol: String, bands: Int, idCol: String,
+      numHashes: Int = 128): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
@@ -93,7 +95,7 @@ object Dedup {
   def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
     val sigs = minHashSignatures(shingleHashes(docs, idCol, textCol), idCol, numHashes, seed)
-    val bb = lshBands(sigs, "sig", bands, idCol)
+    val bb = lshBands(sigs, "sig", bands, idCol, numHashes)
     val left = bb.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val right = bb.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     left.join(right, Seq("band", "bucket"))

@@ -21,6 +21,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full outer would emit one null-padded row PER SALT for each
+    // unmatched small-side row — only big-side-preserving types are sound.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedJoin does not support join type '$joinType': the replicated " +
+        "small side would duplicate unmatched rows in right/full outer joins")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
     val smallS = small.withColumn("__salt",

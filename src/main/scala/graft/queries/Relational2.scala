@@ -72,8 +72,11 @@ object Relational2 {
           .groupBy("l_suppkey")
           .agg(sum(rev).as("total_revenue"))
         val top = srev.agg(max("total_revenue").as("mx"))
+        // >= mx − ε, not exact fp equality: the srev subtree is computed
+        // twice (group-by + max) and distributed sum order can differ in
+        // the last ulp between evaluations and between engines.
         srev.crossJoin(broadcast(top))
-          .filter(col("total_revenue") === col("mx"))
+          .filter(col("total_revenue") >= col("mx") - 1e-6)
           .join(t.supplier.select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), fround(col("total_revenue"), 2).as("total_revenue"))
           .orderBy("s_suppkey")
@@ -86,7 +89,7 @@ object Relational2 {
              |SELECT s_suppkey, s_name,
              |  floor(total_revenue * 100.0 + 0.5) / 100.0 AS total_revenue
              |FROM srev JOIN supplier ON l_suppkey = s_suppkey
-             |WHERE total_revenue = (SELECT max(total_revenue) FROM srev)
+             |WHERE total_revenue >= (SELECT max(total_revenue) FROM srev) - 1e-6
              |ORDER BY s_suppkey""".stripMargin)),
 
     Q(

@@ -57,7 +57,11 @@ object EventStreams {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
+            // Keep a tombstone (no timeout) instead of removing the state:
+            // removal would restart session numbering at 0 when the user
+            // returns, colliding with the closed session's key. State is
+            // bounded by the number of distinct users.
+            state.update(SessionState(st.sessionId + 1, Long.MinValue, 0L))
             Iterator.single(SessionUpdate(userId, st.sessionId, st.nEvents, closed = true))
           } else {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))

@@ -27,6 +27,25 @@ class AsOfSpec extends SparkTestBase {
     assert(out(4L).contains(903L))
   }
 
+  test("asof join keeps the matched row atomic when payload fields are null") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 100L)).toDF("id", "key", "t")
+    // latest right row at t=90 has a NULL rid; the match must yield NULL,
+    // not fall back to the older row's rid=900
+    val right = Seq(("k", 50L, Option(900L)), ("k", 90L, Option.empty[Long]))
+      .toDF("key", "t", "rid")
+    val out = AsOf.asofJoin(left, right, "key", "t", Seq("rid")).select("rid").head()
+    assert(out.isNullAt(0), s"expected NULL payload from the t=90 row, got $out")
+  }
+
+  test("salted join rejects right/full outer join types") {
+    import spark.implicits._
+    val df = Seq(("k", 1L)).toDF("key", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df.withColumnRenamed("v", "w"), "key", 4, "right")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     import spark.implicits._
     val rnd = new scala.util.Random(67)

@@ -123,6 +123,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(viaSql - 11.0) < 1e-12)
   }
 
+  test("native expressions return NULL on array length mismatch") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(dot(col("a"), col("b")), cosine(col("a"), col("b")),
+      sqDist(col("a"), col("b"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      s"length mismatch must not silently truncate: $r")
+  }
+
   test("cosine and sqDist match hand computation") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 2.0)), (Seq(1.0, 1.0), Seq(2.0, 2.0)))
