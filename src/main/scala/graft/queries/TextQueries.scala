@@ -80,6 +80,40 @@ object TextQueries {
       (s, dir) => langId(Tables(s, dir).documents).orderBy("doc_id")),
 
     Q(
+      "p01_corpus_pipeline",
+      (s, dir) => {
+        // End-to-end training-data prep: quality gate -> exact dedup
+        // (keep lowest doc_id per text) -> per-language corpus stats.
+        val d = Tables(s, dir).documents
+        val quality = d.filter(
+          tokenCount(col("text")) >= 20 &&
+            stopwordRatio(col("text")) <= lit(0.3))
+        val deduped = quality
+          .groupBy("text")
+          .agg(min("doc_id").as("doc_id"), first("lang").as("lang"))
+        deduped
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(tokenCount(col("text"))).cast("long").as("total_tokens"),
+            fround(avg(tokenCount(col("text"))), 2).as("avg_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH quality AS (
+             |  SELECT * FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 20
+             |    AND len(list_filter(string_split(text, ' '),
+             |          x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+             |        / len(string_split(text, ' ')) <= 0.3),
+             |deduped AS (
+             |  SELECT min(doc_id) AS doc_id, any_value(lang) AS lang, text
+             |  FROM quality GROUP BY text)
+             |SELECT lang, count(*) AS docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  floor(avg(len(string_split(text, ' '))) * 100.0 + 0.5) / 100.0 AS avg_tokens
+             |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q(
       "t06_fingerprint",
       (s, dir) => {
         Tables(s, dir).documents
