@@ -20,6 +20,10 @@ object SqlFunctionsExample {
     try spark.sql("SELECT graft_cosine('a', 'b')").collect()
     catch { case e: Exception =>
       println("wrong type -> " + e.getMessage.linesIterator.next()) }
+    println("topk: " + spark.sql(
+      """SELECT graft_topk(id, score, 2) FROM VALUES
+        |  (1L, 0.5d), (2L, 0.9d), (3L, 0.9d), (4L, 0.1d) AS t(id, score)
+        |""".stripMargin).head.get(0))
     graft.spark.GraftExtensions.ensureRegistered(spark) // idempotent
     println("re-registration ok")
     spark.stop()

@@ -19,4 +19,19 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column = bin(ArrayDot.apply)(a, b)
   def cosine(a: Column, b: Column): Column = bin(ArrayCosine.apply)(a, b)
   def sqDist(a: Column, b: Column): Column = bin(ArraySqDist.apply)(a, b)
+
+  /**
+   * Top-k (id, score) pairs per group as a native aggregate: partial
+   * aggregation holds one k-entry heap per partition, so a grouped
+   * top-k shuffles groups×k rows instead of every scored row (the
+   * rank-window formulation's cost). Output array is best-first
+   * (score desc, id asc).
+   */
+  def topKByScore(id: Column, score: Column, k: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftshim.TopKByScore(
+        ColumnBridge.expression(id),
+        ColumnBridge.expression(score),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
 }

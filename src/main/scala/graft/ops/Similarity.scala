@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -33,20 +32,28 @@ object Similarity {
 
   /**
    * Exact top-k cosine neighbors for each query vector.
-   * `queries`/`corpus`: (idCol, vecCol). Queries are broadcast; ranking is
-   * deterministic (similarity desc, then corpus id).
+   * `queries`/`corpus`: (idCol, vecCol). Queries are broadcast and the
+   * ranking happens in the `graft_topk` native aggregate — per-partition
+   * k-entry heaps, map-side combined, so the shuffle carries only
+   * queries×k candidates (a rank window would shuffle every scored
+   * pair). Ranking is deterministic (similarity desc, then corpus id).
    * Output: query_id, rank, neighbor_id, cosine.
    */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cos"))
   }
 
   /**
@@ -111,12 +118,16 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    // cells are disjoint, so no per-neighbor dedup is needed before the
+    // heap aggregate; the shuffle carries queries×k candidates only
     cell.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
   }
 
   /**
@@ -135,12 +146,15 @@ object Similarity {
     }
     val q = keyed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
     val c = keyed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("tbl", "bucket"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      // dedup multi-table hits first, then heap-aggregate the top-k
       .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
   }
 }

@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sqdist"),
       info("graft_sqdist", "_FUNC_(a, b) - squared euclidean distance of two double arrays"),
       binary("graft_sqdist", ArraySqDist.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "_FUNC_(id, score, k) - top-k (id, score) pairs by score"),
+      GraftExtensions.topkBuilder))
   }
 }
 
@@ -46,6 +50,13 @@ object GraftExtensions {
     f(children(0), children(1))
   }
 
+  private[spark] val topkBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_topk requires exactly 3 arguments (id, score, k), got ${children.length}")
+    org.apache.spark.sql.graftshim.TopKByScore(children(0), children(1), children(2))
+  }
+
   /** Idempotently register the graft_* SQL functions on a LIVE session
     * (for sessions built without `spark.sql.extensions`). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -56,5 +67,7 @@ object GraftExtensions {
       binary("graft_cosine", ArrayCosine.apply))
     register(spark, "graft_sqdist", "_FUNC_(a, b) - squared euclidean distance",
       binary("graft_sqdist", ArraySqDist.apply))
+    register(spark, "graft_topk", "_FUNC_(id, score, k) - top-k (id, score) pairs",
+      topkBuilder)
   }
 }

@@ -123,6 +123,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(viaSql - 11.0) < 1e-12)
   }
 
+  test("graft_topk aggregate survives partial aggregation and breaks ties by id") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.topKByScore
+    // 40 partitions force partial heaps + serialize/merge; two groups;
+    // deliberate score ties (score = v/10 truncated) broken by lower id
+    val df = spark.sparkContext.parallelize(
+      (0L until 400L).map(i => (i % 2, i, (i / 10L).toDouble)), 40)
+      .toDF("g", "id", "score")
+    val rows = df.groupBy("g")
+      .agg(topKByScore(col("id"), col("score"), 3).as("topk"))
+      .select(col("g"), col("topk")).collect()
+    val byG = rows.map(r => r.getLong(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    // group 0: even ids; max score 39.0 from ids 390..398, lowest ids win
+    assert(byG(0L) == Seq((390L, 39.0), (392L, 39.0), (394L, 39.0)), byG(0L).toString)
+    assert(byG(1L) == Seq((391L, 39.0), (393L, 39.0), (395L, 39.0)), byG(1L).toString)
+  }
+
   test("native expressions return NULL on array length mismatch") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
