@@ -63,11 +63,11 @@ object Similarity {
    */
   def hyperplaneKey(vec: Column, dim: Int, planes: Int = 16, seed: Long = 7L): Column = {
     val rnd = new scala.util.Random(seed)
+    val v = vec.cast("array<double>")
     val bits = (0 until planes).map { p =>
       val coeffs = Seq.fill(dim)(rnd.nextGaussian())
-      val proj = aggregate(
-        zip_with(vec, typedlit(coeffs), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      // native codegen'd dot against the literal hyperplane
+      val proj = dot(v, typedlit(coeffs))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

@@ -84,23 +84,32 @@ object TextAnalysis {
    * Scale: the profile is O(langs × profileSize) — broadcast; documents
    * stream through one explode + aggregation keyed by doc_id.
    */
-  def langId(docs: DataFrame, profileSize: Int = 300): DataFrame = {
-    // (doc, gram) counts, computed ONCE and reused by both the profile
-    // build and the scoring join. Trigrams come from explode(sequence) +
-    // substring with column args — codegen'd, unlike HOF lambdas.
+  def langId(docs: DataFrame, profileSize: Int = 300,
+      profileSampleMod: Int = 10): DataFrame = {
+    // Trigrams come from explode(sequence) + substring with column
+    // args — codegen'd, unlike HOF lambdas.
     val positions = when(length(col("text")) >= 3,
       sequence(lit(1), length(col("text")) - 2)).otherwise(array().cast("array<int>"))
-    val gramCounts = docs
+    def grams(d: DataFrame) = d
       .select(col("doc_id"), col("lang"), col("text"), explode(positions).as("pos"))
       .select(col("doc_id"), col("lang"),
         expr("substring(text, pos, 3)").as("gram"))
+    val gramCounts = grams(docs)
       .groupBy("doc_id", "lang", "gram")
       .agg(count(lit(1)).as("cnt"))
-    val profiles = gramCounts
-      .groupBy("lang", "gram").agg(sum("cnt").as("weight"))
+    // Profiles train on a deterministic 1/profileSampleMod sample — at
+    // corpus scale you never profile every document; the sample subtree
+    // reads a fraction of the data instead of recomputing the full
+    // gram pipeline a second time. Weights are per-language gram
+    // FREQUENCIES (count / language total): raw counts would make every
+    // document score highest for whichever language has the most
+    // training text (majority-class collapse).
+    val langWindow = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val profiles = grams(docs.filter(pmod(col("doc_id"), lit(profileSampleMod)) === 0))
+      .groupBy("lang", "gram").agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("weight", col("cnt") / sum("cnt").over(langWindow))
       .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang")
-          .orderBy(col("weight").desc, col("gram"))))
+        langWindow.orderBy(col("weight").desc, col("gram"))))
       .filter(col("rnk") <= profileSize)
       .select(col("lang").as("profile_lang"), col("gram"), col("weight"))
     gramCounts

@@ -45,7 +45,9 @@ class TextAnalysisSpec extends SparkTestBase {
       if (i % 2 == 0) (i.toLong, "aaab aabb abab aaab abba", "aa")
       else (i.toLong, "zzzy zzyy zyzy zzzy zyyz", "zz")
     }.toDF("doc_id", "text", "lang")
-    val out = TextAnalysis.langId(docs, profileSize = 50)
+    // profileSampleMod=1: profile every doc — this tiny corpus alternates
+    // langs by parity, so the default mod-10 sample would see one lang only
+    val out = TextAnalysis.langId(docs, profileSize = 50, profileSampleMod = 1)
     val acc = out.select(avg(when(col("predicted") === col("actual"), 1.0).otherwise(0.0)))
       .head().getDouble(0)
     assert(acc == 1.0, s"accuracy $acc")
