@@ -18,8 +18,9 @@ object Dedup {
   /** Large prime < 2^31 used by the universal hash family. */
   private val P = 2147483647L
 
-  /** Deterministic (a, b) pairs for the universal hash family. */
-  private def hashCoefficients(n: Int, seed: Long): Seq[(Long, Long)] = {
+  /** Deterministic (a, b) pairs for the universal hash family (public
+    * so the DuckDB oracle can embed the identical table as literals). */
+  def hashCoefficients(n: Int, seed: Long): Seq[(Long, Long)] = {
     var x = seed
     def next(): Long = { // splitmix64
       x += 0x9e3779b97f4a7c15L
@@ -32,24 +33,36 @@ object Dedup {
   }
 
   /**
+   * Portable 60-bit hash of a string column: the first 15 hex digits of
+   * its md5, as a long. Unlike xxhash64 this is reproducible outside
+   * Spark (the DuckDB oracle computes the identical value by folding
+   * the same hex digits), and 60 bits keeps every downstream modular
+   * product `a·h32 + b` far below 2^63 under ANSI arithmetic.
+   */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /**
    * Hashed word n-gram shingles: one row per (id, shingle hash). The
-   * shingle string is never materialized — words are exploded once and
-   * combined with windowed `lead`s into a multi-argument xxhash64, all
-   * codegen'd. The window and any downstream per-id aggregation share
-   * the same hash partitioning, so the id shuffle happens once.
-   * Documents with fewer than `n` words produce no shingles.
+   * token array is built once per document and carried through a
+   * positional explode (`element_at` picks the n words per shingle), so
+   * shingle assembly is a completely narrow, shuffle-free map — the
+   * windowed-`lead` alternative shuffles and sorts every token by id.
+   * The per-id array duplication is bounded by doc_length² bytes, fine
+   * for KB-scale documents. Documents with fewer than `n` words produce
+   * no shingles.
    */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("pos")
-    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+    val positions = when(size(col("toks")) >= n,
+      sequence(lit(1), size(col("toks")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
     docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .select(col(idCol) +: col("w") +: leads: _*)
-      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), col("toks"), explode(positions).as("pos"))
       .select(col(idCol),
-        xxhash64(col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("h"))
+        portableHash60(concat_ws(" ",
+          (0 until n).map(k => element_at(col("toks"), col("pos") + k)): _*)).as("h"))
   }
 
   /**
@@ -65,7 +78,7 @@ object Dedup {
       min((lit(a) * col("h32") + lit(b)) % lit(P)).as(s"m$i")
     }
     elementHashes
-      .select(col(idCol), col("h").bitwiseAND(lit(0xffffffffL)).as("h32"))
+      .select(col(idCol), pmod(col("h"), lit(1L << 32)).as("h32"))
       .groupBy(idCol)
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -73,7 +86,9 @@ object Dedup {
 
   /**
    * LSH banding over a MinHash signature column: one row per band,
-   * keyed by (band index, xxhash64 of the band slice).
+   * keyed by (band index, md5 of the comma-joined band slice). The md5
+   * digest (not the raw slice) is the bucket key so the shuffle carries
+   * a fixed-width key, and the digest is engine-portable for the oracle.
    */
   def lshBands(df: DataFrame, sigCol: String, bands: Int, idCol: String,
       numHashes: Int = 128): DataFrame = {
@@ -81,7 +96,9 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+        md5(concat_ws(",",
+          slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+          .as("bucket"))
     }
     df.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -104,16 +121,19 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash width in bits — matches the 60-bit portable element hash. */
+  val SimHashBits = 60
+
   /**
-   * 64-bit SimHash per id from element hashes (`idCol`, `h`): bitwise
-   * majority vote, as one codegen'd wide aggregate (64 conditional
+   * 60-bit SimHash per id from element hashes (`idCol`, `h`): bitwise
+   * majority vote, as one codegen'd wide aggregate (60 conditional
    * sums). Multiset semantics: repeated shingles vote repeatedly.
    */
   def simHashSignatures(elementHashes: DataFrame, idCol: String): DataFrame = {
-    val votes = (0 until 64).map { i =>
+    val votes = (0 until SimHashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
-    val packed = (0 until 64)
+    val packed = (0 until SimHashBits)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     elementHashes
@@ -123,8 +143,8 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup candidate pairs: band the 64-bit hash into four
-   * 16-bit chunks; docs sharing any chunk are candidates (catches all
+   * SimHash near-dup candidate pairs: band the 60-bit hash into four
+   * 15-bit chunks; docs sharing any chunk are candidates (catches all
    * pairs within Hamming distance 3 by pigeonhole).
    */
   def simHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -132,24 +152,20 @@ object Dedup {
     val chunks = sigs.select(col(idCol), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
-          shiftright(col("sim"), i * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("bb"))
+          shiftright(col("sim"), i * 15).bitwiseAND(lit(0x7fffL)).as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col("sim"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val left = chunks.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sim").as("sim_a"))
     val right = chunks.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sim").as("sim_b"))
     left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hammingDistance64(col("sim_a"), col("sim_b")).as("hamming"))
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
       .distinct()
   }
 
-  /** Hamming distance between two 64-bit columns (popcount of XOR). */
-  def hammingDistance64(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    (0 until 64)
-      .map(i => shiftright(x, i).bitwiseAND(lit(1L)))
-      .reduce(_ + _).cast("int")
-  }
+  /** Hamming distance between two long columns (popcount of XOR). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {

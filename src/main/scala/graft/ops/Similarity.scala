@@ -61,11 +61,16 @@ object Similarity {
    * long. Hyperplane coefficients are seeded literals (ship with the
    * plan). `dim` is the embedding dimensionality.
    */
-  def hyperplaneKey(vec: Column, dim: Int, planes: Int = 16, seed: Long = 7L): Column = {
+  /** The seeded hyperplane table behind [[hyperplaneKey]] — public so
+    * the DuckDB oracle can embed the identical coefficients as literals. */
+  def hyperplaneCoeffs(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def hyperplaneKey(vec: Column, dim: Int, planes: Int = 16, seed: Long = 7L): Column = {
     val v = vec.cast("array<double>")
-    val bits = (0 until planes).map { p =>
-      val coeffs = Seq.fill(dim)(rnd.nextGaussian())
+    val bits = hyperplaneCoeffs(dim, planes, seed).zipWithIndex.map { case (coeffs, p) =>
       // native codegen'd dot against the literal hyperplane
       val proj = dot(v, typedlit(coeffs))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))

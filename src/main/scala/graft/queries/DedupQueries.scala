@@ -15,6 +15,23 @@ import graft.tables.Tables
  */
 object DedupQueries {
 
+  /** DuckDB CTEs mirroring `withNearDups` + `shingleHashes`: corpus with
+    * planted truncated dups, tokens, and the per-doc 60-bit md5 shingle
+    * hash list (`hs`) — the exact integers Spark computes. */
+  private def shingleCtes(drop: Int): String = {
+    val shingle = "w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]"
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - $drop, 1)], ' ')
+       |  FROM documents WHERE doc_id < 50),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |sh AS (SELECT doc_id,
+       |    list_transform(range(len(w) - 2), i -> ${OracleSql.md5Fold(shingle, 15)}) AS hs
+       |  FROM toks WHERE len(w) >= 3)""".stripMargin
+  }
+
   /** documents ∪ exact copies of doc_id < 50 (ids shifted by 1e6). */
   private def withExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents.select("doc_id", "text")
@@ -69,20 +86,49 @@ object DedupQueries {
       (s, dir) => {
         minHashCandidatePairs(withNearDups(s, dir, drop = 3), "doc_id", "text")
           .orderBy("id_a", "id_b")
-      }),
+      },
+      Some(s"""WITH ${shingleCtes(drop = 3)},
+             |sig AS (SELECT doc_id,
+             |    list_transform(${OracleSql.coeffPairsLiteral(128, 42L)}, p ->
+             |      list_min(list_transform(hs, h -> (p[1] * (h % 4294967296) + p[2]) % 2147483647))) AS sig
+             |  FROM sh),
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t)
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM bands a JOIN bands b
+             |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
       "d04_simhash",
       (s, dir) => {
         // drop=1: a one-word tail mutation keeps planted pairs within
-        // hamming ~2-6, the zone 4×16-bit banding is designed to catch
+        // hamming ~2-6, the zone 4×15-bit banding is designed to catch
         // (guaranteed ≤3, ~80% at 4-6). Wider mutations belong to
         // MinHash (d03), which keys on set overlap, not bit margins.
-        // hamming ≤ 16 filter: random pairs center at 32.
+        // hamming ≤ 16 filter: random pairs center at 30.
         simHashCandidatePairs(withNearDups(s, dir, drop = 1), "doc_id", "text")
           .filter(col("hamming") <= 16)
           .orderBy("id_a", "id_b")
-      }),
+      },
+      Some(s"""WITH ${shingleCtes(drop = 1)},
+             |votes AS (SELECT doc_id, t.range AS bit,
+             |    sum(CASE WHEN (h >> CAST(t.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM (SELECT doc_id, unnest(hs) AS h FROM sh), range(60) t
+             |  GROUP BY doc_id, t.range),
+             |sim AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS sim
+             |  FROM votes GROUP BY doc_id),
+             |chunks AS (SELECT doc_id, sim, t.range AS band,
+             |    (sim >> CAST(t.range * 15 AS INT)) & 32767 AS bucket
+             |  FROM sim, range(4) t)
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+             |FROM chunks a JOIN chunks b
+             |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sim, b.sim)) <= 16
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
       "d05_jaccard_pairs",

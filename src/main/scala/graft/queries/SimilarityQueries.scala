@@ -8,6 +8,25 @@ import graft.tables.Tables
 /** Similarity-search pack over the `embeddings` table. */
 object SimilarityQueries {
 
+  /** DuckDB expression reproducing `Similarity.hyperplaneKey(v, dim,
+    * planes, seed)` bit-for-bit: the identical seeded coefficients are
+    * embedded as literals and each sign bit is the same left-to-right
+    * dot product. */
+  private def lshBucketSql(vecExpr: String, dim: Int, planes: Int, seed: Long): String =
+    graft.ops.Similarity.hyperplaneCoeffs(dim, planes, seed).zipWithIndex.map { case (cs, p) =>
+      s"(CASE WHEN list_sum(list_transform(list_zip($vecExpr, ${OracleSql.doubleListLiteral(cs)}), " +
+        s"x -> x[1] * x[2])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** One UNION ALL branch per LSH table, bucketing `v` with that
+    * table's seed (mirrors `Similarity.knnLsh.keyed`). */
+  private def lshKeyedSql(filter: String, idAlias: String, vecAlias: String,
+      dim: Int, planes: Int, tables: Int): String =
+    (0 until tables).map { t =>
+      s"SELECT vec_id AS $idAlias, v AS $vecAlias, $t AS tbl, " +
+        s"${lshBucketSql("v", dim, planes, seed = 100 + t)} AS bucket FROM e WHERE $filter"
+    }.mkString("\n  UNION ALL\n  ")
+
   val queries: Seq[Q] = Seq(
     Q(
       "a01_knn_bruteforce",
@@ -66,7 +85,24 @@ object SimilarityQueries {
           "vec_id", "embedding", k = 5, dim = 64)
           .select(col("query_id"), col("rank"), col("neighbor_id"), fround(col("cos"), 4).as("cos"))
           .orderBy("query_id", "rank")
-      }),
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cb AS (
+             |  ${lshKeyedSql("vec_id >= 10", "neighbor_id", "cv", dim = 64, planes = 12, tables = 4)}),
+             |qb AS (
+             |  ${lshKeyedSql("vec_id < 10", "query_id", "qv", dim = 64, planes = 12, tables = 4)}),
+             |hits AS (SELECT qb.query_id, cb.neighbor_id,
+             |    list_sum(list_transform(list_zip(qb.qv, cb.cv), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(qb.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(cb.cv, x -> x * x)))) AS cos
+             |  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket),
+             |best AS (SELECT query_id, neighbor_id, max(cos) AS cos FROM hits GROUP BY 1, 2),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |  FROM best)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+             |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
       "a04_knn_ivf",

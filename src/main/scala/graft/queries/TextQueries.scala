@@ -55,15 +55,18 @@ object TextQueries {
     Q(
       "t04_bigram_freq",
       (s, dir) => {
-        // posexplode + windowed lead keeps bigram assembly codegen'd
-        // (the HOF wordNGrams variant interprets a lambda per token).
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos")
+        // Array-retained positional explode: bigram assembly is a
+        // narrow codegen'd map (no token shuffle/sort, no interpreted
+        // HOF lambda); the only exchange is the partial-aggregated
+        // bigram counts.
+        val positions = when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1)).otherwise(array().cast("array<int>"))
         Tables(s, dir).documents
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .select(col("doc_id"), col("w"), lead(col("w"), 1).over(w).as("w1"))
-          .filter(col("w1").isNotNull)
-          .select(concat_ws(" ", col("w"), col("w1")).as("bigram"))
+          .select(split(col("text"), " ").as("toks"))
+          .select(col("toks"), explode(positions).as("pos"))
+          .select(concat_ws(" ",
+            element_at(col("toks"), col("pos")),
+            element_at(col("toks"), col("pos") + 1)).as("bigram"))
           .groupBy("bigram")
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("bigram"))
@@ -77,7 +80,33 @@ object TextQueries {
 
     Q(
       "t05_lang_id",
-      (s, dir) => langId(Tables(s, dir).documents).orderBy("doc_id")),
+      (s, dir) => langId(Tables(s, dir).documents).orderBy("doc_id"),
+      // The whole train-and-score pipeline is relational: profile
+      // weights are exact (integer counts / integer totals, both < 2^53,
+      // so FP-identical in any summation order) and ties are broken
+      // deterministically, so DuckDB reproduces the classifier.
+      Some("""WITH g AS (SELECT doc_id, lang,
+             |    unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+             |      p -> substr(text, p, 3))) AS gram
+             |  FROM documents WHERE length(text) >= 3),
+             |prof_counts AS (SELECT lang, gram, CAST(count(*) AS DOUBLE) AS cnt
+             |  FROM g WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+             |prof_w AS (SELECT lang, gram,
+             |    cnt / sum(cnt) OVER (PARTITION BY lang) AS weight
+             |  FROM prof_counts),
+             |prof AS (SELECT lang AS profile_lang, gram, weight
+             |  FROM (SELECT lang, gram, weight,
+             |          row_number() OVER (PARTITION BY lang ORDER BY weight DESC, gram) AS rnk
+             |        FROM prof_w)
+             |  WHERE rnk <= 300),
+             |scores AS (SELECT g.doc_id, g.lang, p.profile_lang, sum(p.weight) AS score
+             |  FROM g JOIN prof p USING (gram)
+             |  GROUP BY 1, 2, 3)
+             |SELECT doc_id, profile_lang AS predicted, lang AS actual
+             |FROM (SELECT doc_id, lang, profile_lang,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rnk
+             |      FROM scores)
+             |WHERE rnk = 1 ORDER BY doc_id""".stripMargin)),
 
     Q(
       "p01_corpus_pipeline",
@@ -119,6 +148,16 @@ object TextQueries {
         Tables(s, dir).documents
           .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
           .orderBy("doc_id")
-      })
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  list_transform(string_split(text, ' '),
+             |    tok -> ${OracleSql.md5Fold("tok", 8)} % 2147483647) AS hs
+             |  FROM documents)
+             |SELECT doc_id,
+             |  (list_reduce(list_prepend(CAST(17 AS BIGINT), hs),
+             |     (a, h) -> (a * 1000003 + h) % 2147483629) * 2147483648
+             |   + list_reduce(list_prepend(CAST(19 AS BIGINT), hs),
+             |     (b, h) -> (b * 1000033 + h) % 2147483647)) AS fingerprint
+             |FROM t ORDER BY doc_id""".stripMargin))
   )
 }
