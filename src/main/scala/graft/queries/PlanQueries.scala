@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.BloomPrune
+import graft.tables.Tables
+
+/**
+ * Queries exercising graft's plan-level operators: the grouped top-k
+ * whole-operator (`graft.plans.TopK`) and bloom-filter join pruning
+ * (`graft.ops.BloomPrune`), plus the two remaining classic TPC-H join
+ * shapes (Q8 market share, Q20 supplier threshold).
+ */
+object PlanQueries {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "k01_topk_per_group",
+      (s, dir) => {
+        // Native grouped top-k: top-3 orders by price per priority
+        // class, via the custom LogicalPlan/Strategy/Exec pipeline —
+        // the oracle is the row_number window it replaces.
+        graft.plans.TopK.perGroup(
+          Tables(s, dir).orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq(col("o_orderpriority")), col("o_totalprice"), col("o_orderkey"), k = 3)
+          .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice
+             |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |        row_number() OVER (PARTITION BY o_orderpriority
+             |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    Q(
+      "q08_market_share",
+      (s, dir) => {
+        // TPC-H Q8 shape: NATION_3's share of ECONOMY-part volume sold
+        // to AMERICA customers, by order year. Dims broadcast; the two
+        // nation roles are separate broadcast copies.
+        val t = Tables(s, dir)
+        val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val america = t.region.filter(col("r_name") === "AMERICA").select("r_regionkey")
+        val custNation = t.nation.select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+        val suppNation = t.nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        t.lineitem
+          .join(broadcast(t.part.filter(col("p_type") === "ECONOMY").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t.orders.filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer.select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(america), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .select(year(col("o_orderdate")).as("o_year"), volume.as("volume"), col("supp_nation"))
+          .groupBy("o_year")
+          .agg(fround(
+            sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0.0)))
+              / sum(col("volume")), 4).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT year(o_orderdate) AS o_year,
+             |  floor(sum(CASE WHEN n2.n_name = 'NATION_3'
+             |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+             |    / sum(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5) / 10000.0 AS mkt_share
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+             |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+             |GROUP BY 1 ORDER BY o_year""".stripMargin)),
+
+    Q(
+      "q20_bloom_semijoin",
+      (s, dir) => {
+        // TPC-H Q20 shape: suppliers who shipped > 100 units of 'red%'
+        // parts in 1997. The lineitem scan is pre-pruned by a broadcast
+        // bloom filter on the qualifying part keys — the exact
+        // broadcast join afterwards removes false positives, so the
+        // result is identical to the unpruned plan while only the
+        // matching fraction of lineitem reaches the join/aggregate.
+        val t = Tables(s, dir)
+        val redParts = t.part.filter(col("p_name").like("red%")).select("p_partkey")
+        BloomPrune.filterByKeys(
+          t.lineitem.filter(year(col("l_shipdate")) === 1997)
+            .select("l_partkey", "l_suppkey", "l_quantity"),
+          "l_partkey", redParts, "p_partkey", expectedKeys = 100000L)
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_suppkey")
+          .agg(sum("l_quantity").as("qty"))
+          .filter(col("qty") > 100.0)
+          .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), fround(col("qty"), 2).as("qty"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, floor(qty * 100.0 + 0.5) / 100.0 AS qty
+             |FROM (SELECT l_suppkey, sum(l_quantity) AS qty
+             |      FROM lineitem JOIN part ON l_partkey = p_partkey
+             |      WHERE p_name LIKE 'red%' AND year(l_shipdate) = 1997
+             |      GROUP BY l_suppkey HAVING sum(l_quantity) > 100.0)
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |ORDER BY s_name""".stripMargin))
+  )
+}

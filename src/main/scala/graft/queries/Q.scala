@@ -21,5 +21,5 @@ object Q {
   def all: Seq[Q] =
     Relational.queries ++ Relational2.queries ++ Windows.queries ++ Events.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      GPQueries.queries ++ MultimodalQueries.queries
+      GPQueries.queries ++ MultimodalQueries.queries ++ PlanQueries.queries
 }

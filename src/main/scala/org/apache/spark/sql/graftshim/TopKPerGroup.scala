@@ -1,0 +1,187 @@
+package org.apache.spark.sql.graftshim
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Cast, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Grouped top-k as a first-class operator: for every group keep the `k`
+ * rows with the highest `score`, ties broken by the LOWEST `tie` value
+ * — the semantics of `row_number() OVER (PARTITION BY g ORDER BY score
+ * DESC, tie) <= k`, but with a physical plan built for scale.
+ *
+ * The window form sorts every row of every group (full shuffle + sort,
+ * memory ∝ group size). This operator plans as TWO heap passes: a
+ * partial pass runs before the exchange and reduces each map partition
+ * to ≤ k rows per group (top-k-of-top-k is top-k, so this is a lossless
+ * map-side combine), then the exchange carries only the survivors and a
+ * final pass merges them — shuffle volume O(partitions × groups × k)
+ * instead of O(rows), no sort anywhere, memory O(groups × k) per task.
+ *
+ * Whole pipeline: logical node + optimizer rule (adjacent collapses) +
+ * strategy + exec pair, injected per-session via
+ * `spark.experimental`; `graft.plans.TopK.perGroup` is the public API.
+ */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    scoreExpr: Expression,
+    tieExpr: Expression,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/**
+ * Optimizer rule: `TopK(k1) over TopK(k2)` with identical keys/ranking
+ * is the single `TopK(min(k1, k2))` — the composition users get when a
+ * parameterized view is re-limited.
+ */
+object CollapseTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case TopKPerGroup(g1, s1, t1, k1, TopKPerGroup(g2, s2, t2, k2, child))
+        if g1.length == g2.length &&
+          g1.zip(g2).forall { case (a, b) => a.semanticEquals(b) } &&
+          s1.semanticEquals(s2) && t1.semanticEquals(t2) =>
+      TopKPerGroup(g1, s1, t1, math.min(k1, k2), child)
+  }
+}
+
+/** Plans the logical node as partial-then-final exec pair; the final's
+  * required distribution makes EnsureRequirements insert the exchange
+  * between them. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, s, t, k, child) =>
+      TopKPerGroupExec(g, s, t, k, partial = false,
+        TopKPerGroupExec(g, s, t, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Worst-first bounded heap of (score, tie, row); better = higher
+  * score, then lower tie. */
+private[graftshim] final class BoundedRowHeap(k: Int) {
+  private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, InternalRow)](
+    new Ordering[(Double, Long, InternalRow)] {
+      def compare(a: (Double, Long, InternalRow), b: (Double, Long, InternalRow)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // lower score = worse = max of pq
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher tie = worse
+      }
+    })
+
+  def add(score: Double, tie: Long, row: => InternalRow): Unit = {
+    if (pq.size < k) pq.enqueue((score, tie, row))
+    else {
+      val worst = pq.head
+      if (score > worst._1 || (score == worst._1 && tie < worst._2)) {
+        pq.dequeue()
+        pq.enqueue((score, tie, row))
+      }
+    }
+  }
+
+  /** Rows ranked best-first (score desc, tie asc). */
+  def sorted: Iterator[InternalRow] =
+    pq.toIndexedSeq.sortBy(e => (-e._1, e._2)).iterator.map(_._3)
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    scoreExpr: Expression,
+    tieExpr: Expression,
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (groupExprs.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val gExprs = groupExprs
+    val sExpr = Cast(scoreExpr, DoubleType)
+    val tExpr = Cast(tieExpr, LongType)
+    val kk = k
+    child.execute().mapPartitionsInternal { it =>
+      val keyProj = UnsafeProjection.create(gExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val score = BindReferences.bindReference(sExpr, childOutput)
+      val tie = BindReferences.bindReference(tExpr, childOutput)
+      val groups = new java.util.LinkedHashMap[UnsafeRow, BoundedRowHeap]()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var heap = groups.get(key)
+        if (heap == null) {
+          heap = new BoundedRowHeap(kk)
+          groups.put(key.copy(), heap)
+        }
+        val s = score.eval(row)
+        val t = tie.eval(row)
+        // null score/tie ranks last deterministically via -inf / MaxValue
+        heap.add(
+          if (s == null) Double.NegativeInfinity else s.asInstanceOf[Double],
+          if (t == null) Long.MaxValue else t.asInstanceOf[Long],
+          toUnsafe(row).copy())
+      }
+      groups.values.iterator.asScala.flatMap(_.sorted)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Session-side plumbing for the operator (classic-API access). */
+object TopKPerGroupApi {
+
+  /** Idempotently inject strategy + optimizer rule into a live session. */
+  def ensureInjected(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    if (!exp.extraOptimizations.contains(CollapseTopK))
+      exp.extraOptimizations = exp.extraOptimizations :+ CollapseTopK
+  }
+
+  def perGroup(df: DataFrame, groupCols: Seq[Column], score: Column, tie: Column,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    ensureInjected(spark)
+    // Spark 4 Columns carry unresolved column nodes; resolve them by
+    // analyzing a throwaway projection over the frame, then build the
+    // node from the analyzed expressions (aliases unwrapped) against
+    // that projection's child.
+    val probe = df.select(groupCols ++ Seq(score, tie): _*)
+      .queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+    val exprs = probe.projectList.map {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    classic.Dataset.ofRows(spark, TopKPerGroup(
+      exprs.take(groupCols.length),
+      exprs(groupCols.length),
+      exprs(groupCols.length + 1),
+      k, probe.child))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TopKSpec extends SparkTestBase {
+
+  private def sample() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1L to 2000L).map(i => (i, s"g${rnd.nextInt(13)}", rnd.nextInt(500).toDouble))
+      .toDF("id", "grp", "score")
+  }
+
+  test("TopK.perGroup matches the row_number window form exactly") {
+    val df = sample()
+    val got = TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k = 7)
+      .select("id", "grp", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 7).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("empty grouping = global top-k; k larger than group passes all rows") {
+    val df = sample()
+    val global = TopK.perGroup(df, Seq.empty, col("score"), col("id"), k = 3)
+      .collect()
+    assert(global.length == 3)
+    val all = TopK.perGroup(df.filter(col("grp") === "g1"), Seq(col("grp")),
+      col("score"), col("id"), k = 1000000).count()
+    assert(all == df.filter(col("grp") === "g1").count())
+  }
+
+  test("adjacent TopK nodes collapse to min-k in the optimized plan") {
+    val df = sample()
+    val twice = TopK.perGroup(
+      TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k = 9),
+      Seq(col("grp")), col("score"), col("id"), k = 4)
+    val optimized = twice.queryExecution.optimizedPlan
+    val topks = optimized.collect {
+      case t: org.apache.spark.sql.graftshim.TopKPerGroup => t
+    }
+    assert(topks.length == 1, s"expected 1 collapsed node, got:\n$optimized")
+    assert(topks.head.k == 4)
+  }
+
+  test("physical plan is partial heap -> exchange -> final heap (map-side reduction)") {
+    val df = sample()
+    val plan = TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k = 5)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    val execs = "TopKPerGroup \\[".r.findAllIn(s).length
+    assert(execs == 2, s"expected partial+final execs in:\n$s")
+    assert(s.contains("Exchange"), s"expected an exchange between phases in:\n$s")
+    // the partial phase (trailing ", true") must run BELOW the exchange,
+    // the final (", false") above it
+    val exchangeIdx = s.indexOf("Exchange")
+    assert(s.indexOf(", true") > exchangeIdx, s"partial should sit under the exchange in:\n$s")
+    assert(s.indexOf(", false") < exchangeIdx, s"final should sit above the exchange in:\n$s")
+  }
+}
