@@ -43,7 +43,7 @@ class GPClassifier(override val uid: String)
     val bad = data.map(_._2).filter(y => y != 0.0 && y != 1.0).take(1)
     require(bad.isEmpty, "GPClassifier supports 0/1 labels only")
 
-    val experts = GPCore.buildExperts(data, $(expertSize))
+    val experts = assignExperts(data)
     val optTol = $(tol)
     val optimal = GPCore.optimizeHypers(
       experts, fullKernel(),

@@ -50,6 +50,65 @@ object GPCore {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /**
+   * Locality-aware expert assignment: a coarse k-means quantizer (fit
+   * on a bounded sample) routes each row to its nearest cell, and cells
+   * are then split into ~`expertSize` chunks. Each expert models one
+   * compact region of input space instead of an arbitrary slice — the
+   * regime where the BCM's product-of-experts assumption is tightest
+   * (Deisenroth & Ng 2015 §3 recommend exactly this "disjoint local
+   * experts" partitioning).
+   *
+   * Scale posture: the quantizer is model-sized (≤ `maxCells`
+   * centroids, broadcast with the task closure); assignment is one
+   * narrow map; the shuffle is the same single `aggregateByKey` as
+   * [[buildExperts]]. Cells bound per-task materialization to roughly
+   * `cellFactor × expertSize` rows.
+   */
+  def buildExpertsByLocality(data: RDD[(Array[Double], Double)], expertSize: Int,
+      seed: Long, cellFactor: Int = 32, maxCells: Int = 1024): RDD[ExpertData] = {
+    import org.apache.spark.mllib.clustering.KMeans
+    import org.apache.spark.mllib.linalg.Vectors
+    type Acc = (scala.collection.mutable.ArrayBuffer[Array[Double]],
+      scala.collection.mutable.ArrayBuffer[Double])
+    def newAcc: Acc = (scala.collection.mutable.ArrayBuffer.empty,
+      scala.collection.mutable.ArrayBuffer.empty)
+
+    val n = data.count()
+    val cells = math.max(1, math.min(maxCells.toLong,
+      n / (expertSize.toLong * cellFactor) + 1)).toInt
+    val sampleTarget = math.min(n, math.max(10000L, cells * 50L)).toDouble
+    val sample = data.map(_._1)
+      .sample(withReplacement = false, math.min(1.0, sampleTarget / n), seed)
+      .map(Vectors.dense)
+    val quantizer = new KMeans().setK(cells).setSeed(seed).setMaxIterations(10)
+      .run(sample)
+
+    data
+      .map { case (x, y) => (quantizer.predict(Vectors.dense(x)), (x, y)) }
+      .aggregateByKey(newAcc)(
+        { case ((xs, ys), (x, y)) => xs += x; ys += y; (xs, ys) },
+        { case ((xs1, ys1), (xs2, ys2)) => xs1 ++= xs2; ys1 ++= ys2; (xs1, ys1) })
+      .flatMap { case (_, (xs, ys)) =>
+        // split the cell into balanced ~expertSize chunks (all rows of
+        // a chunk stay within the cell, so locality is preserved)
+        val len = xs.length
+        val chunks = math.max(1, (len + expertSize - 1) / expertSize)
+        val base = len / chunks
+        val extra = len % chunks
+        var offset = 0
+        (0 until chunks).map { c =>
+          val size = base + (if (c < extra) 1 else 0)
+          val e = new ExpertData(
+            xs.slice(offset, offset + size).toArray,
+            ys.slice(offset, offset + size).toArray)
+          offset += size
+          e
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   // ------------------------------------------------------------- optimizer
 
   /**

@@ -40,12 +40,17 @@ trait GPParams extends Params {
   final val inducingStrategy = new Param[String](this, "inducingStrategy",
     "inducing point selection: random | kmeans | greedy",
     ParamValidators.inArray(Array("random", "kmeans", "greedy")))
+  final val expertAssignment = new Param[String](this, "expertAssignment",
+    "how rows become BCM experts: chunk (contiguous slices) | kmeans " +
+      "(locality cells, tightest for the BCM factorization)",
+    ParamValidators.inArray(Array("chunk", "kmeans")))
 
   setDefault(featuresCol -> "features", labelCol -> "label",
     predictionCol -> "prediction", predStdCol -> "",
     kernelFactory -> (() => Kernels.rbf()),
     expertSize -> 100, inducingSize -> 100, noise -> 1e-3,
-    maxIter -> 100, tol -> 1e-6, seed -> 42L, inducingStrategy -> "random")
+    maxIter -> 100, tol -> 1e-6, seed -> 42L, inducingStrategy -> "random",
+    expertAssignment -> "chunk")
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -59,6 +64,15 @@ trait GPParams extends Params {
   def setTol(v: Double): this.type = set(tol, v)
   def setSeed(v: Long): this.type = set(seed, v)
   def setInducingStrategy(v: String): this.type = set(inducingStrategy, v)
+  def setExpertAssignment(v: String): this.type = set(expertAssignment, v)
+
+  /** Build the expert RDD per `expertAssignment`. */
+  protected def assignExperts(data: org.apache.spark.rdd.RDD[(Array[Double], Double)]):
+      org.apache.spark.rdd.RDD[graft.gp.kernel.ExpertData] =
+    $(expertAssignment) match {
+      case "kmeans" => GPCore.buildExpertsByLocality(data, $(expertSize), $(seed))
+      case _ => GPCore.buildExperts(data, $(expertSize))
+    }
 
   /** Full prior kernel: user kernel + non-trainable white noise
     * (mirrors reference `GaussianProcessCommons.scala:19`). */

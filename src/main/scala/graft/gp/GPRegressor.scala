@@ -31,7 +31,7 @@ class GPRegressor(override val uid: String)
       .select(featuresAsArray(df).as("f"), col($(labelCol)).cast("double").as("y"))
       .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
 
-    val experts = GPCore.buildExperts(data, $(expertSize))
+    val experts = assignExperts(data)
     val optimal = GPCore.optimizeHypers(
       experts, fullKernel(), GPCore.regressionObjective, $(maxIter), $(tol))
 

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+import graft.streaming.AsOfStream._
+
+class AsOfStreamSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def micros(minute: Int): Long = ts(minute).getTime * 1000L
+
+  test("streaming as-of attaches the latest reference at or before each probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[Probe]
+    val refs = MemoryStream[Ref]
+    val query = asofJoin(probes.toDS(), refs.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // batch 1: two refs then probes around them
+      refs.addData(Ref(1, ts(0), 100.0), Ref(1, ts(10), 110.0), Ref(2, ts(5), 5.5))
+      probes.addData(
+        Probe(1, ts(4), 41L),   // -> ref at :00
+        Probe(1, ts(10), 42L),  // -> ref at :10 (inclusive)
+        Probe(1, ts(15), 43L),  // -> ref at :10
+        Probe(2, ts(4), 44L),   // before any ref of key 2 -> null match
+        Probe(3, ts(4), 45L))   // key with no refs at all -> null match
+      query.processAllAvailable()
+
+      // batch 2: ref state persists across batches; newer ref wins
+      refs.addData(Ref(1, ts(20), 120.0))
+      probes.addData(Probe(1, ts(25), 46L), Probe(2, ts(6), 47L))
+      query.processAllAvailable()
+
+      val got = spark.table("asof")
+        .as[Match].collect().map(m => m.probe_id -> ((m.ref_ts_micros, m.ref_payload))).toMap
+      assert(got(41L) == ((Some(micros(0)), Some(100.0))))
+      assert(got(42L) == ((Some(micros(10)), Some(110.0))))
+      assert(got(43L) == ((Some(micros(10)), Some(110.0))))
+      assert(got(44L) == ((None, None)))
+      assert(got(45L) == ((None, None)))
+      assert(got(46L) == ((Some(micros(20)), Some(120.0))))
+      assert(got(47L) == ((Some(micros(5)), Some(5.5))))
+      assert(got.size == 7)
+    } finally query.stop()
+  }
+
+  test("reference buffer prunes below the watermark but keeps the newest usable ref") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[Probe]
+    val refs = MemoryStream[Ref]
+    // short watermark so the horizon advances within the test
+    val query = asofJoin(probes.toDS(), refs.toDS(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("asof_prune").outputMode("append").start()
+    try {
+      refs.addData(Ref(1, ts(0), 100.0), Ref(1, ts(2), 102.0))
+      probes.addData(Probe(1, ts(3), 1L))
+      query.processAllAvailable()
+      // advance event time far past the old refs; the newest-at-or-below
+      // -horizon ref (=:02) must still be matchable for later probes
+      refs.addData(Ref(1, ts(40), 140.0))
+      probes.addData(Probe(1, ts(39), 2L))
+      query.processAllAvailable()
+      probes.addData(Probe(1, ts(41), 3L))
+      query.processAllAvailable()
+
+      val got = spark.table("asof_prune")
+        .as[Match].collect().map(m => m.probe_id -> m.ref_payload).toMap
+      assert(got(1L) == Some(102.0))
+      assert(got(2L) == Some(102.0)) // pruning must not lose the prevailing ref
+      assert(got(3L) == Some(140.0))
+    } finally query.stop()
+  }
+}
