@@ -20,6 +20,12 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column = bin(ArrayCosine.apply)(a, b)
   def sqDist(a: Column, b: Column): Column = bin(ArraySqDist.apply)(a, b)
 
+  /** Native `h = fold(h*131 + byte) mod (2^55-55)` string hash — the
+    * engine-portable hot-path hash (DuckDB mirrors the fold exactly). */
+  def polyHash(s: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.StringPolyHash(
+      ColumnBridge.expression(s)))
+
   /**
    * Top-k (id, score) pairs per group as a native aggregate: partial
    * aggregation holds one k-entry heap per partition, so a grouped
@@ -33,5 +39,24 @@ object VectorExpressions {
         ColumnBridge.expression(id),
         ColumnBridge.expression(score),
         org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
+
+  /** All `numHashes` MinHash minima of a hashed-element column as one
+    * native aggregate (single long[] buffer; see SketchAggregates). */
+  def minHashAgg(h: Column, numHashes: Int, seed: Long): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftshim.MinHashAgg(
+        ColumnBridge.expression(h),
+        org.apache.spark.sql.catalyst.expressions.Literal(numHashes),
+        org.apache.spark.sql.catalyst.expressions.Literal(seed))
+        .toAggregateExpression())
+
+  /** SimHash bit-majority vote of a hashed-element column as one
+    * native aggregate returning the packed long. */
+  def simHashAgg(h: Column, bits: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftshim.SimHashAgg(
+        ColumnBridge.expression(h),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
         .toAggregateExpression())
 }

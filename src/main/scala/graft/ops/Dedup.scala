@@ -15,32 +15,23 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Large prime < 2^31 used by the universal hash family. */
-  private val P = 2147483647L
-
   /** Deterministic (a, b) pairs for the universal hash family (public
-    * so the DuckDB oracle can embed the identical table as literals). */
-  def hashCoefficients(n: Int, seed: Long): Seq[(Long, Long)] = {
-    var x = seed
-    def next(): Long = { // splitmix64
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Seq.fill(n)((math.abs(next()) % (P - 1) + 1, math.abs(next()) % P))
-  }
+    * so the DuckDB oracle can embed the identical table as literals;
+    * the native MinHash aggregate reads the same stream). */
+  def hashCoefficients(n: Int, seed: Long): Seq[(Long, Long)] =
+    org.apache.spark.sql.graftshim.UniversalHash.coefficients(n, seed).toSeq
 
   /**
-   * Portable 60-bit hash of a string column: the first 15 hex digits of
-   * its md5, as a long. Unlike xxhash64 this is reproducible outside
-   * Spark (the DuckDB oracle computes the identical value by folding
-   * the same hex digits), and 60 bits keeps every downstream modular
-   * product `a·h32 + b` far below 2^63 under ANSI arithmetic.
+   * Portable 55-bit hash of a string column: graft's native codegen'd
+   * polynomial byte fold (`graft.functions.VectorExpressions.polyHash`).
+   * Unlike xxhash64 this is reproducible outside Spark — the DuckDB
+   * oracle computes the identical value by folding the same codes — and
+   * ~4× cheaper than the md5+conv detour on the shingle hot path. The
+   * < 2^55 range keeps every downstream modular product `a·h32 + b`
+   * far below 2^63 under ANSI arithmetic.
    */
-  def portableHash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def portableHash(s: Column): Column =
+    graft.functions.VectorExpressions.polyHash(s)
 
   /**
    * Hashed word n-gram shingles: one row per (id, shingle hash). The
@@ -61,28 +52,25 @@ object Dedup {
       .select(col(idCol), split(col(textCol), " ").as("toks"))
       .select(col(idCol), col("toks"), explode(positions).as("pos"))
       .select(col(idCol),
-        portableHash60(concat_ws(" ",
+        portableHash(concat_ws(" ",
           (0 until n).map(k => element_at(col("toks"), col("pos") + k)): _*)).as("h"))
   }
 
   /**
    * MinHash signatures from element hashes (`idCol`, `h`): one row per
    * id with a `sig` array of `numHashes` longs. h_i(x) = (a_i·x32 + b_i)
-   * mod P over the low 32 bits of `h`; the per-id minima come from one
-   * codegen'd wide aggregate.
+   * mod P over the low 32 bits of `h`; all minima come from ONE native
+   * aggregate with a long[numHashes] buffer (a numHashes-column `min`
+   * formulation makes codegen emit a huge aggregate class whose Janino
+   * compile costs more than the query — measured 2× at sf0.1).
    */
   def minHashSignatures(elementHashes: DataFrame, idCol: String,
-      numHashes: Int = 128, seed: Long = 42L): DataFrame = {
-    val coeffs = hashCoefficients(numHashes, seed)
-    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h32") + lit(b)) % lit(P)).as(s"m$i")
-    }
+      numHashes: Int = 128, seed: Long = 42L): DataFrame =
     elementHashes
       .select(col(idCol), pmod(col("h"), lit(1L << 32)).as("h32"))
       .groupBy(idCol)
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+      .agg(graft.functions.VectorExpressions
+        .minHashAgg(col("h32"), numHashes, seed).as("sig"))
 
   /**
    * LSH banding over a MinHash signature column: one row per band,
@@ -121,30 +109,26 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash width in bits — matches the 60-bit portable element hash. */
-  val SimHashBits = 60
+  /** SimHash width in bits: the low 48 of the 55-bit portable element
+    * hash, so the four LSH chunks are even 12-bit bands. */
+  val SimHashBits = 48
 
   /**
-   * 60-bit SimHash per id from element hashes (`idCol`, `h`): bitwise
-   * majority vote, as one codegen'd wide aggregate (60 conditional
-   * sums). Multiset semantics: repeated shingles vote repeatedly.
+   * SimHash per id from element hashes (`idCol`, `h`): bitwise majority
+   * vote over the low [[SimHashBits]] bits, as ONE native aggregate
+   * with an int-vote buffer (same codegen-size rationale as
+   * [[minHashSignatures]]). Multiset semantics: repeated shingles vote
+   * repeatedly.
    */
-  def simHashSignatures(elementHashes: DataFrame, idCol: String): DataFrame = {
-    val votes = (0 until SimHashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val packed = (0 until SimHashBits)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+  def simHashSignatures(elementHashes: DataFrame, idCol: String): DataFrame =
     elementHashes
       .groupBy(idCol)
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), packed.as("sim"))
-  }
+      .agg(graft.functions.VectorExpressions
+        .simHashAgg(col("h"), SimHashBits).as("sim"))
 
   /**
-   * SimHash near-dup candidate pairs: band the 60-bit hash into four
-   * 15-bit chunks; docs sharing any chunk are candidates (catches all
+   * SimHash near-dup candidate pairs: band the 48-bit hash into four
+   * 12-bit chunks; docs sharing any chunk are candidates (catches all
    * pairs within Hamming distance 3 by pigeonhole).
    */
   def simHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -152,7 +136,7 @@ object Dedup {
     val chunks = sigs.select(col(idCol), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
-          shiftright(col("sim"), i * 15).bitwiseAND(lit(0x7fffL)).as("bucket"))): _*)).as("bb"))
+          shiftright(col("sim"), i * 12).bitwiseAND(lit(0xfffL)).as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col("sim"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val left = chunks.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sim").as("sim_a"))
     val right = chunks.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sim").as("sim_b"))

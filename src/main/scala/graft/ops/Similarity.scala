@@ -69,13 +69,13 @@ object Similarity {
   }
 
   def hyperplaneKey(vec: Column, dim: Int, planes: Int = 16, seed: Long = 7L): Column = {
-    val v = vec.cast("array<double>")
-    val bits = hyperplaneCoeffs(dim, planes, seed).zipWithIndex.map { case (coeffs, p) =>
-      // native codegen'd dot against the literal hyperplane
-      val proj = dot(v, typedlit(coeffs))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // ONE native expression for all planes: the per-plane
+    // dot(v, typedlit) formulation generated planes× separate codegen'd
+    // dots whose Janino compile dominated small queries.
+    import org.apache.spark.sql.graftshim.{ColumnBridge, HyperplaneKey}
+    ColumnBridge.column(HyperplaneKey(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      hyperplaneCoeffs(dim, planes, seed).map(_.toArray).toArray))
   }
 
   /**
@@ -92,14 +92,18 @@ object Similarity {
    */
   def knnIvf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, clusters: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val centers = new KMeans().setK(clusters).setSeed(seed).setMaxIter(15)
-      .fit(corpusVec.select(array_to_vector(col("cv")).as("features")))
-      .clusterCenters.map(_.toArray)
+    // The quantizer needs only the coarse shape of the distribution:
+    // train it on a bounded sample (standard IVF practice — FAISS
+    // trains on ~256 vectors/cell), and do the Lloyd iterations on the
+    // driver — the sample is model-sized (≤ clusters·256 vectors), so
+    // a distributed k-means would spend 20+ scheduler round-trips on
+    // milliseconds of arithmetic.
+    val sample = corpusVec.limit(clusters * 256).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val centers = lloyd(sample, clusters, iters = 10, seed)
     val bc = spark.sparkContext.broadcast(centers)
 
     def sq(a: Seq[Double], b: Array[Double]): Double = {
@@ -133,6 +137,40 @@ object Similarity {
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
+  }
+
+  /** Driver-side Lloyd k-means for model-sized samples: deterministic
+    * seeded init (distinct sample rows), empty cells keep their center. */
+  private[ops] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty quantizer sample")
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(sample.indices.toVector).take(math.min(k, sample.length))
+    var centers = init.map(i => sample(i).clone).toArray
+    val dim = sample.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Int](centers.length)
+      sample.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = x(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = centers.indices.map { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    centers
   }
 
   /**

@@ -55,8 +55,9 @@ object TextAnalysis {
       tokens(text),
       struct(lit(17L).as("a"), lit(19L).as("b")),
       (acc, t) => {
-        // 32-bit md5 prefix (engine-portable, unlike xxhash64) mod p2
-        val h = pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(p2))
+        // native portable polynomial byte hash mod p2 (engine-portable,
+        // unlike xxhash64; ~4x cheaper than an md5+conv detour)
+        val h = pmod(graft.functions.VectorExpressions.polyHash(t), lit(p2))
         struct(
           pmod(acc("a") * lit(1000003L) + h, lit(p1)).as("a"),
           pmod(acc("b") * lit(1000033L) + h, lit(p2)).as("b"))

@@ -16,8 +16,8 @@ import graft.tables.Tables
 object DedupQueries {
 
   /** DuckDB CTEs mirroring `withNearDups` + `shingleHashes`: corpus with
-    * planted truncated dups, tokens, and the per-doc 60-bit md5 shingle
-    * hash list (`hs`) — the exact integers Spark computes. */
+    * planted truncated dups, tokens, and the per-doc 55-bit poly-hash
+    * shingle list (`hs`) — the exact integers Spark computes. */
   private def shingleCtes(drop: Int): String = {
     val shingle = "w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]"
     s"""corpus AS (
@@ -28,7 +28,7 @@ object DedupQueries {
        |  FROM documents WHERE doc_id < 50),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
        |sh AS (SELECT doc_id,
-       |    list_transform(range(len(w) - 2), i -> ${OracleSql.md5Fold(shingle, 15)}) AS hs
+       |    list_transform(range(len(w) - 2), i -> ${OracleSql.polyFold(shingle)}) AS hs
        |  FROM toks WHERE len(w) >= 3)""".stripMargin
   }
 
@@ -104,30 +104,30 @@ object DedupQueries {
       "d04_simhash",
       (s, dir) => {
         // drop=1: a one-word tail mutation keeps planted pairs within
-        // hamming ~2-6, the zone 4×15-bit banding is designed to catch
+        // hamming ~2-6, the zone 4×12-bit banding is designed to catch
         // (guaranteed ≤3, ~80% at 4-6). Wider mutations belong to
         // MinHash (d03), which keys on set overlap, not bit margins.
-        // hamming ≤ 16 filter: random pairs center at 30.
+        // hamming ≤ 12 filter: random pairs center at 24 (σ≈3.5).
         simHashCandidatePairs(withNearDups(s, dir, drop = 1), "doc_id", "text")
-          .filter(col("hamming") <= 16)
+          .filter(col("hamming") <= 12)
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH ${shingleCtes(drop = 1)},
              |votes AS (SELECT doc_id, t.range AS bit,
              |    sum(CASE WHEN (h >> CAST(t.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-             |  FROM (SELECT doc_id, unnest(hs) AS h FROM sh), range(60) t
+             |  FROM (SELECT doc_id, unnest(hs) AS h FROM sh), range(48) t
              |  GROUP BY doc_id, t.range),
              |sim AS (SELECT doc_id,
              |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS sim
              |  FROM votes GROUP BY doc_id),
              |chunks AS (SELECT doc_id, sim, t.range AS band,
-             |    (sim >> CAST(t.range * 15 AS INT)) & 32767 AS bucket
+             |    (sim >> CAST(t.range * 12 AS INT)) & 4095 AS bucket
              |  FROM sim, range(4) t)
              |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
              |FROM chunks a JOIN chunks b
              |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.sim, b.sim)) <= 16
+             |WHERE bit_count(xor(a.sim, b.sim)) <= 12
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(

@@ -17,6 +17,15 @@ object OracleSql {
       s"CAST(strpos('0123456789abcdef', substr(md5($expr), j + 1, 1)) - 1 AS BIGINT))), " +
       s"(a, d) -> a * 16 + d)"
 
+  /** DuckDB twin of graft's native `StringPolyHash`: fold the string's
+    * character codes through `a*131 + c (mod 2^55-55)`. Identical to the
+    * Spark byte fold on ASCII text (the synthetic corpus is ASCII). */
+  def polyFold(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(length($expr)), j -> " +
+      s"CAST(ascii(substr($expr, j + 1, 1)) AS BIGINT))), " +
+      s"(a, c) -> (a * 131 + c) % 36028797018963913)"
+
   /** DuckDB list literal `[[a0,b0],[a1,b1],...]` of the MinHash
     * universal-hash coefficient table (identical splitmix64 stream). */
   def coeffPairsLiteral(n: Int, seed: Long): String =

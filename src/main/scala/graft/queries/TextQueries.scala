@@ -151,7 +151,7 @@ object TextQueries {
       },
       Some(s"""WITH t AS (SELECT doc_id,
              |  list_transform(string_split(text, ' '),
-             |    tok -> ${OracleSql.md5Fold("tok", 8)} % 2147483647) AS hs
+             |    tok -> ${OracleSql.polyFold("tok")} % 2147483647) AS hs
              |  FROM documents)
              |SELECT doc_id,
              |  (list_reduce(list_prepend(CAST(17 AS BIGINT), hs),

@@ -1,0 +1,202 @@
+package org.apache.spark.sql.graftshim
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Deterministic splitmix64-seeded `(a, b)` pairs for the universal hash
+ * family `h_i(x) = (a_i·x + b_i) mod P31` — the single source of truth
+ * shared by the Spark aggregates and the literal tables embedded in the
+ * DuckDB oracle SQL.
+ */
+object UniversalHash {
+  /** Large prime < 2^31. */
+  val P = 2147483647L
+
+  def coefficients(n: Int, seed: Long): Array[(Long, Long)] = {
+    var x = seed
+    def next(): Long = { // splitmix64
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(n)((math.abs(next()) % (P - 1) + 1, math.abs(next()) % P))
+  }
+}
+
+/**
+ * `graft_minhash(h32, numHashes, seed)` — all MinHash minima in ONE
+ * native aggregate: the buffer is a single long[numHashes] and each
+ * input row updates it in a tight JVM loop. The equivalent
+ * 128-column `min(...)` formulation forces whole-stage codegen to emit
+ * (and Janino to compile) a 128-buffer aggregate class whose first-call
+ * compilation costs more than the query; this aggregate is one small
+ * class, same math, same map-side partial aggregation (the buffer
+ * serializes as numHashes longs between partial and final).
+ */
+case class MinHashAgg(
+    hashExpr: Expression,
+    numHashesExpr: Expression,
+    seedExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  private lazy val numHashes: Int = {
+    require(numHashesExpr.foldable, "numHashes must be a literal")
+    numHashesExpr.eval().asInstanceOf[Int]
+  }
+  private lazy val seed: Long = {
+    require(seedExpr.foldable, "seed must be a literal")
+    seedExpr.eval().asInstanceOf[Long]
+  }
+  @transient private lazy val coeffs: Array[(Long, Long)] =
+    UniversalHash.coefficients(numHashes, seed)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType, LongType)
+  override def children: Seq[Expression] = Seq(hashExpr, numHashesExpr, seedExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val h = hashExpr.eval(input)
+    if (h != null) {
+      val x = h.asInstanceOf[Long]
+      val cs = coeffs
+      var i = 0
+      while (i < cs.length) {
+        val v = (cs(i)._1 * x + cs(i)._2) % UniversalHash.P
+        if (v < buffer(i)) buffer(i) = v
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) {
+      if (other(i) < buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.length)
+    buffer.foreach(out.writeLong)
+    out.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    Array.fill(in.readInt())(in.readLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashAgg =
+    copy(hashExpr = newChildren(0), numHashesExpr = newChildren(1),
+      seedExpr = newChildren(2))
+}
+
+/**
+ * `graft_simhash(h, bits)` — SimHash bit-majority vote as one native
+ * aggregate: the buffer is an int[bits] vote array (repeated elements
+ * vote repeatedly — multiset semantics), packed on eval into a long
+ * with bit i set iff votes(i) > 0. Replaces a `bits`-column
+ * conditional-sum aggregate for the same codegen-size reason as
+ * [[MinHashAgg]].
+ */
+case class SimHashAgg(
+    hashExpr: Expression,
+    bitsExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] with ImplicitCastInputTypes {
+
+  private lazy val bits: Int = {
+    require(bitsExpr.foldable, "bits must be a literal")
+    val b = bitsExpr.eval().asInstanceOf[Int]
+    require(b >= 1 && b <= 63, s"bits must be in [1, 63], got $b")
+    b
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType)
+  override def children: Seq[Expression] = Seq(hashExpr, bitsExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
+
+  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    val h = hashExpr.eval(input)
+    if (h != null) {
+      val x = h.asInstanceOf[Long]
+      var i = 0
+      while (i < buffer.length) {
+        buffer(i) += (if (((x >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Int]): Any = {
+    var sim = 0L
+    var i = 0
+    while (i < buffer.length) {
+      if (buffer(i) > 0) sim |= (1L << i)
+      i += 1
+    }
+    sim
+  }
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.length)
+    buffer.foreach(out.writeInt)
+    out.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    Array.fill(in.readInt())(in.readInt())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(hashExpr = newChildren(0), bitsExpr = newChildren(1))
+}

@@ -155,3 +155,118 @@ case class ArraySqDist(left: Expression, right: Expression) extends ArrayPairFol
     copy(left = newLeft, right = newRight)
 }
 
+
+/**
+ * Polynomial rolling hash of a string's UTF-8 bytes:
+ * `h = fold(h * 131 + byte) mod (2^55 - 55)`. A native codegen'd loop —
+ * roughly 4x cheaper than `conv(substring(md5(s), ...), 16, 10)` on the
+ * shingle hot path — and engine-portable: the DuckDB oracle reproduces
+ * the identical value by folding `ascii()` codes (equal to the bytes
+ * for ASCII text; byte-level UTF-8 otherwise, which only the oracle
+ * comparison cares about). The 2^55 modulus keeps every intermediate
+ * (`h*131 + 255` < 2^62.1) safely inside ANSI-mode long arithmetic, in
+ * Spark and in the mirrored DuckDB SQL alike.
+ */
+case class StringPolyHash(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  import StringPolyHash.{Mult, Prime}
+
+  override def prettyName: String = "graft_polyhash"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val bytes = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * Mult + (bytes(i) & 0xff)) % Prime
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $b = $s.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h = ($h * ${Mult}L + ($b[$i] & 0xff)) % ${Prime}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): StringPolyHash =
+    copy(child = newChild)
+}
+
+object StringPolyHash {
+  /** Largest prime below 2^55 — see the overflow analysis above. */
+  val Prime = 36028797018963913L
+  val Mult = 131L
+}
+
+/**
+ * Random-hyperplane LSH bucket key: bit `p` of the result is set iff
+ * `planes(p) · vec > 0`. One expression for ALL planes — the
+ * per-plane `dot(vec, typedlit(coeffs))` formulation expands to
+ * planes× separate codegen'd dots whose generated class takes longer
+ * to Janino-compile than the query runs; here the plane matrix rides
+ * along as one referenced object and the bits come from a nested loop.
+ */
+case class HyperplaneKey(
+    child: Expression,
+    planes: Array[Array[Double]]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(planes.nonEmpty && planes.length <= 63, "need 1..63 hyperplanes")
+
+  override def prettyName: String = "graft_hyperplane_key"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def key(v: ArrayData): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var s = 0.0
+      var i = 0
+      val n = math.min(plane.length, v.numElements())
+      while (i < n) { s += plane(i) * v.getDouble(i); i += 1 }
+      if (s > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def nullSafeEval(v: Any): Any = key(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("hyperplaneKey", this, classOf[HyperplaneKey].getName)
+      s"${ev.value} = $self.evalKey($v);"
+    })
+
+  /** codegen entry point (public for the generated class). */
+  def evalKey(v: ArrayData): Long = key(v)
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneKey =
+    copy(child = newChild)
+
+  // the plane matrix is reference-compared by default; make equality
+  // structural so plan canonicalization dedups identical keys
+  override def equals(o: Any): Boolean = o match {
+    case h: HyperplaneKey =>
+      h.child == child && h.planes.length == planes.length &&
+        h.planes.zip(planes).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + planes.map(java.util.Arrays.hashCode).toSeq.hashCode()
+}
