@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       info("graft_topk", "_FUNC_(id, score, k) - top-k (id, score) pairs by score"),
       GraftExtensions.topkBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash", "_FUNC_(s) - portable polynomial byte hash mod 2^55-55"),
+      GraftExtensions.unary("graft_polyhash",
+        org.apache.spark.sql.graftshim.StringPolyHash.apply)))
   }
 }
 
@@ -48,6 +53,14 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"$name requires exactly 2 arguments, got ${children.length}")
     f(children(0), children(1))
+  }
+
+  private[spark] def unary(name: String, f: Expression => Expression):
+      Seq[Expression] => Expression = { children =>
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument, got ${children.length}")
+    f(children(0))
   }
 
   private[spark] val topkBuilder: Seq[Expression] => Expression = { children =>
@@ -69,5 +82,7 @@ object GraftExtensions {
       binary("graft_sqdist", ArraySqDist.apply))
     register(spark, "graft_topk", "_FUNC_(id, score, k) - top-k (id, score) pairs",
       topkBuilder)
+    register(spark, "graft_polyhash", "_FUNC_(s) - portable polynomial byte hash",
+      unary("graft_polyhash", org.apache.spark.sql.graftshim.StringPolyHash.apply))
   }
 }
