@@ -79,6 +79,27 @@ object TextQueries {
              |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin)),
 
     Q(
+      "t07_regex_tokens",
+      (s, dir) => {
+        // BPE-style pre-tokenization count: alpha runs, digit runs, and
+        // individual punctuation marks each count as one token (the
+        // split a byte-pair tokenizer applies before merges). The
+        // character-class-only pattern evaluates identically in Java
+        // regex (Spark) and RE2 (DuckDB).
+        val pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+        Tables(s, dir).documents
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_subtokens"),
+            tokenCount(col("text")).as("n_ws_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_subtokens,
+             |  len(string_split(text, ' ')) AS n_ws_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "t05_lang_id",
       (s, dir) => langId(Tables(s, dir).documents).orderBy("doc_id"),
       // The whole train-and-score pipeline is relational: profile
