@@ -81,6 +81,30 @@ object PlanQueries {
              |GROUP BY 1 ORDER BY o_year""".stripMargin)),
 
     Q(
+      "r01_range_join",
+      (s, dir) => {
+        // Binned range join: lineitems whose extended price falls in a
+        // ±5% band of a sampled part's retail price, counted per part.
+        // Plain BETWEEN with no equi-key would plan as a nested-loop
+        // join; the binning makes it an equi-join on the bin.
+        val t = Tables(s, dir)
+        val bands = t.part.filter(pmod(col("p_partkey"), lit(50)) === 0)
+          .select(col("p_partkey"),
+            (col("p_retailprice") * 0.95).as("lo"),
+            (col("p_retailprice") * 1.05).as("hi"))
+        graft.ops.RangeJoin.pointInInterval(
+          t.lineitem.select("l_extendedprice"), "l_extendedprice",
+          bands, "lo", "hi", binWidth = 100.0)
+          .groupBy("p_partkey").agg(count(lit(1)).as("cnt"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, count(*) AS cnt
+             |FROM part JOIN lineitem
+             |  ON l_extendedprice BETWEEN p_retailprice * 0.95 AND p_retailprice * 1.05
+             |WHERE p_partkey % 50 = 0
+             |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)),
+
+    Q(
       "q20_bloom_semijoin",
       (s, dir) => {
         // TPC-H Q20 shape: suppliers who shipped > 100 units of 'red%'
