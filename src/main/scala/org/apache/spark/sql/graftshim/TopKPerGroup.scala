@@ -59,6 +59,63 @@ object CollapseTopK extends Rule[LogicalPlan] {
   }
 }
 
+/**
+ * Optimizer rule: rewrite the declarative top-k idiom
+ *
+ *   df.withColumn("rn", row_number().over(partitionBy(g).orderBy(
+ *       score.desc, tie))).filter($"rn" <= k).drop("rn")
+ *
+ * into the native [[TopKPerGroup]] operator, so existing window-based
+ * queries get the heap plan (no sort, O(groups×k) shuffle) without
+ * being rewritten by hand. Guards keep the rewrite semantics-exact:
+ *  - single row_number window expression, ranked (score DESC, tie ASC)
+ *    — the operator's ordering contract;
+ *  - score numeric with default DESC null ordering (NullsLast — the
+ *    operator ranks null scores last); tie an integral, non-nullable
+ *    column (the operator would rank null ties last, default ASC sorts
+ *    them first);
+ *  - the rank attribute is dropped by the projection above the filter
+ *    (the operator does not emit a rank column);
+ *  - the filter is `rn <= k` / `rn < k` / `rn = 1` with a literal k.
+ */
+object RewriteWindowTopK extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And => _, Attribute => CAttribute, EqualTo, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, RowNumber, SortOrder, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
+
+  private def limitOf(cond: Expression, rn: CAttribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: CAttribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: CAttribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: CAttribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Project(projList,
+        Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+            partitionSpec, orderSpec, child, _)))
+        if orderSpec.length == 2 && {
+          val rn = alias.toAttribute
+          val Seq(first, second) = orderSpec
+          limitOf(cond, rn).exists(_ >= 1) &&
+            !projList.exists(_.references.contains(rn)) &&
+            projList.forall(_.references.subsetOf(child.outputSet)) &&
+            first.direction == org.apache.spark.sql.catalyst.expressions.Descending &&
+            first.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsLast &&
+            first.child.dataType.isInstanceOf[NumericType] &&
+            second.direction == org.apache.spark.sql.catalyst.expressions.Ascending &&
+            integral(second.child.dataType) && !second.child.nullable
+        } =>
+      val k = limitOf(cond, alias.toAttribute).get
+      Project(projList.asInstanceOf[Seq[NamedExpression]],
+        TopKPerGroup(partitionSpec, orderSpec.head.child, orderSpec(1).child, k, child))
+  }
+}
+
 /** Plans the logical node as partial-then-final exec pair; the final's
   * required distribution makes EnsureRequirements insert the exchange
   * between them. */
@@ -162,6 +219,8 @@ object TopKPerGroupApi {
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
     if (!exp.extraOptimizations.contains(CollapseTopK))
       exp.extraOptimizations = exp.extraOptimizations :+ CollapseTopK
+    if (!exp.extraOptimizations.contains(RewriteWindowTopK))
+      exp.extraOptimizations = exp.extraOptimizations :+ RewriteWindowTopK
   }
 
   def perGroup(df: DataFrame, groupCols: Seq[Column], score: Column, tie: Column,

@@ -50,6 +50,49 @@ class TopKSpec extends SparkTestBase {
     assert(topks.head.k == 4)
   }
 
+  test("RewriteWindowTopK turns the row_number idiom into the native operator") {
+    org.apache.spark.sql.graftshim.TopKPerGroupApi.ensureInjected(spark)
+    val df = sample()
+    val windowed = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 7)
+      .select("id", "grp", "score")
+    val optimized = windowed.queryExecution.optimizedPlan
+    assert(optimized.collect {
+      case t: org.apache.spark.sql.graftshim.TopKPerGroup => t
+    }.nonEmpty, s"window idiom should rewrite to TopKPerGroup:\n$optimized")
+
+    val got = windowed.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k = 7)
+      .select("id", "grp", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("RewriteWindowTopK leaves ineligible windows alone") {
+    org.apache.spark.sql.graftshim.TopKPerGroupApi.ensureInjected(spark)
+    val df = sample()
+    // rank column kept in the output -> must NOT rewrite
+    val keepsRank = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 3)
+      .select("id", "rn")
+    assert(keepsRank.queryExecution.optimizedPlan.collect {
+      case t: org.apache.spark.sql.graftshim.TopKPerGroup => t
+    }.isEmpty)
+    // ascending score -> ordering contract doesn't hold -> no rewrite
+    val ascScore = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score"), col("id"))))
+      .filter(col("rn") <= 3)
+      .select("id", "grp")
+    assert(ascScore.queryExecution.optimizedPlan.collect {
+      case t: org.apache.spark.sql.graftshim.TopKPerGroup => t
+    }.isEmpty)
+  }
+
   test("physical plan is partial heap -> exchange -> final heap (map-side reduction)") {
     val df = sample()
     val plan = TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k = 5)
