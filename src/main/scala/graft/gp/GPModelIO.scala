@@ -101,4 +101,24 @@ object GPModelIO {
       .setProbabilityMode(s.probabilityMode)
     m
   }
+
+  /** Persist a one-vs-rest ensemble: one binary model dir per class
+    * (`path/model_<i>`) plus the ordered label list (`path/labels`). */
+  def save(ovr: GPOneVsRest.Fitted, path: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    ovr.labels.zipWithIndex.foreach { case (_, i) =>
+      save(ovr.models(i), s"$path/model_$i")
+    }
+    ovr.labels.zipWithIndex.map { case (l, i) => (i, l) }
+      .toDS().toDF("idx", "label")
+      .write.mode("overwrite").parquet(s"$path/labels")
+  }
+
+  def loadOneVsRest(spark: SparkSession, path: String): GPOneVsRest.Fitted = {
+    val labels = spark.read.parquet(s"$path/labels")
+      .orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    val models = labels.indices.map(i => loadClassification(spark, s"$path/model_$i"))
+    GPOneVsRest.Fitted(labels, models)
+  }
 }

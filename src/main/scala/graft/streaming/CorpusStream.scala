@@ -1,0 +1,38 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+import graft.ops.TextAnalysis
+
+/**
+ * Streaming twins of the corpus-prep operators (batch: `d01`/`p01`):
+ * documents arrive continuously, get quality-gated (stateless narrow
+ * filter) and exactly deduplicated with bounded state.
+ *
+ * Dedup state is the crux at scale: a naive `dropDuplicates` keeps
+ * every key forever. `dropDuplicatesWithinWatermark` drops state once
+ * the watermark passes a key's event time — the right contract for
+ * crawl ingestion, where re-fetches of the same document cluster in
+ * time and a trailing batch dedup pass (d01) catches stragglers.
+ */
+object CorpusStream {
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** First arrival of each text wins; later copies within the
+    * watermark horizon are dropped, state expires after it. */
+  def dedupStream(docs: Dataset[Doc], watermark: String = "1 hour"): Dataset[Doc] =
+    docs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text")
+
+  /** Stateless quality gate — same predicate as the batch p01 pipeline,
+    * usable on a stream because it is a narrow per-row filter. */
+  def qualityGate(docs: DataFrame, minTokens: Int = 20,
+      maxStopRatio: Double = 0.3): DataFrame =
+    docs.filter(
+      TextAnalysis.tokenCount(col("text")) >= minTokens &&
+        TextAnalysis.stopwordRatio(col("text")) <= maxStopRatio)
+}

@@ -183,6 +183,15 @@ class GPSpec extends SparkTestBase {
     assert(acc > 0.93, s"accuracy=$acc")
     val conf = out.agg(min("confidence"), max("confidence")).head()
     assert(conf.getDouble(0) >= 0.0 && conf.getDouble(1) <= 1.0)
+
+    // ensemble persistence round-trips predictions exactly
+    val dir = java.nio.file.Files.createTempDirectory("gpovr").toString
+    GPModelIO.save(fitted, s"$dir/ovr")
+    val loaded = GPModelIO.loadOneVsRest(spark, s"$dir/ovr")
+    assert(loaded.labels == fitted.labels)
+    val a = out.select("prediction", "confidence").collect().map(_.toSeq)
+    val b = loaded.transform(df).select("prediction", "confidence").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
   }
 
   test("Gauss-Hermite expectation matches closed forms") {
