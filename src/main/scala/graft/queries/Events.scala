@@ -88,6 +88,32 @@ object Events {
              |SELECT event_id, clicks.user_id AS user_id, view_id
              |FROM clicks ASOF LEFT JOIN views
              |  ON clicks.user_id = views.user_id AND clicks.ts >= views.view_ts
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    Q(
+      "e05_retention_cohorts",
+      (s, dir) => {
+        // Cohort retention: users grouped by first-activity day, distinct
+        // actives per (cohort, day offset ≤ 7). The first-day frame and
+        // the activity frame both hash-partition on user_id, so the join
+        // reuses one shuffle; at dim-scale the cohort side broadcasts.
+        val t = Tables(s, dir)
+        val activity = t.events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort"))
+        activity.join(cohorts, "user_id")
+          .select(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"),
+            col("user_id"))
+          .filter(col("day_offset") <= 7)
+          .groupBy("cohort", "day_offset")
+          .agg(count_distinct(col("user_id")).as("users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |cohorts AS (SELECT user_id, min(day) AS cohort FROM activity GROUP BY user_id)
+             |SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+             |  count(DISTINCT a.user_id) AS users
+             |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+             |WHERE date_diff('day', cohort, day) <= 7
+             |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin))
   )
 }

@@ -384,6 +384,26 @@ object Relational {
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
     Q(
+      "g03_grouping_sets",
+      (s, dir) => {
+        // Explicit GROUPING SETS (not expressible as one rollup/cube):
+        // totals by (flag, status), by flag alone, and the grand total —
+        // skipping the status-alone set a cube would add.
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(fround(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty, count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    Q(
       "g02_cube",
       (s, dir) => {
         val t = Tables(s, dir)

@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_polyhash", "_FUNC_(s) - portable polynomial byte hash mod 2^55-55"),
       GraftExtensions.unary("graft_polyhash",
         org.apache.spark.sql.graftshim.StringPolyHash.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "_FUNC_(h32, numHashes, seed) - MinHash signature aggregate"),
+      GraftExtensions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "_FUNC_(h, bits) - SimHash bit-majority aggregate"),
+      GraftExtensions.simhashBuilder))
   }
 }
 
@@ -70,6 +78,20 @@ object GraftExtensions {
     org.apache.spark.sql.graftshim.TopKByScore(children(0), children(1), children(2))
   }
 
+  private[spark] val minhashBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_minhash requires exactly 3 arguments (h32, numHashes, seed), got ${children.length}")
+    org.apache.spark.sql.graftshim.MinHashAgg(children(0), children(1), children(2))
+  }
+
+  private[spark] val simhashBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_simhash requires exactly 2 arguments (h, bits), got ${children.length}")
+    org.apache.spark.sql.graftshim.SimHashAgg(children(0), children(1))
+  }
+
   /** Idempotently register the graft_* SQL functions on a LIVE session
     * (for sessions built without `spark.sql.extensions`). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -84,5 +106,9 @@ object GraftExtensions {
       topkBuilder)
     register(spark, "graft_polyhash", "_FUNC_(s) - portable polynomial byte hash",
       unary("graft_polyhash", org.apache.spark.sql.graftshim.StringPolyHash.apply))
+    register(spark, "graft_minhash", "_FUNC_(h32, numHashes, seed) - MinHash aggregate",
+      minhashBuilder)
+    register(spark, "graft_simhash", "_FUNC_(h, bits) - SimHash aggregate",
+      simhashBuilder)
   }
 }
