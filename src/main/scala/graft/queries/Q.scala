@@ -19,7 +19,8 @@ final case class Q(
 object Q {
   /** All registered queries, in stable order. */
   def all: Seq[Q] =
-    Relational.queries ++ Relational2.queries ++ Windows.queries ++ Events.queries ++
+    Relational.queries ++ Relational2.queries ++ Windows.queries ++ Windows2.queries ++
+      Events.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       GPQueries.queries ++ MultimodalQueries.queries ++ PlanQueries.queries
 }

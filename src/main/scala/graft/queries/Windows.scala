@@ -6,6 +6,89 @@ import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
 
+/** Additional window/aggregate surface: explicit frames, exact
+  * percentiles, statistical aggregates. */
+object Windows2 {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "w04_moving_avg",
+      (s, dir) => {
+        // explicit ROWS frame (w01 covers the default running frame):
+        // 7-row trailing average of daily order totals
+        val t = Tables(s, dir)
+        val daily = t.orders
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum("o_totalprice").as("total"))
+        daily
+          .select(col("day"), fround(avg("total").over(
+            Window.orderBy("day").rowsBetween(-6, 0)), 2).as("avg7"))
+          .orderBy("day")
+      },
+      Some("""SELECT day, floor(avg(total) OVER (ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS avg7
+             |FROM (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS total
+             |      FROM orders GROUP BY 1)
+             |ORDER BY day""".stripMargin)),
+
+    Q(
+      "q23_percentiles",
+      (s, dir) => {
+        // exact interpolating percentiles (Spark `percentile` ==
+        // DuckDB `quantile_cont`), grouped
+        Tables(s, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(
+            fround(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
+            fround(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
+            fround(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  floor(quantile_cont(l_quantity, 0.5) * 100.0 + 0.5) / 100.0 AS p50_qty,
+             |  floor(quantile_cont(l_quantity, 0.9) * 100.0 + 0.5) / 100.0 AS p90_qty,
+             |  floor(quantile_cont(l_extendedprice, 0.99) * 100.0 + 0.5) / 100.0 AS p99_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q(
+      "q24_stats",
+      (s, dir) => {
+        // statistical aggregate surface: correlation, sample
+        // stddev/covariance per group
+        Tables(s, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(
+            fround(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+            fround(stddev_samp(col("l_discount")), 4).as("sd_discount"),
+            fround(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS corr_qty_price,
+             |  floor(stddev_samp(l_discount) * 10000.0 + 0.5) / 10000.0 AS sd_discount,
+             |  floor(covar_samp(l_quantity, l_discount) * 10000.0 + 0.5) / 10000.0 AS cov_qty_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q(
+      "s04_intersect_all",
+      (s, dir) => {
+        // multiset (ALL) set-op semantics — s02/s03 cover the DISTINCT
+        // forms; duplicates must be preserved up to the min multiplicity
+        val t = Tables(s, dir)
+        val a = t.orders.filter(col("o_totalprice") > 100000).select("o_custkey")
+        val b = t.orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+        a.intersectAll(b)
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS cnt FROM (
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+             |  INTERSECT ALL
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+  )
+}
+
 /**
  * Window-function pack. Every frame is ordered by a unique key suffix
  * (orderkey / event_id) so running aggregates are deterministic under
