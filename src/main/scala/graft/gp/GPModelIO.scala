@@ -115,6 +115,14 @@ object GPModelIO {
       .write.mode("overwrite").parquet(s"$path/labels")
   }
 
+  /** Wrap an explicitly-constructed projected-process model (fixed Z,
+    * weights, covariance adjustment) as a transformable model — used to
+    * oracle-check the prediction equations with a deterministic model,
+    * and handy for deploying externally-fitted GPs. */
+  def fromProjected(p: ProjectedGP): GPRegressionModel =
+    new GPRegressionModel(
+      org.apache.spark.ml.util.Identifiable.randomUID("graftGPfixed"), p)
+
   def loadOneVsRest(spark: SparkSession, path: String): GPOneVsRest.Fitted = {
     val labels = spark.read.parquet(s"$path/labels")
       .orderBy("idx").collect().map(_.getDouble(1)).toSeq

@@ -140,6 +140,46 @@ object GPQueries {
              |  floor(exp(-0.5 * list_sum(list_transform(list_zip(a.v, b.v),
              |      x -> (x[1] - x[2]) * (x[1] - x[2]))) / 4.0) * 1e6 + 0.5) / 1e6 AS k
              |FROM e a JOIN e b ON a.vec_id <= b.vec_id
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
+      "gp06_projected_predict",
+      (s, dir) => {
+        // The PREDICTION path (mean = k_xZ·w, var = k_xx + k_xZ·M·k_Zx)
+        // through the real transform machinery, with a deterministic
+        // hand-built model so DuckDB can recompute the closed forms —
+        // only the iterative FITS (gp01–03) remain rows-only.
+        import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+        val e = Tables(s, dir).embeddings
+        val z = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val weights = BDV.tabulate(z.length)(j => ((j % 5) + 1) / 10.0)
+        val covAdjust = BDM.eye[Double](z.length) * -0.01
+        val model = graft.gp.GPModelIO.fromProjected(
+          graft.gp.ProjectedGP(z, weights, covAdjust, 1.0 * rbf(2.0)))
+          .setFeaturesCol("features").setPredStdCol("std")
+        model.transform(
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("features")))
+          .select(col("vec_id"),
+            fround(col("prediction"), 6).as("mean"),
+            fround(col("std"), 6).as("std"))
+          .orderBy("vec_id")
+      },
+      // k_j = exp(-‖x−z_j‖²/(2·2²)); mean = Σ k_j w_j, w_j = ((j%5)+1)/10;
+      // var = 1 − 0.01·Σ k_j² (covAdjust = −0.01·I, RBF self = 1)
+      Some("""WITH z AS (SELECT vec_id AS zid, CAST(embedding AS DOUBLE[]) AS zv
+             |           FROM embeddings WHERE vec_id < 8),
+             |x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
+             |      FROM embeddings WHERE vec_id >= 8 AND vec_id < 300),
+             |k AS (SELECT x.vec_id, z.zid,
+             |    exp(-list_sum(list_transform(list_zip(xv, zv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))) / 8.0) AS kv
+             |  FROM x, z)
+             |SELECT vec_id,
+             |  floor(sum(kv * ((zid % 5) + 1) / 10.0) * 1e6 + 0.5) / 1e6 AS mean,
+             |  floor(sqrt(1.0 - 0.01 * sum(kv * kv)) * 1e6 + 0.5) / 1e6 AS std
+             |FROM k GROUP BY vec_id ORDER BY vec_id""".stripMargin))
   )
 }
