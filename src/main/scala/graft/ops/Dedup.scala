@@ -93,6 +93,30 @@ object Dedup {
   }
 
   /**
+   * All unordered pairs (x < y) from an array of distinct values, as an
+   * array of structs. The lambdas are interpreted, but they only run on
+   * multi-occupant buckets — a vanishing fraction — where a self-JOIN
+   * alternative recomputes the entire upstream pipeline for its second
+   * input (no exchange reuse across a broadcast boundary; measured 2×
+   * on MinHash).
+   */
+  private def unorderedPairs(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))), b =>
+        struct(least(a, b).as("a"), greatest(a, b).as("b")))))
+
+  /** Distinct (id_a < id_b) pairs of ids sharing a (band, bucket) key:
+    * ONE shuffle of (band, bucket, id) rows, pairs expanded inside each
+    * bucket group. */
+  private def bucketPairs(bb: DataFrame, idCol: String): DataFrame =
+    bb.groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(unorderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+
+  /**
    * MinHash+LSH candidate pairs (id_a < id_b) from a text corpus of
    * (idCol, textCol), shingled as hashed word trigrams. The pair
    * shuffle carries only ids.
@@ -100,13 +124,7 @@ object Dedup {
   def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
     val sigs = minHashSignatures(shingleHashes(docs, idCol, textCol), idCol, numHashes, seed)
-    val bb = lshBands(sigs, "sig", bands, idCol, numHashes)
-    val left = bb.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val right = bb.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    bucketPairs(lshBands(sigs, "sig", bands, idCol, numHashes), idCol)
   }
 
   /** SimHash width in bits: the low 48 of the 55-bit portable element
@@ -138,12 +156,14 @@ object Dedup {
         struct(lit(i).as("band"),
           shiftright(col("sim"), i * 12).bitwiseAND(lit(0xfffL)).as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col("sim"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val left = chunks.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sim").as("sim_a"))
-    val right = chunks.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sim").as("sim_b"))
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+    // pairs expand inside each bucket group (see bucketPairs); the id
+    // field leads the struct, so struct least/greatest == id ordering
+    chunks.groupBy("band", "bucket")
+      .agg(collect_list(struct(col(idCol), col("sim"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(unorderedPairs(col("ids"))).as("p"))
+      .select(col(s"p.a.$idCol").as("id_a"), col(s"p.b.$idCol").as("id_b"),
+        hammingDistance(col("p.a.sim"), col("p.b.sim")).as("hamming"))
       .distinct()
   }
 
