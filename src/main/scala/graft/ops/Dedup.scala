@@ -171,6 +171,52 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /**
+   * Connected components over an undirected edge list — the RESOLUTION
+   * step of near-dup dedup: candidate pairs become clusters, and one
+   * representative (the min id) survives per cluster.
+   *
+   * Standard distributed label propagation: every node starts labeled
+   * with itself; each round every node takes the min label in its
+   * closed neighborhood; converged when no label changes (checked with
+   * one count per round — driver-orchestrated iteration like any
+   * optimizer loop, data never collects). Rounds needed = graph
+   * diameter, which for near-dup clusters is tiny; `maxIter` bounds
+   * adversarial chains. Each round is one join + one aggregate on
+   * (id, label) pairs — never the documents.
+   *
+   * @return (id, component) — component = min id reachable from id
+   */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "nbr_component"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_component").as("nbr_component"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

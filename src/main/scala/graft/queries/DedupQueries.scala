@@ -131,6 +131,39 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "d07_dedup_clusters",
+      (s, dir) => {
+        // Resolution: MinHash candidate pairs -> connected components ->
+        // per-cluster representative (min id) + size. The oracle
+        // recomputes the components with a recursive CTE.
+        val pairs = minHashCandidatePairs(withNearDups(s, dir, drop = 3), "doc_id", "text")
+        connectedComponents(pairs)
+          .groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE ${shingleCtes(drop = 3)},
+             |sig AS (SELECT doc_id,
+             |    list_transform(${OracleSql.coeffPairsLiteral(128, 42L)}, p ->
+             |      list_min(list_transform(hs, h -> (p[1] * (h % 4294967296) + p[2]) % 2147483647))) AS sig
+             |  FROM sh),
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |        UNION ALL SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.src, cc.lbl FROM sym s JOIN cc ON s.dst = cc.id)
+             |SELECT min_lbl AS component, count(*) AS cluster_size
+             |FROM (SELECT id, min(lbl) AS min_lbl FROM cc GROUP BY id)
+             |GROUP BY 1 ORDER BY component""".stripMargin)),
+
+    Q(
       "d05_jaccard_pairs",
       (s, dir) => {
         val d = Tables(s, dir).documents.filter(col("doc_id") < 50)

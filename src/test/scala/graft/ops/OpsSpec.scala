@@ -87,6 +87,20 @@ class DedupSpec extends SparkTestBase {
     assert(found >= 7, s"only $found/10 planted pairs found")
   }
 
+  test("connected components resolve chains and separate clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter forces several propagation rounds),
+    // pair 10-11, isolated-by-edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), cc.toString)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    assert(cc.size == 9)
+  }
+
   test("jaccard matches hand computation") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
