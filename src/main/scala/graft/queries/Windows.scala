@@ -70,6 +70,46 @@ object Windows2 {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q(
+      "w05_rank_functions",
+      (s, dir) => {
+        // remaining rank-function family: quartiles, relative rank,
+        // cumulative distribution per group
+        val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, dir).orders
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            fround(percent_rank().over(w), 6).as("pct_rank"),
+            fround(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+             |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+             |FROM orders WHERE o_orderkey % 100 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    Q(
+      "t08_normalize",
+      (s, dir) => {
+        // canonical text normalization for exact dedup: lowercase,
+        // strip non-alphanumerics, collapse runs of spaces, trim —
+        // plain character classes so Java regex and RE2 agree
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+        Tables(s, dir).documents
+          .select(col("doc_id"), norm.as("norm_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |       '  +', ' ', 'g')) AS norm_text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "s04_intersect_all",
       (s, dir) => {
         // multiset (ALL) set-op semantics — s02/s03 cover the DISTINCT
