@@ -164,6 +164,28 @@ object TextQueries {
              |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q(
+      "p02_stratified_sample",
+      (s, dir) => {
+        // Deterministic stratified sampling for corpus curation: 5 docs
+        // per language, "randomized" by the portable poly-hash of the
+        // text (reproducible across engines and runs, unlike rand()),
+        // selected with the native TopKPerGroup operator — shuffle
+        // carries 5 rows per (partition, lang), not the corpus.
+        val d = Tables(s, dir).documents
+          .select(col("lang"), col("doc_id"),
+            graft.functions.VectorExpressions.polyHash(col("text")).as("h"))
+        graft.plans.TopK.perGroup(d, Seq(col("lang")), col("h"), col("doc_id"), k = 5)
+          .select("lang", "doc_id")
+          .orderBy("lang", "doc_id")
+      },
+      Some(s"""SELECT lang, doc_id
+             |FROM (SELECT lang, doc_id,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY ${OracleSql.polyFold("text")} DESC, doc_id) AS rn
+             |      FROM documents)
+             |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin)),
+
+    Q(
       "t06_fingerprint",
       (s, dir) => {
         Tables(s, dir).documents
