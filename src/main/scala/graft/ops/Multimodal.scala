@@ -68,6 +68,47 @@ object Multimodal {
     }
   }
 
+  final case class FrameFeatures(
+      media_id: Long,
+      frame_idx: Int,
+      n_bytes: Int,
+      mean_intensity: Double)
+
+  /**
+   * Frame sampling over the binary payload: the payload is cut into
+   * fixed-size frames, every `every`-th frame is kept, and each kept
+   * frame is "decoded" to features in batched `mapPartitions` — for
+   * real video this is the demux + keyframe-sample + decode shape
+   * (frame boundaries would come from the container index instead of
+   * fixed offsets; the decode is the STUB, everything around it —
+   * per-frame explode, batching, narrow shuffle-free plan — is real).
+   * mean_intensity: frame byte mean scaled to [0, 1], byte order
+   * left-to-right (the oracle reproduces it exactly on ASCII data).
+   */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+      every: Int = 2, batchSize: Int = 64): Dataset[FrameFeatures] = {
+    require(frameBytes > 0 && every > 0)
+    implicit val enc = Encoders.product[FrameFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val n = row.payload.length
+          val frames = (n + frameBytes - 1) / frameBytes
+          (0 until frames by every).map { f =>
+            val start = f * frameBytes
+            val end = math.min(start + frameBytes, n)
+            // ---- STUB DECODER: mean byte intensity ---------------
+            var s = 0.0
+            var i = start
+            while (i < end) { s += (row.payload(i) & 0xff) / 255.0; i += 1 }
+            // ------------------------------------------------------
+            FrameFeatures(row.media_id, f, end - start, s / (end - start))
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic fake decode: 8-dim feature from byte statistics. */
   private[ops] def stubDecode(bytes: Array[Byte]): Array[Double] = {
     val n = math.max(bytes.length, 1)

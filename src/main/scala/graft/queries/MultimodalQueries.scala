@@ -40,6 +40,30 @@ object MultimodalQueries {
              |  n_bytes,
              |  floor(sqrt(list_sum(list_transform(feats, x -> x * x))) * 1000000.0 + 0.5)
              |    / 1000000.0 AS feature_norm
-             |FROM f ORDER BY media_id""".stripMargin))
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    Q(
+      "mm02_frame_sample",
+      (s, dir) => {
+        // 64-byte frames, every 2nd kept, batched stub decode; the
+        // ASCII corpus lets DuckDB recompute per-frame byte means.
+        val media = Multimodal.packAsMedia(
+          Tables(s, dir).documents.filter(col("doc_id") < 200), "doc_id", "text")
+        Multimodal.sampleFrames(media)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+            fround(col("mean_intensity"), 6).as("mean_intensity"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH frames AS (
+             |  SELECT doc_id AS media_id, CAST(t.range AS INT) AS frame_idx,
+             |    substr(text, CAST(t.range * 64 + 1 AS INT), 64) AS frame
+             |  FROM documents, range(0, 100, 2) t
+             |  WHERE doc_id < 200 AND t.range * 64 < length(text))
+             |SELECT media_id, frame_idx, CAST(length(frame) AS INT) AS n_bytes,
+             |  floor(list_sum(list_transform(range(1, length(frame) + 1),
+             |      i -> ascii(substr(frame, i, 1)) / 255.0)) / length(frame) * 1e6 + 0.5)
+             |    / 1e6 AS mean_intensity
+             |FROM frames ORDER BY media_id, frame_idx""".stripMargin))
   )
 }

@@ -110,6 +110,27 @@ object Windows2 {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "q25_listagg",
+      (s, dir) => {
+        // list aggregation with deterministic ordering: per market
+        // segment, the sorted distinct order priorities + order count
+        val t = Tables(s, dir)
+        t.customer.select("c_custkey", "c_mktsegment")
+          .join(t.orders.select("o_custkey", "o_orderpriority"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+            count(lit(1)).as("cnt"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+             |  count(*) AS cnt
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q(
       "s04_intersect_all",
       (s, dir) => {
         // multiset (ALL) set-op semantics — s02/s03 cover the DISTINCT
