@@ -74,17 +74,21 @@ object GPCore {
     def newAcc: Acc = (scala.collection.mutable.ArrayBuffer.empty,
       scala.collection.mutable.ArrayBuffer.empty)
 
-    val n = data.count()
+    // Cache the input: this path makes three passes (count, quantizer
+    // sample, assignment) and without it each re-executes the upstream
+    // row conversion — 3× input I/O per fit.
+    val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
     val cells = math.max(1, math.min(maxCells.toLong,
       n / (expertSize.toLong * cellFactor) + 1)).toInt
     val sampleTarget = math.min(n, math.max(10000L, cells * 50L)).toDouble
-    val sample = data.map(_._1)
+    val sample = cached.map(_._1)
       .sample(withReplacement = false, math.min(1.0, sampleTarget / n), seed)
       .map(Vectors.dense)
     val quantizer = new KMeans().setK(cells).setSeed(seed).setMaxIterations(10)
       .run(sample)
 
-    data
+    val experts = cached
       .map { case (x, y) => (quantizer.predict(Vectors.dense(x)), (x, y)) }
       .aggregateByKey(newAcc)(
         { case ((xs, ys), (x, y)) => xs += x; ys += y; (xs, ys) },
@@ -107,6 +111,9 @@ object GPCore {
         }
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
+    experts.count() // materialize so the input cache can be released
+    cached.unpersist()
+    experts
   }
 
   // ------------------------------------------------------------- optimizer

@@ -189,8 +189,12 @@ object Dedup {
    */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // persist the edge list: every propagation round joins against it,
+    // and without caching each round would recompute the entire
+    // upstream candidate-pair pipeline (sketches included)
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist()
@@ -214,6 +218,7 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    sym.unpersist()
     labels
   }
 

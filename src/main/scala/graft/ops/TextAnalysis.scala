@@ -119,17 +119,24 @@ object TextAnalysis {
     // map over the documents, the same shape as GP model prediction.
     // (The exploded-join variant shuffles every gram occurrence and
     // measured 3× slower at sf0.1.)
+    //
+    // Weights are quantized to integer picounits before scoring: the
+    // double weights are bit-identical across engines (exact integer
+    // ratios) so the quantization is too, and LONG sums are exact in
+    // any order — the argmax can never flip on a floating-point
+    // near-tie between this pass and the oracle's re-aggregation.
     val profRows = profiles.collect()
     val langs: Array[String] = profRows.map(_.getString(0)).distinct.sorted
-    val table = new java.util.HashMap[String, Array[Double]]()
+    val table = new java.util.HashMap[String, Array[Long]]()
     profRows.foreach { r =>
-      table.computeIfAbsent(r.getString(1), _ => new Array[Double](langs.length))(
-        java.util.Arrays.binarySearch(langs.asInstanceOf[Array[AnyRef]], r.getString(0))) = r.getDouble(2)
+      table.computeIfAbsent(r.getString(1), _ => new Array[Long](langs.length))(
+        java.util.Arrays.binarySearch(langs.asInstanceOf[Array[AnyRef]], r.getString(0))) =
+        math.floor(r.getDouble(2) * 1e12 + 0.5).toLong
     }
     val bc = docs.sparkSession.sparkContext.broadcast((table, langs))
     val predictUdf = udf { (text: String) =>
       val (tbl, ls) = bc.value
-      val scores = new Array[Double](ls.length)
+      val scores = new Array[Long](ls.length)
       val n = if (text == null) 0 else text.length
       var i = 0
       while (i + 3 <= n) {
@@ -141,7 +148,7 @@ object TextAnalysis {
         i += 1
       }
       var best = -1
-      var bestS = 0.0
+      var bestS = 0L
       var j = 0
       while (j < scores.length) {
         if (scores(j) > bestS) { best = j; bestS = scores(j) }

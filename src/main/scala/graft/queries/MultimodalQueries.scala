@@ -55,11 +55,14 @@ object MultimodalQueries {
             fround(col("mean_intensity"), 6).as("mean_intensity"))
           .orderBy("media_id", "frame_idx")
       },
-      Some("""WITH frames AS (
-             |  SELECT doc_id AS media_id, CAST(t.range AS INT) AS frame_idx,
-             |    substr(text, CAST(t.range * 64 + 1 AS INT), 64) AS frame
-             |  FROM documents, range(0, 100, 2) t
-             |  WHERE doc_id < 200 AND t.range * 64 < length(text))
+      Some("""WITH fidx AS (
+             |  SELECT doc_id AS media_id, text,
+             |    CAST(unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS INT) AS frame_idx
+             |  FROM documents WHERE doc_id < 200),
+             |frames AS (
+             |  SELECT media_id, frame_idx,
+             |    substr(text, frame_idx * 64 + 1, 64) AS frame
+             |  FROM fidx)
              |SELECT media_id, frame_idx, CAST(length(frame) AS INT) AS n_bytes,
              |  floor(list_sum(list_transform(range(1, length(frame) + 1),
              |      i -> ascii(substr(frame, i, 1)) / 255.0)) / length(frame) * 1e6 + 0.5)

@@ -3,19 +3,12 @@ package graft.queries
 /**
  * Building blocks for DuckDB oracle SQL that must reproduce graft's
  * expression-level hashing bit-for-bit. Spark's `xxhash64` has no DuckDB
- * twin, so every portable operator hashes through md5 instead; DuckDB
- * reconstructs the integer value by folding the same hex digits
- * (validated: fold(md5 prefix) == conv(substring(md5, ...), 16, 10)).
+ * twin, so the portable operators hash with graft's own
+ * `StringPolyHash` byte fold, which DuckDB replays over `ascii()`
+ * codes; fixed-width bucket digests use `md5()` directly, identical in
+ * both engines.
  */
 object OracleSql {
-
-  /** BIGINT fold of the first `hexChars` md5 hex digits of `expr` —
-    * DuckDB equivalent of Spark `conv(substring(md5(expr), 1, n), 16, 10)`. */
-  def md5Fold(expr: String, hexChars: Int): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range($hexChars), j -> " +
-      s"CAST(strpos('0123456789abcdef', substr(md5($expr), j + 1, 1)) - 1 AS BIGINT))), " +
-      s"(a, d) -> a * 16 + d)"
 
   /** DuckDB twin of graft's native `StringPolyHash`: fold the string's
     * character codes through `a*131 + c (mod 2^55-55)`. Identical to the

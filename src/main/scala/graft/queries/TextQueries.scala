@@ -102,10 +102,12 @@ object TextQueries {
     Q(
       "t05_lang_id",
       (s, dir) => langId(Tables(s, dir).documents).orderBy("doc_id"),
-      // The whole train-and-score pipeline is relational: profile
-      // weights are exact (integer counts / integer totals, both < 2^53,
-      // so FP-identical in any summation order) and ties are broken
-      // deterministically, so DuckDB reproduces the classifier.
+      // The whole train-and-score pipeline is relational: the profile
+      // weights are bit-identical in both engines (one exact-integer
+      // division each), scoring quantizes them to integer picounits
+      // and sums LONGs — exact in any aggregation order — and ties
+      // break deterministically, so DuckDB reproduces the classifier
+      // with no floating-point near-tie exposure.
       Some("""WITH g AS (SELECT doc_id, lang,
              |    unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
              |      p -> substr(text, p, 3))) AS gram
@@ -120,7 +122,8 @@ object TextQueries {
              |          row_number() OVER (PARTITION BY lang ORDER BY weight DESC, gram) AS rnk
              |        FROM prof_w)
              |  WHERE rnk <= 300),
-             |scores AS (SELECT g.doc_id, g.lang, p.profile_lang, sum(p.weight) AS score
+             |scores AS (SELECT g.doc_id, g.lang, p.profile_lang,
+             |    sum(CAST(floor(p.weight * 1e12 + 0.5) AS BIGINT)) AS score
              |  FROM g JOIN prof p USING (gram)
              |  GROUP BY 1, 2, 3)
              |SELECT doc_id, profile_lang AS predicted, lang AS actual

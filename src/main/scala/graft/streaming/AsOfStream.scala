@@ -109,9 +109,16 @@ object AsOfStream {
 
             if (pruned.times.nonEmpty || rows.nonEmpty) {
               state.update(pruned)
-              // expire idle keys a day past the newest activity
-              val newest = if (pruned.times.nonEmpty) pruned.times.last / 1000L
-                else rows.map(_.ts.getTime).max
+              // Expire idle keys a day past the newest activity. The
+              // newest BUFFERED ref can sit far below the global
+              // watermark (probes kept it alive without refreshing it),
+              // and Spark rejects timeouts set before the watermark —
+              // so clamp to max(buffer, this batch's rows, watermark).
+              val newest = math.max(
+                math.max(
+                  if (pruned.times.nonEmpty) pruned.times.last / 1000L else Long.MinValue,
+                  if (rows.nonEmpty) rows.map(_.ts.getTime).max else Long.MinValue),
+                state.getCurrentWatermarkMs())
               state.setTimeoutTimestamp(newest + 24L * 3600L * 1000L)
             }
             out.iterator

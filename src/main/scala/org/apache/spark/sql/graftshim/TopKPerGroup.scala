@@ -128,22 +128,37 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Worst-first bounded heap of (score, tie, row); better = higher
-  * score, then lower tie. */
-private[graftshim] final class BoundedRowHeap(k: Int) {
-  private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, InternalRow)](
-    new Ordering[(Double, Long, InternalRow)] {
-      def compare(a: (Double, Long, InternalRow), b: (Double, Long, InternalRow)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1) // lower score = worse = max of pq
+/**
+ * Worst-first bounded heap of (score, tie, row); better = higher score
+ * under `scoreOrd` (Spark's interpreted ordering for the score's OWN
+ * type — longs compare exactly instead of through a lossy double cast,
+ * and NaN ranks largest like a window's ORDER BY DESC), then lower tie.
+ * A null score ranks below every non-null score (NullsLast under DESC,
+ * the rewrite rule's guard).
+ */
+private[graftshim] final class BoundedRowHeap(k: Int, scoreOrd: Ordering[Any]) {
+
+  /** desc-null-last score comparison: positive when a ranks better. */
+  private def cmpScore(a: Any, b: Any): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else scoreOrd.compare(a, b)
+
+  private val pq = scala.collection.mutable.PriorityQueue.empty[(Any, Long, InternalRow)](
+    new Ordering[(Any, Long, InternalRow)] {
+      def compare(a: (Any, Long, InternalRow), b: (Any, Long, InternalRow)): Int = {
+        val c = cmpScore(b._1, a._1) // lower score = worse = max of pq
         if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher tie = worse
       }
     })
 
-  def add(score: Double, tie: Long, row: => InternalRow): Unit = {
+  def add(score: Any, tie: Long, row: => InternalRow): Unit = {
     if (pq.size < k) pq.enqueue((score, tie, row))
     else {
       val worst = pq.head
-      if (score > worst._1 || (score == worst._1 && tie < worst._2)) {
+      val c = cmpScore(score, worst._1)
+      if (c > 0 || (c == 0 && tie < worst._2)) {
         pq.dequeue()
         pq.enqueue((score, tie, row))
       }
@@ -152,7 +167,10 @@ private[graftshim] final class BoundedRowHeap(k: Int) {
 
   /** Rows ranked best-first (score desc, tie asc). */
   def sorted: Iterator[InternalRow] =
-    pq.toIndexedSeq.sortBy(e => (-e._1, e._2)).iterator.map(_._3)
+    pq.toIndexedSeq.sortWith { (a, b) =>
+      val c = cmpScore(a._1, b._1)
+      if (c != 0) c > 0 else a._2 < b._2
+    }.iterator.map(_._3)
 }
 
 case class TopKPerGroupExec(
@@ -176,28 +194,30 @@ case class TopKPerGroupExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val gExprs = groupExprs
-    val sExpr = Cast(scoreExpr, DoubleType)
+    val sExpr = scoreExpr // native type — longs must compare exactly
     val tExpr = Cast(tieExpr, LongType)
+    val scoreType = scoreExpr.dataType
     val kk = k
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val score = BindReferences.bindReference(sExpr, childOutput)
       val tie = BindReferences.bindReference(tExpr, childOutput)
+      val scoreOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(scoreType)
       val groups = new java.util.LinkedHashMap[UnsafeRow, BoundedRowHeap]()
       while (it.hasNext) {
         val row = it.next()
         val key = keyProj(row)
         var heap = groups.get(key)
         if (heap == null) {
-          heap = new BoundedRowHeap(kk)
+          heap = new BoundedRowHeap(kk, scoreOrd)
           groups.put(key.copy(), heap)
         }
-        val s = score.eval(row)
         val t = tie.eval(row)
-        // null score/tie ranks last deterministically via -inf / MaxValue
+        // null score ranks last inside the heap; null tie via MaxValue
         heap.add(
-          if (s == null) Double.NegativeInfinity else s.asInstanceOf[Double],
+          score.eval(row),
           if (t == null) Long.MaxValue else t.asInstanceOf[Long],
           toUnsafe(row).copy())
       }
@@ -237,6 +257,9 @@ object TopKPerGroupApi {
       case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
       case e => e
     }
+    require(exprs(groupCols.length).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"TopK score must be numeric, got ${exprs(groupCols.length).dataType}")
     classic.Dataset.ofRows(spark, TopKPerGroup(
       exprs.take(groupCols.length),
       exprs(groupCols.length),

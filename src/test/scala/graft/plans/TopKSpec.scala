@@ -50,6 +50,31 @@ class TopKSpec extends SparkTestBase {
     assert(topks.head.k == 4)
   }
 
+  test("long scores above 2^53 rank exactly (no lossy double cast)") {
+    import spark.implicits._
+    val big = 1L << 54
+    // the two scores collide under double rounding; exact ordering must
+    // pick the larger one, matching the row_number window
+    val df = Seq((1L, "g", big + 2L), (2L, "g", big)).toDF("id", "grp", "score")
+    val got = TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"expected the exactly-larger score to win, got $got")
+  }
+
+  test("NaN scores rank first under desc, like the window sort") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, Double.NaN))
+      .toDF("id", "score").withColumn("grp", lit("g"))
+    val got = TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got == Set(3L, 4L), s"got $got, window says $want")
+  }
+
   test("RewriteWindowTopK turns the row_number idiom into the native operator") {
     org.apache.spark.sql.graftshim.TopKPerGroupApi.ensureInjected(spark)
     val df = sample()

@@ -76,4 +76,38 @@ class AsOfStreamSpec extends SparkTestBase {
       assert(got(3L) == Some(140.0))
     } finally query.stop()
   }
+
+  test("a key whose buffer sits far below the watermark survives (timeout clamps)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[Probe]
+    val refs = MemoryStream[Ref]
+    val query = asofJoin(probes.toDS(), refs.toDS(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("asof_clamp").outputMode("append").start()
+    try {
+      // key 1's only ref stays at t0 while other-key traffic advances
+      // the global watermark days past it; key-1 probes keep the key
+      // alive, so its timeout is re-set while the buffer's newest time
+      // sits far below the watermark — without the clamp Spark rejects
+      // that timeout ("cannot be earlier than watermark") and the
+      // query dies
+      refs.addData(Ref(1, ts(0), 100.0))
+      probes.addData(Probe(1, ts(1), 1L))
+      query.processAllAvailable()
+      val twoDaysOn = Timestamp.valueOf("2024-01-03 12:00:00")
+      refs.addData(Ref(2, twoDaysOn, 200.0))
+      probes.addData(Probe(2, twoDaysOn, 2L),
+        Probe(1, Timestamp.valueOf("2024-01-03 12:00:30"), 3L))
+      query.processAllAvailable()
+      probes.addData(Probe(1, Timestamp.valueOf("2024-01-03 12:01:00"), 4L))
+      query.processAllAvailable()
+
+      val got = spark.table("asof_clamp")
+        .as[Match].collect().map(m => m.probe_id -> m.ref_payload).toMap
+      assert(got(1L) == Some(100.0))
+      assert(got(2L) == Some(200.0))
+      assert(got(3L) == Some(100.0))
+      assert(got(4L) == Some(100.0)) // key 1's old ref still prevails
+    } finally query.stop()
+  }
 }
