@@ -198,6 +198,16 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist()
+    // Convergence signal: labels only ever DECREASE under min
+    // propagation, so the label sum strictly decreases iff any label
+    // changed — one aggregate per round instead of a join + count.
+    // decimal(38,0): exact and overflow-proof for any realistic id sum
+    // (a long sum could overflow — and throw under ANSI — at extreme
+    // id ranges).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -211,11 +221,11 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       it += 1
     }
     sym.unpersist()
