@@ -92,18 +92,30 @@ object Similarity {
    */
   def knnIvf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, clusters: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
     // The quantizer needs only the coarse shape of the distribution:
     // train it on a bounded sample (standard IVF practice — FAISS
     // trains on ~256 vectors/cell), and do the Lloyd iterations on the
     // driver — the sample is model-sized (≤ clusters·256 vectors), so
     // a distributed k-means would spend 20+ scheduler round-trips on
     // milliseconds of arithmetic.
-    val sample = corpusVec.limit(clusters * 256).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val centers = lloyd(sample, clusters, iters = 10, seed)
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(clusters * 256).collect()
+      .map(_.getSeq[Double](0).toArray)
+    knnIvfWithCenters(queries, corpus, idCol, vecCol, k,
+      lloyd(sample, clusters, iters = 10, seed), nprobe)
+  }
+
+  /**
+   * IVF probe/rerank over EXPLICIT cell centers (the building block
+   * `knnIvf` delegates to after Lloyd). With deterministic centers —
+   * e.g. seed vectors taken straight from the corpus — the whole
+   * operator is closed-form and oracle-checkable.
+   */
+  def knnIvfWithCenters(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centers: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
     val bc = spark.sparkContext.broadcast(centers)
 
     def sq(a: Seq[Double], b: Array[Double]): Double = {

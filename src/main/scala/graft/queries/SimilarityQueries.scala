@@ -105,6 +105,54 @@ object SimilarityQueries {
              |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a05_knn_ivf_flat",
+      (s, dir) => {
+        // IVF with a DETERMINISTIC quantizer: cells = 16 seed vectors
+        // taken straight from the corpus (vec_id 10..25), no Lloyd —
+        // crude balance, but the probe/rerank machinery is identical to
+        // a04 and the whole operator becomes closed-form, so DuckDB
+        // recomputes assignment, probing, and ranking exactly.
+        val e = Tables(s, dir).embeddings
+        val centers = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        knnIvfWithCenters(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, centers, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), fround(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+             |          WHERE vec_id >= 10 AND vec_id < 26),
+             |assign AS (SELECT neighbor_id, v, cell FROM (
+             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(c.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id >= 10) c, cents t)
+             |  WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(q.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
+             |  WHERE rn <= 6),
+             |hits AS (SELECT p.query_id, a.neighbor_id,
+             |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+             |  FROM probes p JOIN assign a ON p.cell = a.cell)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+             |FROM (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |      FROM hits)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // nprobe 6/16: the synthetic embeddings are near-uniform on the
