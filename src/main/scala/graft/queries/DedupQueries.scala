@@ -164,6 +164,46 @@ object DedupQueries {
              |GROUP BY 1 ORDER BY component""".stripMargin)),
 
     Q(
+      "p03_neardup_pipeline",
+      (s, dir) => {
+        // end-to-end near-dup dedup: candidates -> components ->
+        // keep one representative per cluster; one summary row
+        val corpus = withNearDups(s, dir, drop = 2)
+        val cc = connectedComponents(
+          minHashCandidatePairs(corpus, "doc_id", "text"))
+        val removedDf = cc.agg(
+          coalesce(sum(when(col("id") =!= col("component"), 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("removed"))
+        corpus.agg(count(lit(1)).as("total_docs"))
+          .crossJoin(removedDf)
+          .select(col("total_docs"), col("removed"),
+            (col("total_docs") - col("removed")).as("surviving"))
+      },
+      Some(s"""WITH RECURSIVE ${shingleCtes(drop = 2)},
+             |sig AS (SELECT doc_id,
+             |    list_transform(${OracleSql.coeffPairsLiteral(128, 42L)}, p ->
+             |      list_min(list_transform(hs, h -> (p[1] * (h % 4294967296) + p[2]) % 2147483647))) AS sig
+             |  FROM sh),
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |        UNION ALL SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.src, cc.lbl FROM sym s JOIN cc ON s.dst = cc.id),
+             |resolved AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id)
+             |SELECT (SELECT count(*) FROM corpus) AS total_docs,
+             |  CAST(coalesce(sum(CASE WHEN id <> component THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed,
+             |  (SELECT count(*) FROM corpus)
+             |    - CAST(coalesce(sum(CASE WHEN id <> component THEN 1 ELSE 0 END), 0) AS BIGINT) AS surviving
+             |FROM resolved""".stripMargin)),
+
+    Q(
       "d05_jaccard_pairs",
       (s, dir) => {
         val d = Tables(s, dir).documents.filter(col("doc_id") < 50)
