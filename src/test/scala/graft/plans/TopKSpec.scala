@@ -50,6 +50,30 @@ class TopKSpec extends SparkTestBase {
     assert(topks.head.k == 4)
   }
 
+  test("property: equals the window form on arbitrary data (incl. ties/negatives)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // small score domain forces heavy ties; groups of wildly different sizes
+    val rowsGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 5), Gen.choose(-3.0, 3.0).map(v => math.rint(v * 2) / 2)))
+    val prop = forAll(rowsGen, Gen.choose(1, 6)) { (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, s), i) => (i.toLong, s"g$g", s) }
+        .toDF("id", "grp", "score")
+      val got = TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = df.withColumn("rn", row_number().over(
+          Window.partitionBy("grp").orderBy(col("score").desc, col("id"))))
+        .filter(col("rn") <= k).select("id")
+        .collect().map(_.getLong(0)).toSet
+      got == want
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("long scores above 2^53 rank exactly (no lossy double cast)") {
     import spark.implicits._
     val big = 1L << 54
