@@ -35,13 +35,18 @@ object PlanOpsExample {
     top.explain()
 
     println("== the row_number window idiom auto-rewrites into the same operator")
+    // Parquet columns are OPTIONAL, and the rewrite's semantics-exact
+    // guard requires a NON-NULLABLE tie column (null ties order
+    // differently) — pinch nullability off the key first, as any
+    // not-null-constrained pipeline would.
     t.orders
+      .withColumn("ok", coalesce(col("o_orderkey"), lit(-1L)))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .orderBy(col("o_totalprice").desc, col("ok"))))
       .filter(col("rn") <= 2)
-      .select("o_orderpriority", "o_orderkey")
+      .select("o_orderpriority", "ok")
       .explain()
 
     println("== BloomPrune: lineitem rows surviving the part-key bloom filter")
@@ -61,8 +66,11 @@ object PlanOpsExample {
 
     println("== connectedComponents: near-dup clusters from MinHash pairs")
     val docs = t.documents.select("doc_id", "text")
+    // planted-duplicate ids offset far past any real doc_id (same
+    // +1e6 convention as the dedup query pack) so they can't collide
+    // with genuine documents at larger scale factors
     val corpus = docs.union(docs.filter(col("doc_id") < 20)
-      .select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     val pairs = Dedup.minHashCandidatePairs(corpus, "doc_id", "text")
     Dedup.connectedComponents(pairs)
       .groupBy("component").count().orderBy("component").show(5)

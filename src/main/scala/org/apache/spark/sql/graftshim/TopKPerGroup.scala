@@ -80,7 +80,7 @@ object CollapseTopK extends Rule[LogicalPlan] {
  */
 object RewriteWindowTopK extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, And => _, Attribute => CAttribute, EqualTo, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, RowNumber, SortOrder, WindowExpression}
-  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
   import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
 
   private def limitOf(cond: Expression, rn: CAttribute): Option[Int] = cond match {
@@ -111,8 +111,20 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
             integral(second.child.dataType) && !second.child.nullable
         } =>
       val k = limitOf(cond, alias.toAttribute).get
+      // Spark's InferWindowGroupLimit may already have slid a
+      // (sort-based) WindowGroupLimit under this very window; the heap
+      // operator subsumes it, so unwrap rather than sort twice.
+      val input = child match {
+        case WindowGroupLimit(p, o, _, _, grandchild)
+            if p.length == partitionSpec.length &&
+              p.zip(partitionSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+              o.length == orderSpec.length &&
+              o.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+          grandchild
+        case other => other
+      }
       Project(projList.asInstanceOf[Seq[NamedExpression]],
-        TopKPerGroup(partitionSpec, orderSpec.head.child, orderSpec(1).child, k, child))
+        TopKPerGroup(partitionSpec, orderSpec.head.child, orderSpec(1).child, k, input))
   }
 }
 
