@@ -105,14 +105,41 @@ object Dedup {
       transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))), b =>
         struct(least(a, b).as("a"), greatest(a, b).as("b")))))
 
+  /** Default occupancy bound for [[boundedPairs]]: far above any bucket
+    * the LSH design produces on real corpora (a band match is already a
+    * strong near-dup signal), hit only by degenerate mass duplication. */
+  val MaxBucketDefault = 4096
+
+  /**
+   * Pair expansion with an occupancy cap. Buckets at or under
+   * `maxBucket` expand all unordered pairs; an OVERSIZED bucket — the
+   * degenerate case of mass-duplicated boilerplate, a real 100 TB
+   * phenomenon — would emit O(n²) pairs from one task, so it instead
+   * emits a STAR to the bucket minimum (n−1 pairs). Everything in such
+   * a bucket shares a full band signature at a density where the docs
+   * are one dup cluster already; the star keeps them connected for
+   * component resolution while bounding any task's output at
+   * O(max(maxBucket², n)). Works for plain ids and (id, …) structs
+   * whose first field is the id.
+   */
+  private def boundedPairs(ids: Column, maxBucket: Int): Column = {
+    val m = array_min(ids)
+    val star = filter(
+      transform(ids, a => struct(least(a, m).as("a"), greatest(a, m).as("b"))),
+      p => p("a") =!= p("b"))
+    when(size(ids) <= maxBucket, unorderedPairs(ids)).otherwise(star)
+  }
+
   /** Distinct (id_a < id_b) pairs of ids sharing a (band, bucket) key:
     * ONE shuffle of (band, bucket, id) rows, pairs expanded inside each
-    * bucket group. */
-  private def bucketPairs(bb: DataFrame, idCol: String): DataFrame =
+    * bucket group, oversized buckets star-collapsed (see
+    * [[boundedPairs]]). */
+  private def bucketPairs(bb: DataFrame, idCol: String,
+      maxBucket: Int = MaxBucketDefault): DataFrame =
     bb.groupBy("band", "bucket")
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(unorderedPairs(col("ids"))).as("p"))
+      .select(explode(boundedPairs(col("ids"), maxBucket)).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
@@ -122,9 +149,10 @@ object Dedup {
    * shuffle carries only ids.
    */
   def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32, seed: Long = 42L,
+      maxBucket: Int = MaxBucketDefault): DataFrame = {
     val sigs = minHashSignatures(shingleHashes(docs, idCol, textCol), idCol, numHashes, seed)
-    bucketPairs(lshBands(sigs, "sig", bands, idCol, numHashes), idCol)
+    bucketPairs(lshBands(sigs, "sig", bands, idCol, numHashes), idCol, maxBucket)
   }
 
   /** SimHash width in bits: the low 48 of the 55-bit portable element
@@ -149,7 +177,8 @@ object Dedup {
    * 12-bit chunks; docs sharing any chunk are candidates (catches all
    * pairs within Hamming distance 3 by pigeonhole).
    */
-  def simHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = MaxBucketDefault): DataFrame = {
     val sigs = simHashSignatures(shingleHashes(docs, idCol, textCol), idCol)
     val chunks = sigs.select(col(idCol), col("sim"),
       explode(array((0 until 4).map(i =>
@@ -161,7 +190,7 @@ object Dedup {
     chunks.groupBy("band", "bucket")
       .agg(collect_list(struct(col(idCol), col("sim"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(unorderedPairs(col("ids"))).as("p"))
+      .select(explode(boundedPairs(col("ids"), maxBucket)).as("p"))
       .select(col(s"p.a.$idCol").as("id_a"), col(s"p.b.$idCol").as("id_b"),
         hammingDistance(col("p.a.sim"), col("p.b.sim")).as("hamming"))
       .distinct()
@@ -176,28 +205,55 @@ object Dedup {
    * step of near-dup dedup: candidate pairs become clusters, and one
    * representative (the min id) survives per cluster.
    *
-   * Standard distributed label propagation: every node starts labeled
-   * with itself; each round every node takes the min label in its
-   * closed neighborhood; converged when no label changes (checked with
-   * one count per round — driver-orchestrated iteration like any
-   * optimizer loop, data never collects). Rounds needed = graph
-   * diameter, which for near-dup clusters is tiny; `maxIter` bounds
-   * adversarial chains. Each round is one join + one aggregate on
-   * (id, label) pairs — never the documents.
+   * Distributed min-label propagation with POINTER DOUBLING: every node
+   * starts labeled with itself; each round every node (1) takes the min
+   * label in its closed neighborhood, then (2) shortcuts to its label's
+   * label (`component := component(component)` — labels only decrease,
+   * so the lookup is monotone-safe). The shortcut doubles the reach per
+   * round, so convergence needs ~log₂(diameter) rounds instead of
+   * diameter (a 1000-node path converges in 10 propagation rounds, not
+   * 999 — spec'd in OpsSpec). Converged when no label changes, checked
+   * with one aggregate per round — driver-orchestrated iteration like
+   * any optimizer loop, data never collects. Each round is two joins +
+   * one aggregate on (id, label) pairs — never the documents.
+   *
+   * The result is MATERIALIZED (checkpoint) before return: the
+   * iterative lineage is truncated and every per-round cache entry is
+   * dropped, so callers get a plain recomputable-free frame and the
+   * session's cache manager stays empty (round-2 leaked one persisted
+   * frame per call here). Uses the reliable checkpoint dir when one is
+   * set (fault-tolerant, the cluster path); falls back to
+   * localCheckpoint otherwise (local/dev).
    *
    * @return (id, component) — component = min id reachable from id
    */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(edges, idA, idB, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds
+    * executed (the last round is the no-change convergence probe). */
+  def connectedComponentsWithRounds(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): (DataFrame, Int) = {
     // persist the edge list: every propagation round joins against it,
     // and without caching each round would recompute the entire
     // upstream candidate-pair pipeline (sketches included)
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist()
+    val spark = sym.sparkSession
+    // Each round MATERIALIZES its labels and truncates lineage
+    // (reliable checkpoint when a dir is set — the fault-tolerant
+    // cluster path, GraphFrames-style — else localCheckpoint). Without
+    // truncation the doubling self-join doubles the logical plan every
+    // round (2^rounds nodes by round 10), and `persist` would leave a
+    // cache-manager entry per round (the round-2 leak). labelSum is an
+    // action anyway, so eager materialization adds no extra pass.
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var labels = materialize(sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     // Convergence signal: labels only ever DECREASE under min
     // propagation, so the label sum strictly decreases iff any label
     // changed — one aggregate per round instead of a join + count.
@@ -216,20 +272,27 @@ object Dedup {
           .withColumnRenamed("component", "nbr_component"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nbr_component").as("nbr_component"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
-        .persist()
+      // pointer doubling: component := component(component). Every
+      // label IS a node id present in `propagated` (labels are minima
+      // over node ids), so the lookup hits; coalesce guards regardless.
+      val parents = propagated
+        .select(col("id").as("p_id"), col("component").as("p_component"))
+      val next = materialize(propagated
+        .join(parents, col("component") === col("p_id"), "left")
+        .select(col("id"),
+          coalesce(col("p_component"), col("component")).as("component")))
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       it += 1
     }
     sym.unpersist()
-    labels
+    (labels, it)
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */

@@ -101,6 +101,47 @@ class DedupSpec extends SparkTestBase {
     assert(cc.size == 9)
   }
 
+  test("pointer doubling converges in log rounds on a 1000-node path") {
+    import spark.implicits._
+    // worst case for plain min-propagation: a path needs diameter (999)
+    // rounds; doubling needs ~log2
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = connectedComponentsWithRounds(edges, maxIter = 15)
+    val comps = labels.select("component").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq == Seq(0L), s"components: ${comps.toSeq}")
+    assert(labels.count() == 1000L)
+    // ≤10 label-changing rounds + 1 convergence probe
+    assert(rounds <= 11, s"took $rounds rounds")
+  }
+
+  test("connectedComponents leaves no cache entries behind") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val cc = connectedComponents(edges)
+    cc.count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponents must not leak persisted frames")
+  }
+
+  test("oversized LSH buckets star-collapse instead of exploding quadratically") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 100L).map(i => (i, text)).toDF("doc_id", "text")
+    // cap of 8 ≪ 100 identical docs: every band bucket holds all 100 ids,
+    // so pairs must be the 99-edge star to the min id, not C(100,2)=4950
+    val capped = minHashCandidatePairs(docs, "doc_id", "text", maxBucket = 8)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 99, s"expected 99 star pairs, got ${pairs.size}")
+    assert(pairs.forall(_._1 == 0L), "star pairs must anchor at the bucket min")
+    // connectivity is preserved: one cluster holding every doc
+    val cc = connectedComponents(capped.sparkSession
+      .createDataFrame(pairs.toSeq.map(p => (p._1, p._2))).toDF("id_a", "id_b"))
+    assert(cc.select("component").distinct().count() == 1L)
+    // under the cap, expansion is exhaustive as before
+    val small = (0L until 5L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(minHashCandidatePairs(small, "doc_id", "text").count() == 10L)
+  }
+
   test("jaccard matches hand computation") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
