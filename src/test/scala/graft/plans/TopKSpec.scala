@@ -99,6 +99,30 @@ class TopKSpec extends SparkTestBase {
     assert(got == want && got == Set(3L, 4L), s"got $got, window says $want")
   }
 
+  test("fractional ties compare exactly (no truncating cast)") {
+    import spark.implicits._
+    // same score; ties 1.9 vs 1.2 truncate to the same long — the exact
+    // comparison must keep the LOWER tie (1.2), like the window form
+    val df = Seq((1L, "g", 5.0, 1.9), (2L, "g", 5.0, 1.2))
+      .toDF("id", "grp", "score", "tie")
+    val got = TopK.perGroup(df, Seq(col("grp")), col("score"), col("tie"), k = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L), s"fractional tie must win exactly, got $got")
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("tie"))))
+      .filter(col("rn") <= 1).select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("string ties order lexicographically") {
+    import spark.implicits._
+    val df = Seq((1L, "g", 5.0, "zz"), (2L, "g", 5.0, "aa"))
+      .toDF("id", "grp", "score", "tie")
+    val got = TopK.perGroup(df, Seq(col("grp")), col("score"), col("tie"), k = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L), s"lexicographically-lower tie must win, got $got")
+  }
+
   test("RewriteWindowTopK turns the row_number idiom into the native operator") {
     org.apache.spark.sql.graftshim.TopKPerGroupApi.ensureInjected(spark)
     val df = sample()
