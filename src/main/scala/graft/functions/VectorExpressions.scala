@@ -59,4 +59,17 @@ object VectorExpressions {
         ColumnBridge.expression(h),
         org.apache.spark.sql.catalyst.expressions.Literal(bits))
         .toAggregateExpression())
+
+  /** Index of the nearest center (squared euclidean, ties → lowest
+    * index) as one native codegen'd expression — the IVF assignment
+    * path; the center matrix rides along as a referenced object. */
+  def cellArgmin(vec: Column, centers: Array[Array[Double]]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.CellArgmin(
+      ColumnBridge.expression(vec), centers))
+
+  /** The `nprobe` nearest center indices, (distance, index)-ordered —
+    * the IVF probe path, same native shape as [[cellArgmin]]. */
+  def cellProbes(vec: Column, centers: Array[Array[Double]], nprobe: Int): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.CellProbes(
+      ColumnBridge.expression(vec), centers, nprobe))
 }

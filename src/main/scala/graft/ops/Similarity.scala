@@ -113,32 +113,17 @@ object Similarity {
    */
   def knnIvfWithCenters(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, centers: Array[Array[Double]], nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
+    // assignment/probing are native codegen'd expressions (the center
+    // matrix rides along as one referenced object, like HyperplaneKey) —
+    // a Scala UDF here boxes every corpus vector into Seq[Double] on
+    // the hottest path of the operator
+    import graft.functions.VectorExpressions.{cellArgmin, cellProbes}
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val bc = spark.sparkContext.broadcast(centers)
-
-    def sq(a: Seq[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val assignUdf = udf { (v: Seq[Double]) =>
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < bc.value.length) {
-        val d = sq(v, bc.value(c)); if (d < bestD) { bestD = d; best = c }; c += 1
-      }
-      best
-    }
-    val probeUdf = udf { (v: Seq[Double]) =>
-      bc.value.indices.map(c => (c, sq(v, bc.value(c)))).sortBy(_._2)
-        .take(nprobe).map(_._1)
-    }
-
-    val cell = corpusVec.withColumn("cell", assignUdf(col("cv")))
+    val cell = corpusVec.withColumn("cell", cellArgmin(col("cv"), centers))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("cell", explode(cellProbes(col("qv"), centers, nprobe)))
     // cells are disjoint, so no per-neighbor dedup is needed before the
     // heap aggregate; the shuffle carries queries×k candidates only
     cell.join(broadcast(probes), Seq("cell"))

@@ -270,3 +270,125 @@ case class HyperplaneKey(
   override def hashCode(): Int =
     31 * child.hashCode() + planes.map(java.util.Arrays.hashCode).toSeq.hashCode()
 }
+
+/**
+ * IVF coarse-quantizer cell assignment: index of the nearest center by
+ * squared euclidean distance (ties → lowest index). The center matrix
+ * rides along as ONE referenced object — same rationale as
+ * [[HyperplaneKey]]: a `clusters`-way least()/array_position()
+ * formulation (or a Scala UDF with per-row boxing) either bloats
+ * codegen or falls out of it entirely; this is a tight nested loop
+ * inside whole-stage codegen.
+ */
+case class CellArgmin(
+    child: Expression,
+    centers: Array[Array[Double]]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(centers.nonEmpty, "need at least one center")
+
+  override def prettyName: String = "graft_cell_argmin"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  private def sqDistTo(v: ArrayData, c: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(c.length, v.numElements())
+    while (i < n) { val d = v.getDouble(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** codegen entry point (public for the generated class). */
+  def evalCell(v: ArrayData): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val d = sqDistTo(v, centers(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(v: Any): Any = evalCell(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("cellArgmin", this, classOf[CellArgmin].getName)
+      s"${ev.value} = $self.evalCell($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CellArgmin =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: CellArgmin =>
+      h.child == child && h.centers.length == centers.length &&
+        h.centers.zip(centers).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + centers.map(java.util.Arrays.hashCode).toSeq.hashCode()
+}
+
+/**
+ * IVF probe list: the `nprobe` nearest center indices ordered by
+ * (distance asc, index asc) — deterministic ties, identical to a
+ * stable sort over (dist, index). Same referenced-object codegen shape
+ * as [[CellArgmin]].
+ */
+case class CellProbes(
+    child: Expression,
+    centers: Array[Array[Double]],
+    nprobe: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(centers.nonEmpty, "need at least one center")
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+
+  override def prettyName: String = "graft_cell_probes"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+
+  /** codegen entry point (public for the generated class). */
+  def evalProbes(v: ArrayData): ArrayData = {
+    val n = centers.length
+    val dists = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cen = centers(c)
+      var s = 0.0
+      var i = 0
+      val m = math.min(cen.length, v.numElements())
+      while (i < m) { val d = v.getDouble(i) - cen(i); s += d * d; i += 1 }
+      dists(c) = s
+      c += 1
+    }
+    val take = math.min(nprobe, n)
+    val idx = Array.range(0, n).sortBy(i => (dists(i), i))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(idx, take))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = evalProbes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("cellProbes", this, classOf[CellProbes].getName)
+      s"${ev.value} = $self.evalProbes($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CellProbes =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: CellProbes =>
+      h.child == child && h.nprobe == nprobe && h.centers.length == centers.length &&
+        h.centers.zip(centers).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + nprobe) +
+      centers.map(java.util.Arrays.hashCode).toSeq.hashCode()
+}
