@@ -50,8 +50,7 @@ class GPClassifier(override val uid: String)
       (e, k) => GPCore.classificationObjective(e, k, optTol),
       $(maxIter), $(tol))
 
-    val z = InducingPoints.select(
-      $(inducingStrategy), spark, data.map(_._1), $(inducingSize), $(seed))
+    val z = selectInducing(spark, data, optimal)
     // One final warm-started Newton pass pins each expert's latent mode
     // under the optimal hyperparameters; the modes become the projection
     // targets (reference `GaussianProcessClassifier.scala:62`).

@@ -132,6 +132,7 @@ object GPCore {
       tol: Double): Kernel = {
     val dim = kernel.numHypers
     if (dim == 0) return kernel
+    val (lo, hi) = kernel.bounds
     val cache = scala.collection.mutable.HashMap.empty[BDV[Double], (Double, BDV[Double])]
     val f = new DiffFunction[BDV[Double]] {
       def calculate(h: BDV[Double]): (Double, BDV[Double]) =
@@ -139,7 +140,18 @@ object GPCore {
           // Locals only in the Spark closures below — referencing the
           // enclosing anonymous DiffFunction would drag it into the
           // serialized task.
-          val k = kernel.withHypers(h)
+          // LBFSB's line search can query fractionally OUTSIDE the box
+          // (observed: a lengthscale pushed below its positive lower
+          // bound on small noisy folds) and, when an evaluation turns
+          // non-finite, NaN step sizes — evaluate at the box projection
+          // and pin non-finite components to the current best-known
+          // value (the kernel's own), the standard box-constrained
+          // practice.
+          val hP = BDV.tabulate(dim) { i =>
+            val v = if (h(i).isNaN) kernel.hypers(i) else h(i)
+            math.min(hi(i), math.max(lo(i), v))
+          }
+          val k = kernel.withHypers(hP)
           val obj = objective
           val d = dim
           experts.treeAggregate((0.0, BDV.zeros[Double](d)))(
@@ -151,9 +163,12 @@ object GPCore {
             depth = 2)
         })
     }
-    val (lo, hi) = kernel.bounds
     val solver = new LBFGSB(lo, hi, maxIter = maxIter, tolerance = tol)
-    kernel.withHypers(solver.minimize(f, kernel.hypers))
+    val h = solver.minimize(f, kernel.hypers)
+    kernel.withHypers(BDV.tabulate(dim) { i =>
+      val v = if (h(i).isNaN) kernel.hypers(i) else h(i)
+      math.min(hi(i), math.max(lo(i), v))
+    })
   }
 
   // ------------------------------------------------- regression likelihood

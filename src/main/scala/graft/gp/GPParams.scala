@@ -9,18 +9,14 @@ import org.apache.spark.sql.types._
 import graft.gp.kernel.{Kernel, Kernels}
 
 /**
- * Shared MLlib-style parameters for the graft GP estimators — the same
- * surface as the reference's `GaussianProcessParams.scala`, expressed
- * with public `org.apache.spark.ml.param` machinery.
+ * Fit-side parameters shared by every graft GP estimator — split from
+ * the column parameters so estimators that inherit Spark's own column
+ * params (e.g. [[GPBinaryClassifier]], a real `ProbabilisticClassifier`
+ * whose `featuresCol`/`labelCol`/`predictionCol` come from MLlib's
+ * shared-param traits) can mix this in without duplicate param names.
  */
-trait GPParams extends Params {
+trait GPFitParams extends Params {
 
-  final val featuresCol = new Param[String](this, "featuresCol",
-    "features column: array<double>, array<float> or ML Vector")
-  final val labelCol = new Param[String](this, "labelCol", "label column")
-  final val predictionCol = new Param[String](this, "predictionCol", "prediction column")
-  final val predStdCol = new Param[String](this, "predStdCol",
-    "optional predictive-stddev column; empty = omitted")
   final val kernelFactory = new Param[() => Kernel](this, "kernelFactory",
     "no-arg factory for the prior covariance kernel")
   final val expertSize = new IntParam(this, "expertSize",
@@ -38,24 +34,18 @@ trait GPParams extends Params {
     ParamValidators.gt(0))
   final val seed = new LongParam(this, "seed", "random seed")
   final val inducingStrategy = new Param[String](this, "inducingStrategy",
-    "inducing point selection: random | kmeans | greedy",
-    ParamValidators.inArray(Array("random", "kmeans", "greedy")))
+    "inducing point selection: random | kmeans | greedy | greedy-likelihood",
+    ParamValidators.inArray(Array("random", "kmeans", "greedy", "greedy-likelihood")))
   final val expertAssignment = new Param[String](this, "expertAssignment",
     "how rows become BCM experts: chunk (contiguous slices) | kmeans " +
       "(locality cells, tightest for the BCM factorization)",
     ParamValidators.inArray(Array("chunk", "kmeans")))
 
-  setDefault(featuresCol -> "features", labelCol -> "label",
-    predictionCol -> "prediction", predStdCol -> "",
-    kernelFactory -> (() => Kernels.rbf()),
+  setDefault(kernelFactory -> (() => Kernels.rbf()),
     expertSize -> 100, inducingSize -> 100, noise -> 1e-3,
-    maxIter -> 100, tol -> 1e-6, seed -> 42L, inducingStrategy -> "random",
-    expertAssignment -> "chunk")
+    maxIter -> 100, tol -> 1e-6, seed -> 42L,
+    inducingStrategy -> "random", expertAssignment -> "chunk")
 
-  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
-  def setLabelCol(v: String): this.type = set(labelCol, v)
-  def setPredictionCol(v: String): this.type = set(predictionCol, v)
-  def setPredStdCol(v: String): this.type = set(predStdCol, v)
   def setKernel(v: () => Kernel): this.type = set(kernelFactory, v)
   def setExpertSize(v: Int): this.type = set(expertSize, v)
   def setInducingSize(v: Int): this.type = set(inducingSize, v)
@@ -78,22 +68,62 @@ trait GPParams extends Params {
     * (mirrors reference `GaussianProcessCommons.scala:19`). */
   protected def fullKernel(): Kernel = $(kernelFactory)() + Kernels.white($(noise))
 
+  /** Inducing-set selection per `inducingStrategy` (the likelihood
+    * variant needs labels + the fitted kernel; the rest only inputs). */
+  protected def selectInducing(spark: org.apache.spark.sql.SparkSession,
+      data: org.apache.spark.rdd.RDD[(Array[Double], Double)],
+      fitted: Kernel): Array[Array[Double]] =
+    InducingPoints.selectWithData(
+      $(inducingStrategy), spark, data, $(inducingSize), $(seed), fitted)
+}
+
+/**
+ * Shared MLlib-style parameters for the graft GP estimators — the same
+ * surface as the reference's `GaussianProcessParams.scala`, expressed
+ * with public `org.apache.spark.ml.param` machinery. Column params live
+ * here; fit params in [[GPFitParams]].
+ */
+trait GPParams extends GPFitParams {
+
+  final val featuresCol = new Param[String](this, "featuresCol",
+    "features column: array<double>, array<float> or ML Vector")
+  final val labelCol = new Param[String](this, "labelCol", "label column")
+  final val predictionCol = new Param[String](this, "predictionCol", "prediction column")
+  final val predStdCol = new Param[String](this, "predStdCol",
+    "optional predictive-stddev column; empty = omitted")
+
+  setDefault(featuresCol -> "features", labelCol -> "label",
+    predictionCol -> "prediction", predStdCol -> "")
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setPredStdCol(v: String): this.type = set(predStdCol, v)
+
   /** `featuresCol` as array<double>, whatever its physical type. */
-  protected def featuresAsArray(df: DataFrame): Column = {
-    val dt = df.schema($(featuresCol)).dataType
-    dt match {
-      case ArrayType(DoubleType, _) => col($(featuresCol))
-      case ArrayType(_, _) => col($(featuresCol)).cast("array<double>")
-      case t if t.typeName == "vector" => vector_to_array(col($(featuresCol))).cast("array<double>")
-      case other => throw new IllegalArgumentException(
-        s"featuresCol must be an array or Vector, got $other")
-    }
-  }
+  protected def featuresAsArray(df: DataFrame): Column =
+    GPColumns.featuresAsArray(df, $(featuresCol))
 
   protected def outputSchema(schema: StructType): StructType = {
     var out = schema.add(StructField($(predictionCol), DoubleType, nullable = false))
     if ($(predStdCol).nonEmpty)
       out = out.add(StructField($(predStdCol), DoubleType, nullable = false))
     out
+  }
+}
+
+/** Column helpers shared by the array-typed and Vector-typed estimators. */
+private[gp] object GPColumns {
+
+  /** The named column as array<double>, whatever its physical type. */
+  def featuresAsArray(df: DataFrame, name: String): Column = {
+    val dt = df.schema(name).dataType
+    dt match {
+      case ArrayType(DoubleType, _) => col(name)
+      case ArrayType(_, _) => col(name).cast("array<double>")
+      case t if t.typeName == "vector" => vector_to_array(col(name)).cast("array<double>")
+      case other => throw new IllegalArgumentException(
+        s"featuresCol must be an array or Vector, got $other")
+    }
   }
 }

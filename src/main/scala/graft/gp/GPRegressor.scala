@@ -35,8 +35,7 @@ class GPRegressor(override val uid: String)
     val optimal = GPCore.optimizeHypers(
       experts, fullKernel(), GPCore.regressionObjective, $(maxIter), $(tol))
 
-    val z = InducingPoints.select(
-      $(inducingStrategy), spark, data.map(_._1), $(inducingSize), $(seed))
+    val z = selectInducing(spark, data, optimal)
     val proj = GPCore.fitProjected(
       experts.map(e => (BDV(e.y), e)), optimal, z)
     experts.unpersist()

@@ -78,6 +78,86 @@ object InducingPoints {
     active.take(m).toArray
   }
 
+  /**
+   * Likelihood-greedy forward selection (Seeger, Williams & Lawrence
+   * 2003, "Fast Forward Selection to Speed Up Sparse Gaussian Process
+   * Regression" — the reference's `GreedilyOptimizingActiveSetProvider`
+   * role): starting from one seeded point, repeatedly add the candidate
+   * whose inclusion most increases the approximate log marginal
+   * likelihood Δᵢ of the projected-process model.
+   *
+   * Scale posture: the reference recomputes per-candidate scores with a
+   * full pass over every expert for every one of the m additions —
+   * O(m × full-data) distributed rounds. Here candidates AND the
+   * scoring set are ONE bounded sample (≤ `poolSize`, default
+   * min(2048, max(4m, 256))) taken in a single pass; all m greedy steps
+   * are then driver-side dense algebra on that sample — the same
+   * likelihood-driven selection, with cost independent of corpus size
+   * (the selection needs the coarse shape of the data, not every row —
+   * the same argument as the IVF quantizer sample).
+   *
+   * @param fitted kernel with the OPTIMIZED hyperparameters (selection
+   *               quality depends on scoring under the fitted prior)
+   */
+  def likelihoodGreedy(data: RDD[(Array[Double], Double)], m: Int, seed: Long,
+      fitted: graft.gp.kernel.Kernel, poolSize: Int = 0): Array[Array[Double]] = {
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    val target = if (poolSize > 0) poolSize else math.min(2048, math.max(4 * m, 256))
+    val pool = data.takeSample(withReplacement = false, target, seed)
+    require(pool.nonEmpty, "empty training set")
+    val n = pool.length
+    val xs = pool.map(_._1)
+    val ys = BDV(pool.map(_._2))
+    val sigma2 = math.max(fitted.noiseVar, 1e-12)
+    val sigma = math.sqrt(sigma2)
+    val kDiag = BDV(xs.map(fitted.self): _*)
+
+    val active = scala.collection.mutable.ArrayBuffer[Int](0) // takeSample already shuffles
+    val inActive = scala.collection.mutable.HashSet[Int](0)
+    while (active.size < math.min(m, n)) {
+      val s = active.toArray
+      val zx = s.map(xs)
+      val kmm = fitted.gram(new graft.gp.kernel.ExpertData(zx, new Array[Double](s.length)))
+      val kmn = fitted.cross(zx, xs)
+      val lmm = GPCore.cholOrThrow(kmm)
+      val b = (kmm *:* sigma2) + (kmn * kmn.t)
+      val lb = GPCore.cholOrThrow(b)
+      val w = LinAlg.cholSolve(lb, kmn * ys)
+      val kinv = LinAlg.cholInverse(lmm)
+      val binv = LinAlg.cholInverse(lb)
+      var bestI = -1
+      var bestDelta = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!inActive.contains(i)) {
+          val c = kmn(::, i)
+          val pi = c dot (kinv * c)
+          val qi = c dot (binv * c)
+          val mui = c dot w
+          val li2 = kDiag(i) - pi
+          if (li2 > 1e-12) {
+            val li = math.sqrt(li2)
+            val r = sigma / li
+            val ksii = 1.0 / (r * r + 1.0 - qi)
+            if (ksii > 0) {
+              val kappai = ksii * (1.0 + 2.0 * r * r)
+              val resid = ys(i) - mui
+              val delta = -math.log(r) -
+                (math.log(ksii) + ksii * (1.0 - kappai) / sigma2 * resid * resid
+                  - kappai + 2.0) / 2.0
+              if (!delta.isNaN && delta > bestDelta) { bestDelta = delta; bestI = i }
+            }
+          }
+        }
+        i += 1
+      }
+      if (bestI < 0) return active.map(xs).toArray // numerically saturated pool
+      active += bestI
+      inActive += bestI
+    }
+    active.map(xs).toArray
+  }
+
   def select(strategy: String, spark: SparkSession, points: RDD[Array[Double]],
       m: Int, seed: Long): Array[Array[Double]] = strategy match {
     case "random" => random(points, m, seed)
@@ -85,5 +165,14 @@ object InducingPoints {
     case "greedy" => greedy(points, m, seed)
     case other => throw new IllegalArgumentException(
       s"unknown inducing strategy '$other' (expected random|kmeans|greedy)")
+  }
+
+  /** [[select]] plus the strategies that need labels and the fitted
+    * kernel (`greedy-likelihood`). */
+  def selectWithData(strategy: String, spark: SparkSession,
+      data: RDD[(Array[Double], Double)], m: Int, seed: Long,
+      fitted: graft.gp.kernel.Kernel): Array[Array[Double]] = strategy match {
+    case "greedy-likelihood" => likelihoodGreedy(data, m, seed, fitted)
+    case other => select(other, spark, data.map(_._1), m, seed)
   }
 }

@@ -122,6 +122,37 @@ class GPSpec extends SparkTestBase {
     }
   }
 
+  test("likelihood-greedy inducing selection beats random at equal m") {
+    import spark.implicits._
+    // Uneven input density: most mass in a flat region, the interesting
+    // wiggle in a sparsely-sampled one — random selection underweights
+    // the wiggle, likelihood-driven selection must not.
+    val rnd = new scala.util.Random(31)
+    val data =
+      Seq.tabulate(360) { _ =>
+        val x = rnd.nextDouble() * 3.0 // dense flat region
+        (Array(x), 0.1 * x + 0.02 * rnd.nextGaussian())
+      } ++ Seq.tabulate(40) { _ =>
+        val x = 3.0 + rnd.nextDouble() * 1.5 // sparse wiggly region
+        (Array(x), math.sin(4.0 * x) + 0.02 * rnd.nextGaussian())
+      }
+    val df = data.toDF("features", "label")
+    def fitWith(strategy: String): Double = {
+      val model = new GPRegressor()
+        .setKernel(() => 1.0 * rbf(0.5))
+        .setNoise(1e-3).setExpertSize(80).setInducingSize(10)
+        .setInducingStrategy(strategy).setMaxIter(25)
+        .fit(df)
+      math.sqrt(model.transform(df)
+        .select(avg(pow(col("prediction") - col("label"), 2))).head().getDouble(0))
+    }
+    val rmseGreedy = fitWith("greedy-likelihood")
+    val rmseRandom = fitWith("random")
+    assert(rmseGreedy <= rmseRandom,
+      s"likelihood-greedy rmse=$rmseGreedy should beat random rmse=$rmseRandom")
+    assert(rmseGreedy < 0.15, s"rmse=$rmseGreedy")
+  }
+
   test("GPRegressor with greedy inducing strategy trains end-to-end") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
