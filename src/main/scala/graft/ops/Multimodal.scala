@@ -68,6 +68,36 @@ object Multimodal {
     }
   }
 
+  /**
+   * [[extractFeatures]] through the ARROW-BATCHED path: rows are
+   * serialized once into Arrow record batches
+   * (`spark.sql.execution.arrow.maxRecordsPerBatch` rows each — the
+   * exact batches `mapInPandas`/`mapInArrow` would ship to a Python
+   * decoder) and the decoder reads the payload column vector directly
+   * from contiguous off-heap buffers — the production call shape for a
+   * vectorized (SIMD/GPU/FFI) decoder on the JVM. The decode itself is
+   * the same deterministic STUB; results are row-identical to the
+   * `mapPartitions` twin (spec'd + oracle-checked as mm03).
+   */
+  def extractFeaturesArrow(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VarCharVector}
+    val df = media.toDF()
+    val spark = df.sparkSession
+    val rdd = org.apache.spark.sql.graftshim.ArrowBridge.decodeBatches(df) { root =>
+      val ids = root.getVector("media_id").asInstanceOf[BigIntVector]
+      val payloads = root.getVector("payload").asInstanceOf[VarBinaryVector]
+      val kinds = root.getVector("kind").asInstanceOf[VarCharVector]
+      (0 until root.getRowCount).iterator.map { i =>
+        // ---- STUB DECODER (vectorized batch in hand) --------------
+        val bytes = payloads.get(i)
+        MediaFeatures(ids.get(i), new String(kinds.get(i), "UTF-8"),
+          bytes.length, stubDecode(bytes))
+        // -----------------------------------------------------------
+      }
+    }
+    spark.createDataset(rdd)(Encoders.product[MediaFeatures])
+  }
+
   final case class FrameFeatures(
       media_id: Long,
       frame_idx: Int,

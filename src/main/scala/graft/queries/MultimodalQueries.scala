@@ -43,6 +43,38 @@ object MultimodalQueries {
              |FROM f ORDER BY media_id""".stripMargin)),
 
     Q(
+      "mm03_arrow_features",
+      (s, dir) => {
+        // the Arrow-batched decode path (columnar batches, off-heap
+        // vectors) — same stub decoder, same features as mm01, so the
+        // oracle reproduces it identically on the ASCII corpus
+        val media = Multimodal.packAsMedia(
+          Tables(s, dir).documents.filter(col("doc_id") < 300), "doc_id", "text")
+        Multimodal.extractFeaturesArrow(media)
+          .toDF()
+          .select(
+            col("media_id"), col("kind"), col("n_bytes"),
+            fround(Similarity.norm(col("feature")), 6).as("feature_norm"))
+          .orderBy("media_id")
+      },
+      Some("""WITH codes AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS cs,
+             |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |    greatest(length(text), 1) AS n
+             |  FROM documents WHERE doc_id < 300),
+             |f AS (SELECT doc_id, n_bytes,
+             |    list_transform(range(8), j ->
+             |      coalesce(list_sum(list_transform(list_filter(cs, c -> c % 8 = j),
+             |        c -> c / 255.0)), 0.0) / n) AS feats
+             |  FROM codes)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             |  n_bytes,
+             |  floor(sqrt(list_sum(list_transform(feats, x -> x * x))) * 1000000.0 + 0.5)
+             |    / 1000000.0 AS feature_norm
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    Q(
       "mm02_frame_sample",
       (s, dir) => {
         // 64-byte frames, every 2nd kept, batched stub decode; the

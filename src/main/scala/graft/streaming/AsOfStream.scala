@@ -20,13 +20,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * References from a micro-batch are absorbed before probes are matched,
  * so within-batch ordering is deterministic.
  *
- * Scale posture: state per key is bounded — the buffer is pruned to
- * references newer than (watermark − nothing): everything at or below
- * the newest reference that is still ≤ the watermark is droppable
- * except that newest one, because no future probe (ts ≥ watermark) can
- * ever prefer an older reference. Probes arriving with no usable
- * reference emit a null match (left-join semantics), matching the
- * batch operator.
+ * Two emission modes:
+ *  - `emitFinal = false` (default, lowest latency): probes are matched
+ *    and emitted in the micro-batch they ARRIVE. Caveat (by design): a
+ *    reference that arrives in a LATER batch — still inside the
+ *    watermark — with `ref.ts <= probe.ts` is never applied to the
+ *    already-emitted probe, so the "latest reference" contract holds
+ *    per ARRIVAL order, not per event time.
+ *  - `emitFinal = true` (event-time-exact): probes are buffered in
+ *    state until the watermark passes their event time, so every
+ *    reference that can legally arrive (within the watermark) is
+ *    already absorbed when the probe is matched — results equal the
+ *    batch `asofJoin` on the same data, at the cost of the watermark
+ *    delay before each emission (standard Append-mode late-data
+ *    handling, like windowed aggregates).
+ *
+ * Scale posture: state per key is bounded — the reference buffer is
+ * pruned to everything newer than the newest reference at or below the
+ * watermark (no future probe can prefer an older one), and in
+ * `emitFinal` mode the probe buffer holds only probes inside the
+ * watermark horizon. Probes with no usable reference emit a null match
+ * (left-join semantics), matching the batch operator.
  */
 object AsOfStream {
 
@@ -37,16 +51,45 @@ object AsOfStream {
   final case class Tagged(key: Long, ts: Timestamp, isRef: Boolean,
       probe_id: Long, ref_payload: Double)
 
-  /** Per-key reference buffer, ascending by time (parallel arrays). */
-  final case class RefBuffer(times: Array[Long], payloads: Array[Double])
+  /** Per-key state: time-sorted reference buffer + (emitFinal mode)
+    * pending probes, all as parallel arrays. */
+  final case class AsOfState(
+      refTimes: Array[Long], refPayloads: Array[Double],
+      probeTimes: Array[Long], probeIds: Array[Long])
+
+  private val emptyState =
+    AsOfState(Array.empty, Array.empty, Array.empty, Array.empty)
 
   final case class Match(key: Long, probe_id: Long, ts_micros: Long,
       ref_ts_micros: Option[Long], ref_payload: Option[Double])
 
+  /** Match one probe time against the sorted ref buffer (latest ≤ t). */
+  private def matchProbe(key: Long, probeId: Long, t: Long,
+      refT: Array[Long], refP: Array[Double]): Match = {
+    var lo = 0; var hi = refT.length - 1; var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (refT(mid) <= t) { best = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (best < 0) Match(key, probeId, t, None, None)
+    else Match(key, probeId, t, Some(refT(best)), Some(refP(best)))
+  }
+
+  /** Drop refs older than the newest ref at/below `horizonMicros` —
+    * only that newest one can still win for a future probe. */
+  private def pruneRefs(st: AsOfState, horizonMicros: Long): AsOfState = {
+    var cut = 0
+    while (cut < st.refTimes.length - 1 && st.refTimes(cut + 1) <= horizonMicros)
+      cut += 1
+    if (cut <= 0) st
+    else st.copy(refTimes = st.refTimes.drop(cut), refPayloads = st.refPayloads.drop(cut))
+  }
+
   def asofJoin(probes: Dataset[Probe], refs: Dataset[Ref],
-      watermark: String = "1 hour"): Dataset[Match] = {
+      watermark: String = "1 hour", emitFinal: Boolean = false): Dataset[Match] = {
     implicit val tagEnc = Encoders.product[Tagged]
-    implicit val bufEnc = Encoders.product[RefBuffer]
+    implicit val stEnc = Encoders.product[AsOfState]
     implicit val outEnc = Encoders.product[Match]
 
     val taggedProbes = probes.withWatermark("ts", watermark)
@@ -58,57 +101,54 @@ object AsOfStream {
 
     taggedProbes.union(taggedRefs)
       .groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroupsWithState[RefBuffer, Match](
+      .flatMapGroupsWithState[AsOfState, Match](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: Long, batch: Iterator[Tagged], state: GroupState[RefBuffer]) =>
-          if (state.hasTimedOut) {
-            // No traffic for this key since the horizon: drop the buffer.
+        (key: Long, batch: Iterator[Tagged], state: GroupState[AsOfState]) =>
+          val rows = if (state.hasTimedOut) Array.empty[Tagged] else batch.toArray
+          val st0 = state.getOption.getOrElse(emptyState)
+          val horizonMicros = state.getCurrentWatermarkMs() * 1000L
+
+          // 1. absorb every reference of the batch (merge keeps order)
+          val incoming = rows.filter(_.isRef)
+            .map(r => (r.ts.getTime * 1000L, r.ref_payload)).sortBy(_._1)
+          val st1 =
+            if (incoming.isEmpty) st0
+            else {
+              val ts = st0.refTimes ++ incoming.map(_._1)
+              val ps = st0.refPayloads ++ incoming.map(_._2)
+              val order = ts.indices.sortBy(ts(_))
+              st0.copy(refTimes = order.map(ts).toArray,
+                refPayloads = order.map(ps).toArray)
+            }
+
+          // 2. gather probes: this batch's (+ the buffer in final mode),
+          //    split into ready-to-emit and still-pending
+          val arrived = rows.filter(!_.isRef)
+            .map(p => (p.ts.getTime * 1000L, p.probe_id))
+          val all = (st1.probeTimes.zip(st1.probeIds) ++ arrived).sorted
+          val (ready, pending) =
+            if (emitFinal) all.partition(_._1 <= horizonMicros)
+            else (all, Array.empty[(Long, Long)])
+          val out = ready.iterator.map { case (t, id) =>
+            matchProbe(key, id, t, st1.refTimes, st1.refPayloads)
+          }.toVector
+
+          // 3. prune refs and write back (or expire)
+          val pruned = pruneRefs(st1, horizonMicros)
+            .copy(probeTimes = pending.map(_._1), probeIds = pending.map(_._2))
+          if (state.hasTimedOut && pending.isEmpty) {
+            // idle since the 24h horizon (and any buffered probes just
+            // flushed): drop the buffer, as before
             state.remove()
-            Iterator.empty
           } else {
-            val rows = batch.toArray
-            val buf = state.getOption.getOrElse(RefBuffer(Array.empty, Array.empty))
-
-            // 1. absorb every reference of the batch (merge keeps order)
-            val incoming = rows.filter(_.isRef)
-              .map(r => (r.ts.getTime * 1000L, r.ref_payload)).sortBy(_._1)
-            val merged =
-              if (incoming.isEmpty) buf
-              else {
-                val ts = (buf.times ++ incoming.map(_._1)).toArray
-                val ps = (buf.payloads ++ incoming.map(_._2)).toArray
-                val order = ts.indices.sortBy(ts(_))
-                RefBuffer(order.map(ts).toArray, order.map(ps).toArray)
-              }
-
-            // 2. match probes (deterministic: sorted by ts then id)
-            val out = rows.filter(!_.isRef)
-              .sortBy(p => (p.ts.getTime, p.probe_id)).iterator.map { p =>
-                val t = p.ts.getTime * 1000L
-                // last index with times(i) <= t
-                var lo = 0; var hi = merged.times.length - 1; var best = -1
-                while (lo <= hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (merged.times(mid) <= t) { best = mid; lo = mid + 1 }
-                  else hi = mid - 1
-                }
-                if (best < 0) Match(key, p.probe_id, t, None, None)
-                else Match(key, p.probe_id, t,
-                  Some(merged.times(best)), Some(merged.payloads(best)))
-              }.toVector
-
-            // 3. prune: only the newest ref at/below the watermark can
-            // still win for a future probe — drop everything older.
-            val horizonMicros = state.getCurrentWatermarkMs() * 1000L
-            var cut = 0
-            while (cut < merged.times.length - 1 && merged.times(cut + 1) <= horizonMicros)
-              cut += 1
-            val pruned =
-              if (cut <= 0) merged
-              else RefBuffer(merged.times.drop(cut), merged.payloads.drop(cut))
-
-            if (pruned.times.nonEmpty || rows.nonEmpty) {
-              state.update(pruned)
+            state.update(pruned)
+            val watermarkMs = state.getCurrentWatermarkMs()
+            if (pruned.probeTimes.nonEmpty) {
+              // pending probes: wake at the first watermark advance so
+              // they flush promptly (timeout must sit above the
+              // watermark by contract)
+              state.setTimeoutTimestamp(watermarkMs + 1L)
+            } else {
               // Expire idle keys a day past the newest activity. The
               // newest BUFFERED ref can sit far below the global
               // watermark (probes kept it alive without refreshing it),
@@ -116,13 +156,14 @@ object AsOfStream {
               // so clamp to max(buffer, this batch's rows, watermark).
               val newest = math.max(
                 math.max(
-                  if (pruned.times.nonEmpty) pruned.times.last / 1000L else Long.MinValue,
+                  if (pruned.refTimes.nonEmpty) pruned.refTimes.last / 1000L
+                  else Long.MinValue,
                   if (rows.nonEmpty) rows.map(_.ts.getTime).max else Long.MinValue),
-                state.getCurrentWatermarkMs())
+                watermarkMs)
               state.setTimeoutTimestamp(newest + 24L * 3600L * 1000L)
             }
-            out.iterator
           }
+          out.iterator
       }
   }
 }

@@ -294,4 +294,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.feature.length == 8)
     assert(f1.kind == "audio" && f2.kind == "image")
   }
+
+  test("Arrow-batched decode path is row-identical to the mapPartitions twin") {
+    import spark.implicits._
+    // non-ASCII included: both paths must act on identical UTF-8 bytes
+    val docs = (0L until 120L).map(i => (i, s"doc $i payload ż${i % 7}"))
+      .toDF("doc_id", "text")
+    val media = packAsMedia(docs, "doc_id", "text")
+    def canon(rows: Array[Multimodal.MediaFeatures]) =
+      rows.sortBy(_.media_id).map(f =>
+        (f.media_id, f.kind, f.n_bytes, f.feature.toSeq)).toSeq
+    val viaArrow = canon(extractFeaturesArrow(media).collect())
+    val viaPartitions = canon(extractFeatures(media).collect())
+    assert(viaArrow == viaPartitions)
+  }
 }

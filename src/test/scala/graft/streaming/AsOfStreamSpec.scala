@@ -77,6 +77,42 @@ class AsOfStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("emitFinal applies a late reference that arrives after the probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[Probe]
+    val refs = MemoryStream[Ref]
+    val query = asofJoin(probes.toDS(), refs.toDS(), watermark = "5 minutes",
+      emitFinal = true)
+      .writeStream.format("memory").queryName("asof_final").outputMode("append").start()
+    try {
+      // probe arrives FIRST; in arrival-order mode it would match :00
+      refs.addData(Ref(1, ts(0), 100.0))
+      probes.addData(Probe(1, ts(10), 1L))
+      query.processAllAvailable()
+      assert(spark.table("asof_final").isEmpty,
+        "probe must stay buffered until the watermark passes its event time")
+      // the BETTER reference (:08 <= :10) arrives later, within watermark
+      refs.addData(Ref(1, ts(8), 108.0))
+      query.processAllAvailable()
+      // advance BOTH streams (the union watermark is their MIN) past the
+      // probe's event time, then one more batch so the new watermark
+      // takes effect and flushes
+      refs.addData(Ref(1, ts(40), 140.0))
+      probes.addData(Probe(1, ts(40), 2L))
+      query.processAllAvailable()
+      refs.addData(Ref(1, ts(55), 155.0))
+      probes.addData(Probe(1, ts(55), 3L))
+      query.processAllAvailable()
+
+      val got = spark.table("asof_final")
+        .as[Match].collect().map(m => m.probe_id -> m.ref_payload).toMap
+      assert(got.contains(1L), s"buffered probe must flush, got $got")
+      assert(got(1L) == Some(108.0),
+        s"late ref must win under event-time semantics, got ${got(1L)}")
+    } finally query.stop()
+  }
+
   test("a key whose buffer sits far below the watermark survives (timeout clamps)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
