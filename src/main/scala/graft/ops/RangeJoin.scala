@@ -44,4 +44,29 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /**
+   * Interval × interval OVERLAP join: pair every left `[lLo, lHi]` with
+   * every right `[rLo, rHi]` that intersects it (inclusive ends). Same
+   * binning scheme as [[pointInInterval]] — both sides explode into
+   * covered bins and the join is equi-keyed on the bin. A candidate
+   * pair can share many bins, but each overlapping pair is emitted from
+   * exactly ONE: the bin containing the overlap's start
+   * `max(lLo, rLo)` (both sides cover it by definition) — so no
+   * `distinct` pass is needed and the output streams.
+   */
+  def intervalOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) >= col(lo))
+      .withColumn("__bin", explode(sequence(bin(col(lo)), bin(col(hi)))))
+    binned(left, lLoCol, lHiCol)
+      .join(binned(right, rLoCol, rHiCol), Seq("__bin"))
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        col("__bin") === bin(greatest(col(lLoCol), col(rLoCol))))
+      .drop("__bin")
+  }
 }

@@ -223,6 +223,59 @@ object DedupQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "d08_semantic_dedup",
+      (s, dir) => {
+        // Composed SEMANTIC dedup at bucketed (not all-pairs) cost:
+        // embeddings -> hyperplane-LSH buckets -> in-bucket cosine >= τ
+        // pairs -> connected components -> survivor summary. The
+        // all-pairs cosine (d06's shape) is O(N²) at corpus scale; here
+        // candidates only form inside an equi-keyed bucket join — the
+        // same plan that runs at 100 TB. 6 planes / τ=0.3 suit the
+        // synthetic corpus (random embeddings have no 0.95-cosine dups).
+        import graft.ops.Similarity
+        val e = Tables(s, dir).embeddings
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val keyed = e.withColumn("bucket",
+          Similarity.hyperplaneKey(col("v"), dim = 64, planes = 6, seed = 5))
+        val pairs = keyed.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+          .join(keyed.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket")),
+            Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(Similarity.cosine(col("va"), col("vb")) >= 0.3)
+          .select("id_a", "id_b")
+        val cc = connectedComponents(pairs)
+        val removedDf = cc.agg(
+          coalesce(sum(when(col("id") =!= col("component"), 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("removed"))
+        e.agg(count(lit(1)).as("total_vecs"))
+          .crossJoin(removedDf)
+          .select(col("total_vecs"), col("removed"),
+            (col("total_vecs") - col("removed")).as("surviving"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |kb AS (SELECT vec_id, v,
+             |    ${OracleSql.hyperplaneBucket("v", dim = 64, planes = 6, seed = 5)} AS bucket
+             |  FROM e),
+             |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM kb a JOIN kb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.3),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |        UNION ALL SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.src, cc.lbl FROM sym s JOIN cc ON s.dst = cc.id),
+             |resolved AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id)
+             |SELECT (SELECT count(*) FROM e) AS total_vecs,
+             |  CAST(coalesce(sum(CASE WHEN id <> component THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed,
+             |  (SELECT count(*) FROM e)
+             |    - CAST(coalesce(sum(CASE WHEN id <> component THEN 1 ELSE 0 END), 0) AS BIGINT) AS surviving
+             |FROM resolved""".stripMargin)),
+
+    Q(
       "d06_embedding_neardup",
       (s, dir) => {
         val e = Tables(s, dir).embeddings.filter(col("vec_id") < 100)

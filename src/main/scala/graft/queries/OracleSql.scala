@@ -29,4 +29,14 @@ object OracleSql {
   /** DuckDB DOUBLE[] literal of one hyperplane's coefficients. */
   def doubleListLiteral(xs: Seq[Double]): String =
     xs.map(_.toString).mkString("CAST([", ",", "] AS DOUBLE[])")
+
+  /** DuckDB expression reproducing `Similarity.hyperplaneKey(v, dim,
+    * planes, seed)` bit-for-bit: the identical seeded coefficients are
+    * embedded as literals and each sign bit is the same left-to-right
+    * dot product. */
+  def hyperplaneBucket(vecExpr: String, dim: Int, planes: Int, seed: Long): String =
+    graft.ops.Similarity.hyperplaneCoeffs(dim, planes, seed).zipWithIndex.map { case (cs, p) =>
+      s"(CASE WHEN list_sum(list_transform(list_zip($vecExpr, ${doubleListLiteral(cs)}), " +
+        s"x -> x[1] * x[2])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

@@ -105,6 +105,33 @@ object PlanQueries {
              |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)),
 
     Q(
+      "r02_interval_overlap",
+      (s, dir) => {
+        // Interval×interval overlap via the binned equi-join: price
+        // bands of two part samples that intersect. A bare overlap
+        // predicate has no equi-key and would plan as a nested loop.
+        val t = Tables(s, dir)
+        val a = t.part.filter(pmod(col("p_partkey"), lit(50)) === 0)
+          .select(col("p_partkey").as("a_key"),
+            (col("p_retailprice") * 0.95).as("a_lo"),
+            (col("p_retailprice") * 1.05).as("a_hi"))
+        val b = t.part.filter(pmod(col("p_partkey"), lit(30)) === 0)
+          .select(col("p_partkey").as("b_key"),
+            (col("p_retailprice") * 0.97).as("b_lo"),
+            (col("p_retailprice") * 1.03).as("b_hi"))
+        graft.ops.RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+          binWidth = 100.0)
+          .select("a_key", "b_key")
+          .orderBy("a_key", "b_key")
+      },
+      Some("""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+             |FROM part a JOIN part b
+             |  ON a.p_retailprice * 0.95 <= b.p_retailprice * 1.03
+             | AND b.p_retailprice * 0.97 <= a.p_retailprice * 1.05
+             |WHERE a.p_partkey % 50 = 0 AND b.p_partkey % 30 = 0
+             |ORDER BY a_key, b_key""".stripMargin)),
+
+    Q(
       "q20_bloom_semijoin",
       (s, dir) => {
         // TPC-H Q20 shape: suppliers who shipped > 100 units of 'red%'

@@ -8,15 +8,10 @@ import graft.tables.Tables
 /** Similarity-search pack over the `embeddings` table. */
 object SimilarityQueries {
 
-  /** DuckDB expression reproducing `Similarity.hyperplaneKey(v, dim,
-    * planes, seed)` bit-for-bit: the identical seeded coefficients are
-    * embedded as literals and each sign bit is the same left-to-right
-    * dot product. */
+  /** DuckDB twin of `Similarity.hyperplaneKey` — see
+    * [[OracleSql.hyperplaneBucket]]. */
   private def lshBucketSql(vecExpr: String, dim: Int, planes: Int, seed: Long): String =
-    graft.ops.Similarity.hyperplaneCoeffs(dim, planes, seed).zipWithIndex.map { case (cs, p) =>
-      s"(CASE WHEN list_sum(list_transform(list_zip($vecExpr, ${OracleSql.doubleListLiteral(cs)}), " +
-        s"x -> x[1] * x[2])) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    OracleSql.hyperplaneBucket(vecExpr, dim, planes, seed)
 
   /** One UNION ALL branch per LSH table, bucketing `v` with that
     * table's seed (mirrors `Similarity.knnLsh.keyed`). */

@@ -133,6 +133,54 @@ object TextQueries {
              |WHERE rnk = 1 ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "t09_bm25",
+      (s, dir) => {
+        // BM25 retrieval (k1=1.2, b=0.75) for a fixed query over the
+        // corpus: tf per (doc, term) from one explode pass, df/idf are
+        // model-sized broadcasts, doc stats one aggregate; the global
+        // top-20 goes through the native TopKPerGroup heap (empty
+        // grouping = global top-k, shuffle carries 20 rows/partition).
+        // Scores are fround(4) BEFORE ranking so rank order is
+        // identical across engines despite summation-order ulps.
+        val terms = Seq("join", "filter", "vector")
+        val d = Tables(s, dir).documents
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val lens = d.select(col("doc_id"), size(col("toks")).as("len"))
+        val stats = lens.agg(count(lit(1)).as("n_docs"), avg("len").as("avgdl"))
+        val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf
+          .join(broadcast(dfreq), "term")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))))
+              .as("s"))
+          .groupBy("doc_id").agg(fround(sum("s"), 4).as("score"))
+        graft.plans.TopK.perGroup(scored, Seq.empty, col("score"), col("doc_id"), k = 20)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |lens AS (SELECT doc_id, len(w) AS len FROM toks),
+             |stats AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM lens),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+             |  WHERE term IN ('join', 'filter', 'vector') GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |scored AS (SELECT doc_id,
+             |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))) AS s
+             |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+             |  GROUP BY doc_id)
+             |SELECT doc_id, floor(s * 10000.0 + 0.5) / 10000.0 AS score
+             |FROM scored
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q(
       "p01_corpus_pipeline",
       (s, dir) => {
         // End-to-end training-data prep: quality gate -> exact dedup
