@@ -79,6 +79,30 @@ object GPModelIO {
       .toDS().write.mode("overwrite").parquet(path)
   }
 
+  /** Persist the `ProbabilisticClassifier`-flavored binary model; the
+    * MLlib column params (features/prediction/rawPrediction/
+    * probability) round-trip through the same row. */
+  def save(model: GPBinaryClassificationModel, path: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    Seq(pack("binary-probabilistic", model.projected,
+      model.getFeaturesCol, model.getPredictionCol,
+      model.getRawPredictionCol, model.getProbabilityCol, ""))
+      .toDS().write.mode("overwrite").parquet(path)
+  }
+
+  def loadBinaryClassifier(spark: SparkSession, path: String): GPBinaryClassificationModel = {
+    import spark.implicits._
+    val s = spark.read.parquet(path).as[GPSavedModel].head()
+    require(s.flavor == "binary-probabilistic",
+      s"expected a binary-probabilistic model, found ${s.flavor}")
+    val m = new GPBinaryClassificationModel(
+      org.apache.spark.ml.util.Identifiable.randomUID("graftGPBC"), unpack(s))
+    m.setFeaturesCol(s.featuresCol).setPredictionCol(s.predictionCol)
+      .setRawPredictionCol(s.predStdCol).setProbabilityCol(s.probabilityCol)
+    m
+  }
+
   def loadRegression(spark: SparkSession, path: String): GPRegressionModel = {
     import spark.implicits._
     val s = spark.read.parquet(path).as[GPSavedModel].head()

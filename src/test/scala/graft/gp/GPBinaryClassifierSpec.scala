@@ -63,6 +63,21 @@ class GPBinaryClassifierSpec extends SparkTestBase {
     assert(acc > 0.93, s"OneVsRest accuracy=$acc")
   }
 
+  test("binary probabilistic model save/load round-trips predictions exactly") {
+    val df = blobs(classes = 2, perClass = 80, seed = 37)
+    val model = gp().fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("gpbc").toString
+    GPModelIO.save(model, s"$dir/m")
+    val loaded = GPModelIO.loadBinaryClassifier(spark, s"$dir/m")
+    val a = model.transform(df).select("label", "prediction", "probability")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1),
+        r.getAs[org.apache.spark.ml.linalg.Vector](2).toArray.toSeq)).toSeq
+    val b = loaded.transform(df).select("label", "prediction", "probability")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1),
+        r.getAs[org.apache.spark.ml.linalg.Vector](2).toArray.toSeq)).toSeq
+    assert(a == b, "loaded model must predict bit-identically")
+  }
+
   test("stock CrossValidator + evaluator compose (reference Iris flow)") {
     val df = blobs(classes = 3, perClass = 50, seed = 29)
     val cv = new CrossValidator()
