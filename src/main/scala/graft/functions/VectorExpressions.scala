@@ -60,6 +60,27 @@ object VectorExpressions {
         org.apache.spark.sql.catalyst.expressions.Literal(bits))
         .toAggregateExpression())
 
+  /** Engine-portable avalanche-quality 52-bit hash: the first 13 hex
+    * chars of md5, as a long. Both engines compute the identical value
+    * (DuckDB folds the same hex digits), and md5's bit statistics are
+    * uniform — the property HLL needs and the cheap poly-hash lacks. */
+  def md5Hash52(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+  }
+
+  /** HyperLogLog distinct estimate of an [[md5Hash52]]-hashed column as
+    * one native aggregate with a 2^p-byte register buffer (fixed-size
+    * shuffle per group) — oracle-checkable because every step is a
+    * deterministic function of the portable hash. */
+  def hllDistinct(h: Column, p: Int = 12, hashBits: Int = 52): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftshim.HllAgg(
+        ColumnBridge.expression(h),
+        org.apache.spark.sql.catalyst.expressions.Literal(p),
+        org.apache.spark.sql.catalyst.expressions.Literal(hashBits))
+        .toAggregateExpression())
+
   /** Index of the nearest center (squared euclidean, ties → lowest
     * index) as one native codegen'd expression — the IVF assignment
     * path; the center matrix rides along as a referenced object. */

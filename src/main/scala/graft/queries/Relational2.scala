@@ -184,6 +184,55 @@ object Relational2 {
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
 
     Q(
+      "q26_min_cost_supplier",
+      (s, dir) => {
+        // TPC-H Q2 SHAPE on the available star (no partsupp table in
+        // this corpus): for each sampled part, the EUROPE supplier(s)
+        // achieving the region-wide minimum lineitem price — a
+        // correlated-min subquery decorrelated into an aggregate +
+        // equi-join back, with the dim chain (nation⋈region) broadcast.
+        val t = Tables(s, dir)
+        val euroSupp = t.supplier.select("s_suppkey", "s_name", "s_nationkey")
+          .join(broadcast(t.nation.select("n_nationkey", "n_regionkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region.filter(col("r_name") === "EUROPE")
+            .select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "n_name")
+        val offers = t.lineitem
+          .filter(pmod(col("l_partkey"), lit(25)) === 0)
+          .select("l_partkey", "l_suppkey", "l_extendedprice")
+          .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        val minPrice = offers.groupBy(col("l_partkey").as("mp_partkey"))
+          .agg(min("l_extendedprice").as("min_price"))
+        offers
+          .join(minPrice, col("l_partkey") === col("mp_partkey") &&
+            col("l_extendedprice") === col("min_price"))
+          .join(t.part.select("p_partkey", "p_name"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), fround(col("min_price"), 2).as("min_price"))
+          .distinct()
+          .orderBy(col("min_price").desc, col("p_partkey"), col("s_name"))
+          .limit(50)
+      },
+      Some("""WITH euro AS (
+             |  SELECT s_suppkey, s_name, n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |       JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |offers AS (
+             |  SELECT l_partkey, l_extendedprice, s_name, n_name
+             |  FROM lineitem JOIN euro ON l_suppkey = s_suppkey
+             |  WHERE l_partkey % 25 = 0)
+             |SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+             |  floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS min_price
+             |FROM offers JOIN part ON l_partkey = p_partkey
+             |WHERE l_extendedprice = (SELECT min(o2.l_extendedprice)
+             |                         FROM offers o2 WHERE o2.l_partkey = offers.l_partkey)
+             |ORDER BY min_price DESC, p_partkey, s_name LIMIT 50""".stripMargin)),
+
+    Q(
       "e03_json_extract",
       (s, dir) => {
         val t = Tables(s, dir)

@@ -133,6 +133,62 @@ object TextQueries {
              |WHERE rnk = 1 ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "t10_approx_distinct",
+      (s, dir) => {
+        // Native HyperLogLog (p=12) over the portable poly-hash of each
+        // token: per-language approximate distinct-token counts next to
+        // the exact ones. The fixed 4 KB register buffer per group is
+        // what a distinct count costs at 100 TB; and because every step
+        // is deterministic hash math, DuckDB reproduces the ESTIMATE
+        // itself bit-for-bit — an oracle-checked approximation.
+        val toks = Tables(s, dir).documents
+          .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+          .select(col("lang"),
+            graft.functions.VectorExpressions.md5Hash52(col("tok")).as("h"),
+            col("tok"))
+        toks.groupBy("lang")
+          .agg(
+            fround(graft.functions.VectorExpressions.hllDistinct(col("h")), 2)
+              .as("approx_distinct"),
+            countDistinct(col("tok")).as("exact_distinct"))
+          .orderBy("lang")
+      },
+      // hash = first 13 md5 hex chars as a 52-bit int; DuckDB folds the
+      // identical digits, then replays registers + harmonic sum +
+      // linear-counting branch — the ESTIMATE itself hash-matches
+      Some(s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |h AS (SELECT lang, tok,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j ->
+             |        CAST(strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) AS x
+             |  FROM toks),
+             |r AS (SELECT lang, x % 4096 AS b,
+             |    max(CASE WHEN (x // 4096) = 0 THEN 41
+             |             ELSE 41 - length(bin(x // 4096)) END) AS reg
+             |  FROM h GROUP BY 1, 2),
+             |regs AS (SELECT l.lang, t.range AS b, coalesce(r.reg, 0) AS reg
+             |  FROM (SELECT DISTINCT lang FROM toks) l
+             |  CROSS JOIN range(4096) t
+             |  LEFT JOIN r ON r.lang = l.lang AND r.b = t.range),
+             |s AS (SELECT lang,
+             |    list_sum(list_transform(list(reg ORDER BY b), g -> pow(2.0, -g))) AS z,
+             |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v
+             |  FROM regs GROUP BY lang),
+             |est AS (SELECT lang,
+             |    CASE WHEN (0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 / z) <= 2.5 * 4096
+             |           AND v > 0
+             |         THEN 4096 * ln(4096 / v)
+             |         ELSE 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 / z END AS e
+             |  FROM s),
+             |ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
+             |SELECT est.lang AS lang, floor(e * 100.0 + 0.5) / 100.0 AS approx_distinct,
+             |  exact_distinct
+             |FROM est JOIN ex ON est.lang = ex.lang
+             |ORDER BY est.lang""".stripMargin)),
+
+    Q(
       "t09_bm25",
       (s, dir) => {
         // BM25 retrieval (k1=1.2, b=0.75) for a fixed query over the

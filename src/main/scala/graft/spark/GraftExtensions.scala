@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "_FUNC_(h, bits) - SimHash bit-majority aggregate"),
       GraftExtensions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      info("graft_hll", "_FUNC_(h, p, hashBits) - HyperLogLog distinct estimate aggregate"),
+      GraftExtensions.hllBuilder))
   }
 }
 
@@ -92,6 +96,13 @@ object GraftExtensions {
     org.apache.spark.sql.graftshim.SimHashAgg(children(0), children(1))
   }
 
+  private[spark] val hllBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_hll requires exactly 3 arguments (h, p, hashBits), got ${children.length}")
+    org.apache.spark.sql.graftshim.HllAgg(children(0), children(1), children(2))
+  }
+
   /** Idempotently register the graft_* SQL functions on a LIVE session
     * (for sessions built without `spark.sql.extensions`). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -110,5 +121,7 @@ object GraftExtensions {
       minhashBuilder)
     register(spark, "graft_simhash", "_FUNC_(h, bits) - SimHash aggregate",
       simhashBuilder)
+    register(spark, "graft_hll", "_FUNC_(h, p, hashBits) - HyperLogLog distinct estimate",
+      hllBuilder)
   }
 }

@@ -200,3 +200,114 @@ case class SimHashAgg(
       newChildren: IndexedSeq[Expression]): SimHashAgg =
     copy(hashExpr = newChildren(0), bitsExpr = newChildren(1))
 }
+
+/**
+ * `graft_hll(h, p, hashBits)` — HyperLogLog distinct-count sketch as
+ * one native aggregate over an ENGINE-PORTABLE hash, which makes even
+ * the approximation ORACLE-CHECKABLE: registers, the power-of-two
+ * harmonic sum (accumulated in ascending bucket order in both engines)
+ * and the linear-counting correction are all deterministic functions of
+ * the hash values, so DuckDB reproduces the exact estimate.
+ *
+ * The input must be an AVALANCHE-QUALITY hash of `hashBits` uniform
+ * bits — in practice the first 13 hex chars of md5 (52 bits), which
+ * both engines compute identically (`VectorExpressions.md5Hash52`).
+ * The cheap polynomial rolling hash that drives MinHash/SimHash is NOT
+ * suitable here: its leading-zero statistics are correlated for
+ * similar strings (measured 5× estimate bias), and affine rescrambles
+ * mod a prime don't fix it — HLL reads exactly the bit statistics a
+ * non-avalanche hash distorts.
+ *
+ * Buffer = 2^p byte registers (p=12 → 4 KB), map-side partial merge is
+ * elementwise max — the shuffle carries one fixed 4 KB buffer per
+ * group per task regardless of input rows, the entire point of a
+ * sketch at 100 TB. Standard HLL (Flajolet et al. 2007): bucket = low
+ * p bits, rho = position of the first 1-bit in the remaining
+ * hashBits−p bits, estimate = α·m²/Σ2^−M with linear counting below
+ * 2.5m.
+ */
+case class HllAgg(
+    hashExpr: Expression,
+    pExpr: Expression,
+    hashBitsExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes {
+
+  private lazy val p: Int = {
+    require(pExpr.foldable, "p must be a literal")
+    val v = pExpr.eval().asInstanceOf[Int]
+    require(v >= 7 && v <= 18, s"p must be in [7, 18], got $v")
+    v
+  }
+  private lazy val m: Int = 1 << p
+  private lazy val hashBits: Int = {
+    require(hashBitsExpr.foldable, "hashBits must be a literal")
+    val v = hashBitsExpr.eval().asInstanceOf[Int]
+    require(v > p && v <= 62, s"hashBits must be in (p, 62], got $v")
+    v
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType, IntegerType)
+  override def children: Seq[Expression] = Seq(hashExpr, pExpr, hashBitsExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_hll"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val h = hashExpr.eval(input)
+    if (h != null) {
+      val x = h.asInstanceOf[Long]
+      val b = (x & (m - 1)).toInt
+      val w = x >>> p // hashBits - p significant bits
+      val wBits = hashBits - p
+      // rho = index (1-based) of the first set bit scanning from the
+      // wBits-wide window's top; all-zero window -> wBits + 1
+      val rho =
+        if (w == 0L) wBits + 1
+        else wBits - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buffer(b)) buffer(b) = rho.toByte
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < buffer.length) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = {
+    // ascending-bucket accumulation: the DuckDB oracle sums the same
+    // ordered list, so the IEEE result is bit-identical
+    var z = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      z += java.lang.Math.pow(2.0, -buffer(i).toDouble)
+      if (buffer(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m.toDouble * m.toDouble / z
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllAgg =
+    copy(hashExpr = newChildren(0), pExpr = newChildren(1),
+      hashBitsExpr = newChildren(2))
+}

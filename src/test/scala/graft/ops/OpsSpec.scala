@@ -158,6 +158,32 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class HllSpec extends SparkTestBase {
+
+  test("HLL estimate lands within 5% of the exact distinct count") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{hllDistinct, md5Hash52}
+    // 40 partitions force partial buffers + serialize/merge; values
+    // repeat so exact-distinct (30k) != row count (120k)
+    val df = spark.sparkContext.parallelize(
+      (0L until 120000L).map(i => s"value-${i % 30000}"), 40).toDF("s")
+    val est = df.agg(hllDistinct(md5Hash52(org.apache.spark.sql.functions.col("s"))))
+      .head().getDouble(0)
+    assert(math.abs(est - 30000.0) / 30000.0 < 0.05, s"estimate $est vs 30000")
+  }
+
+  test("HLL is insensitive to duplication and partitioning") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{hllDistinct, md5Hash52}
+    import org.apache.spark.sql.functions.col
+    def estimate(copies: Int, partitions: Int): Double = spark.sparkContext
+      .parallelize((0 until copies).flatMap(_ => (0L until 5000L).map(i => s"x$i")), partitions)
+      .toDF("s").agg(hllDistinct(md5Hash52(col("s")))).head().getDouble(0)
+    // same distinct set -> identical registers -> identical estimate
+    assert(estimate(copies = 1, partitions = 3) == estimate(copies = 4, partitions = 17))
+  }
+}
+
 class SimilaritySpec extends SparkTestBase {
   import Similarity._
 
