@@ -81,6 +81,35 @@ object VectorExpressions {
         org.apache.spark.sql.catalyst.expressions.Literal(hashBits))
         .toAggregateExpression())
 
+  /** Count-Min frequency sketch of a portable-hash column: one native
+    * aggregate returning `depth × width` long counters (fixed-size
+    * buffer per group, elementwise-add partial merge). */
+  def cmsSketch(h: Column, depth: Int = 5, width: Int = 8192,
+      seed: Long = 99L): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftshim.CmsAgg(
+        ColumnBridge.expression(h),
+        org.apache.spark.sql.catalyst.expressions.Literal(depth),
+        org.apache.spark.sql.catalyst.expressions.Literal(width),
+        org.apache.spark.sql.catalyst.expressions.Literal(seed))
+        .toAggregateExpression())
+
+  /** Count-Min point estimate: min over the sketch's rows of the
+    * counter each row hashes `h` to — plain column arithmetic with the
+    * same literal coefficient table (no UDF), so DuckDB replays it. */
+  def cmsEstimate(sketch: Column, h: Column, depth: Int = 5, width: Int = 8192,
+      seed: Long = 99L): Column = {
+    import org.apache.spark.sql.functions.{element_at, least, lit, pmod}
+    val coeffs = org.apache.spark.sql.graftshim.UniversalHash.coefficients(depth, seed)
+    val p = org.apache.spark.sql.graftshim.UniversalHash.P
+    val x32 = pmod(h, lit(1L << 32))
+    val terms = (0 until depth).map { i =>
+      val bucket = pmod(pmod(lit(coeffs(i)._1) * x32 + lit(coeffs(i)._2), lit(p)), lit(width.toLong))
+      element_at(sketch, (lit(i.toLong * width) + bucket + lit(1L)).cast("int"))
+    }
+    if (terms.length == 1) terms.head else least(terms: _*)
+  }
+
   /** Index of the nearest center (squared euclidean, ties → lowest
     * index) as one native codegen'd expression — the IVF assignment
     * path; the center matrix rides along as a referenced object. */

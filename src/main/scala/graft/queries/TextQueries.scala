@@ -189,6 +189,54 @@ object TextQueries {
              |ORDER BY est.lang""".stripMargin)),
 
     Q(
+      "t11_cms_heavy_hitters",
+      (s, dir) => {
+        // Count-Min heavy hitters: ONE 5×8192 sketch over every bigram
+        // occurrence (fixed 320 KB buffer however large the corpus),
+        // then point estimates for the exact top-10 — estimate = min
+        // over rows via plain element_at arithmetic, no UDF. The same
+        // deterministic coefficient table is embedded in the oracle, so
+        // the ESTIMATES hash-match DuckDB (cf. t10's HLL).
+        import graft.functions.VectorExpressions.{cmsEstimate, cmsSketch, polyHash}
+        val positions = when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1)).otherwise(array().cast("array<int>"))
+        val bigrams = Tables(s, dir).documents
+          .select(split(col("text"), " ").as("toks"))
+          .select(col("toks"), explode(positions).as("pos"))
+          .select(concat_ws(" ",
+            element_at(col("toks"), col("pos")),
+            element_at(col("toks"), col("pos") + 1)).as("bigram"))
+        val sketch = bigrams.agg(cmsSketch(polyHash(col("bigram"))).as("sk"))
+        bigrams.groupBy("bigram").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("bigram"))
+          .limit(10)
+          .crossJoin(broadcast(sketch))
+          .select(col("bigram"), col("exact_cnt"),
+            cmsEstimate(col("sk"), polyHash(col("bigram"))).as("est_cnt"))
+          .orderBy(col("exact_cnt").desc, col("bigram"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |expl AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok FROM toks),
+             |big AS (SELECT a.tok || ' ' || b.tok AS bigram
+             |  FROM expl a JOIN expl b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+             |counts AS (SELECT bigram, count(*) AS cnt,
+             |    ${OracleSql.polyFold("bigram")} % 4294967296 AS x32
+             |  FROM big GROUP BY bigram),
+             |cp AS (SELECT ${OracleSql.coeffPairsLiteral(5, 99L)} AS c),
+             |buckets AS (SELECT i.range AS r,
+             |    ((c[i.range + 1][1] * x32 + c[i.range + 1][2]) % 2147483647) % 8192 AS bucket,
+             |    CAST(sum(cnt) AS BIGINT) AS ctr
+             |  FROM counts CROSS JOIN range(5) i CROSS JOIN cp
+             |  GROUP BY 1, 2),
+             |top AS (SELECT bigram, cnt, x32 FROM counts
+             |        ORDER BY cnt DESC, bigram LIMIT 10)
+             |SELECT t.bigram, t.cnt AS exact_cnt, min(b.ctr) AS est_cnt
+             |FROM top t CROSS JOIN range(5) i CROSS JOIN cp
+             |  JOIN buckets b ON b.r = i.range
+             |    AND b.bucket = ((c[i.range + 1][1] * t.x32 + c[i.range + 1][2]) % 2147483647) % 8192
+             |GROUP BY 1, 2 ORDER BY exact_cnt DESC, bigram""".stripMargin)),
+
+    Q(
       "t09_bm25",
       (s, dir) => {
         // BM25 retrieval (k1=1.2, b=0.75) for a fixed query over the

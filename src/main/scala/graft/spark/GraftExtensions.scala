@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hll"),
       info("graft_hll", "_FUNC_(h, p, hashBits) - HyperLogLog distinct estimate aggregate"),
       GraftExtensions.hllBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      info("graft_cms", "_FUNC_(h, depth, width, seed) - Count-Min sketch aggregate"),
+      GraftExtensions.cmsBuilder))
   }
 }
 
@@ -103,6 +107,13 @@ object GraftExtensions {
     org.apache.spark.sql.graftshim.HllAgg(children(0), children(1), children(2))
   }
 
+  private[spark] val cmsBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 4)
+      throw new IllegalArgumentException(
+        s"graft_cms requires exactly 4 arguments (h, depth, width, seed), got ${children.length}")
+    org.apache.spark.sql.graftshim.CmsAgg(children(0), children(1), children(2), children(3))
+  }
+
   /** Idempotently register the graft_* SQL functions on a LIVE session
     * (for sessions built without `spark.sql.extensions`). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -123,5 +134,7 @@ object GraftExtensions {
       simhashBuilder)
     register(spark, "graft_hll", "_FUNC_(h, p, hashBits) - HyperLogLog distinct estimate",
       hllBuilder)
+    register(spark, "graft_cms", "_FUNC_(h, depth, width, seed) - Count-Min sketch",
+      cmsBuilder)
   }
 }

@@ -311,3 +311,103 @@ case class HllAgg(
     copy(hashExpr = newChildren(0), pExpr = newChildren(1),
       hashBitsExpr = newChildren(2))
 }
+
+/**
+ * `graft_cms(h32, depth, width, seed)` — Count-Min frequency sketch as
+ * one native aggregate: `depth` rows of `width` long counters
+ * (depth=5, width=8192 → 320 KB), each input row increments one
+ * counter per sketch row at `((aᵢ·h₃₂ + bᵢ) mod P31) mod width` using
+ * the SAME splitmix-seeded universal family as MinHash. Merge is
+ * elementwise add, so partial aggregation ships one fixed-size buffer
+ * per group per task — frequency estimation at 100 TB cost.
+ *
+ * Point estimates (min over rows) are computed OUTSIDE the aggregate
+ * with plain column arithmetic over the returned counter array
+ * (`least(element_at...)` per row — see `TextQueries.t11`), and since
+ * every step is deterministic integer math, DuckDB reproduces the
+ * ESTIMATES bit-for-bit: an oracle-checkable approximation, like
+ * [[HllAgg]].
+ */
+case class CmsAgg(
+    hashExpr: Expression,
+    depthExpr: Expression,
+    widthExpr: Expression,
+    seedExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  private lazy val depth: Int = {
+    require(depthExpr.foldable, "depth must be a literal")
+    val v = depthExpr.eval().asInstanceOf[Int]
+    require(v >= 1 && v <= 16, s"depth must be in [1, 16], got $v")
+    v
+  }
+  private lazy val width: Int = {
+    require(widthExpr.foldable, "width must be a literal")
+    val v = widthExpr.eval().asInstanceOf[Int]
+    require(v >= 16, s"width must be >= 16, got $v")
+    v
+  }
+  private lazy val seed: Long = {
+    require(seedExpr.foldable, "seed must be a literal")
+    seedExpr.eval().asInstanceOf[Long]
+  }
+  @transient private lazy val coeffs: Array[(Long, Long)] =
+    UniversalHash.coefficients(depth, seed)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, IntegerType, IntegerType, LongType)
+  override def children: Seq[Expression] =
+    Seq(hashExpr, depthExpr, widthExpr, seedExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cms"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val h = hashExpr.eval(input)
+    if (h != null) {
+      val x = h.asInstanceOf[Long] & 0xffffffffL
+      var i = 0
+      while (i < depth) {
+        val b = (((coeffs(i)._1 * x + coeffs(i)._2) % UniversalHash.P) % width).toInt
+        buffer(i * width + b) += 1L
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.length)
+    buffer.foreach(out.writeLong)
+    out.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    Array.fill(in.readInt())(in.readLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsAgg =
+    copy(hashExpr = newChildren(0), depthExpr = newChildren(1),
+      widthExpr = newChildren(2), seedExpr = newChildren(3))
+}

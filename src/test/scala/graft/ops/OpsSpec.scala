@@ -184,6 +184,30 @@ class HllSpec extends SparkTestBase {
   }
 }
 
+class CmsSpec extends SparkTestBase {
+
+  test("CMS estimates are exact-or-over, and tight for heavy hitters") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{cmsEstimate, cmsSketch, polyHash}
+    import org.apache.spark.sql.functions._
+    // zipf-ish: item k appears 12000/k times; 33 partitions force
+    // partial sketches + elementwise-add merge
+    val rows = (1 to 300).flatMap(k => Seq.fill(12000 / k)(s"item-$k"))
+    val df = spark.sparkContext.parallelize(rows, 33).toDF("s")
+    val sketch = df.agg(cmsSketch(polyHash(col("s"))).as("sk"))
+    val got = df.groupBy("s").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("s"), col("exact"),
+        cmsEstimate(col("sk"), polyHash(col("s"))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (s, exact, est) =>
+      assert(est >= exact, s"CMS must never underestimate: $s $est < $exact")
+    }
+    val (_, e1, g1) = got.find(_._1 == "item-1").get
+    assert(g1 - e1 <= e1 / 100, s"heavy hitter estimate too loose: $g1 vs $e1")
+  }
+}
+
 class SimilaritySpec extends SparkTestBase {
   import Similarity._
 
