@@ -242,28 +242,46 @@ object Dedup {
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .persist()
     val spark = sym.sparkSession
-    // Each round MATERIALIZES its labels and truncates lineage
-    // (reliable checkpoint when a dir is set — the fault-tolerant
-    // cluster path, GraphFrames-style — else localCheckpoint). Without
+    // Each round MATERIALIZES its labels and truncates lineage. Without
     // truncation the doubling self-join doubles the logical plan every
     // round (2^rounds nodes by round 10), and `persist` would leave a
-    // cache-manager entry per round (the round-2 leak). labelSum is an
-    // action anyway, so eager materialization adds no extra pass.
-    def materialize(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    var labels = materialize(sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")))
+    // cache-manager entry per round (the round-2 leak).
+    //
     // Convergence signal: labels only ever DECREASE under min
-    // propagation, so the label sum strictly decreases iff any label
-    // changed — one aggregate per round instead of a join + count.
-    // decimal(38,0): exact and overflow-proof for any realistic id sum
-    // (a long sum could overflow — and throw under ANSI — at extreme
-    // id ranges).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
+    // propagation, so the exact BigDecimal label sum strictly decreases
+    // iff any label changed (a long sum could overflow at extreme id
+    // ranges). The sum is computed IN the materialization pass — one
+    // Spark job per round, not materialize + aggregate — by persisting
+    // the row RDD and folding it; the returned frame is a LogicalRDD
+    // over those cached rows (no cache-manager entry; the final round's
+    // blocks are reclaimed by the ContextCleaner once the result frame
+    // is unreferenced). With a reliable checkpoint dir set (the
+    // fault-tolerant cluster path, GraphFrames-style) rounds checkpoint
+    // instead and pay the extra aggregate job.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def labelSumOf(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+      if (reliable) {
+        val out = df.checkpoint(eager = true)
+        (out, labelSumOf(out))
+      } else {
+        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val s = rdd.mapPartitions { it =>
+          var acc = java.math.BigDecimal.ZERO
+          it.foreach(r =>
+            acc = acc.add(java.math.BigDecimal.valueOf(r.getAs[Number](1).longValue())))
+          Iterator.single(acc)
+        }.fold(java.math.BigDecimal.ZERO)(_.add(_))
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+        (spark.createDataFrame(rdd, df.schema), s)
+      }
+    var (labels, prevSum) = materializeWithSum(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -281,11 +299,10 @@ object Dedup {
       // over node ids), so the lookup hits; coalesce guards regardless.
       val parents = propagated
         .select(col("id").as("p_id"), col("component").as("p_component"))
-      val next = materialize(propagated
+      val (next, nextSum) = materializeWithSum(propagated
         .join(parents, col("component") === col("p_id"), "left")
         .select(col("id"),
           coalesce(col("p_component"), col("component")).as("component")))
-      val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
