@@ -147,6 +147,11 @@ object GPModelIO {
     new GPRegressionModel(
       org.apache.spark.ml.util.Identifiable.randomUID("graftGPfixed"), p)
 
+  /** [[fromProjected]] for the `ProbabilisticClassifier` flavor. */
+  def binaryFromProjected(p: ProjectedGP): GPBinaryClassificationModel =
+    new GPBinaryClassificationModel(
+      org.apache.spark.ml.util.Identifiable.randomUID("graftGPBCfixed"), p)
+
   def loadOneVsRest(spark: SparkSession, path: String): GPOneVsRest.Fitted = {
     val labels = spark.read.parquet(s"$path/labels")
       .orderBy("idx").collect().map(_.getDouble(1)).toSeq

@@ -180,6 +180,51 @@ object GPQueries {
              |SELECT vec_id,
              |  floor(sum(kv * ((zid % 5) + 1) / 10.0) * 1e6 + 0.5) / 1e6 AS mean,
              |  floor(sqrt(1.0 - 0.01 * sum(kv * kv)) * 1e6 + 0.5) / 1e6 AS std
-             |FROM k GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+             |FROM k GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    Q(
+      "gp07_binary_probability",
+      (s, dir) => {
+        // The ProbabilisticClassifier TRANSFORM path (raw = (−m, +m),
+        // probability = sigmoid link, prediction = argmax) through the
+        // real MLlib contract machinery, with the same deterministic
+        // hand-built model as gp06 so DuckDB recomputes the sigmoid of
+        // the closed-form latent mean.
+        import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+        import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+        val e = Tables(s, dir).embeddings
+        val z = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val weights = BDV.tabulate(z.length)(j => (((j % 5) + 1) / 10.0) - 0.2)
+        val covAdjust = BDM.eye[Double](z.length) * -0.01
+        val model = graft.gp.GPModelIO.binaryFromProjected(
+          graft.gp.ProjectedGP(z, weights, covAdjust, 1.0 * rbf(2.0)))
+        model.transform(
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 300)
+            .select(col("vec_id"),
+              array_to_vector(col("embedding").cast("array<double>")).as("features")))
+          .select(col("vec_id"),
+            fround(element_at(vector_to_array(col("probability")), 2), 6).as("prob"),
+            col("prediction").cast("int").as("pred"))
+          .orderBy("vec_id")
+      },
+      // mean = Σ k_j w_j with w_j = ((j%5)+1)/10 − 0.2 (sign-mixed so
+      // both classes appear); prob = σ(mean), pred = argmax = mean > 0
+      Some("""WITH z AS (SELECT vec_id AS zid, CAST(embedding AS DOUBLE[]) AS zv
+             |           FROM embeddings WHERE vec_id < 8),
+             |x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
+             |      FROM embeddings WHERE vec_id >= 8 AND vec_id < 300),
+             |k AS (SELECT x.vec_id, z.zid,
+             |    exp(-list_sum(list_transform(list_zip(xv, zv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))) / 8.0) AS kv
+             |  FROM x, z),
+             |m AS (SELECT vec_id,
+             |    sum(kv * (((zid % 5) + 1) / 10.0 - 0.2)) AS mean
+             |  FROM k GROUP BY vec_id)
+             |SELECT vec_id,
+             |  floor(1.0 / (1.0 + exp(-mean)) * 1e6 + 0.5) / 1e6 AS prob,
+             |  CAST(CASE WHEN mean > 0 THEN 1 ELSE 0 END AS INT) AS pred
+             |FROM m ORDER BY vec_id""".stripMargin))
   )
 }
