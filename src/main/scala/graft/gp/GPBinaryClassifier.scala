@@ -35,28 +35,9 @@ class GPBinaryClassifier(override val uid: String)
       .select(GPColumns.featuresAsArray(df, $(featuresCol)).as("f"),
         col($(labelCol)).cast("double").as("y"))
       .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-
-    val bad = data.map(_._2).filter(y => y != 0.0 && y != 1.0).take(1)
-    require(bad.isEmpty, "GPBinaryClassifier supports 0/1 labels only")
-
-    val experts = assignExperts(data)
-    val newtonTol = $(tol)
-    val optimal = GPCore.optimizeHypers(
-      experts, fullKernel(),
-      (e, k) => GPCore.classificationObjective(e, k, newtonTol),
-      $(maxIter), $(tol))
-
-    val z = selectInducing(spark, data, optimal)
-    // One final warm-started Newton pass pins each expert's latent mode
-    // under the optimal hyperparameters; the modes become the projection
-    // targets (reference `GaussianProcessClassifier.scala:62`).
-    val targets = experts.map { e =>
-      GPCore.classificationObjective(e, optimal, newtonTol)
-      (e.latent.copy, e)
-    }
-    val proj = GPCore.fitProjected(targets, optimal, z)
-    experts.unpersist()
-
+    val proj = GPCore.fitBinaryGP(
+      assignExperts(data), fullKernel(), $(tol), $(maxIter), $(tol),
+      optimal => selectInducing(spark, data, optimal))
     copyValues(new GPBinaryClassificationModel(uid, proj)).setParent(this)
   }
 

@@ -286,6 +286,38 @@ object GPCore {
     (-logZ, -grad)
   }
 
+  /**
+   * The full binary-GP-classifier fit recipe shared by [[GPClassifier]]
+   * and [[GPBinaryClassifier]]: label check, BCM hyper optimization
+   * under the Laplace objective, inducing selection, one warm-started
+   * Newton pass pinning each expert's latent mode (reference
+   * `GaussianProcessClassifier.scala:62`), projected-process build.
+   * The 0/1 validation reads the PERSISTED experts (materializing them
+   * is work the optimizer needs anyway) — not the raw input, which
+   * would cost one extra pass over the whole upstream pipeline.
+   */
+  private[gp] def fitBinaryGP(
+      experts: RDD[ExpertData],
+      kernel: Kernel,
+      newtonTol: Double,
+      maxIter: Int,
+      tol: Double,
+      selectZ: Kernel => Array[Array[Double]]): ProjectedGP = {
+    val bad = experts.flatMap(_.y.find(y => y != 0.0 && y != 1.0)).take(1)
+    require(bad.isEmpty, "GP classification supports 0/1 labels only")
+    val optimal = optimizeHypers(
+      experts, kernel,
+      (e, k) => classificationObjective(e, k, newtonTol), maxIter, tol)
+    val z = selectZ(optimal)
+    val targets = experts.map { e =>
+      classificationObjective(e, optimal, newtonTol)
+      (e.latent.copy, e)
+    }
+    val proj = fitProjected(targets, optimal, z)
+    experts.unpersist()
+    proj
+  }
+
   // ------------------------------------------------------ projected process
 
   /**

@@ -110,7 +110,11 @@ object InducingPoints {
     val ys = BDV(pool.map(_._2))
     val sigma2 = math.max(fitted.noiseVar, 1e-12)
     val sigma = math.sqrt(sigma2)
-    val kDiag = BDV(xs.map(fitted.self): _*)
+    // Seeger's formulas take the NOISE-FREE prior K plus an explicit
+    // σ²; `fitted` is the full kernel whose gram/self diagonals already
+    // carry the white term (exactly σ², zero off-diagonal) — subtract
+    // it so the noise isn't double-counted in l_i, p_i, q_i.
+    val kDiag = BDV(xs.map(x => fitted.self(x) - fitted.noiseVar): _*)
 
     val active = scala.collection.mutable.ArrayBuffer[Int](0) // takeSample already shuffles
     val inActive = scala.collection.mutable.HashSet[Int](0)
@@ -118,6 +122,10 @@ object InducingPoints {
       val s = active.toArray
       val zx = s.map(xs)
       val kmm = fitted.gram(new graft.gp.kernel.ExpertData(zx, new Array[Double](s.length)))
+      var d = 0
+      // tiny jitter keeps the noise-free gram factorizable when active
+      // points are near-duplicates
+      while (d < s.length) { kmm(d, d) += 1e-10 - fitted.noiseVar; d += 1 }
       val kmn = fitted.cross(zx, xs)
       val lmm = GPCore.cholOrThrow(kmm)
       val b = (kmm *:* sigma2) + (kmn * kmn.t)

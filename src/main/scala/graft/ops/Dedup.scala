@@ -256,29 +256,39 @@ object Dedup {
     // over those cached rows (no cache-manager entry; the final round's
     // blocks are reclaimed by the ContextCleaner once the result frame
     // is unreferenced). With a reliable checkpoint dir set (the
-    // fault-tolerant cluster path, GraphFrames-style) rounds checkpoint
-    // instead and pay the extra aggregate job.
+    // fault-tolerant cluster path, GraphFrames-style) the same row RDD
+    // is reliably checkpointed instead, and the PREVIOUS round's
+    // snapshot is deleted as soon as the next is materialized.
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def labelSumOf(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+    var prevCheckpointFile: Option[String] = None
+    def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val rdd = df.rdd
+      if (reliable) rdd.checkpoint()
+      else rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = rdd.mapPartitions { it =>
+        var acc = java.math.BigDecimal.ZERO
+        it.foreach(r =>
+          acc = acc.add(java.math.BigDecimal.valueOf(r.getAs[Number](1).longValue())))
+        Iterator.single(acc)
+      }.fold(java.math.BigDecimal.ZERO)(_.add(_)) // materializes (and checkpoints)
       if (reliable) {
-        val out = df.checkpoint(eager = true)
-        (out, labelSumOf(out))
+        // the previous round's snapshot is now unreachable — delete it,
+        // or every round leaks one full label set to the checkpoint
+        // store (cleanCheckpoints defaults to false). The FINAL round's
+        // files back the returned frame and stay until the context
+        // cleaner (or the dir's lifecycle) reclaims them.
+        prevCheckpointFile.foreach { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+        }
+        prevCheckpointFile = rdd.getCheckpointFile
       } else {
-        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val s = rdd.mapPartitions { it =>
-          var acc = java.math.BigDecimal.ZERO
-          it.foreach(r =>
-            acc = acc.add(java.math.BigDecimal.valueOf(r.getAs[Number](1).longValue())))
-          Iterator.single(acc)
-        }.fold(java.math.BigDecimal.ZERO)(_.add(_))
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
-        (spark.createDataFrame(rdd, df.schema), s)
       }
+      (spark.createDataFrame(rdd, df.schema), s)
+    }
     var (labels, prevSum) = materializeWithSum(
       sym.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))

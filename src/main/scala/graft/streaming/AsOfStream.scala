@@ -52,13 +52,16 @@ object AsOfStream {
       probe_id: Long, ref_payload: Double)
 
   /** Per-key state: time-sorted reference buffer + (emitFinal mode)
-    * pending probes, all as parallel arrays. */
+    * pending probes, all as parallel arrays. `flushWake` records which
+    * KIND of timeout is armed — a short probe-flush wake (references
+    * must survive it) vs the idle expiry (state may be dropped). */
   final case class AsOfState(
       refTimes: Array[Long], refPayloads: Array[Double],
-      probeTimes: Array[Long], probeIds: Array[Long])
+      probeTimes: Array[Long], probeIds: Array[Long],
+      flushWake: Boolean)
 
   private val emptyState =
-    AsOfState(Array.empty, Array.empty, Array.empty, Array.empty)
+    AsOfState(Array.empty, Array.empty, Array.empty, Array.empty, flushWake = false)
 
   final case class Match(key: Long, probe_id: Long, ts_micros: Long,
       ref_ts_micros: Option[Long], ref_payload: Option[Double])
@@ -122,31 +125,37 @@ object AsOfStream {
             }
 
           // 2. gather probes: this batch's (+ the buffer in final mode),
-          //    split into ready-to-emit and still-pending
+          //    split into ready-to-emit and still-pending. STRICT `<`:
+          //    Spark only drops rows strictly below the watermark, so a
+          //    reference AT the watermark can still legally arrive — a
+          //    probe at that exact time must keep waiting for it.
           val arrived = rows.filter(!_.isRef)
             .map(p => (p.ts.getTime * 1000L, p.probe_id))
           val all = (st1.probeTimes.zip(st1.probeIds) ++ arrived).sorted
           val (ready, pending) =
-            if (emitFinal) all.partition(_._1 <= horizonMicros)
+            if (emitFinal) all.partition(_._1 < horizonMicros)
             else (all, Array.empty[(Long, Long)])
           val out = ready.iterator.map { case (t, id) =>
             matchProbe(key, id, t, st1.refTimes, st1.refPayloads)
           }.toVector
 
-          // 3. prune refs and write back (or expire)
+          // 3. prune refs and write back (or expire). A timeout only
+          // drops state when it is the IDLE expiry — a probe-flush wake
+          // (flushWake) must leave the reference buffer intact for
+          // later probes of this key.
+          val idleExpiry = state.hasTimedOut && !st0.flushWake
           val pruned = pruneRefs(st1, horizonMicros)
             .copy(probeTimes = pending.map(_._1), probeIds = pending.map(_._2))
-          if (state.hasTimedOut && pending.isEmpty) {
-            // idle since the 24h horizon (and any buffered probes just
-            // flushed): drop the buffer, as before
+          if (pending.isEmpty && (idleExpiry ||
+              (pruned.refTimes.isEmpty && rows.isEmpty))) {
             state.remove()
           } else {
-            state.update(pruned)
             val watermarkMs = state.getCurrentWatermarkMs()
-            if (pruned.probeTimes.nonEmpty) {
+            if (pending.nonEmpty) {
               // pending probes: wake at the first watermark advance so
               // they flush promptly (timeout must sit above the
               // watermark by contract)
+              state.update(pruned.copy(flushWake = true))
               state.setTimeoutTimestamp(watermarkMs + 1L)
             } else {
               // Expire idle keys a day past the newest activity. The
@@ -160,6 +169,7 @@ object AsOfStream {
                   else Long.MinValue,
                   if (rows.nonEmpty) rows.map(_.ts.getTime).max else Long.MinValue),
                 watermarkMs)
+              state.update(pruned.copy(flushWake = false))
               state.setTimeoutTimestamp(newest + 24L * 3600L * 1000L)
             }
           }

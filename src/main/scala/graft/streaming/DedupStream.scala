@@ -135,6 +135,10 @@ object DedupStream {
             val out = Vector.newBuilder[CandidatePair]
             // deterministic in-batch order (MemoryStream/batch parity)
             batch.toArray.sortBy(bd => (bd.ts.getTime, bd.doc_id)).foreach { bd =>
+              // EVERY arrival (seen or not) refreshes the timeout base:
+              // a bucket under steady re-delivery of known docs is live
+              // traffic and must not expire mid-stream
+              newest = math.max(newest, bd.ts.getTime)
               if (!ids.contains(bd.doc_id)) {
                 if (ids.length < maxBucket) {
                   ids.foreach { e =>
@@ -148,7 +152,6 @@ object DedupStream {
                   if (m != x) out += CandidatePair(m, x)
                   // membership stays capped; the min anchors the star
                 }
-                newest = math.max(newest, bd.ts.getTime)
               }
             }
             state.update(BucketState(ids, newest))

@@ -242,8 +242,16 @@ case class TopKPerGroupExec(
           heap = new BoundedRowHeap(kk, scoreOrd, tieOrd)
           groups.put(key.copy(), heap)
         }
-        // null score and null tie both rank last inside the heap
-        heap.add(score.eval(row), tie.eval(row), toUnsafe(row).copy())
+        // COPY evaluated values before retaining them: the input rows
+        // come from a reused buffer (shuffle readers recycle one
+        // UnsafeRow), so a retained UTF8String/Decimal/array tie would
+        // silently mutate to the latest row's bytes. copyValue deep-
+        // copies buffer-backed types and passes primitives through.
+        // Null score and null tie both rank last inside the heap.
+        heap.add(
+          InternalRow.copyValue(score.eval(row)),
+          InternalRow.copyValue(tie.eval(row)),
+          toUnsafe(row).copy())
       }
       groups.values.iterator.asScala.flatMap(_.sorted)
     }

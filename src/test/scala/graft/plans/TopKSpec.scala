@@ -123,6 +123,21 @@ class TopKSpec extends SparkTestBase {
     assert(got == Seq(2L), s"lexicographically-lower tie must win, got $got")
   }
 
+  test("buffer-backed ties survive row reuse (shuffled input, equal scores)") {
+    import spark.implicits._
+    // shuffle readers recycle one UnsafeRow; retained string ties must
+    // be deep-copied or they all mutate to the last row's bytes
+    val df = spark.sparkContext.parallelize(
+      (0L until 2000L).map(i => (i, "g", 1.0, f"t-${(i * 769) % 2000}%05d")), 8)
+      .toDF("id", "grp", "score", "tie")
+    val got = TopK.perGroup(df, Seq(col("grp")), col("score"), col("tie"), k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("tie"))))
+      .filter(col("rn") <= 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("RewriteWindowTopK turns the row_number idiom into the native operator") {
     org.apache.spark.sql.graftshim.TopKPerGroupApi.ensureInjected(spark)
     val df = sample()

@@ -113,6 +113,50 @@ class AsOfStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("emitFinal keeps the reference buffer across a probe-flush timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[Probe]
+    val refs = MemoryStream[Ref]
+    val query = asofJoin(probes.toDS(), refs.toDS(), watermark = "5 minutes",
+      emitFinal = true)
+      .writeStream.format("memory").queryName("asof_keepref").outputMode("append").start()
+    try {
+      // ref + pending probe; later batches advance the watermark, the
+      // probe flushes via the short wake — the REF must survive that
+      // timeout for later probes of the same key
+      refs.addData(Ref(1, ts(0), 100.0))
+      probes.addData(Probe(1, ts(10), 1L))
+      query.processAllAvailable()
+      refs.addData(Ref(2, ts(30), 230.0))
+      probes.addData(Probe(2, ts(30), 2L))
+      query.processAllAvailable()
+      refs.addData(Ref(2, ts(45), 245.0))
+      probes.addData(Probe(2, ts(45), 3L))
+      query.processAllAvailable()
+      // a much later probe for key 1: its only ref is the old one
+      refs.addData(Ref(2, ts(56), 256.0))
+      probes.addData(Probe(1, ts(56), 4L))
+      query.processAllAvailable()
+      refs.addData(Ref(2, ts(59), 259.0))
+      probes.addData(Probe(2, ts(59), 5L))
+      query.processAllAvailable()
+      // push the watermark past probe 4's event time so it flushes
+      refs.addData(Ref(2, Timestamp.valueOf("2024-01-01 11:05:00"), 300.0))
+      probes.addData(Probe(2, Timestamp.valueOf("2024-01-01 11:05:00"), 6L))
+      query.processAllAvailable()
+      probes.addData(Probe(2, Timestamp.valueOf("2024-01-01 11:06:00"), 7L))
+      refs.addData(Ref(2, Timestamp.valueOf("2024-01-01 11:06:00"), 301.0))
+      query.processAllAvailable()
+
+      val got = spark.table("asof_keepref")
+        .as[Match].collect().map(m => m.probe_id -> m.ref_payload).toMap
+      assert(got.get(1L).contains(Some(100.0)), s"probe 1: $got")
+      assert(got.get(4L).contains(Some(100.0)),
+        s"key 1's ref must survive the flush timeout, got $got")
+    } finally query.stop()
+  }
+
   test("a key whose buffer sits far below the watermark survives (timeout clamps)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
