@@ -303,8 +303,13 @@ object GPCore {
       maxIter: Int,
       tol: Double,
       selectZ: Kernel => Array[Array[Double]]): ProjectedGP = {
-    val bad = experts.flatMap(_.y.find(y => y != 0.0 && y != 1.0)).take(1)
-    require(bad.isEmpty, "GP classification supports 0/1 labels only")
+    // ONE parallel pass (also materializes the expert cache in
+    // parallel): `take(1)` on a match-nothing flatMap would scan the
+    // partitions in sequential 1/4/20… waves — measured 3× on gp02.
+    val labelsOk = experts
+      .map(_.y.forall(y => y == 0.0 || y == 1.0))
+      .fold(true)(_ && _)
+    require(labelsOk, "GP classification supports 0/1 labels only")
     val optimal = optimizeHypers(
       experts, kernel,
       (e, k) => classificationObjective(e, k, newtonTol), maxIter, tol)
