@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.InternalFrame
 
 /**
  * Deduplication operators for document corpora.
@@ -155,6 +156,61 @@ object Dedup {
     bucketPairs(lshBands(sigs, "sig", bands, idCol, numHashes), idCol, maxBucket)
   }
 
+  /**
+   * Semantic (embedding-space) near-dup candidate pairs: random-
+   * hyperplane LSH over `tables` independent hash tables, exact cosine
+   * recheck inside each (table, bucket) group, distinct pairs across
+   * tables. The multi-table layout buys recall (a τ-similar pair that
+   * splits in one table collides in another) with `planes` controlling
+   * bucket granularity — 2^planes buckets per table, so plane count is
+   * the SCALING parameter: size it to the corpus (≥ log₂(N/targetOcc)),
+   * never hard-code it.
+   *
+   * Scale posture (the d06 all-pairs shape is O(N²)): candidates only
+   * form inside an equi-keyed bucket group, and occupancy is bounded by
+   * COUNT-AND-SPLIT — bucket sizes are aggregated first (a narrow
+   * id-only pass), buckets at or under `maxBucket` expand pairs from a
+   * collected in-bucket array (≤ maxBucket vectors ≈ MBs per group),
+   * and OVERSIZED buckets (mass-duplicated embeddings — the degenerate
+   * 100 TB case) never materialize: each member row STREAMS one star
+   * edge to the bucket minimum, cosine-rechecked like every other
+   * candidate. No task holds more than O(maxBucket) vectors or emits
+   * more than O(maxBucket²) rows per group.
+   */
+  def cosineCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, planes: Int, tables: Int = 4,
+      seed: Long = 5L, maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val tbls = (0 until tables).map(t => struct(lit(t).as("tbl"),
+      Similarity.hyperplaneKey(col("v"), dim, planes, seed + t).as("bucket")))
+    val keyed = base
+      .select(col("id"), col("v"), explode(array(tbls: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val sizes = keyed.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("mid"))
+      .filter(col("n") > 1)
+    // the sizes join partitions by (tbl, bucket); the small-bucket
+    // group-by reuses that partitioning — one effective shuffle
+    val sized = keyed.join(sizes, Seq("tbl", "bucket"))
+    val smallPairs = sized.filter(col("n") <= maxBucket)
+      .groupBy("tbl", "bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("ids"))
+      .select(explode(unorderedPairs(col("ids"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.a.v").as("va"),
+        col("p.b.id").as("id_b"), col("p.b.v").as("vb"))
+    val minVecs = sized.filter(col("n") > maxBucket && col("id") === col("mid"))
+      .select(col("tbl"), col("bucket"), col("v").as("mv"))
+    val starPairs = sized.filter(col("n") > maxBucket && col("id") =!= col("mid"))
+      .join(minVecs, Seq("tbl", "bucket"))
+      .select(col("mid").as("id_a"), col("mv").as("va"),
+        col("id").as("id_b"), col("v").as("vb"))
+    smallPairs.union(starPairs)
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** SimHash width in bits: the low 48 of the 55-bit portable element
     * hash, so the four LSH chunks are even 12-bit bands. */
   val SimHashBits = 48
@@ -231,6 +287,12 @@ object Dedup {
       idB: String = "id_b", maxIter: Int = 20): DataFrame =
     connectedComponentsWithRounds(edges, idA, idB, maxIter)._1
 
+  /** Target edge rows per partition inside the CC loop. Label/edge
+    * frames carry 16-byte (long, long) rows, so 2M rows ≈ 32 MB —
+    * comfortable task size; at sf0.1 this coalesces the loop to ONE
+    * partition, cutting ~32 near-empty tasks per stage per round. */
+  private val CcRowsPerPartition = 2000000L
+
   /** [[connectedComponents]] plus the number of propagation rounds
     * executed (the last round is the no-change convergence probe). */
   def connectedComponentsWithRounds(edges: DataFrame, idA: String = "id_a",
@@ -238,10 +300,34 @@ object Dedup {
     // persist the edge list: every propagation round joins against it,
     // and without caching each round would recompute the entire
     // upstream candidate-pair pipeline (sketches included)
-    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+    val sym0 = edges
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(edges
+        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .persist()
+    // materialize the cache and size the loop's partitioning from the
+    // real row count: the upstream pipeline's partitioning (often
+    // shuffle.partitions × 2 from the union) is noise for the tiny
+    // (long, long) state the rounds iterate — a near-empty task per
+    // partition per stage per round is the dominant fixed cost at the
+    // low end, and the coalesce is free (narrow, reads cached blocks)
+    val nSym = sym0.count()
+    val symParts = math.max(1L, math.min(
+      InternalFrame.toInternalRdd(sym0).getNumPartitions.toLong,
+      nSym / CcRowsPerPartition + 1)).toInt
+    val sym = sym0.coalesce(symParts)
     val spark = sym.sparkSession
+    // Below ~16 partitions of state the loop's cost is pure overhead:
+    // AQE materializes every shuffle stage as its own job and replans
+    // between them (measured ~10 jobs/round on a 312-edge graph), which
+    // buys nothing when no stage could possibly skew. Run small loops
+    // with AQE off and the loop-sized partition count; large graphs
+    // keep AQE (runtime skew-split of hot components is exactly what a
+    // 100 TB near-dup graph needs). Conf changes are restored in
+    // `finally` — they are session-scoped, and the loop is synchronous.
+    val smallLoop = symParts < 16
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     // Each round MATERIALIZES its labels and truncates lineage. Without
     // truncation the doubling self-join doubles the logical plan every
     // round (2^rounds nodes by round 10), and `persist` would leave a
@@ -252,26 +338,37 @@ object Dedup {
     // iff any label changed (a long sum could overflow at extreme id
     // ranges). The sum is computed IN the materialization pass — one
     // Spark job per round, not materialize + aggregate — by persisting
-    // the row RDD and folding it; the returned frame is a LogicalRDD
-    // over those cached rows (no cache-manager entry; the final round's
-    // blocks are reclaimed by the ContextCleaner once the result frame
-    // is unreferenced). With a reliable checkpoint dir set (the
+    // the round's UNSAFE ROW bytes as-is (InternalFrame: no
+    // external-Row ser/deser of the whole label set per round) and
+    // folding it; the returned frame is a LogicalRDD over those cached
+    // rows (no cache-manager entry; the final round's blocks are
+    // reclaimed by the ContextCleaner once the result frame is
+    // unreferenced). With a reliable checkpoint dir set (the
     // fault-tolerant cluster path, GraphFrames-style) the same row RDD
     // is reliably checkpointed instead, and the PREVIOUS round's
     // snapshot is deleted as soon as the next is materialized.
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     var prevCheckpointFile: Option[String] = None
     def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
-      val rdd = df.rdd
+      // copy before retaining: shuffle readers recycle one UnsafeRow
+      val rdd = InternalFrame.toInternalRdd(df).map(_.copy())
       if (reliable) rdd.checkpoint()
       else rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = rdd.mapPartitions { it =>
+      // one pass folds BOTH the convergence sum and the row count (the
+      // count feeds honest LogicalRDD statistics so next round's joins
+      // broadcast the label frame at plan time when it is small,
+      // instead of planning a full shuffle-merge that AQE must demote)
+      val (s, cnt) = rdd.mapPartitions { it =>
         var acc = java.math.BigDecimal.ZERO
-        it.foreach(r =>
-          acc = acc.add(java.math.BigDecimal.valueOf(r.getAs[Number](1).longValue())))
-        Iterator.single(acc)
-      }.fold(java.math.BigDecimal.ZERO)(_.add(_)) // materializes (and checkpoints)
+        var n = 0L
+        it.foreach { r =>
+          acc = acc.add(java.math.BigDecimal.valueOf(r.getLong(1))); n += 1
+        }
+        Iterator.single((acc, n))
+      }.fold((java.math.BigDecimal.ZERO, 0L)) { case ((a, n), (b, m)) =>
+        (a.add(b), n + m)
+      } // materializes (and checkpoints)
       if (reliable) {
         // the previous round's snapshot is now unreachable — delete it,
         // or every round leaks one full label set to the checkpoint
@@ -287,23 +384,27 @@ object Dedup {
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         prevRdd = rdd
       }
-      (spark.createDataFrame(rdd, df.schema), s)
+      (InternalFrame.ofInternalRdd(df, rdd, rowCount = cnt, rowBytes = 24), s)
     }
+    if (smallLoop) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", symParts.toString)
+    }
+    try {
     var (labels, prevSum) = materializeWithSum(
       sym.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("component", "nbr_component"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("nbr_component").as("nbr_component"))
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
+      // min label over the CLOSED neighborhood: neighbors' labels
+      // unioned with the node's own row, one aggregate — the
+      // min-then-join-back formulation costs an extra shuffle
+      val neighborLabels = sym
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .select(col("src").as("id"), col("component"))
+      val propagated = neighborLabels.union(labels)
+        .groupBy("id").agg(min("component").as("component"))
       // pointer doubling: component := component(component). Every
       // label IS a node id present in `propagated` (labels are minima
       // over node ids), so the lookup hits; coalesce guards regardless.
@@ -318,8 +419,14 @@ object Dedup {
       prevSum = nextSum
       it += 1
     }
-    sym.unpersist()
+    sym0.unpersist()
     (labels, it)
+    } finally {
+      if (smallLoop) {
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
+    }
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */

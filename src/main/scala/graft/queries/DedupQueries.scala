@@ -226,23 +226,19 @@ object DedupQueries {
       "d08_semantic_dedup",
       (s, dir) => {
         // Composed SEMANTIC dedup at bucketed (not all-pairs) cost:
-        // embeddings -> hyperplane-LSH buckets -> in-bucket cosine >= τ
-        // pairs -> connected components -> survivor summary. The
-        // all-pairs cosine (d06's shape) is O(N²) at corpus scale; here
-        // candidates only form inside an equi-keyed bucket join — the
-        // same plan that runs at 100 TB. 6 planes / τ=0.3 suit the
-        // synthetic corpus (random embeddings have no 0.95-cosine dups).
-        import graft.ops.Similarity
+        // embeddings -> multi-table hyperplane-LSH -> bounded in-bucket
+        // cosine >= τ pairs -> connected components -> survivor
+        // summary. The all-pairs cosine (d06's shape) is O(N²) at
+        // corpus scale; `cosineCandidatePairs` forms candidates only
+        // inside equi-keyed bucket groups with count-and-split
+        // occupancy bounding — the same plan that runs at 100 TB.
+        // planes is the scaling knob (2^12 buckets/table here); 4
+        // tables buy back recall; τ=0.3 suits the synthetic corpus
+        // (random embeddings have no 0.95-cosine dups).
         val e = Tables(s, dir).embeddings
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val keyed = e.withColumn("bucket",
-          Similarity.hyperplaneKey(col("v"), dim = 64, planes = 6, seed = 5))
-        val pairs = keyed.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-          .join(keyed.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket")),
-            Seq("bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(Similarity.cosine(col("va"), col("vb")) >= 0.3)
-          .select("id_a", "id_b")
+        val pairs = cosineCandidatePairs(e, "vec_id", "v",
+          threshold = 0.3, dim = 64, planes = 12, tables = 4, seed = 5)
         val cc = connectedComponents(pairs)
         val removedDf = cc.agg(
           coalesce(sum(when(col("id") =!= col("component"), 1L).otherwise(0L)), lit(0L))
@@ -254,11 +250,14 @@ object DedupQueries {
       },
       Some(s"""WITH RECURSIVE e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |kb AS (SELECT vec_id, v,
-             |    ${OracleSql.hyperplaneBucket("v", dim = 64, planes = 6, seed = 5)} AS bucket
-             |  FROM e),
-             |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-             |  FROM kb a JOIN kb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |kb AS (
+             |  ${(0 until 4).map(t =>
+                  s"SELECT vec_id, v, $t AS tbl, " +
+                  OracleSql.hyperplaneBucket("v", dim = 64, planes = 12, seed = 5 + t) +
+                  " AS bucket FROM e").mkString("\n  UNION ALL\n  ")}),
+             |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM kb a JOIN kb b
+             |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
              |  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
              |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
              |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.3),

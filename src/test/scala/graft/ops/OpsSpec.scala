@@ -142,6 +142,34 @@ class DedupSpec extends SparkTestBase {
     assert(minHashCandidatePairs(small, "doc_id", "text").count() == 10L)
   }
 
+  test("cosineCandidatePairs bounds mass-duplicate buckets with a cosine-checked star") {
+    import spark.implicits._
+    val dim = 8
+    // 100 identical embeddings — every table puts them all in ONE
+    // bucket, far over the cap of 8; the streamed star must bound the
+    // expansion at n-1 pairs (not C(100,2) = 4950)
+    val dup = (0L until 100L).map(i => (i, Array.tabulate(dim)(d => 1.0 + d)))
+    // axis-aligned singletons (one per axis): pairwise cosine 0, never candidates
+    val others = (100L until 108L).map(i =>
+      (i, Array.tabulate(dim)(d => if (d == (i % dim).toInt) -5.0 else 0.0)))
+    // one genuine near-dup pair through the SMALL-bucket path, in an
+    // alternating-sign direction (cosine ≈ -0.1 to the dup block, so
+    // they can never pair with it)
+    val near = Seq(
+      (200L, Array.tabulate(dim)(d => if (d % 2 == 0) 3.0 else -3.0)),
+      (201L, Array.tabulate(dim)(d => (if (d % 2 == 0) 3.0 else -3.0) + 0.001 * d)))
+    val df = (dup ++ others ++ near).toDF("id", "v")
+    val pairs = cosineCandidatePairs(df, "id", "v", threshold = 0.9,
+      dim = dim, planes = 4, tables = 2, seed = 1, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starPairs = pairs.filter(_._2 < 100L)
+    assert(starPairs == (1L until 100L).map(x => (0L, x)).toSet,
+      s"oversized bucket must star to its min id (got ${starPairs.size} pairs)")
+    assert(pairs.contains((200L, 201L)), "small-bucket near-dup pair missed")
+    // no false positives: every other pair failed the exact cosine recheck
+    assert(pairs == starPairs + ((200L, 201L)), s"unexpected pairs: ${pairs -- starPairs - ((200L, 201L))}")
+  }
+
   test("jaccard matches hand computation") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
