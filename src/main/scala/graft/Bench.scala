@@ -30,15 +30,30 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    // Each query runs TWICE and reports the per-query MIN: single-shot
+    // timings on a shared machine are load noise (a round-3 artifact
+    // showed uniform 3-15x inflation on unchanged queries), and the min
+    // of two is the cheapest load-robust estimator. Failures are NOT
+    // silently swallowed into a fast-looking time — the error class is
+    // carried into an "errs" field so a broken query can't masquerade
+    // as a fast one.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): (Double, String) = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, null) }
+        catch { case e: Throwable =>
+          ((System.nanoTime() - t0) / 1e9, e.getClass.getSimpleName) }
+      }
+      val attempts = Seq.fill(math.max(1, runs))(once())
+      (name, attempts.map(_._1).min, attempts.flatMap(a => Option(a._2)).headOption)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$errs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: round 2's artifact lost its total to sbt log
     // truncation of the stdout tail. A file never truncates.

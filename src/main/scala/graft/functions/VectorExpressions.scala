@@ -110,6 +110,22 @@ object VectorExpressions {
     if (terms.length == 1) terms.head else least(terms: _*)
   }
 
+  /** KLL quantile-sketch estimates of a double column at the given
+    * cumulative probabilities, as one native aggregate with an
+    * O(k·log n)-double buffer (k=200 ≈ KBs at any input size) and
+    * level-wise partial merge — the mergeable-percentile shape for
+    * 100 TB corpus stats. Rank-accurate to ~1/k; arrival-order
+    * dependent, so spec-bounded rather than oracle-checked. */
+  def kllQuantiles(x: Column, probs: Seq[Double], k: Int = 200): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftshim.KllAgg(
+        ColumnBridge.expression(x),
+        org.apache.spark.sql.catalyst.expressions.Literal(k),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          probs.toArray,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+        .toAggregateExpression())
+
   /** Index of the nearest center (squared euclidean, ties → lowest
     * index) as one native codegen'd expression — the IVF assignment
     * path; the center matrix rides along as a referenced object. */

@@ -27,7 +27,10 @@ object BloomPrune {
       expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
-    probe.filter(mightContain(col(probeKey)))
+    // native probe expression: stays inside whole-stage codegen; a
+    // Scala UDF here boxes every probe-side key pre-shuffle
+    import org.apache.spark.sql.graftshim.{BloomMightContain, ColumnBridge}
+    probe.filter(ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(col(probeKey).cast("long")), bc)))
   }
 }

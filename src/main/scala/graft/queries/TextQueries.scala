@@ -237,6 +237,29 @@ object TextQueries {
              |GROUP BY 1, 2 ORDER BY exact_cnt DESC, bigram""".stripMargin)),
 
     Q(
+      "t12_quantile_sketch",
+      (s, dir) => {
+        // Mergeable KLL quantile sketch (k=200): per-language document-
+        // length percentiles next to the exact ones. The sketch buffer
+        // is O(k·log n) doubles per group with level-wise partial
+        // merge — q23's exact `percentile` sorts every row of the
+        // group, this ships kilobytes at 100 TB. Rows-only: compaction
+        // depends on arrival order, so no cross-engine oracle; the
+        // KllSpec asserts the rank-error bound against exact
+        // percentiles instead.
+        val lens = Tables(s, dir).documents
+          .select(col("lang"), length(col("text")).cast("double").as("len"))
+        lens.groupBy("lang")
+          .agg(graft.functions.VectorExpressions
+            .kllQuantiles(col("len"), Seq(0.25, 0.5, 0.75, 0.95)).as("qs"))
+          .select(col("lang"),
+            col("qs")(0).as("q25"), col("qs")(1).as("q50"),
+            col("qs")(2).as("q75"), col("qs")(3).as("q95"))
+          .orderBy("lang")
+      },
+      None),
+
+    Q(
       "t09_bm25",
       (s, dir) => {
         // BM25 retrieval (k1=1.2, b=0.75) for a fixed query over the

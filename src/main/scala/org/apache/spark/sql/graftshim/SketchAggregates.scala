@@ -411,3 +411,174 @@ case class CmsAgg(
     copy(hashExpr = newChildren(0), depthExpr = newChildren(1),
       widthExpr = newChildren(2), seedExpr = newChildren(3))
 }
+
+/**
+ * Mergeable KLL quantile-sketch state (Karnin–Lang–Liberty 2016, the
+ * simplified compactor-stack form): items at level i carry weight 2^i;
+ * a level over capacity sorts, keeps every other item (alternating
+ * offset) and promotes the survivors one level up. Capacities decay
+ * geometrically (ratio 2/3) below the top level, so total retained
+ * items are O(k·log(n/k)) and rank error is O(1/k) — the property that
+ * makes percentile aggregation shuffle kilobytes, not rows, at 100 TB.
+ */
+final class KllState(val k: Int) extends Serializable {
+  import scala.collection.mutable.ArrayBuffer
+  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+  var flip: Boolean = false // alternating compaction offset (debiases)
+
+  private def capacity(lvl: Int): Int =
+    math.max(KllState.MinCap,
+      math.ceil(k * math.pow(2.0 / 3.0, (levels.length - 1 - lvl).toDouble)).toInt)
+
+  private def totalItems: Int = { var s = 0; levels.foreach(s += _.length); s }
+  private def totalCap: Int = { var s = 0; var i = 0; while (i < levels.length) { s += capacity(i); i += 1 }; s }
+
+  def insert(x: Double): Unit = { levels(0) += x; compress() }
+
+  def mergeWith(other: KllState): Unit = {
+    while (levels.length < other.levels.length) levels += ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < other.levels.length) { levels(i) ++= other.levels(i); i += 1 }
+    flip ^= other.flip
+    compress()
+  }
+
+  def compress(): Unit = {
+    var guard = 0
+    while (totalItems > totalCap && guard < 64) {
+      // compact the LOWEST level over its capacity (cheapest sort, and
+      // low levels fill first); if none is over, capacities hold
+      var lvl = -1
+      var i = 0
+      while (lvl < 0 && i < levels.length) {
+        if (levels(i).length > capacity(i)) lvl = i
+        i += 1
+      }
+      if (lvl < 0) return
+      val sorted = levels(lvl).sorted
+      val offset = if (flip) 1 else 0
+      flip = !flip
+      if (lvl + 1 == levels.length) levels += ArrayBuffer.empty[Double]
+      var j = offset
+      while (j < sorted.length) { levels(lvl + 1) += sorted(j); j += 2 }
+      levels(lvl).clear()
+      guard += 1
+    }
+  }
+
+  /** Estimated values at the given cumulative probabilities. */
+  def quantiles(probs: Array[Double]): Array[Double] = {
+    val entries = ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < levels.length) {
+      levels(i).foreach(x => entries += ((x, 1L << i)))
+      i += 1
+    }
+    if (entries.isEmpty) return probs.map(_ => Double.NaN)
+    val sorted = entries.sortBy(_._1)
+    val w = sorted.iterator.map(_._2).sum
+    probs.map { q =>
+      val target = q * w
+      var cum = 0L
+      var idx = 0
+      while (idx < sorted.length - 1 && cum + sorted(idx)._2 < target) {
+        cum += sorted(idx)._2; idx += 1
+      }
+      sorted(idx)._1
+    }
+  }
+}
+
+object KllState {
+  val MinCap = 8
+}
+
+/**
+ * `graft_kll(x, k, probs)` — streaming/mergeable quantile estimates as
+ * ONE native aggregate: the buffer is a [[KllState]] compactor stack
+ * (O(k·log n) doubles, k=200 ≈ a few KB at any input size), partial
+ * buffers merge level-wise — percentiles over a group cost a bounded
+ * buffer per task where exact `percentile` sorts every row of the
+ * group. Estimates are rank-accurate to ~1/k; NOT oracle-reproducible
+ * (compaction depends on arrival order), so queries over it are
+ * rows-only checked and the error bound is spec-asserted instead.
+ */
+case class KllAgg(
+    xExpr: Expression,
+    kExpr: Expression,
+    probsExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllState] with ImplicitCastInputTypes {
+
+  private lazy val kParam: Int = {
+    require(kExpr.foldable, "k must be a literal")
+    val v = kExpr.eval().asInstanceOf[Int]
+    require(v >= 16 && v <= 65536, s"k must be in [16, 65536], got $v")
+    v
+  }
+  private lazy val probs: Array[Double] = {
+    require(probsExpr.foldable, "probs must be a literal array")
+    probsExpr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+  }
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, IntegerType, ArrayType(DoubleType))
+  override def children: Seq[Expression] = Seq(xExpr, kExpr, probsExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_kll"
+
+  override def createAggregationBuffer(): KllState = new KllState(kParam)
+
+  override def update(buffer: KllState, input: InternalRow): KllState = {
+    val x = xExpr.eval(input)
+    if (x != null) buffer.insert(x.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: KllState, other: KllState): KllState = {
+    buffer.mergeWith(other); buffer
+  }
+
+  override def eval(buffer: KllState): Any =
+    new GenericArrayData(buffer.quantiles(probs))
+
+  override def serialize(buffer: KllState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.k)
+    out.writeBoolean(buffer.flip)
+    out.writeInt(buffer.levels.length)
+    buffer.levels.foreach { lv =>
+      out.writeInt(lv.length)
+      lv.foreach(out.writeDouble)
+    }
+    out.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new KllState(in.readInt())
+    st.flip = in.readBoolean()
+    val nLevels = in.readInt()
+    while (st.levels.length < nLevels) st.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < nLevels) {
+      var n = in.readInt()
+      while (n > 0) { st.levels(i) += in.readDouble(); n -= 1 }
+      i += 1
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllAgg =
+    copy(xExpr = newChildren(0), kExpr = newChildren(1), probsExpr = newChildren(2))
+}

@@ -392,3 +392,38 @@ case class CellProbes(
     31 * (31 * child.hashCode() + nprobe) +
       centers.map(java.util.Arrays.hashCode).toSeq.hashCode()
 }
+
+/**
+ * Broadcast bloom-filter membership probe as a NATIVE expression: the
+ * filter rides as a broadcast HANDLE (bytes ship torrent-style once per
+ * executor, not inside the serialized plan) and the probe is one
+ * virtual call inside whole-stage codegen — the Scala-UDF formulation
+ * boxes every fact-table key into java.lang.Long on the hottest
+ * pre-shuffle path of a bloom semi-join.
+ */
+case class BloomMightContain(
+    child: Expression,
+    filter: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_bloom_might_contain"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override protected def nullSafeEval(k: Any): Any =
+    filter.value.mightContainLong(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, k => {
+      val self = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContain].getName)
+      s"${ev.value} = $self.evalContains($k);"
+    })
+
+  /** codegen entry point (public for the generated class). */
+  def evalContains(k: Long): Boolean = filter.value.mightContainLong(k)
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

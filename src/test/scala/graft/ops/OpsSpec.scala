@@ -212,6 +212,37 @@ class HllSpec extends SparkTestBase {
   }
 }
 
+class KllSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions.col
+
+  test("KLL quantile estimates stay within rank-error bound of exact") {
+    import spark.implicits._
+    // a shuffled 0..n-1 permutation: value == true rank, so the rank
+    // error of an estimate reads off directly; 16 partitions force
+    // partial-buffer merges through the whole level stack
+    val n = 60000
+    val xs = new scala.util.Random(7).shuffle((0 until n).toVector).map(_.toDouble)
+    val df = spark.sparkContext.parallelize(xs, 16).toDF("x")
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val est = df.agg(graft.functions.VectorExpressions
+      .kllQuantiles(col("x"), probs, k = 200).as("qs")).head().getSeq[Double](0)
+    probs.zip(est).foreach { case (q, e) =>
+      assert(math.abs(e / n - q) <= 0.02,
+        s"rank error over 2% at q=$q: estimate $e (true ${q * n})")
+    }
+  }
+
+  test("KLL is exact below the compaction threshold") {
+    import spark.implicits._
+    val df = (1 to 10).map(_.toDouble).toDF("x")
+    val est = df.agg(graft.functions.VectorExpressions
+      .kllQuantiles(col("x"), Seq(0.5), k = 200).as("qs")).head().getSeq[Double](0)
+    // 10 values all retained at level 0: the 0.5-quantile is the first
+    // value whose cumulative weight reaches 5 — exactly 5.0
+    assert(est.head == 5.0, s"expected exact median 5.0, got ${est.head}")
+  }
+}
+
 class CmsSpec extends SparkTestBase {
 
   test("CMS estimates are exact-or-over, and tight for heavy hitters") {
