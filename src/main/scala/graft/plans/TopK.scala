@@ -19,4 +19,18 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[Column], score: Column, tie: Column,
       k: Int): DataFrame =
     TopKPerGroupApi.perGroup(df, groupCols, score, tie, k)
+
+  /**
+   * Weighted-quota variant — the pretraining-mix primitive: keep
+   * `min(maxK, quota)` rows per group where `quota` is an integral
+   * column constant within its group (broadcast-join a model-sized
+   * quota table on the group key to attach it). Same two-heap-pass
+   * physical plan; the map-side pass already bounds each partition to
+   * the group's own quota, so the shuffle carries at most
+   * `partitions × Σ quota` rows. Null quota → `maxK`; quota <= 0 drops
+   * the group entirely.
+   */
+  def perGroupQuota(df: DataFrame, groupCols: Seq[Column], score: Column, tie: Column,
+      quota: Column, maxK: Int): DataFrame =
+    TopKPerGroupApi.perGroupQuota(df, groupCols, score, tie, quota, maxK)
 }

@@ -364,6 +364,37 @@ object TextQueries {
              |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin)),
 
     Q(
+      "p04_source_quota",
+      (s, dir) => {
+        // Per-source corpus quotas — the pretraining-mix primitive:
+        // each source contributes at most its own cap (a weighted mix,
+        // e.g. books oversampled vs. crawl), selected deterministically
+        // by the portable poly-hash. The quota table is model-sized and
+        // broadcast onto the corpus; selection runs through the native
+        // TopKPerGroup in quota mode, so the map-side heap pass bounds
+        // every partition to the group's own quota BEFORE the exchange
+        // — shuffle volume is O(partitions × Σ quota), not the corpus.
+        val quotas = s.createDataFrame(
+          (0 until 20).map(i => (s"src$i", 5 * (i % 4 + 1)))).toDF("source", "quota")
+        val d = Tables(s, dir).documents
+          .select(col("source"), col("doc_id"),
+            graft.functions.VectorExpressions.polyHash(col("text")).as("h"))
+          .join(broadcast(quotas), "source")
+        graft.plans.TopK.perGroupQuota(
+            d, Seq(col("source")), col("h"), col("doc_id"), col("quota"), maxK = 64)
+          .select("source", "doc_id")
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""WITH quotas(source, quota) AS (VALUES
+             |  ${(0 until 20).map(i => s"('src$i', ${5 * (i % 4 + 1)})").mkString(", ")}),
+             |ranked AS (SELECT d.source, d.doc_id, q.quota,
+             |    row_number() OVER (PARTITION BY d.source
+             |      ORDER BY ${OracleSql.polyFold("d.text")} DESC, d.doc_id) AS rn
+             |  FROM documents d JOIN quotas q ON d.source = q.source)
+             |SELECT source, doc_id FROM ranked
+             |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin)),
+
+    Q(
       "t06_fingerprint",
       (s, dir) => {
         Tables(s, dir).documents

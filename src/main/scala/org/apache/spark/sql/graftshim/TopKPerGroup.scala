@@ -35,7 +35,8 @@ case class TopKPerGroup(
     scoreExpr: Expression,
     tieExpr: Expression,
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    quotaExpr: Option[Expression] = None) extends UnaryNode {
   require(k >= 1, s"k must be >= 1, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -50,7 +51,7 @@ case class TopKPerGroup(
  */
 object CollapseTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case TopKPerGroup(g1, s1, t1, k1, TopKPerGroup(g2, s2, t2, k2, child))
+    case TopKPerGroup(g1, s1, t1, k1, TopKPerGroup(g2, s2, t2, k2, child, None), None)
         if g1.length == g2.length &&
           g1.zip(g2).forall { case (a, b) => a.semanticEquals(b) } &&
           s1.semanticEquals(s2) && t1.semanticEquals(t2) =>
@@ -137,9 +138,10 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
   * between them. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, s, t, k, child) =>
+    case TopKPerGroup(g, s, t, k, child, quota) =>
       TopKPerGroupExec(g, s, t, k, partial = false,
-        TopKPerGroupExec(g, s, t, k, partial = true, planLater(child))) :: Nil
+        TopKPerGroupExec(g, s, t, k, partial = true, planLater(child), quota),
+        quota) :: Nil
     case _ => Nil
   }
 }
@@ -179,7 +181,8 @@ private[graftshim] final class BoundedRowHeap(
     })
 
   def add(score: Any, tie: Any, row: => InternalRow): Unit = {
-    if (pq.size < k) pq.enqueue((score, tie, row))
+    if (k <= 0) () // zero-quota group: retain nothing
+    else if (pq.size < k) pq.enqueue((score, tie, row))
     else {
       val worst = pq.head
       val c = cmpScore(score, worst._1)
@@ -204,7 +207,8 @@ case class TopKPerGroupExec(
     tieExpr: Expression,
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    quotaExpr: Option[Expression] = None) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -224,11 +228,13 @@ case class TopKPerGroupExec(
     val scoreType = scoreExpr.dataType
     val tieType = tieExpr.dataType
     val kk = k
+    val qExpr = quotaExpr
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val score = BindReferences.bindReference(sExpr, childOutput)
       val tie = BindReferences.bindReference(tExpr, childOutput)
+      val quota = qExpr.map(BindReferences.bindReference(_, childOutput))
       val scoreOrd = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(scoreType)
       val tieOrd = org.apache.spark.sql.catalyst.util.TypeUtils
@@ -239,7 +245,21 @@ case class TopKPerGroupExec(
         val key = keyProj(row)
         var heap = groups.get(key)
         if (heap == null) {
-          heap = new BoundedRowHeap(kk, scoreOrd, tieOrd)
+          // Per-group capacity: min(k, quota(row)). The quota column is
+          // required to be group-constant (it is joined/derived from
+          // the group key), so evaluating it on the group's FIRST row
+          // is the group's quota; a null quota means "no per-group
+          // override" and falls back to k. Quota <= 0 keeps nothing.
+          val cap = quota match {
+            case Some(q) => q.eval(row) match {
+              case null => kk
+              case n: java.lang.Number => math.min(kk, n.intValue())
+              case other => throw new IllegalStateException(
+                s"non-numeric quota value: $other")
+            }
+            case None => kk
+          }
+          heap = new BoundedRowHeap(cap, scoreOrd, tieOrd)
           groups.put(key.copy(), heap)
         }
         // COPY evaluated values before retaining them: the input rows
@@ -276,14 +296,27 @@ object TopKPerGroupApi {
   }
 
   def perGroup(df: DataFrame, groupCols: Seq[Column], score: Column, tie: Column,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    build(df, groupCols, score, tie, k, quota = None)
+
+  /** Per-group data-driven capacity: keep `min(k, quota)` rows per
+    * group, where `quota` is an integral column CONSTANT WITHIN each
+    * group (typically broadcast-joined from a model-sized quota table
+    * keyed on the group columns). Null quota falls back to `k`;
+    * quota <= 0 drops the group. */
+  def perGroupQuota(df: DataFrame, groupCols: Seq[Column], score: Column, tie: Column,
+      quota: Column, maxK: Int): DataFrame =
+    build(df, groupCols, score, tie, maxK, quota = Some(quota))
+
+  private def build(df: DataFrame, groupCols: Seq[Column], score: Column, tie: Column,
+      k: Int, quota: Option[Column]): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     ensureInjected(spark)
     // Spark 4 Columns carry unresolved column nodes; resolve them by
     // analyzing a throwaway projection over the frame, then build the
     // node from the analyzed expressions (aliases unwrapped) against
     // that projection's child.
-    val probe = df.select(groupCols ++ Seq(score, tie): _*)
+    val probe = df.select(groupCols ++ Seq(score, tie) ++ quota.toSeq: _*)
       .queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
     val exprs = probe.projectList.map {
       case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
@@ -295,10 +328,17 @@ object TopKPerGroupApi {
     require(org.apache.spark.sql.catalyst.expressions.RowOrdering
       .isOrderable(exprs(groupCols.length + 1).dataType),
       s"TopK tie column must be orderable, got ${exprs(groupCols.length + 1).dataType}")
+    val quotaExpr = quota.map { _ =>
+      val e = exprs(groupCols.length + 2)
+      require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(e.dataType), s"TopK quota must be integral, got ${e.dataType}")
+      e
+    }
     classic.Dataset.ofRows(spark, TopKPerGroup(
       exprs.take(groupCols.length),
       exprs(groupCols.length),
       exprs(groupCols.length + 1),
-      k, probe.child))
+      k, probe.child, quotaExpr))
   }
 }

@@ -181,6 +181,54 @@ class TopKSpec extends SparkTestBase {
     }.isEmpty)
   }
 
+  test("perGroupQuota matches the window form with a per-group limit") {
+    import spark.implicits._
+    val df = sample()
+    // quota per group: g0..g12 -> 1..13, attached via broadcast join
+    val quotas = (0 until 13).map(i => (s"g$i", i + 1)).toDF("grp", "quota")
+    val joined = df.join(broadcast(quotas), "grp")
+    val got = TopK.perGroupQuota(joined, Seq(col("grp")), col("score"), col("id"),
+        col("quota"), maxK = 64)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = joined.withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= col("quota")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("perGroupQuota: zero quota drops the group, null quota falls back to maxK") {
+    import spark.implicits._
+    val df = sample()
+    // g0 gets quota 0 (dropped); g1 gets null (falls back to maxK=2);
+    // everything else quota 3
+    val quotas = Seq(("g0", Some(0)), ("g1", None)) ++
+      (2 until 13).map(i => (s"g$i", Some(3)))
+    val qdf = quotas.toDF("grp", "quota")
+    val joined = df.join(broadcast(qdf), "grp")
+    val got = TopK.perGroupQuota(joined, Seq(col("grp")), col("score"), col("id"),
+        col("quota"), maxK = 2)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("g0"), s"zero-quota group must vanish, got $got")
+    assert(got("g1") == 2L, s"null quota must fall back to maxK, got $got")
+    assert((2 until 13).forall(i => got(s"g$i") == 2L),
+      s"maxK must cap quotas above it, got $got") // min(maxK=2, quota=3) = 2
+  }
+
+  test("perGroupQuota partial pass bounds map-side output like the final") {
+    import spark.implicits._
+    val quotas = Seq(("a", 2), ("b", 5)).toDF("grp", "quota")
+    val df = spark.sparkContext.parallelize(
+      (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b", (i % 97).toDouble)), 8)
+      .toDF("id", "grp", "score")
+      .join(broadcast(quotas), "grp")
+    val out = TopK.perGroupQuota(df, Seq(col("grp")), col("score"), col("id"),
+        col("quota"), maxK = 64)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "b" -> 5L), s"got $out")
+  }
+
   test("physical plan is partial heap -> exchange -> final heap (map-side reduction)") {
     val df = sample()
     val plan = TopK.perGroup(df, Seq(col("grp")), col("score"), col("id"), k = 5)
