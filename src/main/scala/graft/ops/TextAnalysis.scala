@@ -167,4 +167,58 @@ object TextAnalysis {
     when(count <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), count), i => text.substr(i, lit(n))))
   }
+
+  /**
+   * Benchmark decontamination: ids of corpus documents sharing any word
+   * n-gram with the benchmark set — the standard pretraining hygiene
+   * pass (training text overlapping an eval suite inflates its score,
+   * so overlapping documents are dropped).
+   *
+   * Scale posture: eval benchmarks are tiny next to the corpus, so the
+   * benchmark's DISTINCT n-gram set is model-sized and BROADCAST; the
+   * corpus side is one narrow explode pass (doc_id + n-gram only, the
+   * n-gram built by codegen'd slice/concat, not an interpreted HOF)
+   * into a broadcast LEFT-SEMI probe — the corpus never shuffles, only
+   * the surviving contaminated ids do (for the distinct).
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def ngrams(df: DataFrame, keep: Column*): DataFrame = {
+      val positions = when(size(col("w")) >= n, sequence(lit(1), size(col("w")) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      df.select(keep :+ tokens(col(textCol)).as("w"): _*)
+        .select(keep :+ explode(positions).as("pos") :+ col("w"): _*)
+        .select(keep :+ concat_ws(" ", slice(col("w"), col("pos"), lit(n))).as("ngram"): _*)
+    }
+    val benchGrams = ngrams(benchmark).select("ngram").distinct()
+    ngrams(corpus, col(idCol))
+      .join(broadcast(benchGrams), Seq("ngram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Email-address pattern, identical under Java regex and RE2 (plain
+    * character classes, no backreferences). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+
+  /** ID-like digit-run pattern (4+ digits: phone fragments, SSN/account
+    * numbers, zip+4 — the usual scrub-list denominator). */
+  val DigitRunPattern = "[0-9][0-9][0-9][0-9]+"
+
+  /** Text with PII spans masked: emails → `<EMAIL>`, 4+-digit runs →
+    * `<NUM>`. Pure codegen'd `regexp_replace` — one narrow pass, no
+    * UDF; patterns are RE2-compatible so a DuckDB oracle replays them
+    * exactly (`regexp_replace(..., 'g')`). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      DigitRunPattern, "<NUM>")
+
+  /** Number of PII spans [[redactPii]] would mask: emails in the
+    * original text, plus digit runs AFTER email masking (a digit run
+    * inside an email is one email redaction, not two spans). */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(DigitRunPattern), lit(0)))).cast("int")
 }

@@ -395,6 +395,88 @@ object TextQueries {
              |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin)),
 
     Q(
+      "dc01_decontamination",
+      (s, dir) => {
+        // Benchmark decontamination: corpus docs sharing any word
+        // 4-gram with the "benchmark" slice (doc_id % 23 — standing in
+        // for an eval suite) are flagged for removal. The benchmark
+        // n-gram set is model-sized and broadcast; the corpus side is
+        // one narrow explode + left-semi probe — the corpus never
+        // shuffles, only the contaminated ids do.
+        val d = Tables(s, dir).documents
+        val bench = d.filter(col("doc_id") % 23 === 0)
+        val corpus = d.filter(col("doc_id") % 23 =!= 0)
+        decontaminate(corpus, bench, "doc_id", "text", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |ng AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 4 + 2),
+             |         i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ngram
+             |       FROM toks WHERE len(w) >= 4),
+             |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 23 = 0)
+             |SELECT DISTINCT n.doc_id FROM ng n JOIN bench b ON n.ngram = b.ngram
+             |WHERE n.doc_id % 23 <> 0 ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "t13_pii_redact",
+      (s, dir) => {
+        // PII scrubbing: emails -> <EMAIL>, 4+-digit runs -> <NUM>,
+        // as pure codegen'd regexp_replace (no UDF, one narrow pass).
+        // The synthetic corpus contains no PII by construction, so the
+        // oracle hash-checks ENGINE PARITY of the full redaction math
+        // (identical RE2/Java character-class patterns over every doc);
+        // behavior on planted emails/numbers is spec'd in PiiSpec.
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            piiCount(col("text")).as("n_pii"),
+            redactPii(col("text")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+             |    + len(regexp_extract_all(
+             |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+             |        '[0-9][0-9][0-9][0-9]+')) AS INT) AS n_pii,
+             |  regexp_replace(
+             |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+             |    '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "p05_sequence_packing",
+      (s, dir) => {
+        // Causal-LM sequence packing (concat-and-chunk): within each
+        // shard (= source), documents concatenate in doc_id order and
+        // cut every `budget` tokens; a doc spans chunks
+        // [floor(offset/budget), floor((offset+len-1)/budget)]. The
+        // running offset is a window PARTITIONED BY shard — packing
+        // parallelizes per shard, never a single global sort (the 100
+        // TB shape: one output shard per writer task).
+        val budget = 512
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables(s, dir).documents
+          .select(col("source"), col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            floor(col("off") / budget).cast("long").as("first_chunk"),
+            floor((col("off") + col("n_tokens") - 1) / budget).cast("long").as("last_chunk"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT source, doc_id, n_tokens,
+             |  CAST(floor(off / 512) AS BIGINT) AS first_chunk,
+             |  CAST(floor((off + n_tokens - 1) / 512) AS BIGINT) AS last_chunk
+             |FROM (SELECT source, doc_id,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |        coalesce(sum(len(string_split(text, ' '))) OVER (
+             |          PARTITION BY source ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |      FROM documents)
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    Q(
       "t06_fingerprint",
       (s, dir) => {
         Tables(s, dir).documents

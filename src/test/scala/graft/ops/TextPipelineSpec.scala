@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.TextAnalysis._
+
+/** Behavior specs for the corpus-pipeline text ops (decontamination,
+  * PII redaction, sequence packing) on planted inputs — the oracle
+  * checks engine parity on the synthetic corpus; these check the
+  * semantics the corpus can't exercise. */
+class TextPipelineSpec extends SparkTestBase {
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a quick brown fox jumps into view"), // shares "quick brown fox jumps"
+      (2L, "the lazy dog sleeps all day"),       // shares no 4-gram
+      (3L, "over the lazy dog and beyond"),      // shares "over the lazy dog"
+      (4L, "completely unrelated text here"),
+      (5L, "too short")                          // < n tokens
+    ).toDF("doc_id", "text")
+    val got = decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"got $got")
+  }
+
+  test("decontaminate broadcasts the benchmark n-gram side") {
+    import spark.implicits._
+    val bench = Seq((100L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val plan = decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
+  test("redactPii masks emails and digit runs; piiCount counts spans once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact john.doe+spam@mail-host.example.com today"),
+      (2L, "card 4111111111111111 pin 1234 ok 123"),  // two runs; 123 too short
+      (3L, "reach a1234@b.org or 5678"),              // digits inside email = 1 email + 1 run
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), redactPii(col("text")).as("r"),
+        piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) == ("contact <EMAIL> today", 1))
+    assert(got(2L) == ("card <NUM> pin <NUM> ok 123", 2))
+    assert(got(3L) == ("reach <EMAIL> or <NUM>", 2), s"got ${got(3L)}")
+    assert(got(4L) == ("nothing sensitive here", 0))
+  }
+
+  test("sequence packing: chunks are contiguous and capacity-exact per shard") {
+    import spark.implicits._
+    val budget = 10
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 60L).map { i =>
+      (s"shard${i % 3}", i, Seq.fill(1 + rnd.nextInt(7))("tok").mkString(" "))
+    }.toDF("source", "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val packed = docs
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n"), col("off"),
+        floor(col("off") / budget).cast("long").as("first_chunk"),
+        floor((col("off") + col("n") - 1) / budget).cast("long").as("last_chunk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    for ((src, rows) <- packed.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      // offsets are the exact running concatenation per shard
+      sorted.foldLeft(0L) { case (expect, (_, id, n, off, first, last)) =>
+        assert(off == expect, s"$src doc $id offset $off != $expect")
+        // chunk ids follow from the concat positions
+        assert(first == off / budget && last == (off + n - 1) / budget)
+        off + n
+      }
+      // every chunk boundary is crossed by exactly the doc spanning it
+      val total = sorted.map(_._3).sum
+      val lastChunk = sorted.last._6
+      assert(lastChunk == (total - 1) / budget)
+    }
+  }
+}
