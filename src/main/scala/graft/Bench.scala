@@ -48,18 +48,27 @@ object Bench {
       val attempts = Seq.fill(math.max(1, runs))(once())
       (name, attempts.map(_._1).min, attempts.flatMap(a => Option(a._2)).headOption)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$errs,"runs":$runs,"sf":"$sfDir"}"""
-    println(line)
+    def fmt(v: Double): String = f"$v%.3f"
+    def json(short: Boolean): String = {
+      // The driver captures only the last 2000 bytes of the sbt log: the
+      // round-4 artifact lost its parse because full query names at full
+      // double precision made the line ~2.4 KB. Stdout therefore uses the
+      // unique short prefix ("q01_pricing_summary" -> "q01") and millisecond
+      // precision (~1.3 KB); the file copy keeps full names.
+      def key(k: String) = if (short) k.takeWhile(_ != '_') else k
+      val qs = results.map { case (k, v, _) => "\"" + key(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, Some(e)) => "\"" + key(k) + "\":\"" + e + "\"" }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errs":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    }
+    println(json(short = true))
     // Durable copy: round 2's artifact lost its total to sbt log
     // truncation of the stdout tail. A file never truncates.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (json(short = false) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line already carries the result
     spark.stop()
   }
