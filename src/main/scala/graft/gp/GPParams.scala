@@ -34,8 +34,8 @@ trait GPFitParams extends Params {
     ParamValidators.gt(0))
   final val seed = new LongParam(this, "seed", "random seed")
   final val inducingStrategy = new Param[String](this, "inducingStrategy",
-    "inducing point selection: random | kmeans | greedy | greedy-likelihood",
-    ParamValidators.inArray(Array("random", "kmeans", "greedy", "greedy-likelihood")))
+    "inducing point selection: random | kmeans | greedy | greedy-likelihood | greedy-likelihood-full",
+    ParamValidators.inArray(Array("random", "kmeans", "greedy", "greedy-likelihood", "greedy-likelihood-full")))
   final val expertAssignment = new Param[String](this, "expertAssignment",
     "how rows become BCM experts: chunk (contiguous slices) | kmeans " +
       "(locality cells, tightest for the BCM factorization)",

@@ -138,24 +138,8 @@ object InducingPoints {
       var i = 0
       while (i < n) {
         if (!inActive.contains(i)) {
-          val c = kmn(::, i)
-          val pi = c dot (kinv * c)
-          val qi = c dot (binv * c)
-          val mui = c dot w
-          val li2 = kDiag(i) - pi
-          if (li2 > 1e-12) {
-            val li = math.sqrt(li2)
-            val r = sigma / li
-            val ksii = 1.0 / (r * r + 1.0 - qi)
-            if (ksii > 0) {
-              val kappai = ksii * (1.0 + 2.0 * r * r)
-              val resid = ys(i) - mui
-              val delta = -math.log(r) -
-                (math.log(ksii) + ksii * (1.0 - kappai) / sigma2 * resid * resid
-                  - kappai + 2.0) / 2.0
-              if (!delta.isNaN && delta > bestDelta) { bestDelta = delta; bestI = i }
-            }
-          }
+          val delta = seegerDelta(kmn(::, i), ys(i), kDiag(i), kinv, binv, w, sigma, sigma2)
+          if (delta > bestDelta) { bestDelta = delta; bestI = i }
         }
         i += 1
       }
@@ -164,6 +148,96 @@ object InducingPoints {
       inActive += bestI
     }
     active.map(xs).toArray
+  }
+
+  /** Seeger's one-candidate likelihood gain Δᵢ (shared by the sampled
+    * and the full-pool selector — identical math, different iteration).
+    * Returns -∞ for numerically saturated candidates. */
+  private def seegerDelta(c: breeze.linalg.DenseVector[Double], y: Double,
+      kDiagI: Double, kinv: breeze.linalg.DenseMatrix[Double],
+      binv: breeze.linalg.DenseMatrix[Double], w: breeze.linalg.DenseVector[Double],
+      sigma: Double, sigma2: Double): Double = {
+    val pi = c dot (kinv * c)
+    val qi = c dot (binv * c)
+    val mui = c dot w
+    val li2 = kDiagI - pi
+    if (li2 <= 1e-12) return Double.NegativeInfinity
+    val li = math.sqrt(li2)
+    val r = sigma / li
+    val ksii = 1.0 / (r * r + 1.0 - qi)
+    if (ksii <= 0) return Double.NegativeInfinity
+    val kappai = ksii * (1.0 + 2.0 * r * r)
+    val resid = y - mui
+    val delta = -math.log(r) -
+      (math.log(ksii) + ksii * (1.0 - kappai) / sigma2 * resid * resid
+        - kappai + 2.0) / 2.0
+    if (delta.isNaN) Double.NegativeInfinity else delta
+  }
+
+  /**
+   * Full-pool likelihood-greedy selection — the reference's exact
+   * semantics (ref `ActiveSetProvider.scala:63`: every candidate in the
+   * data is scored on every iteration), distributed instead of sampled.
+   *
+   * Per greedy step the active set's factorizations are model-sized
+   * (m×m), so they broadcast; the data-sized work is two narrow passes:
+   *  1. `treeAggregate` of M = Σᵢ cᵢcᵢᵀ (m×m) and v = Σᵢ cᵢyᵢ, where
+   *     cᵢ = k(Z, xᵢ) is computed row-locally against the broadcast
+   *     active inputs — the Σ that `likelihoodGreedy` forms as kmn·kmnᵀ
+   *     on its driver pool;
+   *  2. a map of every candidate to its Seeger Δᵢ and a max `reduce`.
+   * Total: O(m) scheduler rounds, shuffle-free, cost O(m·n·m) kernel
+   * evaluations — the reference's own complexity class. Use the sampled
+   * [[likelihoodGreedy]] (strategy `greedy-likelihood`) when selection
+   * quality per token matters more than fidelity; this variant
+   * (`greedy-likelihood-full`) when the selection must see every row.
+   */
+  def likelihoodGreedyFull(data: RDD[(Array[Double], Double)], m: Int, seed: Long,
+      fitted: graft.gp.kernel.Kernel): Array[Array[Double]] = {
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    val sc = data.sparkContext
+    val first = data.takeSample(withReplacement = false, 1, seed)
+    require(first.nonEmpty, "empty training set")
+    val sigma2 = math.max(fitted.noiseVar, 1e-12)
+    val sigma = math.sqrt(sigma2)
+    val active = scala.collection.mutable.ArrayBuffer[Array[Double]](first(0)._1)
+    var exhausted = false
+    while (active.size < m && !exhausted) {
+      val zx = active.toArray
+      val s = zx.length
+      val kmm = fitted.gram(new graft.gp.kernel.ExpertData(zx, new Array[Double](s)))
+      var d = 0
+      while (d < s) { kmm(d, d) += 1e-10 - fitted.noiseVar; d += 1 }
+      val bcZ = sc.broadcast(zx)
+      val bcK = sc.broadcast(fitted)
+      // pass 1: the active-set sufficient statistics over ALL rows
+      val (mAgg, vAgg) = data.treeAggregate((BDM.zeros[Double](s, s), BDV.zeros[Double](s)))(
+        seqOp = { case ((mm, vv), (x, y)) =>
+          val c = bcK.value.cross(bcZ.value, Array(x))(::, 0)
+          (mm += c * c.t, vv += c * y)
+        },
+        combOp = { case ((m1, v1), (m2, v2)) => (m1 += m2, v1 += v2) })
+      val b = (kmm *:* sigma2) + mAgg
+      val lmm = GPCore.cholOrThrow(kmm)
+      val lb = GPCore.cholOrThrow(b)
+      val w = LinAlg.cholSolve(lb, vAgg)
+      val kinv = LinAlg.cholInverse(lmm)
+      val binv = LinAlg.cholInverse(lb)
+      val bcScore = sc.broadcast((kinv, binv, w))
+      // pass 2: score every candidate, keep the argmax. Already-active
+      // points score -∞ through the li² guard (pi saturates kDiag).
+      val best = data.map { case (x, y) =>
+        val (ki, bi, ww) = bcScore.value
+        val kern = bcK.value
+        val c = kern.cross(bcZ.value, Array(x))(::, 0)
+        val kd = kern.self(x) - kern.noiseVar
+        (seegerDelta(c, y, kd, ki, bi, ww, sigma, sigma2), x)
+      }.reduce((a, b) => if (a._1 >= b._1) a else b)
+      if (best._1 == Double.NegativeInfinity) exhausted = true
+      else active += best._2
+      bcZ.destroy(); bcK.destroy(); bcScore.destroy()
+    }
+    active.take(m).toArray
   }
 
   def select(strategy: String, spark: SparkSession, points: RDD[Array[Double]],
@@ -181,6 +255,7 @@ object InducingPoints {
       data: RDD[(Array[Double], Double)], m: Int, seed: Long,
       fitted: graft.gp.kernel.Kernel): Array[Array[Double]] = strategy match {
     case "greedy-likelihood" => likelihoodGreedy(data, m, seed, fitted)
+    case "greedy-likelihood-full" => likelihoodGreedyFull(data, m, seed, fitted)
     case other => select(other, spark, data.map(_._1), m, seed)
   }
 }

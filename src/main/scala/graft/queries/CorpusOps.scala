@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/**
+ * Corpus-curation operators round 5: TF-IDF salient terms, n-gram
+ * repetition scoring, a Gopher-style composite quality gate, and a
+ * deterministic hash-based train/val/test split. All four are standard
+ * pretraining-pipeline primitives over the `documents` table.
+ */
+object CorpusOps {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "t14_tfidf_terms",
+      (s, dir) => {
+        // Top-3 salient terms per document by smoothed TF-IDF. Scores
+        // are quantized to integer 1e-4 units BEFORE ranking so the
+        // DuckDB oracle ranks identical integers (ln() may differ by an
+        // ulp between libm and Math.log; at 1e4 granularity a boundary
+        // flip needs a ~1e-9 coincidence — the same precision t09's BM25
+        // scores have used safely). df is corpus-vocabulary-sized, so it
+        // stays a shuffle join (NOT broadcast: vocabulary at 100 TB is
+        // hundreds of millions of terms); the per-doc top-k runs through
+        // the native TopKPerGroup operator, so the final shuffle carries
+        // 3 rows per (partition, doc), not the full scored term list.
+        val docs = Tables(s, dir).documents
+        val nDocs = docs.count()
+        val tfc = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tfc.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tfc.join(dfreq, "term")
+          .select(col("doc_id"), col("term"),
+            floor(col("tf") * (log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+              * lit(1e4) + lit(0.5)).cast("long").as("tfidf_u"))
+        graft.plans.TopK.perGroup(scored, Seq(col("doc_id")), col("tfidf_u"), col("term"), k = 3)
+          .select("doc_id", "term", "tfidf_u")
+          .orderBy(col("doc_id"), col("tfidf_u").desc, col("term"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tfc AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (SELECT doc_id, term,
+             |    CAST(floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1e4 + 0.5) AS BIGINT) AS tfidf_u
+             |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tfidf_u
+             |FROM (SELECT doc_id, term, tfidf_u,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_u DESC, term) AS rn
+             |      FROM scored)
+             |WHERE rn <= 3 ORDER BY doc_id, tfidf_u DESC, term""".stripMargin)),
+
+    Q(
+      "t15_repetition_score",
+      (s, dir) => {
+        // Word-trigram uniqueness — the C4/Gopher repetition signal:
+        // heavily templated or looping documents have a low distinct/
+        // total trigram ratio. Same narrow positional-explode shape as
+        // t04 (no interpreted HOF lambda, no token shuffle); the only
+        // exchange is the per-doc partial aggregate.
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 3)
+        toks
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(1), size(col("w")) - 2)).as("i"))
+          .select(col("doc_id"), concat_ws(" ",
+            element_at(col("w"), col("i")),
+            element_at(col("w"), col("i") + 1),
+            element_at(col("w"), col("i") + 2)).as("tri"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trigrams"), countDistinct(col("tri")).as("uniq"))
+          .select(col("doc_id"), col("n_trigrams"),
+            fround(lit(1.0) - col("uniq").cast("double") / col("n_trigrams"), 4).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+             |  floor((1.0 - count(DISTINCT tri) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
+             |FROM tri GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "t16_quality_gate",
+      (s, dir) => {
+        // Composite Gopher-style quality gate: token-count band, alpha
+        // character ratio, and minimum stopword evidence, evaluated in
+        // one narrow codegen'd pass (no joins, no shuffle until the
+        // final order). `passes` is INT 0/1 so both engines hash the
+        // same primitive.
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        Tables(s, dir).documents
+          .select(
+            col("doc_id"),
+            nTok.as("n_tokens"),
+            fround(alphaRatio, 4).as("alpha_ratio"),
+            stopHits.as("stop_hits"),
+            (nTok.between(10, 100000) && alphaRatio >= 0.6 && stopHits >= lit(2))
+              .cast("int").as("passes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  floor((length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+             |    / length(text) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    x -> x IN ('the','a','of','and','to','in','is','it'))) AS INT) AS stop_hits,
+             |  CAST(len(string_split(text, ' ')) BETWEEN 10 AND 100000
+             |    AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+             |      / length(text) >= 0.6
+             |    AND len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2 AS INT) AS passes
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "p06_hash_split",
+      (s, dir) => {
+        // Deterministic train/val/test assignment by md5 of the stable
+        // document id — the standard reproducible-split primitive: any
+        // engine (and any rerun at any scale) assigns each id the same
+        // split, with no rand() and no global shuffle. 256 hex buckets:
+        // < 'cd' (204) train ~80%, < 'e6' (230) val ~10%, rest test.
+        val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            when(bucket < "cd", "train").when(bucket < "e6", "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+}

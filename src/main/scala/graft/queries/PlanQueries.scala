@@ -34,6 +34,28 @@ object PlanQueries {
              |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
 
     Q(
+      "k02_salted_join",
+      (s, dir) => {
+        // Skew-salted fact⋈dim join: the big side's rows are spread
+        // over `salt` sub-keys and the small side is replicated once
+        // per sub-key, so one hot order key becomes 8 evenly-sized
+        // shuffle partitions instead of one straggler task. Result is
+        // identical to the plain join (oracle below IS the plain join).
+        val t = Tables(s, dir)
+        val big = t.lineitem.select(col("l_orderkey").as("orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        val small = t.orders.select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+        graft.ops.Skew.saltedJoin(big, small, "orderkey", salt = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), fround(sum(col("rev")), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q(
       "q08_market_share",
       (s, dir) => {
         // TPC-H Q8 shape: NATION_3's share of ECONOMY-part volume sold

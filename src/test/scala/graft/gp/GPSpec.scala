@@ -153,6 +153,51 @@ class GPSpec extends SparkTestBase {
     assert(rmseGreedy < 0.15, s"rmse=$rmseGreedy")
   }
 
+  test("full-pool likelihood-greedy is deterministic and beats random at equal m") {
+    import spark.implicits._
+    // Direct selection: same seed must reproduce the identical set (the
+    // scoring pass is a commutative max-reduce, so partitioning must not
+    // leak into the selection).
+    val rnd = new scala.util.Random(13)
+    val small = Seq.tabulate(200) { _ =>
+      val x = rnd.nextDouble() * 4.0
+      (Array(x), math.sin(2.0 * x) + 0.05 * rnd.nextGaussian())
+    }
+    val rdd = spark.sparkContext.parallelize(small, 8)
+    val kern = 1.0 * rbf(0.7) + white(1e-3)
+    val z1 = InducingPoints.likelihoodGreedyFull(rdd, 8, seed = 5L, kern)
+    val z2 = InducingPoints.likelihoodGreedyFull(rdd, 8, seed = 5L, kern)
+    assert(z1.length == 8)
+    assert(z1.map(_.toSeq).toSeq == z2.map(_.toSeq).toSeq)
+    assert(z1.map(_.toSeq).distinct.length == 8, "selected points must be distinct")
+
+    // Same uneven-density scenario as the sampled variant: scoring every
+    // candidate every step must still favor the sparse wiggly region.
+    val rnd2 = new scala.util.Random(31)
+    val data =
+      Seq.tabulate(360) { _ =>
+        val x = rnd2.nextDouble() * 3.0
+        (Array(x), 0.1 * x + 0.02 * rnd2.nextGaussian())
+      } ++ Seq.tabulate(40) { _ =>
+        val x = 3.0 + rnd2.nextDouble() * 1.5
+        (Array(x), math.sin(4.0 * x) + 0.02 * rnd2.nextGaussian())
+      }
+    val df = data.toDF("features", "label")
+    def fitWith(strategy: String): Double = {
+      val model = new GPRegressor()
+        .setKernel(() => 1.0 * rbf(0.5))
+        .setNoise(1e-3).setExpertSize(80).setInducingSize(10)
+        .setInducingStrategy(strategy).setMaxIter(25)
+        .fit(df)
+      math.sqrt(model.transform(df)
+        .select(avg(pow(col("prediction") - col("label"), 2))).head().getDouble(0))
+    }
+    val rmseFull = fitWith("greedy-likelihood-full")
+    assert(rmseFull <= fitWith("random"),
+      s"full-pool likelihood-greedy rmse=$rmseFull should beat random")
+    assert(rmseFull < 0.15, s"rmse=$rmseFull")
+  }
+
   test("GPRegressor with greedy inducing strategy trains end-to-end") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
