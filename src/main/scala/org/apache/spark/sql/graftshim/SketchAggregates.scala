@@ -491,6 +491,36 @@ final class KllState(val k: Int) extends Serializable {
 
 object KllState {
   val MinCap = 8
+
+  /** Byte form shared by the aggregate buffer and streaming state. */
+  def toBytes(st: KllState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(st.k)
+    out.writeBoolean(st.flip)
+    out.writeInt(st.levels.length)
+    st.levels.foreach { lv =>
+      out.writeInt(lv.length)
+      lv.foreach(out.writeDouble)
+    }
+    out.close()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): KllState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new KllState(in.readInt())
+    st.flip = in.readBoolean()
+    val nLevels = in.readInt()
+    while (st.levels.length < nLevels) st.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < nLevels) {
+      var n = in.readInt()
+      while (n > 0) { st.levels(i) += in.readDouble(); n -= 1 }
+      i += 1
+    }
+    st
+  }
 }
 
 /**
@@ -545,34 +575,9 @@ case class KllAgg(
   override def eval(buffer: KllState): Any =
     new GenericArrayData(buffer.quantiles(probs))
 
-  override def serialize(buffer: KllState): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buffer.k)
-    out.writeBoolean(buffer.flip)
-    out.writeInt(buffer.levels.length)
-    buffer.levels.foreach { lv =>
-      out.writeInt(lv.length)
-      lv.foreach(out.writeDouble)
-    }
-    out.close()
-    bos.toByteArray
-  }
+  override def serialize(buffer: KllState): Array[Byte] = KllState.toBytes(buffer)
 
-  override def deserialize(bytes: Array[Byte]): KllState = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val st = new KllState(in.readInt())
-    st.flip = in.readBoolean()
-    val nLevels = in.readInt()
-    while (st.levels.length < nLevels) st.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
-    var i = 0
-    while (i < nLevels) {
-      var n = in.readInt()
-      while (n > 0) { st.levels(i) += in.readDouble(); n -= 1 }
-      i += 1
-    }
-    st
-  }
+  override def deserialize(bytes: Array[Byte]): KllState = KllState.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllAgg =
     copy(mutableAggBufferOffset = newOffset)
