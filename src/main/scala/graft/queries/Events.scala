@@ -91,6 +91,44 @@ object Events {
              |ORDER BY event_id""".stripMargin)),
 
     Q(
+      "e06_attribution",
+      (s, dir) => {
+        // Last-touch attribution: each purchase credits the same user's
+        // LATEST click no older than one hour. The as-of op does the
+        // matching in one shuffle (its tolerance nulls stale clicks); the
+        // day rollup is tie-robust — equal-timestamp click ties change
+        // which click id matches, never whether/how much revenue counts.
+        val t = Tables(s, dir)
+        val purchases = t.events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val clicks = t.events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id"), tolerance = Some(lit(3600L)))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            sum(when(col("click_id").isNotNull, 1).otherwise(0)).cast("long").as("n_attributed"),
+            fround(sum(when(col("click_id").isNotNull, col("value")).otherwise(lit(0.0))), 2)
+              .as("rev_attributed"))
+          .orderBy("day")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+             |           WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+             |      WHERE event_type = 'click')
+             |SELECT CAST(ts AS DATE) AS day,
+             |  count(*) AS n_purchases,
+             |  CAST(sum(CASE WHEN click_id IS NOT NULL
+             |                 AND date_diff('second', cts, ts) <= 3600
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+             |  floor(sum(CASE WHEN click_id IS NOT NULL
+             |                  AND date_diff('second', cts, ts) <= 3600
+             |                 THEN value ELSE 0.0 END) * 100.0 + 0.5) / 100.0 AS rev_attributed
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+             |GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    Q(
       "e05_retention_cohorts",
       (s, dir) => {
         // Cohort retention: users grouped by first-activity day, distinct

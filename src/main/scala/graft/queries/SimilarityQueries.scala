@@ -148,6 +148,50 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a06_centroid_classify",
+      (s, dir) => {
+        // Nearest-centroid (Rocchio) classification — the embedding-space
+        // assignment primitive (one k-means E-step): per-label centroids
+        // from ONE posexplode + (label, dim) aggregate, re-assembled into
+        // model-sized arrays and broadcast; assignment is a narrow pass of
+        // the corpus against the broadcast centroid table through the
+        // native cosine + TopKPerGroup(k=1). Cosines are quantized to
+        // integer 1e-4 units before the argmax so DuckDB ranks identical
+        // keys (centroid sums differ by summation-order ulps).
+        val e = Tables(s, dir).embeddings
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cents = e
+          .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("clabel", "pos").agg(avg("x").as("cx"))
+          .groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            p => p.getField("cx")).as("cv"))
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            floor(graft.ops.Similarity.cosine(col("v"), col("cv")) * 1e4 + 0.5)
+              .cast("long").as("cos_u"))
+        graft.plans.TopK.perGroup(scored, Seq(col("vec_id")), col("cos_u"), col("clabel"), k = 1)
+          .select(col("vec_id"), col("label"), col("clabel").as("pred"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |expl AS (SELECT label AS clabel, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+             |cvec AS (SELECT clabel, list(cx ORDER BY pos) AS cv
+             |  FROM (SELECT clabel, pos, avg(x) AS cx FROM expl GROUP BY 1, 2)
+             |  GROUP BY clabel),
+             |scored AS (SELECT e.vec_id, e.label, c.clabel,
+             |    CAST(floor(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1] * p[2]))
+             |      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) * 1e4 + 0.5) AS BIGINT) AS cos_u
+             |  FROM e CROSS JOIN cvec c)
+             |SELECT vec_id, label, clabel AS pred
+             |FROM (SELECT vec_id, label, clabel,
+             |        row_number() OVER (PARTITION BY vec_id ORDER BY cos_u DESC, clabel) AS rn
+             |      FROM scored)
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // nprobe 6/16: the synthetic embeddings are near-uniform on the
