@@ -124,6 +124,56 @@ object CorpusOps {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "p07_pretrain_pipeline",
+      (s, dir) => {
+        // End-to-end pretraining-prep capstone composing the curation
+        // stages: quality gate (t16's predicate) → exact dedup (first
+        // doc_id per identical text wins) → deterministic split (p06's
+        // buckets) → per-(split, lang) corpus accounting. Every stage is
+        // a narrow map or a key-local aggregate; nothing materializes
+        // between stages — one Catalyst plan end to end.
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        Tables(s, dir).documents
+          .filter(nTok.between(10, 100000) && alphaRatio >= 0.6 && stopHits >= lit(2))
+          .groupBy(col("text"))
+          .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+          .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"), col("text"))
+          .select(
+            when(bucket < "cd", "train").when(bucket < "e6", "val")
+              .otherwise("test").as("split"),
+            col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("long").as("total_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH gated AS (SELECT * FROM documents
+             |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000
+             |    AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+             |      / length(text) >= 0.6
+             |    AND len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2),
+             |deduped AS (SELECT min(doc_id) AS doc_id,
+             |    min_by(lang, doc_id) AS lang, text
+             |  FROM gated GROUP BY text),
+             |labeled AS (SELECT
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    lang, len(string_split(text, ' ')) AS n_tokens
+             |  FROM deduped)
+             |SELECT split, lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+             |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin)),
+
+    Q(
       "p06_hash_split",
       (s, dir) => {
         // Deterministic train/val/test assignment by md5 of the stable
