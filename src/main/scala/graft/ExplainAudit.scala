@@ -12,7 +12,9 @@ object ExplainAudit {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
-        "q02_revenue_forecast", "d03_minhash_pairs", "a01_knn_bruteforce")
+        "q02_revenue_forecast", "d03_minhash_pairs", "a01_knn_bruteforce",
+        "d08_semantic_dedup", "t14_tfidf_terms", "a06_centroid_classify",
+        "k02_salted_join", "p07_pretrain_pipeline")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

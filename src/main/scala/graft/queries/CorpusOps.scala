@@ -124,6 +124,40 @@ object CorpusOps {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "t17_unigram_logprob",
+      (s, dir) => {
+        // CCNet-style LM quality proxy: average corpus-unigram log
+        // probability per document (templated/common text scores high,
+        // noise scores low). Per-TERM logprobs are quantized to integer
+        // 1e-6-nat units BEFORE the per-doc sum, so the sum is exact in
+        // any aggregation order and both engines divide the same exact
+        // integers at the end; the unigram table is vocabulary-sized and
+        // stays a shuffle join (same posture as t14's df).
+        val docs = Tables(s, dir).documents
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val total = toks.count()
+        val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        toks.join(cnt, "term")
+          .select(col("doc_id"),
+            floor(log(col("c").cast("double") / lit(total.toDouble)) * 1e6 + 0.5)
+              .cast("long").as("lp_u"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("lp_u").as("s"))
+          .select(col("doc_id"), col("n_tokens"),
+            fround(col("s").cast("double") / lit(1e6) / col("n_tokens"), 4).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+             |n AS (SELECT count(*) AS total FROM toks),
+             |tok_lp AS (SELECT doc_id,
+             |    CAST(floor(ln(c * 1.0 / total) * 1e6 + 0.5) AS BIGINT) AS lp_u
+             |  FROM toks JOIN cnt USING (term) CROSS JOIN n)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  floor(CAST(sum(lp_u) AS DOUBLE) / 1e6 / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+             |FROM tok_lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "p07_pretrain_pipeline",
       (s, dir) => {
         // End-to-end pretraining-prep capstone composing the curation
