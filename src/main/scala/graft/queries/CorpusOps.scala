@@ -135,11 +135,14 @@ object CorpusOps {
         // stays a shuffle join (same posture as t14's df).
         val docs = Tables(s, dir).documents
         val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        val total = toks.count()
         val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
-        toks.join(cnt, "term")
+        // corpus total derives from the unigram table (term-cardinality
+        // input), broadcast as a 1-row frame — NOT a second full explode
+        // scan of the corpus
+        val totals = cnt.agg(sum("c").cast("double").as("total"))
+        toks.join(cnt, "term").crossJoin(broadcast(totals))
           .select(col("doc_id"),
-            floor(log(col("c").cast("double") / lit(total.toDouble)) * 1e6 + 0.5)
+            floor(log(col("c").cast("double") / col("total")) * 1e6 + 0.5)
               .cast("long").as("lp_u"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("lp_u").as("s"))
