@@ -66,16 +66,17 @@ object AsOfStream {
   final case class Match(key: Long, probe_id: Long, ts_micros: Long,
       ref_ts_micros: Option[Long], ref_payload: Option[Double])
 
-  /** Match one probe time against the sorted ref buffer (latest ≤ t). */
+  /** Match one probe time against the sorted ref buffer (latest ≤ t,
+    * and — when a tolerance is set — no older than `tolMicros`). */
   private def matchProbe(key: Long, probeId: Long, t: Long,
-      refT: Array[Long], refP: Array[Double]): Match = {
+      refT: Array[Long], refP: Array[Double], tolMicros: Long): Match = {
     var lo = 0; var hi = refT.length - 1; var best = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
       if (refT(mid) <= t) { best = mid; lo = mid + 1 }
       else hi = mid - 1
     }
-    if (best < 0) Match(key, probeId, t, None, None)
+    if (best < 0 || t - refT(best) > tolMicros) Match(key, probeId, t, None, None)
     else Match(key, probeId, t, Some(refT(best)), Some(refP(best)))
   }
 
@@ -89,8 +90,12 @@ object AsOfStream {
     else st.copy(refTimes = st.refTimes.drop(cut), refPayloads = st.refPayloads.drop(cut))
   }
 
+  /** @param toleranceSec max probe.ts − ref.ts; older references are
+    *        nulled out (same contract as the batch op's `tolerance`) */
   def asofJoin(probes: Dataset[Probe], refs: Dataset[Ref],
-      watermark: String = "1 hour", emitFinal: Boolean = false): Dataset[Match] = {
+      watermark: String = "1 hour", emitFinal: Boolean = false,
+      toleranceSec: Option[Long] = None): Dataset[Match] = {
+    val tolMicros = toleranceSec.map(_ * 1000000L).getOrElse(Long.MaxValue)
     implicit val tagEnc = Encoders.product[Tagged]
     implicit val stEnc = Encoders.product[AsOfState]
     implicit val outEnc = Encoders.product[Match]
@@ -136,7 +141,7 @@ object AsOfStream {
             if (emitFinal) all.partition(_._1 < horizonMicros)
             else (all, Array.empty[(Long, Long)])
           val out = ready.iterator.map { case (t, id) =>
-            matchProbe(key, id, t, st1.refTimes, st1.refPayloads)
+            matchProbe(key, id, t, st1.refTimes, st1.refPayloads, tolMicros)
           }.toVector
 
           // 3. prune refs and write back (or expire). A timeout only

@@ -49,6 +49,30 @@ class AsOfStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("tolerance nulls out stale references, matching the batch contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[Probe]
+    val refs = MemoryStream[Ref]
+    val query = asofJoin(probes.toDS(), refs.toDS(), toleranceSec = Some(5 * 60L))
+      .writeStream.format("memory").queryName("asoftol").outputMode("append").start()
+    try {
+      refs.addData(Ref(1, ts(0), 100.0), Ref(1, ts(12), 112.0))
+      probes.addData(
+        Probe(1, ts(4), 41L),   // 4 min after :00 ref -> within tolerance
+        Probe(1, ts(9), 42L),   // 9 min after :00 ref -> stale, null match
+        Probe(1, ts(12), 43L),  // exactly at :12 ref -> within
+        Probe(1, ts(17), 44L))  // 5 min after :12 -> boundary, within
+      query.processAllAvailable()
+      val got = spark.table("asoftol")
+        .as[Match].collect().map(m => m.probe_id -> m.ref_payload).toMap
+      assert(got(41L) == Some(100.0))
+      assert(got(42L) == None, "match older than the tolerance must be nulled")
+      assert(got(43L) == Some(112.0))
+      assert(got(44L) == Some(112.0))
+    } finally query.stop()
+  }
+
   test("reference buffer prunes below the watermark but keeps the newest usable ref") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
