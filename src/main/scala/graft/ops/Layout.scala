@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Physical-layout helpers for 100 TB table design:
@@ -12,8 +13,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *   would shuffle 100 TB per query becomes a local zip of buckets.
  * - **Partitioning** prunes whole directories at planning time; a
  *   predicate on the partition column never touches excluded files.
+ * - **Z-ordering** clusters rows so that every file covers a small
+ *   hyper-rectangle of SEVERAL columns at once: parquet min/max stats
+ *   then skip most files for predicates on ANY of the z columns —
+ *   the multi-column analogue of sorting, for scans too big to read.
  */
 object Layout {
+
+  /**
+   * Bit-interleaved Z-value of `cols`, each linearly binned into
+   * 2^`bits` buckets over its caller-supplied [lo, hi] range (layout
+   * jobs know their column ranges; out-of-range values clamp to the
+   * edge bins). Pure codegen'd arithmetic — shifts and ORs — so the
+   * z-computation adds one narrow projection to the write.
+   */
+  def zValue(cols: Seq[(Column, Double, Double)], bits: Int = 10): Column = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    require(bits >= 1 && bits * cols.length <= 62,
+      s"bits ($bits) x columns (${cols.length}) must fit a long")
+    val n = cols.length
+    val top = (1 << bits) - 1
+    val bins = cols.map { case (c, lo, hi) =>
+      require(hi > lo, s"invalid range [$lo, $hi]")
+      least(lit(top), greatest(lit(0),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(1 << bits)).cast("int")))
+    }
+    var z: Column = lit(0L)
+    for (b <- 0 until bits; i <- 0 until n) {
+      val bit = shiftright(bins(i), b).bitwiseAND(lit(1)).cast("long")
+      z = z.bitwiseOR(shiftleft(bit, b * n + i))
+    }
+    z
+  }
+
+  /**
+   * Write `df` z-ordered on `cols` into `files` parquet files: range
+   * partition on the z-value (each output file owns one contiguous
+   * z-curve segment = one small multi-column bounding box), sort within
+   * partitions so row groups inherit the same locality, drop the helper
+   * column. One exchange total — the same cost as any clustered write.
+   */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[(String, Double, Double)],
+      files: Int, bits: Int = 10): Unit = {
+    df.withColumn("__z", zValue(cols.map { case (c, lo, hi) => (col(c), lo, hi) }, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Write `df` as a bucketed+sorted managed parquet table. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,

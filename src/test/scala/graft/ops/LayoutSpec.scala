@@ -61,4 +61,57 @@ class LayoutSpec extends SparkTestBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("zValue interleaves binned bits exactly") {
+    import spark.implicits._
+    def refZ(xs: Seq[Double], ranges: Seq[(Double, Double)], bits: Int): Long = {
+      val bins = xs.zip(ranges).map { case (v, (lo, hi)) =>
+        math.min((1 << bits) - 1,
+          math.max(0, math.floor((v - lo) / (hi - lo) * (1 << bits)).toInt))
+      }
+      var z = 0L
+      for (b <- 0 until bits; i <- bins.indices)
+        z |= ((bins(i) >> b) & 1L) << (b * bins.length + i)
+      z
+    }
+    val pts = Seq((0.0, 0.0), (99.99, 99.99), (12.3, 87.6), (50.0, 50.0),
+      (-5.0, 105.0) /* clamps */ )
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(Seq((col("x"), 0.0, 100.0), (col("y"), 0.0, 100.0)), bits = 8))
+      .collect().map(_.getLong(0))
+    val want = pts.map { case (x, y) => refZ(Seq(x, y), Seq((0.0, 100.0), (0.0, 100.0)), 8) }
+    assert(got.toSeq == want)
+  }
+
+  test("z-ordered files cover small multi-column bounding boxes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.fill(8192)((rnd.nextDouble() * 100.0, rnd.nextDouble() * 100.0))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    try {
+      Layout.writeZOrdered(pts, s"$dir/z", Seq(("x", 0.0, 100.0), ("y", 0.0, 100.0)),
+        files = 16)
+      pts.repartition(16).write.parquet(s"$dir/r") // round-robin baseline
+      def avgBoxArea(path: String): Double = {
+        val boxes = spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg((max("x") - min("x")) * (max("y") - min("y")))
+          .collect().map(_.getDouble(1))
+        boxes.sum / boxes.length
+      }
+      val zArea = avgBoxArea(s"$dir/z")
+      val rArea = avgBoxArea(s"$dir/r")
+      // 16 z-curve segments of a uniform square ≈ 1/16 of the area each;
+      // round-robin files each span essentially the whole square. The
+      // factor-4 bar leaves room for curve-seam files that straddle
+      // quadrants — if clustering broke, zArea ≈ rArea and this fails.
+      assert(zArea < rArea / 4.0,
+        s"z-order avg bbox area $zArea not < 1/4 of round-robin $rArea")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
