@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.ops.TextAnalysis
 
@@ -35,4 +35,29 @@ object CorpusStream {
     docs.filter(
       TextAnalysis.tokenCount(col("text")) >= minTokens &&
         TextAnalysis.stopwordRatio(col("text")) <= maxStopRatio)
+
+  /** Deterministic md5 train/val/test assignment — the p06 buckets,
+    * stateless, so the same doc_id lands in the same split whether it
+    * arrives on the stream or in a batch backfill. */
+  def withSplit(docs: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    docs.withColumn("split",
+      when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+  }
+
+  /**
+   * Streaming twin of the p07 capstone: gate → watermarked exact dedup
+   * → split assignment → running per-(split) doc/token accounting.
+   * Run with OutputMode.Update; state = the dedup keys inside the
+   * watermark horizon plus three running-count rows.
+   */
+  def prepPipeline(docs: Dataset[Doc], watermark: String = "1 hour",
+      minTokens: Int = 20, maxStopRatio: Double = 0.3): DataFrame = {
+    val gated = qualityGate(docs.toDF(), minTokens, maxStopRatio)
+      .as[Doc](docs.encoder)
+    withSplit(dedupStream(gated, watermark).toDF())
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
 import graft.streaming.CorpusStream._
@@ -33,6 +34,41 @@ class CorpusStreamSpec extends SparkTestBase {
       assert(texts.toSeq == Seq("alpha beta", "epsilon zeta", "gamma delta"))
       val keptIds = spark.table("dedup").as[Doc].collect().map(_.doc_id).toSet
       assert(!keptIds.contains(4L), "cross-batch duplicate must be dropped")
+    } finally query.stop()
+  }
+
+  test("streaming prep pipeline matches the batch gate+dedup+split accounting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val query = prepPipeline(input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("prep").outputMode("update").start()
+    try {
+      def doc(id: Long, m: Int, words: Int): Doc =
+        Doc(id, ts(m), Seq.fill(words)(s"w$id").mkString(" ")) // unique text per id
+      input.addData(doc(1, 0, 25), doc(2, 1, 30), Doc(3, ts(2), "too short"))
+      query.processAllAvailable()
+      input.addData(Doc(4, ts(5), Seq.fill(25)("w1").mkString(" ")), // dup of doc 1's text
+        doc(5, 6, 40))
+      query.processAllAvailable()
+
+      // batch reference over the union of all arrivals
+      val all = Seq(doc(1, 0, 25), doc(2, 1, 30), Doc(3, ts(2), "too short"),
+        Doc(4, ts(5), Seq.fill(25)("w1").mkString(" ")), doc(5, 6, 40)).toDF()
+      val expected = CorpusStream.withSplit(
+          CorpusStream.qualityGate(all)
+            .groupBy("text").agg(min("doc_id").as("doc_id"))
+            .select(col("doc_id"), col("text")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+      // last update per split is the running total
+      val got = spark.table("prep")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      assert(got == expected, s"got $got expected $expected")
     } finally query.stop()
   }
 
