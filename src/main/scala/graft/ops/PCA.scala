@@ -1,0 +1,92 @@
+package graft.ops
+
+import breeze.linalg.{eigSym, DenseMatrix => BDM, DenseVector => BDV}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed PCA over an embedding column (`array<float|double>`) —
+ * the whitening / dimension-reduction step an embedding pipeline runs
+ * before cosine dedup or ANN indexing.
+ *
+ * Scale posture: fitting is ONE `treeAggregate` of the sufficient
+ * moments (n, Σx, Σxxᵀ) — a d + d² accumulator (d=64 → ~33 KB) merged
+ * map-side, no row leaves its partition — followed by a driver-side
+ * eigendecomposition of the d×d covariance (microseconds; a
+ * distributed eigensolver for d ≤ a few thousand is scheduler overhead,
+ * the same argument as the IVF quantizer). Projection broadcasts the
+ * k×d component matrix and is a narrow codegen-friendly map.
+ */
+object PCA {
+
+  /** Principal components, largest variance first; `components(i)` is a
+    * unit d-vector, sign-fixed so each component's largest-|coefficient|
+    * entry is positive (eigenvectors are sign-ambiguous; fixing makes
+    * fits reproducible run-to-run and engine-to-engine). */
+  final case class PCAModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      variance: Array[Double]) {
+    def k: Int = components.length
+    def d: Int = mean.length
+  }
+
+  /** Fit a k-component PCA on `vecCol`. One pass, one job. */
+  def fit(df: DataFrame, vecCol: String, k: Int): PCAModel = {
+    val rows = df.select(col(vecCol).cast("array<double>")).na.drop()
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val d = rows.first().length
+    require(k >= 1 && k <= d, s"k=$k must be in [1, $d]")
+    val (n, sx, sxx) = rows.treeAggregate(
+      (0L, new Array[Double](d), new Array[Double](d * d)))(
+      seqOp = { case ((cnt, s, ss), x) =>
+        var i = 0
+        while (i < d) {
+          s(i) += x(i)
+          var j = 0
+          val row = i * d
+          while (j < d) { ss(row + j) += x(i) * x(j); j += 1 }
+          i += 1
+        }
+        (cnt + 1L, s, ss)
+      },
+      combOp = { case ((n1, s1, ss1), (n2, s2, ss2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < d * d) { ss1(i) += ss2(i); i += 1 }
+        (n1 + n2, s1, ss1)
+      })
+    require(n > 1, "PCA needs at least 2 rows")
+    val mean = sx.map(_ / n)
+    val cov = BDM.tabulate(d, d) { (i, j) =>
+      (sxx(i * d + j) - n * mean(i) * mean(j)) / (n - 1.0)
+    }
+    val es = eigSym(cov) // ascending eigenvalues
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
+    val comps = order.map { i =>
+      val v = es.eigenvectors(::, i).toArray
+      val m = v.indices.maxBy(j => math.abs(v(j)))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    PCAModel(mean, comps, order.map(i => math.max(es.eigenvalues(i), 0.0)).toArray)
+  }
+
+  /** Projection column: the centered input dotted with each component —
+    * `array<double>` of length k. Each coordinate is ONE native codegen'd
+    * dot against a literal component vector (dot(x−m, w) = dot(x, w) −
+    * m·w, with m·w folded to a plan constant); the model ships as plan
+    * literals, like the LSH hyperplanes. */
+  def projectColumn(vec: Column, model: PCAModel): Column = {
+    val v = vec.cast("array<double>")
+    array(model.components.map { comp =>
+      val offset = comp.zip(model.mean).map { case (w, m) => w * m }.sum
+      graft.functions.VectorExpressions.dot(v, typedlit(comp.toSeq)) - lit(offset)
+    }.toIndexedSeq: _*)
+  }
+
+  /** `df` plus `outCol` with the k-dim projection of `vecCol`. */
+  def transform(df: DataFrame, vecCol: String, model: PCAModel,
+      outCol: String = "pca"): DataFrame =
+    df.withColumn(outCol, projectColumn(col(vecCol), model))
+}

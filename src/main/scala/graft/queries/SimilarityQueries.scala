@@ -192,6 +192,26 @@ object SimilarityQueries {
              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
     Q(
+      "a07_pca_project",
+      (s, dir) => {
+        // Whitening-style reduction of the embedding table: fit 4
+        // components (one treeAggregate + driver eigen), project every
+        // vector through native dot expressions. Rows-only by design:
+        // eigenvectors are not SQL-expressible; PcaSpec pins the math
+        // (orthonormality, driver-reference agreement, partition
+        // invariance).
+        val e = Tables(s, dir).embeddings
+        val model = graft.ops.PCA.fit(e, "embedding", k = 4)
+        graft.ops.PCA.transform(e, "embedding", model, "p")
+          .select(col("vec_id"), col("label"),
+            fround(element_at(col("p"), 1), 4).as("p1"),
+            fround(element_at(col("p"), 2), 4).as("p2"),
+            fround(element_at(col("p"), 3), 4).as("p3"),
+            fround(element_at(col("p"), 4), 4).as("p4"))
+          .orderBy("vec_id")
+      }),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // nprobe 6/16: the synthetic embeddings are near-uniform on the
