@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cms"),
       info("graft_cms", "_FUNC_(h, depth, width, seed) - Count-Min sketch aggregate"),
       GraftExtensions.cmsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll"),
+      info("graft_kll", "_FUNC_(x, k, probs) - KLL quantile-sketch aggregate"),
+      GraftExtensions.kllBuilder))
   }
 }
 
@@ -114,6 +118,13 @@ object GraftExtensions {
     org.apache.spark.sql.graftshim.CmsAgg(children(0), children(1), children(2), children(3))
   }
 
+  private[spark] val kllBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_kll requires exactly 3 arguments (x, k, probs), got ${children.length}")
+    org.apache.spark.sql.graftshim.KllAgg(children(0), children(1), children(2))
+  }
+
   /** Idempotently register the graft_* SQL functions on a LIVE session
     * (for sessions built without `spark.sql.extensions`). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -136,5 +147,7 @@ object GraftExtensions {
       hllBuilder)
     register(spark, "graft_cms", "_FUNC_(h, depth, width, seed) - Count-Min sketch",
       cmsBuilder)
+    register(spark, "graft_kll", "_FUNC_(x, k, probs) - KLL quantile sketch",
+      kllBuilder)
   }
 }

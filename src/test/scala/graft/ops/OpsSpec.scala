@@ -287,6 +287,12 @@ class SimilaritySpec extends SparkTestBase {
     val viaSql = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0)
     assert(math.abs(viaSql - 11.0) < 1e-12)
+
+    // every sketch aggregate is reachable from plain SQL, kll included
+    val kllSql = spark.range(1, 1001)
+      .selectExpr("graft_kll(CAST(id AS DOUBLE), 200, array(0.5d)) AS q")
+      .selectExpr("q[0]").head().getDouble(0)
+    assert(math.abs(kllSql - 500.0) <= 1000 * 0.02, s"median via SQL was $kllSql")
   }
 
   test("graft_topk aggregate survives partial aggregation and breaks ties by id") {
