@@ -211,6 +211,39 @@ object CorpusOps {
              |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin)),
 
     Q(
+      "p08_weighted_sample",
+      (s, dir) => {
+        // Deterministic weighted sampling without replacement (Efraimidis–
+        // Spirakis A-ES): each doc gets key ln(u)/w with u from the
+        // portable md5 hash (salted so p06's split buckets don't correlate)
+        // and w = n_chars; the global top-100 keys ARE a weighted sample.
+        // One narrow pass + the native TopK heap — the shuffle carries
+        // 100 rows per partition, reproducible on any engine, any rerun,
+        // any scale (the per-row key is pure hash arithmetic).
+        val h = graft.functions.VectorExpressions.md5Hash52(
+          concat(lit("p08:"), col("doc_id").cast("string")))
+        val keyed = Tables(s, dir).documents
+          .select(col("doc_id"), col("n_chars"),
+            (log((h + lit(1)).cast("double") / lit(4503599627370496.0))
+              / col("n_chars")).as("k"))
+        graft.plans.TopK.perGroup(keyed, Seq.empty, col("k"), col("doc_id"), k = 100)
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""WITH keyed AS (SELECT doc_id, n_chars,
+             |    ln((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(13), j ->
+             |          CAST(strpos('0123456789abcdef',
+             |            substr(md5('p08:' || CAST(doc_id AS VARCHAR)), j + 1, 1)) - 1 AS BIGINT))),
+             |        (a, c) -> a * 16 + c) + 1.0) / 4503599627370496.0) / n_chars AS k
+             |  FROM documents)
+             |SELECT doc_id, n_chars
+             |FROM (SELECT doc_id, n_chars,
+             |        row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+             |      FROM keyed)
+             |WHERE rn <= 100 ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "p06_hash_split",
       (s, dir) => {
         // Deterministic train/val/test assignment by md5 of the stable

@@ -48,6 +48,17 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(a.exceptAll(run("p06_hash_split")).isEmpty)
   }
 
+  test("p08: weighted sample is exhaustive-size, deterministic, and biased to weight") {
+    val sample = run("p08_weighted_sample")
+    assert(sample.count() == 100)
+    assert(sample.exceptAll(run("p08_weighted_sample")).isEmpty)
+    val sampleMean = sample.agg(avg("n_chars")).head().getDouble(0)
+    val corpusMean = graft.tables.Tables(spark, dir).documents
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean n_chars $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("k02: salted join equals the plain join") {
     val t = graft.tables.Tables(spark, dir)
     val plain = t.lineitem
