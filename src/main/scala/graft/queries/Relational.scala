@@ -404,6 +404,53 @@ object Relational {
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
     Q(
+      "g04_pivot",
+      (s, dir) => {
+        // PIVOT: per-source doc counts spread across one column per
+        // language. The value list is explicit (Spark then skips its
+        // distinct-discovery pass — the form that scales: an implicit
+        // pivot first scans the corpus for distinct keys), and the
+        // oracle is the portable conditional-aggregation equivalent.
+        Tables(s, dir).documents
+          .groupBy("source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q(
+      "g05_unpivot",
+      (s, dir) => {
+        // UNPIVOT (melt): the wide per-priority order counts fold back
+        // into (status, priority, cnt) rows via the native unpivot node
+        // — the inverse reshaping, one narrow pass over the wide frame.
+        val wide = Tables(s, dir).orders
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+        wide.unpivot(
+            Array(col("o_orderstatus")),
+            Array(col("`1-URGENT`"), col("`2-HIGH`"), col("`3-MEDIUM`"),
+              col("`4-NOT SPECIFIED`"), col("`5-LOW`")),
+            "priority", "cnt")
+          .filter(col("cnt") > 0) // fill(0) pads combos the oracle's GROUP BY never emits
+          .orderBy("o_orderstatus", "priority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority AS priority,
+             |  count(*) AS cnt
+             |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, priority""".stripMargin)),
+
+    Q(
       "g02_cube",
       (s, dir) => {
         val t = Tables(s, dir)
