@@ -199,6 +199,35 @@ object Windows {
              |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin)),
 
     Q(
+      "w06_gap_fill",
+      (s, dir) => {
+        // Calendar gap-fill (time-series densification): a sparse daily
+        // revenue series (one user cohort's purchases) left-joined onto
+        // the dense day range so missing days surface as explicit 0s —
+        // the standard pre-step for window math over time series. The
+        // calendar derives from a 1-row min/max aggregate (days-sized,
+        // broadcast); nothing data-sized shuffles twice.
+        val t = Tables(s, dir)
+        val daily = t.events
+          .filter(col("event_type") === "purchase" && pmod(col("user_id"), lit(500)) === 0)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum("value").as("rev"))
+        val calendar = daily.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        calendar.join(daily, Seq("day"), "left")
+          .select(col("day"), fround(coalesce(col("rev"), lit(0.0)), 2).as("rev"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS rev
+             |  FROM events WHERE event_type = 'purchase' AND user_id % 500 = 0
+             |  GROUP BY 1),
+             |cal AS (SELECT CAST(unnest(generate_series(
+             |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+             |    INTERVAL 1 DAY)) AS DATE) AS day)
+             |SELECT day, floor(coalesce(rev, 0.0) * 100.0 + 0.5) / 100.0 AS rev
+             |FROM cal LEFT JOIN daily USING (day) ORDER BY day""".stripMargin)),
+
+    Q(
       "w03_lag_delta",
       (s, dir) => {
         val t = Tables(s, dir)
