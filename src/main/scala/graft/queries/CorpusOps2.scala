@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/**
+ * Corpus-curation operators round 5 (second pack): exact long-span
+ * duplication census (the Lee et al. 2021 "Deduplicating Training Data"
+ * signal), temperature-scaled language mixing (the multilingual
+ * pretraining sampling rule), and incremental snapshot deduplication
+ * (the daily-ingest pattern: dedup a new batch against the existing
+ * corpus without rereading it into one giant groupBy).
+ */
+object CorpusOps2 {
+
+  /** Canonical normalization shared with t08/dc02 (lowercase, strip
+    * non-alphanumerics, collapse space runs, trim). */
+  private def normText = trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "d09_span_dedup",
+      (s, dir) => {
+        // Exact long-span duplication (Lee et al. 2021): a document
+        // containing any 6-token window that also appears in ANOTHER
+        // document carries memorizable boilerplate. Windows assemble by
+        // positional explode + element_at (t15's narrow shape — no token
+        // shuffle, no interpreted HOF), and each window is reduced to
+        // the engine-portable 52-bit md5 hash BEFORE the shuffle, so the
+        // exchange carries (hash, doc_id) pairs — never window text.
+        // At 100 TB this is the standard suffix-hash approximation of
+        // suffix-array substring dedup: fixed shuffle width per window,
+        // census join keyed on the hash. Output: per-doc span counts for
+        // every doc sharing at least one span.
+        val w = 6
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= w)
+        val spans = toks
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")) - (w - 1))).as("i"))
+          .select(col("doc_id"),
+            graft.functions.VectorExpressions.md5Hash52(concat_ws(" ",
+              (0 until w).map(j => element_at(col("t"), col("i") + lit(j))): _*)).as("h"))
+          .distinct()
+        // (doc, span-hash) pairs are distinct, so count(*) per hash is
+        // the distinct-document census for that span
+        val census = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+        spans.join(census, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .where(col("n_shared") > 0)
+          .select("doc_id", "n_spans", "n_shared")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 6),
+             |spans AS (SELECT DISTINCT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(array_to_string(t[i:i+5], ' ')), j + 1, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) AS h
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i FROM toks)),
+             |census AS (SELECT h, count(*) AS nd FROM spans GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+             |FROM spans JOIN census USING (h)
+             |GROUP BY doc_id
+             |HAVING sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "p09_temperature_mix",
+      (s, dir) => {
+        // Temperature-scaled language mixing (the multilingual
+        // pretraining sampling rule, T=2 i.e. alpha=1/2): language l
+        // gets mass p_l ∝ count_l^alpha, so low-resource languages are
+        // up-sampled relative to their share. Each doc keeps
+        // deterministically iff its salted portable hash falls under the
+        // per-language threshold floor(min(1, N·p_l/c_l)·2^52) — pure
+        // per-row hash arithmetic (reruns/backfills/engines agree), no
+        // rand(), no global shuffle; the per-language thresholds are a
+        // model-sized broadcast. A threshold ulp wobble (sqrt-sum order)
+        // only flips a doc whose 52-bit hash EQUALS the boundary integer
+        // — ~n/2^52 odds. Output: per-language census of the mix.
+        val docs = Tables(s, dir).documents
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        val z = counts.agg(sum(sqrt(col("c"))).as("z"))
+        val probs = counts.crossJoin(z)
+          .select(col("lang"), col("c"),
+            floor(least(lit(1.0), lit(200.0) * (sqrt(col("c")) / col("z")) / col("c"))
+              * lit(4503599627370496.0)).cast("long").as("thr"))
+        val h = graft.functions.VectorExpressions.md5Hash52(
+          concat(lit("p09:"), col("doc_id").cast("string")))
+        val kept = docs.join(broadcast(probs.select("lang", "thr")), "lang")
+          .where(h < col("thr"))
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        probs.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("c").as("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+             |z AS (SELECT sum(sqrt(c)) AS z FROM counts),
+             |probs AS (SELECT lang, c,
+             |    CAST(floor(least(1.0, 200.0 * (sqrt(c) / z) / c)
+             |      * 4503599627370496.0) AS BIGINT) AS thr
+             |  FROM counts CROSS JOIN z),
+             |kept AS (SELECT d.lang FROM documents d JOIN probs p USING (lang)
+             |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('p09:' || CAST(d.doc_id AS VARCHAR)), j + 1, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) < p.thr)
+             |SELECT p.lang, p.c AS n_docs, CAST(coalesce(k.n, 0) AS BIGINT) AS n_kept
+             |FROM probs p LEFT JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY 1) k
+             |  USING (lang)
+             |ORDER BY p.lang""".stripMargin)),
+
+    Q(
+      "dc02_incremental_dedup",
+      (s, dir) => {
+        // Incremental snapshot dedup — the daily-ingest pattern: a new
+        // batch (here doc_id % 5 = 0, a deterministic 20% slice) is
+        // deduped within itself AND against the existing corpus, which
+        // is never re-deduped. Both sides reduce to md5(normalized text)
+        // BEFORE the shuffle, so the anti-join exchanges 32-hex keys,
+        // never documents; at 100 TB both snapshots live bucketed by
+        // this key (ops/Layout), making the anti-join exchange-free, and
+        // a broadcast bloom of the batch keys (ops/BloomPrune, batch ≪
+        // corpus) prunes the corpus scan to near-misses first.
+        val keyed = Tables(s, dir).documents
+          .select(col("doc_id"), md5(normText.cast("binary")).as("k"))
+        val old = keyed.where(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select("k").distinct()
+        val batch = keyed.where(pmod(col("doc_id"), lit(5)) === 0)
+          .groupBy("k").agg(min("doc_id").as("doc_id"))
+        batch.join(old, Seq("k"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH keyed AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |      '  +', ' ', 'g'))) AS k
+             |  FROM documents),
+             |old AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 5 <> 0),
+             |batch AS (SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id % 5 = 0
+             |  GROUP BY k)
+             |SELECT doc_id FROM batch WHERE k NOT IN (SELECT k FROM old)
+             |ORDER BY doc_id""".stripMargin)))
+}

@@ -21,6 +21,7 @@ object Q {
   def all: Seq[Q] =
     Relational.queries ++ Relational2.queries ++ Windows.queries ++ Windows2.queries ++
       Events.queries ++
-      TextQueries.queries ++ CorpusOps.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      TextQueries.queries ++ CorpusOps.queries ++ CorpusOps2.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries ++
       GPQueries.queries ++ MultimodalQueries.queries ++ PlanQueries.queries
 }
