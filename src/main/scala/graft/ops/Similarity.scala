@@ -136,6 +136,50 @@ object Similarity {
         col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
   }
 
+  /**
+   * DISTRIBUTED Lloyd k-means over the FULL corpus — the semantic-
+   * clustering primitive (corpus balancing, cluster-census curation)
+   * where cluster shape must reflect all the data, complementing
+   * `knnIvf`'s bounded-sample driver Lloyd (which only needs the coarse
+   * shape). Per iteration: assignment is ONE narrow codegen'd pass
+   * (native `CellArgmin` against broadcast centers — no corpus×k join),
+   * update is a (cell, dim) aggregate whose result is k×d rows — model-
+   * sized however large the corpus — collected and rebroadcast.
+   *
+   * Determinism: init = the first k vectors by id; each updated
+   * coordinate is quantized to 1/`quant` units BEFORE becoming the next
+   * round's center, so summation-order ulps (Spark vs any oracle engine,
+   * run vs run) cannot leak into the next assignment — an assignment
+   * flip would need a true mean within ~1e-16 of a quantization
+   * boundary. Empty cells keep their previous center.
+   */
+  def kmeansFitDistributed(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, quant: Double = 1e6): Array[Array[Double]] = {
+    import graft.functions.VectorExpressions.cellArgmin
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    var centers = vecs.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centers.length == k, s"corpus has fewer than $k vectors")
+    var it = 0
+    while (it < iters) {
+      val upd = vecs
+        .select(cellArgmin(col("v"), centers).as("cell"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg((floor(avg("x") * quant + lit(0.5)) / quant).as("q"))
+        .collect()
+      val next = centers.map(_.clone)
+      upd.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val arr = new Array[Double](centers(0).length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        next(cell) = arr
+      }
+      centers = next
+      it += 1
+    }
+    centers
+  }
+
   /** Driver-side Lloyd k-means for model-sized samples: deterministic
     * seeded init (distinct sample rows), empty cells keep their center. */
   private[ops] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int,

@@ -212,6 +212,65 @@ object SimilarityQueries {
       }),
 
     Q(
+      "a08_kmeans",
+      (s, dir) => {
+        // Distributed k-means fit over the FULL embedding corpus (2
+        // Lloyd iterations, k=4, init = first 4 vectors by id) + final
+        // cluster census — the semantic-clustering primitive for corpus
+        // balancing. Every iteration is one narrow assignment pass
+        // (native CellArgmin, broadcast centers) + one (cell, dim)
+        // aggregate collecting k×d rows; coordinates quantize to 1e-6
+        // BEFORE re-broadcast, so the oracle's unrolled-CTE replay (avg
+        // summation order and all) assigns identically. id_sum is an
+        // exact-integer fingerprint of the final assignment.
+        import graft.functions.VectorExpressions.cellArgmin
+        val emb = Tables(s, dir).embeddings
+        val centers = graft.ops.Similarity.kmeansFitDistributed(
+          emb, "vec_id", "embedding", k = 4, iters = 2)
+        emb.select(col("vec_id"),
+          cellArgmin(col("embedding").cast("array<double>"), centers).as("cell"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_points"), sum("vec_id").as("id_sum"))
+          .orderBy("cell")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, v AS ctr
+             |       FROM e WHERE vec_id < 4),
+             |a1 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT e.vec_id, e.v, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (e.v[i+1]-c.ctr[i+1])*(e.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+             |c1 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a1)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c1f AS (SELECT c0.cell, coalesce(c1.ctr, c0.ctr) AS ctr
+             |        FROM c0 LEFT JOIN c1 USING (cell)),
+             |a2 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT e.vec_id, e.v, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (e.v[i+1]-c.ctr[i+1])*(e.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM e CROSS JOIN c1f c) WHERE rn = 1),
+             |c2 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a2)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c2f AS (SELECT c0.cell, coalesce(c2.ctr, c0.ctr) AS ctr
+             |        FROM c0 LEFT JOIN c2 USING (cell)),
+             |a3 AS (SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (e.v[i+1]-c.ctr[i+1])*(e.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM e CROSS JOIN c2f c) WHERE rn = 1)
+             |SELECT CAST(cell AS INT) AS cell, count(*) AS n_points,
+             |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+             |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // nprobe 6/16: the synthetic embeddings are near-uniform on the

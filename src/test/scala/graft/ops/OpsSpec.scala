@@ -388,6 +388,45 @@ class SimilaritySpec extends SparkTestBase {
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("distributed k-means recovers planted clusters and matches a driver replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val trueCenters = Array.fill(3)(Array.fill(8)(rnd.nextGaussian() * 4))
+    val pts = (0L until 300L).map(i =>
+      (i, trueCenters((i % 3).toInt).map(_ + 0.2 * rnd.nextGaussian()).toSeq))
+    val df = pts.toDF("id", "v").repartition(7)
+    val centers = kmeansFitDistributed(df, "id", "v", k = 3, iters = 3)
+    // every fitted center sits close to one distinct true center
+    val matched = centers.map { c =>
+      trueCenters.zipWithIndex.minBy { case (t, _) =>
+        t.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum }._2
+    }
+    assert(matched.toSet.size == 3, s"centers collapsed: ${matched.toList}")
+    centers.zip(matched).foreach { case (c, ti) =>
+      val d = math.sqrt(trueCenters(ti).zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(d < 0.5, s"center off by $d")
+    }
+    // partition count must not affect the fit (quantized update ⇒ the
+    // aggregate, not aggregation order, defines the next centers)
+    val centers1 = kmeansFitDistributed(df.repartition(1), "id", "v", k = 3, iters = 3)
+    assert(centers.flatten.toSeq == centers1.flatten.toSeq)
+    // driver replay of the same quantized Lloyd recursion agrees exactly
+    val data = pts.map { case (i, v) => (i, v.toArray) }.sortBy(_._1)
+    var ref: Array[Array[Double]] = data.take(3).map(_._2).toArray
+    for (_ <- 0 until 3) {
+      val assign = data.map { case (_, x) =>
+        ref.zipWithIndex.minBy { case (c, ci) =>
+          (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, ci) }._2 }
+      ref = ref.indices.map { c =>
+        val members = data.zip(assign).collect { case ((_, x), a) if a == c => x }
+        if (members.isEmpty) ref(c)
+        else Array.tabulate(8)(j =>
+          math.floor(members.map(_(j)).sum / members.length * 1e6 + 0.5) / 1e6)
+      }.toArray
+    }
+    assert(centers.flatten.toSeq == ref.flatten.toSeq)
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
