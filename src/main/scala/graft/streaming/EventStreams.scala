@@ -39,6 +39,40 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
 
   /**
+   * STREAM-STREAM interval join: purchases join the same user's clicks
+   * from the trailing `toleranceSec` window — the streaming twin of the
+   * batch attribution predicate behind `e06_attribution` (all qualifying
+   * clicks; the as-of "latest only" reduction lives in `AsOfStream`).
+   *
+   * This is Spark's native watermarked stream-stream join: both sides
+   * watermark their event time and the join carries an explicit time
+   * constraint, so the state store retains each click only until the
+   * purchase-side watermark passes `click_ts + toleranceSec` and each
+   * purchase only until its own watermark — state is bounded by the
+   * watermark horizon × arrival rate, never by stream lifetime.
+   * `leftOuter = true` additionally emits unmatched purchases (value
+   * attribution "organic") once their watermark expires — same state
+   * bound, append-mode semantics.
+   */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      toleranceSec: Long = 3600L, watermark: String = "1 hour",
+      leftOuter: Boolean = false): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      expr(s"""c_user = p_user AND
+               click_ts >= purchase_ts - INTERVAL $toleranceSec SECONDS AND
+               click_ts <= purchase_ts"""),
+      if (leftOuter) "leftOuter" else "inner")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"), col("click_id"), col("click_ts"))
+  }
+
+  /**
    * Gap-based sessionization with explicit state — the batch twin is
    * `e02_sessionize` (30-minute gap there too). Emits an update per
    * processed event-batch and a closing record when a session times out.

@@ -67,4 +67,70 @@ class EventStreamsSpec extends SparkTestBase {
       assert(u7.exists(u => u.session_id == 1 && u.closed))
     } finally query.stop()
   }
+
+  test("stream-stream attribution join matches the batch join across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = attributionJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // clicks and purchases arrive in DIFFERENT micro-batches; the
+      // purchase at 10:30 must still see the 10:00 click (within 1h)
+      clicks.addData(
+        Event(1, tsH(10, 0), 7, "click", 0.0),
+        Event(2, tsH(10, 20), 7, "click", 0.0),
+        Event(3, tsH(9, 0), 7, "click", 0.0), // >1h before: excluded
+        Event(4, tsH(10, 10), 8, "click", 0.0)) // other user: excluded
+      query.processAllAvailable()
+      purchases.addData(Event(10, tsH(10, 30), 7, "purchase", 42.0))
+      query.processAllAvailable()
+      val got = spark.table("attr")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L), (10L, 2L)))
+
+      // batch twin over the same rows produces the identical pair set
+      val all = Seq(
+        Event(1, tsH(10, 0), 7, "click", 0.0), Event(2, tsH(10, 20), 7, "click", 0.0),
+        Event(3, tsH(9, 0), 7, "click", 0.0), Event(4, tsH(10, 10), 8, "click", 0.0),
+        Event(10, tsH(10, 30), 7, "purchase", 42.0))
+      val df = all.toDF()
+      val batch = df.filter(col("event_type") === "purchase").as("p")
+        .join(df.filter(col("event_type") === "click").as("c"),
+          expr("""c.user_id = p.user_id AND
+                  c.ts >= p.ts - INTERVAL 3600 SECONDS AND c.ts <= p.ts"""))
+        .select(col("p.event_id"), col("c.event_id")).as[(Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally query.stop()
+  }
+
+  test("left-outer stream-stream join emits unmatched purchases after watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = attributionJoin(clicks.toDF(), purchases.toDF(), leftOuter = true)
+      .writeStream.format("memory").queryName("attr_lo").outputMode("append").start()
+    try {
+      purchases.addData(Event(20, tsH(10, 0), 9, "purchase", 7.0)) // no click ever
+      clicks.addData(Event(21, tsH(10, 1), 11, "click", 0.0))
+      query.processAllAvailable()
+      // nothing can be emitted for the unmatched purchase until the
+      // watermark passes its window
+      assert(!spark.table("attr_lo").as[(Long, Long, Timestamp, Double, java.lang.Long, Timestamp)]
+        .collect().exists(_._2 == 20L))
+      // advance both watermarks far beyond 10:00 + tolerance
+      purchases.addData(Event(30, tsH(15, 0), 99, "purchase", 1.0))
+      clicks.addData(Event(31, tsH(15, 0), 99, "click", 0.0))
+      query.processAllAvailable()
+      purchases.addData(Event(32, tsH(16, 0), 99, "purchase", 1.0))
+      clicks.addData(Event(33, tsH(16, 0), 99, "click", 0.0))
+      query.processAllAvailable()
+      val unmatched = spark.table("attr_lo")
+        .filter(col("purchase_id") === 20L).collect()
+      assert(unmatched.length == 1)
+      assert(unmatched.head.isNullAt(4), "click_id must be null-padded")
+    } finally query.stop()
+  }
 }
