@@ -62,6 +62,35 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("joins against a filtered dim prune fact partitions at RUNTIME (DPP)") {
+    import spark.implicits._
+    // the 100 TB shape: a date/tenant-partitioned fact joined to a small
+    // filtered dim — Spark's dynamic partition pruning pushes the dim's
+    // surviving keys into the fact scan's partition filters at runtime,
+    // so the fact side reads only the joined partitions' directories
+    val facts = (0 until 2000).map(i => (i % 10, i.toLong, i * 1.5)).toDF("key", "id", "v")
+    val dims = (0 until 10).map(k => (k, if (k < 2) "hot" else "cold")).toDF("key", "cat")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp")
+    try {
+      Layout.writePartitioned(facts, s"$dir/fact", Seq("key"))
+      // the dim must be a real source relation: a local (in-memory)
+      // relation constant-folds its filter away before the
+      // PartitionPruning rule can see a selective predicate
+      dims.write.parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val joined = fact.join(dim.filter(col("cat") === "hot"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamicpruning partition filter in the fact scan:\n$plan")
+      assert(joined.count() == 400L) // keys 0 and 1 -> 200 rows each
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("zValue interleaves binned bits exactly") {
     import spark.implicits._
     def refZ(xs: Seq[Double], ranges: Seq[(Double, Double)], bits: Int): Long = {
