@@ -223,6 +223,50 @@ object DedupQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "d10_containment",
+      (s, dir) => {
+        // Containment dedup — the doc-INSIDE-doc signal Jaccard misses:
+        // a truncated copy has containment 1.0 (its token set is a
+        // subset of the original's) while its Jaccard shrinks with the
+        // truncation. Candidates come from the SAME MinHash-LSH pass as
+        // d03 (pairs-only cost, never all-pairs); token sets join back
+        // onto the candidate pairs only. Both measures emitted for
+        // contrast, quantized at 1e-4 before the hash like d05.
+        val corpus = withNearDups(s, dir, drop = 3)
+        val pairs = minHashCandidatePairs(corpus, "doc_id", "text")
+        val tk = corpus.select(col("doc_id"), array_distinct(tokens(col("text"))).as("w"))
+        val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+        pairs
+          .join(tk.select(col("doc_id").as("id_a"), col("w").as("wa")), "id_a")
+          .join(tk.select(col("doc_id").as("id_b"), col("w").as("wb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            fround(inter / least(size(col("wa")), size(col("wb"))), 4).as("containment"),
+            fround(inter / size(array_distinct(concat(col("wa"), col("wb")))), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${shingleCtes(drop = 3)},
+             |sig AS (SELECT doc_id,
+             |    list_transform(${OracleSql.coeffPairsLiteral(128, 42L)}, p ->
+             |      list_min(list_transform(hs, h -> (p[1] * (h % 4294967296) + p[2]) % 2147483647))) AS sig
+             |  FROM sh),
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM corpus)
+             |SELECT id_a, id_b,
+             |  floor(len(list_distinct(list_intersect(ta.w, tb.w))) * 1.0
+             |    / least(len(ta.w), len(tb.w)) * 10000.0 + 0.5) / 10000.0 AS containment,
+             |  floor(len(list_distinct(list_intersect(ta.w, tb.w))) * 1.0
+             |    / len(list_distinct(ta.w || tb.w)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+             |FROM pairs
+             |JOIN tk ta ON ta.doc_id = pairs.id_a
+             |JOIN tk tb ON tb.doc_id = pairs.id_b
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "d08_semantic_dedup",
       (s, dir) => {
         // Composed SEMANTIC dedup at bucketed (not all-pairs) cost:

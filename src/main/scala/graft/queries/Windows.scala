@@ -228,6 +228,35 @@ object Windows {
              |FROM cal LEFT JOIN daily USING (day) ORDER BY day""".stripMargin)),
 
     Q(
+      "w07_range_window",
+      (s, dir) => {
+        // RANGE frame over a value axis (w04 covers ROWS): per customer,
+        // the trailing-30-DAY spend — the frame is defined by day
+        // DISTANCE, so bursty/sparse order dates aggregate correctly
+        // where a row-count frame would not (and date peers are included
+        // by value, not by arbitrary tie order). Prices fold to exact
+        // integer cents before the windowed sum, so both engines sum
+        // identical integers in any order — no float drift in any frame.
+        val t = Tables(s, dir)
+        val w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-29, 0)
+        t.orders
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")).as("day_num"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+            (sum("cents").over(w).cast("double") / lit(100.0)).as("spend30"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, day_num,
+             |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day_num
+             |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS spend30
+             |FROM (SELECT o_custkey, o_orderkey,
+             |        date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |      FROM orders)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q(
       "w03_lag_delta",
       (s, dir) => {
         val t = Tables(s, dir)
