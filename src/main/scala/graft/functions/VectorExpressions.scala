@@ -20,6 +20,13 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column = bin(ArrayCosine.apply)(a, b)
   def sqDist(a: Column, b: Column): Column = bin(ArraySqDist.apply)(a, b)
 
+  /** Int8 quantization of a double array (FAISS SQ8-style per-vector
+    * scale): qᵢ = floor(xᵢ·127/max|x| + 0.5) as array<int> — the 4×
+    * compression storage form; quantized cosine works on the ints. */
+  def int8Quantize(v: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.Int8Quantize(
+      ColumnBridge.expression(v)))
+
   /** Native `h = fold(h*131 + byte) mod (2^55-55)` string hash — the
     * engine-portable hot-path hash (DuckDB mirrors the fold exactly). */
   def polyHash(s: Column): Column =

@@ -271,6 +271,50 @@ object SimilarityQueries {
              |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin)),
 
     Q(
+      "a09_knn_int8",
+      (s, dir) => {
+        // kNN in the QUANTIZED domain: vectors store as int8 (native
+        // one-pass `Int8Quantize`, FAISS SQ8-style per-vector scale —
+        // 4× less memory/shuffle than float32, the standard corpus-
+        // scale storage form) and ranking runs entirely on the int
+        // vectors. Every cosine term is an exact small-integer sum in
+        // double, so the scores — not just the ranking — are engine-
+        // portable and hash-checked. Same broadcast-NL + native-heap
+        // plan as a01.
+        import graft.functions.VectorExpressions.int8Quantize
+        val e = Tables(s, dir).embeddings
+        def quant(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+          int8Quantize(col("embedding").cast("array<double>")).as("q"))
+        knnBruteForce(
+          quant(e.filter(col("vec_id") < 10)), quant(e.filter(col("vec_id") >= 10)),
+          "vec_id", "q", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            fround(col("cos"), 4).as("qcos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+             |qz AS (SELECT vec_id,
+             |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+             |         ELSE list_transform(v, x -> floor(x * (127.0 / mx) + 0.5)) END AS q
+             |  FROM m),
+             |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(range(64), i -> a.q[i+1] * b.q[i+1])) AS dot,
+             |    list_sum(list_transform(range(64), i -> a.q[i+1] * a.q[i+1])) AS na,
+             |    list_sum(list_transform(range(64), i -> b.q[i+1] * b.q[i+1])) AS nb
+             |  FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id >= 10),
+             |cosd AS (SELECT query_id, neighbor_id,
+             |    CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+             |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+             |  FROM scored)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS qcos
+             |FROM (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |      FROM cosd)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // nprobe 6/16: the synthetic embeddings are near-uniform on the

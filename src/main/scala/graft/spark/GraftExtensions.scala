@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll"),
       info("graft_kll", "_FUNC_(x, k, probs) - KLL quantile-sketch aggregate"),
       GraftExtensions.kllBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int8"),
+      info("graft_int8", "_FUNC_(v) - int8 quantization of a double array"),
+      GraftExtensions.unary("graft_int8",
+        org.apache.spark.sql.graftshim.Int8Quantize.apply)))
   }
 }
 
@@ -149,5 +154,7 @@ object GraftExtensions {
       cmsBuilder)
     register(spark, "graft_kll", "_FUNC_(x, k, probs) - KLL quantile sketch",
       kllBuilder)
+    register(spark, "graft_int8", "_FUNC_(v) - int8 quantization of a double array",
+      unary("graft_int8", org.apache.spark.sql.graftshim.Int8Quantize.apply))
   }
 }

@@ -427,3 +427,44 @@ case class BloomMightContain(
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }
+
+/**
+ * Int8 vector quantization in ONE pass: qᵢ = floor(xᵢ · 127/max|x| + 0.5)
+ * — the 4× compression storage form for embedding columns (FAISS
+ * SQ8-style, per-vector scale). Ratios within a vector are preserved,
+ * so quantized cosine needs only the int vectors; the explicit
+ * floor(x + 0.5) rounding makes the integers engine-portable (no
+ * half-even ambiguity). A zero vector quantizes to zeros.
+ */
+case class Int8Quantize(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_int8"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+
+  /** codegen entry point (public for the generated class). */
+  def evalQuant(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(v.getDouble(i)); if (a > mx) mx = a; i += 1 }
+    val s = if (mx == 0.0) 0.0 else 127.0 / mx
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) { out(i) = math.floor(v.getDouble(i) * s + 0.5).toInt; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = evalQuant(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("int8Quantize", this, classOf[Int8Quantize].getName)
+      s"${ev.value} = $self.evalQuant($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}

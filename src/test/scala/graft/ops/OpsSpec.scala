@@ -293,6 +293,19 @@ class SimilaritySpec extends SparkTestBase {
       .selectExpr("graft_kll(CAST(id AS DOUBLE), 200, array(0.5d)) AS q")
       .selectExpr("q[0]").head().getDouble(0)
     assert(math.abs(kllSql - 500.0) <= 1000 * 0.02, s"median via SQL was $kllSql")
+
+    // int8 quantization: strict-codegen path and SQL registration
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val q = Seq(Seq(0.5, -1.0, 0.25), Seq(0.0, 0.0, 0.0)).toDF("v")
+        .select(graft.functions.VectorExpressions.int8Quantize(col("v")).as("q"))
+        .collect().map(_.getSeq[Int](0))
+      assert(q(0) == Seq(64, -127, 32), q(0).toString)   // floor(x*127+0.5)
+      assert(q(1) == Seq(0, 0, 0), "zero vector must quantize to zeros")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    val int8Sql = spark.sql("SELECT graft_int8(array(1.0d, -0.5d))").head().getSeq[Int](0)
+    assert(int8Sql == Seq(127, -63), int8Sql.toString)  // floor(-63.5+0.5) = -63
   }
 
   test("graft_topk aggregate survives partial aggregation and breaks ties by id") {
@@ -387,6 +400,26 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("int8-quantized knn preserves high recall vs exact float knn") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.int8Quantize
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double]) = c.map(_ + 0.3 * rnd.nextGaussian()).toSeq
+    val corpus = (100L until 600L).map(i => (i, near(centers((i % 5).toInt))))
+    val queries = (0L until 10L).map(i => (i, near(centers((i % 5).toInt))))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val exact = knnBruteForce(qdf, cdf, "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def quant(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), int8Quantize(col("v")).as("q"))
+    val q8 = knnBruteForce(quant(qdf), quant(cdf), "vec_id", "q", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(q8.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall")
   }
 
   test("distributed k-means recovers planted clusters and matches a driver replay") {
