@@ -129,6 +129,48 @@ object Events {
              |GROUP BY 1 ORDER BY day""".stripMargin)),
 
     Q(
+      "e07_ordered_funnel",
+      (s, dir) => {
+        // Strict-ORDERED funnel (e01 counts stages independently): a
+        // user converts view → first click AT/AFTER that view → first
+        // purchase at/after that click. Three key-local aggregates
+        // chained by equi-joins on user_id — no window over the whole
+        // stream, no cross-stage row blowup; at 100 TB each stage is
+        // one user-keyed shuffle (exchange-free if events are bucketed
+        // by user). Output: users surviving each stage.
+        val ev = Tables(s, dir).events
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .where(col("ts") >= col("v_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .where(col("ts") >= col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        val one = (df: org.apache.spark.sql.DataFrame, stage: Int, nm: String) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"),
+            lit(nm).as("stage_name"), col("n_users"))
+        one(v, 1, "view").unionAll(one(c, 2, "click_after_view"))
+          .unionAll(one(p, 3, "purchase_after_click"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+             |SELECT CAST(stage AS INT) AS stage, stage_name, n_users FROM (
+             |  SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM v
+             |  UNION ALL
+             |  SELECT 2, 'click_after_view', count(*) FROM c
+             |  UNION ALL
+             |  SELECT 3, 'purchase_after_click', count(*) FROM p)
+             |ORDER BY stage""".stripMargin)),
+
+    Q(
       "e05_retention_cohorts",
       (s, dir) => {
         // Cohort retention: users grouped by first-activity day, distinct
