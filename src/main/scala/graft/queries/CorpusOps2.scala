@@ -30,10 +30,14 @@ object CorpusOps2 {
         // shuffle, no interpreted HOF), and each window is reduced to
         // the engine-portable 52-bit md5 hash BEFORE the shuffle, so the
         // exchange carries (hash, doc_id) pairs — never window text.
-        // At 100 TB this is the standard suffix-hash approximation of
-        // suffix-array substring dedup: fixed shuffle width per window,
-        // census join keyed on the hash. Output: per-doc span counts for
-        // every doc sharing at least one span.
+        // The per-span census is a WINDOW count over the hash, not a
+        // census self-join: the corpus is scanned ONCE (the join
+        // formulation recomputes the explode+hash per branch — column
+        // pruning makes the subplans differ, so exchange reuse can't
+        // save it). Everything is linear per span; a degenerate
+        // boilerplate span concentrates its (hash, id) rows in one
+        // task's external sort but never expands pairs. Output: per-doc
+        // span counts for every doc sharing at least one span.
         val w = 6
         val toks = Tables(s, dir).documents
           .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -45,10 +49,11 @@ object CorpusOps2 {
             graft.functions.VectorExpressions.md5Hash52(concat_ws(" ",
               (0 until w).map(j => element_at(col("t"), col("i") + lit(j))): _*)).as("h"))
           .distinct()
-        // (doc, span-hash) pairs are distinct, so count(*) per hash is
+        // (doc, span-hash) pairs are distinct, so the count per hash is
         // the distinct-document census for that span
-        val census = spans.groupBy("h").agg(count(lit(1)).as("nd"))
-        spans.join(census, "h")
+        val nd = count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h"))
+        spans.select(col("doc_id"), nd.as("nd"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"),
             sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
