@@ -8,6 +8,10 @@ object Verify {
     val Array(sfDir, outDir, rest @ _*) = args
     // optional trailing args = query-name filter (dev loops); the driver
     // always passes exactly (sfDir, outDir) and gets the full sweep
+    val unknown = rest.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise yield an empty sweep that reads as success")
     val selected =
       if (rest.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(rest.contains).toMap

@@ -429,6 +429,52 @@ object Dedup {
     }
   }
 
+  /**
+   * Exact long-span duplication census (Lee et al. 2021, "Deduplicating
+   * Training Data"): for every document, how many of its `w`-token
+   * windows also appear in at least one OTHER document. Returns one row
+   * per document that shares ≥ 1 span: (idCol, n_spans, n_shared).
+   *
+   * Scale shape: windows assemble by positional explode + `element_at`
+   * (narrow — no token shuffle) and reduce to the engine-portable
+   * 52-bit md5 hash BEFORE any exchange, so shuffles carry (hash, id)
+   * pairs, never window text. The per-span census is a two-level
+   * AGGREGATE over a shared scan — NOT a window over the span hash: a
+   * window gets no map-side partial combine and AQE cannot split a
+   * window partition, so a viral boilerplate span (the exact phenomenon
+   * span-dedup hunts — 10⁸ occurrences of one licence header) would
+   * land every one of its rows in ONE unsplittable external-sort task.
+   * The aggregate formulation shrinks the hot hash per partition
+   * map-side, and the join back onto the spans is equi-keyed — AQE
+   * skew-split applies. The distinct (id, hash) frame is computed once
+   * and shared between the census and the join probe via
+   * [[InternalFrame.sharedScan]] (the naive two-branch plan recomputes
+   * the explode+hash per branch — column pruning makes the subplans
+   * differ, so exchange reuse cannot deduplicate them).
+   */
+  def spanCensus(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 6): DataFrame = {
+    val toks = docs
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= w)
+    val spans0 = toks
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (w - 1))).as("i"))
+      .select(col(idCol),
+        graft.functions.VectorExpressions.md5Hash52(concat_ws(" ",
+          (0 until w).map(j => element_at(col("t"), col("i") + lit(j))): _*)).as("h"))
+      .distinct()
+    // (id, span-hash) pairs are distinct, so count per hash = the
+    // distinct-document census for that span
+    val spans = InternalFrame.sharedScan(spans0)
+    val census = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+    spans.join(census, "h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .where(col("n_shared") > 0)
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

@@ -146,7 +146,10 @@ object Similarity {
    * update is a (cell, dim) aggregate whose result is k×d rows — model-
    * sized however large the corpus — collected and rebroadcast.
    *
-   * Determinism: init = the first k vectors by id; each updated
+   * Determinism: init = the first k vectors by (id, vector) — the
+   * vector tiebreak keeps the seed set stable even when ids collide
+   * across partitions (with unique ids it is exactly first-k-by-id);
+   * each updated
    * coordinate is quantized to 1/`quant` units BEFORE becoming the next
    * round's center, so summation-order ulps (Spark vs any oracle engine,
    * run vs run) cannot leak into the next assignment — an assignment
@@ -157,7 +160,7 @@ object Similarity {
       k: Int, iters: Int, quant: Double = 1e6): Array[Array[Double]] = {
     import graft.functions.VectorExpressions.cellArgmin
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    var centers = vecs.orderBy("id").limit(k).collect()
+    var centers = vecs.orderBy(col("id"), col("v")).limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     require(centers.length == k, s"corpus has fewer than $k vectors")
     var it = 0

@@ -27,14 +27,17 @@ object CorpusOps {
         // the native TopKPerGroup operator, so the final shuffle carries
         // 3 rows per (partition, doc), not the full scored term list.
         val docs = Tables(s, dir).documents
-        val nDocs = docs.count()
+        // corpus size rides IN the plan as a broadcast 1-row aggregate
+        // (t17's corpus-total pattern) — a driver-side docs.count() here
+        // would run a separate full-scan job at plan-construction time
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
         val tfc = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tfc.groupBy("term").agg(count(lit(1)).as("df"))
-        val scored = tfc.join(dfreq, "term")
+        val scored = tfc.join(dfreq, "term").crossJoin(broadcast(nd))
           .select(col("doc_id"), col("term"),
-            floor(col("tf") * (log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+            floor(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
               * lit(1e4) + lit(0.5)).cast("long").as("tfidf_u"))
         graft.plans.TopK.perGroup(scored, Seq(col("doc_id")), col("tfidf_u"), col("term"), k = 3)
           .select("doc_id", "term", "tfidf_u")

@@ -25,39 +25,13 @@ object CorpusOps2 {
       (s, dir) => {
         // Exact long-span duplication (Lee et al. 2021): a document
         // containing any 6-token window that also appears in ANOTHER
-        // document carries memorizable boilerplate. Windows assemble by
-        // positional explode + element_at (t15's narrow shape — no token
-        // shuffle, no interpreted HOF), and each window is reduced to
-        // the engine-portable 52-bit md5 hash BEFORE the shuffle, so the
-        // exchange carries (hash, doc_id) pairs — never window text.
-        // The per-span census is a WINDOW count over the hash, not a
-        // census self-join: the corpus is scanned ONCE (the join
-        // formulation recomputes the explode+hash per branch — column
-        // pruning makes the subplans differ, so exchange reuse can't
-        // save it). Everything is linear per span; a degenerate
-        // boilerplate span concentrates its (hash, id) rows in one
-        // task's external sort but never expands pairs. Output: per-doc
-        // span counts for every doc sharing at least one span.
-        val w = 6
-        val toks = Tables(s, dir).documents
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .where(size(col("t")) >= w)
-        val spans = toks
-          .select(col("doc_id"), col("t"),
-            explode(sequence(lit(1), size(col("t")) - (w - 1))).as("i"))
-          .select(col("doc_id"),
-            graft.functions.VectorExpressions.md5Hash52(concat_ws(" ",
-              (0 until w).map(j => element_at(col("t"), col("i") + lit(j))): _*)).as("h"))
-          .distinct()
-        // (doc, span-hash) pairs are distinct, so the count per hash is
-        // the distinct-document census for that span
-        val nd = count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("h"))
-        spans.select(col("doc_id"), nd.as("nd"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
-          .where(col("n_shared") > 0)
+        // document carries memorizable boilerplate. The whole pipeline
+        // (narrow window assembly, pre-shuffle 52-bit hashing, shared-
+        // scan two-level census — skew-safe where a window-over-hash is
+        // not) lives in Dedup.spanCensus; the viral-span degenerate
+        // case is spec'd in OpsSpec.
+        graft.ops.Dedup.spanCensus(
+          Tables(s, dir).documents, "doc_id", "text", w = 6)
           .select("doc_id", "n_spans", "n_shared")
           .orderBy("doc_id")
       },

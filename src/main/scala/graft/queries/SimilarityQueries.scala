@@ -234,8 +234,9 @@ object SimilarityQueries {
           .orderBy("cell")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, v AS ctr
-             |       FROM e WHERE vec_id < 4),
+             |c0 AS (SELECT rn - 1 AS cell, v AS ctr
+             |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id, v) AS rn FROM e)
+             |       WHERE rn <= 4),
              |a1 AS (SELECT vec_id, v, cell FROM (
              |    SELECT e.vec_id, e.v, c.cell,
              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -258,8 +259,8 @@ object SimilarityQueries {
              |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
              |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a2)
              |    GROUP BY cell, i) GROUP BY cell),
-             |c2f AS (SELECT c0.cell, coalesce(c2.ctr, c0.ctr) AS ctr
-             |        FROM c0 LEFT JOIN c2 USING (cell)),
+             |c2f AS (SELECT c1f.cell, coalesce(c2.ctr, c1f.ctr) AS ctr
+             |        FROM c1f LEFT JOIN c2 USING (cell)),
              |a3 AS (SELECT vec_id, cell FROM (
              |    SELECT e.vec_id, c.cell,
              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -25,6 +25,24 @@ object InternalFrame {
   def toInternalRdd(df: DataFrame): RDD[InternalRow] =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
 
+  /** A twin of `df` whose UnsafeRow stream is persisted on first
+    * compute: MULTIPLE consumers inside one plan (e.g. a census
+    * aggregate joined back onto its own input) then scan the upstream
+    * pipeline ONCE and read cached blocks after — without a
+    * cache-manager entry (`df.persist` leaks one per call; round 2's
+    * bug), and without an eager materialization job (the first action
+    * that touches either consumer fills the cache). Blocks are
+    * reclaimed by the ContextCleaner once the returned frame is
+    * unreferenced. No statistics are attached: the callers that need
+    * this are corpus-sized, where the honest plan is a shuffle join —
+    * never a broadcast. */
+  def sharedScan(df: DataFrame): DataFrame = {
+    // copy before retaining: shuffle readers recycle one UnsafeRow
+    val rdd = toInternalRdd(df).map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ofInternalRdd(df, rdd)
+  }
+
   /** Wrap an InternalRow RDD whose rows match `like`'s schema into a
     * DataFrame leaf (no re-encoding, lineage truncated at the RDD).
     *

@@ -114,6 +114,28 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 11, s"took $rounds rounds")
   }
 
+  test("span census survives a viral span and plans no window") {
+    import spark.implicits._
+    // the degenerate case spanCensus must survive at scale: ONE 6-token
+    // boilerplate span planted in every document (plus a unique tail per
+    // doc). A window-over-span-hash formulation would put all 2000
+    // (doc, hash) rows of the viral hash into one unsplittable window
+    // task; the two-level aggregate shrinks it map-side and the
+    // join-back is AQE-skew-splittable.
+    val viral = "v1 v2 v3 v4 v5 v6"
+    val docs = (0L until 2000L)
+      .map(i => (i, s"$viral u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanCensus(docs, "doc_id", "text", w = 6)
+    // 12 tokens -> 7 windows/doc; only the pure-viral window is shared
+    val rows = out.collect()
+    assert(rows.length == 2000, s"${rows.length} rows")
+    assert(rows.forall(_.getLong(1) == 7L), "expected 7 spans per doc")
+    assert(rows.forall(_.getLong(2) == 1L), "expected exactly 1 shared span per doc")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"census must not plan a window:\n$plan")
+  }
+
   test("connectedComponents leaves no cache entries behind") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
