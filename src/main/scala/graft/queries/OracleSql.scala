@@ -19,6 +19,13 @@ object OracleSql {
       s"CAST(ascii(substr($expr, j + 1, 1)) AS BIGINT))), " +
       s"(a, c) -> (a * 131 + c) % 36028797018963913)"
 
+  /** DuckDB twin of graft's native `md5Hash52`: the first 13 hex chars
+    * of md5($expr) folded into a 52-bit BIGINT. */
+  def md5Fold52(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(13), j -> CAST(strpos('0123456789abcdef', " +
+      s"substr(md5($expr), j + 1, 1)) - 1 AS BIGINT))), (a, c) -> a * 16 + c)"
+
   /** DuckDB list literal `[[a0,b0],[a1,b1],...]` of the MinHash
     * universal-hash coefficient table (identical splitmix64 stream). */
   def coeffPairsLiteral(n: Int, seed: Long): String =

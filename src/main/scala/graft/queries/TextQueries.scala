@@ -445,36 +445,34 @@ object TextQueries {
     Q(
       "p05_sequence_packing",
       (s, dir) => {
-        // Causal-LM sequence packing (concat-and-chunk): within each
-        // shard (= source), documents concatenate in doc_id order and
-        // cut every `budget` tokens; a doc spans chunks
-        // [floor(offset/budget), floor((offset+len-1)/budget)]. The
-        // running offset is a window PARTITIONED BY shard — packing
-        // parallelizes per shard, never a single global sort (the 100
-        // TB shape: one output shard per writer task).
+        // Causal-LM sequence packing over (source, hash-bucket)
+        // sub-shards — the cumsum window, bucket arithmetic, and the
+        // why (5 sources must not mean 5 sequential cumsums at 100 TB)
+        // live in ops/Packing; buckets is the writer-parallelism
+        // parameter, spec'd in PackingSpec.
         val budget = 512
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        Tables(s, dir).documents
-          .select(col("source"), col("doc_id"),
-            tokenCount(col("text")).cast("long").as("n_tokens"))
-          .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .select(col("source"), col("doc_id"), col("n_tokens"),
-            floor(col("off") / budget).cast("long").as("first_chunk"),
-            floor((col("off") + col("n_tokens") - 1) / budget).cast("long").as("last_chunk"))
-          .orderBy("source", "doc_id")
+        val buckets = 4
+        graft.ops.Packing.packChunks(
+          Tables(s, dir).documents
+            .select(col("source"), col("doc_id"),
+              tokenCount(col("text")).cast("long").as("n_tokens")),
+          "source", "doc_id", "n_tokens", budget, buckets)
+          .select("source", "bucket", "doc_id", "n_tokens", "first_chunk", "last_chunk")
+          .orderBy("source", "bucket", "doc_id")
       },
-      Some("""SELECT source, doc_id, n_tokens,
+      Some(s"""WITH keyed AS (SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(${OracleSql.md5Fold52("'pack:' || CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS bucket
+             |  FROM documents)
+             |SELECT source, bucket, doc_id, n_tokens,
              |  CAST(floor(off / 512) AS BIGINT) AS first_chunk,
              |  CAST(floor((off + n_tokens - 1) / 512) AS BIGINT) AS last_chunk
-             |FROM (SELECT source, doc_id,
-             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             |        coalesce(sum(len(string_split(text, ' '))) OVER (
-             |          PARTITION BY source ORDER BY doc_id
+             |FROM (SELECT source, bucket, doc_id, n_tokens,
+             |        coalesce(sum(n_tokens) OVER (
+             |          PARTITION BY source, bucket ORDER BY doc_id
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-             |      FROM documents)
-             |ORDER BY source, doc_id""".stripMargin)),
+             |      FROM keyed)
+             |ORDER BY source, bucket, doc_id""".stripMargin)),
 
     Q(
       "t06_fingerprint",
