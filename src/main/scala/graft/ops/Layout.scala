@@ -62,6 +62,25 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /**
+   * Write `df` directory-partitioned on `partCol` AND z-ordered on
+   * `zCols` within each partition: one range exchange on
+   * (partCol, z-value) gives every output task a contiguous z-curve
+   * segment of one partition value, so each parquet file lands in its
+   * partition directory with a small multi-column bounding box. Reads
+   * then compose BOTH prunings: a `partCol` predicate drops whole
+   * directories at planning time, and predicates on any z column skip
+   * most surviving files via row-group min/max stats.
+   */
+  def writePartitionedZOrdered(df: DataFrame, path: String, partCol: String,
+      zCols: Seq[(String, Double, Double)], files: Int, bits: Int = 10): Unit = {
+    df.withColumn("__z", zValue(zCols.map { case (c, lo, hi) => (col(c), lo, hi) }, bits))
+      .repartitionByRange(files, col(partCol), col("__z"))
+      .sortWithinPartitions(col(partCol), col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
+
   /** Write `df` as a bucketed+sorted managed parquet table. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
       sortCols: Seq[String] = Seq.empty): Unit = {

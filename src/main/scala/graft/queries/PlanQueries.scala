@@ -154,6 +154,43 @@ object PlanQueries {
              |ORDER BY a_key, b_key""".stripMargin)),
 
     Q(
+      "l01_layout_prune",
+      (s, dir) => {
+        // §2.8 layout surface, driver-visible: write lineitem
+        // partitioned by returnflag and z-ordered on (quantity, price),
+        // read it back with a multi-column predicate, return the
+        // filtered aggregate. Relayout moves rows, never changes them,
+        // so the oracle computes the same aggregate straight from the
+        // source table; what the layout buys lives in the read plan —
+        // the returnflag predicate prunes whole directories at planning
+        // time and the z-clustering gives each file a small
+        // (qty, price) bounding box so row-group stats skip most files
+        // (both plan effects asserted in LayoutSpec).
+        val t = Tables(s, dir)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_l01_${math.abs(dir.hashCode)}"
+        graft.ops.Layout.writePartitionedZOrdered(
+          t.lineitem.select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_orderkey")),
+          path, "l_returnflag",
+          Seq(("l_quantity", 0.0, 55.0), ("l_extendedprice", 0.0, 120000.0)),
+          files = 16)
+        s.read.parquet(path)
+          .filter(col("l_returnflag").isin("A", "R") &&
+            col("l_quantity").between(10.0, 20.0) &&
+            col("l_extendedprice").between(20000.0, 40000.0))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"), fround(sum("l_extendedprice"), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+             |  floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS revenue
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A', 'R')
+             |  AND l_quantity BETWEEN 10.0 AND 20.0
+             |  AND l_extendedprice BETWEEN 20000.0 AND 40000.0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q(
       "q20_bloom_semijoin",
       (s, dir) => {
         // TPC-H Q20 shape: suppliers who shipped > 100 units of 'red%'

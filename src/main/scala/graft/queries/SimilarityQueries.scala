@@ -212,6 +212,53 @@ object SimilarityQueries {
       }),
 
     Q(
+      "a07b_pca_fixed_project",
+      (s, dir) => {
+        // a07's PROJECTION path, oracle-checked with a FIXED model (the
+        // gp06 fixed-model pattern): components = the first four
+        // Walsh-Hadamard rows of order 64 scaled to unit norm — every
+        // entry exactly ±0.125 = ±2⁻³, so each product is an exact
+        // exponent shift — and mean = 0.25 per dim (exact), so the
+        // folded offset dot(mean, w) is exact (2.0 for the all-plus
+        // row, 0.0 for the others). Only the eigen FIT is genuinely
+        // non-SQL (a07, rows-only + PcaSpec); this pins
+        // PCA.projectColumn's centering + literal-component dot
+        // machinery against DuckDB's replay of the same literals.
+        val d = 64
+        val comps = Array.tabulate(4, d) { (r, i) =>
+          if (java.lang.Integer.bitCount(r & i) % 2 == 0) 0.125 else -0.125
+        }
+        val model = graft.ops.PCA.PCAModel(
+          mean = Array.fill(d)(0.25),
+          components = comps,
+          variance = new Array[Double](4))
+        graft.ops.PCA.transform(Tables(s, dir).embeddings, "embedding", model, "p")
+          .select(col("vec_id"),
+            fround(element_at(col("p"), 1), 4).as("p1"),
+            fround(element_at(col("p"), 2), 4).as("p2"),
+            fround(element_at(col("p"), 3), 4).as("p3"),
+            fround(element_at(col("p"), 4), 4).as("p4"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val d = 64
+        val comps = Array.tabulate(4, d) { (r, i) =>
+          if (java.lang.Integer.bitCount(r & i) % 2 == 0) 0.125 else -0.125
+        }
+        // mirror PCA.projectColumn's offset fold exactly (sequential
+        // sum over comp(i)*mean(i); exact arithmetic for these values)
+        val cols = comps.zipWithIndex.map { case (w, c) =>
+          val off = w.map(_ * 0.25).sum
+          s"floor((list_sum(list_transform(list_zip(v, ${OracleSql.doubleListLiteral(w.toSeq)}), " +
+            s"x -> x[1] * x[2])) - $off) * 10000.0 + 0.5) / 10000.0 AS p${c + 1}"
+        }.mkString(",\n             |  ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           |SELECT vec_id,
+           |  $cols
+           |FROM e ORDER BY vec_id""".stripMargin
+      }),
+
+    Q(
       "a08_kmeans",
       (s, dir) => {
         // Distributed k-means fit over the FULL embedding corpus (2
