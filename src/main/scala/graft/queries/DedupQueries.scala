@@ -32,6 +32,24 @@ object DedupQueries {
        |  FROM toks WHERE len(w) >= 3)""".stripMargin
   }
 
+  /** DuckDB twin of the Kirsch–Mitzenmacher two-hash MinHash signature
+    * (`MinHashAgg`): per shingle the two base hashes h₁/h₂ from the
+    * same splitmix-seeded (a, b) pairs, then sigᵢ = min over shingles
+    * of (h₁ + i·h₂) mod P — the identical integers the native
+    * aggregate computes. */
+  private val minhashSigCte: String = {
+    val cs = graft.ops.Dedup.hashCoefficients(2, 42L)
+    val (a1, b1) = cs(0)
+    val (a2, b2) = cs(1)
+    s"""sig AS (SELECT doc_id,
+       |    list_transform(range(128), i ->
+       |      list_min(list_transform(hp, p -> (p[1] + i * p[2]) % 2147483647))) AS sig
+       |  FROM (SELECT doc_id, list_transform(hs, h ->
+       |      [($a1 * (h % 4294967296) + $b1) % 2147483647,
+       |       ($a2 * (h % 4294967296) + $b2) % 2147483647]) AS hp
+       |    FROM sh))"""
+  }
+
   /** documents ∪ exact copies of doc_id < 50 (ids shifted by 1e6). */
   private def withExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents.select("doc_id", "text")
@@ -88,10 +106,7 @@ object DedupQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH ${shingleCtes(drop = 3)},
-             |sig AS (SELECT doc_id,
-             |    list_transform(${OracleSql.coeffPairsLiteral(128, 42L)}, p ->
-             |      list_min(list_transform(hs, h -> (p[1] * (h % 4294967296) + p[2]) % 2147483647))) AS sig
-             |  FROM sh),
+             |$minhashSigCte,
              |bands AS (SELECT doc_id, t.range AS band,
              |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
              |  FROM sig, range(32) t)
@@ -143,10 +158,7 @@ object DedupQueries {
           .orderBy("component")
       },
       Some(s"""WITH RECURSIVE ${shingleCtes(drop = 3)},
-             |sig AS (SELECT doc_id,
-             |    list_transform(${OracleSql.coeffPairsLiteral(128, 42L)}, p ->
-             |      list_min(list_transform(hs, h -> (p[1] * (h % 4294967296) + p[2]) % 2147483647))) AS sig
-             |  FROM sh),
+             |$minhashSigCte,
              |bands AS (SELECT doc_id, t.range AS band,
              |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
              |  FROM sig, range(32) t),
@@ -180,10 +192,7 @@ object DedupQueries {
             (col("total_docs") - col("removed")).as("surviving"))
       },
       Some(s"""WITH RECURSIVE ${shingleCtes(drop = 2)},
-             |sig AS (SELECT doc_id,
-             |    list_transform(${OracleSql.coeffPairsLiteral(128, 42L)}, p ->
-             |      list_min(list_transform(hs, h -> (p[1] * (h % 4294967296) + p[2]) % 2147483647))) AS sig
-             |  FROM sh),
+             |$minhashSigCte,
              |bands AS (SELECT doc_id, t.range AS band,
              |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
              |  FROM sig, range(32) t),
@@ -245,10 +254,7 @@ object DedupQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH ${shingleCtes(drop = 3)},
-             |sig AS (SELECT doc_id,
-             |    list_transform(${OracleSql.coeffPairsLiteral(128, 42L)}, p ->
-             |      list_min(list_transform(hs, h -> (p[1] * (h % 4294967296) + p[2]) % 2147483647))) AS sig
-             |  FROM sh),
+             |$minhashSigCte,
              |bands AS (SELECT doc_id, t.range AS band,
              |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
              |  FROM sig, range(32) t),

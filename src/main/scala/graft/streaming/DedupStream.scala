@@ -41,20 +41,22 @@ object DedupStream {
 
   /** Row-local MinHash signature — bit-identical to the batch
     * `shingleHashes` → `minHashSignatures` pipeline: word-trigram
-    * shingles, portable 55-bit poly-hash, (a·h₃₂+b) mod P minima.
+    * shingles, portable 55-bit poly-hash, Kirsch–Mitzenmacher two-hash
+    * minima hᵢ = (h₁ + i·h₂) mod P (the same scheme `MinHashAgg` runs).
     * None when the document has fewer than `n` words (no shingles). */
   def signature(text: String, numHashes: Int = 128, seed: Long = 42L,
       n: Int = 3): Option[Array[Long]] =
-    signatureWith(text, UniversalHash.coefficients(numHashes, seed), n)
+    signatureWith(text, numHashes, UniversalHash.coefficients(2, seed), n)
 
-  /** [[signature]] with a precomputed coefficient table (the hot path
-    * reuses one table per executor instead of rebuilding it per row). */
-  def signatureWith(text: String, coeffs: Array[(Long, Long)],
+  /** [[signature]] with the precomputed h₁/h₂ coefficient pairs (the
+    * hot path reuses one table per executor instead of rebuilding it
+    * per row). */
+  def signatureWith(text: String, numHashes: Int, coeffs: Array[(Long, Long)],
       n: Int = 3): Option[Array[Long]] = {
-    val numHashes = coeffs.length
     val toks = text.split(" ")
     if (toks.length < n) return None
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    val P = UniversalHash.P
     var i = 0
     while (i <= toks.length - n) {
       val shingle = toks.slice(i, i + n).mkString(" ")
@@ -66,10 +68,13 @@ object DedupStream {
         bi += 1
       }
       val h32 = h & 0xffffffffL
+      var v = (coeffs(0)._1 * h32 + coeffs(0)._2) % P
+      val h2 = (coeffs(1)._1 * h32 + coeffs(1)._2) % P
       var j = 0
       while (j < numHashes) {
-        val v = (coeffs(j)._1 * h32 + coeffs(j)._2) % UniversalHash.P
         if (v < sig(j)) sig(j) = v
+        v += h2
+        if (v >= P) v -= P
         j += 1
       }
       i += 1
@@ -108,12 +113,12 @@ object DedupStream {
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
     val horizonMs = math.max(1L,
       iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L)
-    val coeffs = UniversalHash.coefficients(numHashes, seed)
+    val coeffs = UniversalHash.coefficients(2, seed)
     // watermark goes on the BANDED output: a typed flatMap re-derives
     // the ts column, which would shed a watermark applied upstream
     val banded = docs
       .flatMap { d =>
-        signatureWith(d.text, coeffs).toSeq.flatMap(sig =>
+        signatureWith(d.text, numHashes, coeffs).toSeq.flatMap(sig =>
           bandKeys(sig, bands).map { case (b, digest) =>
             BandedDoc(b, digest, d.doc_id, d.ts)
           })

@@ -40,6 +40,15 @@ object UniversalHash {
  * compilation costs more than the query; this aggregate is one small
  * class, same math, same map-side partial aggregation (the buffer
  * serializes as numHashes longs between partial and final).
+ *
+ * The permutation family is the standard two-hash scheme (Kirsch &
+ * Mitzenmacher 2006): hᵢ(x) = (h₁(x) + i·h₂(x)) mod P with h₁/h₂ the
+ * first two splitmix-seeded universal hashes — 2 multiplies + an
+ * add-and-conditional-subtract per i, instead of numHashes independent
+ * (aᵢ·x + bᵢ) mod P evaluations (a multiply + mod per i): ~4× less
+ * work on the per-shingle hot path, same pairwise-independence
+ * guarantee the LSH analysis needs. The DuckDB oracle replays the
+ * identical (h₁ + i·h₂) mod P integers.
  */
 case class MinHashAgg(
     hashExpr: Expression,
@@ -58,7 +67,7 @@ case class MinHashAgg(
     seedExpr.eval().asInstanceOf[Long]
   }
   @transient private lazy val coeffs: Array[(Long, Long)] =
-    UniversalHash.coefficients(numHashes, seed)
+    UniversalHash.coefficients(2, seed)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType, LongType)
   override def children: Seq[Expression] = Seq(hashExpr, numHashesExpr, seedExpr)
@@ -73,11 +82,17 @@ case class MinHashAgg(
     val h = hashExpr.eval(input)
     if (h != null) {
       val x = h.asInstanceOf[Long]
-      val cs = coeffs
+      val P = UniversalHash.P
+      val h1 = (coeffs(0)._1 * x + coeffs(0)._2) % P
+      val h2 = (coeffs(1)._1 * x + coeffs(1)._2) % P
+      // hᵢ = (h1 + i·h2) mod P, built incrementally: v stays in [0, P)
+      // so one conditional subtract replaces the per-i modulo
+      var v = h1
       var i = 0
-      while (i < cs.length) {
-        val v = (cs(i)._1 * x + cs(i)._2) % UniversalHash.P
+      while (i < buffer.length) {
         if (v < buffer(i)) buffer(i) = v
+        v += h2
+        if (v >= P) v -= P
         i += 1
       }
     }
