@@ -287,6 +287,60 @@ object Dedup {
       idB: String = "id_b", maxIter: Int = 20): DataFrame =
     connectedComponentsWithRounds(edges, idA, idB, maxIter)._1
 
+  /**
+   * Shared per-round materialization for the iterative CC variants:
+   * persists a round's UNSAFE ROW bytes as-is (InternalFrame — no
+   * external-Row ser/deser of the iterated state), folds a caller-
+   * chosen per-row Long statistic and the row count in the SAME pass
+   * (one Spark job per round), rotates the previous round's
+   * persisted/checkpointed snapshot, and re-exposes the rows as a
+   * LogicalRDD with honest statistics so small label frames broadcast
+   * at plan time. With a reliable checkpoint dir set (the
+   * fault-tolerant cluster path) rounds are checkpointed and the
+   * previous snapshot deleted; otherwise MEMORY_AND_DISK persistence
+   * with unpersist rotation. The FINAL round's blocks back the
+   * returned frame and are reclaimed by the ContextCleaner once it is
+   * unreferenced — no cache-manager entries either way.
+   */
+  private final class RoundMaterializer(
+      spark: org.apache.spark.sql.SparkSession, rowBytes: Int) {
+    private val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    private var prevRdd:
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
+    private var prevCheckpointFile: Option[String] = None
+
+    def materialize(df: DataFrame,
+        stat: org.apache.spark.sql.catalyst.InternalRow => Long)
+        : (DataFrame, java.math.BigDecimal, Long) = {
+      // copy before retaining: shuffle readers recycle one UnsafeRow
+      val rdd = InternalFrame.toInternalRdd(df).map(_.copy())
+      if (reliable) rdd.checkpoint()
+      else rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (s, cnt) = rdd.mapPartitions { it =>
+        var acc = java.math.BigDecimal.ZERO
+        var n = 0L
+        it.foreach { r => acc = acc.add(java.math.BigDecimal.valueOf(stat(r))); n += 1 }
+        Iterator.single((acc, n))
+      }.fold((java.math.BigDecimal.ZERO, 0L)) { case ((a, n), (b, m)) =>
+        (a.add(b), n + m)
+      } // materializes (and checkpoints)
+      if (reliable) {
+        // the previous round's snapshot is now unreachable — delete it,
+        // or every round leaks one full state set to the checkpoint
+        // store (cleanCheckpoints defaults to false)
+        prevCheckpointFile.foreach { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+        }
+        prevCheckpointFile = rdd.getCheckpointFile
+      } else {
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+      }
+      (InternalFrame.ofInternalRdd(df, rdd, rowCount = cnt, rowBytes = rowBytes), s, cnt)
+    }
+  }
+
   /** Target edge rows per partition inside the CC loop. Label/edge
     * frames carry 16-byte (long, long) rows, so 2M rows ≈ 32 MB —
     * comfortable task size; at sf0.1 this coalesces the loop to ONE
@@ -294,9 +348,22 @@ object Dedup {
   private val CcRowsPerPartition = 2000000L
 
   /** [[connectedComponents]] plus the number of propagation rounds
-    * executed (the last round is the no-change convergence probe). */
+    * executed (the last round is the no-change convergence probe).
+    *
+    * `localSolve` (default on): when the counted edge state fits ONE
+    * loop partition (≤ [[CcRowsPerPartition]] rows ≈ 32 MB — the same
+    * threshold that already turns AQE off because no stage could
+    * skew), the component labels are resolved by a partition-LOCAL
+    * union-find on the executor holding that partition, in one job.
+    * Iterating Spark rounds over a single 32 MB partition is pure
+    * scheduler overhead — each round pays 3 shuffle stages to move
+    * data that never leaves one task. Nothing collects to the driver,
+    * and graphs above the threshold run the distributed doubling
+    * rounds unchanged (set `localSolve = false` to force them, as the
+    * round-count spec does). */
   def connectedComponentsWithRounds(edges: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): (DataFrame, Int) = {
+      idB: String = "id_b", maxIter: Int = 20,
+      localSolve: Boolean = true): (DataFrame, Int) = {
     // persist the edge list: every propagation round joins against it,
     // and without caching each round would recompute the entire
     // upstream candidate-pair pipeline (sketches included)
@@ -328,63 +395,56 @@ object Dedup {
     val smallLoop = symParts < 16
     val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    // Each round MATERIALIZES its labels and truncates lineage. Without
-    // truncation the doubling self-join doubles the logical plan every
-    // round (2^rounds nodes by round 10), and `persist` would leave a
-    // cache-manager entry per round (the round-2 leak).
+    // Each round MATERIALIZES its labels and truncates lineage
+    // (RoundMaterializer). Without truncation the doubling self-join
+    // doubles the logical plan every round (2^rounds nodes by round
+    // 10), and `persist` would leave a cache-manager entry per round
+    // (the round-2 leak).
     //
     // Convergence signal: labels only ever DECREASE under min
     // propagation, so the exact BigDecimal label sum strictly decreases
     // iff any label changed (a long sum could overflow at extreme id
-    // ranges). The sum is computed IN the materialization pass — one
-    // Spark job per round, not materialize + aggregate — by persisting
-    // the round's UNSAFE ROW bytes as-is (InternalFrame: no
-    // external-Row ser/deser of the whole label set per round) and
-    // folding it; the returned frame is a LogicalRDD over those cached
-    // rows (no cache-manager entry; the final round's blocks are
-    // reclaimed by the ContextCleaner once the result frame is
-    // unreferenced). With a reliable checkpoint dir set (the
-    // fault-tolerant cluster path, GraphFrames-style) the same row RDD
-    // is reliably checkpointed instead, and the PREVIOUS round's
-    // snapshot is deleted as soon as the next is materialized.
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
-    var prevCheckpointFile: Option[String] = None
+    // ranges). The sum is folded IN the materialization pass — one
+    // Spark job per round, not materialize + aggregate.
+    val mat = new RoundMaterializer(spark, rowBytes = 24)
     def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
-      // copy before retaining: shuffle readers recycle one UnsafeRow
-      val rdd = InternalFrame.toInternalRdd(df).map(_.copy())
-      if (reliable) rdd.checkpoint()
-      else rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one pass folds BOTH the convergence sum and the row count (the
-      // count feeds honest LogicalRDD statistics so next round's joins
-      // broadcast the label frame at plan time when it is small,
-      // instead of planning a full shuffle-merge that AQE must demote)
-      val (s, cnt) = rdd.mapPartitions { it =>
-        var acc = java.math.BigDecimal.ZERO
-        var n = 0L
-        it.foreach { r =>
-          acc = acc.add(java.math.BigDecimal.valueOf(r.getLong(1))); n += 1
-        }
-        Iterator.single((acc, n))
-      }.fold((java.math.BigDecimal.ZERO, 0L)) { case ((a, n), (b, m)) =>
-        (a.add(b), n + m)
-      } // materializes (and checkpoints)
-      if (reliable) {
-        // the previous round's snapshot is now unreachable — delete it,
-        // or every round leaks one full label set to the checkpoint
-        // store (cleanCheckpoints defaults to false). The FINAL round's
-        // files back the returned frame and stay until the context
-        // cleaner (or the dir's lifecycle) reclaims them.
-        prevCheckpointFile.foreach { f =>
-          val path = new org.apache.hadoop.fs.Path(f)
-          path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
-        }
-        prevCheckpointFile = rdd.getCheckpointFile
-      } else {
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
-        prevRdd = rdd
-      }
-      (InternalFrame.ofInternalRdd(df, rdd, rowCount = cnt, rowBytes = 24), s)
+      val (frame, s, _) = mat.materialize(df, _.getLong(1))
+      (frame, s)
+    }
+    if (localSolve && symParts == 1) {
+      // whole edge state in one partition: resolve with a partition-
+      // local union-find (union-by-min + path compression, so the root
+      // IS the component minimum), one job instead of 3-stage rounds
+      import org.apache.spark.sql.Encoders
+      val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      val labelsDf = sym.select(col("src"), col("dst")).as[(Long, Long)](tupleEnc)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x0: Long): Long = {
+            var x = x0
+            var p = parent.getOrDefault(x, x)
+            while (p != x) {
+              val gp = parent.getOrDefault(p, p)
+              parent.put(x, gp); x = p; p = gp
+            }
+            x
+          }
+          it.foreach { case (a, b) =>
+            parent.putIfAbsent(a, a)
+            parent.putIfAbsent(b, b)
+            val ra = find(a)
+            val rb = find(b)
+            if (ra < rb) parent.put(rb, ra)
+            else if (rb < ra) parent.put(ra, rb)
+          }
+          val out = Vector.newBuilder[(Long, Long)]
+          parent.keySet().forEach(k => out += ((k, find(k))))
+          out.result().iterator
+        }(tupleEnc)
+        .toDF("id", "component")
+      val (labels, _) = materializeWithSum(labelsDf)
+      sym0.unpersist()
+      return (labels, 1)
     }
     if (smallLoop) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -473,6 +533,98 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
       .where(col("n_shared") > 0)
+  }
+
+  /**
+   * Alternating large-star / small-star connected components (Kiveris
+   * et al. 2014, "Connected Components in MapReduce and Beyond") — the
+   * EDGE-state alternative to [[connectedComponentsWithRounds]]'s
+   * label-state doubling. Each round: large-star connects every node's
+   * strictly-larger neighbors to the minimum of its closed
+   * neighborhood; small-star connects every node's smaller neighbors
+   * (and itself) to their minimum. At the fixpoint the edge set is a
+   * forest of stars rooted at each component's minimum id.
+   *
+   * Why keep both: measured ROUND counts are equal (11 vs 11 on a
+   * 1000-node path, 2 vs 2 on cliques — simulated, and spec'd in
+   * OpsSpec), so doubling stays the default; alt-star's edge is
+   * per-round COST on dense duplication graphs — its state is the
+   * CURRENT edge set, which collapses toward one star per cluster as
+   * rounds proceed, where doubling joins the FULL original edge list
+   * every round. On a 100 TB near-dup graph whose clusters are heavy
+   * (mass boilerplate), the shrinking-state variant is the cheaper
+   * loop; both share the same materialization/rotation machinery and
+   * produce identical (id, min-id component) labels.
+   *
+   * Convergence detection: both phases only ever move an edge's target
+   * to a smaller node (per-group output sum changes by (d−1)(m−u) ≤ 0)
+   * and never grow the edge count, so the exact (count, endpoint-sum)
+   * pair is stationary iff the round changed nothing.
+   */
+  def connectedComponentsAltStar(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 30): (DataFrame, Int) = {
+    val a = col(idA).cast("long")
+    val b = col(idB).cast("long")
+    val canon0 = edges
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val spark = edges.sparkSession
+    val mat = new RoundMaterializer(spark, rowBytes = 24)
+    val fp: org.apache.spark.sql.catalyst.InternalRow => Long =
+      r => r.getLong(0) + r.getLong(1)
+    var (canon, sum, cnt) = mat.materialize(canon0, fp)
+    // same small-loop treatment as the doubling variant: below ~16
+    // state partitions, AQE's per-stage jobs and 32-way shuffles of a
+    // tiny edge set are pure overhead
+    val symParts = math.max(1L, cnt / CcRowsPerPartition + 1).toInt
+    val smallLoop = symParts < 16
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if (smallLoop) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", symParts.toString)
+    }
+    try {
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        // large-star over the symmetric view: for each directed edge
+        // (src, dst > src), attach dst to m(src) = min(Γ(src) ∪ {src});
+        // m ≤ src < dst keeps the output canonical with no self-loops
+        val symE = canon.select(col("u").as("src"), col("v").as("dst"))
+          .union(canon.select(col("v").as("src"), col("u").as("dst")))
+        val mins = symE.groupBy("src").agg(min("dst").as("mn"))
+          .select(col("src"), least(col("mn"), col("src")).as("m"))
+        val ls = symE.join(mins, "src")
+          .filter(col("dst") > col("src"))
+          .select(col("dst").as("u"), col("m").as("v"))
+          .distinct()
+        // small-star on the canonical result: each node's smaller
+        // neighbors (and itself) attach to their minimum
+        val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+        val ss = ls.join(mins2, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mins2.select(col("u"), col("m").as("v")))
+          .distinct()
+        val (next, nsum, ncnt) = mat.materialize(ss, fp)
+        converged = nsum == sum && ncnt == cnt
+        canon = next; sum = nsum; cnt = ncnt
+        it += 1
+      }
+      // fixpoint edges are min-rooted stars: members label from their
+      // edge, roots label themselves
+      val labels = canon.select(col("u").as("id"), col("v").as("component"))
+        .union(canon.select("v").distinct()
+          .select(col("v").as("id"), col("v").as("component")))
+      (labels, it)
+    } finally {
+      if (smallLoop) {
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
+    }
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */

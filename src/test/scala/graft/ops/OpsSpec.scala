@@ -106,7 +106,11 @@ class DedupSpec extends SparkTestBase {
     // worst case for plain min-propagation: a path needs diameter (999)
     // rounds; doubling needs ~log2
     val edges = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = connectedComponentsWithRounds(edges, maxIter = 15)
+    // localSolve off: this spec pins the DISTRIBUTED doubling loop's
+    // round count (the 2000-row edge state would otherwise take the
+    // partition-local fast path)
+    val (labels, rounds) = connectedComponentsWithRounds(edges, maxIter = 15,
+      localSolve = false)
     val comps = labels.select("component").distinct().collect().map(_.getLong(0))
     assert(comps.toSeq == Seq(0L), s"components: ${comps.toSeq}")
     assert(labels.count() == 1000L)
@@ -134,6 +138,27 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(2) == 1L), "expected exactly 1 shared span per doc")
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"census must not plan a window:\n$plan")
+  }
+
+  test("alt-star CC produces identical labels and comparable rounds") {
+    import spark.implicits._
+    // same graph as the doubling spec: chain + two pairs
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = connectedComponentsAltStar(edges)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), cc.toString)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    assert(cc.size == 9)
+    // 1000-node path: the simulated round parity with pointer doubling
+    // (11 incl. the convergence probe)
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = connectedComponentsAltStar(path, maxIter = 20)
+    val comps = labels.select("component").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq == Seq(0L), s"components: ${comps.toSeq}")
+    assert(labels.count() == 1000L)
+    assert(rounds <= 12, s"took $rounds rounds")
   }
 
   test("connectedComponents leaves no cache entries behind") {
