@@ -218,6 +218,48 @@ object Similarity {
   }
 
   /**
+   * Exact maximum-inner-product top-k (MIPS) via the norm-augmentation
+   * reduction (Shrivastava & Li 2014; Neyshabur & Srebro 2015): corpus
+   * vectors gain one coordinate sqrt(M² − ‖c‖²) with M the max corpus
+   * norm (so every augmented vector has norm exactly M), queries gain a
+   * 0 — then cos(q', c') = ⟨q, c⟩ / (‖q‖·M), a per-query-constant
+   * scaling of the inner product, so COSINE top-k in the augmented
+   * space IS inner-product top-k in the original space. This is the
+   * standard trick that lets unnormalized-embedding retrieval (learned
+   * rerankers, recommender dot scores) reuse every cosine ANN path
+   * unchanged — the same augmented columns drop straight into
+   * [[knnLsh]]/[[knnIvf]] for the approximate variant.
+   *
+   * M rides IN the plan as a broadcast 1-row aggregate (no driver
+   * action); the augmented coordinate is clamped at 0 before the sqrt
+   * (for the max-norm row, M² − ‖c‖² can round a few ulps negative).
+   * Same broadcast-NL + native-heap shape as [[knnBruteForce]].
+   * Output score is the augmented cosine (∝ inner product per query).
+   */
+  def mipsBruteForce(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val m = c.agg(max(sqrt(dot(col("cv"), col("cv")))).as("mnorm"))
+    val caug = c.crossJoin(broadcast(m))
+      .select(col("neighbor_id"),
+        concat(col("cv"), array(sqrt(greatest(lit(0.0),
+          col("mnorm") * col("mnorm") - dot(col("cv"), col("cv")))))).as("cva"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), concat(col("qv"), array(lit(0.0))).as("qva"))
+    caug.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qva"), col("cva")).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
+  }
+
+  /**
    * Approximate top-k via hyperplane LSH with `tables` independent hash
    * tables: equi-join on (table, bucket), exact rerank inside buckets,
    * union of tables, global top-k per query. Recall is tested in

@@ -273,6 +273,55 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "d11_minhash_estimate",
+      (s, dir) => {
+        // Sketch-based candidate SCORING — the reason MinHash exists:
+        // the Jaccard ESTIMATE (fraction of agreeing signature
+        // coordinates, E[n_agree/128] = J) is computed from the
+        // fixed-width signatures ALONE, emitted next to the exact
+        // shingle-set Jaccard for calibration. At 100 TB candidates are
+        // scored from signatures without re-touching text, and only
+        // pairs over the estimate threshold pay the exact verification
+        // join. The interpreted zip_with/filter lambdas run on
+        // candidate PAIRS only (d10's pairs-only argument).
+        val corpus = withNearDups(s, dir, drop = 3)
+        val sh = shingleHashes(corpus, "doc_id", "text")
+        val sigs = minHashSignatures(sh, "doc_id")
+        val sets = sh.groupBy("doc_id").agg(collect_set("h").as("hs"))
+        val pairs = minHashCandidatePairs(corpus, "doc_id", "text")
+        val agree = size(filter(
+          zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+        pairs
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+          .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            agree.as("n_agree"),
+            fround(jaccard(col("ha"), col("hb")), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${shingleCtes(drop = 3)},
+             |$minhashSigCte,
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |sets AS (SELECT doc_id, list_distinct(hs) AS hs FROM sh)
+             |SELECT id_a, id_b,
+             |  CAST(len(list_filter(range(128), i -> sa.sig[i + 1] = sb.sig[i + 1])) AS INT) AS n_agree,
+             |  floor(len(list_distinct(list_intersect(ha.hs, hb.hs))) * 1.0
+             |    / len(list_distinct(ha.hs || hb.hs)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+             |FROM pairs
+             |JOIN sig sa ON sa.doc_id = pairs.id_a
+             |JOIN sig sb ON sb.doc_id = pairs.id_b
+             |JOIN sets ha ON ha.doc_id = pairs.id_a
+             |JOIN sets hb ON hb.doc_id = pairs.id_b
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "d08_semantic_dedup",
       (s, dir) => {
         // Composed SEMANTIC dedup at bucketed (not all-pairs) cost:

@@ -363,6 +363,42 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a10_mips",
+      (s, dir) => {
+        // Maximum-inner-product top-k via the norm-augmentation
+        // reduction (see Similarity.mipsBruteForce): corpus vectors
+        // gain sqrt(M²−‖c‖²), queries gain 0, cosine top-k in the
+        // augmented space = inner-product top-k. Fully closed-form —
+        // the oracle rebuilds the augmented vectors and replays the
+        // identical cosine arithmetic.
+        val e = Tables(s, dir).embeddings
+        graft.ops.Similarity.mipsBruteForce(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            fround(col("cos"), 4).as("aug_cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT max(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mn
+             |      FROM e WHERE vec_id >= 10),
+             |c AS (SELECT vec_id AS neighbor_id,
+             |    v || [sqrt(greatest(0.0, mn * mn - list_sum(list_transform(v, x -> x * x))))] AS cva
+             |  FROM e, m WHERE vec_id >= 10),
+             |q AS (SELECT vec_id AS query_id, v || [0.0] AS qva FROM e WHERE vec_id < 10),
+             |scored AS (SELECT query_id, neighbor_id,
+             |    list_sum(list_transform(list_zip(qva, cva), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(qva, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(cva, x -> x * x)))) AS cos
+             |  FROM q, c)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS aug_cos
+             |FROM (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |      FROM scored)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // nprobe 6/16: the synthetic embeddings are near-uniform on the

@@ -40,6 +40,40 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned+z-ordered write composes directory pruning with z-locality") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 4000).map { i =>
+      (Seq("A", "N", "R")(i % 3), rnd.nextDouble() * 50.0, rnd.nextDouble() * 1000.0, i.toLong)
+    }.toDF("flag", "x", "y", "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pz")
+    try {
+      Layout.writePartitionedZOrdered(df, s"$dir/t", "flag",
+        Seq(("x", 0.0, 50.0), ("y", 0.0, 1000.0)), files = 12)
+      val read = spark.read.parquet(s"$dir/t")
+        .filter(col("flag") === "A" && col("x").between(10.0, 20.0))
+      val scan = read.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") || scan.contains("partitionFilters"),
+        s"expected partition filters in plan:\n$scan")
+      // relayout moves rows, never changes them
+      val expected = df.filter(col("flag") === "A" && col("x").between(10.0, 20.0)).count()
+      assert(read.count() == expected)
+      // each file's x-range is a narrow slice of [0, 50] — the min/max
+      // skipping guarantee (a round-robin write gives ~full-range files)
+      val spans = spark.read.parquet(s"$dir/t")
+        .select(col("x"), input_file_name().as("f"))
+        .groupBy("f").agg((max("x") - min("x")).as("span"))
+        .collect().map(_.getDouble(1))
+      val avgSpan = spans.sum / spans.length
+      // (~25-31 measured for 4 z-files/flag; a round-robin write gives ~50)
+      assert(avgSpan < 40.0, s"avg per-file x-span $avgSpan — no z-locality")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("partitioned writes prune directories at planning time") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i % 10, i.toLong)).toDF("part", "id")
