@@ -99,6 +99,39 @@ object CorpusOps2 {
              |ORDER BY p.lang""".stripMargin)),
 
     Q(
+      "p10_shuffle_shards",
+      (s, dir) => {
+        // Deterministic global TRAINING SHUFFLE — the last step before
+        // packing: each doc's salted 52-bit hash is both its shard
+        // assignment (hash mod shards — capacity-balanced in
+        // expectation) and its position key WITHIN the shard (ordering
+        // by a hash of the id IS the shuffle), so any engine, rerun, or
+        // backfill reproduces the exact same epoch order with no
+        // rand() and no global sort — the only sort is per-shard, and
+        // parallelism = shard count (size it to writer tasks, like
+        // p05's buckets). Output: doc order within each of 8 shards.
+        val nShards = 8
+        val h = graft.functions.VectorExpressions.md5Hash52(
+          concat(lit("shuf:"), col("doc_id").cast("string")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("h", "doc_id")
+        Tables(s, dir).documents
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+          .withColumn("pos", row_number().over(w))
+          .select("shard", "pos", "doc_id")
+          .orderBy("shard", "pos")
+      },
+      Some(s"""WITH keyed AS (SELECT doc_id,
+             |    ${OracleSql.md5Fold52("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+             |  FROM documents)
+             |SELECT CAST(h % 8 AS INT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos,
+             |  doc_id
+             |FROM keyed
+             |ORDER BY shard, pos""".stripMargin)),
+
+    Q(
       "dc02_incremental_dedup",
       (s, dir) => {
         // Incremental snapshot dedup — the daily-ingest pattern: a new
