@@ -91,6 +91,20 @@ object Kernels {
     new ARDRBFKernel(
       BDV.fill(dim)(lengthscale), BDV.fill(dim)(lower), BDV.fill(dim)(upper))
 
+  /** Matérn ν=3/2: k(a,b) = (1+√3r/ℓ)·exp(−√3r/ℓ), r = ‖a−b‖ —
+    * once-differentiable sample paths, the standard choice for rough
+    * physical processes where RBF's infinite smoothness over-smooths. */
+  def matern32(lengthscale: Double = 1.0, lower: Double = 1e-6,
+      upper: Double = Double.PositiveInfinity): Kernel =
+    new MaternKernel(3, lengthscale, lower, upper)
+
+  /** Matérn ν=5/2: k(a,b) = (1+√5r/ℓ+5r²/3ℓ²)·exp(−√5r/ℓ) —
+    * twice-differentiable, the default covariance in much of the
+    * Bayesian-optimization literature. */
+  def matern52(lengthscale: Double = 1.0, lower: Double = 1e-6,
+      upper: Double = Double.PositiveInfinity): Kernel =
+    new MaternKernel(5, lengthscale, lower, upper)
+
   /** Non-trainable white noise: k = σ²·1[a==b]. */
   def white(variance: Double): Kernel = new WhiteKernel(variance)
 
@@ -219,6 +233,76 @@ final class ARDRBFKernel(ells: BDV[Double], lo: BDV[Double], hi: BDV[Double])
 
   def self(x: Array[Double]): Double = 1.0
   override def toString = s"ardRbf(ℓ=${ells.toArray.map(v => f"$v%.3g").mkString(",")})"
+}
+
+/**
+ * Matérn kernel for half-integer ν (order 3 ⇒ ν=3/2, order 5 ⇒ ν=5/2);
+ * hyperparameter = lengthscale ℓ. With s = √order·r/ℓ:
+ *   ν=3/2: k = (1+s)e⁻ˢ,        ∂k/∂ℓ = s²e⁻ˢ/ℓ
+ *   ν=5/2: k = (1+s+s²/3)e⁻ˢ,  ∂k/∂ℓ = s²(1+s)e⁻ˢ/(3ℓ)
+ * (∂k/∂ℓ = dk/ds · (−s/ℓ); both forms verified against finite
+ * differences in KernelSpec). A beyond-reference addition: spark-gp
+ * ships RBF/ARD/Eye only, but Matérn is the standard covariance when
+ * RBF's infinite smoothness over-smooths.
+ */
+final class MaternKernel(order: Int, ell: Double, lo: Double, hi: Double)
+    extends Kernel {
+  require(order == 3 || order == 5, s"order must be 3 or 5 (ν=order/2), got $order")
+  require(ell > 0, "lengthscale must be positive")
+  private val sq = math.sqrt(order.toDouble)
+
+  def numHypers = 1
+  def hypers: BDV[Double] = BDV(ell)
+  def withHypers(h: BDV[Double]): Kernel = new MaternKernel(order, h(0), lo, hi)
+  def bounds: (BDV[Double], BDV[Double]) = (BDV(lo), BDV(hi))
+  def noiseVar: Double = 0.0
+
+  private def kOfS(s: Double): Double =
+    if (order == 3) (1.0 + s) * math.exp(-s)
+    else (1.0 + s + s * s / 3.0) * math.exp(-s)
+
+  private def kOfSqDist(d2: Double): Double = kOfS(sq * math.sqrt(d2) / ell)
+
+  def gram(e: ExpertData): BDM[Double] = e.sqDists.map(kOfSqDist)
+
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val n = e.size
+    val km = BDM.zeros[Double](n, n)
+    val g = BDM.zeros[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        val s = sq * math.sqrt(e.sqDists(i, j)) / ell
+        val es = math.exp(-s)
+        val (kv, gv) =
+          if (order == 3) ((1.0 + s) * es, s * s * es / ell)
+          else ((1.0 + s + s * s / 3.0) * es, s * s * (1.0 + s) * es / (3.0 * ell))
+        km(i, j) = kv; km(j, i) = kv
+        g(i, j) = gv; g(j, i) = gv
+        j += 1
+      }
+      i += 1
+    }
+    (km, Array(g))
+  }
+
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] = {
+    val m = BDM.zeros[Double](a.length, b.length)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        m(i, j) = kOfSqDist(Kernels.sqDist(a(i), b(j)))
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  def self(x: Array[Double]): Double = 1.0
+  override def toString = f"matern${order}2(ℓ=$ell%.4g)"
 }
 
 /** Non-trainable white-noise kernel σ²·I. */

@@ -143,6 +143,37 @@ object GPQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "gp08_matern_kernel_matrix",
+      (s, dir) => {
+        // Matérn-5/2 kernel matrix through the real Kernel.cross path
+        // (beyond-reference kernel — spark-gp ships RBF/ARD/Eye only):
+        // closed-form, so DuckDB replays the identical
+        // (1+s+s²/3)·exp(−s) arithmetic with s = √5·r/ℓ.
+        val kern = matern52(1.5)
+        val kUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+          kern.cross(Array(a.toArray), Array(b.toArray))(0, 0)
+        }
+        val e = Tables(s, dir).embeddings.filter(col("vec_id") < 15)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.crossJoin(b).filter(col("id_a") <= col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            fround(kUdf(col("va"), col("vb")), 6).as("k"))
+          .orderBy("id_a", "id_b")
+      },
+      // s = √5·‖a-b‖/1.5; k = (1 + s + s²/3)·exp(-s)
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings WHERE vec_id < 15),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |        sqrt(5) * sqrt(list_sum(list_transform(list_zip(a.v, b.v),
+             |          x -> (x[1] - x[2]) * (x[1] - x[2])))) / 1.5 AS s
+             |      FROM e a JOIN e b ON a.vec_id <= b.vec_id)
+             |SELECT id_a, id_b,
+             |  floor((1 + s + s * s / 3) * exp(-s) * 1e6 + 0.5) / 1e6 AS k
+             |FROM p ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "gp06_projected_predict",
       (s, dir) => {
         // The PREDICTION path (mean = k_xZ·w, var = k_xx + k_xZ·M·k_Zx)

@@ -56,6 +56,26 @@ class GPSpec extends SparkTestBase {
     assert(rmse < 0.15, s"rmse=$rmse")
   }
 
+  test("GPRegressor trains end-to-end with a Matern-5/2 kernel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val data = Seq.tabulate(300) { i =>
+      val x = 4.0 * i / 300.0
+      (Array(x), math.sin(2 * x) + 0.05 * rnd.nextGaussian())
+    }
+    val df = data.toDF("features", "label")
+    val model = new GPRegressor()
+      .setKernel(() => 1.0 * matern52(1.0))
+      .setNoise(1e-3)
+      .setExpertSize(75)
+      .setInducingSize(40)
+      .setMaxIter(30)
+      .fit(df)
+    val rmse = math.sqrt(model.transform(df)
+      .select(avg(pow(col("prediction") - col("label"), 2))).head().getDouble(0))
+    assert(rmse < 0.12, s"rmse=$rmse")
+  }
+
   test("GPClassifier separates two blobs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

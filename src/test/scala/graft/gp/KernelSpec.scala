@@ -53,6 +53,26 @@ class KernelSpec extends AnyFunSuite {
     checkGradient(k, randomData(10, 3))
   }
 
+  test("matern kernels: symmetric PSD unit-diagonal grams, finite-diff gradients") {
+    val e = randomData(15, 3)
+    for (k <- Seq(matern32(1.1), matern52(0.8))) {
+      val g = k.gram(e)
+      assert(breeze.linalg.max(breeze.numerics.abs(g - g.t)) < 1e-12, k.toString)
+      for (i <- 0 until e.size) assert(math.abs(g(i, i) - 1.0) < 1e-12, k.toString)
+      val eig = breeze.linalg.eigSym(g + BDM.eye[Double](e.size) *:* 1e-9).eigenvalues
+      assert(breeze.linalg.min(eig) > -1e-8, k.toString)
+      checkGradient(k, e)
+      assert(breeze.linalg.max(breeze.numerics.abs(g - k.cross(e.x, e.x))) < 1e-12)
+    }
+    // smoothness ordering at moderate distance: rougher kernels decay
+    // faster than smoother ones near ℓ (matern32 < matern52 < rbf)
+    val a = Array(0.0, 0.0); val b = Array(0.9, 0.0)
+    val k32 = matern32(1.0).cross(Array(a), Array(b))(0, 0)
+    val k52 = matern52(1.0).cross(Array(a), Array(b))(0, 0)
+    val krbf = rbf(1.0).cross(Array(a), Array(b))(0, 0)
+    assert(k32 < k52 && k52 < krbf, s"$k32 $k52 $krbf")
+  }
+
   test("white kernel contributes noiseVar on the diagonal only") {
     val e = randomData(8, 2)
     val k = rbf(1.0) + white(0.25)
