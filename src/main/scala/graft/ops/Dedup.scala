@@ -156,6 +156,16 @@ object Dedup {
     bucketPairs(lshBands(sigs, "sig", bands, idCol, numHashes), idCol, maxBucket)
   }
 
+  /** [[minHashCandidatePairs]] from PRECOMPUTED signatures — the entry
+    * point for pipelines that also consume the signatures (estimate
+    * scoring, banding diagnostics): signing the corpus is the expensive
+    * pass, so callers share one signature frame instead of re-shingling
+    * per consumer. */
+  def minHashCandidatePairsFromSignatures(sigs: DataFrame, idCol: String,
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Int = MaxBucketDefault): DataFrame =
+    bucketPairs(lshBands(sigs, "sig", bands, idCol, numHashes), idCol, maxBucket)
+
   /**
    * Semantic (embedding-space) near-dup candidate pairs: random-
    * hyperplane LSH over `tables` independent hash tables, exact cosine

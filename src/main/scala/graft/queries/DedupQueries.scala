@@ -284,11 +284,19 @@ object DedupQueries {
         // pairs over the estimate threshold pay the exact verification
         // join. The interpreted zip_with/filter lambdas run on
         // candidate PAIRS only (d10's pairs-only argument).
+        // The SIGNATURE frame (the expensive MinHash aggregate, one
+        // 128-long row per doc) is computed once and shared between
+        // the estimate join and the LSH pairs via sharedScan +
+        // minHashCandidatePairsFromSignatures. The raw shingle rows
+        // are NOT cached — the narrow codegen'd explode+hash is
+        // cheaper to recompute than to materialize (measured), so the
+        // token-set branch re-derives it
         val corpus = withNearDups(s, dir, drop = 3)
         val sh = shingleHashes(corpus, "doc_id", "text")
-        val sigs = minHashSignatures(sh, "doc_id")
+        val sigs = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          minHashSignatures(sh, "doc_id"))
         val sets = sh.groupBy("doc_id").agg(collect_set("h").as("hs"))
-        val pairs = minHashCandidatePairs(corpus, "doc_id", "text")
+        val pairs = minHashCandidatePairsFromSignatures(sigs, "doc_id")
         val agree = size(filter(
           zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
         pairs
