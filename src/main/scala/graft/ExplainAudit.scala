@@ -14,7 +14,9 @@ object ExplainAudit {
       else Seq("q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
         "q02_revenue_forecast", "d03_minhash_pairs", "a01_knn_bruteforce",
         "d08_semantic_dedup", "t14_tfidf_terms", "a06_centroid_classify",
-        "k02_salted_join", "p07_pretrain_pipeline")
+        "k02_salted_join", "p07_pretrain_pipeline",
+        "d09_span_dedup", "d11_minhash_estimate", "a10_mips",
+        "p05_sequence_packing", "l01_layout_prune")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

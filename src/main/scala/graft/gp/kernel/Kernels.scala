@@ -105,6 +105,14 @@ object Kernels {
       upper: Double = Double.PositiveInfinity): Kernel =
     new MaternKernel(5, lengthscale, lower, upper)
 
+  /** Rational quadratic: k(a,b) = (1 + ‖a−b‖²/(2αℓ²))^−α — an infinite
+    * scale mixture of RBFs (α → ∞ recovers RBF); hypers (ℓ, α). The
+    * covariance for processes that vary on SEVERAL lengthscales at
+    * once. */
+  def rationalQuadratic(lengthscale: Double = 1.0, alpha: Double = 1.0,
+      lower: Double = 1e-6, upper: Double = Double.PositiveInfinity): Kernel =
+    new RationalQuadraticKernel(lengthscale, alpha, lower, upper)
+
   /** Non-trainable white noise: k = σ²·1[a==b]. */
   def white(variance: Double): Kernel = new WhiteKernel(variance)
 
@@ -303,6 +311,74 @@ final class MaternKernel(order: Int, ell: Double, lo: Double, hi: Double)
 
   def self(x: Array[Double]): Double = 1.0
   override def toString = f"matern${order}2(ℓ=$ell%.4g)"
+}
+
+/**
+ * Rational-quadratic kernel; hyperparameters = (lengthscale ℓ, α).
+ * With u = 1 + d²/(2αℓ²):
+ *   k = u^−α
+ *   ∂k/∂ℓ = u^(−α−1) · d²/ℓ³
+ *   ∂k/∂α = u^−α · (−ln u + d²/(2αℓ²u))
+ * (both verified against finite differences in KernelSpec). Beyond the
+ * reference's surface, like Matérn.
+ */
+final class RationalQuadraticKernel(ell: Double, alpha: Double,
+    lo: Double, hi: Double) extends Kernel {
+  require(ell > 0, "lengthscale must be positive")
+  require(alpha > 0, "alpha must be positive")
+
+  def numHypers = 2
+  def hypers: BDV[Double] = BDV(ell, alpha)
+  def withHypers(h: BDV[Double]): Kernel =
+    new RationalQuadraticKernel(h(0), h(1), lo, hi)
+  def bounds: (BDV[Double], BDV[Double]) = (BDV(lo, lo), BDV(hi, hi))
+  def noiseVar: Double = 0.0
+
+  private def kOfSqDist(d2: Double): Double =
+    math.pow(1.0 + d2 / (2.0 * alpha * ell * ell), -alpha)
+
+  def gram(e: ExpertData): BDM[Double] = e.sqDists.map(kOfSqDist)
+
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val n = e.size
+    val km = BDM.zeros[Double](n, n)
+    val gl = BDM.zeros[Double](n, n)
+    val ga = BDM.zeros[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        val d2 = e.sqDists(i, j)
+        val u = 1.0 + d2 / (2.0 * alpha * ell * ell)
+        val kv = math.pow(u, -alpha)
+        val glv = math.pow(u, -alpha - 1.0) * d2 / (ell * ell * ell)
+        val gav = kv * (-math.log(u) + d2 / (2.0 * alpha * ell * ell * u))
+        km(i, j) = kv; km(j, i) = kv
+        gl(i, j) = glv; gl(j, i) = glv
+        ga(i, j) = gav; ga(j, i) = gav
+        j += 1
+      }
+      i += 1
+    }
+    (km, Array(gl, ga))
+  }
+
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] = {
+    val m = BDM.zeros[Double](a.length, b.length)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        m(i, j) = kOfSqDist(Kernels.sqDist(a(i), b(j)))
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  def self(x: Array[Double]): Double = 1.0
+  override def toString = f"rq(ℓ=$ell%.4g, α=$alpha%.4g)"
 }
 
 /** Non-trainable white-noise kernel σ²·I. */

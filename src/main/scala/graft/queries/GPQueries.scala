@@ -174,6 +174,36 @@ object GPQueries {
              |FROM p ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "gp09_rq_kernel_matrix",
+      (s, dir) => {
+        // Rational-quadratic kernel matrix (ℓ=1.5, α=0.8) through the
+        // real Kernel.cross path — closed-form u^−α, DuckDB replays the
+        // identical pow/arithmetic.
+        val kern = rationalQuadratic(1.5, 0.8)
+        val kUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+          kern.cross(Array(a.toArray), Array(b.toArray))(0, 0)
+        }
+        val e = Tables(s, dir).embeddings.filter(col("vec_id") < 15)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.crossJoin(b).filter(col("id_a") <= col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            fround(kUdf(col("va"), col("vb")), 6).as("k"))
+          .orderBy("id_a", "id_b")
+      },
+      // u = 1 + d²/(2·0.8·1.5²); k = u^-0.8
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings WHERE vec_id < 15),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |        1 + list_sum(list_transform(list_zip(a.v, b.v),
+             |          x -> (x[1] - x[2]) * (x[1] - x[2]))) / (2 * 0.8 * 1.5 * 1.5) AS u
+             |      FROM e a JOIN e b ON a.vec_id <= b.vec_id)
+             |SELECT id_a, id_b,
+             |  floor(pow(u, -0.8) * 1e6 + 0.5) / 1e6 AS k
+             |FROM p ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "gp06_projected_predict",
       (s, dir) => {
         // The PREDICTION path (mean = k_xZ·w, var = k_xx + k_xZ·M·k_Zx)

@@ -73,6 +73,22 @@ class KernelSpec extends AnyFunSuite {
     assert(k32 < k52 && k52 < krbf, s"$k32 $k52 $krbf")
   }
 
+  test("rational-quadratic kernel: PSD gram, finite-diff gradients, RBF limit") {
+    val e = randomData(12, 3)
+    val k = rationalQuadratic(1.2, 0.7)
+    val g = k.gram(e)
+    assert(breeze.linalg.max(breeze.numerics.abs(g - g.t)) < 1e-12)
+    for (i <- 0 until e.size) assert(math.abs(g(i, i) - 1.0) < 1e-12)
+    val eig = breeze.linalg.eigSym(g + BDM.eye[Double](e.size) *:* 1e-9).eigenvalues
+    assert(breeze.linalg.min(eig) > -1e-8)
+    checkGradient(k, e)
+    assert(breeze.linalg.max(breeze.numerics.abs(g - k.cross(e.x, e.x))) < 1e-12)
+    // α → ∞ recovers RBF
+    val big = rationalQuadratic(1.2, 1e7).gram(e)
+    val ref = rbf(1.2).gram(e)
+    assert(breeze.linalg.max(breeze.numerics.abs(big - ref)) < 1e-5)
+  }
+
   test("white kernel contributes noiseVar on the diagonal only") {
     val e = randomData(8, 2)
     val k = rbf(1.0) + white(0.25)
