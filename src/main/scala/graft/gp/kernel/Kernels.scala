@@ -113,6 +113,19 @@ object Kernels {
       lower: Double = 1e-6, upper: Double = Double.PositiveInfinity): Kernel =
     new RationalQuadraticKernel(lengthscale, alpha, lower, upper)
 
+  /** Periodic (ExpSineSquared): k = exp(−2·sin²(π‖a−b‖/p)/ℓ²), hypers
+    * (ℓ, p) — exactly repeating structure (seasonality); compose with
+    * RBF/Matérn sums for quasi-periodic processes. */
+  def periodic(lengthscale: Double = 1.0, period: Double = 1.0,
+      lower: Double = 1e-6, upper: Double = Double.PositiveInfinity): Kernel =
+    new PeriodicKernel(lengthscale, period, lower, upper)
+
+  /** Dot-product (linear) kernel: k = σ₀² + a·b, hyper σ₀ — Bayesian
+    * linear regression as a GP; sum with RBF for trend + residual. */
+  def dotProduct(sigma0: Double = 1.0, lower: Double = 0.0,
+      upper: Double = Double.PositiveInfinity): Kernel =
+    new DotProductKernel(sigma0, lower, upper)
+
   /** Non-trainable white noise: k = σ²·1[a==b]. */
   def white(variance: Double): Kernel = new WhiteKernel(variance)
 
@@ -379,6 +392,156 @@ final class RationalQuadraticKernel(ell: Double, alpha: Double,
 
   def self(x: Array[Double]): Double = 1.0
   override def toString = f"rq(ℓ=$ell%.4g, α=$alpha%.4g)"
+}
+
+/**
+ * Periodic (ExpSineSquared) kernel; hyperparameters = (ℓ, period p).
+ * PER-DIMENSION form — the product of 1-D periodic kernels:
+ *   k = exp(−2·Σⱼ sin²(π|aⱼ−bⱼ|/p) / ℓ²)
+ * The popular euclidean-distance variant exp(−2sin²(π‖a−b‖/p)/ℓ²) is
+ * NOT positive semi-definite beyond one dimension (a 12-point 2-D gram
+ * shows eigenvalues at −0.97 — caught by KernelSpec); the per-dim sum
+ * is PSD as a product of valid 1-D kernels and coincides with it in
+ * 1-D. With θⱼ = π·dⱼ/p, sⱼ = sin θⱼ, S = Σⱼ sⱼ²:
+ *   ∂k/∂ℓ = k · 4S/ℓ³
+ *   ∂k/∂p = k · (4π/(ℓ²p²)) · Σⱼ dⱼ·sⱼ·cosθⱼ
+ * (verified against finite differences in KernelSpec).
+ */
+final class PeriodicKernel(ell: Double, period: Double, lo: Double, hi: Double)
+    extends Kernel {
+  require(ell > 0, "lengthscale must be positive")
+  require(period > 0, "period must be positive")
+
+  def numHypers = 2
+  def hypers: BDV[Double] = BDV(ell, period)
+  def withHypers(h: BDV[Double]): Kernel = new PeriodicKernel(h(0), h(1), lo, hi)
+  def bounds: (BDV[Double], BDV[Double]) = (BDV(lo, lo), BDV(hi, hi))
+  def noiseVar: Double = 0.0
+
+  private def sinSqSum(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < a.length) {
+      val sj = math.sin(math.Pi * math.abs(a(j) - b(j)) / period)
+      s += sj * sj
+      j += 1
+    }
+    s
+  }
+
+  private def k(a: Array[Double], b: Array[Double]): Double =
+    math.exp(-2.0 * sinSqSum(a, b) / (ell * ell))
+
+  def gram(e: ExpertData): BDM[Double] = cross(e.x, e.x)
+
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val n = e.size
+    val km = BDM.zeros[Double](n, n)
+    val gl = BDM.zeros[Double](n, n)
+    val gp = BDM.zeros[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var ss = 0.0
+        var dsc = 0.0
+        var d = 0
+        while (d < e.x(i).length) {
+          val dj = math.abs(e.x(i)(d) - e.x(j)(d))
+          val th = math.Pi * dj / period
+          val s = math.sin(th)
+          ss += s * s
+          dsc += dj * s * math.cos(th)
+          d += 1
+        }
+        val kv = math.exp(-2.0 * ss / (ell * ell))
+        val glv = kv * 4.0 * ss / (ell * ell * ell)
+        val gpv = kv * 4.0 * math.Pi * dsc / (ell * ell * period * period)
+        km(i, j) = kv; km(j, i) = kv
+        gl(i, j) = glv; gl(j, i) = glv
+        gp(i, j) = gpv; gp(j, i) = gpv
+        j += 1
+      }
+      i += 1
+    }
+    (km, Array(gl, gp))
+  }
+
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] = {
+    val m = BDM.zeros[Double](a.length, b.length)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) { m(i, j) = k(a(i), b(j)); j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  def self(x: Array[Double]): Double = 1.0
+  override def toString = f"periodic(ℓ=$ell%.4g, p=$period%.4g)"
+}
+
+/**
+ * Dot-product (linear) kernel; hyperparameter = σ₀ (bias scale):
+ * k(a,b) = σ₀² + a·b, ∂k/∂σ₀ = 2σ₀. Unlike the stationary kernels,
+ * self(x) = σ₀² + ‖x‖².
+ */
+final class DotProductKernel(sigma0: Double, lo: Double, hi: Double)
+    extends Kernel {
+  require(sigma0 >= 0, "sigma0 must be non-negative")
+
+  def numHypers = 1
+  def hypers: BDV[Double] = BDV(sigma0)
+  def withHypers(h: BDV[Double]): Kernel = new DotProductKernel(h(0), lo, hi)
+  def bounds: (BDV[Double], BDV[Double]) = (BDV(lo), BDV(hi))
+  def noiseVar: Double = 0.0
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def gram(e: ExpertData): BDM[Double] = {
+    val n = e.size
+    val m = BDM.zeros[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        val v = sigma0 * sigma0 + dot(e.x(i), e.x(j))
+        m(i, j) = v; m(j, i) = v
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val n = e.size
+    val g = BDM.fill(n, n)(2.0 * sigma0)
+    (gram(e), Array(g))
+  }
+
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] = {
+    val m = BDM.zeros[Double](a.length, b.length)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        m(i, j) = sigma0 * sigma0 + dot(a(i), b(j))
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  def self(x: Array[Double]): Double = sigma0 * sigma0 + dot(x, x)
+  override def toString = f"dot(σ₀=$sigma0%.4g)"
 }
 
 /** Non-trainable white-noise kernel σ²·I. */

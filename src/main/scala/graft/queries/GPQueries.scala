@@ -204,6 +204,34 @@ object GPQueries {
              |FROM p ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "gp10_dot_kernel_matrix",
+      (s, dir) => {
+        // Dot-product (linear) kernel matrix (σ₀=0.5) through the real
+        // Kernel.cross path — exact arithmetic end to end (no
+        // transcendentals), so the oracle is bit-trivial.
+        val kern = dotProduct(0.5)
+        val kUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+          kern.cross(Array(a.toArray), Array(b.toArray))(0, 0)
+        }
+        val e = Tables(s, dir).embeddings.filter(col("vec_id") < 15)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.crossJoin(b).filter(col("id_a") <= col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            fround(kUdf(col("va"), col("vb")), 6).as("k"))
+          .orderBy("id_a", "id_b")
+      },
+      // k = 0.25 + a·b
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings WHERE vec_id < 15)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  floor((0.25 + list_sum(list_transform(list_zip(a.v, b.v),
+             |      x -> x[1] * x[2]))) * 1e6 + 0.5) / 1e6 AS k
+             |FROM e a JOIN e b ON a.vec_id <= b.vec_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "gp06_projected_predict",
       (s, dir) => {
         // The PREDICTION path (mean = k_xZ·w, var = k_xx + k_xZ·M·k_Zx)

@@ -89,6 +89,31 @@ class KernelSpec extends AnyFunSuite {
     assert(breeze.linalg.max(breeze.numerics.abs(big - ref)) < 1e-5)
   }
 
+  test("periodic kernel: PSD gram, finite-diff gradients, exact periodicity") {
+    val e = randomData(12, 2)
+    val k = periodic(1.1, 0.9)
+    val g = k.gram(e)
+    assert(breeze.linalg.max(breeze.numerics.abs(g - g.t)) < 1e-12)
+    for (i <- 0 until e.size) assert(math.abs(g(i, i) - 1.0) < 1e-12)
+    val eig = breeze.linalg.eigSym(g + BDM.eye[Double](e.size) *:* 1e-9).eigenvalues
+    assert(breeze.linalg.min(eig) > -1e-8)
+    checkGradient(k, e)
+    // points one full period apart have covariance 1
+    val v = k.cross(Array(Array(0.0)), Array(Array(0.9)))(0, 0)
+    assert(math.abs(v - 1.0) < 1e-10, s"period-apart covariance $v")
+  }
+
+  test("dot-product kernel: gram, gradient, non-stationary self") {
+    val e = randomData(10, 3)
+    val k = dotProduct(0.5)
+    checkGradient(k, e)
+    val g = k.gram(e)
+    for (i <- 0 until e.size)
+      assert(math.abs(g(i, i) - k.self(e.x(i))) < 1e-12)
+    assert(math.abs(k.self(Array(1.0, 2.0, 2.0)) - (0.25 + 9.0)) < 1e-12)
+    assert(breeze.linalg.max(breeze.numerics.abs(g - k.cross(e.x, e.x))) < 1e-12)
+  }
+
   test("white kernel contributes noiseVar on the diagonal only") {
     val e = randomData(8, 2)
     val k = rbf(1.0) + white(0.25)
