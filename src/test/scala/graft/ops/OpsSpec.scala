@@ -414,6 +414,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("MIPS top-k via norm augmentation equals true inner-product ranking") {
+    import spark.implicits._
+    // unnormalized vectors with wildly different norms — exactly the
+    // regime where cosine top-k and inner-product top-k DISAGREE, so
+    // the reduction (not the cosine machinery) is what's under test
+    val rnd = new scala.util.Random(71)
+    val corpus = (100L until 400L).map { i =>
+      val scale = 0.1 + 5.0 * rnd.nextDouble()
+      (i, Seq.fill(8)(rnd.nextGaussian() * scale))
+    }
+    val queries = (0L until 6L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val got = mipsBruteForce(queries.toDF("vec_id", "v"), corpus.toDF("vec_id", "v"),
+      "vec_id", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = queries.flatMap { case (qid, qv) =>
+      corpus.map { case (cid, cv) =>
+        (qid, cid, qv.zip(cv).map { case (x, y) => x * y }.sum)
+      }.sortBy { case (_, cid, ip) => (-ip, cid) }
+        .take(4).zipWithIndex.map { case ((_, cid, _), r) => (qid, r + 1, cid) }
+    }.toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // sanity: plain cosine top-k DIFFERS here (norms matter for MIPS)
+    val cosTop = knnBruteForce(queries.toDF("vec_id", "v"), corpus.toDF("vec_id", "v"),
+      "vec_id", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(cosTop != got, "test regime too easy: cosine and MIPS rankings coincide")
+  }
+
   test("IVF knn achieves high recall on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(61)
