@@ -260,6 +260,36 @@ object Similarity {
   }
 
   /**
+   * Approximate MIPS via the same norm-augmentation dropped into the
+   * hyperplane-LSH path — [[mipsBruteForce]]'s reduction composed with
+   * [[knnLsh]] verbatim: augment (one narrow map + a broadcast 1-row
+   * max-norm aggregate), then bucket/probe/rerank in cosine space,
+   * where the ranking is inner-product ranking. `dim` is the ORIGINAL
+   * dimensionality (hyperplanes span dim+1 after augmentation).
+   *
+   * Defaults differ from [[knnLsh]] (fewer planes, more tables): the
+   * augmentation pushes every small-norm corpus vector toward the
+   * added axis, COMPRESSING the angular spread the sign bits cut, so
+   * MIPS-LSH needs coarser buckets and more OR-amplification for the
+   * same recall. Recall-vs-exact is spec'd; misses are possible by
+   * construction.
+   */
+  def mipsLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, planes: Int = 8,
+      tables: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cv"))
+    val m = c.agg(max(sqrt(dot(col("cv"), col("cv")))).as("mnorm"))
+    val caug = c.crossJoin(broadcast(m))
+      .select(col(idCol),
+        concat(col("cv"), array(sqrt(greatest(lit(0.0),
+          col("mnorm") * col("mnorm") - dot(col("cv"), col("cv")))))).as("va"))
+    val qaug = queries
+      .select(col(idCol), col(vecCol).cast("array<double>").as("qv"))
+      .select(col(idCol), concat(col("qv"), array(lit(0.0))).as("va"))
+    knnLsh(qaug, caug, idCol, "va", k, dim + 1, planes, tables)
+  }
+
+  /**
    * Approximate top-k via hyperplane LSH with `tables` independent hash
    * tables: equi-join on (table, bucket), exact rerank inside buckets,
    * union of tables, global top-k per query. Recall is tested in

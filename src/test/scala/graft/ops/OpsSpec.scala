@@ -442,6 +442,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(cosTop != got, "test regime too easy: cosine and MIPS rankings coincide")
   }
 
+  test("LSH MIPS achieves reasonable recall against exact MIPS") {
+    import spark.implicits._
+    // clustered directions (buckets meaningful — the cosine-LSH spec's
+    // regime) with per-vector norm variation (the MIPS regime: top
+    // inner products = aligned AND large-norm)
+    val rnd = new scala.util.Random(83)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double], scale: Double) =
+      c.map(x => (x + 0.3 * rnd.nextGaussian()) * scale).toSeq
+    val corpus = (100L until 600L).map(i =>
+      (i, near(centers((i % 5).toInt), 0.5 + 2.5 * rnd.nextDouble())))
+    val queries = (0L until 10L).map(i => (i, near(centers((i % 5).toInt), 1.0)))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val exact = mipsBruteForce(qdf, cdf, "vec_id", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = mipsLsh(qdf, cdf, "vec_id", "v", k = 5, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("IVF knn achieves high recall on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(61)
