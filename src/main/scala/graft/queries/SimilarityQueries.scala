@@ -399,6 +399,57 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a11_embedding_outliers",
+      (s, dir) => {
+        // Embedding-space OUTLIER detection — the quality gate that
+        // drops mis-embedded / out-of-domain vectors before dedup or
+        // ANN indexing: squared distance to the per-label centroid,
+        // flagged above the label's interpolated p95. Centroids are
+        // a06's model-sized broadcast build; distances quantize to
+        // integer 1e-4 units BEFORE the percentile (centroid averages
+        // differ by summation-order ulps across engines); Spark
+        // `percentile` == DuckDB `quantile_cont` (q23's precedent).
+        val e = Tables(s, dir).embeddings
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cents = e
+          .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("clabel", "pos").agg(avg("x").as("cx"))
+          .groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            p => p.getField("cx")).as("cv"))
+        val scored = e
+          .join(broadcast(cents), col("label") === col("clabel"))
+          .select(col("label"), col("vec_id"),
+            floor(graft.ops.Similarity.sqDist(col("v"), col("cv")) * 1e4 + 0.5)
+              .cast("long").as("d2u"))
+        val stats = scored.groupBy("label")
+          .agg(expr("percentile(d2u, 0.95)").as("p95"))
+        scored.join(broadcast(stats), "label")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("d2u").cast("double") > col("p95"), 1L).otherwise(0L))
+              .as("n_outliers"),
+            fround(max("p95") / 1e4, 4).as("p95_d2"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |expl AS (SELECT label AS clabel, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+             |cvec AS (SELECT clabel, list(cx ORDER BY pos) AS cv
+             |  FROM (SELECT clabel, pos, avg(x) AS cx FROM expl GROUP BY 1, 2)
+             |  GROUP BY clabel),
+             |scored AS (SELECT e.label, e.vec_id,
+             |    CAST(floor(list_sum(list_transform(list_zip(e.v, c.cv),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e4 + 0.5) AS BIGINT) AS d2u
+             |  FROM e JOIN cvec c ON e.label = c.clabel),
+             |stats AS (SELECT label, quantile_cont(d2u, 0.95) AS p95 FROM scored GROUP BY 1)
+             |SELECT label, count(*) AS n_vecs,
+             |  CAST(sum(CASE WHEN d2u > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  floor(max(p95) / 1e4 * 10000.0 + 0.5) / 10000.0 AS p95_d2
+             |FROM scored JOIN stats USING (label)
+             |GROUP BY label ORDER BY label""".stripMargin)),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // nprobe 6/16: the synthetic embeddings are near-uniform on the
