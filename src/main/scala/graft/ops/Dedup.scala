@@ -637,6 +637,34 @@ object Dedup {
     }
   }
 
+  /**
+   * One-call corpus deduplication — the user-facing composition of the
+   * operators the d-queries exercise individually: exact dedup (min id
+   * per identical text) → MinHash-LSH candidates → connected
+   * components → keep each cluster's minimum id. Returns the SURVIVING
+   * rows of `docs` (all original columns).
+   *
+   * Scale shape: the exact pass shuffles md5 keys; the near-dup pass
+   * shuffles (bucket, id) pairs and component labels only; the final
+   * filter is a left-anti join against the model-free "removed ids"
+   * frame (ids whose component label is a different id). Nothing
+   * document-sized shuffles more than once.
+   */
+  def dedupeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, seed: Long = 42L,
+      maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val keyed = docs.select(col(idCol).as("__id"), md5(col(textCol).cast("binary")).as("__k"))
+    val exactKeep = keyed.groupBy("__k").agg(min("__id").as("__id")).select("__id")
+    val exactSurvivors = docs.join(
+      exactKeep.withColumnRenamed("__id", idCol), Seq(idCol), "left_semi")
+    val pairs = minHashCandidatePairs(exactSurvivors, idCol, textCol,
+      numHashes, bands, seed, maxBucket)
+    val removed = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    exactSurvivors.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

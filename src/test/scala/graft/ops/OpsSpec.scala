@@ -118,6 +118,30 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 11, s"took $rounds rounds")
   }
 
+  test("dedupeCorpus keeps one representative per exact and near-dup group") {
+    import spark.implicits._
+    // wide vocabulary so distinct originals are GENUINELY dissimilar
+    // (the 12-word corpusWithDups vocab makes chance near-dups possible,
+    // which is correct dedup behavior but wrong for this assertion)
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector.tabulate(500)(i => s"w$i")
+    val base = (0L until 60L).map { i =>
+      (i, Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = base.take(10).map { case (i, t) =>
+      (1000L + i, t.split(" ").dropRight(2).mkString(" "))
+    }
+    val exactDups = base.slice(20, 22).map { case (i, t) => (2000L + i, t) }
+    val corpus = (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+    val out = Dedup.dedupeCorpus(corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // every original survives; every planted copy is removed
+    assert((0L until 60L).forall(out.contains), "an original was dropped")
+    for (i <- 0L until 10L) assert(!out.contains(1000L + i), s"near-dup $i survived")
+    assert(!out.contains(2020L) && !out.contains(2021L), "exact copy survived")
+    assert(out.size == 60, s"${out.size} survivors")
+  }
+
   test("span census survives a viral span and plans no window") {
     import spark.implicits._
     // the degenerate case spanCensus must survive at scale: ONE 6-token
