@@ -129,6 +129,40 @@ object Events {
              |GROUP BY 1 ORDER BY day""".stripMargin)),
 
     Q(
+      "e08_transition_matrix",
+      (s, dir) => {
+        // Per-user event TRANSITION matrix (the first-order Markov view
+        // of user paths): consecutive (src → dst) event-type pairs in
+        // (ts, event_id) order, with per-source transition
+        // probabilities. The window partitions by user — bounded by
+        // per-user event volume (human-scale; bot-grade users are
+        // pre-capped upstream with a p04-style quota), unlike a
+        // content-keyed window where one hot key is unbounded. The
+        // transition counts are event-type² rows — model-sized at any
+        // corpus scale.
+        val t = Tables(s, dir)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cnt = t.events
+          .select(col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .where(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy("src").agg(sum("n").as("t"))
+        cnt.join(tot, "src")
+          .select(col("src"), col("dst"), col("n"),
+            fround(col("n") * lit(1.0) / col("t"), 4).as("p"))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH tr AS (SELECT event_type AS src,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+             |  FROM events),
+             |cnt AS (SELECT src, dst, count(*) AS n FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT src, sum(n) AS t FROM cnt GROUP BY 1)
+             |SELECT src, dst, n, floor(n * 1.0 / t * 10000.0 + 0.5) / 10000.0 AS p
+             |FROM cnt JOIN tot USING (src)
+             |ORDER BY src, dst""".stripMargin)),
+
+    Q(
       "e07_ordered_funnel",
       (s, dir) => {
         // Strict-ORDERED funnel (e01 counts stages independently): a
