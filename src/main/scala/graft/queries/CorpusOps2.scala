@@ -132,6 +132,69 @@ object CorpusOps2 {
              |ORDER BY shard, pos""".stripMargin)),
 
     Q(
+      "t18_zipf_slope",
+      (s, dir) => {
+        // Per-source Zipf slope — the power-law corpus-QA statistic
+        // (natural text ≈ −1; templated/synthetic text deviates): OLS
+        // slope of ln(freq) on ln(rank) over each source's top-200
+        // terms. The top-200 come from the native TopK HEAP (a
+        // row_number window over a source's full vocabulary would sort
+        // hundreds of millions of terms in one partition at 100 TB);
+        // the rank window then runs over ≤200 rows/source. Both ln()s
+        // quantize to integer 1e-6 units BEFORE the sums (t17's trick:
+        // an engine ulp flips a quantized value only within ~1e-16 of
+        // a boundary), so Σx, Σy, Σxy, Σx² are exact integers and the
+        // final slope arithmetic starts from identical longs in both
+        // engines (cast to double BEFORE multiplying — n·Σxy overflows
+        // a long).
+        val docs = Tables(s, dir).documents
+        val tf = docs
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("f"))
+        val top = graft.plans.TopK.perGroup(
+          tf, Seq(col("source")), col("f"), col("term"), k = 200)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("f").desc, col("term"))
+        val q = top
+          .withColumn("r", row_number().over(w))
+          .select(col("source"),
+            floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long").as("xq"),
+            floor(log(col("f").cast("double")) * 1e6 + 0.5).cast("long").as("yq"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        q.groupBy("source")
+          .agg(count(lit(1)).as("n_terms"),
+            sum("xq").as("sx"), sum("yq").as("sy"),
+            sum(col("xq") * col("yq")).as("sxy"),
+            sum(col("xq") * col("xq")).as("sxx"))
+          .select(col("source"), col("n_terms"),
+            fround((d(col("n_terms")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              / (d(col("n_terms")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 4)
+              .as("zipf_slope"))
+          .orderBy("source")
+      },
+      Some("""WITH tf AS (SELECT source, term, count(*) AS f
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT source, f,
+             |    row_number() OVER (PARTITION BY source ORDER BY f DESC, term) AS r
+             |  FROM tf),
+             |q AS (SELECT source,
+             |    CAST(floor(ln(r) * 1e6 + 0.5) AS BIGINT) AS xq,
+             |    CAST(floor(ln(f) * 1e6 + 0.5) AS BIGINT) AS yq
+             |  FROM rk WHERE r <= 200),
+             |s AS (SELECT source, count(*) AS n_terms,
+             |    sum(xq) AS sx, sum(yq) AS sy,
+             |    sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+             |  FROM q GROUP BY 1)
+             |SELECT source, n_terms,
+             |  floor((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             |    AS zipf_slope
+             |FROM s ORDER BY source""".stripMargin)),
+
+    Q(
       "dc02_incremental_dedup",
       (s, dir) => {
         // Incremental snapshot dedup — the daily-ingest pattern: a new
