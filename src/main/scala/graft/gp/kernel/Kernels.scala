@@ -105,6 +105,14 @@ object Kernels {
       upper: Double = Double.PositiveInfinity): Kernel =
     new MaternKernel(5, lengthscale, lower, upper)
 
+  /** ARD Matérn ν=5/2: per-dimension lengthscales in the scaled
+    * distance r² = Σⱼ(aⱼ−bⱼ)²/ℓⱼ², k = (1+√5r+5r²/3)·exp(−√5r) —
+    * feature-relevance learning with Matérn smoothness. */
+  def ardMatern52(dim: Int, lengthscale: Double = 1.0, lower: Double = 1e-6,
+      upper: Double = Double.PositiveInfinity): Kernel =
+    new ARDMatern52Kernel(
+      BDV.fill(dim)(lengthscale), BDV.fill(dim)(lower), BDV.fill(dim)(upper))
+
   /** Rational quadratic: k(a,b) = (1 + ‖a−b‖²/(2αℓ²))^−α — an infinite
     * scale mixture of RBFs (α → ∞ recovers RBF); hypers (ℓ, α). The
     * covariance for processes that vary on SEVERAL lengthscales at
@@ -324,6 +332,88 @@ final class MaternKernel(order: Int, ell: Double, lo: Double, hi: Double)
 
   def self(x: Array[Double]): Double = 1.0
   override def toString = f"matern${order}2(ℓ=$ell%.4g)"
+}
+
+/**
+ * ARD Matérn ν=5/2; hyperparameters = per-dimension lengthscales.
+ * With r² = Σⱼ dⱼ²/ℓⱼ² and s = √5·r:
+ *   k = (1 + s + s²/3)·e⁻ˢ
+ *   ∂k/∂ℓⱼ = (5/3)·(1 + s)·e⁻ˢ · dⱼ²/ℓⱼ³
+ * (from dk/ds = −s(1+s)e⁻ˢ/3 and ∂s/∂ℓⱼ = −√5·dⱼ²/(ℓⱼ³·r), the r
+ * factors cancel so the gradient is well-defined at r = 0 too;
+ * verified against finite differences in KernelSpec).
+ */
+final class ARDMatern52Kernel(ells: BDV[Double], lo: BDV[Double], hi: BDV[Double])
+    extends Kernel {
+  def numHypers: Int = ells.length
+  def hypers: BDV[Double] = ells
+  def withHypers(h: BDV[Double]): Kernel = new ARDMatern52Kernel(h, lo, hi)
+  def bounds: (BDV[Double], BDV[Double]) = (lo, hi)
+  def noiseVar: Double = 0.0
+
+  private def scaledSqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < a.length) {
+      val d = (a(j) - b(j)) / ells(j)
+      s += d * d
+      j += 1
+    }
+    s
+  }
+
+  private def kOfR2(r2: Double): Double = {
+    val s = math.sqrt(5.0 * r2)
+    (1.0 + s + s * s / 3.0) * math.exp(-s)
+  }
+
+  def gram(e: ExpertData): BDM[Double] = cross(e.x, e.x)
+
+  def gramWithGrad(e: ExpertData): (BDM[Double], Array[BDM[Double]]) = {
+    val n = e.size
+    val km = BDM.zeros[Double](n, n)
+    val grads = Array.fill(numHypers)(BDM.zeros[Double](n, n))
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        val r2 = scaledSqDist(e.x(i), e.x(j))
+        val s = math.sqrt(5.0 * r2)
+        val es = math.exp(-s)
+        val kv = (1.0 + s + s * s / 3.0) * es
+        km(i, j) = kv; km(j, i) = kv
+        val base = 5.0 / 3.0 * (1.0 + s) * es
+        var d = 0
+        while (d < numHypers) {
+          val diff = e.x(i)(d) - e.x(j)(d)
+          val g = base * diff * diff / (ells(d) * ells(d) * ells(d))
+          grads(d)(i, j) = g; grads(d)(j, i) = g
+          d += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (km, grads)
+  }
+
+  def cross(a: Array[Array[Double]], b: Array[Array[Double]]): BDM[Double] = {
+    val m = BDM.zeros[Double](a.length, b.length)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        m(i, j) = kOfR2(scaledSqDist(a(i), b(j)))
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  def self(x: Array[Double]): Double = 1.0
+  override def toString =
+    s"ardMatern52(ℓ=${ells.toArray.map(v => f"$v%.3g").mkString(",")})"
 }
 
 /**

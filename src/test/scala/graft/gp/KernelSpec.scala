@@ -73,6 +73,20 @@ class KernelSpec extends AnyFunSuite {
     assert(k32 < k52 && k52 < krbf, s"$k32 $k52 $krbf")
   }
 
+  test("ARD matern-5/2: PSD gram, per-dim finite-diff gradients, isotropic agreement") {
+    val e = randomData(12, 4)
+    val k = ardMatern52(4, 1.3)
+    val g = k.gram(e)
+    assert(breeze.linalg.max(breeze.numerics.abs(g - g.t)) < 1e-12)
+    for (i <- 0 until e.size) assert(math.abs(g(i, i) - 1.0) < 1e-12)
+    val eig = breeze.linalg.eigSym(g + BDM.eye[Double](e.size) *:* 1e-9).eigenvalues
+    assert(breeze.linalg.min(eig) > -1e-8)
+    checkGradient(k, e)
+    // equal lengthscales == the isotropic matern52 at that scale
+    val iso = matern52(1.3).gram(e)
+    assert(breeze.linalg.max(breeze.numerics.abs(g - iso)) < 1e-12)
+  }
+
   test("rational-quadratic kernel: PSD gram, finite-diff gradients, RBF limit") {
     val e = randomData(12, 3)
     val k = rationalQuadratic(1.2, 0.7)
