@@ -142,11 +142,14 @@ object Events {
         // corpus scale.
         val t = Tables(s, dir)
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val cnt = t.events
+        // the count table feeds BOTH the totals and the final join —
+        // sharedScan runs the events window once (event-type²-sized
+        // cache, model-small)
+        val cnt = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(t.events
           .select(col("event_type").as("src"),
             lead(col("event_type"), 1).over(w).as("dst"))
           .where(col("dst").isNotNull)
-          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("n")))
         val tot = cnt.groupBy("src").agg(sum("n").as("t"))
         cnt.join(tot, "src")
           .select(col("src"), col("dst"), col("n"),

@@ -418,11 +418,15 @@ object SimilarityQueries {
           .groupBy("clabel")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
             p => p.getField("cx")).as("cv"))
-        val scored = e
+        // the scored frame feeds BOTH the percentile and the final
+        // aggregate — sharedScan computes the centroid build + distance
+        // pass once (the naive two-branch plan recomputes the whole
+        // subtree per branch, d09's lesson)
+        val scored = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(e
           .join(broadcast(cents), col("label") === col("clabel"))
           .select(col("label"), col("vec_id"),
             floor(graft.ops.Similarity.sqDist(col("v"), col("cv")) * 1e4 + 0.5)
-              .cast("long").as("d2u"))
+              .cast("long").as("d2u")))
         val stats = scored.groupBy("label")
           .agg(expr("percentile(d2u, 0.95)").as("p95"))
         scored.join(broadcast(stats), "label")
