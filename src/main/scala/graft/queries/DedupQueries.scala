@@ -176,6 +176,38 @@ object DedupQueries {
              |GROUP BY 1 ORDER BY component""".stripMargin)),
 
     Q(
+      "d07b_clusters_altstar",
+      (s, dir) => {
+        // d07's resolution through the ALTERNATING large-star/small-star
+        // loop (Kiveris et al.) instead of pointer doubling — same
+        // candidate pairs, same min-id components, independently
+        // hash-checked against the recursive-CTE oracle. Keeps the
+        // shrinking-edge-state variant driver-gated, not just spec'd.
+        val pairs = minHashCandidatePairs(withNearDups(s, dir, drop = 3), "doc_id", "text")
+        connectedComponentsAltStar(pairs)._1
+          .groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE ${shingleCtes(drop = 3)},
+             |$minhashSigCte,
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |        UNION ALL SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.src, cc.lbl FROM sym s JOIN cc ON s.dst = cc.id)
+             |SELECT min_lbl AS component, count(*) AS cluster_size
+             |FROM (SELECT id, min(lbl) AS min_lbl FROM cc GROUP BY id)
+             |GROUP BY 1 ORDER BY component""".stripMargin)),
+
+    Q(
       "p03_neardup_pipeline",
       (s, dir) => {
         // end-to-end near-dup dedup: candidates -> components ->
