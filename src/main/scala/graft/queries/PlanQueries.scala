@@ -191,6 +191,42 @@ object PlanQueries {
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q(
+      "l02_bucketed_incremental",
+      (s, dir) => {
+        // dc02's documented 100 TB layout made real: both snapshot
+        // key-sets are WRITTEN bucketed on the dedup key, so the daily
+        // anti-join reads co-bucketed tables and plans with no exchange
+        // on either side (the exchange-free property is asserted in
+        // LayoutSpec with broadcast disabled; at this SF the dim side
+        // may broadcast — same result). Result = dc02's survivors,
+        // independently hash-checked.
+        import graft.tables.Tables
+        val normText = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+        val keyed = Tables(s, dir).documents
+          .select(col("doc_id"), md5(normText.cast("binary")).as("k"))
+        graft.ops.Layout.writeBucketed(
+          keyed.where(pmod(col("doc_id"), lit(5)) =!= 0).select("k").distinct(),
+          "graft_l02_old", "k", buckets = 8)
+        graft.ops.Layout.writeBucketed(
+          keyed.where(pmod(col("doc_id"), lit(5)) === 0)
+            .groupBy("k").agg(min("doc_id").as("doc_id")),
+          "graft_l02_batch", "k", buckets = 8)
+        s.table("graft_l02_batch")
+          .join(s.table("graft_l02_old"), Seq("k"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH keyed AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |      '  +', ' ', 'g'))) AS k
+             |  FROM documents),
+             |old AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 5 <> 0),
+             |batch AS (SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id % 5 = 0
+             |  GROUP BY k)
+             |SELECT doc_id FROM batch WHERE k NOT IN (SELECT k FROM old)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "q20_bloom_semijoin",
       (s, dir) => {
         // TPC-H Q20 shape: suppliers who shipped > 100 units of 'red%'

@@ -30,6 +30,13 @@ class LayoutSpec extends SparkTestBase {
       assert(Layout.isExchangeFree(joined), "bucketed join should not shuffle:\n" +
         joined.queryExecution.executedPlan)
       assert(joined.count() == 5000L)
+      // the incremental-dedup shape: co-bucketed LEFT ANTI also plans
+      // with no exchange on either side
+      val anti = spark.table("graft_bucketed_facts")
+        .join(spark.table("graft_bucketed_dims"), Seq("key"), "left_anti")
+      assert(Layout.isExchangeFree(anti), "bucketed anti-join should not shuffle:\n" +
+        anti.queryExecution.executedPlan)
+      assert(anti.count() == 0L)
       // sanity: the same join over unbucketed data DOES shuffle
       val plain = facts.join(dims, "key")
       assert(!Layout.isExchangeFree(plain), "plain join should shuffle")
