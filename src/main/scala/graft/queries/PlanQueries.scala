@@ -201,6 +201,15 @@ object PlanQueries {
         // may broadcast — same result). Result = dc02's survivors,
         // independently hash-checked.
         import graft.tables.Tables
+        // a managed table whose LOCATION survives from a previous
+        // session (in-memory catalog, on-disk warehouse) blocks
+        // saveAsTable(Overwrite) — drop catalog entry AND location
+        Seq("graft_l02_old", "graft_l02_batch").foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
         val normText = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
         val keyed = Tables(s, dir).documents
