@@ -606,10 +606,12 @@ object Dedup {
           .union(canon.select(col("v").as("src"), col("u").as("dst")))
         val mins = symE.groupBy("src").agg(min("dst").as("mn"))
           .select(col("src"), least(col("mn"), col("src")).as("m"))
+        // no distinct here: small-star's min-aggregate tolerates
+        // duplicate edges and the round's final distinct collapses
+        // them — one fewer shuffle per round
         val ls = symE.join(mins, "src")
           .filter(col("dst") > col("src"))
           .select(col("dst").as("u"), col("m").as("v"))
-          .distinct()
         // small-star on the canonical result: each node's smaller
         // neighbors (and itself) attach to their minimum
         val mins2 = ls.groupBy("u").agg(min("v").as("m"))
