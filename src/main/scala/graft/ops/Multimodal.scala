@@ -139,6 +139,50 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      target_w: Int,
+      target_h: Int,
+      n_bytes_out: Int,
+      mean_intensity: Double)
+
+  /**
+   * Resize over the binary payload: each media row is downsampled to a
+   * target resolution — for real images this is the decode → scale →
+   * re-encode stage (libjpeg/swscale); the STUB keeps every k-th
+   * payload byte with k = the integer area ratio
+   * (width·height)/(target_w·target_h), so output size and content are
+   * deterministic functions of the metadata and payload. Everything
+   * around the stub is the production shape: metadata-driven per-row
+   * decision (k comes from the width/height columns, not a constant),
+   * batched `mapPartitions`, narrow shuffle-free plan.
+   */
+  def resize(media: Dataset[MediaRow], targetW: Int = 160, targetH: Int = 120,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0)
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val k = math.max(1,
+            (row.width.toLong * row.height / (targetW.toLong * targetH)).toInt)
+          // ---- STUB RESIZE: keep every k-th byte -------------------
+          val n = row.payload.length
+          var s = 0.0
+          var cnt = 0
+          var i = 0
+          while (i < n) { s += (row.payload(i) & 0xff) / 255.0; cnt += 1; i += k }
+          // ----------------------------------------------------------
+          ResizedMedia(row.media_id, row.kind, row.width, row.height,
+            targetW, targetH, cnt, if (cnt == 0) 0.0 else s / cnt)
+        }
+      }
+    }
+  }
+
   /** Deterministic fake decode: 8-dim feature from byte statistics. */
   private[ops] def stubDecode(bytes: Array[Byte]): Array[Double] = {
     val n = math.max(bytes.length, 1)

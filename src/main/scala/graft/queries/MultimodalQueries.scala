@@ -75,6 +75,39 @@ object MultimodalQueries {
              |FROM f ORDER BY media_id""".stripMargin)),
 
     Q(
+      "mm04_resize",
+      (s, dir) => {
+        // metadata-driven resize (decode → scale → re-encode stage):
+        // per-row stride k = integer area ratio from the width/height
+        // METADATA columns; the stubbed byte subsample is deterministic,
+        // so DuckDB replays sizes and intensities exactly on ASCII
+        val media = Multimodal.packAsMedia(
+          Tables(s, dir).documents.filter(col("doc_id") < 300), "doc_id", "text")
+        Multimodal.resize(media)
+          .toDF()
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            col("n_bytes_out"), fround(col("mean_intensity"), 6).as("mean_intensity"))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             |    CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
+             |    CAST(doc_id % 3 * 120 + 240 AS INT) AS height,
+             |    text
+             |  FROM documents WHERE doc_id < 300),
+             |k AS (SELECT media_id, kind, width, height, text,
+             |    greatest(1, CAST(width AS BIGINT) * height // (160 * 120)) AS stride
+             |  FROM m),
+             |kept AS (SELECT media_id, kind, width, height,
+             |    list_transform(range(1, length(text) + 1, CAST(stride AS BIGINT)),
+             |      i -> ascii(substr(text, CAST(i AS INT), 1)) / 255.0) AS vals
+             |  FROM k)
+             |SELECT media_id, kind, width, height,
+             |  CAST(len(vals) AS INT) AS n_bytes_out,
+             |  floor(list_sum(vals) / len(vals) * 1e6 + 0.5) / 1e6 AS mean_intensity
+             |FROM kept ORDER BY media_id""".stripMargin)),
+
+    Q(
       "mm02_frame_sample",
       (s, dir) => {
         // 64-byte frames, every 2nd kept, batched stub decode; the
