@@ -195,6 +195,67 @@ object CorpusOps2 {
              |FROM s ORDER BY source""".stripMargin)),
 
     Q(
+      "t19_pmi_collocations",
+      (s, dir) => {
+        // Collocation extraction by pointwise mutual information —
+        // PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over adjacent word pairs
+        // with a minimum pair count (the classic multiword-expression
+        // / stopword-structure signal). Bigrams assemble with t04's
+        // narrow positional explode; each ln() quantizes to integer
+        // 1e-6 units separately (t18's trick) so the PMI score is an
+        // exact integer SUM of quantized logs in both engines; the
+        // unigram join stays shuffle-side (vocabulary-sized at 100 TB)
+        // while N rides as a broadcast 1-row aggregate; global top-20
+        // through the native heap.
+        val toks = Tables(s, dir).documents
+          .select(split(col("text"), " ").as("toks"))
+        val positions = when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1)).otherwise(array().cast("array<int>"))
+        val bi = toks
+          .select(col("toks"), explode(positions).as("pos"))
+          .select(element_at(col("toks"), col("pos")).as("a"),
+            element_at(col("toks"), col("pos") + 1).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        val uni = Tables(s, dir).documents
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val n = uni.agg(sum("c").as("n"))
+        def lq(c: org.apache.spark.sql.Column) =
+          floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+        val scored = bi
+          .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+          .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+          .crossJoin(broadcast(n))
+          .select(concat_ws(" ", col("a"), col("b")).as("bigram"), col("cab"),
+            (lq(col("cab")) + lq(col("n")) - lq(col("ca")) - lq(col("cb"))).as("pmi_u"))
+        graft.plans.TopK.perGroup(scored, Seq.empty, col("pmi_u"), col("bigram"), k = 20)
+          .select(col("bigram"), col("cab"),
+            fround(col("pmi_u").cast("double") / 1e6, 4).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |expl AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok FROM toks),
+             |bi AS (SELECT a.tok AS a, b.tok AS b, count(*) AS cab
+             |  FROM expl a JOIN expl b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |uni AS (SELECT tok AS t, count(*) AS c FROM expl GROUP BY 1),
+             |n AS (SELECT sum(c) AS n FROM uni),
+             |scored AS (SELECT bi.a || ' ' || bi.b AS bigram, cab,
+             |    CAST(floor(ln(cab) * 1e6 + 0.5) AS BIGINT)
+             |      + CAST(floor(ln(n) * 1e6 + 0.5) AS BIGINT)
+             |      - CAST(floor(ln(ua.c) * 1e6 + 0.5) AS BIGINT)
+             |      - CAST(floor(ln(ub.c) * 1e6 + 0.5) AS BIGINT) AS pmi_u
+             |  FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t
+             |  CROSS JOIN n),
+             |top AS (SELECT bigram, cab, pmi_u,
+             |    row_number() OVER (ORDER BY pmi_u DESC, bigram) AS rn
+             |  FROM scored)
+             |SELECT bigram, cab, floor(pmi_u / 1e6 * 10000.0 + 0.5) / 10000.0 AS pmi
+             |FROM top WHERE rn <= 20
+             |ORDER BY pmi DESC, bigram""".stripMargin)),
+
+    Q(
       "dc02_incremental_dedup",
       (s, dir) => {
         // Incremental snapshot dedup — the daily-ingest pattern: a new
