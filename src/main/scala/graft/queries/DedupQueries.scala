@@ -414,6 +414,38 @@ object DedupQueries {
              |FROM resolved""".stripMargin)),
 
     Q(
+      "d12_dup_rate_by_source",
+      (s, dir) => {
+        // Per-source duplication accounting — the triage metric that
+        // drives source weighting/exclusion decisions: for each source,
+        // how many docs there are, how many survive exact dedup, and
+        // the duplicate rate (corpus has planted copies under shifted
+        // ids so the rates are non-trivial). One md5-keyed aggregate
+        // per source — keys shuffle, documents don't.
+        val d = Tables(s, dir).documents.select("doc_id", "source", "text")
+        val corpus = d.union(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
+        corpus
+          .select(col("source"), md5(col("text").cast("binary")).as("k"))
+          .groupBy("source", "k").agg(count(lit(1)).as("n"))
+          .groupBy("source")
+          .agg(sum("n").cast("long").as("n_docs"),
+            count(lit(1)).as("n_unique"),
+            fround(lit(1.0) - count(lit(1)).cast("double") / sum("n"), 4).as("dup_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id < 50),
+             |per_key AS (SELECT source, md5(text) AS k, count(*) AS n
+             |  FROM corpus GROUP BY 1, 2)
+             |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+             |  count(*) AS n_unique,
+             |  floor((1.0 - count(*) * 1.0 / sum(n)) * 10000.0 + 0.5) / 10000.0 AS dup_rate
+             |FROM per_key GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q(
       "d06_embedding_neardup",
       (s, dir) => {
         val e = Tables(s, dir).embeddings.filter(col("vec_id") < 100)
