@@ -421,40 +421,65 @@ object Dedup {
       val (frame, s, _) = mat.materialize(df, _.getLong(1))
       (frame, s)
     }
-    if (localSolve && symParts == 1) {
-      // whole edge state in one partition: resolve with a partition-
-      // local union-find (union-by-min + path compression, so the root
-      // IS the component minimum), one job instead of 3-stage rounds
-      import org.apache.spark.sql.Encoders
-      val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-      val labelsDf = sym.select(col("src"), col("dst")).as[(Long, Long)](tupleEnc)
-        .mapPartitions { it =>
-          val parent = new java.util.HashMap[Long, Long]()
-          def find(x0: Long): Long = {
-            var x = x0
-            var p = parent.getOrDefault(x, x)
-            while (p != x) {
-              val gp = parent.getOrDefault(p, p)
-              parent.put(x, gp); x = p; p = gp
+    // Partition-local union-find CONTRACTION, generalized beyond the
+    // single-partition case: each level runs union-by-min + path
+    // compression inside every partition and emits one (node, root)
+    // star edge per node seen — the union of stars across partitions
+    // preserves connectivity exactly (every input edge is represented
+    // through its endpoints' local roots) — then a NARROW coalesce
+    // merges `fanIn` partitions for the next level. log_fanIn(P)
+    // levels, no shuffle anywhere, and every node survives every
+    // level, so the final single-partition pass labels each node with
+    // its component's global minimum. The regime guard: the NODE set
+    // must fit one task's hash map (≤ CcRowsPerPartition ids), while
+    // the EDGE set may be arbitrarily larger — exactly the
+    // mass-duplication shape (E ≫ V) where label-propagation rounds
+    // pay log(diameter) shuffles; graphs whose node set exceeds a
+    // task fall through to the doubling loop below.
+    if (localSolve) {
+      val contractible =
+        symParts == 1 || sym.select("src").distinct().count() <= CcRowsPerPartition
+      if (contractible) {
+        import org.apache.spark.sql.Encoders
+        val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        def ufLevel(ds: org.apache.spark.sql.Dataset[(Long, Long)])
+            : org.apache.spark.sql.Dataset[(Long, Long)] =
+          ds.mapPartitions { it =>
+            val parent = new java.util.HashMap[Long, Long]()
+            def find(x0: Long): Long = {
+              var x = x0
+              var p = parent.getOrDefault(x, x)
+              while (p != x) {
+                val gp = parent.getOrDefault(p, p)
+                parent.put(x, gp); x = p; p = gp
+              }
+              x
             }
-            x
-          }
-          it.foreach { case (a, b) =>
-            parent.putIfAbsent(a, a)
-            parent.putIfAbsent(b, b)
-            val ra = find(a)
-            val rb = find(b)
-            if (ra < rb) parent.put(rb, ra)
-            else if (rb < ra) parent.put(ra, rb)
-          }
-          val out = Vector.newBuilder[(Long, Long)]
-          parent.keySet().forEach(k => out += ((k, find(k))))
-          out.result().iterator
-        }(tupleEnc)
-        .toDF("id", "component")
-      val (labels, _) = materializeWithSum(labelsDf)
-      sym0.unpersist()
-      return (labels, 1)
+            it.foreach { case (a, b) =>
+              parent.putIfAbsent(a, a)
+              parent.putIfAbsent(b, b)
+              val ra = find(a)
+              val rb = find(b)
+              if (ra < rb) parent.put(rb, ra)
+              else if (rb < ra) parent.put(ra, rb)
+            }
+            val out = Vector.newBuilder[(Long, Long)]
+            parent.keySet().forEach(k => out += ((k, find(k))))
+            out.result().iterator
+          }(tupleEnc)
+        val fanIn = 8
+        var cur = sym.select(col("src"), col("dst")).as[(Long, Long)](tupleEnc)
+        var parts = symParts
+        var levels = 1
+        while (parts > 1) {
+          parts = math.max(1, parts / fanIn)
+          cur = ufLevel(cur).coalesce(parts)
+          levels += 1
+        }
+        val (labels, _) = materializeWithSum(ufLevel(cur).toDF("id", "component"))
+        sym0.unpersist()
+        return (labels, levels)
+      }
     }
     if (smallLoop) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")

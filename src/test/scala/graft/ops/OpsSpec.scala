@@ -164,6 +164,29 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"census must not plan a window:\n$plan")
   }
 
+  test("multi-level union-find contraction resolves an E >> V graph without shuffles") {
+    import spark.implicits._
+    // 3M edges over 1000 nodes (the mass-duplication regime): random
+    // bulk edges within each parity class plus a deterministic spine
+    // guaranteeing exactly two components (evens -> 0, odds -> 1).
+    // 6M symmetric rows > one 2M-row loop partition, so the CONTRACTION
+    // path must run multiple narrow levels — not the one-partition
+    // fast path and not the doubling loop.
+    val bulk = spark.range(0, 3000000L).select(
+      (col("id") % 500 * 2 + col("id") % 2).as("id_a"),
+      ((col("id") * 7919) % 500 * 2 + col("id") % 2).as("id_b"))
+    val spine = spark.range(0, 499L)
+      .select((col("id") * 2).as("id_a"), (col("id") * 2 + 2).as("id_b"))
+      .union(spark.range(0, 499L)
+        .select((col("id") * 2 + 1).as("id_a"), (col("id") * 2 + 3).as("id_b")))
+    val (labels, levels) = connectedComponentsWithRounds(bulk.union(spine))
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 1000, s"${cc.size} nodes labeled")
+    assert(cc.forall { case (id, c) => c == id % 2 },
+      s"bad labels: ${cc.filterNot { case (id, c) => c == id % 2 }.take(5)}")
+    assert(levels >= 2, s"expected multi-level contraction, got $levels")
+  }
+
   test("alt-star CC produces identical labels and comparable rounds") {
     import spark.implicits._
     // same graph as the doubling spec: chain + two pairs
