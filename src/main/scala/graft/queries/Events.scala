@@ -166,6 +166,35 @@ object Events {
              |ORDER BY src, dst""".stripMargin)),
 
     Q(
+      "e09_user_growth",
+      (s, dir) => {
+        // Daily new vs cumulative users — exact RUNNING DISTINCT
+        // without a distinct-over-window: each user reduces to their
+        // FIRST-TOUCH day (one min-aggregate, map-side combinable),
+        // daily new-user counts follow, and the cumulative count is a
+        // running sum over the day-level frame — day-cardinality rows,
+        // so the window is trivially small however large the event
+        // log. The windowed-distinct formulation would carry every
+        // user id through every day's frame.
+        val t = Tables(s, dir)
+        val firstTouch = t.events
+          .groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("day"))
+        val daily = firstTouch.groupBy("day").agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("cum_users", sum("new_users").over(w).cast("long"))
+          .orderBy("day")
+      },
+      Some("""WITH ft AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+             |daily AS (SELECT day, count(*) AS new_users FROM ft GROUP BY 1)
+             |SELECT day, new_users,
+             |  CAST(sum(new_users) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM daily ORDER BY day""".stripMargin)),
+
+    Q(
       "e07_ordered_funnel",
       (s, dir) => {
         // Strict-ORDERED funnel (e01 counts stages independently): a
