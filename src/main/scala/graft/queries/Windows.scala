@@ -131,6 +131,25 @@ object Windows2 {
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     Q(
+      "s05_except_all",
+      (s, dir) => {
+        // multiset EXCEPT: multiplicities subtract (a customer with 3
+        // big orders and 1 F-status order keeps 2 rows) — completes
+        // the set-op family's ALL forms next to s04
+        val t = Tables(s, dir)
+        val a = t.orders.filter(col("o_totalprice") > 100000).select("o_custkey")
+        val b = t.orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+        a.exceptAll(b)
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS cnt FROM (
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+             |  EXCEPT ALL
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    Q(
       "s04_intersect_all",
       (s, dir) => {
         // multiset (ALL) set-op semantics — s02/s03 cover the DISTINCT
