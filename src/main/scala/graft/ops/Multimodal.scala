@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: opaque binary payloads + typed metadata,
  * with batched per-partition feature extraction.
  *
- * The decode step itself is a STUB — this container has no image/audio
- * codecs — replaced by a deterministic fake that maps payload bytes to a
- * fixed-width feature vector. Everything around it is real and is what
- * matters at 100 TB: the schema (binary + metadata struct), the
- * mapPartitions batching (the shape a vectorized decoder needs: on
- * PySpark this is `mapInPandas` with arrow batches; on the JVM a batched
+ * IMAGE decode is REAL: [[decodeImages]] runs `javax.imageio.ImageIO`
+ * (ships with every JDK — PNG/JPEG/BMP/GIF) over a binary column in
+ * batched `mapPartitions`, and [[synthesizePngs]] produces genuine PNG
+ * bytes to feed it. Audio/video decode remains a STUB (no codecs in
+ * this container) — a deterministic fake that maps payload bytes to a
+ * fixed-width feature vector. Either way the plumbing is what matters
+ * at 100 TB: the schema (binary + metadata struct), the mapPartitions
+ * batching (the shape a vectorized decoder needs: on PySpark this is
+ * `mapInPandas` with arrow batches; on the JVM a batched
  * `mapPartitions`), and the narrow, shuffle-free plan.
  */
 object Multimodal {
@@ -178,6 +181,107 @@ object Multimodal {
           // ----------------------------------------------------------
           ResizedMedia(row.media_id, row.kind, row.width, row.height,
             targetW, targetH, cnt, if (cnt == 0) 0.0 else s / cnt)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL image codec path (javax.imageio — no stub).
+  // ---------------------------------------------------------------------
+
+  /** One image row: id + real encoded image bytes (PNG/JPEG/...). */
+  final case class ImageRow(media_id: Long, img: Array[Byte])
+
+  /** Per-image decoded pixel statistics; sums are exact integers so the
+    * oracle can replay them without float drift. */
+  final case class ImageStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Deterministic RGB value of pixel (x, y) of image `id` — pure integer
+    * arithmetic, so a SQL oracle can recompute every pixel. PNG is
+    * lossless: encode → decode round-trips these values exactly. */
+  private[ops] def pixelRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+    val b = ((id * 7 + x * 5 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Image dimensions as a deterministic function of the id, so decode
+    * has real per-row metadata to recover. */
+  private[ops] def imageDims(id: Long): (Int, Int) =
+    ((8 + (id % 3) * 4).toInt, (8 + (id % 2) * 4).toInt)
+
+  /** Encode one deterministic image to real PNG bytes via ImageIO. */
+  private[ops] def encodePng(id: Long, format: String = "png"): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { im.setRGB(x, y, pixelRgb(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, format, out)
+    out.toByteArray
+  }
+
+  /**
+   * Synthesize real PNG blobs, one per input id — the stand-in for a
+   * parquet binary column of crawled images. Runs in the executors
+   * (narrow, shuffle-free); the bytes are genuine PNG (ImageIO-encoded),
+   * not a fake, so downstream decode exercises a real codec.
+   */
+  def synthesizePngs(ids: DataFrame, idCol: String): Dataset[ImageRow] = {
+    implicit val enc = Encoders.product[ImageRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+        it.map(id => ImageRow(id, encodePng(id)))
+      }
+  }
+
+  /**
+   * REAL image decode over a binary column: `javax.imageio.ImageIO.read`
+   * per blob in batched `mapPartitions` (the same call shape as the stub
+   * paths — for JPEG/PNG on the JVM this IS the production operator).
+   * Emits recovered dimensions plus exact per-channel pixel sums.
+   * Un-decodable blobs are dropped (ImageIO returns null), the standard
+   * posture for a crawl pipeline where a fraction of blobs is corrupt.
+   */
+  def decodeImages(imgs: Dataset[ImageRow], batchSize: Int = 64): Dataset[ImageStats] = {
+    implicit val enc = Encoders.product[ImageStats]
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.img))
+          if (im == null) None
+          else {
+            val w = im.getWidth
+            val h = im.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = im.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImageStats(row.media_id, w, h, sr, sg, sb))
+          }
         }
       }
     }

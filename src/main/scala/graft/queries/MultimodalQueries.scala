@@ -108,6 +108,35 @@ object MultimodalQueries {
              |FROM kept ORDER BY media_id""".stripMargin)),
 
     Q(
+      "mm05_image_decode",
+      (s, dir) => {
+        // REAL codec round trip: deterministic RGB pixels → genuine PNG
+        // bytes (ImageIO encode) → ImageIO.read decode → exact integer
+        // per-channel pixel sums. PNG is lossless, so the oracle
+        // recomputes every pixel from the same integer formula without
+        // ever touching a codec.
+        val ids = Tables(s, dir).documents
+          .filter(col("doc_id") < 300).select(col("doc_id"))
+        val pngs = Multimodal.synthesizePngs(ids, "doc_id")
+        Multimodal.decodeImages(pngs).toDF().orderBy("media_id")
+      },
+      Some("""WITH imgs AS (SELECT doc_id AS media_id,
+             |    CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+             |    CAST(8 + (doc_id % 2) * 4 AS INT) AS height
+             |  FROM documents WHERE doc_id < 300)
+             |SELECT media_id, width, height,
+             |  CAST(list_sum(flatten(list_transform(range(height), y ->
+             |    list_transform(range(width), x ->
+             |      (media_id * 31 + x * 7 + y * 13) % 256)))) AS BIGINT) AS sum_r,
+             |  CAST(list_sum(flatten(list_transform(range(height), y ->
+             |    list_transform(range(width), x ->
+             |      (media_id * 17 + x * 11 + y * 3) % 256)))) AS BIGINT) AS sum_g,
+             |  CAST(list_sum(flatten(list_transform(range(height), y ->
+             |    list_transform(range(width), x ->
+             |      (media_id * 7 + x * 5 + y * 19) % 256)))) AS BIGINT) AS sum_b
+             |FROM imgs ORDER BY media_id""".stripMargin)),
+
+    Q(
       "mm02_frame_sample",
       (s, dir) => {
         // 64-byte frames, every 2nd kept, batched stub decode; the
