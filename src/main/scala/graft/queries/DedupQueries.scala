@@ -178,27 +178,36 @@ object DedupQueries {
     Q(
       "d07b_clusters_altstar",
       (s, dir) => {
-        // d07's resolution through the ALTERNATING large-star/small-star
-        // loop (Kiveris et al.) instead of pointer doubling — same
-        // candidate pairs, same min-id components, independently
-        // hash-checked against the recursive-CTE oracle. Keeps the
-        // shrinking-edge-state variant driver-gated, not just spec'd.
-        val pairs = minHashCandidatePairs(withNearDups(s, dir, drop = 3), "doc_id", "text")
-        connectedComponentsAltStar(pairs)._1
+        // The ALTERNATING large-star/small-star CC loop (Kiveris et al.)
+        // driver-gated on a deterministic planted graph derived from the
+        // doc_id set: 5-stars (every id attaches to its id − id%5
+        // center) plus a 7-node path through the centers ≤ 150 — the
+        // path forces the multi-round convergence (4 rounds) the variant
+        // exists for, without re-paying d03's shingle/signature/banding
+        // pipeline just to produce edges (d07 already gates that
+        // composition; MinHash→alt-star label equality is spec-verified
+        // in OpsSpec). The path length is SF-independent so the gate's
+        // round count — and so its cost — doesn't grow with the corpus.
+        val ids = Tables(s, dir).documents.select(col("doc_id"))
+        val stars = ids.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") - col("doc_id") % 5).as("id_b"))
+        val chain = ids.filter(col("doc_id") % 25 === 0 &&
+            col("doc_id").between(25, 150))
+          .select(col("doc_id").as("id_a"), (col("doc_id") - 25).as("id_b"))
+        connectedComponentsAltStar(stars.union(chain))._1
           .groupBy("component")
           .agg(count(lit(1)).as("cluster_size"))
           .orderBy("component")
       },
-      Some(s"""WITH RECURSIVE ${shingleCtes(drop = 3)},
-             |$minhashSigCte,
-             |bands AS (SELECT doc_id, t.range AS band,
-             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
-             |  FROM sig, range(32) t),
-             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM bands a JOIN bands b
-             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             |        UNION ALL SELECT id_b, id_a FROM pairs),
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT doc_id AS id_a, doc_id - doc_id % 5 AS id_b
+             |    FROM documents WHERE doc_id % 5 <> 0
+             |  UNION ALL
+             |  SELECT doc_id, doc_id - 25
+             |    FROM documents WHERE doc_id % 25 = 0 AND doc_id BETWEEN 25 AND 150),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+             |        UNION ALL SELECT id_b, id_a FROM edges),
              |cc AS (
              |  SELECT DISTINCT src AS id, src AS lbl FROM sym
              |  UNION

@@ -208,6 +208,30 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 12, s"took $rounds rounds")
   }
 
+  test("alt-star over MinHash candidate pairs matches the doubling labels") {
+    import spark.implicits._
+    // planted near-dup corpus: 3 clusters of word-level near-copies plus
+    // unrelated singletons — the composition d07b used to drive before
+    // switching its driver gate to a generated graph
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "pack my box with five dozen liquor jugs for the long trip home",
+      "how vexingly quick daft zebras jump across the wide open plains")
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val words = t.split(" ")
+      Seq((i * 10L, t), (i * 10L + 1, words.dropRight(1).mkString(" ")),
+        (i * 10L + 2, words.dropRight(2).mkString(" ")))
+    } ++ Seq((900L, "completely unrelated text about spark query planning"),
+      (901L, "another disjoint document mentioning gaussian process kernels"))
+    val pairs = minHashCandidatePairs(docs.toDF("doc_id", "text"), "doc_id", "text")
+    assert(pairs.count() >= 3, "planted near-dups must produce candidates")
+    val viaAlt = connectedComponentsAltStar(pairs)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDoubling = connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAlt == viaDoubling)
+  }
+
   test("connectedComponents leaves no cache entries behind") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
