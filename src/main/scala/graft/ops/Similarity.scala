@@ -183,6 +183,53 @@ object Similarity {
     centers
   }
 
+  /**
+   * ORACLE-REPLAYABLE IVF quantizer: driver Lloyd like [[knnIvf]]'s,
+   * but every step is closed-form in SQL — the sample is the first
+   * `sampleN` corpus vectors by id (a deterministic total order, not a
+   * partition-order limit), init is the first `clusters` sample
+   * vectors, and each updated coordinate is quantized to 1/`quant`
+   * units before the next assignment (the a08/kmeansFitDistributed
+   * cross-engine determinism trick: summation-order ulps between
+   * engines cannot survive the floor). 2 iterations unroll to a
+   * tractable CTE chain; the 10-iteration seeded-shuffle quantizer
+   * remains [[knnIvf]]'s default (better balance, spec-covered).
+   */
+  def ivfQuantizerReplayable(corpus: DataFrame, idCol: String, vecCol: String,
+      clusters: Int, iters: Int = 2, sampleN: Int = 4096,
+      quant: Double = 1e6): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= clusters, s"sample ${sample.length} < k $clusters")
+    var centers = sample.take(clusters).map(_.clone)
+    val dim = sample.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(clusters)(new Array[Double](dim))
+      val counts = new Array[Int](clusters)
+      sample.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < clusters) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = x(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = centers.indices.map { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(x => math.floor(x / counts(c) * quant + 0.5) / quant)
+      }.toArray
+      it += 1
+    }
+    centers
+  }
+
   /** Driver-side Lloyd k-means for model-sized samples: deterministic
     * seeded init (distinct sample rows), empty cells keep their center. */
   private[ops] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int,

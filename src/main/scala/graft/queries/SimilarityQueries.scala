@@ -456,16 +456,81 @@ object SimilarityQueries {
     Q(
       "a04_knn_ivf",
       (s, dir) => {
+        // The FULL IVF flow — sampled Lloyd quantizer fit + probe/rerank
+        // — under the oracle: the replayable quantizer (sample = first
+        // 4096 corpus vectors BY ID, init = first 16, 2 Lloyd rounds
+        // with 1e-6-quantized means — a08's cross-engine determinism
+        // trick) unrolls to a CTE chain, so unlike a05 (fixed seed
+        // centers, no fit) the quantizer TRAINING is hash-checked too.
         // nprobe 6/16: the synthetic embeddings are near-uniform on the
-        // sphere (no cluster structure), so IVF needs wider probing for
-        // decent recall (~0.8 here vs 0.66 at nprobe=4; ≥0.9 on genuinely
-        // clustered data, see SimilaritySpec).
+        // sphere, so IVF needs wider probing for decent recall (~0.8
+        // here; ≥0.9 on genuinely clustered data, see SimilaritySpec,
+        // which also covers knnIvf's default 10-round seeded quantizer).
         val e = Tables(s, dir).embeddings
-        knnIvf(
-          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
-          "vec_id", "embedding", k = 5, nprobe = 6)
+        val corpus = e.filter(col("vec_id") >= 10)
+        val centers = graft.ops.Similarity.ivfQuantizerReplayable(
+          corpus, "vec_id", "embedding", clusters = 16, iters = 2)
+        knnIvfWithCenters(
+          e.filter(col("vec_id") < 10), corpus,
+          "vec_id", "embedding", k = 5, centers, nprobe = 6)
           .select(col("query_id"), col("rank"), col("neighbor_id"), fround(col("cos"), 4).as("cos"))
           .orderBy("query_id", "rank")
-      })
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v FROM (
+             |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+             |    FROM e WHERE vec_id >= 10) WHERE rn <= 4096),
+             |c0 AS (SELECT rn - 1 AS cell, v AS ctr
+             |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM s)
+             |       WHERE rn <= 16),
+             |a1 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (s.v[i+1]-c.ctr[i+1])*(s.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM s CROSS JOIN c0 c) WHERE rn = 1),
+             |c1 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a1)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c1f AS (SELECT c0.cell, coalesce(c1.ctr, c0.ctr) AS ctr
+             |        FROM c0 LEFT JOIN c1 USING (cell)),
+             |a2 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (s.v[i+1]-c.ctr[i+1])*(s.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM s CROSS JOIN c1f c) WHERE rn = 1),
+             |c2 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a2)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c2f AS (SELECT c1f.cell, coalesce(c2.ctr, c1f.ctr) AS ctr
+             |        FROM c1f LEFT JOIN c2 USING (cell)),
+             |assign AS (SELECT neighbor_id, v, cell FROM (
+             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (c.v[i+1]-t.ctr[i+1])*(c.v[i+1]-t.ctr[i+1]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id >= 10) c CROSS JOIN c2f t)
+             |  WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (q.v[i+1]-t.ctr[i+1])*(q.v[i+1]-t.ctr[i+1]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id < 10) q CROSS JOIN c2f t)
+             |  WHERE rn <= 6),
+             |hits AS (SELECT p.query_id, a.neighbor_id,
+             |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+             |  FROM probes p JOIN assign a ON p.cell = a.cell)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+             |FROM (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |      FROM hits)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

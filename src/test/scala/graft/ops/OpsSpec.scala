@@ -552,6 +552,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("replayable IVF quantizer: deterministic, quantized, high recall on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double]) = c.map(_ + 0.3 * rnd.nextGaussian()).toSeq
+    val corpus = (100L until 600L).map(i => (i, near(centers((i % 5).toInt))))
+    val queries = (0L until 10L).map(i => (i, near(centers((i % 5).toInt))))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val fit1 = Similarity.ivfQuantizerReplayable(cdf, "vec_id", "v", clusters = 8)
+    val fit2 = Similarity.ivfQuantizerReplayable(
+      cdf.repartition(7), "vec_id", "v", clusters = 8)
+    assert(fit1.map(_.toSeq).toSeq == fit2.map(_.toSeq).toSeq,
+      "quantizer must not depend on partitioning")
+    // every coordinate lands on the 1e-6 grid (the cross-engine determinism contract)
+    fit1.flatten.foreach { x =>
+      assert(math.abs(x * 1e6 - math.rint(x * 1e6)) < 1e-7, s"unquantized coord $x")
+    }
+    val exact = knnBruteForce(qdf, cdf, "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.knnIvfWithCenters(qdf, cdf, "vec_id", "v", 5, fit1, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("LSH knn achieves reasonable recall against exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
