@@ -357,6 +357,80 @@ object Dedup {
     * partition, cutting ~32 near-empty tasks per stage per round. */
   private val CcRowsPerPartition = 2000000L
 
+  /** Minimal primitive long→long open-addressing map (linear probing,
+    * power-of-2 capacity, ≤0.5 load factor) for the union-find
+    * contraction: two long arrays cost ~17 B/entry resident at the
+    * grow point, where boxed `java.util.HashMap[Long, Long]` entries
+    * cost ~48+ B — at the [[CcRowsPerPartition]] = 2M-node guard that
+    * is ~32 MB (the task-sizing assumption) vs ~200 MB (an OOM risk on
+    * small executors). Long.MinValue is the empty-slot sentinel and is
+    * handled as an explicit side slot, so every long is a valid key. */
+  private final class LongLongMap(expected: Int) {
+    private[this] final val Empty = Long.MinValue
+    private[this] var mask = 0
+    private[this] var keys: Array[Long] = _
+    private[this] var vals: Array[Long] = _
+    private[this] var used = 0
+    private[this] var hasSentinel = false
+    private[this] var sentinelVal = 0L
+    allocate(math.max(16, Integer.highestOneBit(math.max(1, expected)) * 4))
+
+    private def allocate(cap: Int): Unit = {
+      keys = Array.fill(cap)(Empty)
+      vals = new Array[Long](cap)
+      mask = cap - 1
+      used = 0
+    }
+    // splitmix64-style finalizer spreads sequential ids across slots
+    private def slot(k: Long): Int = {
+      var x = k * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 32)
+      var i = x.toInt & mask
+      while (keys(i) != Empty && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def getOrDefault(k: Long, d: Long): Long =
+      if (k == Empty) { if (hasSentinel) sentinelVal else d }
+      else { val i = slot(k); if (keys(i) == k) vals(i) else d }
+    def put(k: Long, v: Long): Unit =
+      if (k == Empty) { hasSentinel = true; sentinelVal = v }
+      else {
+        val i = slot(k)
+        if (keys(i) == Empty) {
+          keys(i) = k; vals(i) = v; used += 1
+          if (used * 2 > mask + 1) grow()
+        } else vals(i) = v
+      }
+    def putIfAbsent(k: Long, v: Long): Unit =
+      if (k == Empty) { if (!hasSentinel) { hasSentinel = true; sentinelVal = v } }
+      else {
+        val i = slot(k)
+        if (keys(i) == Empty) {
+          keys(i) = k; vals(i) = v; used += 1
+          if (used * 2 > mask + 1) grow()
+        }
+      }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      allocate((mask + 1) * 2)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) {
+          val j = slot(ok(i)); keys(j) = ok(i); vals(j) = ov(i); used += 1
+        }
+        i += 1
+      }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      if (hasSentinel) f(Empty)
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != Empty) f(keys(i))
+        i += 1
+      }
+    }
+  }
+
   /** [[connectedComponents]] plus the number of propagation rounds
     * executed (the last round is the no-change convergence probe).
     *
@@ -437,15 +511,26 @@ object Dedup {
     // pay log(diameter) shuffles; graphs whose node set exceeds a
     // task fall through to the doubling loop below.
     if (localSolve) {
-      val contractible =
-        symParts == 1 || sym.select("src").distinct().count() <= CcRowsPerPartition
-      if (contractible) {
+      // Regime probe: APPROXIMATE node count over the cached edge
+      // state. approx_count_distinct is a partial-aggregated HLL scan
+      // (tiny sketch exchange, never a node-set shuffle — the exact
+      // distinct().count() this replaces was a full shuffle job paid
+      // by every non-contractible graph before falling through to the
+      // doubling loop). 2% rsd noise is fine: the threshold is a
+      // task-memory bound with an order-of-magnitude margin now that
+      // the union-find map is primitive (~17 B/node, see LongLongMap).
+      // The probe also covers the former symParts==1 shortcut — one
+      // partition does NOT bound the node count when the upstream
+      // input arrived pre-coalesced, so that path needs the check too.
+      val approxNodes =
+        sym.agg(approx_count_distinct(col("src"), 0.02)).head.getLong(0)
+      if (approxNodes <= CcRowsPerPartition) {
         import org.apache.spark.sql.Encoders
         val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
         def ufLevel(ds: org.apache.spark.sql.Dataset[(Long, Long)])
             : org.apache.spark.sql.Dataset[(Long, Long)] =
           ds.mapPartitions { it =>
-            val parent = new java.util.HashMap[Long, Long]()
+            val parent = new LongLongMap(1 << 12)
             def find(x0: Long): Long = {
               var x = x0
               var p = parent.getOrDefault(x, x)
@@ -464,7 +549,7 @@ object Dedup {
               else if (rb < ra) parent.put(ra, rb)
             }
             val out = Vector.newBuilder[(Long, Long)]
-            parent.keySet().forEach(k => out += ((k, find(k))))
+            parent.foreachKey(k => out += ((k, find(k))))
             out.result().iterator
           }(tupleEnc)
         val fanIn = 8
@@ -525,10 +610,18 @@ object Dedup {
   }
 
   /**
-   * Exact long-span duplication census (Lee et al. 2021, "Deduplicating
+   * Long-span duplication census (Lee et al. 2021, "Deduplicating
    * Training Data"): for every document, how many of its `w`-token
    * windows also appear in at least one OTHER document. Returns one row
    * per document that shares ≥ 1 span: (idCol, n_spans, n_shared).
+   *
+   * Exactness: exact in the spans UP TO the 52-bit span key —
+   * [[graft.functions.VectorExpressions.md5Hash52]] collides at the
+   * birthday bound ~2^26 distinct spans, so at 100 TB (billions of
+   * distinct spans) a small fraction of shared-span counts are
+   * collision-inflated. Key on the full 128-bit md5 (two 64-bit
+   * columns) when exactness matters at that scale; 52 bits is chosen
+   * here because the oracle replays it as an exact DOUBLE-safe integer.
    *
    * Scale shape: windows assemble by positional explode + `element_at`
    * (narrow — no token shuffle) and reduce to the engine-portable

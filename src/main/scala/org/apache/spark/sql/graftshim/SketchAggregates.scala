@@ -49,6 +49,19 @@ object UniversalHash {
  * work on the per-shingle hot path, same pairwise-independence
  * guarantee the LSH analysis needs. The DuckDB oracle replays the
  * identical (h₁ + i·h₂) mod P integers.
+ *
+ * SIGNATURE FORMAT v2 (two-hash family; v1 was k independent
+ * universal hashes). v2 signatures are NOT comparable with v1:
+ * every emitted coordinate changed, so persisted v1 signature
+ * frames and running DedupStream checkpoints written before the
+ * switch must be regenerated, never mixed with v2 output — a
+ * mixed-version Jaccard estimate is silently meaningless. Pipelines
+ * that persist signatures should stamp them with
+ * [[MinHashAgg.SignatureFormatVersion]]. Within one version the
+ * coordinates are deterministic in (input, numHashes, seed).
+ * Trade-off vs v1: coordinates are pairwise-correlated across i
+ * (standard practice; the Kirsch–Mitzenmacher result shows the
+ * LSH collision analysis is unaffected).
  */
 case class MinHashAgg(
     hashExpr: Expression,
@@ -132,6 +145,14 @@ case class MinHashAgg(
       newChildren: IndexedSeq[Expression]): MinHashAgg =
     copy(hashExpr = newChildren(0), numHashesExpr = newChildren(1),
       seedExpr = newChildren(2))
+}
+
+object MinHashAgg {
+  /** Version tag for persisted signature frames / stream checkpoints.
+    * Bumped 1 → 2 when the permutation family switched from k
+    * independent universal hashes to Kirsch–Mitzenmacher two-hash
+    * (see class doc): signatures across versions are incomparable. */
+  val SignatureFormatVersion: Int = 2
 }
 
 /**
