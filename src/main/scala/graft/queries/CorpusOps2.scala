@@ -284,5 +284,67 @@ object CorpusOps2 {
              |batch AS (SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id % 5 = 0
              |  GROUP BY k)
              |SELECT doc_id FROM batch WHERE k NOT IN (SELECT k FROM old)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "t20_bpe_tokens",
+      (s, dir) => {
+        // BPE token accounting (ops/Bpe): per-doc subword token counts
+        // under the FIXED merge table below — fixed (not re-trained per
+        // run) so the oracle can replay the apply step exactly, the
+        // a05/a07b pattern; BpeSpec pins the table AS the output of
+        // Bpe.trainOnSample on the first 100 sf0.01 docs, so training
+        // is end-to-end evidenced too. The oracle replays each merge in
+        // rank order via a recursive CTE over the DISTINCT vocabulary
+        // (a list_reduce fold per merge — provably the same greedy
+        // left-to-right non-overlapping semantics, see Bpe doc) and
+        // joins counts back to word occurrences, mirroring the Spark
+        // side's per-partition vocabulary memo.
+        graft.ops.Bpe.tokenCounts(
+            Tables(s, dir).documents, "doc_id", "text", BpeFixedMerges)
+          .where(col("n_words") > 0)
+          .orderBy("doc_id")
+      },
+      Some(t20OracleSql)))
+
+  /** Merge table for t20: `Bpe.trainOnSample(documents@sf0.01, first
+    * 100 docs by id, 30 merges)` — pinned by BpeSpec so drift between
+    * this literal and the trainer fails the build, not the oracle. */
+  lazy val BpeFixedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "o" -> "w", "s" -> "t", "i" -> "n", "o" -> "r",
+    "l" -> "u", "m" -> "er", "a" -> "t", "a" -> "r", "p" -> "ar",
+    "f" -> "i", "fi" -> "l", "fil" -> "t", "filt" -> "er", "a" -> "n",
+    "c" -> "an", "s" -> "can", "u" -> "p", "a" -> "s", "as" -> "h",
+    "c" -> "o", "co" -> "lu", "colu" -> "m", "colum" -> "n",
+    "h" -> "ash", "a" -> "l", "al" -> "l", "l" -> "ow", "m" -> "all",
+    "s" -> "low")
+
+  private def t20OracleSql: String = {
+    val vals = BpeFixedMerges.zipWithIndex
+      .map { case ((x, y), i) => s"(${i + 1},'$x','$y')" }.mkString(",")
+    s"""WITH RECURSIVE merges(rank, x, y) AS (SELECT * FROM (VALUES $vals) t(r, x, y)),
+       |words AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(
+       |          lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) AS w
+       |        FROM documents)
+       |  WHERE w <> ''),
+       |vocab AS (SELECT DISTINCT w FROM words),
+       |step(w, r, s) AS (
+       |  SELECT w, 0, array_to_string(regexp_split_to_array(w, ''), ' ') FROM vocab
+       |  UNION ALL
+       |  SELECT st.w, st.r + 1,
+       |    CASE WHEN st.s NOT LIKE '%' || m.x || ' ' || m.y || '%' THEN st.s ELSE
+       |    list_reduce(string_split(st.s, ' '),
+       |      (acc, t) -> CASE WHEN (acc = m.x OR ends_with(acc, ' ' || m.x)) AND t = m.y
+       |                  THEN substr(acc, 1, len(acc) - len(m.x)) || m.x || m.y
+       |                  ELSE acc || ' ' || t END) END
+       |  FROM step st JOIN merges m ON m.rank = st.r + 1),
+       |toklen AS (SELECT w, len(string_split(s, ' ')) AS ntok
+       |  FROM step WHERE r = ${BpeFixedMerges.length})
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM words JOIN toklen USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }
