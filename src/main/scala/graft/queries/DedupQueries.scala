@@ -476,7 +476,59 @@ object DedupQueries {
              |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |SELECT id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM p
-             |WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin))
+             |WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
+      "st01_stream_minhash_pairs",
+      (s, dir) => {
+        // The STREAMING MinHash-LSH twin under the DuckDB oracle: the
+        // d03 corpus arrives as four id-ordered MemoryStream
+        // micro-batches with advancing event time, flows through
+        // DedupStream.candidatePairs (row-local signing, fMGWS bucket
+        // state), and the drained memory sink must hash-match d03's
+        // batch oracle — cross-batch pairs exercise real bucket state.
+        // The collect() here is the MemoryStream FEEDING HARNESS, not
+        // the operator: MemoryStream is driver-side by construction
+        // (it exists to gate streaming flows); production uses
+        // readStream sources. Signature/banding parity with batch is
+        // additionally spec'd bit-for-bit in DedupStreamSpec.
+        import graft.streaming.DedupStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val docEnc = org.apache.spark.sql.Encoders.product[DedupStream.Doc]
+        val rows = withNearDups(s, dir, drop = 3)
+          .select(col("doc_id").cast("long"), col("text"))
+          .orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[DedupStream.Doc]
+        val ckpt = java.nio.file.Files.createTempDirectory("st01_ckpt").toString
+        val q = DedupStream.candidatePairs(stream.toDS(), watermark = "10 minutes")
+          .writeStream.format("memory").queryName("st01_pairs")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 3) / 4)
+          rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
+            stream.addData(batch.map { case (id, t) =>
+              DedupStream.Doc(id, t,
+                java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00"))
+            })
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        // at-least-once per shared bucket -> distinct restores exactly-once
+        s.table("st01_pairs").select("id_a", "id_b").distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${shingleCtes(drop = 3)},
+             |$minhashSigCte,
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t)
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM bands a JOIN bands b
+             |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
 }
