@@ -260,6 +260,62 @@ object Events {
              |  count(DISTINCT a.user_id) AS users
              |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
              |WHERE date_diff('day', cohort, day) <= 7
-             |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin)),
+
+    Q(
+      "st02_stream_sessionize",
+      (s, dir) => {
+        // The STREAMING sessionizer under the DuckDB oracle (st01's
+        // pattern): events arrive as four ts-ordered MemoryStream
+        // micro-batches through EventStreams.sessionize (fMGWS session
+        // state, micro-precision gap math), and the drained per-session
+        // totals must hash-match e02's batch oracle. Cross-batch
+        // sessions exercise real state carry; the final open session of
+        // each user is recovered as the max cumulative update per
+        // (user, session). Streaming ids are 0-based, batch 1-based —
+        // the +1 is numbering, not semantics. collect() is the
+        // MemoryStream feeding harness; production uses readStream.
+        import graft.streaming.EventStreams
+        implicit val sqlCtx = s.sqlContext
+        implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
+        val rows = Tables(s, dir).events
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy("ts", "event_id")
+          .as[EventStreams.Event](evEnc)
+          .collect()
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        val ckpt = java.nio.file.Files.createTempDirectory("st02_ckpt").toString
+        val q = EventStreams.sessionize(stream.toDS())
+          .writeStream.format("memory").queryName("st02_sessions")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 3) / 4)
+          rows.grouped(chunk).foreach { b =>
+            stream.addData(b.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st02_sessions")
+          .groupBy("user_id", "session_id")
+          .agg(max("n_events").as("n_events"))
+          .select(col("user_id"),
+            (col("session_id") + 1).as("session_id"), col("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""SELECT user_id, session_id, count(*) AS n_events FROM (
+             |  SELECT user_id,
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |        OR date_diff('microsecond',
+             |             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+             |        THEN 1 ELSE 0 END AS new_session
+             |    FROM events))
+             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
   )
 }

@@ -98,11 +98,18 @@ object EventStreams {
             state.update(SessionState(st.sessionId + 1, Long.MinValue, 0L))
             Iterator.single(SessionUpdate(userId, st.sessionId, st.nEvents, closed = true))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // MICROsecond event time: getTime is millis only — the
+            // sub-ms component lives in getNanos, and the batch twin
+            // (e02) compares gaps at micro precision, so truncating
+            // here would split sessions differently near the gap
+            // boundary on real (micro-resolution) timestamps
+            def micros(t: Timestamp): Long =
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
             val out = Seq.newBuilder[SessionUpdate]
             sorted.foreach { e =>
-              val tsMicros = e.ts.getTime * 1000L
+              val tsMicros = micros(e.ts)
               if (st.lastTsMicros != Long.MinValue && tsMicros - st.lastTsMicros > gapMicros) {
                 out += SessionUpdate(userId, st.sessionId, st.nEvents, closed = true)
                 st = SessionState(st.sessionId + 1, tsMicros, 1L)
