@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
  * IMAGE decode is REAL: [[decodeImages]] runs `javax.imageio.ImageIO`
  * (ships with every JDK — PNG/JPEG/BMP/GIF) over a binary column in
  * batched `mapPartitions`, and [[synthesizePngs]] produces genuine PNG
- * bytes to feed it. Audio/video decode remains a STUB (no codecs in
- * this container) — a deterministic fake that maps payload bytes to a
- * fixed-width feature vector. Either way the plumbing is what matters
+ * bytes to feed it. AUDIO decode is REAL too: [[decodeWavs]] runs
+ * `javax.sound.sampled.AudioSystem` (also JDK-shipped — WAV/PCM, AIFF,
+ * AU) with [[synthesizeWavs]] producing genuine RIFF/WAVE blobs. Only
+ * VIDEO decode remains a STUB (the JVM has no container/codec library)
+ * — a deterministic fake that maps payload bytes to a fixed-width
+ * feature vector. Either way the plumbing is what matters
  * at 100 TB: the schema (binary + metadata struct), the mapPartitions
  * batching (the shape a vectorized decoder needs: on PySpark this is
  * `mapInPandas` with arrow batches; on the JVM a batched
@@ -281,6 +284,111 @@ object Multimodal {
               y += 1
             }
             Some(ImageStats(row.media_id, w, h, sr, sg, sb))
+          }
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL audio codec path (javax.sound.sampled — WAV/PCM ships with the
+  // JDK, like ImageIO for images). Video decode is the one remaining
+  // genuine stub: no container/codec library exists in the JVM itself.
+  // ---------------------------------------------------------------------
+
+  /** One audio row: id + real encoded WAV bytes. */
+  final case class AudioRow(media_id: Long, wav: Array[Byte])
+
+  /** Per-clip decoded sample statistics; sums are exact integers so the
+    * oracle can replay them without float drift. */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_s: Long,
+      sum_abs: Long,
+      max_abs: Int)
+
+  /** Deterministic 16-bit sample i of clip `id` — pure integer
+    * arithmetic in [-1000, 1000], so a SQL oracle recomputes every
+    * sample. PCM is lossless: encode → decode round-trips exactly. */
+  private[ops] def sampleValue(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 17) % 2001) - 1000).toInt
+
+  /** (sampleRate, nSamples) as deterministic functions of the id, so
+    * decode has real per-row format metadata to recover. */
+  private[ops] def audioParams(id: Long): (Int, Int) =
+    ((8000 + (id % 3) * 4000).toInt, (400 + (id % 5) * 100).toInt)
+
+  /** Encode one deterministic clip to real WAV bytes (16-bit PCM
+    * signed little-endian mono) via AudioSystem. */
+  private[ops] def encodeWav(id: Long): Array[Byte] = {
+    val (rate, n) = audioParams(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sampleValue(id, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /**
+   * Synthesize real WAV blobs, one per input id — the stand-in for a
+   * parquet binary column of crawled audio. Runs in the executors
+   * (narrow, shuffle-free); the bytes are a genuine RIFF/WAVE container
+   * (AudioSystem-encoded), so downstream decode exercises a real codec.
+   */
+  def synthesizeWavs(ids: DataFrame, idCol: String): Dataset[AudioRow] = {
+    implicit val enc = Encoders.product[AudioRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => AudioRow(id, encodeWav(id))))
+  }
+
+  /**
+   * REAL audio decode over a binary column:
+   * `AudioSystem.getAudioInputStream` per blob in batched
+   * `mapPartitions` — for WAV/PCM on the JVM this IS the production
+   * operator. Emits the recovered format (sample rate, frame count)
+   * plus exact integer sample statistics. Un-decodable blobs are
+   * dropped (UnsupportedAudioFileException), the standard crawl
+   * posture for partially-corrupt columns.
+   */
+  def decodeWavs(clips: Dataset[AudioRow], batchSize: Int = 64): Dataset[AudioStats] = {
+    implicit val enc = Encoders.product[AudioStats]
+    clips.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(row.wav))
+            val fmt = in.getFormat
+            val bytes = in.readAllBytes()
+            in.close()
+            val bytesPerSample = fmt.getSampleSizeInBits / 8 * fmt.getChannels
+            val n = bytes.length / bytesPerSample
+            var sum = 0L; var sumAbs = 0L; var maxAbs = 0
+            var i = 0
+            while (i < n) {
+              val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+              sum += v; sumAbs += math.abs(v)
+              if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
+              i += 1
+            }
+            Some(AudioStats(row.media_id, fmt.getSampleRate.toInt, n.toLong,
+              sum, sumAbs, maxAbs))
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
           }
         }
       }

@@ -137,6 +137,33 @@ object MultimodalQueries {
              |FROM imgs ORDER BY media_id""".stripMargin)),
 
     Q(
+      "mm06_audio_decode",
+      (s, dir) => {
+        // REAL audio codec round trip (mm05's image pattern): a
+        // deterministic 16-bit sample stream → genuine RIFF/WAVE bytes
+        // (AudioSystem encode) → AudioSystem decode → recovered format
+        // + exact integer sample sums. PCM is lossless, so the oracle
+        // recomputes every sample from the integer formula codec-free.
+        val ids = Tables(s, dir).documents
+          .filter(col("doc_id") < 300).select(col("doc_id"))
+        val wavs = Multimodal.synthesizeWavs(ids, "doc_id")
+        Multimodal.decodeWavs(wavs).toDF().orderBy("media_id")
+      },
+      Some("""WITH clips AS (SELECT doc_id AS media_id,
+             |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             |    400 + (doc_id % 5) * 100 AS n
+             |  FROM documents WHERE doc_id < 300),
+             |samples AS (SELECT media_id, sample_rate, n,
+             |    (media_id * 31 + i * 17) % 2001 - 1000 AS s
+             |  FROM (SELECT media_id, sample_rate, n, unnest(range(n)) AS i FROM clips))
+             |SELECT media_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS sum_s,
+             |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             |  CAST(max(abs(s)) AS INT) AS max_abs
+             |FROM samples GROUP BY media_id, sample_rate, n
+             |ORDER BY media_id""".stripMargin)),
+
+    Q(
       "mm02_frame_sample",
       (s, dir) => {
         // 64-byte frames, every 2nd kept, batched stub decode; the

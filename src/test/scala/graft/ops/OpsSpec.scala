@@ -738,4 +738,49 @@ class MultimodalSpec extends SparkTestBase {
     val (w, h) = Multimodal.imageDims(42L)
     assert(im != null && im.getWidth == w && im.getHeight == h)
   }
+
+  test("AudioSystem decode recovers exact PCM samples from synthesized WAVs") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 5L, 17L).toDF("doc_id")
+    val wavs = synthesizeWavs(ids, "doc_id").collect()
+    assert(wavs.length == 5)
+    // RIFF/WAVE magic proves these are genuine containers, not fakes
+    wavs.foreach { r =>
+      assert(new String(r.wav.take(4), "US-ASCII") == "RIFF" &&
+        new String(r.wav.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    // per-sample round trip through the real parser
+    wavs.foreach { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.wav))
+      val (rate, n) = Multimodal.audioParams(r.media_id)
+      assert(in.getFormat.getSampleRate.toInt == rate && in.getFrameLength == n)
+      val bytes = in.readAllBytes()
+      for (i <- 0 until n) {
+        val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        assert(v == Multimodal.sampleValue(r.media_id, i),
+          s"sample $i of clip ${r.media_id}")
+      }
+    }
+  }
+
+  test("decodeWavs emits formula-exact sample stats and drops corrupt blobs") {
+    import spark.implicits._
+    val ids = (0L until 20L).toDF("doc_id")
+    val good = synthesizeWavs(ids, "doc_id")
+    val corrupt = Seq(AudioRow(99L, Array[Byte](1, 2, 3, 4))).toDS()
+    val stats = decodeWavs(good.union(corrupt), batchSize = 7).collect()
+    assert(stats.length == 20 && !stats.exists(_.media_id == 99L))
+    stats.foreach { st =>
+      val (rate, n) = Multimodal.audioParams(st.media_id)
+      var sum = 0L; var sumAbs = 0L; var maxAbs = 0
+      for (i <- 0 until n) {
+        val v = Multimodal.sampleValue(st.media_id, i)
+        sum += v; sumAbs += math.abs(v); maxAbs = math.max(maxAbs, math.abs(v))
+      }
+      assert(st.sample_rate == rate && st.n_samples == n)
+      assert((st.sum_s, st.sum_abs, st.max_abs) == ((sum, sumAbs, maxAbs)),
+        s"clip ${st.media_id}")
+    }
+  }
 }
