@@ -18,10 +18,12 @@ object DedupQueries {
   /** DuckDB CTEs mirroring `withNearDups` + `shingleHashes`: corpus with
     * planted truncated dups, tokens, and the per-doc 55-bit poly-hash
     * shingle list (`hs`) — the exact integers Spark computes. */
-  private def shingleCtes(drop: Int): String = {
+  private def shingleCtes(drop: Int, cap: Long = Long.MaxValue): String = {
     val shingle = "w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]"
+    val base = if (cap == Long.MaxValue) "SELECT doc_id, text FROM documents"
+      else s"SELECT doc_id, text FROM documents WHERE doc_id < $cap"
     s"""corpus AS (
-       |  SELECT doc_id, text FROM documents
+       |  $base
        |  UNION ALL
        |  SELECT doc_id + 1000000,
        |    array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - $drop, 1)], ' ')
@@ -495,17 +497,31 @@ object DedupQueries {
         import graft.streaming.DedupStream
         implicit val sqlCtx = s.sqlContext
         implicit val docEnc = org.apache.spark.sql.Encoders.product[DedupStream.Doc]
+        // corpus capped at 500 base docs (+ the 50 planted dups): the
+        // gate proves cross-batch bucket-state correctness, which needs
+        // shared buckets across chunks, not sf-scaled volume — at sf0.1
+        // the uncapped harness spent 10 s/sweep on state-store commits
+        // for 160k bucket keys while proving nothing extra
         val rows = withNearDups(s, dir, drop = 3)
+          .filter(col("doc_id") < 500 || col("doc_id") >= 1000000L)
           .select(col("doc_id").cast("long"), col("text"))
           .orderBy("doc_id")
           .collect().map(r => (r.getLong(0), r.getString(1)))
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[DedupStream.Doc]
         val ckpt = java.nio.file.Files.createTempDirectory("st01_ckpt").toString
-        val q = DedupStream.candidatePairs(stream.toDS(), watermark = "10 minutes")
-          .writeStream.format("memory").queryName("st01_pairs")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").start()
+        // state-partition count is captured at stream start: 4 keeps the
+        // per-micro-batch cost at 4 state-store commits instead of
+        // shuffle.partitions-many (the dominant harness cost, ~2 s/batch
+        // at 32); production streams size this to their cluster
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try DedupStream.candidatePairs(stream.toDS(), watermark = "10 minutes")
+            .writeStream.format("memory").queryName("st01_pairs")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
         try {
           val chunk = math.max(1, (rows.length + 3) / 4)
           rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
@@ -520,7 +536,7 @@ object DedupQueries {
         s.table("st01_pairs").select("id_a", "id_b").distinct()
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH ${shingleCtes(drop = 3)},
+      Some(s"""WITH ${shingleCtes(drop = 3, cap = 500L)},
              |$minhashSigCte,
              |bands AS (SELECT doc_id, t.range AS band,
              |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
