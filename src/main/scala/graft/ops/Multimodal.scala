@@ -358,10 +358,15 @@ object Multimodal {
    * REAL audio decode over a binary column:
    * `AudioSystem.getAudioInputStream` per blob in batched
    * `mapPartitions` — for WAV/PCM on the JVM this IS the production
-   * operator. Emits the recovered format (sample rate, frame count)
-   * plus exact integer sample statistics. Un-decodable blobs are
-   * dropped (UnsupportedAudioFileException), the standard crawl
-   * posture for partially-corrupt columns.
+   * operator. Whatever PCM layout the container carries (8- or 16-bit,
+   * mono or multi-channel, either endianness — so AIFF's big-endian
+   * works too) is normalized to 16-bit signed little-endian by the
+   * JDK's own converter before extraction, so the sample loop never
+   * assumes a layout the format doesn't have. Emits the recovered
+   * format (sample rate, interleaved sample count) plus exact integer
+   * sample statistics over all channels. Un-decodable blobs and
+   * formats the JDK cannot convert to PCM16 are dropped, the standard
+   * crawl posture for partially-corrupt columns.
    */
   def decodeWavs(clips: Dataset[AudioRow], batchSize: Int = 64): Dataset[AudioStats] = {
     implicit val enc = Encoders.product[AudioStats]
@@ -371,11 +376,16 @@ object Multimodal {
           try {
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(row.wav))
-            val fmt = in.getFormat
-            val bytes = in.readAllBytes()
+            val src = in.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels,
+              2 * src.getChannels, src.getSampleRate, /*bigEndian=*/ false)
+            val norm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+            val bytes = norm.readAllBytes()
+            norm.close()
             in.close()
-            val bytesPerSample = fmt.getSampleSizeInBits / 8 * fmt.getChannels
-            val n = bytes.length / bytesPerSample
+            val n = bytes.length / 2 // 16-bit samples, all channels interleaved
             var sum = 0L; var sumAbs = 0L; var maxAbs = 0
             var i = 0
             while (i < n) {
@@ -384,10 +394,11 @@ object Multimodal {
               if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
               i += 1
             }
-            Some(AudioStats(row.media_id, fmt.getSampleRate.toInt, n.toLong,
+            Some(AudioStats(row.media_id, src.getSampleRate.toInt, n.toLong,
               sum, sumAbs, maxAbs))
           } catch {
             case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: IllegalArgumentException => None // no PCM16 conversion path
             case _: java.io.IOException => None
           }
         }

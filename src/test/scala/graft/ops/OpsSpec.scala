@@ -783,4 +783,54 @@ class MultimodalSpec extends SparkTestBase {
         s"clip ${st.media_id}")
     }
   }
+
+  test("decodeWavs normalizes 8-bit, stereo and big-endian AIFF inputs") {
+    import javax.sound.sampled._
+    import spark.implicits._
+    def container(pcm: Array[Byte], fmt: AudioFormat,
+        tpe: AudioFileFormat.Type): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        pcm.length / fmt.getFrameSize), tpe, out)
+      out.toByteArray
+    }
+    // 8-bit unsigned mono WAV: u_i = (i*37+11)%256 → PCM16 (u-128)<<8
+    val u8 = Array.tabulate[Byte](50)(i => ((i * 37 + 11) % 256).toByte)
+    val wav8 = container(u8, new AudioFormat(8000f, 8, 1, false, false),
+      AudioFileFormat.Type.WAVE)
+    // 16-bit stereo LE WAV: interleaved L=i*3-60, R=-(i*2)+40
+    val stereoVals = (0 until 30).flatMap(i => Seq(i * 3 - 60, -(i * 2) + 40))
+    val wavSt = container(
+      stereoVals.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray,
+      new AudioFormat(8000f, 16, 2, true, false), AudioFileFormat.Type.WAVE)
+    // 16-bit mono BIG-endian AIFF with the same sample formula as clip 3
+    val (_, nAiff) = Multimodal.audioParams(3L)
+    val aiff = container(
+      (0 until nAiff).flatMap { i =>
+        val v = Multimodal.sampleValue(3L, i)
+        Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte) // big-endian
+      }.toArray,
+      new AudioFormat(8000f, 16, 1, true, true), AudioFileFormat.Type.AIFF)
+    val rows = Seq(AudioRow(1L, wav8), AudioRow(2L, wavSt), AudioRow(3L, aiff)).toDS()
+    val stats = decodeWavs(rows).collect().map(s => s.media_id -> s).toMap
+    assert(stats.size == 3) // none dropped, none crashed
+    def expect(vals: Seq[Int]) =
+      (vals.size.toLong, vals.map(_.toLong).sum, vals.map(v => math.abs(v).toLong).sum,
+        vals.map(math.abs).max)
+    // the JDK codec's 8u→16s mapping (probed over all 256 values):
+    // s<0 → s<<8; s≥0 → (s<<8)|(s<<1); u=255 clips to 32767
+    val e8 = expect(u8.toIndexedSeq.map { b =>
+      val s = (b & 0xff) - 128
+      if (s < 0) s << 8 else math.min(32767, (s << 8) | (s << 1))
+    })
+    assert((stats(1L).n_samples, stats(1L).sum_s, stats(1L).sum_abs,
+      stats(1L).max_abs) == e8, "8-bit")
+    val eSt = expect(stereoVals)
+    assert((stats(2L).n_samples, stats(2L).sum_s, stats(2L).sum_abs,
+      stats(2L).max_abs) == eSt, "stereo")
+    val eAiff = expect((0 until nAiff).map(i => Multimodal.sampleValue(3L, i)))
+    assert((stats(3L).n_samples, stats(3L).sum_s, stats(3L).sum_abs,
+      stats(3L).max_abs) == eAiff, "aiff big-endian")
+  }
 }
