@@ -484,7 +484,7 @@ object DedupQueries {
       "st01_stream_minhash_pairs",
       (s, dir) => {
         // The STREAMING MinHash-LSH twin under the DuckDB oracle: the
-        // d03 corpus arrives as four id-ordered MemoryStream
+        // d03 corpus arrives as two id-ordered MemoryStream
         // micro-batches with advancing event time, flows through
         // DedupStream.candidatePairs (row-local signing, fMGWS bucket
         // state), and the drained memory sink must hash-match d03's
@@ -523,7 +523,10 @@ object DedupQueries {
             .outputMode("append").start()
           finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
         try {
-          val chunk = math.max(1, (rows.length + 3) / 4)
+          // two micro-batches: the minimum that still proves cross-batch
+          // bucket state (pairs whose docs arrive in different batches);
+          // each extra batch costs a full state-store commit cycle
+          val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
             stream.addData(batch.map { case (id, t) =>
               DedupStream.Doc(id, t,
@@ -531,7 +534,10 @@ object DedupQueries {
             })
             q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
         // at-least-once per shared bucket -> distinct restores exactly-once
         s.table("st01_pairs").select("id_a", "id_b").distinct()
           .orderBy("id_a", "id_b")

@@ -266,7 +266,7 @@ object Events {
       "st02_stream_sessionize",
       (s, dir) => {
         // The STREAMING sessionizer under the DuckDB oracle (st01's
-        // pattern): events arrive as four ts-ordered MemoryStream
+        // pattern): events arrive as two ts-ordered MemoryStream
         // micro-batches through EventStreams.sessionize (fMGWS session
         // state, micro-precision gap math), and the drained per-session
         // totals must hash-match e02's batch oracle. Cross-batch
@@ -302,12 +302,17 @@ object Events {
             .outputMode("append").start()
           finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
         try {
-          val chunk = math.max(1, (rows.length + 3) / 4)
+          // two micro-batches: the minimum that still proves cross-batch
+          // session-state carry (sessions spanning the chunk boundary)
+          val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { b =>
             stream.addData(b.toSeq)
             q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
         s.table("st02_sessions")
           .groupBy("user_id", "session_id")
           .agg(max("n_events").as("n_events"))

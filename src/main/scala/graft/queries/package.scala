@@ -19,4 +19,17 @@ package object queries {
     val p = math.pow(10, digits)
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
+
+  /** Best-effort recursive delete for the streaming harnesses' temp
+    * checkpoint dirs (st01/st02) — repeated bench/verify sweeps must
+    * not accumulate state under /tmp. */
+  def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.util.Try
+    Try {
+      Files.walk(Paths.get(path)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Try(Files.delete(p)))
+    }
+    ()
+  }
 }
