@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
  * batched `mapPartitions`, and [[synthesizePngs]] produces genuine PNG
  * bytes to feed it. AUDIO decode is REAL too: [[decodeWavs]] runs
  * `javax.sound.sampled.AudioSystem` (also JDK-shipped — WAV/PCM, AIFF,
- * AU) with [[synthesizeWavs]] producing genuine RIFF/WAVE blobs. Only
- * VIDEO decode remains a STUB (the JVM has no container/codec library)
- * — a deterministic fake that maps payload bytes to a fixed-width
- * feature vector. Either way the plumbing is what matters
- * at 100 TB: the schema (binary + metadata struct), the mapPartitions
- * batching (the shape a vectorized decoder needs: on PySpark this is
- * `mapInPandas` with arrow batches; on the JVM a batched
- * `mapPartitions`), and the narrow, shuffle-free plan.
+ * AU) with [[synthesizeWavs]] producing genuine RIFF/WAVE blobs. VIDEO
+ * decode is REAL for the uncompressed profile: [[decodeAvis]] demuxes
+ * RIFF/AVI containers and decodes BI_RGB DIB frames (no codec exists
+ * or is needed for that profile), with [[synthesizeAvis]] producing
+ * genuine AVI blobs; compressed streams are dropped like corrupt
+ * blobs. The earlier stub paths (mm01–mm04) remain as the plumbing
+ * shape for codecs the JVM lacks. Either way the plumbing is what
+ * matters at 100 TB: the schema (binary + metadata struct), the
+ * mapPartitions batching (the shape a vectorized decoder needs: on
+ * PySpark this is `mapInPandas` with arrow batches; on the JVM a
+ * batched `mapPartitions`), and the narrow, shuffle-free plan.
  */
 object Multimodal {
 
@@ -404,6 +407,218 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video codec path: uncompressed-DIB (BI_RGB) AVI. AVI is RIFF —
+  // the same container family as WAV — and a BI_RGB video stream needs
+  // no codec: the demux (RIFF chunk walk: hdrl → strl → strh/strf,
+  // movi → per-frame '##db' chunks) plus bottom-up BGR row decode with
+  // 4-byte stride padding below is a complete decoder for this profile,
+  // the video analogue of mm05/mm06. Streams that DO need a codec
+  // (biCompression != 0) or aren't video are dropped, the same posture
+  // as ImageIO returning null on an unreadable blob.
+  // ---------------------------------------------------------------------
+
+  /** One video row: id + real AVI container bytes. */
+  final case class VideoRow(media_id: Long, avi: Array[Byte])
+
+  /** Per-video decoded statistics; sums are exact integers over all
+    * frames' pixels so the oracle can replay them without float drift. */
+  final case class VideoStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Deterministic RGB of pixel (x, y) in frame f of video `id` — pure
+    * integer arithmetic, so a SQL oracle recomputes every pixel. BI_RGB
+    * is uncompressed: encode → decode round-trips exactly. */
+  private[ops] def frameRgb(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + f * 23 + x * 7 + y * 13) % 256).toInt,
+    ((id * 17 + f * 29 + x * 11 + y * 3) % 256).toInt,
+    ((id * 7 + f * 37 + x * 5 + y * 19) % 256).toInt)
+
+  /** (width, height, nFrames) as deterministic functions of the id.
+    * Widths 7/11/15 are deliberately NOT multiples of 4 so the DIB rows
+    * carry real stride padding (3·w rounded up to 4) — a decoder that
+    * ignores the stride reads shifted garbage and fails the oracle. */
+  private[ops] def videoParams(id: Long): (Int, Int, Int) =
+    ((7 + (id % 3) * 4).toInt, (6 + (id % 2) * 4).toInt, (2 + (id % 3)).toInt)
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def u32le(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def u16le(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fourcc(id) ++ u32le(body.length.toLong) ++ body ++ pad
+  }
+
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(listType) ++ body)
+
+  /** Encode one deterministic clip as a genuine AVI container:
+    * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh('vids'/'DIB '),
+    * strf(BITMAPINFOHEADER, BI_RGB 24-bit)}} → LIST(movi){'00db'
+    * uncompressed bottom-up BGR frames, rows padded to 4 bytes} →
+    * idx1 keyframe index. Layout per the public AVI/RIFF format. */
+  private[ops] def encodeAvi(id: Long): Array[Byte] = {
+    val (w, h, nFrames) = videoParams(id)
+    val stride = (w * 3 + 3) / 4 * 4
+    val frameSize = stride * h
+    def frame(f: Int): Array[Byte] = {
+      val b = new Array[Byte](frameSize)
+      var y = 0
+      while (y < h) {
+        val rowOff = (h - 1 - y) * stride // bottom-up row order
+        var x = 0
+        while (x < w) {
+          val (r, g, bl) = frameRgb(id, f, x, y)
+          b(rowOff + 3 * x) = bl.toByte     // BGR byte order
+          b(rowOff + 3 * x + 1) = g.toByte
+          b(rowOff + 3 * x + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      b
+    }
+    val avih = riffChunk("avih",
+      u32le(40000L) ++ u32le(frameSize * 25L) ++ u32le(0) ++ u32le(0x10) ++
+        u32le(nFrames.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(frameSize.toLong) ++
+        u32le(w.toLong) ++ u32le(h.toLong) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++ u32le(0))
+    val strh = riffChunk("strh",
+      fourcc("vids") ++ fourcc("DIB ") ++ u32le(0) ++ u16le(0) ++ u16le(0) ++
+        u32le(0) ++ u32le(1) ++ u32le(25) ++ u32le(0) ++ u32le(nFrames.toLong) ++
+        u32le(frameSize.toLong) ++ u32le(0xffffffffL) ++ u32le(0) ++
+        u16le(0) ++ u16le(0) ++ u16le(w) ++ u16le(h))
+    val strf = riffChunk("strf",
+      u32le(40) ++ u32le(w.toLong) ++ u32le(h.toLong) ++ u16le(1) ++ u16le(24) ++
+        u32le(0 /* BI_RGB */) ++ u32le(frameSize.toLong) ++ u32le(0) ++ u32le(0) ++
+        u32le(0) ++ u32le(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val frames = (0 until nFrames).map(f => riffChunk("00db", frame(f)))
+    val movi = riffList("movi", frames.reduce(_ ++ _))
+    // idx1: one 16-byte keyframe entry per frame; offsets are relative
+    // to the 'movi' fourcc, per convention
+    val idx = (0 until nFrames).map { f =>
+      fourcc("00db") ++ u32le(0x10 /* AVIIF_KEYFRAME */) ++
+        u32le(4L + f.toLong * (8 + frameSize)) ++ u32le(frameSize.toLong)
+    }
+    val idx1 = riffChunk("idx1", idx.reduce(_ ++ _))
+    riffChunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi ++ idx1)
+  }
+
+  /**
+   * Synthesize real AVI blobs, one per input id — the stand-in for a
+   * parquet binary column of crawled video. Runs in the executors
+   * (narrow, shuffle-free); the bytes are a genuine RIFF/AVI container
+   * with uncompressed BI_RGB frames, so downstream decode exercises a
+   * real demux + frame decode.
+   */
+  def synthesizeAvis(ids: DataFrame, idCol: String): Dataset[VideoRow] = {
+    implicit val enc = Encoders.product[VideoRow]
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => VideoRow(id, encodeAvi(id))))
+  }
+
+  private def leU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def leU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def fccAt(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /**
+   * REAL video decode over a binary column: RIFF demux (walk hdrl →
+   * strl for the stream format, movi for the frame chunks) + per-frame
+   * uncompressed-DIB decode (bottom-up rows, BGR, 4-byte stride) in
+   * batched `mapPartitions` — for the BI_RGB profile this IS a complete
+   * decoder; no codec library exists or is needed. Emits recovered
+   * dimensions, frame count, and exact per-channel pixel sums over all
+   * frames. Dropped (not crashed): non-RIFF/truncated blobs, non-video
+   * streams, and compressed formats (biCompression != 0 or bit depth
+   * != 24) — the crawl posture for a partially-corrupt binary column.
+   */
+  def decodeAvis(vids: Dataset[VideoRow], batchSize: Int = 64): Dataset[VideoStats] = {
+    implicit val enc = Encoders.product[VideoStats]
+    vids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          try decodeOneAvi(row.media_id, row.avi)
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }
+  }
+
+  private def decodeOneAvi(id: Long, b: Array[Byte]): Option[VideoStats] = {
+    if (b.length < 12 || fccAt(b, 0) != "RIFF" || fccAt(b, 8) != "AVI ") return None
+    var width = -1; var height = -1; var bitCount = -1; var compression = -1L
+    var isVideo = false
+    var sr = 0L; var sg = 0L; var sb = 0L; var frames = 0
+    // walk chunks of [start, end); `inStreamList` tracks hdrl/strl scope
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val cid = fccAt(b, o)
+        val size = leU32(b, o + 4).toInt
+        val body = o + 8
+        if (body + size > end) return // truncated chunk: stop, blob may still drop
+        cid match {
+          case "LIST" =>
+            // recurse past the list-type fourcc; hdrl/strl yield strh/strf,
+            // movi yields the '##db' frame chunks
+            walk(body + 4, body + size)
+          case "strh" =>
+            isVideo = fccAt(b, body) == "vids"
+          case "strf" if isVideo && size >= 40 =>
+            width = leU32(b, body + 4).toInt
+            height = leU32(b, body + 8).toInt
+            bitCount = leU16(b, body + 14)
+            compression = leU32(b, body + 16)
+          case c if c.length == 4 && (c.endsWith("db") || c.endsWith("dc")) =>
+            // a movi frame chunk; decodable only for the BI_RGB profile
+            if (width > 0 && height > 0 && bitCount == 24 && compression == 0L) {
+              val stride = (width * 3 + 3) / 4 * 4
+              if (size >= stride * height) {
+                var y = 0
+                while (y < height) {
+                  val rowOff = body + (height - 1 - y) * stride
+                  var x = 0
+                  while (x < width) {
+                    sb += b(rowOff + 3 * x) & 0xff
+                    sg += b(rowOff + 3 * x + 1) & 0xff
+                    sr += b(rowOff + 3 * x + 2) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += 1
+              }
+            }
+          case _ => // avih, idx1, unknown chunks: skip
+        }
+        o = body + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(b.length, 8 + leU32(b, 4).toInt))
+    if (width > 0 && height > 0 && bitCount == 24 && compression == 0L && frames > 0)
+      Some(VideoStats(id, width, height, frames, sr, sg, sb))
+    else None
   }
 
   /** Deterministic fake decode: 8-dim feature from byte statistics. */

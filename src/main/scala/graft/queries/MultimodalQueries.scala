@@ -164,6 +164,42 @@ object MultimodalQueries {
              |ORDER BY media_id""".stripMargin)),
 
     Q(
+      "mm07_video_decode",
+      (s, dir) => {
+        // REAL video round trip (mm05/mm06's pattern): deterministic
+        // per-frame RGB pixels → genuine RIFF/AVI containers with
+        // uncompressed BI_RGB DIB frames → RIFF demux + per-frame
+        // decode → exact per-channel pixel sums over all frames.
+        // BI_RGB is lossless and codec-free, so the oracle recomputes
+        // every pixel of every frame from the same integer formulas.
+        // Widths 7/11/15 force real DIB stride padding — a decoder
+        // that ignores the stride fails the hash.
+        val ids = Tables(s, dir).documents
+          .filter(col("doc_id") < 300).select(col("doc_id"))
+        val avis = Multimodal.synthesizeAvis(ids, "doc_id")
+        Multimodal.decodeAvis(avis).toDF().orderBy("media_id")
+      },
+      Some("""WITH vids AS (SELECT doc_id AS media_id,
+             |    CAST(7 + (doc_id % 3) * 4 AS INT) AS width,
+             |    CAST(6 + (doc_id % 2) * 4 AS INT) AS height,
+             |    CAST(2 + (doc_id % 3) AS INT) AS n_frames
+             |  FROM documents WHERE doc_id < 300),
+             |pf AS (SELECT media_id, width, height, n_frames,
+             |    unnest(range(n_frames)) AS f FROM vids)
+             |SELECT media_id, width, height, n_frames,
+             |  CAST(sum(list_sum(flatten(list_transform(range(height), y ->
+             |    list_transform(range(width), x ->
+             |      (media_id * 31 + f * 23 + x * 7 + y * 13) % 256))))) AS BIGINT) AS sum_r,
+             |  CAST(sum(list_sum(flatten(list_transform(range(height), y ->
+             |    list_transform(range(width), x ->
+             |      (media_id * 17 + f * 29 + x * 11 + y * 3) % 256))))) AS BIGINT) AS sum_g,
+             |  CAST(sum(list_sum(flatten(list_transform(range(height), y ->
+             |    list_transform(range(width), x ->
+             |      (media_id * 7 + f * 37 + x * 5 + y * 19) % 256))))) AS BIGINT) AS sum_b
+             |FROM pf GROUP BY media_id, width, height, n_frames
+             |ORDER BY media_id""".stripMargin)),
+
+    Q(
       "mm02_frame_sample",
       (s, dir) => {
         // 64-byte frames, every 2nd kept, batched stub decode; the

@@ -833,4 +833,53 @@ class MultimodalSpec extends SparkTestBase {
     assert((stats(3L).n_samples, stats(3L).sum_s, stats(3L).sum_abs,
       stats(3L).max_abs) == eAiff, "aiff big-endian")
   }
+
+  test("AVI demux + DIB decode recovers formula-exact frame pixels") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 5L, 17L).toDF("doc_id")
+    val avis = synthesizeAvis(ids, "doc_id").collect()
+    // RIFF/AVI magic proves genuine containers
+    avis.foreach { r =>
+      assert(new String(r.avi.take(4), "US-ASCII") == "RIFF" &&
+        new String(r.avi.slice(8, 12), "US-ASCII") == "AVI ")
+    }
+    val stats = decodeAvis(spark.createDataset(avis.toIndexedSeq)).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(stats.size == 5)
+    for (id <- Seq(0L, 1L, 2L, 5L, 17L)) {
+      val (w, h, nf) = Multimodal.videoParams(id)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.frameRgb(id, f, x, y)
+        er += r; eg += g; eb += b
+      }
+      val st = stats(id)
+      assert((st.width, st.height, st.n_frames) == ((w, h, nf)), s"dims of $id")
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((er, eg, eb)), s"sums of $id")
+    }
+  }
+
+  test("decodeAvis drops corrupt blobs and compressed streams") {
+    import spark.implicits._
+    val good = Multimodal.encodeAvi(3L)
+    // flip the strf biCompression field (BI_RGB=0 → 1): a "compressed"
+    // stream our profile decoder must drop, not mis-decode
+    val compressed = good.clone()
+    val strfAt = {
+      // find 'strf' fourcc; compression dword is at body+16
+      val idx = compressed.indices.find(i => i + 4 <= compressed.length &&
+        new String(compressed, i, 4, "US-ASCII") == "strf").get
+      idx + 8 + 16
+    }
+    compressed(strfAt) = 1.toByte
+    val truncated = good.take(40)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val ds = Seq(
+      Multimodal.VideoRow(1L, good),
+      Multimodal.VideoRow(2L, compressed),
+      Multimodal.VideoRow(3L, truncated),
+      Multimodal.VideoRow(4L, garbage)).toDS()
+    val out = decodeAvis(ds).collect()
+    assert(out.map(_.media_id).toSet == Set(1L), "only the clean blob decodes")
+  }
 }
