@@ -171,6 +171,57 @@ object GPCore {
     })
   }
 
+  /**
+   * Fixed-step, quantized gradient-descent hyper fit — the REPLAYABLE
+   * twin of [[optimizeHypers]] (the unrolled-oracle trick a04 uses for
+   * quantizer training, applied to GP training): `steps` plain GD
+   * iterations on the summed per-expert objective, with the aggregated
+   * NLL and gradient snapped to the 1e-6 grid before use so a SQL
+   * oracle replaying the same closed forms lands on bit-identical
+   * hypers. L-BFGS-B line searches are not SQL-replayable; fixed-step
+   * GD on the same objective is, and it exercises the identical
+   * kernel-gradient → NLL-gradient → treeAggregate path the production
+   * fit runs. Returns one row per step 0..steps: (step, hypers at that
+   * step, quantized NLL evaluated AT those hypers) — the last row
+   * proves the post-update evaluation too. Updates are box-projected
+   * exactly as [[optimizeHypers]] projects its line-search points.
+   */
+  def gdHyperFit(
+      experts: RDD[ExpertData],
+      kernel: Kernel,
+      objective: (ExpertData, Kernel) => (Double, BDV[Double]),
+      steps: Int,
+      lr: Double): Seq[(Int, BDV[Double], Double)] = {
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val dim = kernel.numHypers
+    val (lo, hi) = kernel.bounds
+    var k = kernel
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, BDV[Double], Double)]
+    var step = 0
+    while (step <= steps) {
+      val obj = objective
+      val kk = k
+      val d = dim
+      val (nll, grad) = experts.treeAggregate((0.0, BDV.zeros[Double](d)))(
+        seqOp = { case ((v, g), e) =>
+          val (ev, eg) = obj(e, kk)
+          (v + ev, g += eg)
+        },
+        combOp = { case ((v1, g1), (v2, g2)) => (v1 + v2, g1 += g2) },
+        depth = 2)
+      out += ((step, kk.hypers.copy, q6(nll)))
+      if (step < steps) {
+        val h = BDV.tabulate(d) { i =>
+          val v = kk.hypers(i) - lr * q6(grad(i))
+          q6(math.min(hi(i), math.max(lo(i), v)))
+        }
+        k = kk.withHypers(h)
+      }
+      step += 1
+    }
+    out.toSeq
+  }
+
   // ------------------------------------------------- regression likelihood
 
   /** Negative log marginal likelihood and its gradient for one expert:

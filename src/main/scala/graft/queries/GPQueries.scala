@@ -272,6 +272,127 @@ object GPQueries {
              |FROM k GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
     Q(
+      "gp11_hyperfit_gd",
+      (s, dir) => {
+        // GP TRAINING math under the oracle (a04's unrolled-replay
+        // trick): 2 fixed-step gradient-descent iterations on the exact
+        // summed per-expert NLL, through the production
+        // regressionObjective → treeAggregate path, with the aggregated
+        // NLL/gradient quantized at 1e-6 before each update so DuckDB
+        // replays bit-identical hypers. Experts are deterministic PAIRS
+        // (vec_id 2i, 2i+1) so each per-expert Cholesky/solve has a
+        // closed 2×2 form the oracle expresses directly; the kernel is
+        // the reference surface (trainable amplitude × RBF + fixed
+        // white noise), so the chain kernel-grad → NLL-grad → update is
+        // the real BCM training math, not a test double. The
+        // groupByKey is 200 pairs — gate-sized, not a data path.
+        import graft.gp.GPCore
+        import graft.gp.kernel.{ExpertData, Kernels}
+        val uw = (0 until 64).map(j => (((j * 37 + 11) % 19) - 9) / 10.0)
+        val withY = Tables(s, dir).embeddings.filter(col("vec_id") < 400)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), col("v"),
+            sin(graft.ops.Similarity.dot(col("v"), typedlit(uw)) * 2.0).as("y"))
+        val experts = withY.rdd
+          .map(r => (r.getLong(0) / 2,
+            (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
+          .groupByKey()
+          .flatMap { case (_, it) =>
+            val p = it.toList.sortBy(_._1)
+            if (p.size == 2)
+              Some(new ExpertData(p.map(_._2).toArray, p.map(_._3).toArray))
+            else None
+          }
+        val kern = { import Kernels._; 1.0 * rbf(1.0) + white(0.01) }
+        val traj = GPCore.gdHyperFit(
+          experts, kern, GPCore.regressionObjective, steps = 2, lr = 1e-3)
+        import s.implicits._
+        traj.map { case (st, h, nll) => (st, h(0), h(1), nll) }
+          .toDF("step", "amplitude", "lengthscale", "nll")
+          .select(col("step").cast("int").as("step"),
+            fround(col("amplitude"), 6).as("amplitude"),
+            fround(col("lengthscale"), 6).as("lengthscale"),
+            fround(col("nll"), 6).as("nll"))
+          .orderBy("step")
+      },
+      // Per expert {a=2i, b=2i+1}: K = [[c+ν, c·ρ],[c·ρ, c+ν]] with
+      // ρ = exp(−d²/2ℓ²), ν = 0.01. Closed 2×2 forms: α = K⁻¹y,
+      // NLL = ½yᵀα + ½ln det; A = ααᵀ−K⁻¹;
+      // ∂NLL/∂c = −½(A₁₁+A₂₂+2A₁₂ρ), ∂NLL/∂ℓ = −A₁₂·c·ρ·d²/ℓ³.
+      // Each step: sums quantized to the 1e-6 grid, θ′ = q(θ − 0.001·g)
+      // box-projected at c ≥ 0, ℓ ≥ 1e-6 — exactly gdHyperFit's math.
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings WHERE vec_id < 400),
+             |ys AS (SELECT vec_id, v,
+             |    sin(list_sum(list_transform(range(64),
+             |      j -> v[j+1] * ((((j*37+11)%19)-9)/10.0))) * 2) AS y
+             |  FROM e),
+             |p AS (SELECT a.vec_id // 2 AS eid,
+             |    list_sum(list_transform(list_zip(a.v, b.v),
+             |      q -> (q[1]-q[2])*(q[1]-q[2]))) AS d2,
+             |    a.y AS y1, b.y AS y2
+             |  FROM ys a JOIN ys b ON b.vec_id = a.vec_id + 1
+             |  WHERE a.vec_id % 2 = 0),
+             |g0 AS (SELECT floor(sum(nll_e)*1e6+0.5)/1e6 AS nll,
+             |    floor(sum(gc_e)*1e6+0.5)/1e6 AS gc,
+             |    floor(sum(gl_e)*1e6+0.5)/1e6 AS gl
+             |  FROM (SELECT
+             |      0.5*(y1*a1 + y2*a2) + 0.5*ln(det) AS nll_e,
+             |      -0.5*((a1*a1 - k11/det) + (a2*a2 - k11/det)
+             |        + 2*(a1*a2 + k12/det)*rho) AS gc_e,
+             |      -((a1*a2 + k12/det) * c * rho * d2) / (l*l*l) AS gl_e
+             |    FROM (SELECT c, l, rho, k11, k12, det, y1, y2, d2,
+             |        (k11*y1 - k12*y2)/det AS a1, (k11*y2 - k12*y1)/det AS a2
+             |      FROM (SELECT 1.0 AS c, 1.0 AS l, y1, y2, d2,
+             |          exp(-d2/(2*1.0*1.0)) AS rho,
+             |          1.0 + 0.01 AS k11, 1.0*exp(-d2/(2*1.0*1.0)) AS k12,
+             |          (1.0+0.01)*(1.0+0.01)
+             |            - (1.0*exp(-d2/(2*1.0*1.0)))*(1.0*exp(-d2/(2*1.0*1.0))) AS det
+             |        FROM p)))),
+             |h1 AS (SELECT
+             |    floor(greatest(0.0, 1.0 - 0.001*gc)*1e6+0.5)/1e6 AS c,
+             |    floor(greatest(0.000001, 1.0 - 0.001*gl)*1e6+0.5)/1e6 AS l,
+             |    nll AS nll0 FROM g0),
+             |g1 AS (SELECT floor(sum(nll_e)*1e6+0.5)/1e6 AS nll,
+             |    floor(sum(gc_e)*1e6+0.5)/1e6 AS gc,
+             |    floor(sum(gl_e)*1e6+0.5)/1e6 AS gl
+             |  FROM (SELECT
+             |      0.5*(y1*a1 + y2*a2) + 0.5*ln(det) AS nll_e,
+             |      -0.5*((a1*a1 - k11/det) + (a2*a2 - k11/det)
+             |        + 2*(a1*a2 + k12/det)*rho) AS gc_e,
+             |      -((a1*a2 + k12/det) * c * rho * d2) / (l*l*l) AS gl_e
+             |    FROM (SELECT c, l, rho, k11, k12, det, y1, y2, d2,
+             |        (k11*y1 - k12*y2)/det AS a1, (k11*y2 - k12*y1)/det AS a2
+             |      FROM (SELECT h1.c AS c, h1.l AS l, y1, y2, d2,
+             |          exp(-d2/(2*h1.l*h1.l)) AS rho,
+             |          h1.c + 0.01 AS k11, h1.c*exp(-d2/(2*h1.l*h1.l)) AS k12,
+             |          (h1.c+0.01)*(h1.c+0.01)
+             |            - (h1.c*exp(-d2/(2*h1.l*h1.l)))*(h1.c*exp(-d2/(2*h1.l*h1.l))) AS det
+             |        FROM p CROSS JOIN h1)))),
+             |h2 AS (SELECT
+             |    floor(greatest(0.0, h1.c - 0.001*g1.gc)*1e6+0.5)/1e6 AS c,
+             |    floor(greatest(0.000001, h1.l - 0.001*g1.gl)*1e6+0.5)/1e6 AS l
+             |  FROM h1 CROSS JOIN g1),
+             |g2 AS (SELECT floor(sum(nll_e)*1e6+0.5)/1e6 AS nll
+             |  FROM (SELECT
+             |      0.5*(y1*a1 + y2*a2) + 0.5*ln(det) AS nll_e
+             |    FROM (SELECT det, y1, y2,
+             |        (k11*y1 - k12*y2)/det AS a1, (k11*y2 - k12*y1)/det AS a2
+             |      FROM (SELECT y1, y2,
+             |          h2.c + 0.01 AS k11, h2.c*exp(-d2/(2*h2.l*h2.l)) AS k12,
+             |          (h2.c+0.01)*(h2.c+0.01)
+             |            - (h2.c*exp(-d2/(2*h2.l*h2.l)))*(h2.c*exp(-d2/(2*h2.l*h2.l))) AS det
+             |        FROM p CROSS JOIN h2))))
+             |SELECT CAST(0 AS INT) AS step, 1.0 AS amplitude, 1.0 AS lengthscale,
+             |  (SELECT nll0 FROM h1) AS nll
+             |UNION ALL
+             |SELECT CAST(1 AS INT), h1.c, h1.l, g1.nll FROM h1 CROSS JOIN g1
+             |UNION ALL
+             |SELECT CAST(2 AS INT), h2.c, h2.l, g2.nll FROM h2 CROSS JOIN g2
+             |ORDER BY step""".stripMargin)),
+
+    Q(
       "gp07_binary_probability",
       (s, dir) => {
         // The ProbabilisticClassifier TRANSFORM path (raw = (−m, +m),

@@ -307,4 +307,47 @@ class GPSpec extends SparkTestBase {
     assert(m2.forall(v => math.abs(v) < 1e-9))
     assert(s2.forall(v => math.abs(v - 1.0) < 1e-9))
   }
+
+  test("gdHyperFit decreases the NLL and matches a driver-side replay") {
+    import breeze.linalg.{DenseVector => BDV}
+    import graft.gp.kernel.ExpertData
+    val rnd = new scala.util.Random(11)
+    val experts = Seq.tabulate(40) { i =>
+      val a = Array.fill(4)(rnd.nextGaussian())
+      val b = Array.fill(4)(rnd.nextGaussian())
+      def f(v: Array[Double]) = math.sin(v.sum)
+      new ExpertData(Array(a, b), Array(f(a), f(b)))
+    }
+    val kern = 1.0 * rbf(1.0) + white(0.01)
+    val traj = GPCore.gdHyperFit(
+      spark.sparkContext.parallelize(experts, 4), kern,
+      GPCore.regressionObjective, steps = 3, lr = 1e-3)
+    assert(traj.map(_._1) == Seq(0, 1, 2, 3))
+    // NLL strictly decreases along the trajectory
+    val nlls = traj.map(_._3)
+    assert(nlls.zip(nlls.tail).forall { case (a, b) => b < a }, nlls.toString)
+    // driver-side sequential replay of the same quantized GD recursion
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var k = kern
+    for (step <- 0 to 3) {
+      val (nll, grad) = experts.foldLeft((0.0, BDV.zeros[Double](2))) {
+        case ((v, g), e) =>
+          val (ev, eg) = GPCore.regressionObjective(e, k)
+          (v + ev, g + eg)
+      }
+      val (st, h, qnll) = traj(step)
+      assert(st == step)
+      // treeAggregate sums floats in a different order than the fold;
+      // agreement is up to the quantization grid, not bit-exact
+      assert(math.abs(q6(nll) - qnll) <= 2e-6, s"nll at step $step")
+      assert((0 until 2).forall(i => math.abs(h(i) - k.hypers(i)) <= 2e-6),
+        s"hypers at step $step: ${h} vs ${k.hypers}")
+      if (step < 3) {
+        val (lo, hi) = k.bounds
+        k = k.withHypers(BDV.tabulate(2) { i =>
+          q6(math.min(hi(i), math.max(lo(i), k.hypers(i) - 1e-3 * q6(grad(i)))))
+        })
+      }
+    }
+  }
 }
