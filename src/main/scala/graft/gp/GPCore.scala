@@ -69,10 +69,6 @@ object GPCore {
       seed: Long, cellFactor: Int = 32, maxCells: Int = 1024): RDD[ExpertData] = {
     import org.apache.spark.mllib.clustering.KMeans
     import org.apache.spark.mllib.linalg.Vectors
-    type Acc = (scala.collection.mutable.ArrayBuffer[Array[Double]],
-      scala.collection.mutable.ArrayBuffer[Double])
-    def newAcc: Acc = (scala.collection.mutable.ArrayBuffer.empty,
-      scala.collection.mutable.ArrayBuffer.empty)
 
     // Cache the input: this path makes three passes (count, quantizer
     // sample, assignment) and without it each re-executes the upstream
@@ -88,14 +84,33 @@ object GPCore {
     val quantizer = new KMeans().setK(cells).setSeed(seed).setMaxIterations(10)
       .run(sample)
 
-    val experts = cached
-      .map { case (x, y) => (quantizer.predict(Vectors.dense(x)), (x, y)) }
+    val experts = chunkAssignedCells(
+      cached.map { case (x, y) => (quantizer.predict(Vectors.dense(x)), (x, y)) },
+      expertSize)
+      .map(_._2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    experts.count() // materialize so the input cache can be released
+    cached.unpersist()
+    experts
+  }
+
+  /** Cell-keyed shuffle + balanced chunk split shared by the locality
+    * paths: one `aggregateByKey`, then each cell splits into balanced
+    * ~`expertSize` chunks (all rows of a chunk stay within the cell, so
+    * locality is preserved). The cell key is kept for callers that audit
+    * per-cell structure (gp12). */
+  private def chunkAssignedCells(
+      assigned: RDD[(Int, (Array[Double], Double))],
+      expertSize: Int): RDD[(Int, ExpertData)] = {
+    type Acc = (scala.collection.mutable.ArrayBuffer[Array[Double]],
+      scala.collection.mutable.ArrayBuffer[Double])
+    def newAcc: Acc = (scala.collection.mutable.ArrayBuffer.empty,
+      scala.collection.mutable.ArrayBuffer.empty)
+    assigned
       .aggregateByKey(newAcc)(
         { case ((xs, ys), (x, y)) => xs += x; ys += y; (xs, ys) },
         { case ((xs1, ys1), (xs2, ys2)) => xs1 ++= xs2; ys1 ++= ys2; (xs1, ys1) })
-      .flatMap { case (_, (xs, ys)) =>
-        // split the cell into balanced ~expertSize chunks (all rows of
-        // a chunk stay within the cell, so locality is preserved)
+      .flatMap { case (cell, (xs, ys)) =>
         val len = xs.length
         val chunks = math.max(1, (len + expertSize - 1) / expertSize)
         val base = len / chunks
@@ -107,13 +122,40 @@ object GPCore {
             xs.slice(offset, offset + size).toArray,
             ys.slice(offset, offset + size).toArray)
           offset += size
-          e
+          (cell, e)
         }
       }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    experts.count() // materialize so the input cache can be released
-    cached.unpersist()
-    experts
+  }
+
+  /**
+   * The locality path with PRECOMPUTED centers — the REPLAYABLE twin of
+   * [[buildExpertsByLocality]] (gp12's driver gate): assignment is
+   * nearest-center by squared distance with ties to the lowest cell
+   * (the same rule `ivfQuantizerReplayable` trains with and a SQL
+   * `ORDER BY dist, cell` replays), then the identical aggregateByKey +
+   * balanced chunk split. Centers are model-sized and ride the task
+   * closure; assignment is one narrow map; the only shuffle is the
+   * cell-keyed aggregate. Returns (cell, expert) so per-cell structure
+   * is auditable.
+   */
+  def buildExpertsByLocalityWithCenters(
+      data: RDD[(Array[Double], Double)],
+      expertSize: Int,
+      centers: Array[Array[Double]]): RDD[(Int, ExpertData)] = {
+    require(centers.nonEmpty, "empty center set")
+    val k = centers.length
+    chunkAssignedCells(
+      data.map { case (x, y) =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < x.length) { val t = x(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (best, (x, y))
+      },
+      expertSize)
   }
 
   // ------------------------------------------------------------- optimizer

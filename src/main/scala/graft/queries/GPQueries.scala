@@ -393,6 +393,93 @@ object GPQueries {
              |ORDER BY step""".stripMargin)),
 
     Q(
+      "gp12_locality_cells",
+      (s, dir) => {
+        // The expertAssignment=kmeans LOCALITY path under the oracle:
+        // a replayable coarse quantizer (first-4096-by-id sample,
+        // first-8 init, 2 Lloyd rounds with 1e-6-quantized means —
+        // a04's trick) feeds buildExpertsByLocalityWithCenters, which
+        // runs the REAL assignment + aggregateByKey + balanced-chunk
+        // machinery the kmeans fit path uses. y is set to vec_id so
+        // each cell's id-sum fingerprints the exact membership (exact
+        // integer sums in doubles); expert chunk sizes replay as pure
+        // integer arithmetic. Which row lands in which chunk within a
+        // cell is order-dependent by design (any balanced split is
+        // valid) — cell-level structure is the deterministic contract.
+        import graft.gp.GPCore
+        val e = Tables(s, dir).embeddings
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val centers = graft.ops.Similarity.ivfQuantizerReplayable(
+          e, "vec_id", "v", clusters = 8, iters = 2)
+        val data = e.rdd.map(r =>
+          (r.getSeq[Double](1).toArray, r.getLong(0).toDouble))
+        val experts = GPCore.buildExpertsByLocalityWithCenters(
+          data, expertSize = 50, centers)
+        import s.implicits._
+        experts.map { case (cell, ex) => (cell, ex.size, ex.y.sum) }
+          .toDF("cell", "size", "ids")
+          .groupBy("cell")
+          .agg(count(lit(1)).cast("long").as("n_experts"),
+            sum("size").cast("long").as("n_rows"),
+            min("size").cast("int").as("min_size"),
+            max("size").cast("int").as("max_size"),
+            sum("ids").cast("long").as("sum_ids"))
+          .orderBy("cell")
+      },
+      // Quantizer replay = a04's CTE chain at k=8; then nearest-cell
+      // assignment over the full corpus, per-cell membership
+      // fingerprint (sum of vec_ids), and the balanced-chunk
+      // arithmetic: chunks = ⌈n/50⌉, sizes ∈ {⌊n/chunks⌋, ⌈n/chunks⌉}.
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v FROM (
+             |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+             |    FROM e) WHERE rn <= 4096),
+             |c0 AS (SELECT rn - 1 AS cell, v AS ctr
+             |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM s)
+             |       WHERE rn <= 8),
+             |a1 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (s.v[i+1]-c.ctr[i+1])*(s.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM s CROSS JOIN c0 c) WHERE rn = 1),
+             |c1 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a1)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c1f AS (SELECT c0.cell, coalesce(c1.ctr, c0.ctr) AS ctr
+             |        FROM c0 LEFT JOIN c1 USING (cell)),
+             |a2 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (s.v[i+1]-c.ctr[i+1])*(s.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM s CROSS JOIN c1f c) WHERE rn = 1),
+             |c2 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a2)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c2f AS (SELECT c1f.cell, coalesce(c2.ctr, c1f.ctr) AS ctr
+             |        FROM c1f LEFT JOIN c2 USING (cell)),
+             |assign AS (SELECT vec_id, cell FROM (
+             |    SELECT x.vec_id, t.cell,
+             |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (x.v[i+1]-t.ctr[i+1])*(x.v[i+1]-t.ctr[i+1]))), t.cell) AS rn
+             |    FROM e x CROSS JOIN c2f t) WHERE rn = 1),
+             |stats AS (SELECT cell, count(*) AS n, sum(vec_id) AS sum_ids
+             |          FROM assign GROUP BY cell),
+             |shape AS (SELECT cell, n, sum_ids, (n + 49) // 50 AS chunks FROM stats)
+             |SELECT CAST(cell AS INT) AS cell,
+             |  CAST(chunks AS BIGINT) AS n_experts,
+             |  CAST(n AS BIGINT) AS n_rows,
+             |  CAST(n // chunks AS INT) AS min_size,
+             |  CAST(n // chunks + CASE WHEN n % chunks > 0 THEN 1 ELSE 0 END AS INT)
+             |    AS max_size,
+             |  CAST(sum_ids AS BIGINT) AS sum_ids
+             |FROM shape ORDER BY cell""".stripMargin)),
+
+    Q(
       "gp07_binary_probability",
       (s, dir) => {
         // The ProbabilisticClassifier TRANSFORM path (raw = (−m, +m),
