@@ -76,6 +76,16 @@ object VectorExpressions {
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
   }
 
+  /** The SECOND 52-bit plane of the same md5 (hex chars 14–26).
+    * Keying on ([[md5Hash52]], md5Hash52b) gives a 104-bit key whose
+    * birthday bound is ~2^52 — beyond any realistic span count — while
+    * each half stays a DOUBLE-safe integer the oracle can fold from
+    * the same hex digits. */
+  def md5Hash52b(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c), 14, 13), 16, 10).cast("long")
+  }
+
   /** HyperLogLog distinct estimate of an [[md5Hash52]]-hashed column as
     * one native aggregate with a 2^p-byte register buffer (fixed-size
     * shuffle per group) — oracle-checkable because every step is a

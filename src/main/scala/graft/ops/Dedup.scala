@@ -519,6 +519,13 @@ object Dedup {
       // doubling loop). 2% rsd noise is fine: the threshold is a
       // task-memory bound with an order-of-magnitude margin now that
       // the union-find map is primitive (~17 B/node, see LongLongMap).
+      // INVARIANT: that margin is what absorbs HLL tail error — an
+      // underestimate near the threshold admits a somewhat larger graph
+      // into the single-task solve, which ~17 B/node shrugs off at 2M
+      // nodes (~34 MB). If CcRowsPerPartition is ever raised toward
+      // real task-memory limits, reintroduce slack here (compare
+      // approxNodes against ~0.9 × the threshold) so the probabilistic
+      // gate keeps a deterministic safety margin.
       // The probe also covers the former symParts==1 shortcut — one
       // partition does NOT bound the node count when the upstream
       // input arrived pre-coalesced, so that path needs the check too.
@@ -615,13 +622,18 @@ object Dedup {
    * windows also appear in at least one OTHER document. Returns one row
    * per document that shares ≥ 1 span: (idCol, n_spans, n_shared).
    *
-   * Exactness: exact in the spans UP TO the 52-bit span key —
-   * [[graft.functions.VectorExpressions.md5Hash52]] collides at the
-   * birthday bound ~2^26 distinct spans, so at 100 TB (billions of
-   * distinct spans) a small fraction of shared-span counts are
-   * collision-inflated. Key on the full 128-bit md5 (two 64-bit
-   * columns) when exactness matters at that scale; 52 bits is chosen
-   * here because the oracle replays it as an exact DOUBLE-safe integer.
+   * Exactness: exact in the spans UP TO the span key. The default
+   * 52-bit key ([[graft.functions.VectorExpressions.md5Hash52]])
+   * collides at the birthday bound ~2^26 distinct spans, so at 100 TB
+   * (billions of distinct spans) a small fraction of shared-span counts
+   * are collision-inflated; 52 bits is the default because the oracle
+   * replays it as one exact DOUBLE-safe integer. Pass
+   * `fullWidthKeys = true` to key on BOTH 52-bit md5 planes (hex chars
+   * 1–13 and 14–26) — a 104-bit key whose ~2^52 birthday bound is
+   * beyond any realistic span count, with each half still DOUBLE-safe
+   * for the oracle. The shuffle carries one extra long per span;
+   * everything else (narrow assembly, pre-shuffle hashing, two-level
+   * census) is identical.
    *
    * Scale shape: windows assemble by positional explode + `element_at`
    * (narrow — no token shuffle) and reduce to the engine-portable
@@ -641,22 +653,36 @@ object Dedup {
    * differ, so exchange reuse cannot deduplicate them).
    */
   def spanCensus(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 6): DataFrame = {
+      w: Int = 6, fullWidthKeys: Boolean = false): DataFrame = {
+    import graft.functions.VectorExpressions.{md5Hash52, md5Hash52b}
     val toks = docs
       .select(col(idCol), split(col(textCol), " ").as("t"))
       .where(size(col("t")) >= w)
-    val spans0 = toks
+    val spanText = concat_ws(" ",
+      (0 until w).map(j => element_at(col("t"), col("i") + lit(j))): _*)
+    val windowed = toks
       .select(col(idCol), col("t"),
         explode(sequence(lit(1), size(col("t")) - (w - 1))).as("i"))
-      .select(col(idCol),
-        graft.functions.VectorExpressions.md5Hash52(concat_ws(" ",
-          (0 until w).map(j => element_at(col("t"), col("i") + lit(j))): _*)).as("h"))
-      .distinct()
-    // (id, span-hash) pairs are distinct, so count per hash = the
+    val spans0 =
+      if (fullWidthKeys)
+        windowed.select(col(idCol),
+          md5Hash52(spanText).as("h"), md5Hash52b(spanText).as("h2")).distinct()
+      else
+        windowed.select(col(idCol), md5Hash52(spanText).as("h")).distinct()
+    censusOverKeys(spans0, idCol, if (fullWidthKeys) Seq("h", "h2") else Seq("h"))
+  }
+
+  /** The census half of [[spanCensus]] over an already-keyed distinct
+    * (id, key...) frame — split out so the key width is a parameter
+    * (and so a spec can plant a narrow-key collision and watch the
+    * wide key separate it). */
+  private[ops] def censusOverKeys(spans0: DataFrame, idCol: String,
+      keys: Seq[String]): DataFrame = {
+    // (id, span-key) pairs are distinct, so count per key = the
     // distinct-document census for that span
-    val spans = InternalFrame.sharedScan(spans0)
-    val census = spans.groupBy("h").agg(count(lit(1)).as("nd"))
-    spans.join(census, "h")
+    val spans = InternalFrame.sharedScan(spans0.select(col(idCol) +: keys.map(col): _*))
+    val census = spans.groupBy(keys.map(col): _*).agg(count(lit(1)).as("nd"))
+    spans.join(census, keys)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))

@@ -52,6 +52,40 @@ object CorpusOps2 {
              |ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "d09b_span_dedup_fullkey",
+      (s, dir) => {
+        // d09 with the 104-bit span key (both 52-bit md5 planes): the
+        // collision-proof path for real 100 TB span counts, where the
+        // single 52-bit key's ~2^26 birthday bound starts inflating
+        // shared-span counts. At test scale the censuses agree (spec'd);
+        // this gate proves the two-plane keying machinery end to end.
+        graft.ops.Dedup.spanCensus(
+          Tables(s, dir).documents, "doc_id", "text", w = 6,
+          fullWidthKeys = true)
+          .select("doc_id", "n_spans", "n_shared")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 6),
+             |spans AS (SELECT DISTINCT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(array_to_string(t[i:i+5], ' ')), j + 1, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) AS h,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(array_to_string(t[i:i+5], ' ')), j + 14, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) AS h2
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i FROM toks)),
+             |census AS (SELECT h, h2, count(*) AS nd FROM spans GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+             |FROM spans JOIN census USING (h, h2)
+             |GROUP BY doc_id
+             |HAVING sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "p09_temperature_mix",
       (s, dir) => {
         // Temperature-scaled language mixing (the multilingual

@@ -164,6 +164,42 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"census must not plan a window:\n$plan")
   }
 
+  test("full-width span keys separate a narrow-key collision") {
+    import spark.implicits._
+    // Two DIFFERENT spans in two docs that collide on the narrow 52-bit
+    // plane (h) but differ on the second plane (h2) — the planted
+    // collision the 104-bit key must separate. censusOverKeys is the
+    // exact census machinery spanCensus runs after hashing; planting at
+    // the key level is the only honest option (a genuine md5-52
+    // collision needs ~2^26 hash evaluations).
+    val spans = Seq(
+      (1L, 777L, 10L), // doc 1, span A: h = 777, h2 = 10
+      (2L, 777L, 20L), // doc 2, span B: h = 777 (collision!), h2 = 20
+      (1L, 111L, 30L), // unshared filler spans
+      (2L, 222L, 40L))
+      .toDF("doc_id", "h", "h2")
+    val narrow = Dedup.censusOverKeys(spans.select("doc_id", "h"), "doc_id", Seq("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // narrow key: the collision reads as a shared span in both docs
+    assert(narrow == Map(1L -> 1L, 2L -> 1L), s"narrow: $narrow")
+    val wide = Dedup.censusOverKeys(spans, "doc_id", Seq("h", "h2")).collect()
+    assert(wide.isEmpty, s"wide key must separate the collision: ${wide.toSeq}")
+  }
+
+  test("fullWidthKeys census agrees with the default at collision-free scale") {
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      val shared = "s1 s2 s3 s4 s5 s6"
+      if (i % 3 == 0) (i, s"$shared a${i}b c${i}d e${i}f g${i}h i${i}j k${i}l")
+      else (i, s"x${i}a x${i}b x${i}c x${i}d x${i}e x${i}f x${i}g")
+    }.toDF("doc_id", "text")
+    val base = Dedup.spanCensus(docs, "doc_id", "text", w = 6)
+      .orderBy("doc_id").collect().toSeq
+    val full = Dedup.spanCensus(docs, "doc_id", "text", w = 6, fullWidthKeys = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(base.nonEmpty && base == full)
+  }
+
   test("multi-level union-find contraction resolves an E >> V graph without shuffles") {
     import spark.implicits._
     // 3M edges over 1000 nodes (the mass-duplication regime): random
