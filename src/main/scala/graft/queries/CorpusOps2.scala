@@ -86,6 +86,75 @@ object CorpusOps2 {
              |ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "st05_stream_span_dedup",
+      (s, dir) => {
+        // The STREAMING span-dedup twin under the DuckDB oracle (st01's
+        // pattern): d09's corpus arrives as two id-ordered MemoryStream
+        // micro-batches through SpanStream.sharedSpans (per-span-hash
+        // fMGWS membership state; a span's FIRST holder is emitted
+        // retroactively the moment a second doc shares it). Cross-batch
+        // shared spans — first holder in batch 1, second in batch 2 —
+        // only emit if the per-hash state persisted. The drained
+        // (h, doc_id) memberships roll up to each doc's shared-span
+        // count, which must hash-match the batch census (d09's oracle
+        // minus the n_spans column, which needs every span, not just
+        // shared ones). Corpus = the 500 base docs (SF-independent;
+        // ScaleGen replicas sit at r*1e7). collect() is the
+        // MemoryStream feeding harness; production uses readStream.
+        import graft.streaming.SpanStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val dEnc = org.apache.spark.sql.Encoders.product[SpanStream.Doc]
+        val rows = Tables(s, dir).documents
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[SpanStream.Doc]
+        val ckpt = java.nio.file.Files.createTempDirectory("st05_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try SpanStream.sharedSpans(stream.toDS(), watermark = "10 minutes")
+            .writeStream.format("memory").queryName("st05_spans")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
+            stream.addData(batch.map { case (id, t) =>
+              SpanStream.Doc(id, t,
+                java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00"))
+            })
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        // at-least-once on viral spans -> distinct restores exactly-once
+        s.table("st05_spans").select("h", "doc_id").distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 6),
+             |spans AS (SELECT DISTINCT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(array_to_string(t[i:i+5], ' ')), j + 1, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) AS h
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i FROM toks)),
+             |census AS (SELECT h, count(*) AS nd FROM spans GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_shared
+             |FROM spans JOIN census USING (h)
+             |WHERE nd > 1
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "p09_temperature_mix",
       (s, dir) => {
         // Temperature-scaled language mixing (the multilingual

@@ -497,13 +497,18 @@ object DedupQueries {
         import graft.streaming.DedupStream
         implicit val sqlCtx = s.sqlContext
         implicit val docEnc = org.apache.spark.sql.Encoders.product[DedupStream.Doc]
-        // corpus capped at 500 base docs (+ the 50 planted dups): the
-        // gate proves cross-batch bucket-state correctness, which needs
-        // shared buckets across chunks, not sf-scaled volume — at sf0.1
-        // the uncapped harness spent 10 s/sweep on state-store commits
-        // for 160k bucket keys while proving nothing extra
+        // corpus capped at 500 base docs (+ the 50 planted dups at ids
+        // 1000000..1000049): the gate proves cross-batch bucket-state
+        // correctness, which needs shared buckets across chunks, not
+        // sf-scaled volume — at sf0.1 the uncapped harness spent
+        // 10 s/sweep on state-store commits for 160k bucket keys while
+        // proving nothing extra. The planted range's UPPER bound matters
+        // too: ScaleGen replicas offset doc_id by r*1e7, so an open
+        // `>= 1000000` admitted every replica doc at sf1 (45k-doc
+        // harness, 18.5 s) instead of the intended ~550
         val rows = withNearDups(s, dir, drop = 3)
-          .filter(col("doc_id") < 500 || col("doc_id") >= 1000000L)
+          .filter(col("doc_id") < 500 ||
+            (col("doc_id") >= 1000000L && col("doc_id") < 1000050L))
           .select(col("doc_id").cast("long"), col("text"))
           .orderBy("doc_id")
           .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -550,6 +555,78 @@ object DedupQueries {
              |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              |FROM bands a JOIN bands b
              |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
+      "st04_stream_semantic_dedup",
+      (s, dir) => {
+        // The STREAMING semantic near-dup twin under the DuckDB oracle
+        // (st01's pattern): d08's hyperplane-LSH candidate generation,
+        // with vectors arriving as two id-ordered MemoryStream
+        // micro-batches through SemanticDedupStream.candidatePairs
+        // (per-(table, bucket) fMGWS state holding ids AND vectors for
+        // the exact in-bucket cosine recheck). Cross-batch pairs — a
+        // batch-2 vector landing in a bucket whose mate arrived in
+        // batch 1 — only emit if the bucket state persisted. Corpus =
+        // the 500 base vectors (vec_id < 500, SF-independent: ScaleGen
+        // replicas sit at r*1e7). collect() is the MemoryStream
+        // feeding harness; production uses readStream. Identical
+        // params to d08 (τ=0.3, 2^12 buckets, 4 tables, seed 5), so
+        // the oracle is d08's pairs CTE on the capped corpus.
+        import graft.streaming.SemanticDedupStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val vEnc = org.apache.spark.sql.Encoders.product[SemanticDedupStream.Vec]
+        val rows = Tables(s, dir).embeddings
+          .filter(col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .orderBy("vec_id")
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[SemanticDedupStream.Vec]
+        val ckpt = java.nio.file.Files.createTempDirectory("st04_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try SemanticDedupStream.candidatePairs(stream.toDS(),
+              threshold = 0.3, dim = 64, planes = 12, tables = 4, seed = 5L)
+            .writeStream.format("memory").queryName("st04_pairs")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
+            stream.addData(batch.map { case (id, v) =>
+              SemanticDedupStream.Vec(id, v,
+                java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00"))
+            })
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        // at-least-once per shared bucket -> distinct restores exactly-once
+        s.table("st04_pairs")
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings WHERE vec_id < 500),
+             |kb AS (
+             |  ${(0 until 4).map(t =>
+                  s"SELECT vec_id, v, $t AS tbl, " +
+                  OracleSql.hyperplaneBucket("v", dim = 64, planes = 12, seed = 5 + t) +
+                  " AS bucket FROM e").mkString("\n  UNION ALL\n  ")})
+             |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM kb a JOIN kb b
+             |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.3
              |ORDER BY id_a, id_b""".stripMargin))
   )
 

@@ -331,6 +331,86 @@ object Events {
              |             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
              |        THEN 1 ELSE 0 END AS new_session
              |    FROM events WHERE user_id % 5 = 0))
-             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    Q(
+      "st03_stream_asof_join",
+      (s, dir) => {
+        // The STREAMING as-of join under the DuckDB oracle (st01/st02's
+        // pattern): e04's click→prevailing-view enrichment, with views
+        // arriving as the reference stream and clicks as the probe
+        // stream through AsOfStream.asofJoin (fMGWS per-key ref-buffer
+        // state). Feeding is TIME-SPLIT into two micro-batches at the
+        // corpus median ts: the operator absorbs a batch's references
+        // before matching its probes (AsOfStreamSpec proves this), so
+        // every reference with ref.ts <= probe.ts arrives in the
+        // probe's batch or earlier — arrival order equals event-time
+        // order and the default lowest-latency mode is already
+        // event-time-exact on this feed, with no pending-probe flush
+        // at stop. Cross-batch ref state is the point: batch-2 clicks
+        // whose prevailing view arrived in batch 1 only match if the
+        // reference buffer persisted. view_id rides the Ref payload
+        // (doubles are exact to 2^53, far above any event_id).
+        // collect() is the MemoryStream feeding harness; production
+        // uses readStream. 20% user slice = st02's cap discipline.
+        import graft.streaming.AsOfStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val pEnc = org.apache.spark.sql.Encoders.product[AsOfStream.Probe]
+        implicit val rEnc = org.apache.spark.sql.Encoders.product[AsOfStream.Ref]
+        val ev = Tables(s, dir).events.filter(col("user_id") % 5 === 0)
+        val probes = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("key"), col("ts"), col("event_id").as("probe_id"))
+          .orderBy("ts", "probe_id")
+          .as[AsOfStream.Probe](pEnc).collect()
+        val refs = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("key"), col("ts"),
+            col("event_id").cast("double").as("payload"))
+          .orderBy("ts", "payload")
+          .as[AsOfStream.Ref](rEnc).collect()
+        val allTs = (probes.map(_.ts.getTime) ++ refs.map(_.ts.getTime)).sorted
+        val thr = allTs(allTs.length / 2)
+        val pStream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[AsOfStream.Probe]
+        val rStream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[AsOfStream.Ref]
+        val ckpt = java.nio.file.Files.createTempDirectory("st03_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        // idleExpiry must exceed the corpus's longest view→click gap:
+        // the batch oracle has unbounded lookback, and the default 24 h
+        // retention dropped ref buffers for users whose prevailing view
+        // was days old (15/408 rows nulled). 90 days > the table's span.
+        val q =
+          try AsOfStream.asofJoin(pStream.toDS(), rStream.toDS(),
+              watermark = "1 hour", idleExpiryHours = 90L * 24L)
+            .writeStream.format("memory").queryName("st03_asof")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          Seq(true, false).foreach { firstHalf =>
+            rStream.addData(refs.filter(r => (r.ts.getTime <= thr) == firstHalf).toSeq)
+            pStream.addData(probes.filter(p => (p.ts.getTime <= thr) == firstHalf).toSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st03_asof")
+          .select(col("probe_id").as("event_id"), col("key").as("user_id"),
+            col("ref_payload").cast("long").as("view_id"))
+          .orderBy("event_id")
+      },
+      // DuckDB's native ASOF JOIN — e04's oracle on the sliced corpus.
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events
+             |                WHERE event_type = 'click' AND user_id % 5 = 0),
+             |views AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+             |          FROM events WHERE event_type = 'view' AND user_id % 5 = 0)
+             |SELECT event_id, clicks.user_id AS user_id, view_id
+             |FROM clicks ASOF LEFT JOIN views
+             |  ON clicks.user_id = views.user_id AND clicks.ts >= views.view_ts
+             |ORDER BY event_id""".stripMargin))
   )
 }

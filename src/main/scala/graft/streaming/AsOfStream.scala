@@ -91,10 +91,18 @@ object AsOfStream {
   }
 
   /** @param toleranceSec max probe.ts − ref.ts; older references are
-    *        nulled out (same contract as the batch op's `tolerance`) */
+    *        nulled out (same contract as the batch op's `tolerance`)
+    * @param idleExpiryHours drop a key's state this long (event time)
+    *        past its newest activity. This is the state-RETENTION
+    *        policy, distinct from the watermark (late-data bound): a
+    *        key idle longer than this loses its reference buffer, so
+    *        a later probe of that key nulls where the batch operator
+    *        (unbounded lookback) would still match. Size it to the
+    *        longest ref-to-probe gap the workload must honor. */
   def asofJoin(probes: Dataset[Probe], refs: Dataset[Ref],
       watermark: String = "1 hour", emitFinal: Boolean = false,
-      toleranceSec: Option[Long] = None): Dataset[Match] = {
+      toleranceSec: Option[Long] = None,
+      idleExpiryHours: Long = 24L): Dataset[Match] = {
     val tolMicros = toleranceSec.map(_ * 1000000L).getOrElse(Long.MaxValue)
     implicit val tagEnc = Encoders.product[Tagged]
     implicit val stEnc = Encoders.product[AsOfState]
@@ -163,7 +171,8 @@ object AsOfStream {
               state.update(pruned.copy(flushWake = true))
               state.setTimeoutTimestamp(watermarkMs + 1L)
             } else {
-              // Expire idle keys a day past the newest activity. The
+              // Expire idle keys `idleExpiryHours` past the newest
+              // activity. The
               // newest BUFFERED ref can sit far below the global
               // watermark (probes kept it alive without refreshing it),
               // and Spark rejects timeouts set before the watermark —
@@ -175,7 +184,7 @@ object AsOfStream {
                   if (rows.nonEmpty) rows.map(_.ts.getTime).max else Long.MinValue),
                 watermarkMs)
               state.update(pruned.copy(flushWake = false))
-              state.setTimeoutTimestamp(newest + 24L * 3600L * 1000L)
+              state.setTimeoutTimestamp(newest + idleExpiryHours * 3600L * 1000L)
             }
           }
           out.iterator

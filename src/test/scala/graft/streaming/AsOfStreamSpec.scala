@@ -181,6 +181,35 @@ class AsOfStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("idleExpiryHours bounds state retention: stale key expires at 24h, survives at 90d") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same feed through both horizons: key 1's only ref is 3 event-days
+    // older than its probe, and other-key traffic advances the watermark
+    // past key 1's idle timeout BEFORE the probe arrives
+    def run(name: String, expiryHours: Long): Option[Double] = {
+      val probes = MemoryStream[Probe]
+      val refs = MemoryStream[Ref]
+      val query = asofJoin(probes.toDS(), refs.toDS(), watermark = "5 minutes",
+        idleExpiryHours = expiryHours)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        refs.addData(Ref(1, ts(0), 100.0))
+        refs.addData(Ref(2, Timestamp.valueOf("2024-01-03 12:00:00"), 200.0))
+        probes.addData(Probe(2, Timestamp.valueOf("2024-01-03 12:00:00"), 1L))
+        query.processAllAvailable() // watermark now ~2 days past key 1's ref
+        probes.addData(Probe(1, Timestamp.valueOf("2024-01-04 12:00:00"), 2L))
+        query.processAllAvailable()
+        spark.table(name).as[Match].collect()
+          .find(_.probe_id == 2L).flatMap(_.ref_payload)
+      } finally query.stop()
+    }
+    assert(run("asof_exp24", 24L).isEmpty,
+      "24h retention must have dropped the 3-day-old ref buffer")
+    assert(run("asof_exp90d", 90L * 24L).contains(100.0),
+      "a 90-day horizon must keep the stale ref matchable")
+  }
+
   test("a key whose buffer sits far below the watermark survives (timeout clamps)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
