@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/**
+ * Graph analytics over data-derived edge lists (`graft.ops.Graph`).
+ *
+ * The trade graph: customer --buys-from--> supplier, one weighted edge
+ * per (customer, supplier) pair observed in orders ⋈ lineitem. Node ids
+ * share one long space (suppliers offset by 1e5). Every supplier is a
+ * sink (no out-edges), so the dangling-mass redistribution path is
+ * load-bearing, not decorative.
+ *
+ * PageRank is iterative, but each round is floor-quantized integer
+ * arithmetic (see `Graph.pageRank`), so the DuckDB oracle replays all
+ * three unrolled rounds exactly — the same trick that put a08's Lloyd
+ * iterations and gp11's gradient steps under the hash gate.
+ */
+object GraphQueries {
+
+  private val D = "0.85"
+  private val S = "1000000000"
+
+  /** One unrolled PageRank round: r{i} from r{i-1}. */
+  private def iterCte(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM $p
+       |  WHERE node NOT IN (SELECT src FROM outw)),
+       |c$i AS (SELECT e.dst AS node,
+       |    sum(CAST(floor($D * p.r * e.w / o.ow + 0.5) AS BIGINT)) AS c
+       |  FROM e JOIN outw o USING (src) JOIN $p p ON p.node = e.src
+       |  GROUP BY e.dst),
+       |r$i AS (SELECT nd.node,
+       |    CAST(floor((1 - $D) * $S / n + 0.5) AS BIGINT)
+       |    + CAST(floor($D * dm / n + 0.5) AS BIGINT)
+       |    + coalesce(c, 0) AS r
+       |  FROM nodes nd CROSS JOIN prm CROSS JOIN d$i
+       |  LEFT JOIN c$i ON c$i.node = nd.node)""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "x01_pagerank",
+      (s, dir) => {
+        // 3 rounds of damped PageRank over the customer→supplier trade
+        // graph; top-20 nodes by integer nano-rank, deterministic
+        // tie-break on node id. Edges are counted once; the op caches
+        // them partitioned by src so each round shuffles only ranks.
+        val t = Tables(s, dir)
+        val edges = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (lit(100000L) + col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ops.Graph.pageRank(edges, iters = 3)
+          .orderBy(col("rank_nano").desc, col("node"))
+          .limit(20)
+      },
+      Some(s"""WITH e AS (SELECT o_custkey AS src, 100000 + l_suppkey AS dst,
+              |    count(*) AS w
+              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+              |nodes AS (SELECT node FROM
+              |  (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+              |prm AS (SELECT count(*) AS n FROM nodes),
+              |r0 AS (SELECT node, CAST(floor($S / n + 0.5) AS BIGINT) AS r
+              |  FROM nodes CROSS JOIN prm),
+              |${iterCte(1)},
+              |${iterCte(2)},
+              |${iterCte(3)}
+              |SELECT node, r AS rank_nano FROM r3
+              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin))
+  )
+}

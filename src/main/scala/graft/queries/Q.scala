@@ -23,5 +23,6 @@ object Q {
       Events.queries ++
       TextQueries.queries ++ CorpusOps.queries ++ CorpusOps2.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      GPQueries.queries ++ MultimodalQueries.queries ++ PlanQueries.queries
+      GPQueries.queries ++ MultimodalQueries.queries ++ PlanQueries.queries ++
+      GraphQueries.queries
 }

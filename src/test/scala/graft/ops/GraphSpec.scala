@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // A fixed graph exercising every path: a hub (most in-links), a
+  // dangling sink, parallel-ish weights, and a node with no in-edges.
+  //   1→2(w3) 1→3(w1) 2→3(w2) 4→3(w1) 4→2(w1); 3 is dangling; 5 absent.
+  private val fixedEdges: Seq[(Long, Long, Long)] =
+    Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (4L, 3L, 1L), (4L, 2L, 1L))
+
+  private def edgesDf(e: Seq[(Long, Long, Long)]): DataFrame =
+    e.toDF("src", "dst", "w")
+
+  /** Driver-side reference of the exact integer-rank recurrence. */
+  private def refPageRank(e: Seq[(Long, Long, Long)], iters: Int,
+      d: Double = 0.85, scale: Long = 1000000000L): Map[Long, Long] = {
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val ow = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = math.floor((1 - d) * scale.toDouble / n + 0.5).toLong
+    var r = nodes.map(_ -> math.floor(scale.toDouble / n + 0.5).toLong).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(ow.contains).map(r).sum
+      val dshare = math.floor(d * dm.toDouble / n + 0.5).toLong
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) =>
+          math.floor(d * r(s) * w / ow(s) + 0.5).toLong
+        }.sum
+      }
+      r = nodes.map(v => v -> (base + dshare + contrib.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  private def run(e: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edgesDf(e), iters).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("pageRank matches the driver-side integer recurrence exactly") {
+    for (iters <- Seq(1, 3)) {
+      assert(run(fixedEdges, iters) === refPageRank(fixedEdges, iters),
+        s"mismatch at iters=$iters")
+    }
+  }
+
+  test("rank mass is conserved within per-node rounding slack") {
+    val r = run(fixedEdges, 3)
+    val total = r.values.sum
+    val n = r.size
+    // each round floors n + 2 quantities; 3 rounds of ±0.5 each
+    assert(math.abs(total - 1000000000L) <= 3L * (n + 2),
+      s"mass drifted: $total")
+  }
+
+  test("the hub out-ranks its satellites and the sink absorbs the most mass") {
+    val r = run(fixedEdges, 3)
+    assert(r(3L) > r(2L), "sink 3 has the most in-mass")
+    assert(r(2L) > r(1L) && r(2L) > r(4L), "hub 2 beats the source-only nodes")
+  }
+
+  test("result is invariant to input partitioning and parallel-edge grouping") {
+    val base = run(fixedEdges, 3)
+    val repart = Graph.pageRank(edgesDf(fixedEdges).repartition(7), 3)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(repart === base)
+    // split edge (1,2,3) into two parallel edges summing to the same w
+    val split = fixedEdges.filterNot(_ == (1L, 2L, 3L)) ++
+      Seq((1L, 2L, 1L), (1L, 2L, 2L))
+    assert(run(split, 3) === base)
+  }
+
+  test("all-dangling graph: mass redistributes uniformly") {
+    // single edge, then its dst dangles; after round 1 both nodes carry
+    // base + dshare (+ contrib for dst) — just assert determinism + keys
+    val r = run(Seq((1L, 2L, 1L)), 2)
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(2L) > r(1L))
+  }
+}
