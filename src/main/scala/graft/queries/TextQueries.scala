@@ -490,6 +490,85 @@ object TextQueries {
              |     (a, h) -> (a * 1000003 + h) % 2147483629) * 2147483648
              |   + list_reduce(list_prepend(CAST(19 AS BIGINT), hs),
              |     (b, h) -> (b * 1000033 + h) % 2147483647)) AS fingerprint
-             |FROM t ORDER BY doc_id""".stripMargin))
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "st06_stream_approx_distinct",
+      (s, dir) => {
+        // The STREAMING HLL twin under the DuckDB oracle: t10's
+        // per-language approximate distinct-token count computed as a
+        // real streaming AGGREGATION (complete mode) over two id-ordered
+        // MemoryStream micro-batches. The streaming state per (lang) is
+        // the aggregate's own 4 KB register buffer — and because HLL
+        // merge is an elementwise MAX (commutative + idempotent), the
+        // final registers equal the batch aggregate's bit-for-bit under
+        // ANY micro-batching or arrival order: the rare sketch whose
+        // streaming estimate is hash-exact, not merely within error.
+        // Corpus = the 500 base docs (SF-independent; ScaleGen replicas
+        // sit at r*1e7). collect() is the MemoryStream feeding harness;
+        // production uses readStream.
+        import graft.functions.VectorExpressions.{hllDistinct, md5Hash52}
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc = org.apache.spark.sql.Encoders.product[(String, String)]
+        val rows = Tables(s, dir).documents
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .orderBy("doc_id")
+          .collect().map(r => (r.getString(1), r.getString(2)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, String)]
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try stream.toDS().toDF("lang", "text")
+            .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+            .select(col("lang"), md5Hash52(col("tok")).as("h"))
+            .groupBy("lang")
+            .agg(fround(hllDistinct(col("h")), 2).as("approx_distinct"))
+            .writeStream.format("memory").queryName("st06_hll")
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        // complete mode: the table IS the final snapshot
+        s.table("st06_hll").orderBy("lang")
+      },
+      // t10's register/harmonic-sum/linear-counting replay, restricted
+      // to the streamed slice and without the exact column (streaming
+      // aggregations cannot do COUNT(DISTINCT))
+      Some(s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id < 500),
+             |h AS (SELECT lang, tok,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j ->
+             |        CAST(strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) AS x
+             |  FROM toks),
+             |r AS (SELECT lang, x % 4096 AS b,
+             |    max(CASE WHEN (x // 4096) = 0 THEN 41
+             |             ELSE 41 - length(bin(x // 4096)) END) AS reg
+             |  FROM h GROUP BY 1, 2),
+             |regs AS (SELECT l.lang, t.range AS b, coalesce(r.reg, 0) AS reg
+             |  FROM (SELECT DISTINCT lang FROM toks) l
+             |  CROSS JOIN range(4096) t
+             |  LEFT JOIN r ON r.lang = l.lang AND r.b = t.range),
+             |s AS (SELECT lang,
+             |    list_sum(list_transform(list(reg ORDER BY b), g -> pow(2.0, -g))) AS z,
+             |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v
+             |  FROM regs GROUP BY lang),
+             |est AS (SELECT lang,
+             |    CASE WHEN (0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 / z) <= 2.5 * 4096
+             |           AND v > 0
+             |         THEN 4096 * ln(4096 / v)
+             |         ELSE 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 / z END AS e
+             |  FROM s)
+             |SELECT lang, floor(e * 100.0 + 0.5) / 100.0 AS approx_distinct
+             |FROM est ORDER BY lang""".stripMargin))
   )
 }
