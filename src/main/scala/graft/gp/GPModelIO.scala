@@ -147,6 +147,11 @@ object GPModelIO {
     new GPRegressionModel(
       org.apache.spark.ml.util.Identifiable.randomUID("graftGPfixed"), p)
 
+  /** [[fromProjected]] for the sigmoid-link classifier flavor. */
+  def classificationFromProjected(p: ProjectedGP): GPClassificationModel =
+    new GPClassificationModel(
+      org.apache.spark.ml.util.Identifiable.randomUID("graftGPCfixed"), p)
+
   /** [[fromProjected]] for the `ProbabilisticClassifier` flavor. */
   def binaryFromProjected(p: ProjectedGP): GPBinaryClassificationModel =
     new GPBinaryClassificationModel(

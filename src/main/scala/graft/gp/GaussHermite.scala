@@ -41,6 +41,12 @@ final class GaussHermite(points: Int) extends Serializable {
     (xs, ps)
   }
 
+  /** The quadrature rule itself: (nodes, probability weights), in the
+    * accumulation order `expectation` uses — callers embedding the rule
+    * elsewhere (e.g. the gp13 oracle's SQL literals) replay the exact
+    * same finite mixture. */
+  def rule: (Array[Double], Array[Double]) = (nodes.clone(), probs.clone())
+
   /**
    * E[g(X)] for X ~ N(mean, variance); exact when g is a polynomial of
    * degree < 2·points.

@@ -522,6 +522,64 @@ object GPQueries {
              |SELECT vec_id,
              |  floor(1.0 / (1.0 + exp(-mean)) * 1e6 + 0.5) / 1e6 AS prob,
              |  CAST(CASE WHEN mean > 0 THEN 1 ELSE 0 END AS INT) AS pred
-             |FROM m ORDER BY vec_id""".stripMargin))
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
+    Q(
+      "gp13_integrated_probability",
+      (s, dir) => {
+        // The Gauss–Hermite INTEGRATED probability path under the
+        // oracle (gp07 covers probabilityMode=mean): the real
+        // GPClassificationModel transform averages the sigmoid over the
+        // latent predictive N(mean, var) with the 32-point Golub–Welsch
+        // rule — R&W eq. 3.25 by quadrature, the reference's
+        // Integrator.scala capability. The oracle embeds the SAME
+        // rule's nodes/weights (GaussHermite.rule) as literals and
+        // replays the identical ordered finite mixture; fround(6)
+        // absorbs libm exp ulps.
+        import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+        val e = Tables(s, dir).embeddings
+        val z = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val weights = BDV.tabulate(z.length)(j => (((j % 5) + 1) / 10.0) - 0.2)
+        val covAdjust = BDM.eye[Double](z.length) * -0.01
+        val model = graft.gp.GPModelIO.classificationFromProjected(
+          graft.gp.ProjectedGP(z, weights, covAdjust, 1.0 * rbf(2.0)))
+          .setFeaturesCol("features").setProbabilityMode("integrated")
+        model.transform(
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("features")))
+          .select(col("vec_id"),
+            fround(col("probability"), 6).as("prob_gh"),
+            col("prediction").cast("int").as("pred"))
+          .orderBy("vec_id")
+      },
+      // mean/var closed forms as gp06/gp07; prob = Σᵢ pᵢ·σ(mean +
+      // √(2·max(var,0))·xᵢ) over the embedded 32-point rule
+      Some {
+        val (nodes, probs) = new graft.gp.GaussHermite(32).rule
+        val nl = OracleSql.doubleListLiteral(nodes.toIndexedSeq)
+        val pl = OracleSql.doubleListLiteral(probs.toIndexedSeq)
+        s"""WITH z AS (SELECT vec_id AS zid, CAST(embedding AS DOUBLE[]) AS zv
+           |           FROM embeddings WHERE vec_id < 8),
+           |x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
+           |      FROM embeddings WHERE vec_id >= 8 AND vec_id < 300),
+           |k AS (SELECT x.vec_id, z.zid,
+           |    exp(-list_sum(list_transform(list_zip(xv, zv),
+           |        p -> (p[1] - p[2]) * (p[1] - p[2]))) / 8.0) AS kv
+           |  FROM x, z),
+           |mv AS (SELECT vec_id,
+           |    sum(kv * (((zid % 5) + 1) / 10.0 - 0.2)) AS mean,
+           |    1.0 - 0.01 * sum(kv * kv) AS vr
+           |  FROM k GROUP BY vec_id),
+           |gh AS (SELECT vec_id,
+           |    list_sum(list_transform(list_zip($nl, $pl),
+           |      q -> q[2] * (1.0 / (1.0 + exp(-(mean
+           |        + sqrt(2.0 * greatest(vr, 0.0)) * q[1])))))) AS p
+           |  FROM mv)
+           |SELECT vec_id, floor(p * 1e6 + 0.5) / 1e6 AS prob_gh,
+           |  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+           |FROM gh ORDER BY vec_id""".stripMargin
+      })
   )
 }
