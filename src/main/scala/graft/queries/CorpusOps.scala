@@ -164,6 +164,59 @@ object CorpusOps {
              |FROM tok_lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "t21_bigram_logprob",
+      (s, dir) => {
+        // Bigram LM scoring (t17's proxy one order up): per-doc average
+        // add-1-smoothed conditional log probability ln((c(u,v)+1) /
+        // (c(u)+V)). Bigrams assemble via the narrow positional explode
+        // (t04's shape — no token window/shuffle); the bigram and
+        // prefix-count tables are vocabulary²-sized and stay SHUFFLE
+        // joins (a 100 TB LM table is not broadcastable); prefix counts
+        // derive from the bigram table, not a second corpus scan; only
+        // the 1-row vocab size broadcasts. Per-bigram logprobs quantize
+        // to integer 1e-6 nats BEFORE the per-doc sum, so aggregation
+        // order cannot move the hash. Docs with < 2 tokens have no
+        // bigram events and drop out, same in both engines.
+        val positions = when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1)).otherwise(array().cast("array<int>"))
+        val big = Tables(s, dir).documents
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"), explode(positions).as("pos"))
+          .select(col("doc_id"),
+            element_at(col("toks"), col("pos")).as("u"),
+            element_at(col("toks"), col("pos") + 1).as("v"))
+        val bc = big.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+        val pc = bc.groupBy("u").agg(sum("cuv").as("cu"))
+        val vocab = Tables(s, dir).documents
+          .select(explode(split(col("text"), " ")).as("t"))
+          .agg(countDistinct("t").cast("double").as("vsz"))
+        big.join(bc, Seq("u", "v")).join(pc, Seq("u"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            floor(log((col("cuv") + lit(1)).cast("double")
+              / (col("cu").cast("double") + col("vsz"))) * 1e6 + 0.5)
+              .cast("long").as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            fround(col("s").cast("double") / lit(1e6) / col("n_bigrams"), 4).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |expl AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok FROM toks),
+             |big AS (SELECT a.doc_id, a.tok AS u, b.tok AS v
+             |  FROM expl a JOIN expl b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+             |bc AS (SELECT u, v, count(*) AS cuv FROM big GROUP BY 1, 2),
+             |pc AS (SELECT u, sum(cuv) AS cu FROM bc GROUP BY 1),
+             |vs AS (SELECT count(DISTINCT tok) AS vsz FROM expl),
+             |lp AS (SELECT doc_id,
+             |    CAST(floor(ln((cuv + 1) * 1.0 / (cu + vsz)) * 1e6 + 0.5) AS BIGINT) AS lp
+             |  FROM big JOIN bc USING (u, v) JOIN pc USING (u) CROSS JOIN vs)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  floor(CAST(sum(lp) AS DOUBLE) / 1e6 / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "p07_pretrain_pipeline",
       (s, dir) => {
         // End-to-end pretraining-prep capstone composing the curation
