@@ -569,6 +569,87 @@ object TextQueries {
              |         ELSE 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 / z END AS e
              |  FROM s)
              |SELECT lang, floor(e * 100.0 + 0.5) / 100.0 AS approx_distinct
-             |FROM est ORDER BY lang""".stripMargin))
+             |FROM est ORDER BY lang""".stripMargin)),
+
+    Q(
+      "st07_stream_cms_heavy_hitters",
+      (s, dir) => {
+        // The STREAMING Count-Min twin under the DuckDB oracle: t11's
+        // global 5×8192 bigram sketch built as a streaming aggregation
+        // (complete mode) over two id-ordered micro-batches — state is
+        // the aggregate's own 320 KB counter buffer, and CMS merge is
+        // an elementwise ADD (commutative), so the drained sketch
+        // equals the batch aggregate bit-for-bit under any
+        // micro-batching. The drained state is then probed for the
+        // slice's exact top-10 bigrams (batch-side post-processing of
+        // the sink, like st05's rollup); estimates hash-match t11's
+        // register replay restricted to the slice. Corpus = the 500
+        // base docs (SF-independent); collect() is the MemoryStream
+        // feeding harness.
+        import graft.functions.VectorExpressions.{cmsEstimate, cmsSketch, polyHash}
+        implicit val sqlCtx = s.sqlContext
+        val rows = Tables(s, dir).documents
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+          .collect().map(_.getString(1))
+        val stream = {
+          import s.implicits._
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+        }
+        val positions = when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1)).otherwise(array().cast("array<int>"))
+        def bigramsOf(df: org.apache.spark.sql.DataFrame) = df
+          .select(split(col("text"), " ").as("toks"))
+          .select(col("toks"), explode(positions).as("pos"))
+          .select(concat_ws(" ",
+            element_at(col("toks"), col("pos")),
+            element_at(col("toks"), col("pos") + 1)).as("bigram"))
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try bigramsOf(stream.toDS().toDF("text"))
+            .agg(cmsSketch(polyHash(col("bigram"))).as("sk"))
+            .writeStream.format("memory").queryName("st07_cms")
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        bigramsOf(Tables(s, dir).documents.filter(col("doc_id") < 500))
+          .groupBy("bigram").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("bigram"))
+          .limit(10)
+          .crossJoin(broadcast(s.table("st07_cms")))
+          .select(col("bigram"), col("exact_cnt"),
+            cmsEstimate(col("sk"), polyHash(col("bigram"))).as("est_cnt"))
+          .orderBy(col("exact_cnt").desc, col("bigram"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE doc_id < 500),
+             |expl AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok FROM toks),
+             |big AS (SELECT a.tok || ' ' || b.tok AS bigram
+             |  FROM expl a JOIN expl b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+             |counts AS (SELECT bigram, count(*) AS cnt,
+             |    ${OracleSql.polyFold("bigram")} % 4294967296 AS x32
+             |  FROM big GROUP BY bigram),
+             |cp AS (SELECT ${OracleSql.coeffPairsLiteral(5, 99L)} AS c),
+             |buckets AS (SELECT i.range AS r,
+             |    ((c[i.range + 1][1] * x32 + c[i.range + 1][2]) % 2147483647) % 8192 AS bucket,
+             |    CAST(sum(cnt) AS BIGINT) AS ctr
+             |  FROM counts CROSS JOIN range(5) i CROSS JOIN cp
+             |  GROUP BY 1, 2),
+             |top AS (SELECT bigram, cnt, x32 FROM counts
+             |        ORDER BY cnt DESC, bigram LIMIT 10)
+             |SELECT t.bigram, t.cnt AS exact_cnt, min(b.ctr) AS est_cnt
+             |FROM top t CROSS JOIN range(5) i CROSS JOIN cp
+             |  JOIN buckets b ON b.r = i.range
+             |    AND b.bucket = ((c[i.range + 1][1] * t.x32 + c[i.range + 1][2]) % 2147483647) % 8192
+             |GROUP BY 1, 2 ORDER BY exact_cnt DESC, bigram""".stripMargin))
   )
 }
