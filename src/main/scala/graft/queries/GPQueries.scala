@@ -21,6 +21,22 @@ import graft.tables.Tables
  */
 object GPQueries {
 
+  /** gp06's closed-form projected-process prediction replay — shared
+    * with st08, whose streaming transform must match it hash-for-hash. */
+  private val gp06OracleSql: String =
+    """WITH z AS (SELECT vec_id AS zid, CAST(embedding AS DOUBLE[]) AS zv
+      |           FROM embeddings WHERE vec_id < 8),
+      |x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
+      |      FROM embeddings WHERE vec_id >= 8 AND vec_id < 300),
+      |k AS (SELECT x.vec_id, z.zid,
+      |    exp(-list_sum(list_transform(list_zip(xv, zv),
+      |        p -> (p[1] - p[2]) * (p[1] - p[2]))) / 8.0) AS kv
+      |  FROM x, z)
+      |SELECT vec_id,
+      |  floor(sum(kv * ((zid % 5) + 1) / 10.0) * 1e6 + 0.5) / 1e6 AS mean,
+      |  floor(sqrt(1.0 - 0.01 * sum(kv * kv)) * 1e6 + 0.5) / 1e6 AS std
+      |FROM k GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Seeded unit weight vector defining the synthetic learnable target. */
   private def weights(dim: Int): Seq[Double] = {
     val rnd = new scala.util.Random(97)
@@ -258,18 +274,7 @@ object GPQueries {
       },
       // k_j = exp(-‖x−z_j‖²/(2·2²)); mean = Σ k_j w_j, w_j = ((j%5)+1)/10;
       // var = 1 − 0.01·Σ k_j² (covAdjust = −0.01·I, RBF self = 1)
-      Some("""WITH z AS (SELECT vec_id AS zid, CAST(embedding AS DOUBLE[]) AS zv
-             |           FROM embeddings WHERE vec_id < 8),
-             |x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
-             |      FROM embeddings WHERE vec_id >= 8 AND vec_id < 300),
-             |k AS (SELECT x.vec_id, z.zid,
-             |    exp(-list_sum(list_transform(list_zip(xv, zv),
-             |        p -> (p[1] - p[2]) * (p[1] - p[2]))) / 8.0) AS kv
-             |  FROM x, z)
-             |SELECT vec_id,
-             |  floor(sum(kv * ((zid % 5) + 1) / 10.0) * 1e6 + 0.5) / 1e6 AS mean,
-             |  floor(sqrt(1.0 - 0.01 * sum(kv * kv)) * 1e6 + 0.5) / 1e6 AS std
-             |FROM k GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+      Some(gp06OracleSql)),
 
     Q(
       "gp11_hyperfit_gd",
@@ -580,6 +585,53 @@ object GPQueries {
            |SELECT vec_id, floor(p * 1e6 + 0.5) / 1e6 AS prob_gh,
            |  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
            |FROM gh ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    Q(
+      "st08_stream_gp_scoring",
+      (s, dir) => {
+        // STREAMING GP scoring under the DuckDB oracle: gp06's fixed
+        // projected-process model transforms a MemoryStream of feature
+        // rows — the train-offline / score-at-ingest deployment shape.
+        // The model is an O(m²) broadcast applied row-locally, so the
+        // streaming plan is STATELESS (append mode, no state store,
+        // no watermark) and must equal the batch transform — the
+        // drained sink hash-matches gp06's own closed-form oracle.
+        // collect() is the MemoryStream feeding harness.
+        import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, Array[Double])]
+        val e = Tables(s, dir).embeddings
+        val z = e.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val weights = BDV.tabulate(z.length)(j => ((j % 5) + 1) / 10.0)
+        val covAdjust = BDM.eye[Double](z.length) * -0.01
+        val model = graft.gp.GPModelIO.fromProjected(
+          graft.gp.ProjectedGP(z, weights, covAdjust, 1.0 * rbf(2.0)))
+          .setFeaturesCol("features").setPredStdCol("std")
+        val rows = e.filter(col("vec_id") >= 8 && col("vec_id") < 300)
+          .orderBy("vec_id")
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Double])]
+        val q = model.transform(stream.toDS().toDF("vec_id", "features"))
+          .select(col("vec_id"),
+            fround(col("prediction"), 6).as("mean"),
+            fround(col("std"), 6).as("std"))
+          .writeStream.format("memory").queryName("st08_gp")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st08_gp").orderBy("vec_id")
+      },
+      Some(gp06OracleSql))
   )
 }
