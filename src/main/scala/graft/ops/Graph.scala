@@ -82,4 +82,38 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_nano"))
   }
+
+  /**
+   * `rounds` of multi-source BFS over `edges(src, dst)` (directed; pass
+   * a symmetrized list for undirected semantics): the Pregel
+   * min-distance propagation as relational rounds. Returns (node, dist)
+   * for every node within `rounds` hops of a source — unreached nodes
+   * are simply absent, so the frontier's size, not the graph's, bounds
+   * the state. Pure integer arithmetic: deterministic on any engine.
+   *
+   * Scale shape per round: one shuffle of the (node, dist) state into
+   * the cached edge partitioning + one map-side-combined min by node.
+   * Like pageRank, the edge list never moves after the initial
+   * repartition-by-src.
+   */
+  def shortestPaths(edges: DataFrame, sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    var dist = sources.distinct.map(n => (n, 0L)).toDF("node", "d")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + lit(1L)).as("d"))
+      val next = dist.union(relaxed).groupBy("node").agg(min("d").as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the previous round
+      dist.unpersist(blocking = false)
+      dist = next
+    }
+    dist.select(col("node"), col("d").as("dist"))
+  }
 }

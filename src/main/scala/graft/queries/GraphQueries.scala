@@ -72,6 +72,50 @@ object GraphQueries {
               |${iterCte(2)},
               |${iterCte(3)}
               |SELECT node, r AS rank_nano FROM r3
-              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin))
+              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin)),
+
+    Q(
+      "x02_shortest_paths",
+      (s, dir) => {
+        // 3-round multi-source BFS over the SYMMETRIZED trade graph
+        // from the three lowest-id suppliers; output is the per-distance
+        // census with a node-id-sum fingerprint. Distances are exact
+        // integers — no quantization needed anywhere.
+        val t = Tables(s, dir)
+        val pairs = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (lit(100000L) + col("l_suppkey")).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        graft.ops.Graph.shortestPaths(edges,
+          sources = Seq(100001L, 100002L, 100003L), rounds = 3)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), sum("node").as("id_sum"))
+          .orderBy("dist")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+             |    100000 + l_suppkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT c AS src, p AS dst FROM pairs
+             |      UNION SELECT p AS src, c AS dst FROM pairs),
+             |d0 AS (SELECT unnest([100001, 100002, 100003]) AS node,
+             |       CAST(0 AS BIGINT) AS d),
+             |r1 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM d0
+             |    UNION ALL SELECT e.dst AS node, d0.d + 1 AS d
+             |    FROM e JOIN d0 ON e.src = d0.node) GROUP BY node),
+             |r2 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM r1
+             |    UNION ALL SELECT e.dst AS node, r1.d + 1 AS d
+             |    FROM e JOIN r1 ON e.src = r1.node) GROUP BY node),
+             |r3 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM r2
+             |    UNION ALL SELECT e.dst AS node, r2.d + 1 AS d
+             |    FROM e JOIN r2 ON e.src = r2.node) GROUP BY node)
+             |SELECT d AS dist, count(*) AS n_nodes,
+             |  CAST(sum(node) AS BIGINT) AS id_sum
+             |FROM r3 GROUP BY dist ORDER BY dist""".stripMargin))
   )
 }

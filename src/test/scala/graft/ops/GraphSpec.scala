@@ -75,6 +75,21 @@ class GraphSpec extends SparkTestBase {
     assert(run(split, 3) === base)
   }
 
+  test("shortestPaths: hop distances on a path graph, frontier-bounded output") {
+    // path 1-2-3-4-5 (undirected), source 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+    def sp(rounds: Int): Map[Long, Long] =
+      Graph.shortestPaths(edgesDf(und), Seq(1L), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp(3) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(sp(5) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // multi-source takes the min over sources
+    val ms = Graph.shortestPaths(edgesDf(und), Seq(1L, 5L), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ms === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("all-dangling graph: mass redistributes uniformly") {
     // single edge, then its dst dangles; after round 1 both nodes carry
     // base + dshare (+ contrib for dst) — just assert determinism + keys
