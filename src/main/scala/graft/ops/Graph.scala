@@ -1,7 +1,10 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.InternalFrame
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -18,11 +21,18 @@ import org.apache.spark.storage.StorageLevel
  *
  * 100 TB posture:
  *  - The edge list joins its out-weight once, is hash-partitioned by
- *    `src` and cached; every iteration reuses that layout, so a round
- *    costs one shuffle of the (node, rank) pairs into the edge
- *    partitioning plus one map-side-combined sum by `dst` — the edges
- *    (the big side) never move again.
- *  - Rank state is two longs per node — never the adjacency payload.
+ *    `src` and materialized; every iteration reuses that layout, so a
+ *    round costs one shuffle of the (node, rank) state into the edge
+ *    partitioning plus one map-side-combined aggregate by `dst` — the
+ *    edges (the big side) never move again.
+ *  - Rank/distance state is two longs per node — never the adjacency
+ *    payload — and rotates through RDD-level persistence (the
+ *    InternalFrame pattern d07's CC loop uses): each round's UnsafeRow
+ *    blocks replace the previous round's, no cache-manager entry is
+ *    ever registered (a `df.persist` per invocation would leak one per
+ *    bench/verify run), lineage truncates at the materialized leaf so
+ *    the plan doesn't deepen with iterations, and the final frame's
+ *    blocks are reclaimed by the ContextCleaner once unreferenced.
  *  - A viral in-degree node (every page links to the hub) is absorbed
  *    by partial aggregation: contributions combine map-side per task,
  *    so the hot `dst` receives one partial row per partition, not one
@@ -32,6 +42,34 @@ import org.apache.spark.storage.StorageLevel
  *    back as a literal.
  */
 object Graph {
+
+  /** Persist `df`'s UnsafeRow stream eagerly (one count job), drop the
+    * previous round's blocks, and re-expose the rows as a
+    * lineage-truncated leaf with honest row-count statistics. */
+  private final class Rotation {
+    private var prev: RDD[InternalRow] = null
+    def materialize(df: DataFrame, rowBytes: Int): (DataFrame, Long) = {
+      // copy before retaining: shuffle readers recycle one UnsafeRow
+      val rdd = InternalFrame.toInternalRdd(df).map(_.copy())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = rdd
+      (InternalFrame.ofInternalRdd(df, rdd, rowCount = n, rowBytes = rowBytes), n)
+    }
+    /** Stop tracking (the final round's frame outlives the loop). */
+    def release(): Unit = prev = null
+    def drop(): Unit = { if (prev != null) prev.unpersist(blocking = false); prev = null }
+  }
+
+  /** The edge side: materialized once WITHOUT statistics, so joins
+    * against it stay honest shuffle joins (a LogicalRDD without stats
+    * advertises defaultSizeInBytes — never broadcast). */
+  private def materializeEdges(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val rdd = InternalFrame.toInternalRdd(df).map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (InternalFrame.ofInternalRdd(df, rdd), rdd)
+  }
 
   /**
    * `iters` rounds of damped PageRank over `edges(src: long, dst: long,
@@ -50,37 +88,41 @@ object Graph {
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val eo = e.join(outw, "src").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dangling = nodes.join(eo.select(col("src").as("node")).distinct(),
-      Seq("node"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // scalar driver state, like a broadcast dim
+    val (eo, eoRdd) = materializeEdges(
+      e.join(outw, "src").repartition(col("src")))
+    val nodeRot = new Rotation
+    val (nodes, n) = nodeRot.materialize(
+      eo.select(col("src").as("node"))
+        .union(eo.select(col("dst").as("node"))).distinct(), rowBytes = 16)
+    nodeRot.release() // nodes stays live for every round's outer join
+    val dangRot = new Rotation
+    val (dangling, _) = dangRot.materialize(
+      nodes.join(eo.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"), rowBytes = 16)
+    dangRot.release()
     require(n > 0, "pageRank: empty graph")
     val base = math.floor((1 - damping) * scale.toDouble / n + 0.5).toLong
 
+    val rot = new Rotation
     var ranks = nodes
       .select(col("node"), lit(math.floor(scale.toDouble / n + 0.5).toLong).as("r"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
-      val dm = ranks.join(dangling, "node")
+      val (cur, _) = rot.materialize(ranks, rowBytes = 24)
+      val dm = cur.join(dangling, "node")
         .agg(coalesce(sum("r"), lit(0L))).head.getLong(0)
       val dshare = math.floor(damping * dm.toDouble / n + 0.5).toLong
-      val contrib = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = eo.join(cur.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           floor(lit(damping) * col("r") * col("w") / col("ow") + lit(0.5)).as("c"))
         .groupBy("node").agg(sum("c").as("c"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base + dshare) + coalesce(col("c"), lit(0L))).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous round
-      ranks.unpersist(blocking = false)
-      ranks = next
     }
-    ranks.select(col("node"), col("r").as("rank_nano"))
+    val (out, _) = rot.materialize(ranks, rowBytes = 24)
+    rot.release() // final blocks reclaimed by the ContextCleaner via GC
+    eoRdd.unpersist(blocking = false)
+    out.select(col("node"), col("r").as("rank_nano"))
   }
 
   /**
@@ -99,21 +141,22 @@ object Graph {
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src").cast("long").as("src"),
+    val (e, eRdd) = materializeEdges(
+      edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct()
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(col("src")))
     import spark.implicits._
-    var dist = sources.distinct.map(n => (n, 0L)).toDF("node", "d")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist: DataFrame = sources.distinct.map(d => (d, 0L)).toDF("node", "d")
+    val rot = new Rotation
     for (_ <- 1 to rounds) {
-      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+      val (cur, _) = rot.materialize(dist, rowBytes = 24)
+      val relaxed = e.join(cur.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("d") + lit(1L)).as("d"))
-      val next = dist.union(relaxed).groupBy("node").agg(min("d").as("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous round
-      dist.unpersist(blocking = false)
-      dist = next
+      dist = cur.union(relaxed).groupBy("node").agg(min("d").as("d"))
     }
-    dist.select(col("node"), col("d").as("dist"))
+    val (out, _) = rot.materialize(dist, rowBytes = 24)
+    rot.release()
+    eRdd.unpersist(blocking = false)
+    out.select(col("node"), col("d").as("dist"))
   }
 }
