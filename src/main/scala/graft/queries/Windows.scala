@@ -292,6 +292,37 @@ object Windows {
              |    date_diff('microsecond',
              |      lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_us
              |  FROM events)
-             |WHERE delta_us IS NOT NULL ORDER BY user_id, event_id""".stripMargin))
+             |WHERE delta_us IS NOT NULL ORDER BY user_id, event_id""".stripMargin)),
+
+    Q(
+      "w08_first_last_nth",
+      (s, dir) => {
+        // Positional value functions over a whole-partition frame
+        // (completing the window family: w02 ranks, w03 lag, w05
+        // distribution): each customer's first, latest, and second order
+        // key in (date, key) order. Frames partition by customer — the
+        // window's working set is one customer's orders, never the
+        // stream — and the tie-break makes every value deterministic.
+        // second_key is NULL for single-order customers in both engines.
+        val t = Tables(s, dir)
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t.orders
+          .select(col("o_custkey"),
+            first("o_orderkey").over(w).as("first_key"),
+            last("o_orderkey").over(w).as("last_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .distinct()
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey,
+             |  first_value(o_orderkey) OVER w AS first_key,
+             |  last_value(o_orderkey) OVER w AS last_key,
+             |  nth_value(o_orderkey, 2) OVER w AS second_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey""".stripMargin))
   )
 }
