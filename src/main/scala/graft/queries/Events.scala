@@ -411,6 +411,44 @@ object Events {
              |SELECT event_id, clicks.user_id AS user_id, view_id
              |FROM clicks ASOF LEFT JOIN views
              |  ON clicks.user_id = views.user_id AND clicks.ts >= views.view_ts
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    Q(
+      "e10_session_window",
+      (s, dir) => {
+        // Spark's NATIVE session_window aggregation (e02 derives the
+        // same sessions manually via lag + running sum): per-user
+        // 30-minute-gap sessions as ONE groupBy — no window operator in
+        // the plan, sessions merge inside the aggregate. Boundary
+        // semantics differ from e02's manual rule: session windows are
+        // half-open [start, last + gap), so an event EXACTLY gap after
+        // its predecessor starts a NEW session (e02's `delta > gap`
+        // keeps it) — the oracle encodes >= accordingly. Bounds are
+        // emitted as unix micros (testdata timestamps are micro-exact).
+        val t = Tables(s, dir)
+        t.events
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("start_us"),
+            unix_micros(col("sw.end")).as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH flags AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (SELECT user_id, ts,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                  ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flags)
+             |SELECT user_id, epoch_us(min(ts)) AS start_us,
+             |  epoch_us(max(ts)) + 1800000000 AS end_us, count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin))
   )
 }
