@@ -264,6 +264,37 @@ object PlanQueries {
              |      WHERE p_name LIKE 'red%' AND year(l_shipdate) = 1997
              |      GROUP BY l_suppkey HAVING sum(l_quantity) > 100.0)
              |JOIN supplier ON l_suppkey = s_suppkey
-             |ORDER BY s_name""".stripMargin))
+             |ORDER BY s_name""".stripMargin)),
+
+    Q(
+      "k03_skew_stats",
+      (s, dir) => {
+        // The "should I salt?" diagnostic k02 acts on: the join key's
+        // per-key-count distribution (cardinality, exact p50/p99, max,
+        // hottest key) in one pass over key counts. The counts frame
+        // feeds both the summary aggregate and the hot-key top-1
+        // through ONE shared scan (InternalFrame.sharedScan — the
+        // per-key aggregation runs once, not once per branch); both
+        // branches reduce to 1-row frames joined by broadcast.
+        import org.apache.spark.sql.graftshim.InternalFrame
+        val counts = InternalFrame.sharedScan(
+          Tables(s, dir).events.groupBy("user_id").agg(count(lit(1)).as("c")))
+        val summary = counts.agg(
+          count(lit(1)).as("n_keys"),
+          fround(expr("percentile(c, 0.5)"), 2).as("p50_c"),
+          fround(expr("percentile(c, 0.99)"), 2).as("p99_c"),
+          max("c").as("max_c"))
+        val hot = counts.orderBy(col("c").desc, col("user_id")).limit(1)
+          .select(col("user_id").as("hot_key"), col("c").as("hot_c"))
+        summary.crossJoin(broadcast(hot))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+             |s AS (SELECT count(*) AS n_keys,
+             |    floor(quantile_cont(c, 0.5) * 100.0 + 0.5) / 100.0 AS p50_c,
+             |    floor(quantile_cont(c, 0.99) * 100.0 + 0.5) / 100.0 AS p99_c,
+             |    CAST(max(c) AS BIGINT) AS max_c FROM c),
+             |h AS (SELECT user_id AS hot_key, c AS hot_c FROM c
+             |      ORDER BY c DESC, user_id LIMIT 1)
+             |SELECT * FROM s CROSS JOIN h""".stripMargin))
   )
 }
