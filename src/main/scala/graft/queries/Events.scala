@@ -449,6 +449,73 @@ object Events {
              |SELECT user_id, epoch_us(min(ts)) AS start_us,
              |  epoch_us(max(ts)) + 1800000000 AS end_us, count(*) AS n_events
              |FROM sess GROUP BY user_id, sid
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    Q(
+      "st09_stream_late_data",
+      (s, dir) => {
+        // WATERMARK late-data semantics under the DuckDB oracle: hourly
+        // tumbling counts with a 1-hour watermark, fed time-ordered in
+        // two halves — plus a REPLAY of the slice's 50 earliest events
+        // inside batch 2. After batch 1 the watermark sits 1 h below the
+        // batch-1 maximum, far past the replayed events' windows, so the
+        // replays MUST be dropped: the oracle counts each event exactly
+        // once, and any undropped replay inflates a window and fails
+        // the hash. Cross-boundary windows stay open (their end is
+        // above the watermark) and merge both halves' contributions.
+        // Two trailing flush batches advance the watermark past every
+        // slice window so append mode emits them all; the flush events'
+        // own windows never finalize and are absent by construction.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp)]
+        val rows = Tables(s, dir).events
+          .filter(col("user_id") % 7 === 0)
+          .select(col("event_id"), col("ts"))
+          .orderBy("ts", "event_id")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+        val maxTs = rows.last._2.getTime
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp)]
+        val ckpt = java.nio.file.Files.createTempDirectory("st09_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try stream.toDS().toDF("event_id", "ts")
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour").as("w"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(unix_micros(col("w.start")).as("start_us"), col("n_events"))
+            .writeStream.format("memory").queryName("st09_windows")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val half = (rows.length + 1) / 2
+          stream.addData(rows.take(half).toIndexedSeq)
+          q.processAllAvailable()
+          // batch 2: the on-time second half + 50 LATE replays
+          stream.addData((rows.drop(half) ++ rows.take(50)).toIndexedSeq)
+          q.processAllAvailable()
+          // two flush batches: one advances the max event time, the
+          // next batch's processing emits everything below the new
+          // watermark (emission uses the PREVIOUS batch's watermark)
+          for (off <- Seq(72L, 73L)) {
+            stream.addData(IndexedSeq(
+              (-1L, new java.sql.Timestamp(maxTs + off * 3600L * 1000L))))
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st09_windows").orderBy("start_us")
+      },
+      // every slice event counted exactly once — replays dropped
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS start_us,
+             |  count(*) AS n_events
+             |FROM events WHERE user_id % 7 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
