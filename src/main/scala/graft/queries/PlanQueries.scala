@@ -267,6 +267,79 @@ object PlanQueries {
              |ORDER BY s_name""".stripMargin)),
 
     Q(
+      "l03_ann_layout",
+      (s, dir) => {
+        // The ANN index AS STORAGE LAYOUT: a05's IVF cell becomes a
+        // parquet PARTITION column, so probing is planning-time
+        // directory pruning — a cold ANN query reads nprobe partitions,
+        // not the corpus (at 100 TB: cells ≫ nprobe, the scan touches
+        // nprobe/cells of the data; here 16 cells make the effect
+        // visible, not dramatic). The probed cell set is model-sized
+        // (queries × nprobe ids) and lands in the filter as literals;
+        // rerank is a05's exact heap machinery, so results — and the
+        // oracle — are IDENTICAL to a05: relayout moves rows, never
+        // changes them (l01's contract).
+        import graft.functions.VectorExpressions.{cellArgmin, cellProbes, cosine, topKByScore}
+        val e = Tables(s, dir).embeddings
+        val centers = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_l03_${math.abs(dir.hashCode)}"
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("neighbor_id"),
+            col("embedding").cast("array<double>").as("cv"))
+          .withColumn("cell", cellArgmin(col("cv"), centers))
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("qv"))
+          .withColumn("cell", explode(cellProbes(col("qv"), centers, 6)))
+        val probedCells = probes.select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted // model-sized: ≤ queries×nprobe
+        s.read.parquet(path)
+          .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+          .join(broadcast(probes), Seq("cell"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("qv"), col("cv")).as("cos"))
+          .groupBy("query_id")
+          .agg(topKByScore(col("neighbor_id"), col("cos"), 5).as("topk"))
+          .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("nb.id").as("neighbor_id"), fround(col("nb.score"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      // a05's oracle verbatim: the layout cannot change the answer
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+             |          WHERE vec_id >= 10 AND vec_id < 26),
+             |assign AS (SELECT neighbor_id, v, cell FROM (
+             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(c.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id >= 10) c, cents t)
+             |  WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(q.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
+             |  WHERE rn <= 6),
+             |hits AS (SELECT p.query_id, a.neighbor_id,
+             |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+             |  FROM probes p JOIN assign a ON p.cell = a.cell)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+             |FROM (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |      FROM hits)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
       "k03_skew_stats",
       (s, dir) => {
         // The "should I salt?" diagnostic k02 acts on: the join key's

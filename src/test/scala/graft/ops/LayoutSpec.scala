@@ -103,6 +103,31 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("ANN-by-layout: probed-cell isin filter prunes cell partitions at planning time") {
+    // l03's plan contract: corpus written partitionBy(cell), probe set
+    // as literals -> the scan carries PartitionFilters on cell and
+    // reads only the probed directories' rows
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i % 8, i.toLong)).toDF("cell", "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-l03spec")
+    try {
+      df.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/t")
+      val read = spark.read.parquet(s"$dir/t")
+        .filter(col("cell").isin(1, 4, 6))
+      val scan = read.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") || scan.contains("partitionFilters"),
+        s"expected partition filters in plan:\n$scan")
+      assert(scan.contains("cell"), s"cell missing from scan:\n$scan")
+      assert(read.count() == 112L) // |cell 1| + |cell 4| + |cell 6| = 38+37+37
+      assert(read.select("cell").distinct().collect().map(_.getInt(0)).sorted
+        === Array(1, 4, 6))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("joins against a filtered dim prune fact partitions at RUNTIME (DPP)") {
     import spark.implicits._
     // the 100 TB shape: a date/tenant-partitioned fact joined to a small
