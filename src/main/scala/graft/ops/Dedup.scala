@@ -167,6 +167,32 @@ object Dedup {
     bucketPairs(lshBands(sigs, "sig", bands, idCol, numHashes), idCol, maxBucket)
 
   /**
+   * Incremental MinHash-LSH near-dup candidates ACROSS snapshots:
+   * (new_id, old_id) pairs whose signatures collide in ≥ 1 band —
+   * dc02's exact-key incremental dedup, one similarity level up: the
+   * daily-ingest NEAR-dedup workload. Both sides sign with the same
+   * coefficient table, so signatures are comparable across runs and
+   * engines. At 100 TB the corpus side's bands are computed once and
+   * kept (bucketed on (band, bucket) — l02's layout move) while each
+   * daily batch signs only itself; the equi-join ships fixed-width
+   * (band, bucket, id) keys, documents never shuffle, and a viral
+   * bucket on both sides is an AQE-skew-splittable join key, not an
+   * in-task blowup.
+   */
+  def incrementalCandidatePairs(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    def bandsOf(df: DataFrame) =
+      lshBands(minHashSignatures(shingleHashes(df, idCol, textCol), idCol,
+        numHashes, seed), "sig", bands, idCol, numHashes)
+    bandsOf(newDocs).select(col(idCol).as("new_id"), col("band"), col("bucket"))
+      .join(bandsOf(corpus)
+        .select(col(idCol).as("old_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("new_id", "old_id").distinct()
+  }
+
+  /**
    * Semantic (embedding-space) near-dup candidate pairs: random-
    * hyperplane LSH over `tables` independent hash tables, exact cosine
    * recheck inside each (table, bucket) group, distinct pairs across

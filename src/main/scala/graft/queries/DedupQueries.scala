@@ -118,6 +118,35 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "dc03_incremental_neardup",
+      (s, dir) => {
+        // Incremental NEAR-dedup across snapshots (dc02 covers exact
+        // keys): the id%5==0 slice arrives as today's batch, the rest is
+        // the standing corpus; candidates are cross-snapshot band
+        // collisions only — planted near-dups whose original and mutant
+        // fall on opposite sides of the split prove the cross-frame
+        // signature comparability. The oracle recomputes BOTH sides'
+        // signatures from the same coefficient literals and replays the
+        // split join.
+        val docs = withNearDups(s, dir, drop = 3)
+        graft.ops.Dedup.incrementalCandidatePairs(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text")
+          .orderBy("new_id", "old_id")
+      },
+      Some(s"""WITH ${shingleCtes(drop = 3)},
+             |$minhashSigCte,
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t)
+             |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+             |FROM bands a JOIN bands b
+             |  ON a.band = b.band AND a.bucket = b.bucket
+             |WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+             |ORDER BY new_id, old_id""".stripMargin)),
+
+    Q(
       "d04_simhash",
       (s, dir) => {
         // drop=1: a one-word tail mutation keeps planted pairs within
