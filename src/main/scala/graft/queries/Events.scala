@@ -516,6 +516,63 @@ object Events {
       Some("""SELECT epoch_us(date_trunc('hour', ts)) AS start_us,
              |  count(*) AS n_events
              |FROM events WHERE user_id % 7 = 0
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q(
+      "st10_stream_topk",
+      (s, dir) => {
+        // STREAMING global top-k under the DuckDB oracle: the bounded-
+        // heap TopKByScore aggregate as streaming state (complete mode).
+        // The top-100 under (score DESC, id ASC) is a deterministic SET
+        // whatever the arrival order, and the heap's merge keeps the
+        // best k under that same total order — merge-commutative like
+        // st06/st07's sketches — so the drained snapshot equals the
+        // batch aggregate exactly. Scores fold to exact integer cents
+        // BEFORE the heap (t09's move) so ranking is engine-exact.
+        // State is ONE k-entry buffer however long the stream runs.
+        import graft.functions.VectorExpressions.topKByScore
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, Double)]
+        val rows = Tables(s, dir).events
+          .filter(col("user_id") % 7 === 0)
+          .select(col("event_id"), col("value"))
+          .orderBy("event_id")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Double)]
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try stream.toDS().toDF("event_id", "value")
+            .select(col("event_id"),
+              floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+            .agg(topKByScore(col("event_id"), col("cents"), 100).as("topk"))
+            .writeStream.format("memory").queryName("st10_topk")
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st10_topk")
+          .select(posexplode(col("topk")).as(Seq("pos", "nb")))
+          .select((col("pos") + 1).cast("int").as("rank"),
+            col("nb.id").as("event_id"),
+            // the heap's struct stores score as double; integer cents
+            // round-trip exactly, so the cast back is lossless
+            col("nb.score").cast("long").as("cents"))
+          .orderBy("rank")
+      },
+      Some("""SELECT CAST(rn AS INT) AS rank, event_id, cents FROM (
+             |  SELECT event_id, cents,
+             |    row_number() OVER (ORDER BY cents DESC, event_id) AS rn
+             |  FROM (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |        FROM events WHERE user_id % 7 = 0))
+             |WHERE rn <= 100 ORDER BY rank""".stripMargin))
   )
 }
