@@ -293,6 +293,58 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL decode + downsample in one pass: ImageIO decode, then a
+   * `factor`× box filter — each output pixel is the integer-floor mean
+   * of its factor×factor block — and exact channel sums of the RESIZED
+   * image. Pure integer arithmetic end to end (PNG lossless, floor
+   * division), so the whole resize replays in SQL. Dims truncate to
+   * whole blocks (the synthesized dims are block-aligned). This is
+   * mm04's resize stage upgraded from metadata-driven strides over fake
+   * bytes to real decoded pixels.
+   */
+  def downsampleImages(imgs: Dataset[ImageRow], factor: Int = 2,
+      batchSize: Int = 64): Dataset[ImageStats] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    implicit val enc = Encoders.product[ImageStats]
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.img))
+          if (im == null) None
+          else {
+            val ow = im.getWidth / factor
+            val oh = im.getHeight / factor
+            val area = factor * factor
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var yy = 0
+            while (yy < oh) {
+              var xx = 0
+              while (xx < ow) {
+                var ar = 0; var ag = 0; var ab = 0
+                var dy = 0
+                while (dy < factor) {
+                  var dx = 0
+                  while (dx < factor) {
+                    val p = im.getRGB(xx * factor + dx, yy * factor + dy)
+                    ar += (p >> 16) & 0xff; ag += (p >> 8) & 0xff; ab += p & 0xff
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                sr += ar / area; sg += ag / area; sb += ab / area
+                xx += 1
+              }
+              yy += 1
+            }
+            Some(ImageStats(row.media_id, ow, oh, sr, sg, sb))
+          }
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // REAL audio codec path (javax.sound.sampled — WAV/PCM ships with the
   // JDK, like ImageIO for images). Video decode is the one remaining

@@ -224,6 +224,44 @@ object MultimodalQueries {
              |  floor(list_sum(list_transform(range(1, length(frame) + 1),
              |      i -> ascii(substr(frame, i, 1)) / 255.0)) / length(frame) * 1e6 + 0.5)
              |    / 1e6 AS mean_intensity
-             |FROM frames ORDER BY media_id, frame_idx""".stripMargin))
+             |FROM frames ORDER BY media_id, frame_idx""".stripMargin)),
+
+    Q(
+      "mm08_image_resize",
+      (s, dir) => {
+        // REAL decode + resize: genuine PNGs decode through ImageIO and
+        // downsample 2× with an integer-floor box filter — every output
+        // pixel is the floor-mean of its 2×2 block, so the WHOLE resize
+        // is integer arithmetic and the oracle replays it pixel by
+        // pixel (mm04 exercised metadata-driven strides over fake
+        // bytes; this is the same stage over real decoded pixels).
+        val ids = Tables(s, dir).documents
+          .filter(col("doc_id") < 300).select(col("doc_id"))
+        val pngs = Multimodal.synthesizePngs(ids, "doc_id")
+        Multimodal.downsampleImages(pngs, factor = 2).toDF()
+          .orderBy("media_id")
+      },
+      Some {
+        // Σ over output blocks of floor((p00+p01+p10+p11)/4) for each
+        // channel's pixel formula (mm05's coefficient triples)
+        def ch(a: Int, bx: Int, by: Int): String = {
+          def p(dx: Int, dy: Int) =
+            s"(media_id * $a + (2 * X + $dx) * $bx + (2 * Y + $dy) * $by) % 256"
+          s"""CAST(list_sum(flatten(list_transform(range(height // 2), Y ->
+             |    list_transform(range(width // 2), X ->
+             |      (${p(0, 0)} + ${p(1, 0)} + ${p(0, 1)} + ${p(1, 1)}) // 4)))) AS BIGINT)"""
+            .stripMargin
+        }
+        s"""WITH imgs AS (SELECT doc_id AS media_id,
+           |    CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+           |    CAST(8 + (doc_id % 2) * 4 AS INT) AS height
+           |  FROM documents WHERE doc_id < 300)
+           |SELECT media_id,
+           |  CAST(width // 2 AS INT) AS width, CAST(height // 2 AS INT) AS height,
+           |  ${ch(31, 7, 13)} AS sum_r,
+           |  ${ch(17, 11, 3)} AS sum_g,
+           |  ${ch(7, 5, 19)} AS sum_b
+           |FROM imgs ORDER BY media_id""".stripMargin
+      })
   )
 }

@@ -765,6 +765,29 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("downsampleImages: floor-mean 2x2 box filter is block-exact; corrupt blobs drop") {
+    import spark.implicits._
+    val ids = (0L until 20L).toDF("doc_id")
+    val good = synthesizePngs(ids, "doc_id")
+    val corrupt = Seq(ImageRow(99L, Array[Byte](9, 9, 9))).toDS()
+    val stats = downsampleImages(good.union(corrupt), factor = 2, batchSize = 7).collect()
+    assert(stats.length == 20 && !stats.exists(_.media_id == 99L))
+    stats.foreach { st =>
+      val (w, h) = Multimodal.imageDims(st.media_id)
+      assert(st.width == w / 2 && st.height == h / 2)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (yy <- 0 until h / 2; xx <- 0 until w / 2) {
+        var ar = 0; var ag = 0; var ab = 0
+        for (dy <- 0 until 2; dx <- 0 until 2) {
+          val p = Multimodal.pixelRgb(st.media_id, xx * 2 + dx, yy * 2 + dy)
+          ar += (p >> 16) & 0xff; ag += (p >> 8) & 0xff; ab += p & 0xff
+        }
+        sr += ar / 4; sg += ag / 4; sb += ab / 4
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((sr, sg, sb)), s"image ${st.media_id}")
+    }
+  }
+
   test("JPEG decode path: real lossy codec recovers dimensions") {
     // JPEG is lossy so sums aren't formula-exact — but the decode is the
     // same real ImageIO call, and dimensions must survive the round trip.
