@@ -40,6 +40,35 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("fitRandomized recovers the exact fit's top subspace without the d^2 accumulator") {
+    import spark.implicits._
+    val rows = data(3000, 29)
+    val df = rows.toDF("v").repartition(8)
+    val exact = PCA.fit(df, "v", k = 2)
+    val sketch = PCA.fitRandomized(df, "v", k = 2, oversample = 4, powerIters = 1)
+    // per-component alignment (strong planted eigengap -> vectors match,
+    // not just the subspace), sign-fix makes the dot positive
+    exact.components.zip(sketch.components).zipWithIndex.foreach { case ((e, s), i) =>
+      val dot = e.zip(s).map { case (a, b) => a * b }.sum
+      assert(dot > 0.999, s"component $i misaligned: dot=$dot")
+    }
+    exact.variance.zip(sketch.variance).foreach { case (ve, vs) =>
+      assert(math.abs(ve - vs) / ve < 0.02, s"variance off: $ve vs $vs")
+    }
+    // orthonormal + sign-fixed like the exact model
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val dot = sketch.components(i).zip(sketch.components(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    sketch.components.foreach(c => assert(c(c.indices.maxBy(j => math.abs(c(j)))) > 0))
+    // deterministic: the seeded test matrix is part of the model identity
+    val again = PCA.fitRandomized(df, "v", k = 2, oversample = 4, powerIters = 1)
+    assert(again.components.map(_.toSeq).toSeq == sketch.components.map(_.toSeq).toSeq)
+    // the same projectColumn serves both models
+    val p = PCA.transform(df.limit(5), "v", sketch, "p").select("p").collect()
+    assert(p.forall(_.getSeq[Double](0).length == 2))
+  }
+
   test("distributed moments match the driver-side covariance exactly enough") {
     import spark.implicits._
     val rows = data(500, 13)
