@@ -138,6 +138,63 @@ object Graph {
    * Like pageRank, the edge list never moves after the initial
    * repartition-by-src.
    */
+  /**
+   * Exact triangle counting via degree-ordered wedge enumeration
+   * (Schank & Wagner 2005; the distributed formulation of Suri &
+   * Vassilvitskii 2011): canonicalize to the undirected distinct edge
+   * set, orient every edge from its lower endpoint to its higher in
+   * the total order (degree, id), enumerate wedges by self-joining
+   * oriented edges on their source, and close each wedge against the
+   * oriented edge set. Returns (node, triangles) for every node in at
+   * least one triangle, each triangle counted once per member.
+   *
+   * Why this shape at 100 TB: the orientation bounds every node's
+   * OUT-degree by O(√m) on any graph, so the wedge self-join
+   * materializes O(m^{3/2}) candidate rows in total — a naive
+   * neighbor-pair explosion is Σ deg² and a single celebrity hub makes
+   * it quadratic. Here the hub sorts HIGHER than almost every
+   * neighbor, so it fans IN (map-side combinable aggregates, an
+   * AQE-splittable equi-join), never out. One declarative plan: two
+   * equi-joins plus one aggregate, no iteration, no driver state.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // sharedScan both reused frames: `und` feeds the degree count
+    // (twice, via the union) plus the orientation join, and the
+    // oriented set `o` is scanned three times (both wedge sides + the
+    // closing probe) — without it Catalyst re-runs the whole upstream
+    // edge-build pipeline once per consumer (6+ recomputes measured
+    // on the x03 plan)
+    val und = InternalFrame.sharedScan(edges.select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient by the total order (degree, id): lower key -> higher key
+    val keyed = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = InternalFrame.sharedScan(keyed.select(
+      when(uLower, col("u")).otherwise(col("v")).as("a"),
+      when(uLower, col("v")).otherwise(col("u")).as("b"),
+      when(uLower, col("dv")).otherwise(col("du")).as("db")))
+    // wedges (b, c) centered at a, emitted once (b strictly below c in
+    // the same total order), closed by the oriented edge b -> c
+    val e1 = o.select(col("a"), col("b").as("x"), col("db").as("dx"))
+    val e2 = o.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("a"), col("x"), col("y"))
+    val tri = wedges.join(
+      o.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    tri.select(col("a").as("node"))
+      .union(tri.select(col("x").as("node")))
+      .union(tri.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession

@@ -265,6 +265,89 @@ object Similarity {
   }
 
   /**
+   * Product-quantization (PQ) approximate top-k (Jégou, Douze & Schmid
+   * 2011): the vector splits into `m` contiguous subspaces, each
+   * quantized independently against its own small codebook, so a corpus
+   * vector compresses to m codes — m BYTES at ≤256 codes/subspace, a
+   * 32× memory/shuffle reduction over d=64 float32 — while search
+   * quality degrades gracefully (the quantization error is the sum of
+   * per-subspace errors, not a single coarse cell's).
+   *
+   * Scoring is asymmetric distance (ADC): the EXACT query vector
+   * against the reconstructed corpus vector. It is computed here as one
+   * native `sqDist` against the concatenation of the assigned codebook
+   * entries — arithmetically identical to the classic m-lookup-table
+   * sum, but it keeps the 64-add summation order identical to the
+   * exact path, so the oracle can replay it bit-for-bit.
+   *
+   * Scale posture: codebooks are model-sized broadcasts (m·k·d/m
+   * doubles ≈ the full seed set); encoding is one narrow codegen'd pass
+   * (m `CellArgmin` expressions over array slices — no corpus×codebook
+   * join); at 100 TB the CODES column is what persists and shuffles
+   * (l03's layout move applies verbatim: codes partition, vectors
+   * stay home), and reconstruction happens only at scoring time
+   * against the broadcast codebooks. Ranking distances floor-quantize
+   * to 1e-6 before the heap so summation-order ulps can never flip a
+   * rank between engines.
+   *
+   * `codebooks(j)` holds subspace j's centroids (all of length d/m).
+   */
+  def knnPq(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorExpressions.cellArgmin
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // encode: m sub-codes per vector, each an argmin in its own subspace
+    val codes = (0 until m).map(j =>
+      cellArgmin(slice(col("cv"), j * dsub + 1, dsub), codebooks(j)).as(s"c$j"))
+    val encoded = c.select(col("neighbor_id") +: codes: _*)
+    // reconstruct from the broadcast codebooks (codes → centroid slices,
+    // concatenated in subspace order so the dim order equals the input's)
+    val recon = concat((0 until m).map(j =>
+      element_at(typedlit(codebooks(j).map(_.toSeq).toSeq), col(s"c$j") + 1)): _*)
+    val rec = encoded.select(col("neighbor_id"), recon.as("rv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    rec.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(sqDist(col("qv"), col("rv")) * 1e6 + lit(0.5)) / 1e6).as("adist"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), -col("adist"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), (-col("nb.score")).as("adist"))
+  }
+
+  /**
+   * Train PQ codebooks on a bounded id-ordered sample: per subspace,
+   * driver-side Lloyd over the sample's sub-vectors (the [[knnIvf]]
+   * sampling argument — codebooks need the coarse shape only, and m
+   * independent d/m-dimensional k-means runs on ≤`sampleN` points are
+   * milliseconds of driver arithmetic vs 20+ scheduler round-trips
+   * each). Deterministic: ordered sample, seeded init per subspace.
+   */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, kcode: Int, iters: Int = 10, sampleN: Int = 4096,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val sample = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty PQ training sample")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(sub, kcode, iters, seed + j)
+    }
+  }
+
+  /**
    * Exact maximum-inner-product top-k (MIPS) via the norm-augmentation
    * reduction (Shrivastava & Li 2014; Neyshabur & Srebro 2015): corpus
    * vectors gain one coordinate sqrt(M² − ‖c‖²) with M the max corpus

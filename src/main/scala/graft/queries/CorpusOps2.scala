@@ -390,6 +390,78 @@ object CorpusOps2 {
              |ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "st11_stream_corpus_prep",
+      (s, dir) => {
+        // The STREAMING pretrain-prep twin (p07's flow) under the
+        // DuckDB oracle: gate → watermarked exact dedup → md5 split →
+        // running per-split accounting (CorpusStream.prepPipeline), fed
+        // as two id-ordered MemoryStream micro-batches. Batch 2 replays
+        // 50 batch-1 texts under shifted ids (d12's planted-dup trick):
+        // they drop — and the per-split totals hash-match the batch
+        // rollup — only if the dedup state SURVIVED the batch boundary.
+        // Base texts are unique and arrive id-ordered, so the stream's
+        // keep-first winner is the oracle's min(doc_id) winner, and the
+        // planted ids (1000000+) would land in different splits than
+        // their originals if kept, so a state loss cannot hash-cancel.
+        // collect() is the MemoryStream feeding harness; production
+        // uses readStream (see st01's note; same 4-state-partition cap).
+        import graft.streaming.CorpusStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val dEnc = org.apache.spark.sql.Encoders.product[CorpusStream.Doc]
+        val base = Tables(s, dir).documents
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id").cast("long"), col("text"))
+          .orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val batches = Seq(
+          base.filter(_._1 < 250).toSeq,
+          (base.filter(_._1 >= 250) ++
+            base.filter(_._1 < 50).map { case (id, t) => (id + 1000000L, t) }).toSeq)
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[CorpusStream.Doc]
+        val ckpt = java.nio.file.Files.createTempDirectory("st11_ckpt").toString
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try CorpusStream.prepPipeline(stream.toDS(), watermark = "1 hour")
+            .writeStream.format("memory").queryName("st11_prep")
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          batches.zipWithIndex.foreach { case (batch, i) =>
+            stream.addData(batch.map { case (id, t) =>
+              CorpusStream.Doc(id,
+                java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00"), t)
+            })
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        // update mode re-emits a split's row per refinement; the counts
+        // are monotone, so the max per split is the final running total
+        s.table("st11_prep").groupBy("split")
+          .agg(max("n_docs").as("n_docs"),
+            max("total_tokens").as("total_tokens"))
+          .orderBy("split")
+      },
+      Some("""WITH gated AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id < 500
+             |    AND len(string_split(text, ' ')) >= 20
+             |    AND len(list_filter(string_split(text, ' '),
+             |          x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+             |        / len(string_split(text, ' ')) <= 0.3)
+             |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+             |FROM gated GROUP BY split ORDER BY split""".stripMargin)),
+
+    Q(
       "t20_bpe_tokens",
       (s, dir) => {
         // BPE token accounting (ops/Bpe): per-doc subword token counts

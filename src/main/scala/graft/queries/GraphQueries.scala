@@ -116,6 +116,50 @@ object GraphQueries {
              |    FROM e JOIN r2 ON e.src = r2.node) GROUP BY node)
              |SELECT d AS dist, count(*) AS n_nodes,
              |  CAST(sum(node) AS BIGINT) AS id_sum
-             |FROM r3 GROUP BY dist ORDER BY dist""".stripMargin))
+             |FROM r3 GROUP BY dist ORDER BY dist""".stripMargin)),
+
+    Q(
+      "x03_triangles",
+      (s, dir) => {
+        // Exact per-node triangle counts over the customer co-purchase
+        // graph (customers linked by ordering the same part, parts
+        // < 20 — 500 nodes, ~9.4k edges, degrees 2..153 at sf0.01, so
+        // the degree orientation is load-bearing, not decorative).
+        // Pure integer arithmetic end to end: DuckDB replays the same
+        // canonicalize → orient → wedge → close joins exactly.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        graft.ops.Graph.triangleCounts(edges).orderBy("node")
+      },
+      Some("""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS pk
+             |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |    WHERE l_partkey < 20),
+             |und AS (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+             |    CAST(b.c AS BIGINT) AS v
+             |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+             |deg AS (SELECT node, count(*) AS d FROM (
+             |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+             |  GROUP BY node),
+             |o AS (SELECT
+             |    CASE WHEN [du.d, u] < [dv.d, v] THEN u ELSE v END AS a,
+             |    CASE WHEN [du.d, u] < [dv.d, v] THEN v ELSE u END AS b,
+             |    CASE WHEN [du.d, u] < [dv.d, v] THEN dv.d ELSE du.d END AS db
+             |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+             |tri AS (SELECT e1.a AS ta, e1.x AS tx, e2.y AS ty FROM
+             |    (SELECT a, b AS x, db AS dx FROM o) e1
+             |    JOIN (SELECT a, b AS y, db AS dy FROM o) e2
+             |      ON e1.a = e2.a AND [e1.dx, e1.x] < [e2.dy, e2.y]
+             |    JOIN o e3 ON e3.a = e1.x AND e3.b = e2.y)
+             |SELECT node, count(*) AS triangles FROM (
+             |  SELECT ta AS node FROM tri
+             |  UNION ALL SELECT tx FROM tri UNION ALL SELECT ty FROM tri)
+             |GROUP BY node ORDER BY node""".stripMargin))
   )
 }

@@ -191,6 +191,38 @@ object PlanQueries {
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q(
+      "l04_orc_source",
+      (s, dir) => {
+        // §2.8 source-format coverage beyond parquet/CSV: ORC as a
+        // native interchange sink/source. An orders slice is persisted
+        // through Spark's ORC writer sorted within files by
+        // o_orderdate (tight per-stripe min/max), then read back with
+        // a year predicate + 3-column projection — both reach the ORC
+        // scan (PushedFilters / ReadSchema, asserted in LayoutSpec).
+        // Relayout to another FORMAT moves rows, never changes them,
+        // so the oracle computes the identical aggregate from the
+        // parquet source table.
+        val t = Tables(s, dir)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_l04_${math.abs(dir.hashCode)}"
+        t.orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+          .sortWithinPartitions("o_orderdate")
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1996-01-01"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            fround(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |  count(*) AS n_orders,
+             |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+             |FROM orders
+             |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+             |GROUP BY month ORDER BY month""".stripMargin)),
+
+    Q(
       "l02_bucketed_incremental",
       (s, dir) => {
         // dc02's documented 100 TB layout made real: both snapshot

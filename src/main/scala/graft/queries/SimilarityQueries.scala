@@ -531,6 +531,59 @@ object SimilarityQueries {
              |FROM (SELECT query_id, neighbor_id, cos,
              |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
              |      FROM hits)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "a12_knn_pq",
+      (s, dir) => {
+        // Product quantization with DETERMINISTIC codebooks: subspace
+        // j's 16 centroids are the j-th 16-dim slices of seed vectors
+        // vec_id 10..25 (a05's fixed-quantizer move applied per
+        // subspace), so encode → reconstruct → ADC rank is closed-form
+        // and DuckDB replays every argmin and every 64-add distance sum
+        // bit-for-bit. Production trains codebooks via `pqCodebooks`
+        // (bounded sample + per-subspace Lloyd; recall spec'd).
+        val e = Tables(s, dir).embeddings
+        val seeds = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val dsub = 16
+        val codebooks = Array.tabulate(4)(j =>
+          seeds.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+        graft.ops.Similarity.knnPq(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, codebooks)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cb AS (SELECT vec_id - 10 AS code, v FROM e
+             |       WHERE vec_id >= 10 AND vec_id < 26),
+             |c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 10),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+             |assign AS (SELECT neighbor_id, j, code FROM (
+             |    SELECT c.neighbor_id, s.j, cb.code,
+             |      row_number() OVER (PARTITION BY c.neighbor_id, s.j ORDER BY
+             |        list_sum(list_transform(list_zip(
+             |            c.v[s.j*16+1 : s.j*16+16], cb.v[s.j*16+1 : s.j*16+16]),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), cb.code) AS rn
+             |    FROM c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) s CROSS JOIN cb)
+             |  WHERE rn = 1),
+             |slices AS (SELECT a.neighbor_id, a.j,
+             |    cb.v[a.j*16+1 : a.j*16+16] AS sl
+             |  FROM assign a JOIN cb USING (code)),
+             |recon AS (SELECT neighbor_id, flatten(list(sl ORDER BY j)) AS rv
+             |  FROM slices GROUP BY neighbor_id),
+             |hits AS (SELECT q.query_id, r.neighbor_id,
+             |    floor(list_sum(list_transform(list_zip(q.qv, r.rv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000.0 + 0.5)
+             |      / 1000000.0 AS adist
+             |  FROM q CROSS JOIN recon r)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adist
+             |FROM (SELECT query_id, neighbor_id, adist,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY adist, neighbor_id) AS rn
+             |      FROM hits)
              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

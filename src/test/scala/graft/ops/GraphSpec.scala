@@ -90,6 +90,24 @@ class GraphSpec extends SparkTestBase {
     assert(ms === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("triangleCounts: planted K4 + pendant path, orientation-safe, input-shape invariant") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + path 4-5-6 (none)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val path = Seq((4L, 5L), (5L, 6L))
+    // feed DUPLICATED and REVERSED edges: canonicalization must absorb both
+    val noisy = (k4 ++ path).flatMap { case (a, b) => Seq((a, b), (b, a), (a, b)) }
+    val got = Graph.triangleCounts(noisy.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // star graph (a hub, the skew case the orientation exists for): 0 triangles
+    val star = (1L to 50L).map(i => (0L, i))
+    assert(Graph.triangleCounts(star.toDF("src", "dst")).count() === 0)
+    // partition invariance
+    val again = Graph.triangleCounts(noisy.toDF("src", "dst").repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("all-dangling graph: mass redistributes uniformly") {
     // single edge, then its dst dangles; after round 1 both nodes carry
     // base + dshare (+ contrib for dst) — just assert determinism + keys

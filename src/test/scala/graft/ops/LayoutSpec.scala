@@ -103,6 +103,28 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("ORC round-trip: rows identical, filter and projection pushed into the ORC scan") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"s${i % 7}", i * 1.5)).toDF("id", "tag", "x")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc")
+    try {
+      df.sortWithinPartitions("id").write.mode("overwrite").orc(s"$dir/t")
+      val read = spark.read.orc(s"$dir/t").filter(col("id") >= 900).select("id", "x")
+      val scan = read.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,900)]"),
+        s"filter not pushed into ORC scan:\n$scan")
+      assert(scan.contains("ReadSchema: struct<id:bigint,x:double>"),
+        s"projection not pruned in ORC scan:\n$scan")
+      // format relayout moves rows, never changes them
+      val back = spark.read.orc(s"$dir/t").collect().map(_.toSeq).toSet
+      assert(back == df.collect().map(_.toSeq).toSet)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("ANN-by-layout: probed-cell isin filter prunes cell partitions at planning time") {
     // l03's plan contract: corpus written partitionBy(cell), probe set
     // as literals -> the scan carries PartitionFilters on cell and

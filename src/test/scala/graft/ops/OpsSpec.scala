@@ -652,6 +652,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"int8 recall $recall")
   }
 
+  test("PQ knn: trained codebooks, cluster precision, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double]) = c.map(_ + 0.3 * rnd.nextGaussian()).toSeq
+    val corpus = (100L until 600L).map(i => (i, near(centers((i % 5).toInt))))
+    val queries = (0L until 10L).map(i => (i, near(centers((i % 5).toInt))))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val cb = Similarity.pqCodebooks(cdf, "vec_id", "v", m = 4, kcode = 16)
+    // training must not depend on partitioning (ordered sample, seeded init)
+    val cb2 = Similarity.pqCodebooks(cdf.repartition(7), "vec_id", "v", m = 4, kcode = 16)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq,
+      "PQ codebooks must not depend on partitioning")
+    // PQ's guarantee is COARSE geometry: quantization error is bounded
+    // by per-subspace cell size, so neighbors come from the query's
+    // planted cluster even though within-cluster ranking (points closer
+    // together than the quantization grid) is approximate by design.
+    val approx = Similarity.knnPq(qdf, cdf, "vec_id", "v", k = 5, cb)
+    val got = approx.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => (q, rs.map(_._2).toSet) }
+    val inCluster = got.toSeq.map { case (q, nbs) =>
+      nbs.count(n => n % 5 == q % 5)
+    }.sum
+    val precision = inCluster.toDouble / (got.size * 5)
+    assert(precision >= 0.9, s"PQ cluster precision $precision")
+    // every reported distance is nonnegative and on the 1e-6 grid
+    approx.collect().foreach { r =>
+      val d = r.getDouble(3)
+      assert(d >= 0.0 && math.abs(d * 1e6 - math.rint(d * 1e6)) < 1e-5, s"bad adist $d")
+    }
+    // the whole operator is partition-invariant (quantized ranking keys)
+    val again = Similarity.knnPq(qdf.repartition(3), cdf.repartition(7),
+      "vec_id", "v", k = 5, cb).collect().map(_.toSeq).toSet
+    assert(again == approx.collect().map(_.toSeq).toSet, "partition-variant PQ result")
+  }
+
   test("distributed k-means recovers planted clusters and matches a driver replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
