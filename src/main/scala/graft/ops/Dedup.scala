@@ -843,4 +843,63 @@ object Dedup {
     val uni = size(array_union(a, b))
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
   }
+
+  /**
+   * Cross-document PARAGRAPH dedup — the sub-document boilerplate pass
+   * of C4 (Raffel et al. 2020: "discard all but one of any
+   * three-sentence span occurring more than once") and RefinedWeb's
+   * line-dedup: every document splits into fixed `w`-token chunks (the
+   * testdata corpus has no newline/sentence structure, so the chunker
+   * is positional; a real crawl swaps in a split-on-`\n` — everything
+   * downstream is unchanged), each distinct chunk keeps only its FIRST
+   * occurrence in corpus order (min (doc_id, chunk_idx)), and each
+   * document reassembles from its surviving chunks in position order.
+   * Returns (idCol, n_chunks, n_kept, cleaned_text) for every input
+   * document — cleaned_text = '' when every chunk of the document
+   * appeared earlier somewhere else (the full-duplicate case).
+   *
+   * This is NOT [[spanCensus]]: the census counts cross-document
+   * sharing per overlapping sliding window; this op PARTITIONS the
+   * document into disjoint chunks and REWRITES the corpus.
+   *
+   * Scale shape: chunks assemble narrowly (split + positional explode
+   * + slice — no token shuffle) and are keyed by the engine-portable
+   * 52-bit md5 before any exchange. The winner census aggregates
+   * map-side on the hash (a viral boilerplate chunk shrinks per
+   * partition before it moves); the winner join is equi-keyed on the
+   * hash (AQE skew-split applies) and 1:1 on the probe side, so the
+   * only exchange that carries chunk TEXT is the final reassembly
+   * groupBy — output data, irreducible. The chunk frame is computed
+   * once and shared across its three consumers (census, probe, per-doc
+   * totals) via [[InternalFrame.sharedScan]].
+   *
+   * The (id, chunk_idx) winner order packs into `id * 1000000 + ci` so
+   * the oracle replays the min exactly; chunk_idx < 10^6 bounds
+   * documents at w·10^6 tokens — far beyond any real document.
+   */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    import graft.functions.VectorExpressions.md5Hash52
+    val chunks = InternalFrame.sharedScan(docs
+      .select(col(idCol).cast("long").as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / w).cast("int"))).as("ci"))
+      .select(col("id"), col("ci"),
+        concat_ws(" ", slice(col("t"), col("ci") * w + 1, lit(w))).as("chunk"))
+      .withColumn("h", md5Hash52(col("chunk"))))
+    val wkey = col("id") * 1000000L + col("ci")
+    val winners = chunks.groupBy("h").agg(min(wkey).as("wkey"))
+    val kept = chunks.join(winners, "h").filter(wkey === col("wkey"))
+    val perDoc = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    val keptPerDoc = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("ci"), col("chunk")))),
+        c => c.getField("chunk")), " ").as("cleaned_text"))
+    perDoc.join(keptPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -486,6 +486,55 @@ object DedupQueries {
              |FROM per_key GROUP BY source ORDER BY source""".stripMargin)),
 
     Q(
+      "d13_paragraph_dedup",
+      (s, dir) => {
+        // Sub-document boilerplate removal (C4's three-sentence rule /
+        // RefinedWeb line-dedup, positional 10-token chunks here):
+        // every distinct chunk keeps its first occurrence in corpus
+        // order, documents reassemble from survivors. Planted full
+        // copies under shifted ids (d01's trick) must come back with
+        // n_kept = 0 and empty text; the small shared vocabulary also
+        // makes ORGANIC cross-doc chunk collisions, so the oracle
+        // checks real partial rewrites, not just the planted ones.
+        // md5 is the oracle-critical piece: the winner census and join
+        // key on the engine-portable 52-bit md5 plane, replayed in SQL.
+        val d = Tables(s, dir).documents.select("doc_id", "text")
+        val corpus = d.union(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.ops.Dedup.paragraphDedup(corpus, "doc_id", "text", w = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+             |chunks AS (SELECT doc_id, ci,
+             |    array_to_string(t[ci*10+1 : ci*10+10], ' ') AS chunk
+             |  FROM (SELECT doc_id, t, unnest(range((len(t) + 9) // 10)) AS ci
+             |        FROM toks)),
+             |hashed AS (SELECT doc_id, ci, chunk,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j -> CAST(strpos('0123456789abcdef',
+             |        substr(md5(chunk), j + 1, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) AS h
+             |  FROM chunks),
+             |winners AS (SELECT h, min(doc_id * 1000000 + ci) AS wkey
+             |  FROM hashed GROUP BY h),
+             |kept AS (SELECT doc_id, ci, chunk FROM hashed JOIN winners USING (h)
+             |  WHERE doc_id * 1000000 + ci = wkey),
+             |perdoc AS (SELECT doc_id, count(*) AS n_chunks FROM hashed
+             |  GROUP BY doc_id),
+             |keptdoc AS (SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(chunk, ' ' ORDER BY ci) AS cleaned_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT p.doc_id, p.n_chunks,
+             |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |  coalesce(k.cleaned_text, '') AS cleaned_text
+             |FROM perdoc p LEFT JOIN keptdoc k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "d06_embedding_neardup",
       (s, dir) => {
         val e = Tables(s, dir).embeddings.filter(col("vec_id") < 100)

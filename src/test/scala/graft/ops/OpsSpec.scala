@@ -72,6 +72,36 @@ class DedupSpec extends SparkTestBase {
     (base ++ dups).toDF("doc_id", "text")
   }
 
+  test("paragraphDedup: first occurrence wins, rewrites are positional, partition-invariant") {
+    import spark.implicits._
+    // doc 1: chunks A B; doc 2: chunks B C (B repeats cross-doc);
+    // doc 3: full copy of doc 1 (all chunks lost); doc 4: unique
+    val A = (1 to 4).map(i => s"a$i").mkString(" ")
+    val B = (1 to 4).map(i => s"b$i").mkString(" ")
+    val C = (1 to 4).map(i => s"c$i").mkString(" ")
+    val D = (1 to 4).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$A $B"), (2L, s"$B $C"), (3L, s"$A $B"), (4L, D))
+      .toDF("doc_id", "text")
+    val got = paragraphDedup(docs, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, s"$A $B"))) // first occurrence keeps all
+    assert(got(2L) === ((2L, 1L, C)))        // B was doc 1's; C survives
+    assert(got(3L) === ((2L, 0L, "")))       // full duplicate: empty
+    assert(got(4L) === ((1L, 1L, D)))
+    // ragged tail chunk (len not divisible by w) still round-trips
+    val ragged = Seq((9L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val rag = paragraphDedup(ragged, "doc_id", "text", w = 4)
+      .collect().head
+    assert(rag.getLong(1) === 2L && rag.getString(3) === "x1 x2 x3 x4 x5 x6")
+    // partition invariance (winner rule is a total order, not arrival order)
+    val again = paragraphDedup(docs.repartition(7), "doc_id", "text", w = 4)
+      .collect().map(r => r.toSeq).toSet
+    assert(again === paragraphDedup(docs, "doc_id", "text", w = 4)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val pairs = minHashCandidatePairs(corpusWithDups(), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
