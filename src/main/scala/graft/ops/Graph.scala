@@ -195,6 +195,111 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /**
+   * Deterministic synchronous label propagation (Raghavan et al. 2007's
+   * community detection, in the reproducible semi-synchronous variant):
+   * every node starts as its own label; each round every node adopts
+   * the label most frequent among its neighbors, ties broken by the
+   * SMALLEST label — a total order, so the result is independent of
+   * partitioning and arrival order (classic LPA's random visit order is
+   * deliberately dropped; async order-dependence cannot be oracled and
+   * does not distribute). Runs exactly `rounds` synchronous rounds over
+   * the symmetrized edge set and returns (node, label).
+   *
+   * Scale shape per round: one equi-join of the materialized edge list
+   * against the label frame (labels are (node, label) longs — the edge
+   * list never moves after the initial repartition), then a two-level
+   * aggregate — (node, label) partial counts combine map-side, and the
+   * argmax is a min over the packed (-count, label) struct, NOT a
+   * window, so a celebrity node's rows shrink before they shuffle and
+   * AQE can split what remains. State between rounds is the label
+   * frame only (16 B/node), rotated through lineage-truncating
+   * persistence like [[pageRank]]'s.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val (e, eRdd) = materializeEdges(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("dst")))
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val rot = new Rotation
+    for (_ <- 1 to rounds) {
+      val (cur, _) = rot.materialize(labels, rowBytes = 16)
+      val best = e
+        .join(cur.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("src")
+        .agg(min(struct(-col("n"), col("label"))).as("b"))
+        .select(col("src").as("node"), col("b.label").as("label"))
+      // the symmetric view gives every node >= 1 neighbor, but keep
+      // the no-neighbor fall-through total regardless
+      labels = cur.select(col("node"), col("label").as("old"))
+        .join(best.select(col("node"), col("label").as("new")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("new"), col("old")).as("label"))
+    }
+    val (out, _) = rot.materialize(labels, rowBytes = 16)
+    rot.release()
+    eRdd.unpersist(blocking = false)
+    out
+  }
+
+  /**
+   * Iterative k-core peeling (Batagelj & Zaveršnik 2003's distributed
+   * formulation): each round drops every node whose degree in the
+   * CURRENT surviving subgraph is < k, then restricts the edge set to
+   * surviving endpoints. After `rounds` rounds returns
+   * (node, degree_in_core) over the surviving subgraph — survivors are
+   * a superset of the exact k-core that shrinks monotonically per
+   * round and equals it once a round removes nothing (each peel is the
+   * standard monotone contraction; callers wanting the exact core loop
+   * until the count is stationary — the fixed-round form is what an
+   * unrolled SQL oracle can replay).
+   *
+   * Scale shape per round: degree = one map-side-combinable aggregate
+   * over the symmetric edge frame; the restriction is two left-semi
+   * equi-joins against the (node)-only survivor frame — keys-only
+   * shuffles, AQE-splittable, no windows, no driver state. The edge
+   * frame rotates through lineage-truncating persistence (it SHRINKS
+   * monotonically, so per-round cost falls as peeling proceeds).
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    var e = sym0
+    val rot = new Rotation
+    for (_ <- 1 to rounds) {
+      val (cur, _) = rot.materialize(e, rowBytes = 16)
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("src").as("node"))
+      e = cur
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    }
+    val (out, _) = rot.materialize(e, rowBytes = 16)
+    rot.release()
+    out.groupBy("src").agg(count(lit(1)).as("degree_in_core"))
+      .select(col("src").as("node"), col("degree_in_core"))
+  }
+
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession

@@ -160,6 +160,93 @@ object GraphQueries {
              |SELECT node, count(*) AS triangles FROM (
              |  SELECT ta AS node FROM tri
              |  UNION ALL SELECT tx FROM tri UNION ALL SELECT ty FROM tri)
-             |GROUP BY node ORDER BY node""".stripMargin))
+             |GROUP BY node ORDER BY node""".stripMargin)),
+
+    Q(
+      "x04_label_prop",
+      (s, dir) => {
+        // Deterministic label-propagation communities over the customer
+        // co-purchase graph (x03's edge build): 2 synchronous rounds,
+        // plurality label with smallest-label tie-break — a total
+        // order, so DuckDB replays both rounds exactly (500 nodes
+        // collapse to 16 plurality communities at sf0.01).
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        graft.ops.Graph.labelPropagation(edges, rounds = 2).orderBy("node")
+      },
+      Some("""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS pk
+             |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |    WHERE l_partkey < 20),
+             |und AS (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+             |    CAST(b.c AS BIGINT) AS v
+             |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+             |e AS (SELECT u AS src, v AS dst FROM und
+             |      UNION ALL SELECT v, u FROM und),
+             |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |r1 AS (SELECT node, label FROM (
+             |    SELECT e.src AS node, l.label, count(*) AS n,
+             |      row_number() OVER (PARTITION BY e.src
+             |        ORDER BY count(*) DESC, l.label) AS rn
+             |    FROM e JOIN l0 l ON e.dst = l.node GROUP BY e.src, l.label)
+             |  WHERE rn = 1),
+             |r2 AS (SELECT node, label FROM (
+             |    SELECT e.src AS node, l.label, count(*) AS n,
+             |      row_number() OVER (PARTITION BY e.src
+             |        ORDER BY count(*) DESC, l.label) AS rn
+             |    FROM e JOIN r1 l ON e.dst = l.node GROUP BY e.src, l.label)
+             |  WHERE rn = 1)
+             |SELECT node, label FROM r2 ORDER BY node""".stripMargin)),
+
+    Q(
+      "x05_kcore",
+      (s, dir) => {
+        // Iterative 35-core peeling on the co-purchase graph: round 1
+        // drops the degree-<35 fringe (500 -> 228 nodes at sf0.01),
+        // round 2 drops 43 more whose support was that fringe, round 3
+        // proves the fixpoint — the oracle replays all three unrolled
+        // peels, so a non-iterative degree filter cannot fake it.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        graft.ops.Graph.kCore(edges, k = 35, rounds = 3).orderBy("node")
+      },
+      Some("""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS pk
+             |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |    WHERE l_partkey < 20),
+             |und AS (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+             |    CAST(b.c AS BIGINT) AS v
+             |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+             |e0 AS (SELECT u AS src, v AS dst FROM und
+             |       UNION ALL SELECT v, u FROM und),
+             |k1 AS (SELECT src AS node FROM e0 GROUP BY src
+             |       HAVING count(*) >= 35),
+             |e1 AS (SELECT src, dst FROM e0
+             |  WHERE src IN (SELECT node FROM k1)
+             |    AND dst IN (SELECT node FROM k1)),
+             |k2 AS (SELECT src AS node FROM e1 GROUP BY src
+             |       HAVING count(*) >= 35),
+             |e2 AS (SELECT src, dst FROM e1
+             |  WHERE src IN (SELECT node FROM k2)
+             |    AND dst IN (SELECT node FROM k2)),
+             |k3 AS (SELECT src AS node FROM e2 GROUP BY src
+             |       HAVING count(*) >= 35),
+             |e3 AS (SELECT src, dst FROM e2
+             |  WHERE src IN (SELECT node FROM k3)
+             |    AND dst IN (SELECT node FROM k3))
+             |SELECT src AS node, count(*) AS degree_in_core
+             |FROM e3 GROUP BY src ORDER BY node""".stripMargin))
   )
 }

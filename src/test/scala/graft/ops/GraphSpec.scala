@@ -108,6 +108,44 @@ class GraphSpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("labelPropagation: planted cliques converge to per-clique labels, partition-invariant") {
+    // two K5s {1..5} and {11..15} joined by one bridge 5-11; plurality
+    // wins, so the bridge cannot merge the cliques
+    def k5(off: Long) = for { a <- 1 to 5; b <- a + 1 to 5 }
+      yield (off + a, off + b)
+    val edges = (k5(0) ++ k5(10) ++ Seq((5L, 11L)))
+      .map { case (a, b) => (a.toLong, b.toLong) }
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(n => got(n) == 1L), s"clique 1 labels: $got")
+    assert((11L to 15L).forall(n => got(n) == 11L), s"clique 2 labels: $got")
+    // duplicated/reversed edges + partitioning must not change anything
+    val noisy = edges.flatMap { case (a, b) => Seq((a, b), (b, a), (a, b)) }
+    val again = Graph.labelPropagation(
+      noisy.toDF("src", "dst").repartition(7), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("kCore: pendant chain peels away over rounds, K5 core survives exactly") {
+    // K5 on {1..5} (every degree 4) + chain 5-6-7-8: degree-1 tip peels
+    // first, the chain unravels one node PER ROUND — rounds matter
+    val k5 = for { a <- 1 to 5; b <- a + 1 to 5 } yield (a.toLong, b.toLong)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = (k5 ++ chain).toDF("src", "dst")
+    val r1 = Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(r1.contains(7L), "round 1 must not yet peel mid-chain node 7")
+    val r3 = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3.keySet === Set(1L, 2L, 3L, 4L, 5L), s"core nodes: ${r3.keySet}")
+    assert(r3.values.toSet === Set(4L), "K5 core degrees must all be 4")
+    // partition invariance
+    val again = Graph.kCore(edges.repartition(5), k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === r3)
+  }
+
   test("all-dangling graph: mass redistributes uniformly") {
     // single edge, then its dst dangles; after round 1 both nodes carry
     // base + dshare (+ contrib for dst) — just assert determinism + keys
