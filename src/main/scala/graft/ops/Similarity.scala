@@ -446,4 +446,53 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
   }
+
+  /**
+   * Corpus-wide approximate k-NN GRAPH construction over an embedding
+   * column — the substrate for graph-based ANN indexes (HNSW/NSG
+   * seeding), embedding-cosine near-dup clusters, and semantic label
+   * propagation. Unlike [[knnLsh]] (small query set broadcast against a
+   * corpus), BOTH sides here are the full corpus, so nothing is
+   * broadcast: each vector lands in `tables` random-hyperplane (tbl,
+   * bucket) cells and candidate pairs are bucket-mates via a shuffle
+   * EQUI-join on (tbl, bucket) — never all-pairs. Multi-table duplicate
+   * pairs collapse through a (src, dst) groupBy-max BEFORE ranking, so
+   * each cosine survives once; per-node ranking is the native bounded-
+   * heap `graft_topk` aggregate (similarity desc, then neighbor id) —
+   * no window over the corpus. With `mutual = true` only edges whose
+   * reverse also ranked survive (the mutual-kNN graph used by density-
+   * based dedup clustering); ranks keep their directed values.
+   *
+   * 100 TB posture: shuffle keys are (tbl, bucket) — expected candidate
+   * volume is explicitly budgeted by `planes` (E[pairs/table] ≈
+   * n²/2^planes for balanced buckets) and skewed celebrity buckets are
+   * AQE-splittable; per-node state is a k-entry heap; the mutual filter
+   * is a left-semi self-join on (src, dst) keys only.
+   */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, planes: Int = 12, tables: Int = 4,
+      mutual: Boolean = false): DataFrame = {
+    def keyed(id: String, vec: String) = {
+      val tbls = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"), hyperplaneKey(col(vec), dim, planes, seed = 100 + t).as("bucket")))
+      corpus.select(col(idCol).as(id), col(vecCol).as(vec))
+        .select(col(id), col(vec), explode(array(tbls: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    val ranked = keyed("src", "sv").join(keyed("dst", "dv"), Seq("tbl", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("cos"))
+      .groupBy("src", "dst").agg(max("cos").as("cos"))
+      .groupBy("src")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("dst"), col("cos"), k).as("topk"))
+      .select(col("src"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("src"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("dst"), col("nb.score").as("cos"))
+    if (!mutual) ranked
+    else ranked.join(
+      ranked.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+      .select("src", "rank", "dst", "cos")
+  }
 }

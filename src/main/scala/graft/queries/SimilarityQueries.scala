@@ -584,6 +584,43 @@ object SimilarityQueries {
              |        row_number() OVER (PARTITION BY query_id
              |          ORDER BY adist, neighbor_id) AS rn
              |      FROM hits)
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "a13_knn_graph",
+      (s, dir) => {
+        // Corpus-wide mutual 3-NN graph over all 500 embeddings:
+        // LSH self-bucketing (8 planes so sf0.01 buckets actually
+        // collide), pairwise cosine once per (src, dst), native heap
+        // top-k per node, then the mutual left-semi filter. DuckDB
+        // replays bucketing, dedup, ranking, and mutuality exactly.
+        val e = Tables(s, dir).embeddings
+        graft.ops.Similarity.knnGraph(
+          e, "vec_id", "embedding", k = 3, dim = 64,
+          planes = 8, tables = 4, mutual = true)
+          .select(col("src"), col("rank"), col("dst"),
+            fround(col("cos"), 4).as("cos"))
+          .orderBy("src", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |kb AS (
+             |  ${lshKeyedSql("TRUE", "id", "kv", dim = 64, planes = 8, tables = 4)}),
+             |hits AS (SELECT a.id AS src, b.id AS dst,
+             |    list_sum(list_transform(list_zip(a.kv, b.kv), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(a.kv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(b.kv, x -> x * x)))) AS cos
+             |  FROM kb a JOIN kb b
+             |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
+             |best AS (SELECT src, dst, max(cos) AS cos FROM hits GROUP BY 1, 2),
+             |ranked AS (SELECT src, dst, cos,
+             |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             |  FROM best),
+             |topk AS (SELECT src, dst, cos, rn FROM ranked WHERE rn <= 3)
+             |SELECT t.src, CAST(t.rn AS INT) AS rank, t.dst,
+             |  floor(t.cos * 10000.0 + 0.5) / 10000.0 AS cos
+             |FROM topk t
+             |WHERE EXISTS (SELECT 1 FROM topk r
+             |              WHERE r.src = t.dst AND r.dst = t.src)
+             |ORDER BY src, rank""".stripMargin))
   )
 }

@@ -662,6 +662,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("knnGraph: planted clusters stay intra-cluster, mutual filter symmetric, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // two tight clusters far apart: every node's true neighbors are
+    // cluster-mates, so the LSH graph must never cross clusters
+    val c1 = Array.fill(16)(rnd.nextGaussian() * 3)
+    val c2 = c1.map(-_)
+    def near(c: Array[Double]) = c.map(_ + 0.05 * rnd.nextGaussian()).toSeq
+    val rows = (0L until 20L).map(i => (i, near(if (i < 10) c1 else c2)))
+    val df = rows.toDF("vec_id", "v")
+    val g = Similarity.knnGraph(df, "vec_id", "v", k = 3, dim = 16,
+      planes = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(g.nonEmpty)
+    assert(g.forall { case (s, d) => (s < 10) == (d < 10) },
+      s"cross-cluster edge in $g")
+    // mutual graph is a symmetric subset of the directed graph
+    val m = Similarity.knnGraph(df, "vec_id", "v", k = 3, dim = 16,
+      planes = 4, tables = 4, mutual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(m.subsetOf(g))
+    assert(m.forall { case (s, d) => m.contains((d, s)) }, s"asymmetric: $m")
+    // partitioning must not change either result
+    val again = Similarity.knnGraph(df.repartition(7), "vec_id", "v", k = 3,
+      dim = 16, planes = 4, tables = 4, mutual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === m)
+  }
+
   test("int8-quantized knn preserves high recall vs exact float knn") {
     import spark.implicits._
     import graft.functions.VectorExpressions.int8Quantize
