@@ -573,6 +573,49 @@ object Events {
              |    row_number() OVER (ORDER BY cents DESC, event_id) AS rn
              |  FROM (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
              |        FROM events WHERE user_id % 7 = 0))
-             |WHERE rn <= 100 ORDER BY rank""".stripMargin))
+             |WHERE rn <= 100 ORDER BY rank""".stripMargin)),
+
+    Q(
+      "e11_retention",
+      (s, dir) => {
+        // Weekly cohort RETENTION matrix — the product-analytics
+        // staple. Shape: events collapse to distinct (user, week)
+        // pairs (map-side combinable), each user reduces to a
+        // first-touch cohort week (one min-aggregate), and the matrix
+        // is a (cohort, offset)-keyed count — weeks²-sized output
+        // however large the event log, with the only user-keyed work
+        // being two aggregates and one equi-join on user_id. No
+        // windows, no distinct-over-window, nothing driver-side.
+        val t = Tables(s, dir)
+        val uw = t.events
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .distinct()
+        val cohorts = uw.groupBy("user_id").agg(min("week").as("cohort"))
+        val sizes = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          cohorts.groupBy("cohort").agg(count(lit(1)).as("cohort_size")))
+        uw.join(cohorts, "user_id")
+          .groupBy(col("cohort"),
+            (datediff(col("week"), col("cohort")) / 7).cast("int").as("week_offset"))
+          .agg(count(lit(1)).as("retained"))
+          .join(sizes, "cohort")
+          .select(col("cohort"), col("week_offset"), col("retained"),
+            fround(col("retained") * lit(1.0) / col("cohort_size"), 4).as("rate"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+             |    WHERE event_type = 'purchase'),
+             |co AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1),
+             |sz AS (SELECT cohort, count(*) AS cohort_size FROM co GROUP BY 1),
+             |m AS (SELECT co.cohort,
+             |    CAST(date_diff('day', co.cohort, uw.week) / 7 AS INT) AS week_offset,
+             |    count(*) AS retained
+             |  FROM uw JOIN co USING (user_id) GROUP BY 1, 2)
+             |SELECT cohort, week_offset, retained,
+             |  floor(retained * 1.0 / cohort_size * 10000.0 + 0.5) / 10000.0 AS rate
+             |FROM m JOIN sz USING (cohort)
+             |ORDER BY cohort, week_offset""".stripMargin))
   )
 }
