@@ -102,4 +102,60 @@ object Layout {
       "RoundRobinPartitioning)").r
     shuffle.findFirstIn(plan).isEmpty
   }
+
+  /**
+   * Deterministic compaction PLAN over a file inventory: next-fit
+   * binning on the (bytes desc, path) total order — running byte sum,
+   * `bin = floor((cumsum - bytes) / target)` — so every bin closes at
+   * ≤ target + one file and the assignment replays as plain SQL window
+   * arithmetic (no first-fit backtracking, which is inherently
+   * sequential AND order-fragile). The global window here is over the
+   * FILE INVENTORY, not data: at 100 TB with 128 MB files that is
+   * ~10⁶ metadata rows on one task — the same driver-scale listing
+   * every table-maintenance system (Iceberg/Delta compaction planning)
+   * already holds in memory. Output: (path, bytes, bin).
+   */
+  def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(bytesCol).desc, col(pathCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files.select(col(pathCol).as("path"), col(bytesCol).as("bytes"))
+      .withColumn("bin",
+        floor((sum("bytes").over(w) - col("bytes")) / lit(targetBytes)).cast("long"))
+  }
+
+  /**
+   * Rewrite a parquet directory's small files into ~`targetBytes`
+   * outputs — the small-file compaction every long-lived 100 TB table
+   * needs (each streaming micro-batch / incremental append leaves
+   * files far under the scan-efficient size; metadata and open costs
+   * then dominate reads). File count comes from the REAL on-disk byte
+   * total (Hadoop FS listing — metadata-sized driver work, like every
+   * table-maintenance planner); rows are range-partitioned on
+   * `sortCols` and sorted within partitions, so the rewrite restores
+   * clustering (parquet min/max file skipping) at the same time, or
+   * round-robin'd when no sort is requested. Returns the output file
+   * count. Writes to `outPath` — compaction swaps directories
+   * atomically at the table layer, it never rewrites in place.
+   */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long, sortCols: Seq[String] = Seq.empty): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(n)
+    out.write.mode("overwrite").parquet(outPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
 }

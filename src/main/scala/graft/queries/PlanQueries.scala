@@ -400,6 +400,38 @@ object PlanQueries {
              |    CAST(max(c) AS BIGINT) AS max_c FROM c),
              |h AS (SELECT user_id AS hot_key, c AS hot_c FROM c
              |      ORDER BY c DESC, user_id LIMIT 1)
-             |SELECT * FROM s CROSS JOIN h""".stripMargin))
+             |SELECT * FROM s CROSS JOIN h""".stripMargin)),
+
+    Q(
+      "l05_compaction_plan",
+      (s, dir) => {
+        // Small-file compaction PLANNING (the maintenance pass every
+        // long-lived 100 TB table needs): documents stand in as the
+        // file inventory (path = doc_id, bytes = octet_length), and
+        // `Layout.compactionPlan` bins them next-fit on the
+        // (bytes desc, path) total order via one running-sum window —
+        // inventory-sized metadata work, deterministic, so DuckDB
+        // replays the exact assignment. The per-bin rollup shows every
+        // bin lands at ≤ target + one file. The physical rewrite twin
+        // (`Layout.compactParquet`, real FS listing + range-partitioned
+        // rewrite) is spec-gated in LayoutSpec.
+        val t = Tables(s, dir)
+        val inv = t.documents.select(
+          col("doc_id").cast("string").as("path"),
+          octet_length(col("text")).cast("long").as("bytes"))
+        graft.ops.Layout.compactionPlan(inv, "path", "bytes", targetBytes = 16384L)
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"))
+          .orderBy("bin")
+      },
+      Some("""WITH f AS (SELECT CAST(doc_id AS VARCHAR) AS path,
+             |    CAST(strlen(text) AS BIGINT) AS bytes FROM documents),
+             |b AS (SELECT path, bytes,
+             |    CAST(floor((sum(bytes) OVER (ORDER BY bytes DESC, path
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+             |      / 16384.0) AS BIGINT) AS bin
+             |  FROM f)
+             |SELECT bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

@@ -231,4 +231,63 @@ class LayoutSpec extends SparkTestBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("compactionPlan: bins respect target + one file, assignment is input-order invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val files = (0 until 200).map(i => (f"f$i%03d", 100L + rnd.nextInt(900)))
+    val target = 2000L
+    val plan = Layout.compactionPlan(files.toDF("path", "bytes"), "path", "bytes", target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(plan.length === 200)
+    val byBin = plan.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxFile = files.map(_._2).max
+    assert(byBin.values.forall(_ <= target + maxFile),
+      s"overfull bin: ${byBin.maxBy(_._2)}")
+    // bins are contiguous from 0 and non-empty
+    assert(byBin.keySet === (0L until byBin.size.toLong).toSet)
+    // shuffled input order must produce the identical assignment
+    val again = Layout.compactionPlan(
+      scala.util.Random.shuffle(files).toDF("path", "bytes").repartition(7),
+      "path", "bytes", target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1) === plan.sortBy(_._1))
+  }
+
+  test("compactParquet: many small files rewrite to the planned count with rows intact and re-sorted") {
+    import spark.implicits._
+    val rows = (0L until 20000L).map(i => (i, s"v$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    try {
+      // 40 tiny files
+      rows.toDF("id", "v").repartition(40).write.parquet(s"$dir/small")
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/small")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def parquetFiles(p: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val total = parquetFiles(s"$dir/small").map(_.getLen).sum
+      val target = total / 4 // plan ⇒ ~4-5 outputs
+      val n = Layout.compactParquet(spark, s"$dir/small", s"$dir/big",
+        target, sortCols = Seq("id"))
+      assert(n === parquetFiles(s"$dir/big").length)
+      assert(n <= 5 && n >= 4, s"expected ~4-5 compacted files, got $n")
+      // rows survive exactly
+      val got = spark.read.parquet(s"$dir/big").as[(Long, String)].collect().toSet
+      assert(got === rows.toSet)
+      // range-partition + sort restored clustering: per-file id ranges
+      // are disjoint (parquet min/max skipping works again)
+      val ranges = spark.read.parquet(s"$dir/big")
+        .groupBy(input_file_name()).agg(min("id"), max("id"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(ranges.sliding(2).forall {
+        case Array((_, hi), (lo, _)) => hi < lo
+        case _ => true
+      }, s"overlapping file ranges: ${ranges.mkString(",")}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
