@@ -21,14 +21,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
 
   /**
-   * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark has no native
-   * type for: read the raw nanos as long and floor-convert to a
-   * microsecond timestamp (matching DuckDB's ns→µs date_diff flooring).
+   * `events.ts` has shipped as both TIMESTAMP(NANOS) (no native Spark
+   * type — surfaces as long under `nanosAsLong`) and plain TIMESTAMP(µs),
+   * depending on the generator version. Adapt to what the file holds:
+   * long nanos are floor-converted to a microsecond timestamp (matching
+   * DuckDB's ns→µs date_diff flooring); native timestamps pass through.
    */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false parquet surfaces as NTZ; downstream code
+        // (unix_micros, session_window) expects TIMESTAMP. The session
+        // timezone is pinned UTC everywhere, so the cast is value-exact.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
