@@ -300,6 +300,69 @@ object Graph {
       .select(col("src").as("node"), col("degree_in_core"))
   }
 
+  /**
+   * HITS hub/authority scoring (Kleinberg 1999) in `iters` mutual-
+   * reinforcement rounds over `edges(src, dst, w)`, made ORACLE-
+   * CHECKABLE the same way [[pageRank]] is: scores are integers in
+   * parts-per-`scale` of the round's MAX score (max-normalization in
+   * exact integer arithmetic — `(raw * scale) div max` — instead of
+   * the classical L2 norm, whose square root has no cross-engine
+   * bit-exact form), and every sum is over longs, so any engine
+   * replays the rounds bit-for-bit.
+   *
+   * Per round: authority(v) = Σ_{(u,v,w)} w·hub(u), rescaled; then
+   * hub(u) = Σ_{(u,v,w)} w·authority(v), rescaled. Returns
+   * (node, auth_ppm, hub_ppm) for every node that holds a nonzero
+   * score (absent = 0 by construction).
+   *
+   * Scale shape: identical to [[pageRank]] — the edge list is
+   * materialized once, each half-round is one equi-join of the
+   * 16 B/node score frame against it plus one map-side-combined sum,
+   * and the per-round max is a single scalar aggregate (model-sized
+   * driver state, broadcast back as a literal). Overflow bound:
+   * `raw·scale` must fit a long, i.e. Σ_in w ≤ 2^63 / scale² — at the
+   * default ppm scale that is ~9e6 weighted in-degree on the hottest
+   * node; shrink `scale` for denser graphs.
+   */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val (eo, eoRdd) = materializeEdges(e.repartition(col("src")))
+    val nodeRot = new Rotation
+    val (nodes, _) = nodeRot.materialize(
+      eo.select(col("src").as("node"))
+        .union(eo.select(col("dst").as("node"))).distinct(), rowBytes = 16)
+    nodeRot.release()
+    val rotA = new Rotation
+    val rotH = new Rotation
+    var hubs = nodes.select(col("node"), lit(scale).as("h"))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      val hPrev = if (i == 1) hubs else { val (c, _) = rotH.materialize(hubs, 24); c }
+      val (araw, _) = rotA.materialize(
+        eo.join(hPrev.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("araw")),
+        rowBytes = 24)
+      val amax = araw.agg(max("araw")).head.getLong(0)
+      auths = araw.select(col("dst").as("node"),
+        expr(s"araw * ${scale}L div ${amax}L").as("a"))
+      val (hraw, _) = rotH.materialize(
+        eo.join(auths.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src")).agg(sum(col("w") * col("a")).as("hraw")),
+        rowBytes = 24)
+      val hmax = hraw.agg(max("hraw")).head.getLong(0)
+      hubs = hraw.select(col("src").as("node"),
+        expr(s"hraw * ${scale}L div ${hmax}L").as("h"))
+    }
+    val out = auths.join(hubs, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_ppm"),
+        coalesce(col("h"), lit(0L)).as("hub_ppm"))
+    rotA.release(); rotH.release()
+    eoRdd.unpersist(blocking = false)
+    out
+  }
+
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession

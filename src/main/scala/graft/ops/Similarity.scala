@@ -57,6 +57,29 @@ object Similarity {
   }
 
   /**
+   * Cosine RANGE search: every (query, corpus) pair with cosine ≥ `tau`
+   * — the "all sufficiently-similar neighbors" primitive (dedup
+   * candidate mining, recall-oriented retrieval), where top-k's fixed
+   * cutoff is the wrong shape. Queries broadcast (model-sized set); the
+   * corpus streams through one scan of the codegen'd cosine expression
+   * and the ≥-filter runs BEFORE anything shuffles — output is
+   * hits-sized, and with no ranking there is no per-query aggregate at
+   * all, so a hot query cannot skew. For corpus-×-corpus range joins at
+   * 100 TB use the LSH-bucketed candidate path (`knnLsh`'s keying) —
+   * brute scan is the right plan only while one side broadcasts.
+   * Output: (query_id, neighbor_id, cos), exact.
+   */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /**
    * Random-hyperplane LSH bucket key: `planes` sign bits packed into a
    * long. Hyperplane coefficients are seeded literals (ship with the
    * plan). `dim` is the embedding dimensionality.

@@ -318,5 +318,44 @@ object CorpusOps {
              |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
              |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
              |       ELSE 'test' END AS split
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "t22_token_entropy",
+      (s, dir) => {
+        // Lexical-diversity quality signal: per-document Shannon
+        // entropy of the token distribution (repetitive/templated text
+        // scores low — the complement of t15's repetition ratio, on an
+        // information-theoretic footing). Per-TERM entropy
+        // contributions -(c/n)·ln(c/n) quantize to integer 1e-6-nat
+        // units BEFORE the per-doc sum (t17's trick), so aggregation
+        // order cannot move the hash. Scale shape: two map-side-
+        // combinable aggregates + one doc-keyed equi-join; the
+        // (doc, term) frame never broadcasts and never windows.
+        val docs = Tables(s, dir).documents
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val c = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        c.join(n, "doc_id")
+          .select(col("doc_id"), col("n"),
+            floor(-p * log(p) * 1e6 + 0.5).cast("long").as("e_u"))
+          .groupBy("doc_id", "n")
+          .agg(count(lit(1)).as("n_distinct"), sum("e_u").as("s"))
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            col("n_distinct"),
+            fround(col("s").cast("double") / lit(1e6), 4).as("entropy_nats"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+             |c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+             |t AS (SELECT c.doc_id, n,
+             |    CAST(floor(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1e6 + 0.5) AS BIGINT) AS e_u
+             |  FROM c JOIN n USING (doc_id))
+             |SELECT doc_id, n AS n_tokens, count(*) AS n_distinct,
+             |  floor(CAST(sum(e_u) AS DOUBLE) / 1e6 * 10000.0 + 0.5) / 10000.0 AS entropy_nats
+             |FROM t GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)))
 }

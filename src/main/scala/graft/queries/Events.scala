@@ -616,6 +616,41 @@ object Events {
              |SELECT cohort, week_offset, retained,
              |  floor(retained * 1.0 / cohort_size * 10000.0 + 0.5) / 10000.0 AS rate
              |FROM m JOIN sz USING (cohort)
-             |ORDER BY cohort, week_offset""".stripMargin))
+             |ORDER BY cohort, week_offset""".stripMargin)),
+
+    Q(
+      "e12_conversion_lag",
+      (s, dir) => {
+        // View→purchase conversion-lag histogram: per user, the lag
+        // from the FIRST view to the first purchase strictly after it,
+        // bucketed by hour. Scale shape: two filtered min-aggregates
+        // keyed by user (map-side combinable) + one equi-join on
+        // user_id — the event log is touched twice and never windowed,
+        // and the output is bucket-count-sized. All integer µs
+        // arithmetic, so the oracle matches exactly.
+        val t = Tables(s, dir)
+        val v = t.events.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v_us"))
+        val p = t.events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        v.join(p, "user_id")
+          .filter(col("p_us") > col("v_us"))
+          .groupBy("user_id")
+          .agg(min(col("p_us")).as("p_us"), min(col("v_us")).as("v_us"))
+          .select(expr("(p_us - v_us) div 3600000000L").as("lag_h"))
+          .groupBy("lag_h")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("lag_h")
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+             |  WHERE event_type = 'purchase'),
+             |conv AS (SELECT v.user_id, min(p_us) AS p_us, min(v_us) AS v_us
+             |  FROM v JOIN p ON p.user_id = v.user_id AND p.p_us > v.v_us
+             |  GROUP BY 1)
+             |SELECT (p_us - v_us) // 3600000000 AS lag_h,
+             |  count(*) AS n_users
+             |FROM conv GROUP BY 1 ORDER BY lag_h""".stripMargin))
   )
 }

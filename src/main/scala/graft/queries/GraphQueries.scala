@@ -247,6 +247,56 @@ object GraphQueries {
              |  WHERE src IN (SELECT node FROM k3)
              |    AND dst IN (SELECT node FROM k3))
              |SELECT src AS node, count(*) AS degree_in_core
-             |FROM e3 GROUP BY src ORDER BY node""".stripMargin))
+             |FROM e3 GROUP BY src ORDER BY node""".stripMargin)),
+
+    Q(
+      "x06_hits",
+      (s, dir) => {
+        // 2 rounds of HITS over the directed customer→supplier trade
+        // graph — naturally bipartite, so hubs land on customers and
+        // authorities on suppliers, and the mutual reinforcement is
+        // load-bearing (an authority's score concentrates on suppliers
+        // favored by HIGH-VOLUME customers, not just high in-degree).
+        // Scores are integer parts-per-million of the round max
+        // (exact `(raw * scale) div max` arithmetic), so the oracle
+        // replays both unrolled rounds bit-for-bit. Top-20 authorities,
+        // ties broken on node id.
+        val t = Tables(s, dir)
+        val edges = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (lit(100000L) + col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ops.Graph.hits(edges, iters = 2)
+          .orderBy(col("auth_ppm").desc, col("node"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT o_custkey AS src, 100000 + l_suppkey AS dst,
+             |    count(*) AS w
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+             |ar1 AS (SELECT dst AS node, CAST(sum(w * h) AS BIGINT) AS araw
+             |  FROM e JOIN h0 ON h0.node = e.src GROUP BY dst),
+             |a1 AS (SELECT node, (araw * 1000000)
+             |    // (SELECT max(araw) FROM ar1) AS a FROM ar1),
+             |hr1 AS (SELECT src AS node, CAST(sum(w * a) AS BIGINT) AS hraw
+             |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY src),
+             |h1 AS (SELECT node, (hraw * 1000000)
+             |    // (SELECT max(hraw) FROM hr1) AS h FROM hr1),
+             |ar2 AS (SELECT dst AS node, CAST(sum(w * h) AS BIGINT) AS araw
+             |  FROM e JOIN h1 ON h1.node = e.src GROUP BY dst),
+             |a2 AS (SELECT node, (araw * 1000000)
+             |    // (SELECT max(araw) FROM ar2) AS a FROM ar2),
+             |hr2 AS (SELECT src AS node, CAST(sum(w * a) AS BIGINT) AS hraw
+             |  FROM e JOIN a2 ON a2.node = e.dst GROUP BY src),
+             |h2 AS (SELECT node, (hraw * 1000000)
+             |    // (SELECT max(hraw) FROM hr2) AS h FROM hr2)
+             |SELECT coalesce(a2.node, h2.node) AS node,
+             |  CAST(coalesce(a, 0) AS BIGINT) AS auth_ppm,
+             |  CAST(coalesce(h, 0) AS BIGINT) AS hub_ppm
+             |FROM a2 FULL OUTER JOIN h2 ON a2.node = h2.node
+             |ORDER BY auth_ppm DESC, node LIMIT 20""".stripMargin))
   )
 }

@@ -621,6 +621,38 @@ object SimilarityQueries {
              |FROM topk t
              |WHERE EXISTS (SELECT 1 FROM topk r
              |              WHERE r.src = t.dst AND r.dst = t.src)
-             |ORDER BY src, rank""".stripMargin))
+             |ORDER BY src, rank""".stripMargin)),
+
+    Q(
+      "a14_range_search",
+      (s, dir) => {
+        // Cosine range search: every corpus vector within cosine ≥ τ
+        // of any of the 10 query vectors — the recall-shaped primitive
+        // top-k can't express (a query with 40 near-dups returns all
+        // 40, one with none returns none). τ = 0.25 sits in the tail
+        // of the 64-d Gaussian cosine distribution, so hits are sparse
+        // but nonempty. Exact scan, filter before any shuffle; cos
+        // rounds to 4dp on both sides.
+        val e = Tables(s, dir).embeddings
+        rangeSearch(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", tau = 0.25)
+          .select(col("query_id"), col("neighbor_id"),
+            fround(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             |      FROM embeddings WHERE vec_id >= 10),
+             |sims AS (SELECT query_id, neighbor_id,
+             |    list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+             |  FROM q, c)
+             |SELECT query_id, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+             |FROM sims WHERE cos >= 0.25
+             |ORDER BY query_id, neighbor_id""".stripMargin))
   )
 }
