@@ -486,6 +486,16 @@ object Multimodal {
       sum_g: Long,
       sum_b: Long)
 
+  /** One decoded frame's exact per-channel pixel sums — the per-frame
+    * grain [[decodeAviFrames]] emits for temporal analysis (scene cuts,
+    * motion estimates) that [[VideoStats]]' whole-video totals erase. */
+  final case class VideoFrameStats(
+      media_id: Long,
+      frame: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
   /** Deterministic RGB of pixel (x, y) in frame f of video `id` — pure
     * integer arithmetic, so a SQL oracle recomputes every pixel. BI_RGB
     * is uncompressed: encode → decode round-trips exactly. */
@@ -610,18 +620,41 @@ object Multimodal {
     vids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { row =>
-          try decodeOneAvi(row.media_id, row.avi)
+          try decodeOneAvi(row.media_id, row.avi).map(_.stats)
           catch { case scala.util.control.NonFatal(_) => None }
         }
       }
     }
   }
 
-  private def decodeOneAvi(id: Long, b: Array[Byte]): Option[VideoStats] = {
+  /** [[decodeAvis]] at per-FRAME grain: same demux + decode, emitting
+    * one row of exact channel sums per frame (frame index = movi chunk
+    * order, the container's temporal order). Input corruption posture
+    * is identical — undecodable blobs drop, they don't crash. */
+  def decodeAviFrames(vids: Dataset[VideoRow],
+      batchSize: Int = 64): Dataset[VideoFrameStats] = {
+    implicit val enc = Encoders.product[VideoFrameStats]
+    vids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          try decodeOneAvi(row.media_id, row.avi).toSeq.flatMap(_.frames)
+          catch { case scala.util.control.NonFatal(_) => Nil }
+        }
+      }
+    }
+  }
+
+  /** Decoded whole-video stats plus the per-frame grain both public
+    * entry points project from. */
+  private final case class DecodedAvi(stats: VideoStats,
+      frames: Seq[VideoFrameStats])
+
+  private def decodeOneAvi(id: Long, b: Array[Byte]): Option[DecodedAvi] = {
     if (b.length < 12 || fccAt(b, 0) != "RIFF" || fccAt(b, 8) != "AVI ") return None
     var width = -1; var height = -1; var bitCount = -1; var compression = -1L
     var isVideo = false
     var sr = 0L; var sg = 0L; var sb = 0L; var frames = 0
+    val perFrame = Seq.newBuilder[VideoFrameStats]
     // walk chunks of [start, end); `inStreamList` tracks hdrl/strl scope
     def walk(start: Int, end: Int): Unit = {
       var o = start
@@ -647,18 +680,21 @@ object Multimodal {
             if (width > 0 && height > 0 && bitCount == 24 && compression == 0L) {
               val stride = (width * 3 + 3) / 4 * 4
               if (size >= stride * height) {
+                var fr = 0L; var fg = 0L; var fb = 0L
                 var y = 0
                 while (y < height) {
                   val rowOff = body + (height - 1 - y) * stride
                   var x = 0
                   while (x < width) {
-                    sb += b(rowOff + 3 * x) & 0xff
-                    sg += b(rowOff + 3 * x + 1) & 0xff
-                    sr += b(rowOff + 3 * x + 2) & 0xff
+                    fb += b(rowOff + 3 * x) & 0xff
+                    fg += b(rowOff + 3 * x + 1) & 0xff
+                    fr += b(rowOff + 3 * x + 2) & 0xff
                     x += 1
                   }
                   y += 1
                 }
+                perFrame += VideoFrameStats(id, frames, fr, fg, fb)
+                sr += fr; sg += fg; sb += fb
                 frames += 1
               }
             }
@@ -669,7 +705,8 @@ object Multimodal {
     }
     walk(12, math.min(b.length, 8 + leU32(b, 4).toInt))
     if (width > 0 && height > 0 && bitCount == 24 && compression == 0L && frames > 0)
-      Some(VideoStats(id, width, height, frames, sr, sg, sb))
+      Some(DecodedAvi(VideoStats(id, width, height, frames, sr, sg, sb),
+        perFrame.result()))
     else None
   }
 

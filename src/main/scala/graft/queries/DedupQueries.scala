@@ -636,6 +636,59 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "st12_stream_exact_dedup",
+      (s, dir) => {
+        // Streaming EXACT first-seen dedup under the DuckDB oracle:
+        // d01's semantics on Spark's own dropDuplicatesWithinWatermark
+        // stateful operator (fingerprint-keyed state, watermark GC).
+        // Corpus = the 300 base docs (all distinct texts) arriving as
+        // batch 1, then batch 2 replays the first 60 texts under new
+        // ids (+2e6) — those survive ONLY if batch-1 fingerprint state
+        // was lost, so the gate proves cross-batch state retention:
+        // the oracle is exactly the 300 originals. Each fingerprint
+        // appears at most once per micro-batch, so "first seen" is
+        // deterministic under any partitioning. collect() is the
+        // MemoryStream feeding harness; production uses readStream.
+        import graft.streaming.DedupStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val docEnc = org.apache.spark.sql.Encoders.product[DedupStream.Doc]
+        val base = Tables(s, dir).documents
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id").cast("long"), col("text"))
+          .orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val replays = base.take(60).map { case (id, t) => (id + 2000000L, t) }
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[DedupStream.Doc]
+        val ckpt = java.nio.file.Files.createTempDirectory("st12_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try DedupStream.firstSeen(stream.toDS(), watermark = "10 minutes")
+            .writeStream.format("memory").queryName("st12_kept")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          Seq(base, replays).zipWithIndex.foreach { case (batch, i) =>
+            stream.addData(batch.map { case (id, t) =>
+              DedupStream.Doc(id, t,
+                java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00"))
+            })
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st12_kept").select("doc_id", "fp").distinct()
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS fp FROM documents
+             |WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "st04_stream_semantic_dedup",
       (s, dir) => {
         // The STREAMING semantic near-dup twin under the DuckDB oracle

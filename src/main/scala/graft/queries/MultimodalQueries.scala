@@ -262,6 +262,51 @@ object MultimodalQueries {
            |  ${ch(17, 11, 3)} AS sum_g,
            |  ${ch(7, 5, 19)} AS sum_b
            |FROM imgs ORDER BY media_id""".stripMargin
-      })
+      }),
+
+    Q(
+      "mm09_scene_cuts",
+      (s, dir) => {
+        // Temporal video analysis over the REAL decode path: demux +
+        // per-frame DIB decode at frame grain (decodeAviFrames), then
+        // scene-cut detection — a cut is a frame whose total pixel
+        // mass jumps more than T from its predecessor. The lag window
+        // partitions by media_id (2–4 frames per video, bounded state)
+        // and all arithmetic is exact integers, so the oracle replays
+        // every frame sum and the same lag. T = 2500 sits at the
+        // median of the synthetic corpus's inter-frame deltas.
+        val ids = Tables(s, dir).documents
+          .filter(col("doc_id") < 300).select(col("doc_id"))
+        val avis = Multimodal.synthesizeAvis(ids, "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame")
+        Multimodal.decodeAviFrames(avis).toDF()
+          .select(col("media_id"), col("frame"),
+            (col("sum_r") + col("sum_g") + col("sum_b")).as("s"))
+          .withColumn("delta", abs(col("s") - lag(col("s"), 1).over(w)))
+          .filter(col("delta") > 2500)
+          .select(col("media_id"), col("frame"), col("delta"))
+          .orderBy("media_id", "frame")
+      },
+      Some("""WITH vids AS (SELECT doc_id AS media_id,
+             |    CAST(7 + (doc_id % 3) * 4 AS INT) AS width,
+             |    CAST(6 + (doc_id % 2) * 4 AS INT) AS height,
+             |    CAST(2 + (doc_id % 3) AS INT) AS n_frames
+             |  FROM documents WHERE doc_id < 300),
+             |pf AS (SELECT media_id, width, height, n_frames,
+             |    unnest(range(n_frames)) AS f FROM vids),
+             |fs AS (SELECT media_id, CAST(f AS INT) AS frame,
+             |    CAST(list_sum(flatten(list_transform(range(height), y ->
+             |      list_transform(range(width), x ->
+             |          (media_id * 31 + f * 23 + x * 7 + y * 13) % 256
+             |        + (media_id * 17 + f * 29 + x * 11 + y * 3) % 256
+             |        + (media_id * 7 + f * 37 + x * 5 + y * 19) % 256))))
+             |      AS BIGINT) AS s
+             |  FROM pf),
+             |d AS (SELECT media_id, frame,
+             |    abs(s - lag(s) OVER (PARTITION BY media_id ORDER BY frame)) AS delta
+             |  FROM fs)
+             |SELECT media_id, frame, delta FROM d
+             |WHERE delta > 2500 ORDER BY media_id, frame""".stripMargin))
   )
 }

@@ -103,6 +103,31 @@ object DedupStream {
    * @param maxBucket occupancy cap per (band, bucket) — above it,
    *                  arrivals star to the bucket minimum
    */
+  /**
+   * Streaming EXACT first-seen dedup — the streaming twin of batch
+   * `d01`: each document keys on the md5 of its text and only the
+   * first arrival per fingerprint survives, duplicates arriving within
+   * the watermark horizon are dropped. Built on Spark's OWN
+   * `dropDuplicatesWithinWatermark` stateful operator (state = one
+   * fingerprint key + event-time per distinct text, expired once the
+   * watermark passes it) rather than custom fMGWS state — the built-in
+   * already has exactly these semantics, RocksDB-backed state and
+   * watermark GC included.
+   *
+   * Scale posture: the shuffle and the state store carry (fp, ts) —
+   * 24 B + 32 hex chars per DISTINCT document inside the horizon,
+   * never the text; a duplicate storm on one fingerprint is absorbed
+   * by state-lookup-and-drop, emitting nothing.
+   */
+  def firstSeen(docs: Dataset[Doc], watermark: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("fp"))
+  }
+
   def candidatePairs(docs: Dataset[Doc], watermark: String = "1 hour",
       numHashes: Int = 128, bands: Int = 32, seed: Long = 42L,
       maxBucket: Int = graft.ops.Dedup.MaxBucketDefault): Dataset[CandidatePair] = {
