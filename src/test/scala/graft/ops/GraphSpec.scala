@@ -153,4 +153,52 @@ class GraphSpec extends SparkTestBase {
     assert(r.keySet === Set(1L, 2L))
     assert(r(2L) > r(1L))
   }
+
+  /** Driver-side reference of the exact integer HITS recurrence. */
+  private def refHits(e: Seq[(Long, Long, Long)], iters: Int,
+      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val w = e.groupBy(p => (p._1, p._2)).map { case (k, es) => k -> es.map(_._3).sum }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val araw = w.toSeq.groupBy(_._1._2).map { case (dst, es) =>
+        dst -> es.map { case ((s, _), wt) => wt * h.getOrElse(s, 0L) }.sum }
+      val amax = araw.values.max
+      a = araw.map { case (n, v) => n -> v * scale / amax }
+      val hraw = w.toSeq.groupBy(_._1._1).map { case (src, es) =>
+        src -> es.map { case ((_, d), wt) => wt * a.getOrElse(d, 0L) }.sum }
+      val hmax = hraw.values.max
+      h = hraw.map { case (n, v) => n -> v * scale / hmax }
+    }
+    nodes.map(n => n -> (a.getOrElse(n, 0L), h.getOrElse(n, 0L)))
+      .filter { case (_, (av, hv)) => av != 0 || hv != 0 }.toMap
+  }
+
+  private def runHits(e: Seq[(Long, Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Graph.hits(edgesDf(e), iters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hits matches the driver-side integer recurrence exactly") {
+    for (iters <- Seq(1, 2)) {
+      assert(runHits(fixedEdges, iters) === refHits(fixedEdges, iters),
+        s"mismatch at iters=$iters")
+    }
+  }
+
+  test("hits: best hub and best authority carry the full scale; " +
+      "partitioning and parallel edges don't move scores") {
+    val r = runHits(fixedEdges, 2)
+    assert(r.values.map(_._1).max === 1000000L, "max authority = scale")
+    assert(r.values.map(_._2).max === 1000000L, "max hub = scale")
+    // node 2 takes weight 3 from hub 1 (plus 1 from 4) — more in-WEIGHT
+    // than node 3's three light links, so it is the top authority
+    assert(r(2L)._1 === 1000000L, s"node 2 should be the top authority: $r")
+    val repart = Graph.hits(edgesDf(fixedEdges).repartition(7), 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(repart === r)
+    val split = fixedEdges.filterNot(_ == (1L, 2L, 3L)) ++
+      Seq((1L, 2L, 1L), (1L, 2L, 2L))
+    assert(runHits(split, 2) === r)
+  }
 }

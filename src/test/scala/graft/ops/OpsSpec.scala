@@ -551,6 +551,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("rangeSearch returns exactly the at-or-above-tau pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val corpus = (100L until 400L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val queries = (0L until 5L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val tau = 0.3
+    val got = rangeSearch(queries.toDF("vec_id", "v"), corpus.toDF("vec_id", "v"),
+        "vec_id", "v", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (qid, qv) <- queries; (cid, cv) <- corpus if cos(qv, cv) >= tau
+    } yield (qid, cid)).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty, "fixture must produce hits for the test to bite")
+  }
+
   test("MIPS top-k via norm augmentation equals true inner-product ranking") {
     import spark.implicits._
     // unnormalized vectors with wildly different norms — exactly the
@@ -1036,5 +1056,36 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.VideoRow(4L, garbage)).toDS()
     val out = decodeAvis(ds).collect()
     assert(out.map(_.media_id).toSet == Set(1L), "only the clean blob decodes")
+  }
+
+  test("decodeAviFrames: per-frame sums are formula-exact, total to " +
+      "decodeAvis, and corrupt blobs drop") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 5L).toDF("doc_id")
+    val avis = synthesizeAvis(ids, "doc_id")
+    val frames = decodeAviFrames(avis).collect()
+      .map(f => (f.media_id, f.frame) -> f).toMap
+    for (id <- Seq(0L, 1L, 5L)) {
+      val (w, h, nf) = Multimodal.videoParams(id)
+      for (f <- 0 until nf) {
+        var er = 0L; var eg = 0L; var eb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = Multimodal.frameRgb(id, f, x, y)
+          er += r; eg += g; eb += b
+        }
+        val fs = frames((id, f))
+        assert((fs.sum_r, fs.sum_g, fs.sum_b) == ((er, eg, eb)),
+          s"sums of video $id frame $f")
+      }
+      // the per-frame grain must total to the whole-video stats
+      val tot = decodeAvis(avis).collect().map(s => s.media_id -> s).toMap
+      val mine = frames.values.filter(_.media_id == id)
+      assert(mine.map(_.sum_r).sum == tot(id).sum_r &&
+        mine.map(_.sum_g).sum == tot(id).sum_g &&
+        mine.map(_.sum_b).sum == tot(id).sum_b, s"totals of $id")
+    }
+    val garbage = Seq(Multimodal.VideoRow(9L,
+      Array.tabulate[Byte](64)(i => (i * 7).toByte))).toDS()
+    assert(decodeAviFrames(garbage).collect().isEmpty)
   }
 }

@@ -102,4 +102,25 @@ class DedupStreamSpec extends SparkTestBase {
       assert(cc.count() == 40L)
     } finally query.stop()
   }
+
+  test("firstSeen drops exact duplicates across micro-batches, keeps the first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val query = firstSeen(stream.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_first").outputMode("append").start()
+    try {
+      // batch 1: three distinct texts; batch 2: two replays under new
+      // ids + one genuinely new text — only the new one may survive
+      stream.addData(Seq(Doc(1, "aa bb cc", ts(1)), Doc(2, "dd ee ff", ts(1)),
+        Doc(3, "gg hh ii", ts(1))))
+      query.processAllAvailable()
+      stream.addData(Seq(Doc(11, "aa bb cc", ts(2)), Doc(12, "dd ee ff", ts(2)),
+        Doc(13, "jj kk ll", ts(2))))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_first").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 3L, 13L), s"kept: $kept")
+    } finally query.stop()
+  }
 }
