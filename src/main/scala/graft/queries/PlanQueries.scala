@@ -154,6 +154,30 @@ object PlanQueries {
              |ORDER BY a_key, b_key""".stripMargin)),
 
     Q(
+      "r03_fuzzy_join",
+      (s, dir) => {
+        // Edit-distance-1 self-join on customer names (entity
+        // resolution): the symmetric-delete signature turns the
+        // no-equi-key levenshtein predicate into an equi-join on
+        // deletion keys with the exact DP recheck on candidates only —
+        // a nested loop would run |C|² DPs. Zero-padded names differing
+        // in one digit are exactly the planted near-matches.
+        val t = Tables(s, dir)
+        val c = t.customer.select("c_custkey", "c_name")
+        graft.ops.FuzzyJoin.edJoin1(
+          c.toDF("id_a", "name_a"), "id_a", "name_a",
+          c.toDF("id_b", "name_b"), "id_b", "name_b")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "l01_layout_prune",
       (s, dir) => {
         // §2.8 layout surface, driver-visible: write lineitem
@@ -221,6 +245,31 @@ object PlanQueries {
              |FROM orders
              |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
              |GROUP BY month ORDER BY month""".stripMargin)),
+
+    Q(
+      "l06_jsonl_roundtrip",
+      (s, dir) => {
+        // §2.8 source-format coverage: JSON-lines as interchange
+        // sink/source (the crawl-dump format every corpus pipeline
+        // ingests). A documents slice round-trips through Spark's JSON
+        // writer/reader with an EXPLICIT schema on read (schema
+        // inference is a second full scan and type-unstable — never at
+        // 100 TB); text fidelity is proven by re-deriving n_chars from
+        // the round-tripped text, which must equal the stored column
+        // the oracle reads from parquet.
+        val t = Tables(s, dir)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_l06_${math.abs(dir.hashCode)}"
+        t.documents.filter(col("doc_id") < 200)
+          .select("doc_id", "text", "lang", "source")
+          .write.mode("overwrite").json(path)
+        s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING")
+          .json(path)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, length(text) AS n_chars
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
     Q(
       "l02_bucketed_incremental",

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("edJoin1 equals the brute-force levenshtein<=1 join, all edit kinds") {
+    // fixture plants every distance-1 kind: substitution (cat/cut),
+    // deletion (cart/cat? no — cart/car), insertion (car/cart), equal
+    // strings under distinct ids, distance-2 decoys (cat/dog, cart/cut)
+    val left = Seq((1L, "cat"), (2L, "car"), (3L, "cart"), (4L, "dog"),
+      (5L, "cut"), (6L, "cat")).toDF("id_a", "s_a")
+    val right = Seq((11L, "cat"), (12L, "cord"), (13L, "art"), (14L, "dig"),
+      (15L, "carts")).toDF("id_b", "s_b")
+    val got = FuzzyJoin.edJoin1(left, "id_a", "s_a", right, "id_b", "s_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val l = Seq((1L, "cat"), (2L, "car"), (3L, "cart"), (4L, "dog"),
+      (5L, "cut"), (6L, "cat"))
+    val r = Seq((11L, "cat"), (12L, "cord"), (13L, "art"), (14L, "dig"),
+      (15L, "carts"))
+    val want = (for {
+      (ia, sa) <- l; (ib, sb) <- r
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got == want, s"got=$got want=$want")
+    // the fixture must actually cover sub/ins/del/equal
+    assert(want.contains((1L, 11L, 0)), "equal pair")
+    assert(want.contains((2L, 11L, 1)), "substitution car→cat")
+    assert(want.contains((3L, 15L, 1)), "insertion cart→carts")
+    assert(want.contains((3L, 11L, 1)), "deletion cart→cat")
+  }
+
+  test("edJoin1 on random strings matches brute force") {
+    val rnd = new scala.util.Random(61)
+    def word() = Seq.fill(3 + rnd.nextInt(3))(('a' + rnd.nextInt(4)).toChar).mkString
+    val xs = (0L until 60L).map(i => (i, word()))
+    val ys = (100L until 160L).map(i => (i, word()))
+    val got = FuzzyJoin.edJoin1(xs.toDF("id_a", "s_a"), "id_a", "s_a",
+        ys.toDF("id_b", "s_b"), "id_b", "s_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, sa) <- xs; (ib, sb) <- ys
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "fixture must produce matches")
+  }
+}
