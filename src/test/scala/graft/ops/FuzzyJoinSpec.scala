@@ -57,4 +57,15 @@ class FuzzyJoinSpec extends SparkTestBase {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(want.nonEmpty, "fixture must produce matches")
   }
+
+  test("edJoin1 plans as an equi-join — no nested loop, no cartesian") {
+    val xs = (0L until 50L).map(i => (i, s"str$i")).toDF("id_a", "s_a")
+    val ys = (100L until 150L).map(i => (i, s"str$i")).toDF("id_b", "s_b")
+    val joined = FuzzyJoin.edJoin1(xs, "id_a", "s_a", ys, "id_b", "s_b")
+    joined.collect() // force execution so the executed plan is final
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the signature join must stay equi-keyed:\n$plan")
+  }
 }
