@@ -314,8 +314,14 @@ object DedupQueries {
         // onto the candidate pairs only. Both measures emitted for
         // contrast, quantized at 1e-4 before the hash like d05.
         val corpus = withNearDups(s, dir, drop = 3)
-        val pairs = minHashCandidatePairs(corpus, "doc_id", "text")
-        val tk = corpus.select(col("doc_id"), array_distinct(tokens(col("text"))).as("w"))
+        // sharedScan both reused frames: the two id-keyed joins would
+        // otherwise re-execute their build subtrees per broadcast —
+        // the WHOLE minhash pipeline ran ~3× in the unshared plan
+        // (9.3 s vs d03's 3.0 s for the same candidates at sf0.1)
+        val pairs = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          minHashCandidatePairs(corpus, "doc_id", "text"))
+        val tk = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          corpus.select(col("doc_id"), array_distinct(tokens(col("text"))).as("w")))
         val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
         pairs
           .join(tk.select(col("doc_id").as("id_a"), col("w").as("wa")), "id_a")
