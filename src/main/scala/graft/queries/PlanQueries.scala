@@ -72,7 +72,11 @@ object PlanQueries {
           .join(t.orders.filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
             .select("o_orderkey", "o_custkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(t.customer.select("c_custkey", "c_nationkey"),
+          // the narrow (key, nationkey) customer projection is a
+          // 12 B/row dimension — broadcast explicitly: at 10× the
+          // auto-threshold flipped it to a sort-merge that re-sorted
+          // the whole lineitem⋈orders intermediate
+          .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
           .join(broadcast(america), col("n_regionkey") === col("r_regionkey"))

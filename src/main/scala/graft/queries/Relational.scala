@@ -99,16 +99,24 @@ object Relational {
     Q(
       "q04_order_priority",
       (s, dir) => {
+        // EXISTS via a broadcast-driven probe, not a semi-join that
+        // sorts the fact table: a left-semi with lineitem as the build
+        // side cannot broadcast the SMALL side (Spark only builds the
+        // right of a LeftSemi), so at 10× it flipped to a sort-merge
+        // over every lineitem row (0.6 → 15 s). Instead the 3-month
+        // order slice (a bounded window — broadcastable by
+        // construction) broadcasts INTO one lineitem scan, and the
+        // distinct on (orderkey, priority) combines map-side, so the
+        // fact table is never sorted or shuffled.
         val t = Tables(s, dir)
         val ord = t.orders.filter(
           col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
-        val late = t.lineitem.select("l_orderkey", "l_shipdate")
-        ord
-          .join(
-            late,
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        t.lineitem.select("l_orderkey", "l_shipdate")
+          .join(broadcast(ord),
             col("l_orderkey") === col("o_orderkey") &&
-              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-            "left_semi")
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select("o_orderkey", "o_orderpriority").distinct()
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("order_count"))
           .orderBy("o_orderpriority")

@@ -88,7 +88,18 @@ object ScaleGen {
         col("o_orderpriority"))
     }
     replicate("customer") { (df, r) =>
+      // decorrelate names like documents' word suffixes: a verbatim
+      // 10× name copy made every edit-distance pair 100× denser (the
+      // r03 fuzzy join read 36 s at sf1 on pure replica cross-talk).
+      // The doubled-digit suffix is pairwise ED ≥ 2 BETWEEN replicas
+      // (both chars differ) and ED ≥ 3 vs the unsuffixed base, so
+      // cross-replica pairs vanish while every intra-replica pair —
+      // the structure the operator hunts — is preserved exactly.
+      val name =
+        if (r == 0) col("c_name")
+        else concat(col("c_name"), lit(s"_$r$r"))
       df.withColumn("c_custkey", col("c_custkey") + lit(r * Off))
+        .withColumn("c_name", name)
     }
     replicate("supplier") { (df, r) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(r * Off))
