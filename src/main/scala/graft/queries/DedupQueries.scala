@@ -695,6 +695,73 @@ object DedupQueries {
              |WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "st13_stream_fuzzy_match",
+      (s, dir) => {
+        // Streaming fuzzy ENTITY MATCHING under the DuckDB oracle:
+        // r03's symmetric-delete signatures as a stream — arrivals
+        // match edit-distance-1 against everything seen, per-key state
+        // is the FIRST owner only (O(|s|), the star rule), so the
+        // oracle is the per-key min-id owner join. Records arrive as
+        // two id-ordered micro-batches; batch-2 names matching batch-1
+        // owners only pair if key state survived the boundary.
+        // collect() is the MemoryStream feeding harness.
+        import graft.streaming.FuzzyStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val recEnc = org.apache.spark.sql.Encoders.product[FuzzyStream.Rec]
+        val rows = Tables(s, dir).customer
+          .filter(col("c_custkey") < 1000)
+          .select(col("c_custkey").cast("long"), col("c_name"))
+          .orderBy("c_custkey")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[FuzzyStream.Rec]
+        val ckpt = java.nio.file.Files.createTempDirectory("st13_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try FuzzyStream.matches(stream.toDS(), watermark = "10 minutes")
+            .writeStream.format("memory").queryName("st13_matches")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
+            stream.addData(batch.map { case (id, n) =>
+              FuzzyStream.Rec(id, n,
+                java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00"))
+            })
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        // once per shared key -> distinct restores exactly-once
+        s.table("st13_matches").distinct().orderBy("id_a", "id_b")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+             |           WHERE c_custkey < 1000),
+             |raw AS (SELECT id, s, unnest(range(1, length(s) + 1)) AS i FROM c),
+             |el AS (SELECT id, 0 AS pos, '' AS ch, s AS key FROM c
+             |       UNION ALL
+             |       SELECT id, CAST(i AS INT) AS pos,
+             |              substr(s, CAST(i AS INT), 1) AS ch,
+             |              substr(s, 1, CAST(i AS INT) - 1)
+             |                || substr(s, CAST(i AS INT) + 1) AS key
+             |       FROM raw),
+             |own AS (SELECT key, min(id) AS owner FROM el GROUP BY key)
+             |SELECT DISTINCT o.owner AS id_a, e.id AS id_b,
+             |  CASE WHEN oe.pos = 0 AND e.pos = 0 THEN 0 ELSE 1 END AS dist
+             |FROM el e JOIN own o ON e.key = o.key AND e.id > o.owner
+             |JOIN el oe ON oe.key = e.key AND oe.id = o.owner
+             |WHERE (oe.pos = 0 AND e.pos = 0)
+             |   OR (oe.pos = e.pos AND oe.ch <> e.ch)
+             |   OR ((oe.pos = 0) <> (e.pos = 0))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "st04_stream_semantic_dedup",
       (s, dir) => {
         // The STREAMING semantic near-dup twin under the DuckDB oracle
