@@ -837,6 +837,39 @@ object Dedup {
     exactSurvivors.join(removed, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Quality-aware near-dup cluster REPRESENTATIVES — the "which copy
+   * to keep" policy step between candidate resolution and corpus
+   * rewrite: resolve MinHash-LSH candidates to connected components,
+   * then crown each cluster's argmax-`score` member (ties to the
+   * smallest id — a total order, so the choice is deterministic on
+   * any engine/partitioning). `dedupeCorpus` hard-codes min-id-wins;
+   * real curation keeps the BEST copy (longest, highest quality
+   * score) — C4 keeps the longest of a duplicate set, not the first.
+   *
+   * Returns (component, rep_id, rep_score, cluster_size), one row per
+   * multi-member cluster.
+   *
+   * Scale shape: the component frame is (id, component) longs, the
+   * score joins id-keyed, and the argmax is min(struct(-score, id)) —
+   * a map-side-combinable AGGREGATE, not a window, so a mass-dup
+   * mega-cluster's rows shrink per partition before they shuffle.
+   */
+  def clusterRepresentatives(docs: DataFrame, idCol: String, textCol: String,
+      score: Column, numHashes: Int = 128, bands: Int = 32, seed: Long = 42L,
+      maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val pairs = minHashCandidatePairs(docs, idCol, textCol,
+      numHashes, bands, seed, maxBucket)
+    val cc = connectedComponents(pairs)
+    val scored = docs.select(col(idCol).as("id"), score.cast("long").as("__score"))
+    cc.join(scored, "id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("__score")).as("n"), col("id").as("i"))).as("b"))
+      .select(col("component"), col("b.i").as("rep_id"),
+        (-col("b.n")).as("rep_score"), col("cluster_size"))
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

@@ -315,6 +315,50 @@ object Similarity {
    *
    * `codebooks(j)` holds subspace j's centroids (all of length d/m).
    */
+  /**
+   * IVF-PQ composite ANN — the standard production recipe (Jégou et
+   * al. 2011): a coarse quantizer prunes the corpus to `nprobe` cells,
+   * and within probed cells candidates rank by PQ asymmetric distance
+   * on reconstructed vectors. One corpus pass computes BOTH the cell
+   * assignment and the m sub-codes (all native codegen'd argmins);
+   * the join ships only probed cells, and the heap aggregate returns
+   * queries×k rows — the index scan never sees unprobed cells, the
+   * scorer never sees full-precision corpus vectors.
+   *
+   * With fixed `centers` and `codebooks` the whole operator is
+   * closed-form (a05's + a12's replayability composed); production
+   * trains both via `ivfQuantizerReplayable` / `pqCodebooks`.
+   */
+  def knnIvfPq(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centers: Array[Array[Double]], nprobe: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorExpressions.{cellArgmin, cellProbes}
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val codes = (0 until m).map(j =>
+      cellArgmin(slice(col("cv"), j * dsub + 1, dsub), codebooks(j)).as(s"c$j"))
+    val encoded = c.select(
+      col("neighbor_id") +: cellArgmin(col("cv"), centers).as("cell") +: codes: _*)
+    val recon = concat((0 until m).map(j =>
+      element_at(typedlit(codebooks(j).map(_.toSeq).toSeq), col(s"c$j") + 1)): _*)
+    val cellRec = encoded.select(col("neighbor_id"), col("cell"), recon.as("rv"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(cellProbes(col("qv"), centers, nprobe)))
+    cellRec.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(sqDist(col("qv"), col("rv")) * 1e6 + lit(0.5)) / 1e6).as("adist"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), -col("adist"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), (-col("nb.score")).as("adist"))
+  }
+
   def knnPq(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]]): DataFrame = {
     import graft.functions.VectorExpressions.cellArgmin

@@ -541,6 +541,50 @@ object DedupQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "d14_cluster_representatives",
+      (s, dir) => {
+        // Quality-aware "which copy to keep": d07's clusters crowned
+        // by token count (C4 keeps the LONGEST of a duplicate set,
+        // not the first id). The planted near-dups are truncated
+        // copies, so every planted cluster's representative is the
+        // ORIGINAL — min-id-wins (dedupeCorpus' policy) would pick
+        // the same id here only by accident of the fixture; the
+        // argmax is by (score desc, id asc), a total order replayed
+        // by the oracle's window. Aggregate argmax, no windows in
+        // the Spark plan.
+        val corpus = withNearDups(s, dir, drop = 3)
+        graft.ops.Dedup.clusterRepresentatives(corpus, "doc_id", "text",
+            score = size(split(col("text"), " ")))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE ${shingleCtes(drop = 3)},
+             |$minhashSigCte,
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |        UNION ALL SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.src, cc.lbl FROM sym s JOIN cc ON s.dst = cc.id),
+             |lbl AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id),
+             |scored AS (SELECT l.component, l.id,
+             |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS score
+             |  FROM lbl l JOIN corpus c ON c.doc_id = l.id),
+             |ranked AS (SELECT component, id, score,
+             |    count(*) OVER (PARTITION BY component) AS cluster_size,
+             |    row_number() OVER (PARTITION BY component
+             |      ORDER BY score DESC, id) AS rn
+             |  FROM scored)
+             |SELECT component, id AS rep_id, score AS rep_score,
+             |  cluster_size FROM ranked WHERE rn = 1
+             |ORDER BY component""".stripMargin)),
+
+    Q(
       "d06_embedding_neardup",
       (s, dir) => {
         val e = Tables(s, dir).embeddings.filter(col("vec_id") < 100)

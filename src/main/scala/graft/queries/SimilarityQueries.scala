@@ -661,6 +661,75 @@ object SimilarityQueries {
              |SELECT query_id, neighbor_id,
              |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
              |FROM sims WHERE cos >= 0.25
-             |ORDER BY query_id, neighbor_id""".stripMargin))
+             |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    Q(
+      "a15_knn_ivf_pq",
+      (s, dir) => {
+        // IVF-PQ composite — the production ANN recipe: a05's fixed
+        // coarse quantizer prunes to 6 of 16 cells, a12's fixed
+        // per-subspace codebooks score the survivors by
+        // reconstruction-ADC. Both parameter sets are the same seed
+        // vectors (vec_id 10..25), so the entire composed operator is
+        // closed-form and DuckDB replays cell assignment, probing,
+        // encoding, reconstruction, and ranking bit-for-bit.
+        val e = Tables(s, dir).embeddings
+        val seeds = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val dsub = 16
+        val codebooks = Array.tabulate(4)(j =>
+          seeds.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+        graft.ops.Similarity.knnIvfPq(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, seeds, nprobe = 6, codebooks)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+             |          WHERE vec_id >= 10 AND vec_id < 26),
+             |cb AS (SELECT vec_id - 10 AS code, v FROM e
+             |       WHERE vec_id >= 10 AND vec_id < 26),
+             |c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 10),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+             |cells AS (SELECT neighbor_id, cell FROM (
+             |    SELECT c.neighbor_id, t.cell,
+             |      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+             |        list_sum(list_transform(list_zip(c.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM c, cents t)
+             |  WHERE rn = 1),
+             |pqa AS (SELECT neighbor_id, j, code FROM (
+             |    SELECT c.neighbor_id, s.j, cb.code,
+             |      row_number() OVER (PARTITION BY c.neighbor_id, s.j ORDER BY
+             |        list_sum(list_transform(list_zip(
+             |            c.v[s.j*16+1 : s.j*16+16], cb.v[s.j*16+1 : s.j*16+16]),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), cb.code) AS rn
+             |    FROM c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) s CROSS JOIN cb)
+             |  WHERE rn = 1),
+             |recon AS (SELECT neighbor_id, flatten(list(sl ORDER BY j)) AS rv
+             |  FROM (SELECT a.neighbor_id, a.j, cb.v[a.j*16+1 : a.j*16+16] AS sl
+             |        FROM pqa a JOIN cb USING (code))
+             |  GROUP BY neighbor_id),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.query_id, q.qv, t.cell,
+             |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |        list_sum(list_transform(list_zip(q.qv, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM q, cents t)
+             |  WHERE rn <= 6),
+             |hits AS (SELECT p.query_id, r.neighbor_id,
+             |    floor(list_sum(list_transform(list_zip(p.qv, r.rv),
+             |        p2 -> (p2[1] - p2[2]) * (p2[1] - p2[2]))) * 1000000.0 + 0.5)
+             |      / 1000000.0 AS adist
+             |  FROM probes p JOIN cells cl ON cl.cell = p.cell
+             |  JOIN recon r ON r.neighbor_id = cl.neighbor_id)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adist
+             |FROM (SELECT query_id, neighbor_id, adist,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY adist, neighbor_id) AS rn
+             |      FROM hits)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -768,6 +768,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == approx.collect().map(_.toSeq).toSet, "partition-variant PQ result")
   }
 
+  test("IVF-PQ composite: probed-cell pruning + ADC keep cluster precision") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val planted = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double]) = c.map(_ + 0.3 * rnd.nextGaussian()).toSeq
+    val corpus = (100L until 600L).map(i => (i, near(planted((i % 5).toInt))))
+    val queries = (0L until 10L).map(i => (i, near(planted((i % 5).toInt))))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    // coarse quantizer = the planted centers themselves; PQ codebooks trained
+    val cb = Similarity.pqCodebooks(cdf, "vec_id", "v", m = 4, kcode = 16)
+    val approx = Similarity.knnIvfPq(qdf, cdf, "vec_id", "v", k = 5,
+      planted, nprobe = 2, cb)
+    val got = approx.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => (q, rs.map(_._2).toSet) }
+    assert(got.size == 10, "every query must return neighbors")
+    val inCluster = got.toSeq.map { case (q, nbs) =>
+      nbs.count(n => n % 5 == q % 5)
+    }.sum
+    val precision = inCluster.toDouble / (got.size * 5)
+    assert(precision >= 0.9, s"IVF-PQ cluster precision $precision")
+    // partition invariance of the composed operator
+    val again = Similarity.knnIvfPq(qdf.repartition(3), cdf.repartition(7),
+      "vec_id", "v", k = 5, planted, nprobe = 2, cb)
+      .collect().map(_.toSeq).toSet
+    assert(again == approx.collect().map(_.toSeq).toSet,
+      "partition-variant IVF-PQ result")
+  }
+
   test("distributed k-means recovers planted clusters and matches a driver replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
