@@ -363,6 +363,57 @@ object Graph {
     out
   }
 
+  /**
+   * Newman modularity decomposition of a community assignment
+   * (Newman & Girvan 2004): per community c over the undirected
+   * distinct edge set, Q_c = L_c/m − (D_c/2m)², where L_c counts
+   * intra-community edges, D_c sums member degrees, m = |edges|.
+   * Σ Q_c is the partition's modularity. Every input to the formula
+   * is an exact integer aggregate — the single floating division per
+   * community quantizes identically on any engine — so the grading of
+   * a community detector (x04's label propagation) is itself
+   * oracle-checkable.
+   *
+   * Scale shape: canonicalize once; two label joins against the edge
+   * list (labels are 16 B/node, edges never move twice); degree,
+   * intra-edge, and membership counts are all map-side-combinable
+   * aggregates keyed by community; m is one scalar broadcast back as
+   * a 1-row frame. No windows, no iteration, no driver-sized state.
+   * Returns (community, n_nodes, intra_edges, degree_sum, q_part).
+   */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = InternalFrame.sharedScan(edges.select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    val lab = InternalFrame.sharedScan(
+      labels.select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("label")))
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val byC = deg.join(lab, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("degree_sum"))
+    val intra = und
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val dShare = col("degree_sum").cast("double") / (lit(2.0) * col("m"))
+    byC.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"),
+        (floor((col("intra_edges").cast("double") / col("m")
+          - dShare * dShare) * 1e6 + lit(0.5)) / 1e6).as("q_part"))
+  }
+
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession

@@ -297,6 +297,71 @@ object GraphQueries {
              |  CAST(coalesce(a, 0) AS BIGINT) AS auth_ppm,
              |  CAST(coalesce(h, 0) AS BIGINT) AS hub_ppm
              |FROM a2 FULL OUTER JOIN h2 ON a2.node = h2.node
-             |ORDER BY auth_ppm DESC, node LIMIT 20""".stripMargin))
+             |ORDER BY auth_ppm DESC, node LIMIT 20""".stripMargin)),
+
+    Q(
+      "x07_modularity",
+      (s, dir) => {
+        // Newman modularity of x04's label-propagation communities —
+        // the detector AND its quality grade both under the oracle:
+        // per community, Q_c = intra/m − (deg_sum/2m)², every input an
+        // exact integer aggregate, the one floating division per
+        // community quantized at 1e-6. Two label joins against the
+        // canonical edge set, all aggregates map-side-combinable, m a
+        // broadcast scalar.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        val labels = graft.ops.Graph.labelPropagation(edges, rounds = 2)
+        graft.ops.Graph.modularity(edges, labels)
+          .orderBy("community")
+      },
+      Some("""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS pk
+             |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |    WHERE l_partkey < 20),
+             |und AS (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+             |    CAST(b.c AS BIGINT) AS v
+             |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+             |e AS (SELECT u AS src, v AS dst FROM und
+             |      UNION ALL SELECT v, u FROM und),
+             |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |r1 AS (SELECT node, label FROM (
+             |    SELECT e.src AS node, l.label, count(*) AS n,
+             |      row_number() OVER (PARTITION BY e.src
+             |        ORDER BY count(*) DESC, l.label) AS rn
+             |    FROM e JOIN l0 l ON e.dst = l.node GROUP BY e.src, l.label)
+             |  WHERE rn = 1),
+             |r2 AS (SELECT node, label FROM (
+             |    SELECT e.src AS node, l.label, count(*) AS n,
+             |      row_number() OVER (PARTITION BY e.src
+             |        ORDER BY count(*) DESC, l.label) AS rn
+             |    FROM e JOIN r1 l ON e.dst = l.node GROUP BY e.src, l.label)
+             |  WHERE rn = 1),
+             |m AS (SELECT count(*) AS m FROM und),
+             |deg AS (SELECT node, count(*) AS d FROM (
+             |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+             |  GROUP BY node),
+             |byc AS (SELECT r2.label AS community, count(*) AS n_nodes,
+             |    CAST(sum(d) AS BIGINT) AS degree_sum
+             |  FROM deg JOIN r2 ON r2.node = deg.node GROUP BY 1),
+             |intra AS (SELECT lu.label AS community,
+             |    count(*) AS intra_edges
+             |  FROM und JOIN r2 lu ON lu.node = und.u
+             |           JOIN r2 lv ON lv.node = und.v
+             |  WHERE lu.label = lv.label GROUP BY 1)
+             |SELECT b.community, b.n_nodes,
+             |  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+             |  b.degree_sum,
+             |  floor((coalesce(i.intra_edges, 0) * 1.0 / m
+             |    - (b.degree_sum * 1.0 / (2.0 * m))
+             |      * (b.degree_sum * 1.0 / (2.0 * m))) * 1e6 + 0.5) / 1e6 AS q_part
+             |FROM byc b LEFT JOIN intra i USING (community) CROSS JOIN m
+             |ORDER BY community""".stripMargin))
   )
 }

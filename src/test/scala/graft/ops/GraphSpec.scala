@@ -186,6 +186,36 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("modularity: disjoint K5s score 0.25 per community under the " +
+      "true partition, 0 under the everything-together partition") {
+    import org.apache.spark.sql.functions.col
+    val k5a = for { a <- 1 to 5; b <- a + 1 to 5 } yield (a.toLong, b.toLong)
+    val k5b = for { a <- 11 to 15; b <- a + 1 to 15 } yield (a.toLong, b.toLong)
+    val edges = (k5a ++ k5b).toDF("src", "dst")
+    val truePart = ((1L to 5L).map(_ -> 1L) ++ (11L to 15L).map(_ -> 11L))
+      .toDF("node", "label")
+    val got = Graph.modularity(edges, truePart).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // per community: L=10, D=20, m=20 → 10/20 − (20/40)² = 0.25
+    assert(got.keySet === Set(1L, 11L))
+    got.values.foreach { case (n, l, d, q) =>
+      assert((n, l, d) === ((5L, 10L, 20L)))
+      assert(math.abs(q - 0.25) < 1e-9, s"q_part $q")
+    }
+    // degenerate one-community partition: Q = m/m − (2m/2m)² = 0
+    val onePart = ((1L to 5L) ++ (11L to 15L)).map(_ -> 1L).toDF("node", "label")
+    val q0 = Graph.modularity(edges, onePart).collect()
+    assert(q0.length == 1 && math.abs(q0(0).getDouble(4)) < 1e-9,
+      s"one-community Q must be 0: ${q0.toSeq}")
+    // reversed/duplicated edges are canonicalized away
+    val noisy = (k5a ++ k5b).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val again = Graph.modularity(noisy, truePart).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(again.values.forall(q => math.abs(q - 0.25) < 1e-9))
+  }
+
   test("hits: best hub and best authority carry the full scale; " +
       "partitioning and parallel edges don't move scores") {
     val r = runHits(fixedEdges, 2)
