@@ -651,6 +651,55 @@ object Events {
              |  GROUP BY 1)
              |SELECT (p_us - v_us) // 3600000000 AS lag_h,
              |  count(*) AS n_users
-             |FROM conv GROUP BY 1 ORDER BY lag_h""".stripMargin))
+             |FROM conv GROUP BY 1 ORDER BY lag_h""".stripMargin)),
+
+    Q(
+      "e13_rate_anomalies",
+      (s, dir) => {
+        // Event-rate anomaly detection — the observability staple:
+        // hours whose per-type event count sits > 2σ from that type's
+        // mean hourly rate. Scale shape: the event log collapses to
+        // (type, hour) counts FIRST (map-side combinable, types×hours
+        // rows however large the log), per-type mean/variance derive
+        // from integer sums over that tiny frame, and the z-score is
+        // one broadcast join back — no windows anywhere. Variance via
+        // (Σc² − (Σc)²/n)/n from exact integer sums, so both engines
+        // divide identical numbers; z rounds to 4dp.
+        val t = Tables(s, dir)
+        val hourly = t.events
+          .groupBy(col("event_type"),
+            unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("nh"), sum("n").as("s"),
+            sum(col("n") * col("n")).as("sq"))
+          .select(col("event_type"),
+            (col("s").cast("double") / col("nh")).as("mean"),
+            sqrt((col("sq").cast("double")
+              - col("s").cast("double") * col("s") / col("nh"))
+              / col("nh")).as("sd"))
+        hourly.join(broadcast(stats), "event_type")
+          .select(col("event_type"), col("hour_us"), col("n"),
+            ((col("n").cast("double") - col("mean")) / col("sd")).as("zraw"))
+          // filter on the RAW ratio (like the oracle) — filtering the
+          // rounded value would disagree on a z of e.g. 2.00004
+          .filter(abs(col("zraw")) > 2.0)
+          .select(col("event_type"), col("hour_us"), col("n"),
+            fround(col("zraw"), 4).as("z"))
+          .orderBy("event_type", "hour_us")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+             |    epoch_us(date_trunc('hour', ts)) AS hour_us, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (SELECT event_type,
+             |    sum(n) * 1.0 / count(*) AS mean,
+             |    sqrt((sum(n * n) - sum(n) * 1.0 * sum(n) / count(*))
+             |      / count(*)) AS sd
+             |  FROM hourly GROUP BY 1)
+             |SELECT h.event_type, h.hour_us, h.n,
+             |  floor((h.n - s.mean) / s.sd * 10000.0 + 0.5) / 10000.0 AS z
+             |FROM hourly h JOIN stats s USING (event_type)
+             |WHERE abs((h.n - s.mean) / s.sd) > 2.0
+             |ORDER BY event_type, hour_us""".stripMargin))
   )
 }
