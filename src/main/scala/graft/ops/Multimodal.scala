@@ -364,6 +364,67 @@ object Multimodal {
       sum_abs: Long,
       max_abs: Int)
 
+  /** One fixed-size window's exact sample stats — the per-window grain
+    * [[decodeWavWindows]] emits for temporal audio analysis (energy
+    * envelopes, silence detection) that [[AudioStats]]' whole-clip
+    * totals erase. `sum_sq` is an exact integer (16-bit samples square
+    * to ≤ 2^30; a window would need ~2^33 samples to overflow). */
+  final case class AudioWindowStats(
+      media_id: Long,
+      win: Int,
+      n_samples: Int,
+      sum_sq: Long)
+
+  /** [[decodeWavs]] at fixed-WINDOW grain: same AudioSystem decode and
+    * PCM16 normalization, emitting one exact sum-of-squares row per
+    * `windowSamples`-sample window (the trailing partial window keeps
+    * its true count). Undecodable blobs drop, they don't crash. */
+  def decodeWavWindows(clips: Dataset[AudioRow], windowSamples: Int = 200,
+      batchSize: Int = 64): Dataset[AudioWindowStats] = {
+    implicit val enc = Encoders.product[AudioWindowStats]
+    clips.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(row.wav))
+            val src = in.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels,
+              2 * src.getChannels, src.getSampleRate, /*bigEndian=*/ false)
+            val norm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+            val bytes = norm.readAllBytes()
+            norm.close()
+            in.close()
+            val n = bytes.length / 2
+            val out = Seq.newBuilder[AudioWindowStats]
+            var win = 0
+            var i = 0
+            while (i < n) {
+              val end = math.min(i + windowSamples, n)
+              var sq = 0L
+              var j = i
+              while (j < end) {
+                val v = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort.toLong
+                sq += v * v
+                j += 1
+              }
+              out += AudioWindowStats(row.media_id, win, end - i, sq)
+              win += 1
+              i = end
+            }
+            out.result()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => Nil
+            case _: IllegalArgumentException => Nil
+            case _: java.io.IOException => Nil
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic 16-bit sample i of clip `id` — pure integer
     * arithmetic in [-1000, 1000], so a SQL oracle recomputes every
     * sample. PCM is lossless: encode → decode round-trips exactly. */

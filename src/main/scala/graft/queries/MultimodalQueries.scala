@@ -307,6 +307,37 @@ object MultimodalQueries {
              |    abs(s - lag(s) OVER (PARTITION BY media_id ORDER BY frame)) AS delta
              |  FROM fs)
              |SELECT media_id, frame, delta FROM d
-             |WHERE delta > 2500 ORDER BY media_id, frame""".stripMargin))
+             |WHERE delta > 2500 ORDER BY media_id, frame""".stripMargin)),
+
+    Q(
+      "mm10_audio_energy",
+      (s, dir) => {
+        // Temporal audio analysis over the REAL decode path: the
+        // AudioSystem/PCM16 decoder at fixed-window grain — one exact
+        // integer sum-of-squares row per 200-sample window (trailing
+        // partial window keeps its true count), RMS quantized at 4dp.
+        // The energy envelope primitive under silence detection and
+        // loudness normalization; PCM is lossless so the oracle
+        // replays every sample, square, and window boundary.
+        val ids = Tables(s, dir).documents
+          .filter(col("doc_id") < 300).select(col("doc_id"))
+        val wavs = Multimodal.synthesizeWavs(ids, "doc_id")
+        Multimodal.decodeWavWindows(wavs, windowSamples = 200).toDF()
+          .select(col("media_id"), col("win"), col("n_samples"), col("sum_sq"),
+            fround(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4).as("rms"))
+          .orderBy("media_id", "win")
+      },
+      Some("""WITH clips AS (SELECT doc_id AS media_id,
+             |    CAST(400 + (doc_id % 5) * 100 AS INT) AS n
+             |  FROM documents WHERE doc_id < 300),
+             |sm AS (SELECT media_id, unnest(range(n)) AS i FROM clips),
+             |v AS (SELECT media_id, CAST(i // 200 AS INT) AS win,
+             |    ((media_id * 31 + i * 17) % 2001) - 1000 AS val
+             |  FROM sm)
+             |SELECT media_id, win, CAST(count(*) AS INT) AS n_samples,
+             |  CAST(sum(val * val) AS BIGINT) AS sum_sq,
+             |  floor(sqrt(sum(val * val) * 1.0 / count(*)) * 10000.0 + 0.5)
+             |    / 10000.0 AS rms
+             |FROM v GROUP BY 1, 2 ORDER BY media_id, win""".stripMargin))
   )
 }

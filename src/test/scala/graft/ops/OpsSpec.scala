@@ -1087,6 +1087,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.media_id).toSet == Set(1L), "only the clean blob decodes")
   }
 
+  test("decodeWavWindows: window sums-of-squares are formula-exact, " +
+      "partial trailing window keeps its count, corrupt blobs drop") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L).toDF("doc_id")
+    val wavs = synthesizeWavs(ids, "doc_id")
+    val got = decodeWavWindows(wavs, windowSamples = 150).collect()
+      .map(w => (w.media_id, w.win) -> w).toMap
+    for (id <- Seq(0L, 3L, 7L)) {
+      val (_, n) = Multimodal.audioParams(id)
+      val nWins = (n + 149) / 150
+      for (w <- 0 until nWins) {
+        val lo = w * 150
+        val hi = math.min(lo + 150, n)
+        val expSq = (lo until hi).map { i =>
+          val v = Multimodal.sampleValue(id, i).toLong; v * v
+        }.sum
+        val ws = got((id, w))
+        assert(ws.n_samples == hi - lo, s"window count of $id/$w")
+        assert(ws.sum_sq == expSq, s"sum_sq of $id/$w")
+      }
+      assert(!got.contains((id, nWins)), "no phantom window past the end")
+    }
+    val garbage = Seq(Multimodal.AudioRow(9L,
+      Array.tabulate[Byte](64)(i => (i * 7).toByte))).toDS()
+    assert(decodeWavWindows(garbage).collect().isEmpty)
+  }
+
   test("decodeAviFrames: per-frame sums are formula-exact, total to " +
       "decodeAvis, and corrupt blobs drop") {
     import spark.implicits._
