@@ -235,6 +235,47 @@ object CorpusOps2 {
              |ORDER BY shard, pos""".stripMargin)),
 
     Q(
+      "p11_token_budget",
+      (s, dir) => {
+        // Data-budget planning (the Chinchilla-recipe table): given a
+        // 10M-token training budget and a T=2 temperature mix over
+        // sources (share ∝ √tokens, p09's rule applied to token mass),
+        // how many tokens each source must contribute and how many
+        // EPOCHS of it that means (> 1 ⇒ the mix up-samples a small
+        // source beyond one pass — the decision this table exists to
+        // surface). √tokens quantizes to integer 1e-6 units BEFORE the
+        // normalizer sum (t17's trick), so shares divide identical
+        // exact integers in both engines; per-source token mass is one
+        // map-side-combinable aggregate, everything after is
+        // sources-sized.
+        val docs = Tables(s, dir).documents
+        val bySrc = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+          .withColumn("sq",
+            floor(sqrt(col("n_tokens").cast("double")) * 1e6 + lit(0.5)).cast("long"))
+        val z = bySrc.agg(sum("sq").as("z"))
+        bySrc.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            fround(lit(1e7) * col("sq").cast("double") / col("z"), 2)
+              .as("need_tokens"),
+            fround(lit(1e7) * col("sq").cast("double") / col("z")
+              / col("n_tokens"), 4).as("epochs"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |sq AS (SELECT source, n_docs, n_tokens,
+             |    CAST(floor(sqrt(n_tokens) * 1e6 + 0.5) AS BIGINT) AS sq
+             |  FROM bysrc),
+             |z AS (SELECT sum(sq) AS z FROM sq)
+             |SELECT source, n_docs, n_tokens,
+             |  floor(10000000.0 * sq / z * 100.0 + 0.5) / 100.0 AS need_tokens,
+             |  floor(10000000.0 * sq / z / n_tokens * 10000.0 + 0.5) / 10000.0 AS epochs
+             |FROM sq CROSS JOIN z ORDER BY source""".stripMargin)),
+
+    Q(
       "t18_zipf_slope",
       (s, dir) => {
         // Per-source Zipf slope — the power-law corpus-QA statistic

@@ -323,6 +323,59 @@ object Windows {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q(
+      "w09_pareto_deciles",
+      (s, dir) => {
+        // Revenue-concentration (Pareto) curve per market segment: the
+        // "top decile of customers drives X% of revenue" table. Order
+        // totals quantize to integer CENTS per row BEFORE any sum, so
+        // customer ranking is exact integer arithmetic — a float sum's
+        // engine-order ulp could otherwise flip two near-tied
+        // customers across a decile boundary. ntile is SQL-standard in
+        // both engines; the window sorts one segment's CUSTOMERS (the
+        // pre-aggregated frame, not orders) — at extreme scale
+        // pre-bucket by revenue range first, same refinement as t14's
+        // heap note.
+        val t = Tables(s, dir)
+        val rev = t.orders
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy("o_custkey").agg(sum("cents").as("rc"))
+          .join(broadcast(t.customer.select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment"))), "o_custkey")
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("rc").desc, col("o_custkey"))
+        val byDec = rev.withColumn("decile", ntile(10).over(w))
+          .groupBy("c_mktsegment", "decile")
+          .agg(count(lit(1)).as("n_customers"), sum("rc").as("dec_cents"))
+        val segTot = byDec.groupBy("c_mktsegment")
+          .agg(sum("dec_cents").as("seg_cents"))
+        byDec.join(broadcast(segTot), "c_mktsegment")
+          .select(col("c_mktsegment"), col("decile"), col("n_customers"),
+            col("dec_cents"),
+            fround(col("dec_cents").cast("double") / col("seg_cents"), 4)
+              .as("rev_share"))
+          .orderBy("c_mktsegment", "decile")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rc
+             |  FROM orders GROUP BY 1),
+             |seg AS (SELECT rev.o_custkey, rc, c_mktsegment
+             |  FROM rev JOIN customer ON c_custkey = o_custkey),
+             |dec AS (SELECT c_mktsegment,
+             |    ntile(10) OVER (PARTITION BY c_mktsegment
+             |      ORDER BY rc DESC, o_custkey) AS decile,
+             |    rc FROM seg),
+             |byd AS (SELECT c_mktsegment, CAST(decile AS INT) AS decile,
+             |    count(*) AS n_customers, CAST(sum(rc) AS BIGINT) AS dec_cents
+             |  FROM dec GROUP BY 1, 2),
+             |tot AS (SELECT c_mktsegment, CAST(sum(dec_cents) AS BIGINT) AS seg_cents
+             |  FROM byd GROUP BY 1)
+             |SELECT b.c_mktsegment, b.decile, b.n_customers, b.dec_cents,
+             |  floor(b.dec_cents * 1.0 / t.seg_cents * 10000.0 + 0.5) / 10000.0 AS rev_share
+             |FROM byd b JOIN tot t USING (c_mktsegment)
+             |ORDER BY c_mktsegment, decile""".stripMargin))
   )
 }
