@@ -115,6 +115,39 @@ object Layout {
    * every table-maintenance system (Iceberg/Delta compaction planning)
    * already holds in memory. Output: (path, bytes, bin).
    */
+  /**
+   * Snapshot DIFF (change-data-capture between two versions of a
+   * dimension): full outer join on the key, classify each key as
+   * inserted / deleted / changed / unchanged by whole-row struct
+   * comparison of the non-key columns. The SCD/merge-ingest primitive:
+   * its output drives both an SCD2 history append and an incremental
+   * MERGE.
+   *
+   * Scale shape: one co-partitioned equi-join on the key (bucket both
+   * snapshots on the key — l02's layout — and it is exchange-free);
+   * the struct comparison is codegen'd per row, nothing widens, and
+   * the `unchanged` majority can be filtered before any downstream
+   * shuffle. Returns (key, action) plus the old/new structs for
+   * downstream column-level auditing.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      key: String): DataFrame = {
+    val valCols = oldDf.columns.filterNot(_ == key)
+    require(newDf.columns.filterNot(_ == key).sameElements(valCols),
+      "snapshots must share a schema")
+    val o = oldDf.select(col(key),
+      struct(valCols.map(col).toSeq: _*).as("old_row"))
+    val n = newDf.select(col(key),
+      struct(valCols.map(col).toSeq: _*).as("new_row"))
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("old_row").isNull, "inserted")
+          .when(col("new_row").isNull, "deleted")
+          .when(col("old_row") =!= col("new_row"), "changed")
+          .otherwise("unchanged").as("action"),
+        col("old_row"), col("new_row"))
+  }
+
   def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
       targetBytes: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

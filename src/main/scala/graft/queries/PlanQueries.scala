@@ -276,6 +276,55 @@ object PlanQueries {
              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "l07_snapshot_diff",
+      (s, dir) => {
+        // Dimension snapshot DIFF (the CDC / SCD / merge-ingest
+        // primitive): yesterday's customer dimension vs a
+        // deterministically mutated today — %11 keys deleted, %7 keys
+        // rebalanced (+100), %13 keys re-inserted under shifted ids —
+        // classified inserted/deleted/changed by whole-row struct
+        // comparison through one key-equi full outer join (bucket both
+        // snapshots on the key and it is exchange-free, l02's layout).
+        // The unchanged majority filters out before anything else.
+        val t = Tables(s, dir)
+        val old = t.customer
+        val mutated = old.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")))
+        val inserts = old.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 2000000)
+        graft.ops.Layout.snapshotDiff(old, mutated.unionByName(inserts), "c_custkey")
+          .filter(col("action") =!= "unchanged")
+          .select(col("c_custkey"), col("action"),
+            fround(col("old_row.c_acctbal"), 2).as("old_bal"),
+            fround(col("new_row.c_acctbal"), 2).as("new_bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH nw AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+             |         ELSE c_acctbal END AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 11 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal,
+             |    c_mktsegment FROM customer WHERE c_custkey % 13 = 0),
+             |d AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             |    CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+             |         WHEN n.c_custkey IS NULL THEN 'deleted'
+             |         WHEN (o.c_name, o.c_nationkey, o.c_acctbal, o.c_mktsegment)
+             |           <> (n.c_name, n.c_nationkey, n.c_acctbal, n.c_mktsegment)
+             |           THEN 'changed'
+             |         ELSE 'unchanged' END AS action,
+             |    o.c_acctbal AS ob, n.c_acctbal AS nb
+             |  FROM customer o FULL OUTER JOIN nw n ON o.c_custkey = n.c_custkey)
+             |SELECT c_custkey, action,
+             |  floor(ob * 100.0 + 0.5) / 100.0 AS old_bal,
+             |  floor(nb * 100.0 + 0.5) / 100.0 AS new_bal
+             |FROM d WHERE action <> 'unchanged'
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q(
       "l02_bucketed_incremental",
       (s, dir) => {
         // dc02's documented 100 TB layout made real: both snapshot
