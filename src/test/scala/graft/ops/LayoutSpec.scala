@@ -290,4 +290,30 @@ class LayoutSpec extends SparkTestBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("snapshotDiff classifies all four actions; co-bucketed snapshots " +
+      "diff without any exchange") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("key", "name", "bal")
+    val nw = Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "D", 40.0),
+      (5L, "e", 50.0)).toDF("key", "name", "bal")
+    val got = Layout.snapshotDiff(old, nw, "key")
+      .select("key", "action")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "deleted",
+      4L -> "changed", 5L -> "inserted"), s"got $got")
+    // exchange-free under co-bucketing (the l02 layout claim)
+    Layout.writeBucketed(old, "graft_snap_old", "key", 4, Seq("key"))
+    Layout.writeBucketed(nw, "graft_snap_new", "key", 4, Seq("key"))
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = Layout.snapshotDiff(
+        spark.table("graft_snap_old"), spark.table("graft_snap_new"), "key")
+      assert(Layout.isExchangeFree(diff), "bucketed diff must not shuffle")
+      assert(diff.filter(col("action") =!= "unchanged").count() == 4L)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+  }
 }

@@ -172,6 +172,37 @@ class DedupSpec extends SparkTestBase {
     assert(out.size == 60, s"${out.size} survivors")
   }
 
+  test("clusterRepresentatives crowns the highest-score member, not the min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, split}
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector.tabulate(500)(i => s"w$i")
+    val base = (0L until 30L).map { i =>
+      (i, Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // truncated copies sit at LOWER ids than their originals, so the
+    // two policies genuinely disagree: min-id-wins (dedupeCorpus, and
+    // the component LABEL) picks the truncation, score-wins must pick
+    // the 80-token original at the high id
+    val originals = base.map { case (i, t) => (10000L + i, t) }
+    val truncated = base.take(8).map { case (i, t) =>
+      (i, t.split(" ").dropRight(3).mkString(" "))
+    }
+    val reps = Dedup.clusterRepresentatives(
+        (originals ++ truncated).toDF("doc_id", "text"), "doc_id", "text",
+        score = size(split(col("text"), " ")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(reps.keySet === (0L until 8L).toSet,
+      s"components label by their min id: ${reps.keySet}")
+    for (i <- 0L until 8L) {
+      val (rep, score, sz) = reps(i)
+      assert(rep == 10000L + i, s"cluster $i crowned $rep, want ${10000L + i}")
+      assert(score == 80L, s"rep score $score")
+      assert(sz == 2L, s"cluster $i size $sz")
+    }
+  }
+
   test("span census survives a viral span and plans no window") {
     import spark.implicits._
     // the degenerate case spanCensus must survive at scale: ONE 6-token
