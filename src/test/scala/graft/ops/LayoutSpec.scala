@@ -303,7 +303,15 @@ class LayoutSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "deleted",
       4L -> "changed", 5L -> "inserted"), s"got $got")
-    // exchange-free under co-bucketing (the l02 layout claim)
+    // exchange-free under co-bucketing (the l02 layout claim); a
+    // location surviving from a previous JVM blocks saveAsTable, so
+    // drop catalog entry AND warehouse dir first (l02's own pattern)
+    Seq("graft_snap_old", "graft_snap_new").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     Layout.writeBucketed(old, "graft_snap_old", "key", 4, Seq("key"))
     Layout.writeBucketed(nw, "graft_snap_new", "key", 4, Seq("key"))
     val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
