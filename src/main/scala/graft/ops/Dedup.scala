@@ -854,6 +854,13 @@ object Dedup {
    * score joins id-keyed, and the argmax is min(struct(-score, id)) —
    * a map-side-combinable AGGREGATE, not a window, so a mass-dup
    * mega-cluster's rows shrink per partition before they shuffle.
+   *
+   * `score` contract: the policy column is cast to LONG (the argmax
+   * must be exact integer arithmetic to stay oracle-checkable across
+   * engines), so a fractional score in [0, 1] would truncate to 0 and
+   * silently degenerate to min-id-wins. Pre-quantize fractional
+   * qualities with the repo's fixed-point idiom — pass
+   * `floor(quality * 1e6)` — exactly as t02's quality score does.
    */
   def clusterRepresentatives(docs: DataFrame, idCol: String, textCol: String,
       score: Column, numHashes: Int = 128, bands: Int = 32, seed: Long = 42L,

@@ -42,7 +42,15 @@ object FuzzyJoin {
   private def keyedElements(df: DataFrame, id: String, str: String,
       side: Int): DataFrame = {
     val s = col(str)
-    val dels = transform(sequence(lit(1), length(s)), i =>
+    // sequence(1, 0) is DESCENDING ([1, 0]) in Spark, not empty — an
+    // empty string would emit two phantom deletion elements (the pos=0
+    // one masquerading as the identity key, double-matching other empty
+    // strings at dist 0 AND 1), so guard the index range explicitly.
+    // FuzzyStream.elements already handles empty input; this keeps the
+    // batch and streaming signatures agreeing on that edge.
+    val idx = when(length(s) >= 1, sequence(lit(1), length(s)))
+      .otherwise(array().cast("array<int>"))
+    val dels = transform(idx, i =>
       struct(i.as("pos"), s.substr(i, lit(1)).as("ch"),
         concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))).as("k")))
     val idk = array(struct(lit(0).as("pos"), lit("").as("ch"), s.as("k")))

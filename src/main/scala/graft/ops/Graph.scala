@@ -325,6 +325,11 @@ object Graph {
    * node; shrink `scale` for denser graphs.
    */
   def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    // iters = 0 would leave `auths` null and NPE at the final join;
+    // degenerate inputs (empty edge set, all-zero weights) would make
+    // the round max null/0 and silently propagate null scores through
+    // the integer division — fail loudly instead.
+    require(iters >= 1, s"hits: iters must be >= 1 (got $iters)")
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
@@ -344,14 +349,20 @@ object Graph {
         eo.join(hPrev.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("araw")),
         rowBytes = 24)
-      val amax = araw.agg(max("araw")).head.getLong(0)
+      val amaxRow = araw.agg(max("araw")).head
+      require(!amaxRow.isNullAt(0) && amaxRow.getLong(0) > 0,
+        "hits: empty or zero-weight edge set — no authority mass to normalize")
+      val amax = amaxRow.getLong(0)
       auths = araw.select(col("dst").as("node"),
         expr(s"araw * ${scale}L div ${amax}L").as("a"))
       val (hraw, _) = rotH.materialize(
         eo.join(auths.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src")).agg(sum(col("w") * col("a")).as("hraw")),
         rowBytes = 24)
-      val hmax = hraw.agg(max("hraw")).head.getLong(0)
+      val hmaxRow = hraw.agg(max("hraw")).head
+      require(!hmaxRow.isNullAt(0) && hmaxRow.getLong(0) > 0,
+        "hits: no hub mass to normalize")
+      val hmax = hmaxRow.getLong(0)
       hubs = hraw.select(col("src").as("node"),
         expr(s"hraw * ${scale}L div ${hmax}L").as("h"))
     }

@@ -107,8 +107,9 @@ object Similarity {
    * `nprobe` nearest cells and reranks exactly inside them.
    *
    * Scale posture: centroids are model-sized and broadcast; corpus cell
-   * assignment is ONE narrow map (argmin over broadcast centroids via a
-   * UDF — no corpus×clusters blowup); the probe join is equi-keyed on
+   * assignment is ONE narrow map (argmin over the centroid literals via
+   * the native codegen'd `CellArgmin` expression — no UDF, no
+   * corpus×clusters blowup); the probe join is equi-keyed on
    * cell id, touching ~nprobe/clusters of the corpus per query. Cell
    * skew is bounded by k-means balance; at extreme scale raise
    * `clusters` so cells fit a task.

@@ -9,7 +9,9 @@ import graft.tables.Tables
  *
  * The trade graph: customer --buys-from--> supplier, one weighted edge
  * per (customer, supplier) pair observed in orders ⋈ lineitem. Node ids
- * share one long space (suppliers offset by 1e5). Every supplier is a
+ * share one long space (suppliers offset by 1e9 — safely above every
+ * replicated custkey range ScaleGen can produce, so a customer and a
+ * supplier never merge into one node at any SF). Every supplier is a
  * sink (no out-edges), so the dangling-mass redistribution path is
  * load-bearing, not decorative.
  *
@@ -52,13 +54,13 @@ object GraphQueries {
         val edges = t.orders.join(t.lineitem,
             col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_custkey").as("src"),
-            (lit(100000L) + col("l_suppkey")).as("dst"))
+            (lit(1000000000L) + col("l_suppkey")).as("dst"))
           .agg(count(lit(1)).as("w"))
         graft.ops.Graph.pageRank(edges, iters = 3)
           .orderBy(col("rank_nano").desc, col("node"))
           .limit(20)
       },
-      Some(s"""WITH e AS (SELECT o_custkey AS src, 100000 + l_suppkey AS dst,
+      Some(s"""WITH e AS (SELECT o_custkey AS src, 1000000000 + l_suppkey AS dst,
               |    count(*) AS w
               |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               |  GROUP BY 1, 2),
@@ -71,7 +73,7 @@ object GraphQueries {
               |${iterCte(1)},
               |${iterCte(2)},
               |${iterCte(3)}
-              |SELECT node, r AS rank_nano FROM r3
+              |SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r3
               |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin)),
 
     Q(
@@ -85,22 +87,22 @@ object GraphQueries {
         val pairs = t.orders.join(t.lineitem,
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"),
-            (lit(100000L) + col("l_suppkey")).as("p"))
+            (lit(1000000000L) + col("l_suppkey")).as("p"))
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .union(pairs.select(col("p").as("src"), col("c").as("dst")))
         graft.ops.Graph.shortestPaths(edges,
-          sources = Seq(100001L, 100002L, 100003L), rounds = 3)
+          sources = Seq(1000000001L, 1000000002L, 1000000003L), rounds = 3)
           .groupBy("dist")
           .agg(count(lit(1)).as("n_nodes"), sum("node").as("id_sum"))
           .orderBy("dist")
       },
       Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
-             |    100000 + l_suppkey AS p
+             |    1000000000 + l_suppkey AS p
              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
              |e AS (SELECT c AS src, p AS dst FROM pairs
              |      UNION SELECT p AS src, c AS dst FROM pairs),
-             |d0 AS (SELECT unnest([100001, 100002, 100003]) AS node,
+             |d0 AS (SELECT unnest([1000000001, 1000000002, 1000000003]) AS node,
              |       CAST(0 AS BIGINT) AS d),
              |r1 AS (SELECT node, min(d) AS d FROM (
              |    SELECT node, d FROM d0
@@ -265,13 +267,13 @@ object GraphQueries {
         val edges = t.orders.join(t.lineitem,
             col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_custkey").as("src"),
-            (lit(100000L) + col("l_suppkey")).as("dst"))
+            (lit(1000000000L) + col("l_suppkey")).as("dst"))
           .agg(count(lit(1)).as("w"))
         graft.ops.Graph.hits(edges, iters = 2)
           .orderBy(col("auth_ppm").desc, col("node"))
           .limit(20)
       },
-      Some("""WITH e AS (SELECT o_custkey AS src, 100000 + l_suppkey AS dst,
+      Some("""WITH e AS (SELECT o_custkey AS src, 1000000000 + l_suppkey AS dst,
              |    count(*) AS w
              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
              |  GROUP BY 1, 2),
