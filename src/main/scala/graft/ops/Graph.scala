@@ -425,6 +425,106 @@ object Graph {
           - dShare * dShare) * 1e6 + lit(0.5)) / 1e6).as("q_part"))
   }
 
+  /**
+   * Bounded-round Bellman-Ford over WEIGHTED edges (src, dst, w): after
+   * `rounds` relaxations each reached node holds the minimum total
+   * weight over all paths of ≤ `rounds` edges from any source — the
+   * weighted twin of [[shortestPaths]], same relational shape with
+   * `d + w` in place of `d + 1`. Weights are integers (cast to long),
+   * so every round is exact arithmetic and an unrolled SQL oracle
+   * replays it bit-for-bit; negative weights are rejected (cycles
+   * would make the bounded result meaningless).
+   *
+   * The load-bearing difference from BFS: a 2-edge path can be CHEAPER
+   * than a direct edge, so the relaxation genuinely re-decides earlier
+   * rounds' answers — min(d) aggregates over the union of the previous
+   * state and the relaxed frontier, not just newly-reached nodes.
+   *
+   * Scale shape per round: identical to [[shortestPaths]] — one
+   * shuffle of the 24 B/node (node, d) state into the materialized
+   * edge partitioning plus one map-side-combined min by node; the edge
+   * list never moves after the initial repartition-by-src.
+   */
+  def weightedShortestPaths(edges: DataFrame, sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val (e, eRdd) = materializeEdges(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .groupBy("src", "dst").agg(min("w").as("w"))
+        .repartition(col("src")))
+    val negs = e.filter(col("w") < 0).limit(1).count()
+    require(negs == 0, "weightedShortestPaths: negative edge weights")
+    import spark.implicits._
+    var dist: DataFrame = sources.distinct.map(d => (d, 0L)).toDF("node", "d")
+    val rot = new Rotation
+    for (_ <- 1 to rounds) {
+      val (cur, _) = rot.materialize(dist, rowBytes = 24)
+      val relaxed = e.join(cur.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = cur.union(relaxed).groupBy("node").agg(min("d").as("d"))
+    }
+    val (out, _) = rot.materialize(dist, rowBytes = 24)
+    rot.release()
+    eRdd.unpersist(blocking = false)
+    out.select(col("node"), col("d").as("dist"))
+  }
+
+  /**
+   * [[kCore]] driven to its VERIFIED FIXPOINT: peel rounds run until a
+   * round removes nothing — the surviving subgraph then IS the exact
+   * k-core, not a superset — and the convergence probe is free: each
+   * round's state is already counted during materialization (the
+   * Rotation's one job per round), and the symmetric edge count is
+   * stationary iff no node was peeled (peeling a node always deletes
+   * its ≥ 1 surviving incident edges; isolated nodes never appear in
+   * the edge frame at all). Returns (result, peels) where `peels`
+   * counts executed peel rounds — the last one provably removed
+   * nothing. Fails loudly at `maxRounds` instead of returning an
+   * unconverged superset.
+   *
+   * Scale shape: identical to [[kCore]] per round — one map-side-
+   * combinable degree aggregate plus two keys-only left-semi joins —
+   * and the state SHRINKS monotonically, so late rounds are nearly
+   * free. The stationarity check adds zero jobs.
+   */
+  def kCoreConverged(edges: DataFrame, k: Int,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    var e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val rot = new Rotation
+    var prevCnt = -1L
+    var peels = 0
+    var out: DataFrame = null
+    while (out == null) {
+      val (cur, cnt) = rot.materialize(e, rowBytes = 16)
+      if (cnt == prevCnt) out = cur // last peel removed nothing: fixpoint
+      else {
+        require(peels < maxRounds,
+          s"kCoreConverged: no fixpoint within $maxRounds rounds")
+        prevCnt = cnt
+        peels += 1
+        val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("src").as("node"))
+        e = cur
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      }
+    }
+    rot.release()
+    (out.groupBy("src").agg(count(lit(1)).as("degree_in_core"))
+      .select(col("src").as("node"), col("degree_in_core")), peels)
+  }
+
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession

@@ -25,6 +25,33 @@ object GraphQueries {
   private val D = "0.85"
   private val S = "1000000000"
 
+  /** One unrolled k-core peel: survivors k{i} and restricted edges e{i}
+    * from e{i-1} (x10's oracle — unrolled PAST the fixpoint, where
+    * extra peels are provably no-ops, so a convergence-driven engine
+    * result hashes equal iff it reached the true core). */
+  private def peelCte(i: Int, k: Int): String = {
+    val p = s"e${i - 1}"
+    // MATERIALIZED: each peel references its predecessor 3× (degree
+    // count + both endpoint restrictions); inlined, 8 peels expand the
+    // base scan 3^8 times and DuckDB runs out of file handles
+    s"""k$i AS MATERIALIZED (SELECT src AS node FROM $p GROUP BY src
+       |       HAVING count(*) >= $k),
+       |e$i AS MATERIALIZED (SELECT src, dst FROM $p
+       |  WHERE src IN (SELECT node FROM k$i)
+       |    AND dst IN (SELECT node FROM k$i))""".stripMargin
+  }
+
+  /** One unrolled Bellman-Ford relaxation: r{i} from r{i-1} (x08's
+    * oracle — min over the previous state plus every one-edge
+    * extension, `d + w` where BFS had `d + 1`). */
+  private def relaxCte(i: Int): String = {
+    val p = if (i == 1) "d0" else s"r${i - 1}"
+    s"""r$i AS (SELECT node, min(d) AS d FROM (
+       |    SELECT node, d FROM $p
+       |    UNION ALL SELECT e.dst AS node, $p.d + e.w AS d
+       |    FROM e JOIN $p ON e.src = $p.node) GROUP BY node)""".stripMargin
+  }
+
   /** One unrolled PageRank round: r{i} from r{i-1}. */
   private def iterCte(i: Int): String = {
     val p = s"r${i - 1}"
@@ -364,6 +391,126 @@ object GraphQueries {
              |    - (b.degree_sum * 1.0 / (2.0 * m))
              |      * (b.degree_sum * 1.0 / (2.0 * m))) * 1e6 + 0.5) / 1e6 AS q_part
              |FROM byc b LEFT JOIN intra i USING (community) CROSS JOIN m
-             |ORDER BY community""".stripMargin))
+             |ORDER BY community""".stripMargin)),
+
+    Q(
+      "x08_weighted_paths",
+      (s, dir) => {
+        // 3 rounds of Bellman-Ford over the SYMMETRIZED weighted trade
+        // graph (w = lineitem count per customer-supplier pair) from
+        // the three lowest-id suppliers: min TOTAL WEIGHT over paths of
+        // ≤ 3 edges, so a cheap 2-hop route beats an expensive direct
+        // edge — the relaxation genuinely re-decides earlier rounds
+        // (planted-path spec in GraphSpec). 20 nearest nodes by
+        // (dist, node); integer-exact end to end.
+        val t = Tables(s, dir)
+        val pairs = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"),
+            (lit(1000000000L) + col("l_suppkey")).as("p"))
+          .agg(count(lit(1)).as("w"))
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"), col("w"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst"), col("w")))
+        graft.ops.Graph.weightedShortestPaths(edges,
+          sources = Seq(1000000001L, 1000000002L, 1000000003L), rounds = 3)
+          .orderBy("dist", "node")
+          .limit(20)
+      },
+      Some(s"""WITH pairs AS (SELECT o_custkey AS c,
+              |    1000000000 + l_suppkey AS p, count(*) AS w
+              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |e AS (SELECT c AS src, p AS dst, w FROM pairs
+              |      UNION ALL SELECT p, c, w FROM pairs),
+              |d0 AS (SELECT unnest([1000000001, 1000000002, 1000000003]) AS node,
+              |       CAST(0 AS BIGINT) AS d),
+              |${relaxCte(1)},
+              |${relaxCte(2)},
+              |${relaxCte(3)}
+              |SELECT node, CAST(d AS BIGINT) AS dist FROM r3
+              |ORDER BY dist, node LIMIT 20""".stripMargin)),
+
+    Q(
+      "x09_components",
+      (s, dir) => {
+        // Connected components as a GRAPH workload (not dedup-shaped):
+        // customers linked when they bought the same (part, supplier)
+        // coincidence — small cliques per coincidence, so the graph
+        // fragments into ~118 components of wildly varied size at
+        // sf0.01 instead of one giant blob. Resolution is the same
+        // pointer-doubling CC the dedup family uses (`Dedup
+        // .connectedComponents`), here exercised on a graph-shaped edge
+        // distribution; the oracle recomputes the components with a
+        // recursive CTE (d07's pattern). Output: per-component census.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 200)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"),
+            col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.sk") === col("b.sk") &&
+              col("a.c") < col("b.c"))
+          .select(col("a.c").as("id_a"), col("b.c").as("id_b"))
+          .distinct()
+        graft.ops.Dedup.connectedComponents(edges)
+          .groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"))
+          .orderBy("component")
+      },
+      Some("""WITH RECURSIVE cp AS (SELECT DISTINCT o_custkey AS c,
+             |    l_partkey AS pk, l_suppkey AS sk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE l_partkey < 200),
+             |und AS (SELECT DISTINCT a.c AS u, b.c AS v
+             |  FROM cp a JOIN cp b
+             |    ON a.pk = b.pk AND a.sk = b.sk AND a.c < b.c),
+             |sym AS (SELECT u AS src, v AS dst FROM und
+             |        UNION ALL SELECT v, u FROM und),
+             |cc AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.src, cc.lbl FROM sym s JOIN cc ON s.dst = cc.id)
+             |SELECT min_lbl AS component, count(*) AS cluster_size
+             |FROM (SELECT id, min(lbl) AS min_lbl FROM cc GROUP BY id)
+             |GROUP BY 1 ORDER BY component""".stripMargin)),
+
+    Q(
+      "x10_kcore_converged",
+      (s, dir) => {
+        // The exact 38-core of the co-purchase graph, found by peeling
+        // TO CONVERGENCE (kCoreConverged loops until a round removes
+        // nothing — 4 peels at sf0.01: 500 → 118 → 88 → 78 → 78) —
+        // unlike x05's fixed-round superset, the round count here is
+        // decided by the data. The oracle unrolls 8 peels, PAST the
+        // fixpoint where further peels are provably no-ops: the hash
+        // matches iff the engine's convergence loop reached the true
+        // core.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        graft.ops.Graph.kCoreConverged(edges, k = 38)._1.orderBy("node")
+      },
+      Some(s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+              |    l_partkey AS pk
+              |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |    WHERE l_partkey < 20),
+              |und AS MATERIALIZED (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+              |    CAST(b.c AS BIGINT) AS v
+              |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+              |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+              |       UNION ALL SELECT v, u FROM und),
+              |${(1 to 8).map(peelCte(_, 38)).mkString(",\n")},
+              |core AS (SELECT src AS node, count(*) AS degree_in_core
+              |  FROM e8 GROUP BY src)
+              |SELECT node, degree_in_core FROM core
+              |ORDER BY node""".stripMargin))
   )
 }

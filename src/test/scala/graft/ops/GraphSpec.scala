@@ -146,6 +146,51 @@ class GraphSpec extends SparkTestBase {
     assert(again === r3)
   }
 
+  test("weightedShortestPaths: cheap-long path beats expensive-short edge, " +
+      "and relaxation re-decides earlier rounds") {
+    // 1→3 direct costs 10; 1→2→3 costs 1+2=3. Round 1 must report the
+    // expensive direct edge, round 2 must REVISE it down — the defining
+    // difference from hop-count BFS, where reached distances are final.
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L))
+    def wsp(rounds: Int): Map[Long, Long] =
+      Graph.weightedShortestPaths(e.toDF("src", "dst", "w"), Seq(1L), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wsp(1) === Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    assert(wsp(2) === Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 11L))
+    assert(wsp(3) === Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    // parallel edges keep the cheapest copy; negative weights rejected
+    val par = Graph.weightedShortestPaths(
+      (e ++ Seq((1L, 2L, 5L))).toDF("src", "dst", "w"), Seq(1L), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(par(2L) === 1L)
+    intercept[IllegalArgumentException] {
+      Graph.weightedShortestPaths(
+        Seq((1L, 2L, -1L)).toDF("src", "dst", "w"), Seq(1L), 1)
+    }
+  }
+
+  test("kCoreConverged: chain unravels to a verified fixpoint, " +
+      "peel count is data-driven, fixed-round twin agrees") {
+    // K5 + 4-link pendant chain 5-6-7-8-9 at k=2: the chain unravels
+    // ONE node per peel (4 shrinking peels), then one stationary peel
+    // proves the fixpoint — 5 total, decided by the data, not a param.
+    val k5 = for { a <- 1 to 5; b <- a + 1 to 5 } yield (a.toLong, b.toLong)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    val edges = (k5 ++ chain).toDF("src", "dst")
+    val (core, peels) = Graph.kCoreConverged(edges, k = 2)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L), s"core nodes: ${got.keySet}")
+    assert(got.values.toSet === Set(4L), "K5 core degrees must all be 4")
+    assert(peels === 5, s"expected 4 shrinking + 1 stationary peel, got $peels")
+    // the fixed-round superset closes onto the converged core at >= peels
+    val fixed = Graph.kCore(edges, k = 2, rounds = peels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed === got)
+    // k above the max degree: everything peels, empty fixpoint, no hang
+    val (empty, _) = Graph.kCoreConverged(edges, k = 10)
+    assert(empty.count() === 0)
+  }
+
   test("all-dangling graph: mass redistributes uniformly") {
     // single edge, then its dst dangles; after round 1 both nodes carry
     // base + dshare (+ contrib for dst) — just assert determinism + keys
