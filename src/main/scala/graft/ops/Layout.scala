@@ -148,6 +148,39 @@ object Layout {
         col("old_row"), col("new_row"))
   }
 
+  /**
+   * Snapshot MERGE — the APPLY half of the CDC primitive
+   * [[snapshotDiff]] starts: consume a change set (rows of
+   * `(key, action, new_row)`, i.e. the diff with the `unchanged`
+   * majority filtered out — passing an unfiltered diff is also
+   * accepted) and produce the NEXT table state:
+   *
+   *   next = (old ⟕̸ touched-keys)  ∪  changed-new  ∪  inserted
+   *
+   * — surviving old rows come through a left-anti join on the touched
+   * keys (deleted and changed keys drop; inserted keys were never in
+   * `old`), and the upserts re-expand from the carried `new_row`
+   * struct. This is the daily merge-ingest every long-lived 100 TB
+   * dimension runs (Delta/Iceberg MERGE INTO, expressed relationally).
+   *
+   * Scale shape: ONE keys-only anti-join plus a union — and under
+   * l02's layout (both `old` and the change set bucketed on the key
+   * with the same bucket count) the whole merge plans with NO exchange
+   * on either side (asserted in LayoutSpec with broadcast disabled),
+   * so applying a day's changes to a 100 TB dimension never shuffles
+   * the dimension. The change set is |changes|-sized, never
+   * |table|-sized; the output can be written straight back bucketed on
+   * the same key, keeping the layout invariant for tomorrow's merge.
+   */
+  def applyDiff(oldDf: DataFrame, diff: DataFrame, key: String): DataFrame = {
+    val changes = diff.filter(col("action") =!= "unchanged")
+    val upserts = changes.filter(col("action").isin("inserted", "changed"))
+      .select(col(key) +: oldDf.columns.filterNot(_ == key)
+        .map(c => col(s"new_row.$c").as(c)).toSeq: _*)
+    val touched = changes.select(col(key))
+    oldDf.join(touched, Seq(key), "left_anti").unionByName(upserts)
+  }
+
   def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
       targetBytes: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -325,6 +325,60 @@ object PlanQueries {
              |ORDER BY c_custkey""".stripMargin)),
 
     Q(
+      "l08_merge_apply",
+      (s, dir) => {
+        // The APPLY half of l07's CDC primitive: the same deterministic
+        // dimension mutation (%11 deleted, %7 rebalanced, %13
+        // re-inserted shifted) is diffed, the change set and the old
+        // snapshot are WRITTEN BUCKETED on the key (l02's layout), and
+        // `Layout.applyDiff` merges them — one keys-only anti-join plus
+        // a union, exchange-free under the co-bucketed layout (plan
+        // asserted in LayoutSpec with broadcast disabled). The oracle
+        // recomputes the merged state straight from the raw table: a
+        // correct merge reproduces today's snapshot exactly, row for
+        // row — the diff/apply round-trip is the identity.
+        val t = Tables(s, dir)
+        Seq("graft_l08_old", "graft_l08_changes").foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val old = t.customer
+        val mutated = old.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")))
+        val inserts = old.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 2000000)
+        val diff = graft.ops.Layout
+          .snapshotDiff(old, mutated.unionByName(inserts), "c_custkey")
+          .filter(col("action") =!= "unchanged")
+          .select("c_custkey", "action", "new_row")
+        graft.ops.Layout.writeBucketed(old, "graft_l08_old",
+          "c_custkey", buckets = 8)
+        graft.ops.Layout.writeBucketed(diff, "graft_l08_changes",
+          "c_custkey", buckets = 8)
+        graft.ops.Layout.applyDiff(s.table("graft_l08_old"),
+            s.table("graft_l08_changes"), "c_custkey")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            fround(col("c_acctbal"), 2).as("acctbal"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+             |  floor(c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal,
+             |  c_mktsegment
+             |FROM (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+             |         ELSE c_acctbal END AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 11 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal,
+             |    c_mktsegment FROM customer WHERE c_custkey % 13 = 0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q(
       "l02_bucketed_incremental",
       (s, dir) => {
         // dc02's documented 100 TB layout made real: both snapshot

@@ -324,4 +324,44 @@ class LayoutSpec extends SparkTestBase {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
+
+  test("applyDiff: diff/apply round-trip is the identity; " +
+      "co-bucketed merge plans with no exchange") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("key", "name", "bal")
+    val nw = Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "D", 40.0),
+      (5L, "e", 50.0)).toDF("key", "name", "bal")
+    val expect = nw.orderBy("key").collect().toSeq
+    val diff = Layout.snapshotDiff(old, nw, "key")
+    // full diff and pre-filtered change set must both reproduce the
+    // new snapshot exactly — diff then apply is the identity
+    assert(Layout.applyDiff(old, diff, "key")
+      .orderBy("key").collect().toSeq === expect)
+    val changes = diff.filter(col("action") =!= "unchanged")
+      .select("key", "action", "new_row")
+    assert(Layout.applyDiff(old, changes, "key")
+      .orderBy("key").collect().toSeq === expect)
+    // the 100 TB claim: under l02's co-bucketed layout the whole merge
+    // (anti-join + upsert union) plans with NO exchange on either side
+    Seq("graft_merge_old", "graft_merge_chg").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Layout.writeBucketed(old, "graft_merge_old", "key", 4)
+    Layout.writeBucketed(changes, "graft_merge_chg", "key", 4)
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = Layout.applyDiff(spark.table("graft_merge_old"),
+        spark.table("graft_merge_chg"), "key")
+      assert(Layout.isExchangeFree(merged),
+        "co-bucketed merge must not shuffle:\n" +
+          merged.queryExecution.executedPlan.toString)
+      assert(merged.orderBy("key").collect().toSeq === expect)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+  }
 }
