@@ -344,9 +344,14 @@ object GraphQueries {
           .filter(col("l_partkey") < 20)
           .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
           .distinct()
-        val edges = cp.as("a").join(cp.as("b"),
+        // ONE materialization of the co-purchase edge build feeds both
+        // the detector and the grader — without the sharedScan the
+        // orders⋈lineitem self-join pipeline re-executes inside
+        // labelPropagation's edge cache AND modularity's
+        val edges = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          cp.as("a").join(cp.as("b"),
             col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
-          .select(col("a.c").as("src"), col("b.c").as("dst"))
+          .select(col("a.c").as("src"), col("b.c").as("dst")))
         val labels = graft.ops.Graph.labelPropagation(edges, rounds = 2)
         graft.ops.Graph.modularity(edges, labels)
           .orderBy("community")
