@@ -58,6 +58,26 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(want.nonEmpty, "fixture must produce matches")
   }
 
+  test("edJoin1 handles empty strings: no phantom deletion keys, " +
+      "no duplicate pairs") {
+    // sequence(1, 0) is descending in Spark — unguarded, "" would emit
+    // two deletion elements and empty×empty would match at BOTH dist 0
+    // and dist 1, surviving distinct() as contradictory duplicate rows
+    val left = Seq((1L, ""), (2L, "a"), (3L, "b")).toDF("id_a", "s_a")
+    val right = Seq((11L, ""), (12L, "a"), (13L, "ab")).toDF("id_b", "s_b")
+    val got = FuzzyJoin.edJoin1(left, "id_a", "s_a", right, "id_b", "s_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length === got.toSet.size, s"duplicate pairs: ${got.toSeq}")
+    val want = (for {
+      (ia, sa) <- Seq((1L, ""), (2L, "a"), (3L, "b"))
+      (ib, sb) <- Seq((11L, ""), (12L, "a"), (13L, "ab"))
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got.toSet === want, s"got=${got.toSet} want=$want")
+    assert(want.contains((1L, 11L, 0)), "empty==empty at dist 0")
+    assert(want.contains((1L, 12L, 1)), "empty→'a' insertion")
+  }
+
   test("edJoin1 plans as an equi-join — no nested loop, no cartesian") {
     val xs = (0L until 50L).map(i => (i, s"str$i")).toDF("id_a", "s_a")
     val ys = (100L until 150L).map(i => (i, s"str$i")).toDF("id_b", "s_b")
