@@ -974,6 +974,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(im != null && im.getWidth == w && im.getHeight == h)
   }
 
+  test("JPEG decode path: lossy channel stats stay within tolerance " +
+      "of the lossless ground truth") {
+    // The lossy path's evidence beyond dimension recovery: JPEG's DCT
+    // preserves per-block DC terms, so the per-channel MEAN through the
+    // SAME decodeImages operator must land within a few intensity units
+    // of the formula-exact PNG truth — a real bound on a real codec,
+    // not a bit-exact replay (which lossy coding cannot give).
+    import spark.implicits._
+    val ids = Seq(7L, 13L, 42L)
+    val jpegs = ids.map(id =>
+      ImageRow(id, Multimodal.encodePng(id, format = "jpg"))).toDS()
+    val stats = decodeImages(jpegs, batchSize = 2).collect()
+    assert(stats.length == ids.length)
+    stats.foreach { st =>
+      val (w, h) = Multimodal.imageDims(st.media_id)
+      assert(st.width == w && st.height == h)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.pixelRgb(st.media_id, x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      val n = (w * h).toDouble
+      for (((got, want), ch) <- Seq((st.sum_r, sr), (st.sum_g, sg),
+          (st.sum_b, sb)).zip(Seq("R", "G", "B"))) {
+        val drift = math.abs(got / n - want / n)
+        assert(drift <= 4.0,
+          s"$ch mean drift $drift on image ${st.media_id} " +
+            s"(got ${got / n}, want ${want / n})")
+      }
+    }
+  }
+
   test("AudioSystem decode recovers exact PCM samples from synthesized WAVs") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 2L, 5L, 17L).toDF("doc_id")
