@@ -126,6 +126,73 @@ object Graph {
   }
 
   /**
+   * `iters` rounds of PERSONALIZED PageRank (Page et al. 1999 §6;
+   * Jeh & Widom 2003's preference-set form) over `edges(src, dst, w)`:
+   * the restart distribution concentrates on `seeds(node)` instead of
+   * spreading uniformly, so ranks measure proximity TO THE SEED SET —
+   * the random-walk-with-restart primitive behind "related items" /
+   * "suppliers like these" recommendation queries.
+   *
+   * Same exact integer nano-rank arithmetic as [[pageRank]] (every
+   * per-edge contribution floor-quantized before the long sum, the
+   * restart and dangling terms IEEE-identical scalar ops), with the
+   * restart AND dangling mass both returning to the seeds —
+   * probability mass stays conserved over the seed-reachable subgraph.
+   *
+   * The 100 TB property pageRank cannot have: state is only the nodes
+   * with NONZERO rank — seeds plus what `iters` walk steps reach — so
+   * a 5-seed query over a trillion-edge graph keeps (node, rank) state
+   * proportional to the seed neighborhood, never the node set. The
+   * materialized edge side is still partitioned once by `src` and
+   * reused; each round shuffles the small state into it.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85, scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val (eo, eoRdd) = materializeEdges(
+      e.join(outw, "src").repartition(col("src")))
+    // seeds and the out-edge key set both persist across every round
+    val seedRot = new Rotation
+    val (sd, sCount) = seedRot.materialize(
+      seeds.select(col("node").cast("long").as("node")).distinct(), rowBytes = 16)
+    seedRot.release()
+    require(sCount > 0, "personalizedPageRank: empty seed set")
+    val srcRot = new Rotation
+    val (srcNodes, _) = srcRot.materialize(
+      eo.select(col("src").as("node")).distinct(), rowBytes = 16)
+    srcRot.release()
+    val base = math.floor((1 - damping) * scale.toDouble / sCount + 0.5).toLong
+
+    val rot = new Rotation
+    var ranks = sd.select(col("node"),
+      lit(math.floor(scale.toDouble / sCount + 0.5).toLong).as("r"))
+    for (_ <- 1 to iters) {
+      val (cur, _) = rot.materialize(ranks, rowBytes = 24)
+      // dangling = state nodes with no out-edges (an anti-join against
+      // the keys-only src set — never a full node inventory)
+      val dm = cur.join(srcNodes, Seq("node"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L))).head.getLong(0)
+      val dshare = math.floor(damping * dm.toDouble / sCount + 0.5).toLong
+      val contrib = eo.join(cur.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          floor(lit(damping) * col("r") * col("w") / col("ow") + lit(0.5)).as("c"))
+        .groupBy("node").agg(sum("c").as("c"))
+      // next state = seeds ∪ contributed nodes, nothing else
+      ranks = sd.select(col("node"), lit(base + dshare).as("sb"))
+        .join(contrib, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("sb"), lit(0L)) + coalesce(col("c"), lit(0L))).as("r"))
+    }
+    val (out, _) = rot.materialize(ranks, rowBytes = 24)
+    rot.release()
+    eoRdd.unpersist(blocking = false)
+    out.select(col("node"), col("r").as("rank_nano"))
+  }
+
+  /**
    * `rounds` of multi-source BFS over `edges(src, dst)` (directed; pass
    * a symmetrized list for undirected semantics): the Pregel
    * min-distance propagation as relational rounds. Returns (node, dist)

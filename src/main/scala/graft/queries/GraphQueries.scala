@@ -52,6 +52,28 @@ object GraphQueries {
        |    FROM e JOIN $p ON e.src = $p.node) GROUP BY node)""".stripMargin
   }
 
+  /** One unrolled PERSONALIZED PageRank round: p{i} from p{i-1} (x11's
+    * oracle — restart and dangling mass both return to the seed set;
+    * state is seeds ∪ contributed nodes, mirroring the operator's
+    * nonzero-only state frame). */
+  private def pprCte(i: Int): String = {
+    val p = s"p${i - 1}"
+    s"""pd$i AS (SELECT coalesce(sum(r), 0) AS dm FROM $p
+       |  WHERE node NOT IN (SELECT src FROM outw)),
+       |pb$i AS (SELECT CAST(floor((1 - $D) * $S / ns + 0.5) AS BIGINT)
+       |    + CAST(floor($D * dm / ns + 0.5) AS BIGINT) AS sb
+       |  FROM sprm CROSS JOIN pd$i),
+       |pc$i AS (SELECT e.dst AS node,
+       |    CAST(sum(CAST(floor($D * p.r * e.w / o.ow + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |  FROM e JOIN outw o USING (src) JOIN $p p ON p.node = e.src
+       |  GROUP BY e.dst),
+       |p$i AS (SELECT u.node,
+       |    CASE WHEN u.node IN (SELECT node FROM seeds)
+       |      THEN (SELECT sb FROM pb$i) ELSE 0 END + coalesce(c.c, 0) AS r
+       |  FROM (SELECT node FROM seeds UNION SELECT node FROM pc$i) u
+       |  LEFT JOIN pc$i c ON c.node = u.node)""".stripMargin
+  }
+
   /** One unrolled PageRank round: r{i} from r{i-1}. */
   private def iterCte(i: Int): String = {
     val p = s"r${i - 1}"
@@ -516,6 +538,46 @@ object GraphQueries {
               |core AS (SELECT src AS node, count(*) AS degree_in_core
               |  FROM e8 GROUP BY src)
               |SELECT node, degree_in_core FROM core
-              |ORDER BY node""".stripMargin))
+              |ORDER BY node""".stripMargin)),
+
+    Q(
+      "x11_personalized_pagerank",
+      (s, dir) => {
+        // 3 rounds of PERSONALIZED PageRank seeded at the 5 lowest
+        // customer ids: random-walk-with-restart proximity over the
+        // directed trade graph — "which suppliers (and how strongly)
+        // does this customer cohort concentrate on". Restart AND
+        // dangling mass return to the seeds (every supplier is a sink,
+        // so the dangling path carries ~all the mass each round), and
+        // the operator's state frame holds ONLY nonzero-rank nodes —
+        // seeds plus reached suppliers, not the graph's node set. Same
+        // floor-quantized integer nano-ranks as x01; top-20 by rank.
+        val t = Tables(s, dir)
+        val edges = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (lit(1000000000L) + col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val seeds = t.orders.select(col("o_custkey").as("node"))
+          .distinct().orderBy("node").limit(5)
+        graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 3)
+          .orderBy(col("rank_nano").desc, col("node"))
+          .limit(20)
+      },
+      Some(s"""WITH e AS (SELECT o_custkey AS src, 1000000000 + l_suppkey AS dst,
+              |    count(*) AS w
+              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+              |seeds AS (SELECT CAST(o_custkey AS BIGINT) AS node FROM orders
+              |  GROUP BY 1 ORDER BY 1 LIMIT 5),
+              |sprm AS (SELECT count(*) AS ns FROM seeds),
+              |p0 AS (SELECT node, CAST(floor($S / ns + 0.5) AS BIGINT) AS r
+              |  FROM seeds CROSS JOIN sprm),
+              |${pprCte(1)},
+              |${pprCte(2)},
+              |${pprCte(3)}
+              |SELECT node, CAST(r AS BIGINT) AS rank_nano FROM p3
+              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin))
   )
 }

@@ -75,6 +75,69 @@ class GraphSpec extends SparkTestBase {
     assert(run(split, 3) === base)
   }
 
+  /** Driver-side reference of the personalized (seeded) recurrence:
+    * restart and dangling mass go to the seeds; state is nonzero-only. */
+  private def refPpr(e: Seq[(Long, Long, Long)], seeds: Seq[Long], iters: Int,
+      d: Double = 0.85, scale: Long = 1000000000L): Map[Long, Long] = {
+    val ns = seeds.size
+    val ow = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = math.floor((1 - d) * scale.toDouble / ns + 0.5).toLong
+    var r = seeds.map(_ -> math.floor(scale.toDouble / ns + 0.5).toLong).toMap
+    for (_ <- 1 to iters) {
+      val dm = r.collect { case (v, m) if !ow.contains(v) => m }.sum
+      val dshare = math.floor(d * dm.toDouble / ns + 0.5).toLong
+      val contrib = e.filter(t => r.contains(t._1)).groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (s, _, w) =>
+            math.floor(d * r(s) * w / ow(s) + 0.5).toLong
+          }.sum
+        }
+      r = (seeds ++ contrib.keys).distinct.map(v =>
+        v -> (contrib.getOrElse(v, 0L) +
+          (if (seeds.contains(v)) base + dshare else 0L))).toMap
+    }
+    r
+  }
+
+  private def runPpr(e: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Long] =
+    Graph.personalizedPageRank(edgesDf(e), seeds.toDF("node"), iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("personalizedPageRank matches the driver-side seeded recurrence; " +
+      "state holds only the seed-reachable set") {
+    for (iters <- Seq(1, 3)) {
+      val got = runPpr(fixedEdges, Seq(1L), iters)
+      assert(got === refPpr(fixedEdges, Seq(1L), iters),
+        s"mismatch at iters=$iters")
+    }
+    // from seed 4 on 4→{2,3}, 2→3: reachable = {4, 2, 3} only — node 1
+    // (a pure source elsewhere in the graph) never enters the state
+    val st = runPpr(fixedEdges, Seq(4L), 2)
+    assert(!st.contains(1L), "unreachable source leaked into PPR state")
+    assert(st.keySet === Set(2L, 3L, 4L))
+  }
+
+  test("personalizedPageRank seeded at ALL nodes equals plain pageRank") {
+    val all = (fixedEdges.map(_._1) ++ fixedEdges.map(_._2)).distinct
+    assert(runPpr(fixedEdges, all, 3) === run(fixedEdges, 3))
+  }
+
+  test("personalizedPageRank is partition-invariant and restart mass " +
+      "concentrates near the seed") {
+    val base = runPpr(fixedEdges, Seq(1L), 3)
+    val repart = Graph.personalizedPageRank(
+      edgesDf(fixedEdges).repartition(7), Seq(1L).toDF("node"), 3)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(repart === base)
+    // the seed keeps the restart share; its direct heavy neighbor (2,
+    // w=3 of 4) outranks the node reached only via lighter paths until
+    // the sink's absorption dominates — minimally: seed rank positive,
+    // and total mass ≈ scale (conserved through restart + dangling)
+    assert(base(1L) > 0L)
+    assert(math.abs(base.values.sum - 1000000000L) <= 3L * (base.size + 2))
+  }
+
   test("shortestPaths: hop distances on a path graph, frontier-bounded output") {
     // path 1-2-3-4-5 (undirected), source 1
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
