@@ -414,6 +414,82 @@ object Events {
              |ORDER BY event_id""".stripMargin)),
 
     Q(
+      "st14_stream_interval_join",
+      (s, dir) => {
+        // Spark's NATIVE watermarked STREAM-STREAM join under the
+        // DuckDB oracle (the one streaming surface previously covered
+        // only by batch-parity specs): purchases join the same user's
+        // clicks from the trailing hour (`EventStreams.attributionJoin`
+        // — e06's attribution predicate, ALL qualifying clicks, where
+        // e06/st03 reduce to the latest). Both sides watermark their
+        // event time and the join carries the explicit range
+        // constraint, so each side's state store expires at the
+        // horizon. Feeding is TIME-SPLIT at the corpus median ts: a
+        // batch-2 purchase matching a batch-1 click proves the click
+        // buffer survived the batch boundary, and the eviction math
+        // guarantees no legitimate pair is lost on a time-ordered
+        // feed — clicks evicted after batch 1 (click_ts < median − 2 h
+        // under the 1 h watermark + 1 h tolerance) can only match
+        // purchases with purchase_ts < median − 1 h, which all arrived
+        // in batch 1. Inner-join output needs no watermark
+        // finalization, so the drained sink is the complete pair set.
+        // collect() is the MemoryStream feeding harness; production
+        // uses readStream. No user slice: the feed is already just the
+        // click+purchase types (~1/3 of the log), st02-cap-sized.
+        import graft.streaming.EventStreams
+        implicit val sqlCtx = s.sqlContext
+        implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
+        val ev = Tables(s, dir).events
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+        val allTs = (clicks.map(_.ts.getTime) ++ purchases.map(_.ts.getTime)).sorted
+        val thr = allTs(allTs.length / 2)
+        val cStream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        val pStream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        val ckpt = java.nio.file.Files.createTempDirectory("st14_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try EventStreams.attributionJoin(cStream.toDF(), pStream.toDF())
+            .writeStream.format("memory").queryName("st14_pairs")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          Seq(true, false).foreach { firstHalf =>
+            cStream.addData(clicks.filter(c => (c.ts.getTime <= thr) == firstHalf).toSeq)
+            pStream.addData(purchases.filter(p => (p.ts.getTime <= thr) == firstHalf).toSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st14_pairs")
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            unix_micros(col("purchase_ts")).as("p_us"),
+            unix_micros(col("click_ts")).as("c_us"),
+            fround(col("value"), 2).as("value"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  c.event_id AS click_id, epoch_us(p.ts) AS p_us,
+             |  epoch_us(c.ts) AS c_us,
+             |  floor(p.value * 100.0 + 0.5) / 100.0 AS value
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id
+             | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    Q(
       "e10_session_window",
       (s, dir) => {
         // Spark's NATIVE session_window aggregation (e02 derives the
