@@ -379,6 +379,42 @@ object PlanQueries {
              |ORDER BY c_custkey""".stripMargin)),
 
     Q(
+      "l09_csv_source",
+      (s, dir) => {
+        // §2.8 source-format coverage, CSV leg (the flat-file
+        // interchange format; the reference's own Airfoil flow ingests
+        // CSV — ref examples/Airfoil.scala): a documents slice
+        // round-trips through Spark's CSV writer/reader. The text is
+        // first salted with a delimiter-bearing suffix (comma +
+        // escaped double-quote) so the round-trip actually exercises
+        // RFC-4180 quoting/escaping, not just happy-path tokens; the
+        // reader gets an EXPLICIT schema (inference = a second full
+        // scan, type-unstable at 100 TB) and the default single-line
+        // mode, which keeps the files SPLITTABLE — embedded newlines
+        // would force multiLine=true and one-task-per-file parsing, so
+        // a production corpus escapes them at write time. Fidelity is
+        // proven by re-deriving the char count from the round-tripped
+        // salted text against the parquet-read oracle.
+        val t = Tables(s, dir)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_l09_${math.abs(dir.hashCode)}"
+        t.documents.filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            concat(col("text"), lit(",\"")).as("text"),
+            col("lang"), col("source"))
+          .write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(path)
+        s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING")
+          .option("header", "true").option("escape", "\"")
+          .csv(path)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, length(text) + 2 AS n_chars
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "l02_bucketed_incremental",
       (s, dir) => {
         // dc02's documented 100 TB layout made real: both snapshot
@@ -498,34 +534,62 @@ object PlanQueries {
           .orderBy("query_id", "rank")
       },
       // a05's oracle verbatim: the layout cannot change the answer
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
-             |          WHERE vec_id >= 10 AND vec_id < 26),
-             |assign AS (SELECT neighbor_id, v, cell FROM (
-             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
-             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-             |        list_sum(list_transform(list_zip(c.v, t.cv),
-             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
-             |    FROM (SELECT * FROM e WHERE vec_id >= 10) c, cents t)
-             |  WHERE rn = 1),
-             |probes AS (SELECT query_id, qv, cell FROM (
-             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
-             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |        list_sum(list_transform(list_zip(q.v, t.cv),
-             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
-             |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
-             |  WHERE rn <= 6),
-             |hits AS (SELECT p.query_id, a.neighbor_id,
-             |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
-             |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
-             |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
-             |  FROM probes p JOIN assign a ON p.cell = a.cell)
-             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
-             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
-             |FROM (SELECT query_id, neighbor_id, cos,
-             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-             |      FROM hits)
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(AnnOracle)),
+
+    Q(
+      "l10_ann_incremental",
+      (s, dir) => {
+        // INCREMENTAL maintenance of l03's ANN-as-layout index (the
+        // daily-arrivals story dc02/dc03 tell for dedup, told for the
+        // vector index): yesterday's index holds 3/4 of the corpus
+        // partitioned by IVF cell; today's arrivals are assigned cells
+        // by the SAME frozen broadcast centroids (one narrow map over
+        // the arrivals only) and APPENDED into the existing cell
+        // directories. The base corpus is never read, rewritten, or
+        // shuffled — maintenance is O(arrivals), and at 100 TB the
+        // daily cost is the delta's size, not the index's. Probing the
+        // merged table must answer EXACTLY as if the index had been
+        // built whole (l03/a05's answer — the oracle is byte-identical
+        // to l03's), because per-vector cell assignment is
+        // deterministic and order-free: append-then-probe ≡
+        // build-whole-then-probe.
+        import graft.functions.VectorExpressions.{cellArgmin, cellProbes, cosine, topKByScore}
+        val e = Tables(s, dir).embeddings
+        val centers = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_l10_${math.abs(dir.hashCode)}"
+        val corpus = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("neighbor_id"),
+            col("embedding").cast("array<double>").as("cv"))
+          .withColumn("cell", cellArgmin(col("cv"), centers))
+        // yesterday's index: 3/4 of the corpus, built whole
+        corpus.filter(col("neighbor_id") % 4 =!= 0)
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        // today's delta: assigned by the frozen centroids, appended
+        corpus.filter(col("neighbor_id") % 4 === 0)
+          .write.mode("append").partitionBy("cell").parquet(path)
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("qv"))
+          .withColumn("cell", explode(cellProbes(col("qv"), centers, 6)))
+        val probedCells = probes.select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted // model-sized: ≤ queries×nprobe
+        s.read.parquet(path)
+          .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+          .join(broadcast(probes), Seq("cell"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("qv"), col("cv")).as("cos"))
+          .groupBy("query_id")
+          .agg(topKByScore(col("neighbor_id"), col("cos"), 5).as("topk"))
+          .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("nb.id").as("neighbor_id"), fround(col("nb.score"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      // l03's oracle verbatim: incremental append ≡ whole build
+      Some(AnnOracle)),
 
     Q(
       "k03_skew_stats",
@@ -590,4 +654,39 @@ object PlanQueries {
              |SELECT bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes
              |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
   )
+
+  /** a05's probe-and-rerank oracle, shared VERBATIM by l03 (index
+    * built whole) and l10 (index built incrementally): neither the
+    * layout nor its maintenance schedule may change the answer.
+    * (A `def`, not a `val`: `queries` above initializes first, and a
+    * forward `val` reference would silently capture null.) */
+  private def AnnOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+      |          WHERE vec_id >= 10 AND vec_id < 26),
+      |assign AS (SELECT neighbor_id, v, cell FROM (
+      |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(c.v, t.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+      |    FROM (SELECT * FROM e WHERE vec_id >= 10) c, cents t)
+      |  WHERE rn = 1),
+      |probes AS (SELECT query_id, qv, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.v, t.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+      |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
+      |  WHERE rn <= 6),
+      |hits AS (SELECT p.query_id, a.neighbor_id,
+      |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+      |  FROM probes p JOIN assign a ON p.cell = a.cell)
+      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+      |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      |FROM (SELECT query_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      |      FROM hits)
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 }
