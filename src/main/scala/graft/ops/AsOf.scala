@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 /**
  * As-of join: for each left row, attach the LATEST right row with
  * `right.time <= left.time` within the same key (the standard
- * event-log / market-data join Spark lacks natively).
+ * event-log / market-data join Spark lacks natively) — or, with
+ * `direction = "forward"`, the EARLIEST right row with
+ * `right.time >= left.time` (the "next event after" / time-to-convert
+ * join).
  *
  * Built by COMPOSITION, per graft's operator preference order: tag the
  * two inputs, union them, and resolve matches with one
@@ -15,7 +18,10 @@ import org.apache.spark.sql.functions._
  * single shuffle on the key, sort within partitions, no custom
  * physical operator. At 100 TB this is exactly the plan a bespoke
  * SparkPlan would produce (exchange + sort + linear scan), so the
- * declarative form wins and stays AQE/codegen-friendly.
+ * declarative form wins and stays AQE/codegen-friendly. The forward
+ * direction is the same plan with the sort reversed — scanning time
+ * DESCENDING, the last reference seen before a probe is the smallest
+ * time still ≥ the probe's, so no second code path exists to drift.
  */
 object AsOf {
 
@@ -26,11 +32,22 @@ object AsOf {
    * @param timeCol     event-time column present in both inputs
    * @param payloadCols right columns to attach (null when no match);
    *                    names must not collide with left's columns
-   * @param tolerance   optional max (left.time − right.time); matches
-   *                    farther in the past are nulled out
+   * @param tolerance   optional max gap — (left.time − right.time)
+   *                    backward, (right.time − left.time) forward;
+   *                    matches farther away are nulled out
+   * @param direction   "backward" (latest right ≤ left, the default)
+   *                    or "forward" (earliest right ≥ left); equal
+   *                    times match in both directions, and ties among
+   *                    right rows at the matched time resolve by the
+   *                    first payload column (greatest wins forward,
+   *                    per the reversed sort)
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-      payloadCols: Seq[String], tolerance: Option[Column] = None): DataFrame = {
+      payloadCols: Seq[String], tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward (got $direction)")
+    val fwd = direction == "forward"
     val leftCols = left.columns.toSeq
     require(!payloadCols.contains(keyCol) && !leftCols.exists(payloadCols.contains),
       s"payload columns $payloadCols must not collide with left columns")
@@ -54,9 +71,12 @@ object AsOf {
         leftCols.filterNot(c => c == keyCol || c == timeCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    // Right rows sort before left rows at equal time, so `<=` matches;
-    // ties among right rows resolve by the first payload field.
-    val ord = Seq(col(timeCol), col("__side")) ++
+    // Right rows sort before left rows at equal time, so the bound is
+    // inclusive in both directions; ties among right rows resolve by
+    // the first payload field. Forward = the same scan over reversed
+    // time: the last reference seen is then the SMALLEST time ≥ probe.
+    val timeOrd = if (fwd) col(timeCol).desc else col(timeCol).asc
+    val ord = Seq(timeOrd, col("__side")) ++
       payloadCols.headOption.map(c => col(matchStruct).getField(c))
     val w = Window.partitionBy(keyCol).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -67,8 +87,10 @@ object AsOf {
 
     val withinTol = tolerance match {
       case Some(tol) =>
-        col("__m").isNotNull &&
-          col(timeCol).cast("long") - col("__m.__t").cast("long") <= tol.cast("long")
+        val gap =
+          if (fwd) col("__m.__t").cast("long") - col(timeCol).cast("long")
+          else col(timeCol).cast("long") - col("__m.__t").cast("long")
+        col("__m").isNotNull && gap <= tol.cast("long")
       case None => col("__m").isNotNull
     }
     val out = payloadCols.foldLeft(resolved) { (df, c) =>

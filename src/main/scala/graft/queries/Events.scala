@@ -434,12 +434,16 @@ object Events {
         // in batch 1. Inner-join output needs no watermark
         // finalization, so the drained sink is the complete pair set.
         // collect() is the MemoryStream feeding harness; production
-        // uses readStream. No user slice: the feed is already just the
-        // click+purchase types (~1/3 of the log), st02-cap-sized.
+        // uses readStream. The feed caps at user_id < 500 — an ABSOLUTE
+        // bound, not a % slice: per-user event density is SF-constant
+        // in this corpus, so the harness feeds ~13 K rows at ANY SF ≥
+        // 0.1 (the whole corpus at sf0.01, where ids stop at 149) —
+        // st13's cap discipline; a % slice would grow the state-commit
+        // cost linearly with SF and measure the harness, not the join.
         import graft.streaming.EventStreams
         implicit val sqlCtx = s.sqlContext
         implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
-        val ev = Tables(s, dir).events
+        val ev = Tables(s, dir).events.filter(col("user_id") < 500)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
@@ -487,6 +491,7 @@ object Events {
              |  ON c.user_id = p.user_id
              | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND p.user_id < 500
              |ORDER BY purchase_id, click_id""".stripMargin)),
 
     Q(
@@ -776,6 +781,52 @@ object Events {
              |  floor((h.n - s.mean) / s.sd * 10000.0 + 0.5) / 10000.0 AS z
              |FROM hourly h JOIN stats s USING (event_type)
              |WHERE abs((h.n - s.mean) / s.sd) > 2.0
-             |ORDER BY event_type, hour_us""".stripMargin))
+             |ORDER BY event_type, hour_us""".stripMargin)),
+
+    Q(
+      "e14_next_touch",
+      (s, dir) => {
+        // FORWARD as-of join (e04/e06 look back; this looks ahead):
+        // each click attaches the same user's NEXT purchase within two
+        // hours — the time-to-convert join at click grain (e12
+        // histograms only each user's FIRST view→purchase pair; this
+        // resolves every click). Same one-shuffle union+window plan as
+        // backward as-of with the time sort reversed: scanning time
+        // DESCENDING, the last purchase seen before a click is the
+        // earliest one still ahead of it. The purchase's id and micro
+        // timestamp ride the match struct; the 2 h tolerance nulls
+        // non-converting clicks (kept — the null rate IS the signal).
+        val t = Tables(s, dir)
+        val ev = t.events.filter(col("user_id") % 5 === 0)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("p_us"))
+        graft.ops.AsOf.asofJoin(clicks, purchases, "user_id", "ts",
+            Seq("purchase_id", "p_us"),
+            tolerance = Some(lit(7200L)), direction = "forward")
+          .select(col("click_id"), col("user_id"), col("purchase_id"),
+            (col("p_us") - unix_micros(col("ts"))).as("gap_us"))
+          .orderBy("click_id")
+      },
+      // pick-nearest-then-tolerance ≡ tolerance-in-join for a forward
+      // monotone gap: if the earliest next purchase is too far, all are
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click' AND user_id % 5 = 0),
+             |p AS (SELECT user_id, event_id AS purchase_id, ts
+             |  FROM events WHERE event_type = 'purchase' AND user_id % 5 = 0),
+             |m AS (SELECT click_id, purchase_id, gap_us FROM (
+             |    SELECT c.click_id, p.purchase_id,
+             |      epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+             |      row_number() OVER (PARTITION BY c.click_id
+             |        ORDER BY p.ts, p.purchase_id DESC) AS rn
+             |    FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+             |      AND date_diff('second', c.ts, p.ts) <= 7200)
+             |  WHERE rn = 1)
+             |SELECT c.click_id, c.user_id, m.purchase_id, m.gap_us
+             |FROM c LEFT JOIN m USING (click_id)
+             |ORDER BY click_id""".stripMargin))
   )
 }

@@ -63,6 +63,33 @@ class AsOfSpec extends SparkTestBase {
     assert(plain.nonEmpty)
   }
 
+  test("forward asof picks the EARLIEST right row at or after left time; " +
+      "forward tolerance bounds the look-ahead") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k1", 100L), // next right: 120
+      (2L, "k1", 50L),  // equal time matches: 50
+      (3L, "k1", 130L), // nothing after -> null
+      (4L, "k2", 90L)   // other key: 100
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("k1", 50L, 900L), ("k1", 90L, 901L), ("k1", 120L, 902L),
+      ("k2", 100L, 903L)
+    ).toDF("key", "t", "rid")
+    val out = AsOf.asofJoin(left, right, "key", "t", Seq("rid"),
+        direction = "forward")
+      .select("id", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(902L))
+    assert(out(2L).contains(900L))
+    assert(out(3L).isEmpty)
+    assert(out(4L).contains(903L))
+    // tolerance is the FORWARD gap: right at 120 is 70 ahead of 50
+    val tol = AsOf.asofJoin(left.filter($"id" === 1L), right, "key", "t",
+        Seq("rid"), Some(lit(10L)), direction = "forward")
+      .select("rid").head()
+    assert(tol.isNullAt(0), "120 is 20 ahead of 100 — outside tol 10")
+  }
+
   test("tolerance nulls out stale matches") {
     import spark.implicits._
     val left = Seq((1L, "k", 100L), (2L, "k", 500L)).toDF("id", "key", "t")
