@@ -592,6 +592,91 @@ object PlanQueries {
       Some(AnnOracle)),
 
     Q(
+      "l11_column_stats",
+      (s, dir) => {
+        // ANALYZE-style table statistics (the maintenance pass feeding
+        // every cost-based planner: row counts, per-column null
+        // counts, min/max bounds, NDV): ONE aggregate pass over
+        // lineitem, unpivoted to a per-column stats row. Exact NDVs
+        // ride Spark's multi-distinct Expand (one scan, 3× expand) for
+        // the audit; the production path at 100 TB is the fixed-4 KB
+        // HLL register estimate, gated here on l_partkey and
+        // oracle-checked BIT-FOR-BIT via t10's register replay — the
+        // approximation itself is under the hash gate, so "ANALYZE
+        // with sketches" needs no exact pass to be trusted. Output is
+        // columns-sized: this never returns data, only bounds.
+        import graft.functions.VectorExpressions.{md5Hash52, hllDistinct}
+        val li = Tables(s, dir).lineitem
+        li.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("l_orderkey").isNull, 1).otherwise(0)).cast("long").as("nulls_ok"),
+            min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+            countDistinct(col("l_orderkey")).as("ndv_ok"),
+            sum(when(col("l_partkey").isNull, 1).otherwise(0)).cast("long").as("nulls_pk"),
+            min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+            countDistinct(col("l_partkey")).as("ndv_pk"),
+            fround(hllDistinct(md5Hash52(col("l_partkey").cast("string"))), 2)
+              .as("hll_pk"),
+            sum(when(col("l_quantity").isNull, 1).otherwise(0)).cast("long").as("nulls_q"),
+            min(col("l_quantity").cast("long")).as("min_q"),
+            max(col("l_quantity").cast("long")).as("max_q"),
+            countDistinct(col("l_quantity").cast("long")).as("ndv_q"))
+          .select(expr("""stack(3,
+            'l_orderkey', n, nulls_ok, min_ok, max_ok, ndv_ok, cast(null as double),
+            'l_partkey',  n, nulls_pk, min_pk, max_pk, ndv_pk, hll_pk,
+            'l_quantity', n, nulls_q, min_q, max_q, ndv_q, cast(null as double))
+            as (col_name, n_rows, n_nulls, min_v, max_v, ndv, approx_ndv)"""))
+          .orderBy("col_name")
+      },
+      // per-column aggregates + t10's HLL register replay for the
+      // l_partkey estimate — the sketch value itself must hash-match
+      Some("""WITH b AS (SELECT count(*) AS n,
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ok,
+             |    min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+             |    count(DISTINCT l_orderkey) AS ndv_ok,
+             |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_pk,
+             |    min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             |    count(DISTINCT l_partkey) AS ndv_pk,
+             |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_q,
+             |    min(CAST(l_quantity AS BIGINT)) AS min_q,
+             |    max(CAST(l_quantity AS BIGINT)) AS max_q,
+             |    count(DISTINCT CAST(l_quantity AS BIGINT)) AS ndv_q
+             |  FROM lineitem),
+             |hx AS (SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(13), j ->
+             |        CAST(strpos('0123456789abcdef',
+             |          substr(md5(CAST(l_partkey AS VARCHAR)), j + 1, 1)) - 1 AS BIGINT))),
+             |      (a, c) -> a * 16 + c) AS x
+             |  FROM lineitem WHERE l_partkey IS NOT NULL),
+             |r AS (SELECT x % 4096 AS bkt,
+             |    max(CASE WHEN (x // 4096) = 0 THEN 41
+             |             ELSE 41 - length(bin(x // 4096)) END) AS reg
+             |  FROM hx GROUP BY 1),
+             |regs AS (SELECT t.range AS bkt, coalesce(r.reg, 0) AS reg
+             |  FROM range(4096) t LEFT JOIN r ON r.bkt = t.range),
+             |sm AS (SELECT
+             |    list_sum(list_transform(list(reg ORDER BY bkt), g -> pow(2.0, -g))) AS z,
+             |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v
+             |  FROM regs),
+             |est AS (SELECT
+             |    CASE WHEN (0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 / z) <= 2.5 * 4096
+             |           AND v > 0
+             |         THEN 4096 * ln(4096 / v)
+             |         ELSE 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 / z END AS e
+             |  FROM sm)
+             |SELECT col_name, n AS n_rows, n_nulls, min_v, max_v, ndv, approx_ndv
+             |FROM b CROSS JOIN est CROSS JOIN (VALUES
+             |  ('l_orderkey', 0), ('l_partkey', 1), ('l_quantity', 2)) cols(col_name, i)
+             |CROSS JOIN LATERAL (SELECT
+             |    CASE i WHEN 0 THEN nulls_ok WHEN 1 THEN nulls_pk ELSE nulls_q END AS n_nulls,
+             |    CASE i WHEN 0 THEN min_ok WHEN 1 THEN min_pk ELSE min_q END AS min_v,
+             |    CASE i WHEN 0 THEN max_ok WHEN 1 THEN max_pk ELSE max_q END AS max_v,
+             |    CASE i WHEN 0 THEN ndv_ok WHEN 1 THEN ndv_pk ELSE ndv_q END AS ndv,
+             |    CASE i WHEN 1 THEN floor(e * 100.0 + 0.5) / 100.0
+             |           ELSE CAST(NULL AS DOUBLE) END AS approx_ndv) v
+             |ORDER BY col_name""".stripMargin)),
+
+    Q(
       "k03_skew_stats",
       (s, dir) => {
         // The "should I salt?" diagnostic k02 acts on: the join key's
