@@ -212,8 +212,10 @@ object Multimodal {
   /** Deterministic RGB value of pixel (x, y) of image `id` — pure integer
     * arithmetic, so a SQL oracle can recompute every pixel. PNG is
     * lossless: encode → decode round-trips these values exactly. */
-  private[ops] def pixelRgb(id: Long, x: Int, y: Int): Int = {
-    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  private[ops] def pixelRgb(id: Long, x: Int, y: Int, jitter: Int = 0): Int = {
+    // `jitter` brightens the red channel (saturating) — the controlled
+    // perceptual perturbation mm11's near-dup corpus plants
+    val r = math.min(255, ((id * 31 + x * 7 + y * 13) % 256).toInt + jitter)
     val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
     val b = ((id * 7 + x * 5 + y * 19) % 256).toInt
     (r << 16) | (g << 8) | b
@@ -225,14 +227,15 @@ object Multimodal {
     ((8 + (id % 3) * 4).toInt, (8 + (id % 2) * 4).toInt)
 
   /** Encode one deterministic image to real PNG bytes via ImageIO. */
-  private[ops] def encodePng(id: Long, format: String = "png"): Array[Byte] = {
+  private[ops] def encodePng(id: Long, format: String = "png",
+      jitter: Int = 0): Array[Byte] = {
     val (w, h) = imageDims(id)
     val im = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { im.setRGB(x, y, pixelRgb(id, x, y)); x += 1 }
+      while (x < w) { im.setRGB(x, y, pixelRgb(id, x, y, jitter)); x += 1 }
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -254,6 +257,83 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
         it.map(id => ImageRow(id, encodePng(id)))
       }
+  }
+
+  /** [[synthesizePngs]] with the image CONTENT decoupled from the row
+    * id: pixels derive from `seedCol` (optionally perturbed by
+    * `jitterCol`'s saturating red-channel shift), the row keeps
+    * `idCol` — how mm11 plants perceptual near-duplicate copies of
+    * existing images under fresh ids. */
+  def synthesizePngsSeeded(rows: DataFrame, idCol: String, seedCol: String,
+      jitterCol: String): Dataset[ImageRow] = {
+    implicit val enc = Encoders.product[ImageRow]
+    implicit val tEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaInt)
+    rows.select(col(idCol).cast("long"), col(seedCol).cast("long"),
+        col(jitterCol).cast("int"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, seed, j) => ImageRow(id, encodePng(seed, jitter = j)) }
+      }
+  }
+
+  /** Per-image perceptual hash row. */
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /**
+   * Perceptual AVERAGE-HASH over the REAL decode path (the classic
+   * aHash: grid×grid block means of the gray image, one bit per block
+   * — 1 iff the block mean ≥ the global mean of block means): the
+   * content fingerprint for IMAGE near-dup detection, tolerant of
+   * small brightness shifts and re-encodes where d01's byte
+   * fingerprint is not. All arithmetic after decode is integer
+   * (floor gray, floor block means, floor mean-of-means), so for
+   * losslessly-coded inputs an oracle replays the hash bit-for-bit.
+   * Width and height must be divisible by `grid` (true for the
+   * synthetic corpus; production resizes first — mm08's box filter).
+   * Un-decodable blobs drop, the crawl posture.
+   */
+  def imageAHash(imgs: Dataset[ImageRow], grid: Int = 4,
+      batchSize: Int = 64): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.img))
+          if (im == null || im.getWidth % grid != 0 || im.getHeight % grid != 0) None
+          else {
+            val bw = im.getWidth / grid
+            val bh = im.getHeight / grid
+            val ms = Array.tabulate(grid * grid) { bi =>
+              val gx = bi % grid
+              val gy = bi / grid
+              var s = 0L
+              var dy = 0
+              while (dy < bh) {
+                var dx = 0
+                while (dx < bw) {
+                  val p = im.getRGB(gx * bw + dx, gy * bh + dy)
+                  s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                  dx += 1
+                }
+                dy += 1
+              }
+              s / (bw * bh)
+            }
+            val mean = ms.sum / (grid * grid)
+            var hash = 0L
+            var i = 0
+            while (i < ms.length) {
+              if (ms(i) >= mean) hash |= 1L << i
+              i += 1
+            }
+            Some(ImageHash(row.media_id, hash))
+          }
+        }
+      }
+    }
   }
 
   /**

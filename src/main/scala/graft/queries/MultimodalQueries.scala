@@ -338,6 +338,77 @@ object MultimodalQueries {
              |  CAST(sum(val * val) AS BIGINT) AS sum_sq,
              |  floor(sqrt(sum(val * val) * 1.0 / count(*)) * 10000.0 + 0.5)
              |    / 10000.0 AS rms
-             |FROM v GROUP BY 1, 2 ORDER BY media_id, win""".stripMargin))
+             |FROM v GROUP BY 1, 2 ORDER BY media_id, win""".stripMargin)),
+
+    Q(
+      "mm11_phash_dedup",
+      (s, dir) => {
+        // IMAGE near-dup detection over the REAL decode path — the
+        // multimodal leg of the dedup family (d03 shingles text, a02
+        // buckets vectors; this fingerprints PIXELS): the perceptual
+        // average-hash (4×4 block-mean bits of the decoded gray image)
+        // buckets content, tolerating the brightness shifts and
+        // re-encodes that break d01's byte fingerprint. The corpus
+        // plants copies of every 5th image under fresh ids with a +1
+        // saturating red shift — 27 of 30 survive the hash unchanged
+        // (the 3 misses sit on block-mean boundaries: perceptual
+        // recall, not identity). Candidates = equal-hash pairs via
+        // one hash-keyed self-join — LSH-bucket shape, shuffling
+        // (hash, id) only; a viral bucket caps by d03's star rule at
+        // scale. Both engines replay every bit, so even near-miss
+        // collisions among the gradient corpus agree exactly.
+        import graft.ops.Multimodal
+        val base = Tables(s, dir).documents.filter(col("doc_id") < 150)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+            lit(0).as("jit"))
+        val copies = Tables(s, dir).documents
+          .filter(col("doc_id") < 150 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("media_id"),
+            col("doc_id").as("seed"), lit(1).as("jit"))
+        val imgs = Multimodal.synthesizePngsSeeded(
+          base.unionByName(copies), "media_id", "seed", "jit")
+        val hashes = Multimodal.imageAHash(imgs).toDF()
+        hashes.as("a").join(hashes.as("b"),
+            col("a.ahash") === col("b.ahash") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+            col("a.ahash").as("ahash"))
+          .orderBy("id_a", "id_b")
+      },
+      // replay: gray = (r+g+b)//3 from the pixel formulas (+ saturating
+      // red jitter), 16 block means, mean-of-means threshold, bit per
+      // block — PNG is lossless so the engine's decoded bits must equal
+      // this arithmetic exactly
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS j
+             |  FROM documents WHERE doc_id < 150
+             |  UNION ALL
+             |  SELECT doc_id + 10000, doc_id, 1
+             |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
+             |hs AS (SELECT media_id, seed, j,
+             |    CAST(8 + (seed % 3) * 4 AS BIGINT) AS w,
+             |    CAST(8 + (seed % 2) * 4 AS BIGINT) AS h
+             |  FROM imgs),
+             |ms AS (SELECT media_id,
+             |    list_transform(range(16), bi ->
+             |      list_sum(flatten(list_transform(range(h // 4), dy ->
+             |        list_transform(range(w // 4), dx ->
+             |          (least(255, (seed * 31 + ((bi % 4) * (w // 4) + dx) * 7
+             |                       + ((bi // 4) * (h // 4) + dy) * 13) % 256 + j)
+             |           + (seed * 17 + ((bi % 4) * (w // 4) + dx) * 11
+             |              + ((bi // 4) * (h // 4) + dy) * 3) % 256
+             |           + (seed * 7 + ((bi % 4) * (w // 4) + dx) * 5
+             |              + ((bi // 4) * (h // 4) + dy) * 19) % 256) // 3))))
+             |      // ((w // 4) * (h // 4))) AS m
+             |  FROM hs),
+             |ah AS (SELECT media_id,
+             |    CAST(list_sum(list_transform(range(16), i ->
+             |      CASE WHEN m[CAST(i AS INT) + 1] >= list_sum(m) // 16
+             |           THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ahash
+             |  FROM ms)
+             |SELECT a.media_id AS id_a, b.media_id AS id_b, a.ahash
+             |FROM ah a JOIN ah b
+             |  ON a.ahash = b.ahash AND a.media_id < b.media_id
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

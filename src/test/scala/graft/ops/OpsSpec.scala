@@ -1006,6 +1006,43 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("imageAHash: engine hash equals the driver-side integer replay; " +
+      "brightness jitter mostly survives; corrupt blobs drop") {
+    import spark.implicits._
+    def refAHash(seed: Long, jitter: Int): Long = {
+      val (w, h) = Multimodal.imageDims(seed)
+      val bw = w / 4; val bh = h / 4
+      val ms = Array.tabulate(16) { bi =>
+        val gx = bi % 4; val gy = bi / 4
+        var s = 0L
+        for (dy <- 0 until bh; dx <- 0 until bw) {
+          val p = Multimodal.pixelRgb(seed, gx * bw + dx, gy * bh + dy, jitter)
+          s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        }
+        s / (bw * bh)
+      }
+      val mean = ms.sum / 16
+      ms.zipWithIndex.collect { case (m, i) if m >= mean => 1L << i }.sum
+    }
+    val seeds = 0L until 40L
+    val rows = seeds.map(id => (id, id, 0)) ++ seeds.map(id => (id + 1000L, id, 1))
+    val imgs = Multimodal.synthesizePngsSeeded(
+      rows.toDF("media_id", "seed", "jit"), "media_id", "seed", "jit")
+    val corrupt = Seq(Multimodal.ImageRow(9999L, Array[Byte](1, 2, 3))).toDS()
+    val got = Multimodal.imageAHash(imgs.union(corrupt), batchSize = 7)
+      .collect().map(r => r.media_id -> r.ahash).toMap
+    assert(!got.contains(9999L), "corrupt blob must drop")
+    // bit-exact vs the replay, both jittered and not (PNG is lossless)
+    seeds.foreach { id =>
+      assert(got(id) == refAHash(id, 0), s"base $id")
+      assert(got(id + 1000L) == refAHash(id, 1), s"jittered $id")
+    }
+    // the perceptual property: a +1 saturating red shift keeps most
+    // hashes identical (block means move < 1 intensity unit)
+    val kept = seeds.count(id => got(id) == got(id + 1000L))
+    assert(kept >= 35, s"only $kept/40 jittered copies kept their hash")
+  }
+
   test("AudioSystem decode recovers exact PCM samples from synthesized WAVs") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 2L, 5L, 17L).toDF("doc_id")
