@@ -607,20 +607,27 @@ object PlanQueries {
         // columns-sized: this never returns data, only bounds.
         import graft.functions.VectorExpressions.{md5Hash52, hllDistinct}
         val li = Tables(s, dir).lineitem
-        li.agg(
-            count(lit(1)).as("n"),
-            sum(when(col("l_orderkey").isNull, 1).otherwise(0)).cast("long").as("nulls_ok"),
-            min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
-            countDistinct(col("l_orderkey")).as("ndv_ok"),
-            sum(when(col("l_partkey").isNull, 1).otherwise(0)).cast("long").as("nulls_pk"),
-            min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
-            countDistinct(col("l_partkey")).as("ndv_pk"),
-            fround(hllDistinct(md5Hash52(col("l_partkey").cast("string"))), 2)
-              .as("hll_pk"),
-            sum(when(col("l_quantity").isNull, 1).otherwise(0)).cast("long").as("nulls_q"),
-            min(col("l_quantity").cast("long")).as("min_q"),
-            max(col("l_quantity").cast("long")).as("max_q"),
-            countDistinct(col("l_quantity").cast("long")).as("ndv_q"))
+        // TWO aggregates, not one: mixing the object-typed HLL
+        // aggregate with multi-DISTINCT forces the whole plan off
+        // hash aggregation onto a SortAggregate over the 4×-Expanded
+        // rows (measured 7.2 s vs 1.0 s for this split at sf0.1).
+        // Both results are 1-row frames; the crossJoin is a broadcast.
+        val sketchSide = li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_orderkey").isNull, 1).otherwise(0)).cast("long").as("nulls_ok"),
+          min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+          sum(when(col("l_partkey").isNull, 1).otherwise(0)).cast("long").as("nulls_pk"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          fround(hllDistinct(md5Hash52(col("l_partkey").cast("string"))), 2)
+            .as("hll_pk"),
+          sum(when(col("l_quantity").isNull, 1).otherwise(0)).cast("long").as("nulls_q"),
+          min(col("l_quantity").cast("long")).as("min_q"),
+          max(col("l_quantity").cast("long")).as("max_q"))
+        val distinctSide = li.agg(
+          countDistinct(col("l_orderkey")).as("ndv_ok"),
+          countDistinct(col("l_partkey")).as("ndv_pk"),
+          countDistinct(col("l_quantity").cast("long")).as("ndv_q"))
+        sketchSide.crossJoin(broadcast(distinctSide))
           .select(expr("""stack(3,
             'l_orderkey', n, nulls_ok, min_ok, max_ok, ndv_ok, cast(null as double),
             'l_partkey',  n, nulls_pk, min_pk, max_pk, ndv_pk, hll_pk,
