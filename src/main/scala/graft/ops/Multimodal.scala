@@ -227,7 +227,7 @@ object Multimodal {
     ((8 + (id % 3) * 4).toInt, (8 + (id % 2) * 4).toInt)
 
   /** Encode one deterministic image to real PNG bytes via ImageIO. */
-  private[ops] def encodePng(id: Long, format: String = "png",
+  private[graft] def encodePng(id: Long, format: String = "png",
       jitter: Int = 0): Array[Byte] = {
     val (w, h) = imageDims(id)
     val im = new java.awt.image.BufferedImage(
@@ -300,39 +300,45 @@ object Multimodal {
     imgs.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { row =>
-          val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.img))
-          if (im == null || im.getWidth % grid != 0 || im.getHeight % grid != 0) None
-          else {
-            val bw = im.getWidth / grid
-            val bh = im.getHeight / grid
-            val ms = Array.tabulate(grid * grid) { bi =>
-              val gx = bi % grid
-              val gy = bi / grid
-              var s = 0L
-              var dy = 0
-              while (dy < bh) {
-                var dx = 0
-                while (dx < bw) {
-                  val p = im.getRGB(gx * bw + dx, gy * bh + dy)
-                  s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-                  dx += 1
-                }
-                dy += 1
-              }
-              s / (bw * bh)
-            }
-            val mean = ms.sum / (grid * grid)
-            var hash = 0L
-            var i = 0
-            while (i < ms.length) {
-              if (ms(i) >= mean) hash |= 1L << i
-              i += 1
-            }
-            Some(ImageHash(row.media_id, hash))
-          }
-        }
+        batch.flatMap(row =>
+          aHashBytes(row.img, grid).map(h => ImageHash(row.media_id, h)))
       }
+    }
+  }
+
+  /** The row-local decode+hash behind [[imageAHash]] and the streaming
+    * twin (`streaming/MediaStream`): None for un-decodable blobs or
+    * dimensions the grid doesn't divide. */
+  private[graft] def aHashBytes(img: Array[Byte], grid: Int): Option[Long] = {
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+    if (im == null || im.getWidth % grid != 0 || im.getHeight % grid != 0) None
+    else {
+      val bw = im.getWidth / grid
+      val bh = im.getHeight / grid
+      val ms = Array.tabulate(grid * grid) { bi =>
+        val gx = bi % grid
+        val gy = bi / grid
+        var s = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            val p = im.getRGB(gx * bw + dx, gy * bh + dy)
+            s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            dx += 1
+          }
+          dy += 1
+        }
+        s / (bw * bh)
+      }
+      val mean = ms.sum / (grid * grid)
+      var hash = 0L
+      var i = 0
+      while (i < ms.length) {
+        if (ms(i) >= mean) hash |= 1L << i
+        i += 1
+      }
+      Some(hash)
     }
   }
 

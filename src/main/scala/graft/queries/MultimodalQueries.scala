@@ -6,7 +6,9 @@ import graft.ops.Multimodal
 import graft.ops.Similarity
 import graft.tables.Tables
 
-/** Multimodal pack — binary payload plumbing with a stubbed decoder. */
+/** Multimodal pack — binary payload columns with REAL codec paths
+  * (ImageIO PNG/JPEG, AudioSystem PCM, AVI demux+DIB) alongside the
+  * deterministic stub plumbing of mm01–mm04. */
 object MultimodalQueries {
 
   val queries: Seq[Q] = Seq(
@@ -409,6 +411,98 @@ object MultimodalQueries {
              |SELECT a.media_id AS id_a, b.media_id AS id_b, a.ahash
              |FROM ah a JOIN ah b
              |  ON a.ahash = b.ahash AND a.media_id < b.media_id
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
+      "st15_stream_image_dedup",
+      (s, dir) => {
+        // STREAMING image dedup at ingest — mm11's perceptual hash as
+        // a first-seen stream (`MediaStream.firstSeenImages`): blobs
+        // decode + average-hash row-locally (stateless; the blob never
+        // enters the state store), and `dropDuplicatesWithinWatermark`
+        // keyed on the hash keeps one row per DISTINCT content. The
+        // corpus is mm11's: 150 base images plus 30 brightness-shifted
+        // copies under ids+10000, fed id-ordered (ts = epoch +
+        // media_id seconds, so arrival = event time) in two
+        // micro-batches split at the median id — every copy arrives in
+        // batch 2 while most bases arrive in batch 1, so the copies
+        // drop ONLY if per-hash state survived the batch boundary.
+        // Survivors = first arrival per hash = min media_id per hash,
+        // which the oracle replays from mm11's arithmetic. collect()
+        // is the MemoryStream feeding harness; production uses
+        // readStream on the crawl frontier.
+        import graft.ops.Multimodal
+        import graft.streaming.MediaStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val arrEnc = org.apache.spark.sql.Encoders.product[MediaStream.MediaArrival]
+        val base = Tables(s, dir).documents.filter(col("doc_id") < 150)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+            lit(0).as("jit"))
+        val copies = Tables(s, dir).documents
+          .filter(col("doc_id") < 150 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("media_id"),
+            col("doc_id").as("seed"), lit(1).as("jit"))
+        val rows = Multimodal.synthesizePngsSeeded(
+            base.unionByName(copies), "media_id", "seed", "jit")
+          .collect().sortBy(_.media_id)
+          .map(r => MediaStream.MediaArrival(r.media_id,
+            new java.sql.Timestamp(1700000000000L + r.media_id * 1000L), r.img))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[MediaStream.MediaArrival]
+        val ckpt = java.nio.file.Files.createTempDirectory("st15_ckpt").toString
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try MediaStream.firstSeenImages(stream.toDS(), watermark = "24 hours")
+            .writeStream.format("memory").queryName("st15_survivors")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { b =>
+            stream.addData(b.toSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st15_survivors").orderBy("media_id")
+      },
+      // mm11's ahash replay; first-seen on an id-ordered feed = the
+      // minimum media_id per hash value
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS j
+             |  FROM documents WHERE doc_id < 150
+             |  UNION ALL
+             |  SELECT doc_id + 10000, doc_id, 1
+             |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
+             |hs AS (SELECT media_id, seed, j,
+             |    CAST(8 + (seed % 3) * 4 AS BIGINT) AS w,
+             |    CAST(8 + (seed % 2) * 4 AS BIGINT) AS h
+             |  FROM imgs),
+             |ms AS (SELECT media_id,
+             |    list_transform(range(16), bi ->
+             |      list_sum(flatten(list_transform(range(h // 4), dy ->
+             |        list_transform(range(w // 4), dx ->
+             |          (least(255, (seed * 31 + ((bi % 4) * (w // 4) + dx) * 7
+             |                       + ((bi // 4) * (h // 4) + dy) * 13) % 256 + j)
+             |           + (seed * 17 + ((bi % 4) * (w // 4) + dx) * 11
+             |              + ((bi // 4) * (h // 4) + dy) * 3) % 256
+             |           + (seed * 7 + ((bi % 4) * (w // 4) + dx) * 5
+             |              + ((bi // 4) * (h // 4) + dy) * 19) % 256) // 3))))
+             |      // ((w // 4) * (h // 4))) AS m
+             |  FROM hs),
+             |ah AS (SELECT media_id,
+             |    CAST(list_sum(list_transform(range(16), i ->
+             |      CASE WHEN m[CAST(i AS INT) + 1] >= list_sum(m) // 16
+             |           THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ahash
+             |  FROM ms)
+             |SELECT media_id, ahash FROM (
+             |  SELECT media_id, ahash,
+             |    row_number() OVER (PARTITION BY ahash ORDER BY media_id) AS rn
+             |  FROM ah)
+             |WHERE rn = 1 ORDER BY media_id""".stripMargin))
   )
 }
