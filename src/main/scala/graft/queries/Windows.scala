@@ -165,7 +165,86 @@ object Windows2 {
              |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
              |  INTERSECT ALL
              |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
-             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    Q(
+      "w10_interpolate",
+      (s, dir) => {
+        // LINEAR interpolation over the densified calendar (w06 fills
+        // gaps with zeros; resampling a time series wants the line
+        // between the neighboring observations — the standard
+        // pre-model step for sensor/forecast pipelines). Exactness
+        // discipline: per-event values quantize to integer CENTS
+        // before any sum (w09), and the interpolated value is
+        // prev + floor((next−prev)·(d−pd)/(nd−pd)) — all-integer
+        // inputs through one float division then floor, identical in
+        // both engines. Neighbor discovery uses NO ignore-nulls
+        // windows (engine-specific semantics): the prev/next KNOWN day
+        // comes from max/min-over-frame of the known-day column, and
+        // the known (day, cents) frame joins back by that day — the
+        // windows and joins all run over the CALENDAR-sized densified
+        // frame (days, not events; SF-independent), so the
+        // single-partition window is by construction model-sized.
+        val t = Tables(s, dir)
+        val daily = t.events
+          .filter(col("event_type") === "purchase" && pmod(col("user_id"), lit(500)) === 0)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+        val calendar = daily.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val joined = calendar.join(daily, Seq("day"), "left")
+          .withColumn("day_num", datediff(col("day"), lit("1992-01-01").cast("date")))
+        val wPrev = Window.orderBy("day_num")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.orderBy("day_num")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val flagged = joined
+          .withColumn("pd", max(when(col("cents").isNotNull, col("day_num"))).over(wPrev))
+          .withColumn("nd", min(when(col("cents").isNotNull, col("day_num"))).over(wNext))
+        val known = joined.filter(col("cents").isNotNull)
+          .select(col("day_num").as("kd"), col("cents").as("kc"))
+        flagged
+          .join(known.select(col("kd").as("pd"), col("kc").as("prev_c")), Seq("pd"), "left")
+          .join(known.select(col("kd").as("nd"), col("kc").as("next_c")), Seq("nd"), "left")
+          .select(col("day"),
+            when(col("cents").isNotNull, col("cents"))
+              .otherwise(col("prev_c") + floor((col("next_c") - col("prev_c"))
+                * (col("day_num") - col("pd")) * lit(1.0)
+                / (col("nd") - col("pd"))).cast("long"))
+              .as("cents_filled"),
+            when(col("cents").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase' AND user_id % 500 = 0
+             |  GROUP BY 1),
+             |cal AS (SELECT CAST(unnest(generate_series(
+             |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+             |    INTERVAL 1 DAY)) AS DATE) AS day),
+             |j AS (SELECT day, cents,
+             |    date_diff('day', DATE '1992-01-01', day) AS day_num
+             |  FROM cal LEFT JOIN daily USING (day)),
+             |f AS (SELECT *,
+             |    max(CASE WHEN cents IS NOT NULL THEN day_num END)
+             |      OVER (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND CURRENT ROW) AS pd,
+             |    min(CASE WHEN cents IS NOT NULL THEN day_num END)
+             |      OVER (ORDER BY day_num ROWS BETWEEN CURRENT ROW
+             |            AND UNBOUNDED FOLLOWING) AS nd
+             |  FROM j)
+             |SELECT f.day,
+             |  CASE WHEN f.cents IS NOT NULL THEN f.cents
+             |       ELSE pc.cents + CAST(floor((nc.cents - pc.cents)
+             |         * (f.day_num - f.pd) * 1.0 / (f.nd - f.pd)) AS BIGINT) END
+             |    AS cents_filled,
+             |  CASE WHEN f.cents IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+             |FROM f
+             |LEFT JOIN (SELECT day_num, cents FROM j WHERE cents IS NOT NULL) pc
+             |  ON pc.day_num = f.pd
+             |LEFT JOIN (SELECT day_num, cents FROM j WHERE cents IS NOT NULL) nc
+             |  ON nc.day_num = f.nd
+             |ORDER BY day""".stripMargin))
   )
 }
 
