@@ -454,6 +454,70 @@ object SimilarityQueries {
              |GROUP BY label ORDER BY label""".stripMargin)),
 
     Q(
+      "a16_knn_prefiltered",
+      (s, dir) => {
+        // FILTERED vector search (every vector DB's flagship feature:
+        // "nearest neighbors WHERE metadata matches"), in the
+        // PRE-filter form — the predicate restricts the corpus BEFORE
+        // cell probing, so top-k is computed over exactly the
+        // qualifying vectors and always returns k of them. The
+        // alternative (POST-filtering an unfiltered top-k) silently
+        // under-returns when the predicate is selective — with label
+        // IN (1, 3) keeping ~19% of this corpus, a post-filtered k=5
+        // would average under one row per query. The quantizer stays
+        // the UNFILTERED index's frozen centers (a05/l03's 16 seed
+        // vectors): a production index is built once and serves every
+        // predicate, so assignment must not depend on the filter; at
+        // scale the predicate pushes into the probed-cell scans
+        // (cell AND label are both parquet-prunable under l03's
+        // layout).
+        val e = Tables(s, dir).embeddings
+        val centers = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        knnIvfWithCenters(
+          e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10 && col("label").isin(1, 3)),
+          "vec_id", "embedding", k = 5, centers, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            fround(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      // a05's oracle with the predicate applied where the engine
+      // applies it: on the corpus, before assignment/probing
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+             |          WHERE vec_id >= 10 AND vec_id < 26),
+             |assign AS (SELECT neighbor_id, v, cell FROM (
+             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(c.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id >= 10
+             |          AND label IN (1, 3)) c, cents t)
+             |  WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(q.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
+             |  WHERE rn <= 6),
+             |hits AS (SELECT p.query_id, a.neighbor_id,
+             |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+             |  FROM probes p JOIN assign a ON p.cell = a.cell)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+             |FROM (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |      FROM hits)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // The FULL IVF flow — sampled Lloyd quantizer fit + probe/rerank
