@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.ops.TextAnalysis.decontaminate
 import graft.tables.Tables
 
 /**
@@ -262,6 +263,80 @@ object CorpusOps {
              |         ELSE 'test' END AS split,
              |    lang, len(string_split(text, ' ')) AS n_tokens
              |  FROM deduped)
+             |SELECT split, lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+             |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin)),
+
+    Q(
+      "p12_decontaminated_pipeline",
+      (s, dir) => {
+        // The FULL production pretraining recipe — p07's capstone with
+        // the eval-integrity stage every released model's data card
+        // claims: gate (t16's predicate) → exact dedup → BENCHMARK
+        // DECONTAMINATION (dc01's 4-gram probe: any doc sharing a word
+        // 4-gram with the held-out benchmark slice is removed, not
+        // merely flagged) → deterministic split (p06) → per-(split,
+        // lang) accounting. Still ONE Catalyst plan: the benchmark
+        // n-gram set is model-sized and broadcast, the anti-join by id
+        // is broadcast too (flagged ids ≤ corpus), so the pipeline
+        // stays a chain of narrow maps + key-local aggregates with the
+        // corpus shuffling only for the dedup groupBy.
+        val d = Tables(s, dir).documents
+        val bench = d.filter(col("doc_id") % 23 === 0)
+        val pool = d.filter(col("doc_id") % 23 =!= 0)
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        val deduped = pool
+          .filter(nTok.between(10, 100000) && alphaRatio >= 0.6 && stopHits >= lit(2))
+          .groupBy(col("text"))
+          .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+          .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"), col("text"))
+        val flagged = decontaminate(deduped, bench, "doc_id", "text", n = 4)
+        deduped.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+          .select(
+            when(bucket < "cd", "train").when(bucket < "e6", "val")
+              .otherwise("test").as("split"),
+            col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("long").as("total_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH gated AS (SELECT * FROM documents
+             |  WHERE doc_id % 23 <> 0
+             |    AND len(string_split(text, ' ')) BETWEEN 10 AND 100000
+             |    AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+             |      / length(text) >= 0.6
+             |    AND len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2),
+             |deduped AS (SELECT min(doc_id) AS doc_id,
+             |    min_by(lang, doc_id) AS lang, text
+             |  FROM gated GROUP BY text),
+             |bng AS (SELECT DISTINCT unnest(list_transform(range(1, len(w) - 4 + 2),
+             |      i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ngram
+             |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+             |        WHERE doc_id % 23 = 0)
+             |  WHERE len(w) >= 4),
+             |cng AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 4 + 2),
+             |      i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ngram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM deduped)
+             |  WHERE len(w) >= 4),
+             |contaminated AS (SELECT DISTINCT c.doc_id
+             |  FROM cng c JOIN bng b USING (ngram)),
+             |clean AS (SELECT * FROM deduped
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+             |labeled AS (SELECT
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    lang, len(string_split(text, ' ')) AS n_tokens
+             |  FROM clean)
              |SELECT split, lang, count(*) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
              |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin)),
