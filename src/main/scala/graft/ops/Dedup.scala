@@ -877,6 +877,36 @@ object Dedup {
         (-col("b.n")).as("rep_score"), col("cluster_size"))
   }
 
+  /**
+   * SOFT dedup — frequency-based duplicate DOWNWEIGHTING instead of
+   * removal (the DataComp-LM / SoftDeDup move: keep every copy but
+   * give each member of a c-way duplicate cluster sampling weight 1/c,
+   * so the cluster contributes one document's worth of probability
+   * mass to training and the aggregate "effective dataset size" is the
+   * distinct count — without destroying the natural distribution the
+   * hard dedup families d01/d13 enforce). `key` is the duplicate
+   * grouping column (raw text for exact content, a minhash component
+   * label for near-dup, a URL for source-level).
+   *
+   * Output one row per input doc: (id, dup_count, weight_ppm) with
+   * weight_ppm = floor(1e6 / dup_count) — integer end to end, so the
+   * DuckDB oracle replays it exactly; downstream samplers (p08's
+   * weighted sampling) consume weight_ppm directly.
+   *
+   * Scale shape: census then probe — a map-side-combinable count
+   * keyed by the duplicate key, then one equi-join back (AQE
+   * skew-split applies on viral keys). The census frame carries
+   * (key, count) only, never document text, and no window touches an
+   * unbounded key.
+   */
+  def softDedupWeights(docs: DataFrame, idCol: String, key: Column): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), key.as("__k"))
+    val census = keyed.groupBy("__k").agg(count(lit(1)).as("dup_count"))
+    keyed.join(census, "__k")
+      .select(col("id"), col("dup_count"),
+        expr("CAST(1000000 AS BIGINT) div dup_count").as("weight_ppm"))
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

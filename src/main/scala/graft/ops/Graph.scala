@@ -592,6 +592,52 @@ object Graph {
       .select(col("src").as("node"), col("degree_in_core")), peels)
   }
 
+  /**
+   * Link prediction by the resource-allocation index (Zhou, Lü &
+   * Zhang 2009 — the strongest of the classic local indices on
+   * co-occurrence graphs): for every NON-adjacent pair (u, v) sharing
+   * at least one neighbor, score = Σ_{w ∈ Γ(u)∩Γ(v)} 1/deg(w), with
+   * each term floor-quantized to ppm (floor(1e6 / deg(w)) summed as
+   * BIGINTs — integer end to end, so a DuckDB oracle replays every
+   * term and the sum exactly; Adamic-Adar's 1/log deg would drag a
+   * transcendental into the hash). Also returns the raw common-
+   * neighbor count. Top-`topN` by (ra_ppm DESC, u, v) — a total order.
+   *
+   * Scale shape: wedge enumeration centered on w is the only
+   * data-sized join and its volume is Σ deg(w)² — on hub-heavy graphs
+   * cap it with `maxWedgeDegree` (hubs contribute ≤ 1e6/deg ≈ 0 per
+   * term, so dropping centers above the cap changes scores by at most
+   * pairs·1e6/cap; 0 = no cap). The adjacency anti-join and the
+   * (u, v) aggregate are keys-only; degree is map-side combinable.
+   */
+  def linkPrediction(edges: DataFrame, topN: Int,
+      maxWedgeDegree: Int = 0): DataFrame = {
+    val und = InternalFrame.sharedScan(edges.select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    val sym = InternalFrame.sharedScan(
+      und.select(col("u").as("w"), col("v").as("n"))
+        .union(und.select(col("v").as("w"), col("u").as("n"))))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("d"))
+    val centers0 = sym.join(deg, "w")
+    val centers =
+      if (maxWedgeDegree > 0) centers0.filter(col("d") <= maxWedgeDegree)
+      else centers0
+    // wedges u—w—v with u < v, each carrying w's quantized RA term
+    val wedges = centers.select(col("w"), col("n").as("cu"), col("d"))
+      .join(centers.select(col("w"), col("n").as("cv")), Seq("w"))
+      .filter(col("cu") < col("cv"))
+      .select(col("cu").as("u"), col("cv").as("v"),
+        expr("CAST(1000000 AS BIGINT) div d").as("term_ppm"))
+    wedges
+      .join(und, Seq("u", "v"), "left_anti") // predict only NON-edges
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_neighbors"), sum("term_ppm").as("ra_ppm"))
+      .orderBy(col("ra_ppm").desc, col("u"), col("v"))
+      .limit(topN)
+  }
+
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession

@@ -563,4 +563,35 @@ object Similarity {
       Seq("src", "dst"), "left_semi")
       .select("src", "rank", "dst", "cos")
   }
+
+  /**
+   * Recall@k of an ANN result against the exact result — the index-
+   * quality gauge every production ANN deployment monitors (probe
+   * width, quantizer drift, and incremental-index staleness all show
+   * up here first). Both inputs are kNN result frames in this module's
+   * shape (`query_id`, `neighbor_id`, one row per retrieved neighbor);
+   * output is one row per query in `exact`:
+   * (query_id, hits, recall_ppm) with hits = |ann ∩ exact| and
+   * recall_ppm = floor(1e6 · hits / k) — integer end to end, so a
+   * DuckDB oracle replays it bit-for-bit.
+   *
+   * 100 TB posture: kNN result frames are (queries × k)-sized — model-
+   * sized relative to the corpus — so every join here is broadcast-
+   * light; the expensive work already happened inside the ANN/exact
+   * operators being graded. Queries the ANN missed entirely still
+   * appear (hits = 0) via the left join from the exact side.
+   */
+  def annRecall(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"annRecall: k must be >= 1 (got $k)")
+    val a = ann.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    e.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"(coalesce(hits, 0) * CAST(1000000 AS BIGINT)) div $k")
+          .as("recall_ppm"))
+  }
 }

@@ -196,6 +196,40 @@ object TextAnalysis {
       .select(idCol).distinct()
   }
 
+  /**
+   * GRADED contamination: where `decontaminate` gives the binary
+   * remove/keep verdict, this scores every corpus doc by the FRACTION
+   * of its word n-gram occurrences found in the benchmark set (the
+   * WIMBD-style overlap audit — "how contaminated", feeding thresholded
+   * filtering or per-source contamination reports). Output one row per
+   * corpus doc with ≥ n words: (id, n_grams, n_hits, overlap_ppm) with
+   * overlap_ppm = floor(1e6 · hits / total) — integer end to end.
+   *
+   * 100 TB posture: identical to `decontaminate` — the benchmark n-gram
+   * set is model-sized and broadcast, the corpus side is one narrow
+   * explode, and the only shuffle is the per-doc count keyed by id
+   * (map-side combinable). Occurrences, not distinct grams, are
+   * counted, so no (id, ngram)-wide distinct shuffle exists.
+   */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def ngrams(df: DataFrame, keep: Column*): DataFrame = {
+      val positions = when(size(col("w")) >= n, sequence(lit(1), size(col("w")) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      df.select(keep :+ tokens(col(textCol)).as("w"): _*)
+        .select(keep :+ explode(positions).as("pos") :+ col("w"): _*)
+        .select(keep :+ concat_ws(" ", slice(col("w"), col("pos"), lit(n))).as("ngram"): _*)
+    }
+    val benchGrams = ngrams(benchmark).select("ngram").distinct()
+      .withColumn("__hit", lit(1))
+    ngrams(corpus, col(idCol))
+      .join(broadcast(benchGrams), Seq("ngram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        expr("(n_hits * CAST(1000000 AS BIGINT)) div n_grams").as("overlap_ppm"))
+  }
+
   /** Email-address pattern, identical under Java regex and RE2 (plain
     * character classes, no backreferences). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"

@@ -276,6 +276,32 @@ object CorpusOps2 {
              |FROM sq CROSS JOIN z ORDER BY source""".stripMargin)),
 
     Q(
+      "p13_softdedup_weights",
+      (s, dir) => {
+        // SOFT dedup (the DataComp-LM move): duplicates are kept but
+        // DOWNWEIGHTED — each member of a c-way exact-duplicate cluster
+        // gets sampling weight floor(1e6/c) ppm, so the cluster
+        // contributes one document's worth of training probability mass
+        // while the natural distribution survives (vs d01's hard
+        // removal). Keyed by the engine-portable 52-bit md5 of the
+        // text, so the census shuffle carries hashes, not documents;
+        // p08's weighted sampler consumes weight_ppm directly.
+        graft.ops.Dedup.softDedupWeights(
+          Tables(s, dir).documents, "doc_id",
+          graft.functions.VectorExpressions.md5Hash52(col("text")))
+          .select(col("id").as("doc_id"), col("dup_count"), col("weight_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH keyed AS (SELECT doc_id,
+             |    ${OracleSql.md5Fold52("text")} AS k FROM documents),
+             |census AS (SELECT k, count(*) AS dup_count
+             |  FROM keyed GROUP BY k)
+             |SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count,
+             |  CAST(1000000 // dup_count AS BIGINT) AS weight_ppm
+             |FROM keyed JOIN census USING (k)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "t18_zipf_slope",
       (s, dir) => {
         // Per-source Zipf slope — the power-law corpus-QA statistic

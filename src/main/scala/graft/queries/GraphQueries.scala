@@ -578,6 +578,53 @@ object GraphQueries {
               |${pprCte(2)},
               |${pprCte(3)}
               |SELECT node, CAST(r AS BIGINT) AS rank_nano FROM p3
-              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin))
+              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin)),
+
+    Q(
+      "x12_link_prediction",
+      (s, dir) => {
+        // Link prediction by the resource-allocation index over x09's
+        // coincidence graph (customers linked by a shared (part,
+        // supplier) purchase — small cliques, so predicted links are
+        // CROSS-clique: pairs bridged by a shared member but never
+        // co-observed themselves). Every RA term is floor(1e6/deg(w))
+        // summed as integers, so the oracle replays the wedge
+        // enumeration, the non-edge filter, and every term exactly.
+        // Top-50 by (ra_ppm DESC, u, v) — a total order.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 200)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"),
+            col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.sk") === col("b.sk") &&
+              col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        graft.ops.Graph.linkPrediction(edges, topN = 50)
+      },
+      Some("""WITH cp AS (SELECT DISTINCT o_custkey AS c,
+             |    l_partkey AS pk, l_suppkey AS sk
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE l_partkey < 200),
+             |und AS (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+             |    CAST(b.c AS BIGINT) AS v
+             |  FROM cp a JOIN cp b
+             |    ON a.pk = b.pk AND a.sk = b.sk AND a.c < b.c),
+             |sym AS (SELECT u AS w, v AS n FROM und
+             |        UNION ALL SELECT v, u FROM und),
+             |deg AS (SELECT w, count(*) AS d FROM sym GROUP BY w),
+             |cen AS (SELECT s.w, s.n, deg.d FROM sym s JOIN deg USING (w)),
+             |wed AS (SELECT a.n AS u, b.n AS v,
+             |    CAST(1000000 // a.d AS BIGINT) AS term
+             |  FROM cen a JOIN cen b ON a.w = b.w AND a.n < b.n),
+             |nonedge AS (SELECT wed.u, wed.v, wed.term FROM wed
+             |  LEFT JOIN und ON wed.u = und.u AND wed.v = und.v
+             |  WHERE und.u IS NULL)
+             |SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+             |  CAST(sum(term) AS BIGINT) AS ra_ppm
+             |FROM nonedge GROUP BY u, v
+             |ORDER BY ra_ppm DESC, u, v LIMIT 50""".stripMargin))
   )
 }

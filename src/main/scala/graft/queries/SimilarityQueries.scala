@@ -518,6 +518,72 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a17_ann_recall",
+      (s, dir) => {
+        // Index-quality gauge: recall@5 of a05's fixed-center IVF at a
+        // DELIBERATELY narrow nprobe = 2 (so recall is genuinely < 1
+        // and the measurement is load-bearing) against the exact brute-
+        // force top-5 — the number a production ANN deployment watches
+        // for probe-width tuning and index staleness. Both retrieval
+        // legs AND the intersection arithmetic are under the oracle;
+        // per-query hits and floor-ppm recall are integer end to end.
+        val e = Tables(s, dir).embeddings
+        val centers = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val qs = e.filter(col("vec_id") < 10)
+        val corpus = e.filter(col("vec_id") >= 10)
+        val ann = knnIvfWithCenters(qs, corpus,
+          "vec_id", "embedding", k = 5, centers, nprobe = 2)
+        val exact = knnBruteForce(qs, corpus, "vec_id", "embedding", k = 5)
+        annRecall(ann, exact, k = 5).orderBy("query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+             |          WHERE vec_id >= 10 AND vec_id < 26),
+             |assign AS (SELECT neighbor_id, v, cell FROM (
+             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(c.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id >= 10) c, cents t)
+             |  WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(q.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
+             |  WHERE rn <= 2),
+             |ivfhits AS (SELECT p.query_id, a.neighbor_id,
+             |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+             |  FROM probes p JOIN assign a ON p.cell = a.cell),
+             |ann AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |    FROM ivfhits) WHERE rn <= 5),
+             |sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
+             |  FROM (SELECT * FROM e WHERE vec_id < 10) q,
+             |       (SELECT * FROM e WHERE vec_id >= 10) c),
+             |exact AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |    FROM sims) WHERE rn <= 5),
+             |scored AS (SELECT x.query_id, count(a.neighbor_id) AS hits
+             |  FROM exact x LEFT JOIN ann a
+             |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+             |  GROUP BY x.query_id)
+             |SELECT query_id, CAST(hits AS BIGINT) AS hits,
+             |  CAST((hits * 1000000) // 5 AS BIGINT) AS recall_ppm
+             |FROM scored ORDER BY query_id""".stripMargin)),
+
+    Q(
       "a04_knn_ivf",
       (s, dir) => {
         // The FULL IVF flow — sampled Lloyd quantizer fit + probe/rerank

@@ -443,6 +443,37 @@ object TextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "t23_ngram_overlap",
+      (s, dir) => {
+        // GRADED contamination (WIMBD-style audit): dc01 answers
+        // "remove or keep"; this scores every corpus doc by the ppm
+        // FRACTION of its word 4-gram occurrences found in the
+        // benchmark slice — the input to thresholded filtering and
+        // per-source contamination reports. Same broadcast-bench /
+        // narrow-explode shape as dc01; the only shuffle is the
+        // map-side-combinable per-doc count. Integer end to end.
+        val d = Tables(s, dir).documents
+        val bench = d.filter(col("doc_id") % 23 === 0)
+        val corpus = d.filter(col("doc_id") % 23 =!= 0)
+        graft.ops.TextAnalysis.contaminationScore(
+          corpus, bench, "doc_id", "text", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |ng AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 4 + 2),
+             |         i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ngram
+             |       FROM toks WHERE len(w) >= 4),
+             |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 23 = 0),
+             |scored AS (SELECT n.doc_id, count(*) AS n_grams,
+             |    count(b.ngram) AS n_hits
+             |  FROM ng n LEFT JOIN bench b ON n.ngram = b.ngram
+             |  WHERE n.doc_id % 23 <> 0 GROUP BY n.doc_id)
+             |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             |  CAST(n_hits AS BIGINT) AS n_hits,
+             |  CAST((n_hits * 1000000) // n_grams AS BIGINT) AS overlap_ppm
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "p05_sequence_packing",
       (s, dir) => {
         // Causal-LM sequence packing over (source, hash-bucket)

@@ -339,4 +339,31 @@ class GraphSpec extends SparkTestBase {
       Seq((1L, 2L, 1L), (1L, 2L, 2L))
     assert(runHits(split, 2) === r)
   }
+
+  test("linkPrediction: RA terms exact, adjacent pairs excluded, degree cap drops hub wedges") {
+    import spark.implicits._
+    // square 1-2-3-4-1 (predict both diagonals, 2 common neighbors each)
+    // ∪ triangle 10-11-12 (complete: nothing to predict)
+    // ∪ star 20-{21,22,23} (leaf pairs via the deg-3 hub)
+    // One square edge reversed: canonicalization must absorb it.
+    val edges = Seq(
+      (1L, 2L), (3L, 2L), (3L, 4L), (1L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(edges, topN = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L)),
+      (21L, 22L) -> ((1L, 333333L)), (21L, 23L) -> ((1L, 333333L)),
+      (22L, 23L) -> ((1L, 333333L))), s"got $got")
+    // cap = 2 removes the deg-3 star hub as a wedge center; square
+    // nodes (deg 2) survive
+    val capped = Graph.linkPrediction(edges, topN = 50, maxWedgeDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 3L), (2L, 4L)), s"got $capped")
+    // topN truncates on the (ra_ppm DESC, u, v) total order
+    val top2 = Graph.linkPrediction(edges, topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top2 == Seq((1L, 3L), (2L, 4L)), s"got $top2")
+  }
 }

@@ -72,6 +72,28 @@ class DedupSpec extends SparkTestBase {
     (base ++ dups).toDF("doc_id", "text")
   }
 
+  test("softDedupWeights: weight 1e6/c per member, cluster mass ≈ one doc, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa"), (2L, "aaa"), (3L, "aaa"), // 3-way cluster
+      (4L, "bbb"), (5L, "bbb"),              // pair
+      (6L, "ccc")                            // unique
+    ).toDF("doc_id", "text")
+    val got = softDedupWeights(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 333333L)), 2L -> ((3L, 333333L)), 3L -> ((3L, 333333L)),
+      4L -> ((2L, 500000L)), 5L -> ((2L, 500000L)),
+      6L -> ((1L, 1000000L))), s"got $got")
+    // every input doc survives (soft, not hard, dedup) and cluster mass
+    // sums to ≤ 1e6 with the floor deficit bounded by c
+    assert(got.size == 6)
+    assert(got.values.filter(_._1 == 3L).map(_._2).sum == 999999L)
+    val repart = softDedupWeights(docs.repartition(7), "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(repart == got)
+  }
+
   test("paragraphDedup: first occurrence wins, rewrites are positional, partition-invariant") {
     import spark.implicits._
     // doc 1: chunks A B; doc 2: chunks B C (B repeats cross-doc);
@@ -865,6 +887,27 @@ class SimilaritySpec extends SparkTestBase {
       }.toArray
     }
     assert(centers.flatten.toSeq == ref.flatten.toSeq)
+  }
+
+  test("annRecall: per-query intersection counts, zero-hit queries kept, ppm exact") {
+    import spark.implicits._
+    val exact = Seq( // two queries, k = 4
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L))
+      .toDF("query_id", "neighbor_id")
+    val ann = Seq( // q1 recovers 3/4; q2 recovers nothing (all wrong ids)
+      (1L, 10L), (1L, 11L), (1L, 13L), (1L, 99L),
+      (2L, 90L), (2L, 91L), (2L, 92L), (2L, 93L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.annRecall(ann, exact, k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 750000L)), 2L -> ((0L, 0L))), s"got $got")
+    // duplicate retrieved ids (LSH multi-table artifacts) must not
+    // double-count: the semi-join grades set membership
+    val annDup = ann.union(Seq((1L, 10L)).toDF("query_id", "neighbor_id"))
+    val dedup = Similarity.annRecall(annDup, exact, k = 4)
+      .filter(col("query_id") === 1L).collect().head
+    assert((dedup.getLong(1), dedup.getLong(2)) == ((3L, 750000L)))
   }
 }
 

@@ -37,6 +37,36 @@ class TextPipelineSpec extends SparkTestBase {
       s"benchmark side must broadcast:\n$plan")
   }
 
+  test("contaminationScore: occurrence-fraction ppm, short docs absent, clean docs zero") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // all 4-gram occurrences contaminated (a verbatim benchmark slice)
+      (1L, "quick brown fox jumps over the lazy"), // 4 grams, 4 hits
+      // partially contaminated: 5 grams, hits = "over the lazy dog" only
+      (2L, "sleeps over the lazy dog all day wow"),
+      (3L, "completely unrelated text right here"), // 0 hits
+      (4L, "too short")                             // < n words: no row
+    ).toDF("doc_id", "text")
+    val got = contaminationScore(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"got ${got.keySet}")
+    assert(got(1L) == ((4L, 4L, 1000000L)), s"got ${got(1L)}")
+    assert(got(2L) == ((5L, 1L, 200000L)), s"got ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0L)), s"got ${got(3L)}")
+  }
+
+  test("contaminationScore broadcasts the benchmark n-gram side") {
+    import spark.implicits._
+    val bench = Seq((100L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val plan = contaminationScore(corpus, bench, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
   test("redactPii masks emails and digit runs; piiCount counts spans once") {
     import spark.implicits._
     val df = Seq(
