@@ -495,6 +495,75 @@ object Events {
              |ORDER BY purchase_id, click_id""".stripMargin)),
 
     Q(
+      "st16_stream_static_enrich",
+      (s, dir) => {
+        // STREAM-STATIC enrichment under the DuckDB oracle — the third
+        // streaming join shape (st03 = stream-stream as-of, st14 =
+        // stream-stream interval): the event stream joins the STATIC
+        // customer dimension (broadcast per micro-batch, zero streaming
+        // state added) and aggregates hourly totals per enriched
+        // market segment. Values quantize to integer cents per row
+        // BEFORE the sum, so window totals are engine-exact. Fed
+        // time-split in two halves: a window straddling the split
+        // proves the (window, segment) state merged both batches'
+        // contributions; st09's two flush batches advance the
+        // watermark so append mode emits every real window (the flush
+        // events' own windows never finalize and are absent by
+        // construction — their user_id 0 passes the dim join, but
+        // emission requires watermark passage). The feed caps at
+        // user_id < 150 — an ABSOLUTE bound (st13's discipline): the
+        // harness feeds ~10 K rows at ANY SF, so the artifact measures
+        // the join + state commit, not MemoryStream volume.
+        import graft.streaming.EventStreams
+        implicit val sqlCtx = s.sqlContext
+        implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
+        val rows = Tables(s, dir).events.filter(col("user_id") < 150)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+        val dim = Tables(s, dir).customer
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val maxTs = rows.last.ts.getTime
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        val ckpt = java.nio.file.Files.createTempDirectory("st16_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try EventStreams.enrichedSegmentTotals(stream.toDF(), dim)
+            .writeStream.format("memory").queryName("st16_segments")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val half = (rows.length + 1) / 2
+          stream.addData(rows.take(half).toIndexedSeq)
+          q.processAllAvailable()
+          stream.addData(rows.drop(half).toIndexedSeq)
+          q.processAllAvailable()
+          for (off <- Seq(72L, 73L)) {
+            stream.addData(IndexedSeq(EventStreams.Event(-1L,
+              new java.sql.Timestamp(maxTs + off * 3600L * 1000L),
+              0L, "flush", 0.0)))
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st16_segments").orderBy("segment", "start_us")
+      },
+      Some("""SELECT c.c_mktsegment AS segment,
+             |  epoch_us(date_trunc('hour', e.ts)) AS start_us,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS value_cents
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |WHERE e.user_id < 150
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q(
       "e10_session_window",
       (s, dir) => {
         // Spark's NATIVE session_window aggregation (e02 derives the

@@ -73,6 +73,38 @@ object EventStreams {
   }
 
   /**
+   * STREAM-STATIC enrichment: the canonical "join the clickstream to
+   * the profile/catalog dimension, aggregate on the enriched
+   * attribute" pipeline — the third streaming join shape next to
+   * `AsOfStream.asofJoin` (stream-stream as-of) and `attributionJoin`
+   * (stream-stream interval). The dimension is a bounded BATCH frame
+   * re-read per micro-batch; `broadcast()` marks it explicitly, so the
+   * stream side never shuffles for the join — on a 1000-executor
+   * cluster the dim ships once per batch and each event enriches
+   * locally. Inner-join rows then aggregate per (window, enriched
+   * attribute) under the watermark; per-row values quantize to integer
+   * cents BEFORE the sum (t09's move) so the windowed totals are
+   * engine-exact.
+   *
+   * State bound: one row per (window, segment) until the watermark
+   * passes — the dimension adds ZERO streaming state (it is not
+   * buffered by the state store at all; that is the point of the
+   * stream-static form vs a stream-stream join against a slowly-
+   * changing dim, which `AsOfStream` covers).
+   */
+  def enrichedSegmentTotals(events: DataFrame, dim: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100.0 + lit(0.5)).cast("long")).as("value_cents"))
+      .select(col("c_mktsegment").as("segment"),
+        unix_micros(col("w.start")).as("start_us"),
+        col("n_events"), col("value_cents"))
+
+  /**
    * Gap-based sessionization with explicit state — the batch twin is
    * `e02_sessionize` (30-minute gap there too). Emits an update per
    * processed event-batch and a closing record when a session times out.

@@ -38,6 +38,45 @@ class EventStreamsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("enrichedSegmentTotals: cross-batch window merge, non-member drop, cents exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "AUTO"), (11L, "HOUSE")).toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Event]
+    val query = enrichedSegmentTotals(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      // batch 1: two AUTO + one HOUSE in hour 10; user 99 not in the
+      // dim — the inner join must drop it
+      input.addData(
+        Event(1, tsH(10, 5), 10, "view", 1.004),  // 100 cents (floor .4)
+        Event(2, tsH(10, 40), 10, "view", 2.006), // 201 cents (round .6)
+        Event(3, tsH(10, 20), 11, "view", 5.0),
+        Event(4, tsH(10, 30), 99, "view", 100.0))
+      query.processAllAvailable()
+      // batch 2: hour 10 gets a LATE-batch AUTO contribution (state
+      // must merge across the feed boundary), hour 11 opens
+      input.addData(
+        Event(5, tsH(10, 55), 10, "view", 0.5),
+        Event(6, tsH(11, 10), 11, "view", 3.0))
+      query.processAllAvailable()
+      // flush: advance the watermark past every real window (emission
+      // uses the previous batch's watermark — two steps, st09's move)
+      input.addData(Event(7, tsH(20, 0), 10, "flush", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(8, tsH(21, 0), 10, "flush", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("enrich")
+        .as[(String, Long, Long, Long)].collect().toSet
+      def us(h: Int): Long =
+        tsH(h, 0).getTime * 1000L
+      assert(rows == Set(
+        ("AUTO", us(10), 3L, 351L),  // 100 + 201 + 50, both batches
+        ("HOUSE", us(10), 1L, 500L),
+        ("HOUSE", us(11), 1L, 300L)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("sessionize splits on 30-minute gaps and closes timed-out sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
