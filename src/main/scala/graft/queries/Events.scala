@@ -896,6 +896,52 @@ object Events {
              |  WHERE rn = 1)
              |SELECT c.click_id, c.user_id, m.purchase_id, m.gap_us
              |FROM c LEFT JOIN m USING (click_id)
-             |ORDER BY click_id""".stripMargin))
+             |ORDER BY click_id""".stripMargin)),
+
+    Q(
+      "e15_rolling_actives",
+      (s, dir) => {
+        // ROLLING 7-day distinct actives (WAU) beside daily actives
+        // (DAU) — the engagement dashboard pair e09's cumulative curve
+        // and e05's fixed cohorts don't give. Sliding DISTINCT cannot
+        // sum per-day distincts (users overlap days), and a 7-day
+        // range window with count(DISTINCT) doesn't exist in either
+        // engine — the scale-right form: dedup to (day, user) first
+        // (keys-only shuffle), FORWARD-scatter each active day onto
+        // the ≤ 7 calendar days it supports (a bounded explode — no
+        // self-join of the event table), dedup (window-day, user),
+        // count. Every frame after the first distinct is
+        // (days × users)-keyed, never events; DAU attaches by a
+        // days-sized join. Trailing days beyond the last observation
+        // are clipped by a broadcast scalar.
+        val t = Tables(s, dir)
+        val du = t.events
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val hi = du.agg(max("day").as("hi"))
+        val wau = du
+          .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+            col("user_id"))
+          .distinct()
+          .join(broadcast(hi), col("day") <= col("hi"))
+          .groupBy("day").agg(count(lit(1)).as("wau"))
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        wau.join(dau, Seq("day"), "left")
+          .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |hi AS (SELECT max(day) AS hi FROM du),
+             |scatter AS (SELECT DISTINCT
+             |    CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+             |      INTERVAL 1 DAY)) AS DATE) AS day, user_id
+             |  FROM du),
+             |wau AS (SELECT day, count(*) AS wau FROM scatter
+             |  WHERE day <= (SELECT hi FROM hi) GROUP BY day),
+             |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+             |SELECT wau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+             |  CAST(wau.wau AS BIGINT) AS wau
+             |FROM wau LEFT JOIN dau USING (day)
+             |ORDER BY day""".stripMargin))
   )
 }

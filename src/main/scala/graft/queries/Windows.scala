@@ -244,7 +244,58 @@ object Windows2 {
              |  ON pc.day_num = f.pd
              |LEFT JOIN (SELECT day_num, cents FROM j WHERE cents IS NOT NULL) nc
              |  ON nc.day_num = f.nd
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    Q(
+      "w11_ewma",
+      (s, dir) => {
+        // EXPONENTIAL moving average (the smoothing every monitoring/
+        // forecast pipeline runs; w04's flat 7-row mean weights a
+        // week-old day like yesterday). α = 1/2 truncated at 8 lags
+        // makes every weight a power of two — ewma·256 = cents·128 +
+        // lag1·64 + … + lag7·1 is EXACT integer arithmetic (a float
+        // recurrence's engine-order ulps could never hash), and the
+        // truncation error is bounded by max|x|/256. Per-order totals
+        // quantize to cents BEFORE the daily sum (w09's move). The
+        // window partitions by market segment over the DAYS-sized
+        // pre-aggregated frame — model-sized per partition; the
+        // data-sized work is the map-side-combinable daily groupBy and
+        // the broadcast dim join. Row-based lags: both engines replay
+        // the identical ordered frame, day unique within segment.
+        val t = Tables(s, dir)
+        val daily = t.orders
+          .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("cents"))
+        val w = Window.partitionBy("segment").orderBy("day")
+        val ema256 = (1 to 7).map(j =>
+            coalesce(lag(col("cents"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
+          .foldLeft(col("cents") * lit(128L))(_ + _)
+        daily
+          .select(col("segment"), col("day"), col("cents"), ema256.as("e"))
+          .select(col("segment"), col("day"), col("cents"),
+            expr("e div 256").as("ewma_cents"))
+          .orderBy("segment", "day")
+      },
+      Some("""WITH daily AS (SELECT c.c_mktsegment AS segment,
+             |    CAST(o_orderdate AS DATE) AS day,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2)
+             |SELECT segment, day, cents,
+             |  CAST((cents * 128
+             |    + COALESCE(lag(cents, 1) OVER w, 0) * 64
+             |    + COALESCE(lag(cents, 2) OVER w, 0) * 32
+             |    + COALESCE(lag(cents, 3) OVER w, 0) * 16
+             |    + COALESCE(lag(cents, 4) OVER w, 0) * 8
+             |    + COALESCE(lag(cents, 5) OVER w, 0) * 4
+             |    + COALESCE(lag(cents, 6) OVER w, 0) * 2
+             |    + COALESCE(lag(cents, 7) OVER w, 0)) // 256 AS BIGINT) AS ewma_cents
+             |FROM daily WINDOW w AS (PARTITION BY segment ORDER BY day)
+             |ORDER BY segment, day""".stripMargin))
   )
 }
 
