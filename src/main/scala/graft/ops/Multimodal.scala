@@ -450,6 +450,84 @@ object Multimodal {
       sum_abs: Long,
       max_abs: Int)
 
+  /** One clip's exact stats AFTER decimation resampling — what
+    * [[decimateWavs]] emits. */
+  final case class AudioResampleStats(
+      media_id: Long,
+      src_rate: Int,
+      dst_rate: Int,
+      n_out: Long,
+      sum_s: Long,
+      sum_abs: Long,
+      max_abs: Int)
+
+  /**
+   * Decimation RESAMPLING over the real decode path — the cheap
+   * correct resample when the target rate divides the source (the
+   * 48 k→16 k ASR-ingest normalization every speech corpus runs):
+   * decode PCM16 via AudioSystem, keep every k-th sample where
+   * k = src_rate / `targetRate` — a DATA-DRIVEN stride (mm04's move
+   * at audio grain: the mixed-rate corpus exercises k = 2/3/4 in one
+   * pass). Pure integer selection — no filter/interpolation math —
+   * so the decimated stream's exact sums replay codec-free in the
+   * oracle. Clips whose rate is not an integer multiple of the
+   * target drop (a production pipeline routes those to a polyphase
+   * resampler; selection semantics would be wrong for them), as do
+   * undecodable blobs.
+   *
+   * Scale shape: batched mapPartitions like every decode op here —
+   * one pass, no shuffle, output one stats row per clip.
+   */
+  def decimateWavs(clips: Dataset[AudioRow], targetRate: Int,
+      batchSize: Int = 64): Dataset[AudioResampleStats] = {
+    require(targetRate > 0, s"decimateWavs: bad targetRate $targetRate")
+    implicit val enc = Encoders.product[AudioResampleStats]
+    clips.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(row.wav))
+            val src = in.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels,
+              2 * src.getChannels, src.getSampleRate, /*bigEndian=*/ false)
+            val norm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+            val bytes = norm.readAllBytes()
+            norm.close()
+            in.close()
+            val rate = math.round(src.getSampleRate)
+            if (rate % targetRate != 0) Nil
+            else {
+              val k = rate / targetRate
+              val n = bytes.length / 2
+              var sum = 0L
+              var sabs = 0L
+              var mabs = 0
+              var cnt = 0L
+              var i = 0
+              while (i < n) {
+                val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+                sum += v
+                sabs += math.abs(v)
+                if (math.abs(v) > mabs) mabs = math.abs(v)
+                cnt += 1
+                i += k
+              }
+              Seq(AudioResampleStats(row.media_id, rate, targetRate,
+                cnt, sum, sabs, mabs))
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => Nil
+            case _: IllegalArgumentException => Nil
+            case _: java.io.IOException => Nil
+          }
+        }
+      }
+    }
+  }
+
   /** One fixed-size window's exact sample stats — the per-window grain
     * [[decodeWavWindows]] emits for temporal audio analysis (energy
     * envelopes, silence detection) that [[AudioStats]]' whole-clip

@@ -343,6 +343,45 @@ object MultimodalQueries {
              |FROM v GROUP BY 1, 2 ORDER BY media_id, win""".stripMargin)),
 
     Q(
+      "mm12_audio_resample",
+      (s, dir) => {
+        // Decimation RESAMPLING over the real decode path (the
+        // 48k→16k ASR-ingest normalization): every k-th PCM16 sample
+        // where k = src_rate / 4000 — a DATA-DRIVEN stride, since the
+        // synthetic corpus mixes 8/12/16 kHz clips, so one pass
+        // exercises k = 2, 3 and 4. Pure integer selection, no filter
+        // math — the decimated stream's exact sums replay codec-free
+        // (the oracle keeps sample i iff i % k = 0 in the generator
+        // formula). n_out = ceil(n/k) per clip; a decoder that
+        // miscounts the stride or drops the trailing partial stride
+        // fails the hash.
+        val ids = Tables(s, dir).documents
+          .filter(col("doc_id") < 300).select(col("doc_id"))
+        val wavs = Multimodal.synthesizeWavs(ids, "doc_id")
+        Multimodal.decimateWavs(wavs, targetRate = 4000).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH clips AS (SELECT doc_id AS media_id,
+             |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             |    400 + (doc_id % 5) * 100 AS n
+             |  FROM documents WHERE doc_id < 300),
+             |kept AS (SELECT media_id, sample_rate,
+             |    (media_id * 31 + i * 17) % 2001 - 1000 AS s
+             |  FROM (SELECT media_id, sample_rate, n,
+             |          CAST(sample_rate // 4000 AS BIGINT) AS k,
+             |          unnest(range(n)) AS i
+             |        FROM clips)
+             |  WHERE i % k = 0)
+             |SELECT media_id, sample_rate AS src_rate,
+             |  CAST(4000 AS INT) AS dst_rate,
+             |  CAST(count(*) AS BIGINT) AS n_out,
+             |  CAST(sum(s) AS BIGINT) AS sum_s,
+             |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             |  CAST(max(abs(s)) AS INT) AS max_abs
+             |FROM kept GROUP BY media_id, sample_rate
+             |ORDER BY media_id""".stripMargin)),
+
+    Q(
       "mm11_phash_dedup",
       (s, dir) => {
         // IMAGE near-dup detection over the REAL decode path — the

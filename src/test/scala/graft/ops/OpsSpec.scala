@@ -1257,6 +1257,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(decodeWavWindows(garbage).collect().isEmpty)
   }
 
+  test("decimateWavs: data-driven stride keeps exactly every k-th sample; " +
+      "non-divisible rates and corrupt blobs drop") {
+    import spark.implicits._
+    // ids 0/1/2 have rates 8k/12k/16k -> strides 2/3/4 at target 4000
+    val ids = Seq(0L, 1L, 2L).toDF("doc_id")
+    val wavs = synthesizeWavs(ids, "doc_id")
+    val got = decimateWavs(wavs, targetRate = 4000).collect()
+      .map(r => r.media_id -> r).toMap
+    for (id <- Seq(0L, 1L, 2L)) {
+      val (rate, n) = Multimodal.audioParams(id)
+      val k = rate / 4000
+      val kept = (0 until n by k).map(Multimodal.sampleValue(id, _))
+      val r = got(id)
+      assert(r.src_rate == rate && r.dst_rate == 4000)
+      assert(r.n_out == kept.length, s"n_out of $id")
+      assert(r.sum_s == kept.map(_.toLong).sum, s"sum_s of $id")
+      assert(r.sum_abs == kept.map(v => math.abs(v).toLong).sum)
+      assert(r.max_abs == kept.map(math.abs).max)
+    }
+    // 11025 Hz is not an integer multiple of 4000: routed out, not
+    // mangled by a fractional stride
+    val offRate = decimateWavs(wavs, targetRate = 11025).collect()
+    assert(offRate.isEmpty, s"non-divisible rates must drop: ${offRate.toSeq}")
+    val garbage = Seq(Multimodal.AudioRow(9L,
+      Array.tabulate[Byte](64)(i => (i * 7).toByte))).toDS()
+    assert(decimateWavs(garbage, 4000).collect().isEmpty)
+  }
+
   test("decodeAviFrames: per-frame sums are formula-exact, total to " +
       "decodeAvis, and corrupt blobs drop") {
     import spark.implicits._
