@@ -638,6 +638,59 @@ object Graph {
       .limit(topN)
   }
 
+  /**
+   * DETERMINISTIC random walks (DeepWalk/node2vec's sampling stage —
+   * the training-data generator for graph embeddings): `walksPerNode`
+   * walks of `length` steps from EVERY node, where step t of walk w
+   * moves from `cur` to argmin_{v ∈ Γ(cur)} md5("salt:w:t:v") with
+   * ties on v — hash-min selection. The min of i.i.d. per-neighbor
+   * hashes is uniform over the neighborhood, so the walk distribution
+   * matches uniform DeepWalk sampling, yet every choice is a pure
+   * function of (walk, step, candidate) — replayable bit-for-bit by a
+   * DuckDB oracle and stable under partitioning, where a rand()-driven
+   * walker could never be hashed.
+   *
+   * The argmin is min(struct(hash, v)) — a map-side-combinable
+   * AGGREGATE keyed by walk, NOT a positional-index lookup, which
+   * would need a row_number window partitioned by node (one
+   * unsplittable task per hub at 100 TB). Per step, candidates are
+   * state⋈adjacency equi-join rows that collapse per partition before
+   * the (walk)-keyed shuffle; state stays (walks)-sized always. Walk
+   * ids pack as node·walksPerNode + i. Output (walk_id, step, node),
+   * step 0 = the seed; the walk frame feeds a skip-gram window
+   * builder downstream.
+   */
+  def randomWalks(edges: DataFrame, walksPerNode: Int, length: Int,
+      salt: String = "rw"): DataFrame = {
+    require(walksPerNode >= 1 && length >= 1,
+      s"randomWalks: need walksPerNode/length >= 1 (got $walksPerNode/$length)")
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = InternalFrame.sharedScan(
+      und.select(col("u").as("cur"), col("v").as("nxt"))
+        .union(und.select(col("v").as("cur"), col("u").as("nxt"))))
+    var state = InternalFrame.sharedScan(
+      sym.select(col("cur").as("node")).distinct()
+        .select(col("node"),
+          explode(sequence(lit(0), lit(walksPerNode - 1))).as("i"))
+        .select((col("node") * walksPerNode + col("i")).as("walk_id"),
+          col("node")))
+    var out = state.withColumn("step", lit(0))
+    for (t <- 1 to length) {
+      val h = graft.functions.VectorExpressions.md5Hash52(
+        concat_ws(":", lit(salt), col("walk_id"), lit(t), col("nxt")))
+      state = InternalFrame.sharedScan(state
+        .join(sym, state("node") === sym("cur"))
+        .groupBy("walk_id")
+        .agg(min(struct(h.as("h"), col("nxt").as("v"))).as("b"))
+        .select(col("walk_id"), col("b.v").as("node")))
+      out = out.union(state.withColumn("step", lit(t)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
+
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession

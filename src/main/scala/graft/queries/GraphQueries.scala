@@ -74,6 +74,21 @@ object GraphQueries {
        |  LEFT JOIN pc$i c ON c.node = u.node)""".stripMargin
   }
 
+  /** One unrolled hash-min walk step: p{i} from p{i-1} (x13's oracle —
+    * the candidate hash is md5Fold52 of the identical "rw:w:t:v"
+    * string the engine hashes, argmin with ties on v). */
+  private def walkCte(i: Int): String = {
+    val p = s"p${i - 1}"
+    val hx = OracleSql.md5Fold52(
+      s"'rw:' || CAST(p.walk_id AS VARCHAR) || ':$i:' || CAST(s.nxt AS VARCHAR)")
+    s"""c$i AS (SELECT p.walk_id, s.nxt AS v, $hx AS h
+       |  FROM $p p JOIN sym s ON s.cur = p.node),
+       |p$i AS (SELECT walk_id, v AS node FROM (
+       |    SELECT walk_id, v,
+       |      row_number() OVER (PARTITION BY walk_id ORDER BY h, v) AS rn
+       |    FROM c$i) WHERE rn = 1)""".stripMargin
+  }
+
   /** One unrolled PageRank round: r{i} from r{i-1}. */
   private def iterCte(i: Int): String = {
     val p = s"r${i - 1}"
@@ -625,6 +640,51 @@ object GraphQueries {
              |SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
              |  CAST(sum(term) AS BIGINT) AS ra_ppm
              |FROM nonedge GROUP BY u, v
-             |ORDER BY ra_ppm DESC, u, v LIMIT 50""".stripMargin))
+             |ORDER BY ra_ppm DESC, u, v LIMIT 50""".stripMargin)),
+
+    Q(
+      "x13_random_walks",
+      (s, dir) => {
+        // DETERMINISTIC random walks over the co-purchase graph — the
+        // DeepWalk/node2vec sampling stage that turns a graph into
+        // skip-gram training data: 2 walks × 4 steps from every node,
+        // each step an argmin of per-neighbor md5 hashes (hash-min
+        // selection: uniform over the neighborhood, yet a pure
+        // function of (walk, step, candidate), so DuckDB replays every
+        // choice and the walks are partition-invariant — rand() could
+        // never hash). The argmin is a map-side-combinable aggregate,
+        // not a positional window — no per-hub unsplittable task.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        graft.ops.Graph.randomWalks(edges, walksPerNode = 2, length = 4)
+          .orderBy("walk_id", "step")
+      },
+      Some(s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+              |    l_partkey AS pk
+              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |  WHERE l_partkey < 20),
+              |und AS MATERIALIZED (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+              |    CAST(b.c AS BIGINT) AS v
+              |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+              |sym AS MATERIALIZED (SELECT u AS cur, v AS nxt FROM und
+              |       UNION ALL SELECT v, u FROM und),
+              |p0 AS (SELECT node * 2 + i AS walk_id, node FROM
+              |  (SELECT DISTINCT cur AS node FROM sym)
+              |  CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+              |${(1 to 4).map(walkCte).mkString(",\n")}
+              |SELECT walk_id, step, node FROM (
+              |  SELECT walk_id, 0 AS step, node FROM p0
+              |  UNION ALL SELECT walk_id, 1, node FROM p1
+              |  UNION ALL SELECT walk_id, 2, node FROM p2
+              |  UNION ALL SELECT walk_id, 3, node FROM p3
+              |  UNION ALL SELECT walk_id, 4, node FROM p4)
+              |ORDER BY walk_id, step""".stripMargin))
   )
 }

@@ -366,4 +366,37 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(top2 == Seq((1L, 3L), (2L, 4L)), s"got $top2")
   }
+
+  test("randomWalks: every choice replays the driver-side hash-min argmin; partition-invariant") {
+    import spark.implicits._
+    // two triangles bridged by 3-4: real branching at every node
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val adj: Map[Long, Seq[Long]] = {
+      val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      (und ++ und.map(p => (p._2, p._1))).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    }
+    def h52(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    val walks = Graph.randomWalks(e, walksPerNode = 2, length = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(walks.size == 6 * 2 * 4, s"6 nodes x 2 walks x 4 positions: ${walks.size}")
+    for (node <- 1L to 6L; i <- 0 to 1) {
+      val w = node * 2 + i
+      assert(walks((w, 0)) == node, "step 0 is the seed")
+      var cur = node
+      for (t <- 1 to 3) {
+        val exp = adj(cur).minBy(v => (h52(s"rw:$w:$t:$v"), v))
+        assert(walks((w, t)) == exp, s"walk $w step $t: got ${walks((w, t))}, want $exp")
+        cur = exp
+      }
+    }
+    val repart = Graph.randomWalks(e.repartition(7), walksPerNode = 2, length = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(repart == walks)
+  }
 }
