@@ -691,6 +691,35 @@ object Graph {
     out.select(col("walk_id"), col("step"), col("node"))
   }
 
+  /**
+   * Skip-gram (center, context) pair counts from a walk frame — the
+   * co-occurrence matrix DeepWalk/node2vec feed to the embedding
+   * trainer, and [[randomWalks]]' promised downstream: every ordered
+   * pair of walk positions within `window` steps (excluding the
+   * center itself) contributes one count. Input is (walk_id, step,
+   * node); output (center, context, cnt), exact integers.
+   *
+   * Scale shape: the self-join keys on walk_id with bounded
+   * multiplicity (≤ 2·window + 1 positions match any row), so
+   * candidate volume is walks × length × O(window), never quadratic
+   * in the graph; the count aggregate is map-side combinable and the
+   * output is bounded by the co-occurrence support. The input is
+   * shared-scanned — without it the whole upstream walk computation
+   * would execute once per join side.
+   */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"skipGramPairs: window must be >= 1 (got $window)")
+    val w = InternalFrame.sharedScan(
+      walks.select(col("walk_id"), col("step"), col("node")))
+    val a = w.select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
+    val b = w.select(col("walk_id"), col("step").as("sb"), col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def shortestPaths(edges: DataFrame, sources: Seq[Long],
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession

@@ -685,6 +685,56 @@ object GraphQueries {
               |  UNION ALL SELECT walk_id, 2, node FROM p2
               |  UNION ALL SELECT walk_id, 3, node FROM p3
               |  UNION ALL SELECT walk_id, 4, node FROM p4)
-              |ORDER BY walk_id, step""".stripMargin))
+              |ORDER BY walk_id, step""".stripMargin)),
+
+    Q(
+      "x14_skipgram_pairs",
+      (s, dir) => {
+        // x13's promised downstream: the skip-gram (center, context)
+        // co-occurrence counts that DeepWalk/node2vec feed to the
+        // embedding trainer — every ordered position pair within 2
+        // steps of the same walk contributes one count. The walk frame
+        // is shared-scanned into the self-join (one walk computation,
+        // two consumers); the join keys on walk_id with ≤ 2·window+1
+        // multiplicity, so candidates are walks × length × O(window),
+        // never graph-quadratic. Exact integers end to end.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        val walks = graft.ops.Graph.randomWalks(edges,
+          walksPerNode = 2, length = 4)
+        graft.ops.Graph.skipGramPairs(walks, window = 2)
+          .orderBy("center", "context")
+      },
+      Some(s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+              |    l_partkey AS pk
+              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |  WHERE l_partkey < 20),
+              |und AS MATERIALIZED (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+              |    CAST(b.c AS BIGINT) AS v
+              |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+              |sym AS MATERIALIZED (SELECT u AS cur, v AS nxt FROM und
+              |       UNION ALL SELECT v, u FROM und),
+              |p0 AS (SELECT node * 2 + i AS walk_id, node FROM
+              |  (SELECT DISTINCT cur AS node FROM sym)
+              |  CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+              |${(1 to 4).map(walkCte).mkString(",\n")},
+              |w AS MATERIALIZED (
+              |  SELECT walk_id, 0 AS step, node FROM p0
+              |  UNION ALL SELECT walk_id, 1, node FROM p1
+              |  UNION ALL SELECT walk_id, 2, node FROM p2
+              |  UNION ALL SELECT walk_id, 3, node FROM p3
+              |  UNION ALL SELECT walk_id, 4, node FROM p4)
+              |SELECT a.node AS center, b.node AS context,
+              |  CAST(count(*) AS BIGINT) AS cnt
+              |FROM w a JOIN w b ON a.walk_id = b.walk_id
+              |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+              |GROUP BY 1, 2 ORDER BY center, context""".stripMargin))
   )
 }

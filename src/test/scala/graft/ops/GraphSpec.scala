@@ -399,4 +399,22 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(repart == walks)
   }
+
+  test("skipGramPairs: window-bounded ordered pairs, cross-walk counts sum") {
+    import spark.implicits._
+    // walk 1: 10-11-12-13; walk 2: 11-12 — the (11,12) pair occurs in both
+    val walks = Seq(
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 2, 12L), (1L, 3, 13L),
+      (2L, 0, 11L), (2L, 1, 12L)).toDF("walk_id", "step", "node")
+    val got = Graph.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp = Map(
+      (10L, 11L) -> 1L, (10L, 12L) -> 1L,            // window 2 stops before 13
+      (11L, 10L) -> 1L, (11L, 12L) -> 2L, (11L, 13L) -> 1L,
+      (12L, 10L) -> 1L, (12L, 11L) -> 2L, (12L, 13L) -> 1L,
+      (13L, 11L) -> 1L, (13L, 12L) -> 1L)
+    assert(got == exp, s"got $got")
+    // every count is symmetric by construction of the ordered-pair emit
+    got.foreach { case ((c, x), n) => assert(got((x, c)) == n) }
+  }
 }
