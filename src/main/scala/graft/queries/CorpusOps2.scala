@@ -302,6 +302,73 @@ object CorpusOps2 {
              |ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "p14_weighted_clean_mix",
+      (s, dir) => {
+        // The SOFT curation recipe end to end (p12 composes the HARD
+        // one): graded contamination (t23) gates docs under a 10%
+        // 4-gram-overlap threshold — docs too short to score carry no
+        // contamination evidence and pass — then soft dedup (p13)
+        // weights survivors by 1/dup-count, and the per-source
+        // accounting reports raw vs kept vs EFFECTIVE size (docs in
+        // ppm, tokens via the exact integer sum of ntok·weight_ppm
+        // div 1e6) — the table a data-mixture owner actually reads.
+        // One Catalyst plan: bench n-grams broadcast, census keyed by
+        // the 52-bit md5, every aggregate map-side combinable.
+        import graft.functions.VectorExpressions.md5Hash52
+        val d = Tables(s, dir).documents
+        val bench = d.filter(col("doc_id") % 23 === 0)
+        val corpus = d.filter(col("doc_id") % 23 =!= 0)
+        val scores = graft.ops.TextAnalysis.contaminationScore(
+          corpus, bench, "doc_id", "text", n = 4)
+        val kept = corpus
+          .join(scores.select(col("doc_id"), col("overlap_ppm")), Seq("doc_id"), "left")
+          .filter(coalesce(col("overlap_ppm"), lit(0L)) < 100000)
+        val weights = graft.ops.Dedup.softDedupWeights(
+          kept, "doc_id", md5Hash52(col("text")))
+        val raw = corpus.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        kept.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .join(weights.select(col("id").as("doc_id"), col("weight_ppm")), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("weight_ppm").as("eff_docs_ppm"),
+            sum(col("ntok") * col("weight_ppm")).as("twsum"))
+          .join(raw, "source")
+          .select(col("source"), col("n_raw"), col("n_kept"),
+            col("eff_docs_ppm"),
+            expr("twsum div 1000000").as("eff_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |ng AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 4 + 2),
+             |         i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ngram
+             |       FROM toks WHERE len(w) >= 4),
+             |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 23 = 0),
+             |scored AS (SELECT n.doc_id, count(*) AS n_grams,
+             |    count(b.ngram) AS n_hits
+             |  FROM ng n LEFT JOIN bench b ON n.ngram = b.ngram
+             |  WHERE n.doc_id % 23 <> 0 GROUP BY n.doc_id),
+             |corpus AS (SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents WHERE doc_id % 23 <> 0),
+             |kept AS (SELECT c.doc_id, c.source, c.text, c.ntok
+             |  FROM corpus c LEFT JOIN scored s USING (doc_id)
+             |  WHERE coalesce((s.n_hits * 1000000) // s.n_grams, 0) < 100000),
+             |keyed AS (SELECT doc_id, source, ntok,
+             |    ${OracleSql.md5Fold52("text")} AS k FROM kept),
+             |census AS (SELECT k, count(*) AS c FROM keyed GROUP BY k),
+             |wtd AS (SELECT doc_id, source, ntok, 1000000 // c AS wppm
+             |  FROM keyed JOIN census USING (k)),
+             |raw AS (SELECT source, count(*) AS n_raw FROM corpus GROUP BY 1)
+             |SELECT w.source, CAST(r.n_raw AS BIGINT) AS n_raw,
+             |  CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(wppm) AS BIGINT) AS eff_docs_ppm,
+             |  CAST(sum(ntok * wppm) // 1000000 AS BIGINT) AS eff_tokens
+             |FROM wtd w JOIN raw r USING (source)
+             |GROUP BY w.source, r.n_raw ORDER BY source""".stripMargin)),
+
+    Q(
       "t18_zipf_slope",
       (s, dir) => {
         // Per-source Zipf slope — the power-law corpus-QA statistic
