@@ -607,8 +607,13 @@ object Graph {
    * data-sized join and its volume is Σ deg(w)² — on hub-heavy graphs
    * cap it with `maxWedgeDegree` (hubs contribute ≤ 1e6/deg ≈ 0 per
    * term, so dropping centers above the cap changes scores by at most
-   * pairs·1e6/cap; 0 = no cap). The adjacency anti-join and the
-   * (u, v) aggregate are keys-only; degree is map-side combinable.
+   * pairs·1e6/cap; 0 = no cap). NOTE the cap applies to the whole
+   * wedge set, so `common_neighbors` is likewise counted only over
+   * uncapped centers — wedges through a capped hub vanish from BOTH
+   * columns, not just from the ra_ppm perturbation; callers reading
+   * common_neighbors as a raw CN score should run uncapped. The
+   * adjacency anti-join and the (u, v) aggregate are keys-only;
+   * degree is map-side combinable.
    */
   def linkPrediction(edges: DataFrame, topN: Int,
       maxWedgeDegree: Int = 0): DataFrame = {
@@ -659,6 +664,15 @@ object Graph {
    * ids pack as node·walksPerNode + i. Output (walk_id, step, node),
    * step 0 = the seed; the walk frame feeds a skip-gram window
    * builder downstream.
+   *
+   * Practical length bound: each step adds one join+aggregate layer
+   * and one union arm to a SINGLE Catalyst plan (no per-step
+   * materialization — the state frame is walks-sized and the oracle
+   * replays the whole unrolled plan), so plan size grows linearly in
+   * `length`. Fine for the window-scale walks this feeds (≤ ~20
+   * steps); for DeepWalk-typical lengths 40–80, checkpoint/persist
+   * the state every ~10 steps (the Rotation pattern [[pageRank]]
+   * uses) to keep analysis time bounded.
    */
   def randomWalks(edges: DataFrame, walksPerNode: Int, length: Int,
       salt: String = "rw"): DataFrame = {
@@ -699,23 +713,31 @@ object Graph {
    * center itself) contributes one count. Input is (walk_id, step,
    * node); output (center, context, cnt), exact integers.
    *
-   * Scale shape: the self-join keys on walk_id with bounded
-   * multiplicity (≤ 2·window + 1 positions match any row), so
-   * candidate volume is walks × length × O(window), never quadratic
-   * in the graph; the count aggregate is map-side combinable and the
-   * output is bounded by the co-occurrence support. The input is
-   * shared-scanned — without it the whole upstream walk computation
+   * Scale shape: the window offset is EXPLODED into the join key — the
+   * center side emits one row per delta ∈ [−window, window] \ {0}
+   * keyed (walk_id, sa + delta), and the join is a pure equi-join on
+   * (walk_id, step). Candidate volume is therefore EXACTLY
+   * walks × (length+1) × 2·window rows (out-of-range offsets simply
+   * find no match), independent of walk length — a walk_id-only join
+   * with the band as a post-filter would materialize (length+1)² rows
+   * per walk first, quadratic in length (7× more at DeepWalk-typical
+   * length 80 / window 5). The count aggregate is map-side combinable
+   * and the output is bounded by the co-occurrence support. The input
+   * is shared-scanned — without it the whole upstream walk computation
    * would execute once per join side.
    */
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"skipGramPairs: window must be >= 1 (got $window)")
     val w = InternalFrame.sharedScan(
       walks.select(col("walk_id"), col("step"), col("node")))
-    val a = w.select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
-    val b = w.select(col("walk_id"), col("step").as("sb"), col("node").as("context"))
-    a.join(b, Seq("walk_id"))
-      .filter(col("sa") =!= col("sb") &&
-        abs(col("sa") - col("sb")) <= window)
+    val deltas = ((-window to window).filter(_ != 0)).map(d => lit(d))
+    val a = w.select(col("walk_id"), col("step").as("sa"),
+        col("node").as("center"),
+        explode(array(deltas: _*)).as("delta"))
+      .select(col("walk_id"), (col("sa") + col("delta")).as("step"),
+        col("center"))
+    val b = w.select(col("walk_id"), col("step"), col("node").as("context"))
+    a.join(b, Seq("walk_id", "step"))
       .groupBy("center", "context")
       .agg(count(lit(1)).as("cnt"))
   }

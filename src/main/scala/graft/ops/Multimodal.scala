@@ -473,6 +473,9 @@ object Multimodal {
    * oracle. Clips whose rate is not an integer multiple of the
    * target drop (a production pipeline routes those to a polyphase
    * resampler; selection semantics would be wrong for them), as do
+   * MULTI-channel clips (striding a flat interleaved sample sequence
+   * by k would mix channels rather than decimate each — those route
+   * to a per-channel path this op doesn't pretend to be) and
    * undecodable blobs.
    *
    * Scale shape: batched mapPartitions like every decode op here —
@@ -498,7 +501,9 @@ object Multimodal {
             norm.close()
             in.close()
             val rate = math.round(src.getSampleRate)
-            if (rate % targetRate != 0) Nil
+            // multi-channel: a flat byte-stride would interleave
+            // channels into one stream — route out like odd rates
+            if (rate % targetRate != 0 || src.getChannels != 1) Nil
             else {
               val k = rate / targetRate
               val n = bytes.length / 2

@@ -509,8 +509,10 @@ object Events {
         // contributions; st09's two flush batches advance the
         // watermark so append mode emits every real window (the flush
         // events' own windows never finalize and are absent by
-        // construction — their user_id 0 passes the dim join, but
-        // emission requires watermark passage). The feed caps at
+        // construction — their user_id 0 is DROPPED by the inner dim
+        // join (c_custkey starts at 1), but they still advance the
+        // watermark because event-time tracking sits upstream of the
+        // join). The feed caps at
         // user_id < 150 — an ABSOLUTE bound (st13's discipline): the
         // harness feeds ~10 K rows at ANY SF, so the artifact measures
         // the join + state commit, not MemoryStream volume.

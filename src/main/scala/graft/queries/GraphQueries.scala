@@ -605,6 +605,11 @@ object GraphQueries {
         // co-observed themselves). Every RA term is floor(1e6/deg(w))
         // summed as integers, so the oracle replays the wedge
         // enumeration, the non-edge filter, and every term exactly.
+        // The wedge-center degree cap is ACTIVE (64) — the gated
+        // instance exercises the 100 TB posture: hub centers, whose
+        // Σ deg(w)² wedges dominate cost while contributing ≤ 1e6/64
+        // ppm per term, never enter the self-join; the oracle replays
+        // the same degree-filtered wedge set.
         // Top-50 by (ra_ppm DESC, u, v) — a total order.
         val t = Tables(s, dir)
         val cp = t.orders.join(t.lineitem,
@@ -617,7 +622,8 @@ object GraphQueries {
             col("a.pk") === col("b.pk") && col("a.sk") === col("b.sk") &&
               col("a.c") < col("b.c"))
           .select(col("a.c").as("src"), col("b.c").as("dst"))
-        graft.ops.Graph.linkPrediction(edges, topN = 50)
+        graft.ops.Graph.linkPrediction(edges, topN = 50,
+          maxWedgeDegree = 64)
       },
       Some("""WITH cp AS (SELECT DISTINCT o_custkey AS c,
              |    l_partkey AS pk, l_suppkey AS sk
@@ -630,7 +636,8 @@ object GraphQueries {
              |sym AS (SELECT u AS w, v AS n FROM und
              |        UNION ALL SELECT v, u FROM und),
              |deg AS (SELECT w, count(*) AS d FROM sym GROUP BY w),
-             |cen AS (SELECT s.w, s.n, deg.d FROM sym s JOIN deg USING (w)),
+             |cen AS (SELECT s.w, s.n, deg.d FROM sym s JOIN deg USING (w)
+             |        WHERE deg.d <= 64),
              |wed AS (SELECT a.n AS u, b.n AS v,
              |    CAST(1000000 // a.d AS BIGINT) AS term
              |  FROM cen a JOIN cen b ON a.w = b.w AND a.n < b.n),
@@ -695,9 +702,10 @@ object GraphQueries {
         // embedding trainer — every ordered position pair within 2
         // steps of the same walk contributes one count. The walk frame
         // is shared-scanned into the self-join (one walk computation,
-        // two consumers); the join keys on walk_id with ≤ 2·window+1
-        // multiplicity, so candidates are walks × length × O(window),
-        // never graph-quadratic. Exact integers end to end.
+        // two consumers); the window offset is exploded INTO the join
+        // key ((walk_id, step+delta) equi-join, delta ∈ ±window), so
+        // candidates are exactly walks × length × 2·window — never
+        // quadratic in walk length. Exact integers end to end.
         val t = Tables(s, dir)
         val cp = t.orders.join(t.lineitem,
             col("o_orderkey") === col("l_orderkey"))

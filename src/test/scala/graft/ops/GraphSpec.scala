@@ -417,4 +417,25 @@ class GraphSpec extends SparkTestBase {
     // every count is symmetric by construction of the ordered-pair emit
     got.foreach { case ((c, x), n) => assert(got((x, c)) == n) }
   }
+
+  test("skipGramPairs: the join is equi-keyed on (walk_id, step) — the " +
+      "window offset lives IN the key, not in a post-join band filter") {
+    import spark.implicits._
+    val walks = Seq(
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 2, 12L), (1L, 3, 13L))
+      .toDF("walk_id", "step", "node")
+    val qe = Graph.skipGramPairs(walks, window = 2).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, "expected a join in the plan")
+    val cond = joins.map(_.condition.map(_.sql).getOrElse("")).mkString(" | ")
+    // both key columns appear as equalities; no abs() band predicate
+    assert(cond.contains("walk_id") && cond.contains("step"),
+      s"join keys must include walk_id AND step: $cond")
+    assert(!cond.toLowerCase.contains("abs"),
+      s"band filter leaked into the join: $cond")
+    // physical plan: an equi join (hash or sort-merge), never nested-loop
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("NestedLoop"), phys)
+  }
 }
