@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
  * candidates are exact-key matches, so false positives are rare and
  * the DP recheck runs on candidate pairs only. A pathological key
  * (thousands of strings one edit from each other) is an AQE-splittable
- * equi-join hot key, not a window. Distance budgets > 1 would emit
- * C(|s|, d) keys — this operator deliberately fixes d = 1, the regime
- * where the neighborhood is linear.
+ * equi-join hot key, not a window. Distance budgets > 1 emit C(|s|, d)
+ * keys — [[edJoin1]] keeps the linear-neighborhood d = 1 regime with a
+ * provenance trick that needs NO distance computation at all;
+ * [[edJoin2]] extends to d = 2 (the budget real person/org-name entity
+ * resolution needs) with the quadratic |s|²/2-key neighborhood and a
+ * banded-DP recheck on candidates.
  */
 object FuzzyJoin {
 
@@ -101,5 +104,61 @@ object FuzzyJoin {
       .select(explode(pairs).as("p"))
       .select(col("p.l").as(idL), col("p.r").as(idR), col("p.d").as("dist"))
       .distinct()
+  }
+
+  /** Deletion-neighborhood signature of `s` at radius ≤ 2: the string
+    * itself, every single-character deletion (|s| keys), and every
+    * two-character deletion (C(|s|, 2) keys — positions i < j removed).
+    * Two strings within Levenshtein distance 2 provably share a key:
+    * an optimal alignment with s substitutions, i insertions and e
+    * deletions (s+i+e ≤ 2) leaves a common subsequence reachable from
+    * the left string by s+e ≤ 2 deletions and from the right by
+    * s+i ≤ 2 — the FastSS/SymSpell guarantee at d = 2. Deduplicated:
+    * repeated characters yield coinciding variants, which would fan
+    * the candidate join out for nothing. */
+  private def delete2Keys(s: Column): Column = {
+    val idx = when(length(s) >= 1, sequence(lit(1), length(s)))
+      .otherwise(array().cast("array<int>"))
+    val d1 = transform(idx, i =>
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val d2 = flatten(transform(idx, i =>
+      transform(filter(idx, j => j > i), j =>
+        concat(s.substr(lit(1), i - 1),
+          s.substr(i + 1, j - i - lit(1)),
+          s.substr(j + 1, length(s))))))
+    array_distinct(concat(array(s), d1, d2))
+  }
+
+  /**
+   * All (left, right) pairs with levenshtein ≤ 2 — [[edJoin1]]'s big
+   * sibling for the entity-resolution regime where one typo is not
+   * enough (person/org names, OCR'd identifiers). Output columns:
+   * `idL`, `idR`, `dist` (0/1/2).
+   *
+   * Shape: signature equi-join on the radius-2 deletion neighborhood,
+   * then the EXACT banded-DP recheck (`levenshtein(l, r, 2)` — Spark's
+   * threshold form short-circuits the DP at band 2, so a false
+   * candidate costs O(|s|), not O(|s|²)). Unlike edJoin1, shared keys
+   * at radius 2 admit true distances up to 4 (two deletions each
+   * side), so the recheck is load-bearing, not belt-and-braces.
+   *
+   * Scale shape: the |s|²/2-key explode carries (key, id) ONLY — the
+   * candidate join never shuffles string payloads; candidates dedupe
+   * to (idL, idR) before the strings join back in (two broadcast-able
+   * or bucketed id-keyed joins against the inputs), so the DP runs
+   * once per candidate PAIR, not per shared key. Hot signature keys
+   * (dense near-duplicate clusters) are AQE-splittable equi-join keys.
+   */
+  def edJoin2(left: DataFrame, idL: String, strL: String,
+      right: DataFrame, idR: String, strR: String): DataFrame = {
+    val lk = left.select(col(idL), explode(delete2Keys(col(strL))).as("__k"))
+    val rk = right.select(col(idR), explode(delete2Keys(col(strR))).as("__k"))
+    val cand = lk.join(rk, "__k").select(col(idL), col(idR)).distinct()
+    cand
+      .join(left.select(col(idL), col(strL)), Seq(idL))
+      .join(right.select(col(idR), col(strR)), Seq(idR))
+      .select(col(idL), col(idR),
+        levenshtein(col(strL), col(strR), 2).as("dist"))
+      .filter(col("dist") >= 0)
   }
 }

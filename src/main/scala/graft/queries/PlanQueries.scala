@@ -182,6 +182,40 @@ object PlanQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "r04_fuzzy_join_ed2",
+      (s, dir) => {
+        // Edit-distance-2 self-join (edJoin2): the budget real
+        // person/org-name entity resolution needs — one typo is not
+        // enough. Radius-2 symmetric-delete signatures (identity +
+        // |s| single + C(|s|,2) double deletions) make the
+        // no-equi-key predicate an equi-join on (key, id) pairs —
+        // ids only, strings re-join AFTER the candidate distinct —
+        // with Spark's banded levenshtein(l, r, 2) recheck on
+        // candidate pairs (radius-2 keys admit true distances up to
+        // 4, so the DP is load-bearing here). Every 7th customer:
+        // zero-padded names make the ED-2 neighborhood DENSE (any
+        // two digit substitutions match), so thinning keeps the
+        // planted-match count linear in SF instead of quadratic in
+        // digit-group density — coverage still spans the whole id
+        // range at every SF.
+        val t = Tables(s, dir)
+        val c = t.customer.filter(col("c_custkey") % 7 === 0)
+          .select("c_custkey", "c_name")
+        graft.ops.FuzzyJoin.edJoin2(
+          c.toDF("id_a", "name_a"), "id_a", "name_a",
+          c.toDF("id_b", "name_b"), "id_b", "name_b")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE a.c_custkey % 7 = 0 AND b.c_custkey % 7 = 0
+             |  AND levenshtein(a.c_name, b.c_name) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "l01_layout_prune",
       (s, dir) => {
         // §2.8 layout surface, driver-visible: write lineitem

@@ -78,6 +78,61 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(want.contains((1L, 12L, 1)), "empty→'a' insertion")
   }
 
+  test("edJoin2 equals the brute-force levenshtein<=2 join, all edit " +
+      "kinds at both budgets") {
+    // plants every distance-2 kind on top of the d<=1 kinds:
+    // 2 substitutions (cat/cut->cot? use "bat"/"cut"), 2 deletions
+    // (carts/car), 2 insertions (car/carts), sub+del (cart/cut),
+    // sub+ins (cat/carts? dist 3 — decoy), distance-3 decoys (dog/carts)
+    val l = Seq((1L, "cat"), (2L, "car"), (3L, "cart"), (4L, "dog"),
+      (5L, "cut"), (6L, "bat"), (7L, ""))
+    val r = Seq((11L, "cat"), (12L, "cord"), (13L, "art"), (14L, "dig"),
+      (15L, "carts"), (16L, "cu"), (17L, "a"), (18L, "cet"))
+    val got = FuzzyJoin.edJoin2(l.toDF("id_a", "s_a"), "id_a", "s_a",
+        r.toDF("id_b", "s_b"), "id_b", "s_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val want = (for {
+      (ia, sa) <- l; (ib, sb) <- r
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(8)} extra=${(got -- want).take(8)}")
+    // the fixture must actually cover the distance-2 edit kinds
+    assert(want.contains((2L, 15L, 2)), "2 insertions car→carts")
+    assert(want.contains((6L, 18L, 2)), "2 substitutions bat→cet")
+    assert(want.contains((3L, 18L, 2)), "deletion+substitution cart→cet")
+    assert(want.contains((1L, 17L, 2)), "2 deletions cat→a")
+    assert(!want.contains((4L, 15L, 2)), "dog→carts stays out (dist > 2)")
+  }
+
+  test("edJoin2 on random strings matches brute force") {
+    val rnd = new scala.util.Random(67)
+    def word() = Seq.fill(3 + rnd.nextInt(4))(('a' + rnd.nextInt(3)).toChar).mkString
+    val xs = (0L until 50L).map(i => (i, word()))
+    val ys = (100L until 150L).map(i => (i, word()))
+    val got = FuzzyJoin.edJoin2(xs.toDF("id_a", "s_a"), "id_a", "s_a",
+        ys.toDF("id_b", "s_b"), "id_b", "s_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val want = (for {
+      (ia, sa) <- xs; (ib, sb) <- ys
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.exists(_._3 == 2), "fixture must produce distance-2 matches")
+  }
+
+  test("edJoin2 candidate join carries ids only and stays equi-keyed") {
+    val xs = (0L until 50L).map(i => (i, s"str$i")).toDF("id_a", "s_a")
+    val ys = (100L until 150L).map(i => (i, s"str$i")).toDF("id_b", "s_b")
+    val joined = FuzzyJoin.edJoin2(xs, "id_a", "s_a", ys, "id_b", "s_b")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the signature join must stay equi-keyed:\n$plan")
+  }
+
   test("edJoin1 plans as an equi-join — no nested loop, no cartesian") {
     val xs = (0L until 50L).map(i => (i, s"str$i")).toDF("id_a", "s_a")
     val ys = (100L until 150L).map(i => (i, s"str$i")).toDF("id_b", "s_b")
