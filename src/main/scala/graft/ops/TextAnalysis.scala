@@ -230,6 +230,46 @@ object TextAnalysis {
         expr("(n_hits * CAST(1000000 AS BIGINT)) div n_grams").as("overlap_ppm"))
   }
 
+  /**
+   * Signed hashing-trick TF featurizer (Weinberger et al. 2009 feature
+   * hashing — the text→vector stage the ANN/semantic-dedup queries
+   * otherwise consume pre-computed): each whitespace token lands in
+   * bucket md5_52("tfb:" ⧺ tok) mod `dim` carrying sign ± from
+   * md5_52("tfs:" ⧺ tok) mod 2, and a document's vector is the
+   * per-bucket SIGNED token count. The ± construction keeps the
+   * hashed dot product an unbiased estimator of the true TF dot
+   * product (the property that makes downstream cosine meaningful);
+   * every entry is an exact small integer, so a DuckDB oracle replays
+   * the featurization bit-for-bit — no floats until a consumer
+   * divides.
+   *
+   * Scale shape: explode → two map-side-combinable aggregates keyed
+   * (doc, bucket) then (doc); the dense assembly is a transform over
+   * sequence(0, dim−1) against the collected sparse map — no
+   * vocabulary, no fit, no model object, nothing broadcast; the only
+   * shuffles carry (doc, bucket, count) cells, never text.
+   * Output: (idCol, tf_vec: array<double> of integral values).
+   */
+  def hashingTf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"hashingTf: dim must be >= 1 (got $dim)")
+    import graft.functions.VectorExpressions.md5Hash52
+    val toks = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cells = toks.select(col(idCol),
+        pmod(md5Hash52(concat(lit("tfb:"), col("tok"))), lit(dim.toLong))
+          .cast("int").as("j"),
+        when(pmod(md5Hash52(concat(lit("tfs:"), col("tok"))), lit(2L)) === 0,
+          lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy(col(idCol), col("j")).agg(sum("s").as("x"))
+    cells.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("x")))).as("m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+        .as("tf_vec"))
+  }
+
   /** Email-address pattern, identical under Java regex and RE2 (plain
     * character classes, no backreferences). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"

@@ -860,6 +860,63 @@ object SimilarityQueries {
              |        row_number() OVER (PARTITION BY query_id
              |          ORDER BY adist, neighbor_id) AS rn
              |      FROM hits)
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "a18_knn_text_tf",
+      (s, dir) => {
+        // Text→vector END TO END: every other ANN query consumes the
+        // synthesized embeddings table; this one DERIVES its vectors
+        // from raw corpus text via the signed hashing-trick TF
+        // featurizer (TextAnalysis.hashingTf — md5-bucketed ±1 token
+        // counts, d=64, no vocabulary, no fit, exact integers) and
+        // then runs a01's brute cosine top-k over the derived
+        // vectors. Integer-valued doubles keep every dot product /
+        // norm exact, so the cosine — not just the ranking — is
+        // engine-portable; the oracle replays tokenize → bucket →
+        // sign → assemble → cosine → rank bit-for-bit.
+        val d = Tables(s, dir).documents
+        val vecs = graft.ops.TextAnalysis.hashingTf(
+          d, "doc_id", "text", dim = 64)
+        knnBruteForce(
+          vecs.filter(col("doc_id") < 10), vecs.filter(col("doc_id") >= 10),
+          "doc_id", "tf_vec", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            fround(col("cos"), 4).as("tf_cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |    unnest(string_split(text, ' ')) AS tok FROM documents),
+              |tf AS (SELECT doc_id,
+              |    CAST(${OracleSql.md5Fold52("'tfb:' || tok")} % 64 AS INT) AS j,
+              |    CASE WHEN ${OracleSql.md5Fold52("'tfs:' || tok")} % 2 = 0
+              |         THEN 1 ELSE -1 END AS s
+              |  FROM toks WHERE length(tok) > 0),
+              |cells AS (SELECT doc_id, j, sum(s) AS x
+              |          FROM tf GROUP BY doc_id, j),
+              |grid AS (SELECT d.doc_id, r.i
+              |  FROM (SELECT DISTINCT doc_id FROM cells) d
+              |  CROSS JOIN (SELECT unnest(range(64)) AS i) r),
+              |vecs AS (SELECT g.doc_id,
+              |    list(CAST(coalesce(c.x, 0) AS DOUBLE) ORDER BY g.i) AS v
+              |  FROM grid g LEFT JOIN cells c
+              |    ON c.doc_id = g.doc_id AND c.j = g.i
+              |  GROUP BY g.doc_id),
+              |scored AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+              |    list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS dot,
+              |    list_sum(list_transform(range(64), i -> a.v[i+1] * a.v[i+1])) AS na,
+              |    list_sum(list_transform(range(64), i -> b.v[i+1] * b.v[i+1])) AS nb
+              |  FROM vecs a JOIN vecs b ON a.doc_id < 10 AND b.doc_id >= 10),
+              |cosd AS (SELECT query_id, neighbor_id,
+              |    CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+              |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+              |  FROM scored)
+              |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+              |  floor(cos * 10000.0 + 0.5) / 10000.0 AS tf_cos
+              |FROM (SELECT query_id, neighbor_id, cos,
+              |        row_number() OVER (PARTITION BY query_id
+              |          ORDER BY cos DESC, neighbor_id) AS rn
+              |      FROM cosd)
+              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -11,6 +11,36 @@ import graft.ops.TextAnalysis._
   * semantics the corpus can't exercise. */
 class TextPipelineSpec extends SparkTestBase {
 
+  test("hashingTf: buckets/signs/counts replay the driver-side md5; " +
+      "collisions sum signed; token-free docs drop") {
+    import spark.implicits._
+    def h52(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    def vec(toks: Seq[String], dim: Int): Seq[Double] = {
+      val v = Array.fill(dim)(0.0)
+      toks.foreach { t =>
+        val j = (h52("tfb:" + t) % dim).toInt
+        v(j) += (if (h52("tfs:" + t) % 2 == 0) 1 else -1)
+      }
+      v.toSeq
+    }
+    // dim=4 forces bucket collisions so the signed sums actually mix
+    val docs = Seq((1L, "aa bb aa cc dd ee"), (2L, "bb"), (3L, ""),
+      (4L, "  "), (5L, "aa aa aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashingTf(docs, "doc_id", "text", dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == vec(Seq("aa", "bb", "aa", "cc", "dd", "ee"), 4))
+    assert(got(2L) == vec(Seq("bb"), 4))
+    assert(got(5L) == vec(Seq("aa", "aa", "aa"), 4))
+    assert(!got.contains(3L) && !got.contains(4L),
+      "token-free docs have no vector")
+    // repeated tokens accumulate: |entry| for doc 5's bucket is 3
+    assert(got(5L).map(math.abs).max == 3.0)
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
