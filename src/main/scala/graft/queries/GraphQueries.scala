@@ -89,6 +89,29 @@ object GraphQueries {
        |    FROM c$i) WHERE rn = 1)""".stripMargin
   }
 
+  /** One unrolled CONVERGED-PageRank round for x15: r{i} from r{i-1}
+    * over the symmetrized co-purchase graph (no dangling nodes, so no
+    * dm term), damping 0.5 and micro-rank scale 1e6 — the contraction
+    * bound 0.5^k·1e6 < 1 gives k ≈ 20 rounds to settle regardless of
+    * the graph (spectral radius ≤ d), so the fixed 25-round unroll is
+    * provably past the attractor at ANY SF; the engine detects it
+    * data-driven (~9 rounds observed) and both land on the same
+    * phase-invariant greatest(r24, r25) envelope. MATERIALIZED: r{i}
+    * is referenced by c{i+1} and (for the last two) the final select —
+    * inlined, the 25-deep chain would re-expand per reference. */
+  private def convCte(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""c$i AS (SELECT e.dst AS node,
+       |    sum(CAST(floor(0.5 * p.r * e.w / o.ow + 0.5) AS BIGINT)) AS c
+       |  FROM e JOIN outw o USING (src) JOIN $p p ON p.node = e.src
+       |  GROUP BY e.dst),
+       |r$i AS MATERIALIZED (SELECT nd.node,
+       |    CAST(floor(0.5 * 1000000 / n + 0.5) AS BIGINT)
+       |    + coalesce(c, 0) AS r
+       |  FROM nodes nd CROSS JOIN prm
+       |  LEFT JOIN c$i ON c$i.node = nd.node)""".stripMargin
+  }
+
   /** One unrolled PageRank round: r{i} from r{i-1}. */
   private def iterCte(i: Int): String = {
     val p = s"r${i - 1}"
@@ -743,6 +766,64 @@ object GraphQueries {
               |  CAST(count(*) AS BIGINT) AS cnt
               |FROM w a JOIN w b ON a.walk_id = b.walk_id
               |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
-              |GROUP BY 1, 2 ORDER BY center, context""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY center, context""".stripMargin)),
+
+    Q(
+      "x15_pagerank_converged",
+      (s, dir) => {
+        // PageRank with a DATA-DRIVEN round count (x10's converged
+        // k-core discipline applied to the rank family): rounds run
+        // until the state equals the state two rounds ago — exact on
+        // integer ranks — because the floor-quantized map settles into
+        // a period-<=2 attractor, not necessarily a strict fixpoint
+        // (measured: 8 nodes trading <=24 nano forever on the trade
+        // graph). The emitted vector is the elementwise MAX over the
+        // attractor, invariant to detection phase, which is what lets
+        // a STATIC oracle exist: the replay is deterministic, so
+        // greatest(round N, round N+1) for ANY N past the
+        // graph-independent contraction bound (0.5^k * 1e6 < 1 ⇒
+        // k ~ 20; the oracle unrolls 25) equals the engine's envelope.
+        // Gated over the symmetrized co-purchase graph — no dangling
+        // nodes, so the op skips the per-round dangling-mass job.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        // distinct BEFORE symmetrizing: co-purchasers of several parts
+        // would otherwise carry parallel edges that pageRank pre-sums
+        // into w > 1, while the oracle's DISTINCT und stays at w = 1
+        val und = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+          .distinct()
+        val edges = und
+          .union(und.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("w", lit(1L))
+        val (ranks, _) = graft.ops.Graph.pageRankConverged(edges,
+          damping = 0.5, scale = 1000000L, maxRounds = 60)
+        ranks.orderBy(col("rank_nano").desc, col("node")).limit(20)
+      },
+      Some(s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+              |    l_partkey AS pk
+              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |  WHERE l_partkey < 20),
+              |und AS MATERIALIZED (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+              |    CAST(b.c AS BIGINT) AS v
+              |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+              |e AS MATERIALIZED (SELECT u AS src, v AS dst, 1 AS w FROM und
+              |     UNION ALL SELECT v, u, 1 FROM und),
+              |outw AS MATERIALIZED (SELECT src, sum(w) AS ow
+              |       FROM e GROUP BY src),
+              |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+              |prm AS (SELECT count(*) AS n FROM nodes),
+              |r0 AS (SELECT node,
+              |    CAST(floor(1000000.0 / n + 0.5) AS BIGINT) AS r
+              |  FROM nodes CROSS JOIN prm),
+              |${(1 to 25).map(convCte).mkString(",\n")}
+              |SELECT a.node, CAST(greatest(a.r, b.r) AS BIGINT) AS rank_nano
+              |FROM r24 a JOIN r25 b USING (node)
+              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin))
   )
 }

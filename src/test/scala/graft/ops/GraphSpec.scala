@@ -400,6 +400,51 @@ class GraphSpec extends SparkTestBase {
     assert(repart == walks)
   }
 
+  test("pageRankConverged: settles on a period-<=2 attractor; any fixed " +
+      "unroll past it reproduces the same envelope") {
+    import spark.implicits._
+    // cycle + branch + dangling node (5 has no in-edges, 6 no out-edges)
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 4L, 2L),
+      (4L, 1L, 1L), (5L, 1L, 1L), (4L, 6L, 1L)).toDF("src", "dst", "w")
+    val (got, rounds) = Graph.pageRankConverged(e, maxRounds = 200)
+    val fix = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds > 1, s"trivial convergence in $rounds rounds")
+    // the static-oracle property: for ANY fixed N past settling,
+    // greatest(state_N, state_{N+1}) equals the returned envelope
+    for (n <- Seq(rounds, rounds + 3)) {
+      val a = Graph.pageRank(e, iters = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Graph.pageRank(e, iters = n + 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val env = a.keys.map(k => k -> math.max(a(k), b(k))).toMap
+      assert(env == fix, s"unroll pair ($n, ${n + 1}) diverges from envelope")
+    }
+    // mass conservation at the attractor (within quantization slack)
+    assert(math.abs(fix.values.sum - 1000000000L) < fix.size * 2)
+  }
+
+  test("probe: pageRankConverged settle round at x15's gate parameters") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val cp = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_partkey") < 20)
+        .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = cp.as("a").join(cp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+        .select(col("a.c").as("src"), col("b.c").as("dst"))
+        .distinct()
+      val edges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("w", lit(1L))
+      val (_, rounds) = Graph.pageRankConverged(edges,
+        damping = 0.5, scale = 1000000L, maxRounds = 60)
+      info(s"$sf co-purchase graph settled in $rounds rounds")
+      assert(rounds < 40, s"$sf took $rounds rounds — oracle unroll too short")
+    }
+  }
+
   test("skipGramPairs: window-bounded ordered pairs, cross-walk counts sum") {
     import spark.implicits._
     // walk 1: 10-11-12-13; walk 2: 11-12 — the (11,12) pair occurs in both
