@@ -22,6 +22,40 @@ object SimilarityQueries {
         s"${lshBucketSql("v", dim, planes, seed = 100 + t)} AS bucket FROM e WHERE $filter"
     }.mkString("\n  UNION ALL\n  ")
 
+  /** a05's full closed-form replay (assignment → probing → ranking)
+    * — shared verbatim by st17, whose streamed shard-local candidates
+    * merge to the identical result (top-k of a union = top-k of the
+    * union of per-shard top-ks). */
+  private val a05IvfFlatSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+      |          WHERE vec_id >= 10 AND vec_id < 26),
+      |assign AS (SELECT neighbor_id, v, cell FROM (
+      |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(c.v, t.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+      |    FROM (SELECT * FROM e WHERE vec_id >= 10) c, cents t)
+      |  WHERE rn = 1),
+      |probes AS (SELECT query_id, qv, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.v, t.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+      |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
+      |  WHERE rn <= 6),
+      |hits AS (SELECT p.query_id, a.neighbor_id,
+      |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+      |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+      |  FROM probes p JOIN assign a ON p.cell = a.cell)
+      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+      |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      |FROM (SELECT query_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      |      FROM hits)
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q(
       "a01_knn_bruteforce",
@@ -118,34 +152,7 @@ object SimilarityQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"), fround(col("cos"), 4).as("cos"))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
-             |          WHERE vec_id >= 10 AND vec_id < 26),
-             |assign AS (SELECT neighbor_id, v, cell FROM (
-             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
-             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-             |        list_sum(list_transform(list_zip(c.v, t.cv),
-             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
-             |    FROM (SELECT * FROM e WHERE vec_id >= 10) c, cents t)
-             |  WHERE rn = 1),
-             |probes AS (SELECT query_id, qv, cell FROM (
-             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
-             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |        list_sum(list_transform(list_zip(q.v, t.cv),
-             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
-             |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
-             |  WHERE rn <= 6),
-             |hits AS (SELECT p.query_id, a.neighbor_id,
-             |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
-             |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
-             |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
-             |  FROM probes p JOIN assign a ON p.cell = a.cell)
-             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
-             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
-             |FROM (SELECT query_id, neighbor_id, cos,
-             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-             |      FROM hits)
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(a05IvfFlatSql)),
 
     Q(
       "a06_centroid_classify",
@@ -917,6 +924,60 @@ object SimilarityQueries {
               |        row_number() OVER (PARTITION BY query_id
               |          ORDER BY cos DESC, neighbor_id) AS rn
               |      FROM cosd)
-              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "st17_stream_vector_search",
+      (s, dir) => {
+        // STREAMING vector search under the DuckDB oracle — ANN
+        // serving, the online leg beside batch index builds: query
+        // vectors stream against a05's frozen IVF index (same 16 seed
+        // centers, same native CellProbes probing, nprobe 6). The
+        // streaming plan is a STATELESS append — explode probe cells →
+        // stream-static equi-join against the per-cell inverted lists
+        // → row-local score + shard-local top-5 (sorted inside the
+        // row, no aggregate, no state store, no watermark) — and the
+        // drained candidates merge with the same (cos desc, id) heap
+        // the batch operator uses, hash-matching a05's own oracle
+        // verbatim: top-k of a union = top-k of per-shard top-ks.
+        // collect() is the MemoryStream feeding harness + the
+        // model-sized center fetch.
+        import graft.streaming.VectorSearchStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, Array[Double])]
+        val e = Tables(s, dir).embeddings
+        val centers = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val lists = VectorSearchStream.invertedLists(
+          e.filter(col("vec_id") >= 10), "vec_id", "embedding", centers)
+        val rows = e.filter(col("vec_id") < 10).orderBy("vec_id")
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Double])]
+        val q = VectorSearchStream.probeStream(
+            stream.toDS().toDF("vec_id", "embedding"),
+            "vec_id", "embedding", lists, centers, nprobe = 6, k = 5)
+          .writeStream.format("memory").queryName("st17_hits")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st17_hits").groupBy("query_id")
+          .agg(graft.functions.VectorExpressions
+            .topKByScore(col("neighbor_id"), col("cos"), 5).as("topk"))
+          .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("nb.id").as("neighbor_id"), fround(col("nb.score"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(a05IvfFlatSql))
   )
 }

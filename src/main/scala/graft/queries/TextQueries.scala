@@ -418,6 +418,61 @@ object TextQueries {
              |WHERE n.doc_id % 23 <> 0 ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "st18_stream_decontamination",
+      (s, dir) => {
+        // STREAMING decontamination under the DuckDB oracle — dc01's
+        // hygiene pass as an ingest gate (the crawl-frontier posture):
+        // contaminated docs are DROPPED the moment they arrive, before
+        // they reach storage or dedup state. The benchmark's distinct
+        // 4-gram set collapses to ONE broadcast row; the overlap test
+        // is a row-local arrays_overlap against the doc's own n-gram
+        // array — so the streaming plan is a narrow STATELESS append:
+        // no state store, no watermark, nothing held back
+        // (spec-asserted). The sink holds the CLEAN side — dc01's
+        // complement over the corpus slice — and hash-matches the
+        // batch semantics; docs with < 4 words cannot be contaminated
+        // and pass, exactly like batch. collect() is the MemoryStream
+        // feeding harness.
+        import graft.streaming.CorpusStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val d = Tables(s, dir).documents
+        val benchSet = CorpusStream.benchmarkNGramSet(
+          d.filter(col("doc_id") % 23 === 0), "text", n = 4)
+        val rows = d.filter(col("doc_id") % 23 =!= 0).orderBy("doc_id")
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = CorpusStream.contaminationGate(
+            stream.toDS().toDF("doc_id", "text"), "text", benchSet, n = 4)
+          .select("doc_id")
+          .writeStream.format("memory").queryName("st18_clean")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st18_clean").orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |ng AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 4 + 2),
+             |         i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ngram
+             |       FROM toks WHERE len(w) >= 4),
+             |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 23 = 0),
+             |dirty AS (SELECT DISTINCT n.doc_id FROM ng n
+             |          JOIN bench b ON n.ngram = b.ngram
+             |          WHERE n.doc_id % 23 <> 0)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 23 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM dirty)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "t13_pii_redact",
       (s, dir) => {
         // PII scrubbing: emails -> <EMAIL>, 4+-digit runs -> <NUM>,

@@ -36,6 +36,38 @@ object CorpusStream {
       TextAnalysis.tokenCount(col("text")) >= minTokens &&
         TextAnalysis.stopwordRatio(col("text")) <= maxStopRatio)
 
+  /**
+   * Streaming DECONTAMINATION gate — dc01's benchmark-overlap hygiene
+   * pass as a stateless ingest filter (the crawl-frontier posture st15
+   * argues for images, applied to eval contamination): documents
+   * sharing any word `n`-gram with the benchmark set are DROPPED at
+   * ingest, before they ever reach storage or dedup state.
+   *
+   * Shape: `benchSet` is the benchmark's distinct n-gram set collapsed
+   * to ONE row (eval suites are model-sized next to the corpus — the
+   * same broadcast-the-benchmark rule every batch contamination op
+   * here follows); the stream cross-joins that single broadcast row
+   * and the overlap test is a row-local `arrays_overlap` against the
+   * doc's own n-gram array built by the batch `wordNGrams` expression
+   * — so the whole plan is a narrow STATELESS append: no state store,
+   * no watermark, nothing held back (spec-asserted). Docs with fewer
+   * than `n` words have no n-grams and pass, exactly like batch.
+   */
+  def contaminationGate(docs: DataFrame, textCol: String,
+      benchSet: DataFrame, n: Int): DataFrame =
+    docs.crossJoin(broadcast(benchSet))
+      .filter(!arrays_overlap(
+        TextAnalysis.wordNGrams(col(textCol), n), col("bench_set")))
+      .drop("bench_set")
+
+  /** The one-row broadcast side of [[contaminationGate]]: the
+    * benchmark's DISTINCT word n-grams as a single set-valued row. */
+  def benchmarkNGramSet(benchmark: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    benchmark
+      .select(explode(TextAnalysis.wordNGrams(col(textCol), n)).as("g"))
+      .agg(collect_set(col("g")).as("bench_set"))
+
   /** Deterministic md5 train/val/test assignment — the p06 buckets,
     * stateless, so the same doc_id lands in the same split whether it
     * arrives on the stream or in a batch backfill. */

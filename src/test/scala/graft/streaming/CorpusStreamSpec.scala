@@ -90,4 +90,40 @@ class CorpusStreamSpec extends SparkTestBase {
       assert(kept == Set(1L))
     } finally query.stop()
   }
+
+  test("contamination gate drops exactly the batch-contaminated docs, " +
+      "passes short docs, and holds zero streaming state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean words only here nothing shared"),   // clean
+      (2L, "xx alpha beta gamma delta yy"),           // shares the 4-gram
+      (3L, "beta gamma delta zz"),                    // 4 words, no shared 4-gram
+      (4L, "shr t"),                                  // < 4 words: passes
+      (5L, "delta epsilon alpha beta"))               // 4-gram, not in bench
+    // batch truth: decontaminate flags the dirty side
+    val dirty = graft.ops.TextAnalysis.decontaminate(
+        corpus.toDF("doc_id", "text"), bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(dirty == Set(2L), s"fixture sanity: $dirty")
+
+    val benchSet = benchmarkNGramSet(bench, "text", n = 4)
+    val input = MemoryStream[(Long, String)]
+    val q = contaminationGate(input.toDS().toDF("doc_id", "text"),
+        "text", benchSet, n = 4)
+      .writeStream.format("memory").queryName("contam_gate")
+      .outputMode("append").start()
+    try {
+      corpus.grouped(2).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val state = q.lastProgress.stateOperators
+      assert(state == null || state.isEmpty,
+        s"streaming state leaked: ${state.mkString(",")}")
+    } finally q.stop()
+    val kept = spark.table("contam_gate").collect().map(_.getLong(0)).toSet
+    assert(kept == corpus.map(_._1).toSet -- dirty, s"kept $kept")
+  }
 }
