@@ -427,6 +427,87 @@ object Graph {
   }
 
   /**
+   * [[labelPropagation]] driven to its VERIFIED ATTRACTOR — the same
+   * data-driven stopping discipline [[pageRankConverged]] brought to
+   * the rank family, for communities: synchronous plurality-label
+   * rounds run until the state equals the state TWO rounds ago.
+   * Labels are node ids (integers), so the test is exact — and the
+   * 2-gap probe matters here even more than for PageRank, because
+   * synchronous LPA famously oscillates: on near-bipartite structure
+   * the deterministic map settles into a period-2 label swap, not a
+   * fixpoint. The emitted labeling is the elementwise MIN over the
+   * two attractor states — invariant to detection phase — so a STATIC
+   * oracle replays least(round N, round N+1) for any fixed N past
+   * settling (the replay is deterministic; same argument as
+   * pageRankConverged's envelope). Unlike PageRank there is no
+   * graph-independent contraction bound, so the oracle's unroll
+   * margin is empirical (clique-heavy coincidence graphs settle in a
+   * handful of rounds — spec-probed per SF); the engine itself is
+   * data-driven and fails loudly at `maxRounds` (a longer-period
+   * attractor would).
+   *
+   * Scale shape: identical to [[labelPropagation]] per round (edges
+   * materialized once, (src, label) count → min-struct plurality, no
+   * window) plus one keys-only limit-1 stationarity probe over the
+   * two-slot persisted state window. Returns (labels, rounds).
+   */
+  def labelPropagationConverged(edges: DataFrame,
+      maxRounds: Int = 40): (DataFrame, Int) = {
+    val (e, eRdd) = materializeEdges(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("dst")))
+    def persistState(df: DataFrame): (RDD[InternalRow], DataFrame) = {
+      val rdd = InternalFrame.toInternalRdd(df)
+        .map(_.copy()).persist(StorageLevel.MEMORY_AND_DISK)
+      (rdd, InternalFrame.ofInternalRdd(df, rdd,
+        rowCount = rdd.count(), rowBytes = 16))
+    }
+    var (curRdd, cur) = persistState(
+      e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    var prevRdd: RDD[InternalRow] = null; var prev: DataFrame = null
+    var rounds = 0
+    var done = false
+    while (!done) {
+      require(rounds < maxRounds,
+        s"labelPropagationConverged: no period-<=2 attractor within $maxRounds rounds")
+      val best = e
+        .join(cur.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("src")
+        .agg(min(struct(-col("n"), col("label"))).as("b"))
+        .select(col("src").as("node"), col("b.label").as("label"))
+      val (nextRdd, nextF) = persistState(
+        cur.select(col("node"), col("label").as("old"))
+          .join(best.select(col("node"), col("label").as("new")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("new"), col("old")).as("label")))
+      val settled = prev != null && nextF
+        .join(prev.withColumnRenamed("label", "l0"), Seq("node"))
+        .filter(col("label") =!= col("l0")).isEmpty
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = curRdd; prev = cur
+      curRdd = nextRdd; cur = nextF
+      rounds += 1
+      if (settled) done = true
+    }
+    eRdd.unpersist(blocking = false)
+    val out = cur.join(prev.withColumnRenamed("label", "lp"), Seq("node"))
+      .select(col("node"), least(col("label"), col("lp")).as("label"))
+    (out, rounds)
+  }
+
+  /**
    * Iterative k-core peeling (Batagelj & Zaveršnik 2003's distributed
    * formulation): each round drops every node whose degree in the
    * CURRENT surviving subgraph is < k, then restricts the edge set to

@@ -112,6 +112,22 @@ object GraphQueries {
        |  LEFT JOIN c$i ON c$i.node = nd.node)""".stripMargin
   }
 
+  /** One unrolled synchronous label-propagation round for x16: l{i}
+    * from l{i-1} — plurality label with smallest-label tie-break, the
+    * identical total order x04 replays. MATERIALIZED: l{i} is
+    * referenced by l{i+1} and (for the last two) the final
+    * least() envelope. The symmetric edge view gives every node ≥ 1
+    * neighbor, so no coalesce-old arm exists (x04's precedent). */
+  private def lpCte(i: Int): String = {
+    val p = s"l${i - 1}"
+    s"""l$i AS MATERIALIZED (SELECT node, label FROM (
+       |    SELECT e.src AS node, l.label, count(*) AS n,
+       |      row_number() OVER (PARTITION BY e.src
+       |        ORDER BY count(*) DESC, l.label) AS rn
+       |    FROM e JOIN $p l ON e.dst = l.node GROUP BY e.src, l.label)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** One unrolled PageRank round: r{i} from r{i-1}. */
   private def iterCte(i: Int): String = {
     val p = s"r${i - 1}"
@@ -824,6 +840,48 @@ object GraphQueries {
               |${(1 to 25).map(convCte).mkString(",\n")}
               |SELECT a.node, CAST(greatest(a.r, b.r) AS BIGINT) AS rank_nano
               |FROM r24 a JOIN r25 b USING (node)
-              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin))
+              |ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin)),
+
+    Q(
+      "x16_label_prop_converged",
+      (s, dir) => {
+        // Label propagation with a DATA-DRIVEN round count (x15's
+        // attractor discipline for communities): synchronous plurality
+        // rounds run until the state equals the state two rounds ago —
+        // exact on integer labels, and the 2-gap probe is load-bearing
+        // because synchronous LPA famously settles into period-2 label
+        // swaps on near-bipartite structure, never a fixpoint. The
+        // emitted labeling is the elementwise MIN over the attractor —
+        // phase-invariant — so the static oracle replays
+        // least(round 12, round 13) (settle measured at 3-5 rounds per
+        // SF by spec probes; no contraction bound exists for LPA, so
+        // the margin is empirical where x15's was provable). Same
+        // co-purchase graph as x04, which stays as the fixed-2-round
+        // twin.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        graft.ops.Graph.labelPropagationConverged(edges)._1.orderBy("node")
+      },
+      Some(s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+              |    l_partkey AS pk
+              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |  WHERE l_partkey < 20),
+              |und AS MATERIALIZED (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+              |    CAST(b.c AS BIGINT) AS v
+              |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+              |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+              |     UNION ALL SELECT v, u FROM und),
+              |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+              |${(1 to 13).map(lpCte).mkString(",\n")}
+              |SELECT a.node, least(a.label, b.label) AS label
+              |FROM l12 a JOIN l13 b USING (node)
+              |ORDER BY node""".stripMargin))
   )
 }

@@ -445,6 +445,57 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("labelPropagationConverged: detects the period-2 label swap on a " +
+      "single edge; envelope is the phase-invariant least()") {
+    import spark.implicits._
+    // one edge: synchronous LPA swaps 1<->2 forever — the classic
+    // oscillation; never a fixpoint, so the 2-gap probe is load-bearing
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val (got, rounds) = Graph.labelPropagationConverged(e)
+    val fix = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix == Map(1L -> 1L, 2L -> 1L), s"got $fix")
+    // static-oracle property: least(round N, round N+1) for any N past
+    // settling equals the envelope
+    for (n <- Seq(rounds, rounds + 3)) {
+      val a = Graph.labelPropagation(e, n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Graph.labelPropagation(e, n + 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val env = a.keys.map(k => k -> math.min(a(k), b(k))).toMap
+      assert(env == fix, s"unroll pair ($n, ${n + 1}) diverges from envelope")
+    }
+    // a triangle + pendant converges too (fixpoint case, period 1)
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L))
+      .toDF("src", "dst")
+    val (gotTri, rTri) = Graph.labelPropagationConverged(tri)
+    val fixTri = gotTri.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixTri.values.toSet.size >= 1 && rTri >= 2)
+    val a = Graph.labelPropagation(tri, rTri)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(tri, rTri + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.keys.map(k => k -> math.min(a(k), b(k))).toMap == fixTri)
+  }
+
+  test("probe: labelPropagationConverged settle round on the co-purchase " +
+      "graph per SF (x16's oracle unrolls 13)") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val cp = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_partkey") < 20)
+        .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = cp.as("a").join(cp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+        .select(col("a.c").as("src"), col("b.c").as("dst"))
+      val (_, rounds) = Graph.labelPropagationConverged(edges)
+      info(s"$sf co-purchase LPA settled in $rounds rounds")
+      assert(rounds <= 12, s"$sf took $rounds rounds — oracle unroll too short")
+    }
+  }
+
   test("skipGramPairs: window-bounded ordered pairs, cross-walk counts sum") {
     import spark.implicits._
     // walk 1: 10-11-12-13; walk 2: 11-12 — the (11,12) pair occurs in both
