@@ -487,6 +487,68 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "st19_stream_contamination_score",
+      (s, dir) => {
+        // STREAMING graded contamination under the DuckDB oracle —
+        // t23's WIMBD-style overlap_ppm as an ingest-time annotation
+        // (st18 drops; this MEASURES, feeding thresholded filters and
+        // per-source dashboards): every arriving doc with >= 4 words
+        // is tagged with its n-gram occurrence-overlap against the
+        // one-row broadcast benchmark set, row-locally — a narrow
+        // STATELESS append, no state store, no watermark
+        // (spec-asserted). Integer ppm end to end, hash-matching the
+        // batch contaminationScore contract on the same slices (both
+        // capped at doc_id < 2000, st18's fixed-benchmark /
+        // bounded-feed discipline). collect() is the MemoryStream
+        // feeding harness + the model-sized benchmark fetch.
+        import graft.streaming.CorpusStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        import s.implicits._
+        val d = Tables(s, dir).documents
+        val grams = CorpusStream.benchmarkNGramSet(
+            d.filter(col("doc_id") % 23 === 0 && col("doc_id") < 2000),
+            "text", n = 4)
+          .collect()(0).getSeq[String](0)
+        val benchSet = Seq(Tuple1(grams)).toDF("bench_set")
+        val rows = d.filter(col("doc_id") % 23 =!= 0 && col("doc_id") < 2000)
+          .orderBy("doc_id")
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = CorpusStream.contaminationScoreStream(
+            stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
+            benchSet, n = 4)
+          .writeStream.format("memory").queryName("st19_scores")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st19_scores").orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |ng AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 4 + 2),
+             |         i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ngram
+             |       FROM toks WHERE len(w) >= 4),
+             |bench AS (SELECT DISTINCT ngram FROM ng
+             |          WHERE doc_id % 23 = 0 AND doc_id < 2000),
+             |scored AS (SELECT n.doc_id, count(*) AS n_grams,
+             |    count(b.ngram) AS n_hits
+             |  FROM ng n LEFT JOIN bench b ON n.ngram = b.ngram
+             |  WHERE n.doc_id % 23 <> 0 AND n.doc_id < 2000
+             |  GROUP BY n.doc_id)
+             |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             |  CAST(n_hits AS BIGINT) AS n_hits,
+             |  CAST((n_hits * 1000000) // n_grams AS BIGINT) AS overlap_ppm
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "t13_pii_redact",
       (s, dir) => {
         // PII scrubbing: emails -> <EMAIL>, 4+-digit runs -> <NUM>,

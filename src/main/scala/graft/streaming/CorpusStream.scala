@@ -60,6 +60,33 @@ object CorpusStream {
         TextAnalysis.wordNGrams(col(textCol), n), col("bench_set")))
       .drop("bench_set")
 
+  /**
+   * Streaming GRADED contamination scoring — t23's WIMBD-style
+   * overlap audit as a stateless per-row annotation at ingest: where
+   * [[contaminationGate]] gives the binary drop/keep verdict, this
+   * tags every arriving doc (with ≥ n words, like batch) with
+   * (n_grams, n_hits, overlap_ppm) — the input to thresholded
+   * filtering and per-source contamination dashboards, computed the
+   * moment the doc arrives. OCCURRENCES are counted, not distinct
+   * grams (the batch `contaminationScore` contract): hits = the
+   * row-local count of the doc's own n-gram array elements found in
+   * the one-row broadcast benchmark set; ppm = floor(1e6·hits/total),
+   * integer end to end. Stateless append: no state store, no
+   * watermark (spec-asserted).
+   */
+  def contaminationScoreStream(docs: DataFrame, idCol: String,
+      textCol: String, benchSet: DataFrame, n: Int): DataFrame =
+    docs.crossJoin(broadcast(benchSet))
+      .select(col(idCol), TextAnalysis.wordNGrams(col(textCol), n).as("g"),
+        col("bench_set"))
+      .filter(size(col("g")) > 0)
+      .select(col(idCol), size(col("g")).cast("long").as("n_grams"),
+        size(filter(col("g"), g => array_contains(col("bench_set"), g)))
+          .cast("long").as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        expr("(n_hits * CAST(1000000 AS BIGINT)) div n_grams")
+          .as("overlap_ppm"))
+
   /** The one-row broadcast side of [[contaminationGate]]: the
     * benchmark's DISTINCT word n-grams as a single set-valued row. */
   def benchmarkNGramSet(benchmark: DataFrame, textCol: String,

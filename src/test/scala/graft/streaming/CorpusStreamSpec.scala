@@ -126,4 +126,42 @@ class CorpusStreamSpec extends SparkTestBase {
     val kept = spark.table("contam_gate").collect().map(_.getLong(0)).toSet
     assert(kept == corpus.map(_._1).toSet -- dirty, s"kept $kept")
   }
+
+  test("streaming contamination scores equal the batch contaminationScore " +
+      "rows (occurrence counting) with zero streaming state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta zz"), // 2 hits of 6
+      (2L, "clean words only here nothing shared at all"),
+      (3L, "shr t"),                                            // < 4 words: absent
+      (4L, "beta gamma delta epsilon tail"))                    // 1 hit of 2
+    val batch = graft.ops.TextAnalysis.contaminationScore(
+        corpus.toDF("doc_id", "text"), bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.exists(r => r._1 == 1L && r._3 == 2L), s"fixture sanity: $batch")
+
+    val benchSet = benchmarkNGramSet(bench, "text", n = 4)
+    val input = MemoryStream[(Long, String)]
+    val q = contaminationScoreStream(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", benchSet, n = 4)
+      .writeStream.format("memory").queryName("contam_score")
+      .outputMode("append").start()
+    try {
+      corpus.grouped(2).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val state = q.lastProgress.stateOperators
+      assert(state == null || state.isEmpty,
+        s"streaming state leaked: ${state.mkString(",")}")
+    } finally q.stop()
+    val streamed = spark.table("contam_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    assert(!streamed.exists(_._1 == 3L), "short doc must be absent, like batch")
+  }
 }
