@@ -927,6 +927,63 @@ object SimilarityQueries {
               |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a19_text_semantic_dedup",
+      (s, dir) => {
+        // The a18 featurizer COMPOSED with the d08 dedup machinery —
+        // semantic near-dup candidate mining on raw corpus text with
+        // NO embeddings table anywhere: signed hashing-TF vectors
+        // (d=64, exact integers) → multi-table hyperplane-LSH →
+        // bounded in-bucket exact-cosine ≥ 0.9 pairs. Planted
+        // duplicate texts featurize to IDENTICAL vectors (cosine 1 in
+        // every table); τ=0.9 also surfaces near-identical variants.
+        // Candidates form only inside equi-keyed bucket groups — the
+        // bucketed (never all-pairs) plan that runs at 100 TB; pairs
+        // dedupe across tables. Integer vectors keep every dot/norm
+        // exact, so the oracle replays featurize → bucket → cosine →
+        // pair bit-for-bit.
+        val d = Tables(s, dir).documents
+        val vecs = graft.ops.TextAnalysis.hashingTf(
+          d, "doc_id", "text", dim = 64)
+        graft.ops.Dedup.cosineCandidatePairs(vecs, "doc_id", "tf_vec",
+            threshold = 0.9, dim = 64, planes = 12, tables = 4, seed = 5)
+          .distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |    unnest(string_split(text, ' ')) AS tok FROM documents),
+              |tf AS (SELECT doc_id,
+              |    CAST(${OracleSql.md5Fold52("'tfb:' || tok")} % 64 AS INT) AS j,
+              |    CASE WHEN ${OracleSql.md5Fold52("'tfs:' || tok")} % 2 = 0
+              |         THEN 1 ELSE -1 END AS s
+              |  FROM toks WHERE length(tok) > 0),
+              |cells AS (SELECT doc_id, j, sum(s) AS x
+              |          FROM tf GROUP BY doc_id, j),
+              |grid AS (SELECT d.doc_id, r.i
+              |  FROM (SELECT DISTINCT doc_id FROM cells) d
+              |  CROSS JOIN (SELECT unnest(range(64)) AS i) r),
+              |vecs AS (SELECT g.doc_id,
+              |    list(CAST(coalesce(c.x, 0) AS DOUBLE) ORDER BY g.i) AS v
+              |  FROM grid g LEFT JOIN cells c
+              |    ON c.doc_id = g.doc_id AND c.j = g.i
+              |  GROUP BY g.doc_id),
+              |kb AS MATERIALIZED (
+              |  ${(0 until 4).map(t =>
+                   s"SELECT doc_id, v, $t AS tbl, " +
+                   OracleSql.hyperplaneBucket("v", dim = 64, planes = 12,
+                     seed = 5 + t) +
+                   " AS bucket FROM vecs").mkString("\n  UNION ALL\n  ")})
+              |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |FROM kb a JOIN kb b
+              |  ON a.tbl = b.tbl AND a.bucket = b.bucket
+              |  AND a.doc_id < b.doc_id
+              |WHERE list_sum(list_transform(list_zip(a.v, b.v),
+              |      x -> x[1] * x[2]))
+              |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              |       * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+              |    >= 0.9
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "st17_stream_vector_search",
       (s, dir) => {
         // STREAMING vector search under the DuckDB oracle — ANN
