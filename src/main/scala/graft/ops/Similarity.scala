@@ -391,6 +391,47 @@ object Similarity {
   }
 
   /**
+   * Two-stage PQ retrieval — the FAISS `IndexRefineFlat` production
+   * recipe (Jégou et al. 2011 §V): stage 1 ranks the whole corpus by
+   * the cheap asymmetric-distance approximation over the m-byte codes
+   * ([[knnPq]]) and keeps a `kShort`-sized shortlist per query; stage 2
+   * re-ranks ONLY the shortlist by exact cosine against the original
+   * vectors and returns top `k`. The approximation's job shrinks from
+   * "rank correctly" to "don't drop the true neighbors from a
+   * kShort ≫ k shortlist" — recall@k approaches exact search while the
+   * full-corpus scan still touches only codes.
+   *
+   * Scale shape: the shortlist is (queries × kShort) ID PAIRS — model-
+   * sized however large the corpus — so it broadcasts into one id-equi
+   * join against the corpus (a semi-join-shaped probe: the 100 TB side
+   * is filtered by a broadcast hash, never shuffled), and the rerank
+   * scores queries × kShort exact cosines, not corpus-sized work.
+   * Exact cosines floor-quantize to 1e-6 before the heap (the a06/a12
+   * discipline) so the final ranking is engine-portable.
+   * Output: query_id, rank, neighbor_id, cos.
+   */
+  def knnPqRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, kShort: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(kShort >= k, s"shortlist kShort=$kShort must be >= k=$k")
+    val shortlist = knnPq(queries, corpus, idCol, vecCol, kShort, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    broadcast(shortlist).join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(cosine(col("qv"), col("cv")) * 1e6) / 1e6).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
+  }
+
+  /**
    * Train PQ codebooks on a bounded id-ordered sample: per subspace,
    * driver-side Lloyd over the sample's sub-vectors (the [[knnIvf]]
    * sampling argument — codebooks need the coarse shape only, and m

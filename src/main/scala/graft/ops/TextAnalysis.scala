@@ -270,6 +270,65 @@ object TextAnalysis {
         .as("tf_vec"))
   }
 
+  /**
+   * Gopher-style within-document repetition signals (Rae et al. 2021,
+   * "Scaling Language Models", Table A1) as exact integer ppm:
+   *
+   *  - `top2_ppm` / `top3_ppm` — characters covered by the single
+   *    most-covering word 2-gram / 3-gram, over total characters. A
+   *    looping or templated document concentrates a large character
+   *    mass in one short phrase; Gopher gates at 20% / 18%.
+   *  - `dup5_ppm` — characters covered by ALL word 5-grams occurring
+   *    more than once (count × gram length summed over duplicated
+   *    grams), over total characters; Gopher's "duplicate n-gram"
+   *    family. Overlapping occurrences are counted per occurrence
+   *    (the count-based form), so the ratio can exceed 1e6 on
+   *    pathologically repetitive text — it is a score, not a
+   *    probability.
+   *
+   * Complements [[graft.queries.CorpusOps]]'s t15 (distinct/total
+   * trigram ratio): t15 measures how much of the document is repeated
+   * AT ALL; these measure how much character mass the WORST offenders
+   * carry. Every quantity is integer end to end — cover = count ×
+   * length(gram) in characters, ppm = cover · 1e6 div length(text) —
+   * so the aggregation order cannot move a hash and any engine
+   * reproduces the numbers exactly.
+   *
+   * Scale shape: one positional-explode pass per n (narrow, no token
+   * shuffle — the t15/t04 shape) into a (doc, gram) count aggregate
+   * and a per-doc max/sum, all map-side combinable; the three
+   * family frames join back to the doc spine on the id key. Docs too
+   * short for a family score 0 via the left joins, not a filter.
+   */
+  def ngramCoverage(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+      docs.filter(length(col(textCol)) > 0)
+        .select(col(idCol), split(col(textCol), " ").as("w"),
+          length(col(textCol)).cast("long").as("n_chars")))
+    def gramCounts(n: Int): DataFrame = base
+      .where(size(col("w")) >= n)
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until n).map(j => element_at(col("w"), col("i") + j)): _*).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+    def topCover(n: Int, out: String): DataFrame = gramCounts(n)
+      .groupBy(col(idCol))
+      .agg(max(col("cnt") * length(col("g")).cast("long")).as(out))
+    val dup5 = gramCounts(5)
+      .where(col("cnt") >= 2)
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * length(col("g")).cast("long")).as("c5"))
+    base.select(col(idCol), col("n_chars"))
+      .join(topCover(2, "c2"), Seq(idCol), "left")
+      .join(topCover(3, "c3"), Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol),
+        expr("coalesce(c2, 0L) * 1000000L div n_chars").as("top2_ppm"),
+        expr("coalesce(c3, 0L) * 1000000L div n_chars").as("top3_ppm"),
+        expr("coalesce(c5, 0L) * 1000000L div n_chars").as("dup5_ppm"))
+  }
+
   /** Email-address pattern, identical under Java regex and RE2 (plain
     * character classes, no backreferences). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"

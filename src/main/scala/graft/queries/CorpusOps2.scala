@@ -614,7 +614,52 @@ object CorpusOps2 {
           .where(col("n_words") > 0)
           .orderBy("doc_id")
       },
-      Some(t20OracleSql)))
+      Some(t20OracleSql)),
+
+    Q(
+      "t24_ngram_coverage",
+      (s, dir) => {
+        // Gopher's within-doc repetition family (Rae et al. 2021 Table
+        // A1) as exact integer ppm: characters covered by the single
+        // most-covering 2-/3-gram and by all DUPLICATED 5-grams, over
+        // total characters. Complements t15 (distinct/total ratio —
+        // how much is repeated at all) with how much character mass
+        // the worst offenders carry; cover = count × chars is integer
+        // end to end, so no float ever enters the hash. Shape: one
+        // narrow positional-explode pass per n (t15's), map-side
+        // combinable counts, id-keyed left joins back to the doc
+        // spine (short docs score 0, not dropped).
+        graft.ops.TextAnalysis.ngramCoverage(
+            Tables(s, dir).documents, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+             |    CAST(length(text) AS BIGINT) AS n_chars
+             |  FROM documents WHERE length(text) > 0),
+             |g2 AS (SELECT doc_id, g, count(*) AS cnt FROM (
+             |    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+             |    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+             |          FROM d WHERE len(w) >= 2)) GROUP BY 1, 2),
+             |g3 AS (SELECT doc_id, g, count(*) AS cnt FROM (
+             |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+             |    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+             |          FROM d WHERE len(w) >= 3)) GROUP BY 1, 2),
+             |g5 AS (SELECT doc_id, g, count(*) AS cnt FROM (
+             |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+             |        || w[i+3] || ' ' || w[i+4] AS g
+             |    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+             |          FROM d WHERE len(w) >= 5)) GROUP BY 1, 2),
+             |c2 AS (SELECT doc_id, max(cnt * length(g)) AS c2 FROM g2 GROUP BY 1),
+             |c3 AS (SELECT doc_id, max(cnt * length(g)) AS c3 FROM g3 GROUP BY 1),
+             |c5 AS (SELECT doc_id, sum(cnt * length(g)) AS c5 FROM g5
+             |       WHERE cnt >= 2 GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(c2, 0) * 1000000 // n_chars AS BIGINT) AS top2_ppm,
+             |  CAST(coalesce(c3, 0) * 1000000 // n_chars AS BIGINT) AS top3_ppm,
+             |  CAST(coalesce(c5, 0) * 1000000 // n_chars AS BIGINT) AS dup5_ppm
+             |FROM d LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+             |  LEFT JOIN c5 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)))
 
   /** Merge table for t20: `Bpe.trainOnSample(documents@sf0.01, first
     * 100 docs by id, 30 merges)` — pinned by BpeSpec so drift between

@@ -118,6 +118,49 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "d15_split_leakage",
+      (s, dir) => {
+        // Train/test LEAKAGE audit (Dodge et al. 2021's C4 finding:
+        // benchmark leakage aside, near-duplicates STRADDLING a
+        // train/eval split silently inflate held-out scores): d03's
+        // MinHash-LSH candidate pairs, kept only where the two sides
+        // land in DIFFERENT p06 splits. The split label is a pure
+        // function of the id (p06's md5 bucket rule), so it computes
+        // as a narrow map ON the candidate-pair frame itself — no join
+        // back to the corpus at all; the audit costs one candidate
+        // pass however large the corpus, and the planted near-dups
+        // whose md5 buckets happen to cross the boundary are exactly
+        // what it must surface.
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val b = substring(md5(c.cast("string").cast("binary")), 1, 2)
+          when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+        }
+        minHashCandidatePairs(withNearDups(s, dir, drop = 3), "doc_id", "text")
+          .select(col("id_a"), col("id_b"),
+            splitOf(col("id_a")).as("split_a"), splitOf(col("id_b")).as("split_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${shingleCtes(drop = 3)},
+             |$minhashSigCte,
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |labeled AS (SELECT id_a, id_b,
+             |    CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |         WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |         ELSE 'test' END AS split_a,
+             |    CASE WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |         WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |         ELSE 'test' END AS split_b
+             |  FROM pairs)
+             |SELECT id_a, id_b, split_a, split_b FROM labeled
+             |WHERE split_a <> split_b ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "dc03_incremental_neardup",
       (s, dir) => {
         // Incremental NEAR-dedup across snapshots (dc02 covers exact

@@ -718,6 +718,43 @@ object PlanQueries {
              |ORDER BY col_name""".stripMargin)),
 
     Q(
+      "l12_compaction",
+      (s, dir) => {
+        // Small-file COMPACTION under the gate (the maintenance pass
+        // every long-lived table needs — each streaming micro-batch /
+        // incremental append leaves files far below the scan-efficient
+        // size, and at 100 TB open/metadata cost then dominates reads):
+        // an orders slice is deliberately fragmented into 48 files,
+        // then Layout.compactParquet rewrites it into ~targetBytes
+        // outputs range-partitioned and sorted on o_orderdate —
+        // compaction RESTORES date clustering (tight per-file min/max
+        // for skipping) at the same time it fixes the file count
+        // (planned count + row fidelity + re-sort asserted in
+        // LayoutSpec). Relayout moves rows, never changes them, so the
+        // gate reads the COMPACTED directory back under a date
+        // predicate and the oracle computes the same aggregate from
+        // the raw table.
+        val t = Tables(s, dir)
+        val base = s"${sys.props("java.io.tmpdir")}/graft_l12_${math.abs(dir.hashCode)}"
+        val slice = t.orders
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        slice.repartition(48).write.mode("overwrite").parquet(s"$base/small")
+        graft.ops.Layout.compactParquet(
+          s, s"$base/small", s"$base/compact",
+          targetBytes = 512L * 1024, sortCols = Seq("o_orderdate"))
+        s.read.parquet(s"$base/compact")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .agg(count(lit(1)).as("cnt"),
+            fround(sum("o_totalprice"), 2).as("revenue"))
+      },
+      Some("""SELECT count(*) AS cnt,
+             |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin)),
+
+    Q(
       "k03_skew_stats",
       (s, dir) => {
         // The "should I salt?" diagnostic k02 acts on: the join key's

@@ -724,6 +724,73 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a20_knn_pq_rerank",
+      (s, dir) => {
+        // Two-stage PQ retrieval (FAISS IndexRefineFlat): a12's exact
+        // fixed-codebook ADC pass keeps a 20-wide shortlist per query,
+        // then ONLY those 20 ids rerank by exact cosine against the
+        // original vectors — the production serving recipe where the
+        // approximation's job is recall into the shortlist, not final
+        // order. Shortlist is (queries × 20) id pairs, broadcast into
+        // an id-equi probe of the corpus (never a second full scan's
+        // worth of exact math); with a12's deterministic codebooks the
+        // whole two-stage flow is closed-form for DuckDB.
+        val e = Tables(s, dir).embeddings
+        val seeds = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val dsub = 16
+        val codebooks = Array.tabulate(4)(j =>
+          seeds.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+        graft.ops.Similarity.knnPqRerank(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, kShort = 20, codebooks)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cb AS (SELECT vec_id - 10 AS code, v FROM e
+             |       WHERE vec_id >= 10 AND vec_id < 26),
+             |c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 10),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+             |assign AS (SELECT neighbor_id, j, code FROM (
+             |    SELECT c.neighbor_id, s.j, cb.code,
+             |      row_number() OVER (PARTITION BY c.neighbor_id, s.j ORDER BY
+             |        list_sum(list_transform(list_zip(
+             |            c.v[s.j*16+1 : s.j*16+16], cb.v[s.j*16+1 : s.j*16+16]),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), cb.code) AS rn
+             |    FROM c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) s CROSS JOIN cb)
+             |  WHERE rn = 1),
+             |slices AS (SELECT a.neighbor_id, a.j,
+             |    cb.v[a.j*16+1 : a.j*16+16] AS sl
+             |  FROM assign a JOIN cb USING (code)),
+             |recon AS (SELECT neighbor_id, flatten(list(sl ORDER BY j)) AS rv
+             |  FROM slices GROUP BY neighbor_id),
+             |hits AS (SELECT q.query_id, r.neighbor_id,
+             |    floor(list_sum(list_transform(list_zip(q.qv, r.rv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000.0 + 0.5)
+             |      / 1000000.0 AS adist
+             |  FROM q CROSS JOIN recon r),
+             |short AS (SELECT query_id, neighbor_id
+             |  FROM (SELECT query_id, neighbor_id,
+             |          row_number() OVER (PARTITION BY query_id
+             |            ORDER BY adist, neighbor_id) AS rn
+             |        FROM hits)
+             |  WHERE rn <= 20),
+             |rr AS (SELECT s.query_id, s.neighbor_id,
+             |    floor(list_sum(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]))
+             |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(c.v, x -> x * x))))
+             |      * 1000000.0) / 1000000.0 AS cos
+             |  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id))
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos
+             |FROM (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY cos DESC, neighbor_id) AS rn
+             |      FROM rr)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
       "a13_knn_graph",
       (s, dir) => {
         // Corpus-wide mutual 3-NN graph: LSH self-bucketing (8 planes

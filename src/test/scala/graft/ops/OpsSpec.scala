@@ -821,6 +821,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == approx.collect().map(_.toSeq).toSet, "partition-variant PQ result")
   }
 
+  test("PQ rerank: full-width shortlist is exact even under degenerate " +
+      "codebooks; narrow shortlist recall dominates raw ADC ranking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double]) = c.map(_ + 0.3 * rnd.nextGaussian()).toSeq
+    val corpus = (100L until 400L).map(i => (i, near(centers((i % 5).toInt))))
+    val queries = (0L until 8L).map(i => (i, near(centers((i % 5).toInt))))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val exact = knnBruteForce(qdf, cdf, "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exactSet = exact.map(t => (t._1, t._3)).toSet
+    // 1. kShort = |corpus| ⇒ stage 2 sees everything: the result is the
+    //    exact ranking REGARDLESS of the codebooks — even adversarially
+    //    useless ones (a single zero centroid per subspace, so every
+    //    ADC distance ties and the shortlist order is id order).
+    val junk = Array.fill(4)(Array(Array.fill(4)(0.0)))
+    val full = Similarity.knnPqRerank(qdf, cdf, "vec_id", "v",
+      k = 5, kShort = corpus.size, junk)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(full.sorted.toSeq == exact.sorted.toSeq,
+      "full-width rerank must equal exact search under any codebooks")
+    // 2. trained codebooks + narrow shortlist: recall@5 of the reranked
+    //    result at least matches raw ADC's (the shortlist can only keep
+    //    true neighbors ADC already ranked in, and reorders them right)
+    val cb = Similarity.pqCodebooks(cdf, "vec_id", "v", m = 4, kcode = 16)
+    val raw = Similarity.knnPq(qdf, cdf, "vec_id", "v", k = 5, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = Similarity.knnPqRerank(qdf, cdf, "vec_id", "v",
+      k = 5, kShort = 40, cb)
+    val rrSet = rr.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rawRecall = exactSet.count(raw.contains).toDouble / exactSet.size
+    val rrRecall = exactSet.count(rrSet.contains).toDouble / exactSet.size
+    assert(rrRecall >= rawRecall,
+      s"rerank recall $rrRecall must dominate raw ADC recall $rawRecall")
+    assert(rrRecall >= 0.9, s"rerank recall $rrRecall")
+    // 3. partition invariance (quantized rerank keys, deterministic heap)
+    val again = Similarity.knnPqRerank(qdf.repartition(3), cdf.repartition(7),
+      "vec_id", "v", k = 5, kShort = 40, cb).collect().map(_.toSeq).toSet
+    assert(again == rr.collect().map(_.toSeq).toSet,
+      "partition-variant rerank result")
+  }
+
   test("IVF-PQ composite: probed-cell pruning + ADC keep cluster precision") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

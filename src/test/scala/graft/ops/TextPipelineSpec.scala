@@ -147,4 +147,30 @@ class TextPipelineSpec extends SparkTestBase {
       assert(lastChunk == (total - 1) / budget)
     }
   }
+
+  test("ngramCoverage: hand-computed covers on planted repetition; " +
+      "short docs score 0; duplicated-gram mass can exceed 1e6 ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),                    // 11 chars
+      (2L, "a b c d e a b c d e a b c d e"),  // 29 chars, looping 5-gram
+      (3L, "hi"),                             // 1 token: all zero
+      (4L, "a b"),                            // exactly one 2-gram
+      (5L, "")                                // empty: filtered out
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramCoverage(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: "x y"×3 covers 9 chars of 11; "x y x"×2 covers 10; no
+    // 5-gram repeats (the two distinct 5-grams appear once each)
+    assert(got(1L) == (9L * 1000000 / 11, 10L * 1000000 / 11, 0L))
+    // doc 2: top 2-gram "a b"(or tie) ×3 → 9 chars; top 3-gram
+    // "a b c"×3 → 15; duplicated 5-grams: "a b c d e"×3 (27 chars) +
+    // 4 wrap grams ×2 each (72 chars) = 99 of 29 chars → > 1e6 ppm
+    assert(got(2L) == (9L * 1000000 / 29, 15L * 1000000 / 29, 99L * 1000000 / 29))
+    assert(got(2L)._3 > 1000000L, "count-based dup mass exceeds 1e6 by design")
+    assert(got(3L) == (0L, 0L, 0L))
+    assert(got(4L) == (1000000L, 0L, 0L))
+    assert(!got.contains(5L), "empty text is filtered, not scored")
+  }
 }
