@@ -216,6 +216,133 @@ object PlanQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "r05_entity_clusters",
+      (s, dir) => {
+        // Entity-resolution CAPSTONE over part names: resolve the
+        // DISTINCT VALUE SPACE first (the MDM blocking discipline —
+        // and the 100 TB shape: the fuzzy machinery runs on the
+        // vocabulary-sized frame, records map back via one keys-only
+        // aggregate), then r03's ED-1 symmetric-delete join produces
+        // match pairs among distinct names, connected components
+        // merges transitive matches into entities (A~B, B~C ⇒ one
+        // entity even when ED(A,C)=2), and every name — matched or
+        // not — lands in an entity via coalesce(component, own id).
+        // The component label converges to the cluster-min id, so the
+        // canonical name is one id-equi join back to the record of
+        // the label itself. Identical spellings collapse in the
+        // census (ED-0), near-spellings via the join — the published
+        // table is entities × (variant count, record count, name).
+        val t = Tables(s, dir)
+        val p = t.part.select(col("p_partkey").as("id"), col("p_name").as("name"))
+        val names = p.groupBy("name")
+          .agg(min("id").as("id"), count(lit(1)).as("n_recs"))
+        val pairs = graft.ops.FuzzyJoin.edJoin1(
+          names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a", "name_a",
+          names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b", "name_b")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        val labels = graft.ops.Dedup.connectedComponents(pairs)
+        names.join(labels, Seq("id"), "left")
+          .select(coalesce(col("component"), col("id")).as("entity_id"),
+            col("n_recs"))
+          .groupBy("entity_id")
+          .agg(count(lit(1)).as("n_variants"), sum("n_recs").as("n_members"))
+          .join(names.select(col("id").as("entity_id"),
+            col("name").as("canonical_name")), "entity_id")
+          .select("entity_id", "n_variants", "n_members", "canonical_name")
+          .orderBy("entity_id")
+      },
+      Some("""WITH RECURSIVE names AS (
+             |  SELECT p_name AS name, min(p_partkey) AS id, count(*) AS n_recs
+             |  FROM part GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.id AS id_a, b.id AS id_b
+             |  FROM names a JOIN names b ON a.id < b.id
+             |  WHERE levenshtein(a.name, b.name) <= 1),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |        UNION ALL SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.src, cc.lbl FROM sym s JOIN cc ON s.dst = cc.id),
+             |lbl AS (SELECT id, min(lbl) AS comp FROM cc GROUP BY id),
+             |ent AS (SELECT n.id, n.n_recs, coalesce(l.comp, n.id) AS entity_id
+             |  FROM names n LEFT JOIN lbl l ON l.id = n.id),
+             |rolled AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_variants,
+             |    CAST(sum(n_recs) AS BIGINT) AS n_members
+             |  FROM ent GROUP BY 1)
+             |SELECT r.entity_id, r.n_variants, r.n_members,
+             |  n.name AS canonical_name
+             |FROM rolled r JOIN names n ON n.id = r.entity_id
+             |ORDER BY entity_id""".stripMargin)),
+
+    Q(
+      "l13_constraint_audit",
+      (s, dir) => {
+        // Deequ-style CONSTRAINT audit (the data-quality gate every
+        // production table runs beside l11's statistics): primary-key
+        // uniqueness, foreign-key orphans, non-null, and value-range
+        // checks over an orders snapshot, reported as one
+        // (check_name, violations) table. The clean corpus would
+        // trivially report zeros, so the audited snapshot carries
+        // l07's deterministic-mutation trick: %83 keys point their
+        // custkey at -1 (orphans), %97 null their date, %101 negate
+        // their price, %89 rows appear twice (pk dups) — each check
+        // must count exactly its planted class. Scale: pk check is a
+        // keys-only count aggregate, fk check a keys-only anti-join
+        // (broadcastable dim), null/range narrow scans — four
+        // map-side-combinable passes, 1-row frames unioned.
+        val t = Tables(s, dir)
+        val o = t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val m = o.select(
+            col("o_orderkey"),
+            when(col("o_orderkey") % 83 === 0, lit(-1L))
+              .otherwise(col("o_custkey")).as("o_custkey"),
+            when(col("o_orderkey") % 97 === 0, lit(null).cast("timestamp"))
+              .otherwise(col("o_orderdate")).as("o_orderdate"),
+            when(col("o_orderkey") % 101 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+          .union(o.filter(col("o_orderkey") % 89 === 0))
+        val ck = t.customer.select(col("c_custkey"))
+        def row(name: String, v: org.apache.spark.sql.DataFrame) =
+          v.select(lit(name).as("check_name"), col("v").cast("long").as("violations"))
+        row("fk_orphans_o_custkey",
+            m.join(ck, m("o_custkey") === ck("c_custkey"), "left_anti")
+              .agg(count(lit(1)).as("v")))
+          .unionAll(row("not_null_o_orderdate",
+            m.filter(col("o_orderdate").isNull).agg(count(lit(1)).as("v"))))
+          .unionAll(row("pk_unique_o_orderkey",
+            m.groupBy("o_orderkey").count().filter(col("count") > 1)
+              .agg(count(lit(1)).as("v"))))
+          .unionAll(row("range_o_totalprice",
+            m.filter(col("o_totalprice") < 0).agg(count(lit(1)).as("v"))))
+          .orderBy("check_name")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 83 = 0 THEN -1 ELSE o_custkey END AS o_custkey,
+             |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+             |    CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+             |  FROM orders WHERE o_orderkey % 89 = 0)
+             |SELECT * FROM (
+             |  SELECT 'fk_orphans_o_custkey' AS check_name,
+             |    CAST(count(*) AS BIGINT) AS violations
+             |  FROM m WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |  UNION ALL
+             |  SELECT 'not_null_o_orderdate', CAST(count(*) AS BIGINT)
+             |  FROM m WHERE o_orderdate IS NULL
+             |  UNION ALL
+             |  SELECT 'pk_unique_o_orderkey', CAST(count(*) AS BIGINT)
+             |  FROM (SELECT 1 FROM m GROUP BY o_orderkey HAVING count(*) > 1)
+             |  UNION ALL
+             |  SELECT 'range_o_totalprice', CAST(count(*) AS BIGINT)
+             |  FROM m WHERE o_totalprice < 0)
+             |ORDER BY check_name""".stripMargin)),
+
+    Q(
       "l01_layout_prune",
       (s, dir) => {
         // §2.8 layout surface, driver-visible: write lineitem
