@@ -566,6 +566,75 @@ object Events {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q(
+      "st20_stream_quality_audit",
+      (s, dir) => {
+        // STREAMING DATA-QUALITY MONITOR — l13's constraint-audit
+        // posture at INGEST (what a Deequ-style metrics repository
+        // computes per arriving batch): per-event-type running
+        // counters of fk-orphan and value-range violations, as a
+        // complete-mode aggregate. The fk check rides the
+        // STREAM-STATIC broadcast join (st16's shape — the dim adds
+        // zero streaming state; left-outer so violating rows COUNT
+        // instead of dropping); the range check is row-local. State =
+        // one counter row per event type, bounded by type cardinality
+        // however long the stream runs, and complete-mode aggregate
+        // merge is exact integer addition, so the drained snapshot
+        // equals the batch audit bit-for-bit under any
+        // micro-batching. The clean slice would report zeros, so the
+        // feed carries l13's deterministic mutations (%83 event ids
+        // orphan their user to -1, %101 negate their value) — each
+        // counter must find exactly its planted class. Feed caps at
+        // user_id < 150 (st13's absolute-bound discipline).
+        import graft.streaming.EventStreams
+        implicit val sqlCtx = s.sqlContext
+        implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
+        val rows = Tables(s, dir).events.filter(col("user_id") < 150)
+          .select(col("event_id"), col("ts"),
+            when(col("event_id") % 83 === 0, lit(-1L))
+              .otherwise(col("user_id")).as("user_id"),
+            col("event_type"),
+            when(col("event_id") % 101 === 0, -col("value"))
+              .otherwise(col("value")).as("value"))
+          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+        val dimKeys = Tables(s, dir).customer.select(col("c_custkey"))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try stream.toDF()
+            .join(broadcast(dimKeys), col("user_id") === col("c_custkey"), "left")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"),
+              sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("fk_orphans"),
+              sum(when(col("value") < 0, 1L).otherwise(0L)).as("range_violations"))
+            .writeStream.format("memory").queryName("st20_quality")
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val half = (rows.length + 1) / 2
+          stream.addData(rows.take(half).toIndexedSeq)
+          q.processAllAvailable()
+          stream.addData(rows.drop(half).toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        // complete mode: the table IS the final snapshot
+        s.table("st20_quality").orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_id, event_type,
+             |    CASE WHEN event_id % 83 = 0 THEN -1 ELSE user_id END AS user_id,
+             |    CASE WHEN event_id % 101 = 0 THEN -value ELSE value END AS value
+             |  FROM events WHERE user_id < 150)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS fk_orphans,
+             |  CAST(sum(CASE WHEN m.value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS range_violations
+             |FROM m LEFT JOIN customer c ON m.user_id = c.c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q(
       "e10_session_window",
       (s, dir) => {
         // Spark's NATIVE session_window aggregation (e02 derives the
