@@ -150,6 +150,13 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.CellArgmin(
       ColumnBridge.expression(vec), centers))
 
+  /** Count of `arr` elements contained in the fixed string `set` — one
+    * hashed probe per element inside codegen (the stateless-stream form
+    * of a broadcast semi-join probe; see [[graftshim.SetHitCount]]). */
+  def setHitCount(arr: Column, set: Seq[String]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.SetHitCount(
+      ColumnBridge.expression(arr), set.toArray))
+
   /** The `nprobe` nearest center indices, (distance, index)-ordered —
     * the IVF probe path, same native shape as [[cellArgmin]]. */
   def cellProbes(vec: Column, centers: Array[Array[Double]], nprobe: Int): Column =

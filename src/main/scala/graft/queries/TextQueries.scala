@@ -511,7 +511,6 @@ object TextQueries {
             d.filter(col("doc_id") % 23 === 0 && col("doc_id") < 2000),
             "text", n = 4)
           .collect()(0).getSeq[String](0)
-        val benchSet = Seq(Tuple1(grams)).toDF("bench_set")
         val rows = d.filter(col("doc_id") % 23 =!= 0 && col("doc_id") < 2000)
           .orderBy("doc_id")
           .select(col("doc_id"), col("text"))
@@ -520,7 +519,7 @@ object TextQueries {
           .MemoryStream[(Long, String)]
         val q = CorpusStream.contaminationScoreStream(
             stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
-            benchSet, n = 4)
+            grams, n = 4)
           .writeStream.format("memory").queryName("st19_scores")
           .outputMode("append").start()
         try {

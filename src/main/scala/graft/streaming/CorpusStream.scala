@@ -70,18 +70,22 @@ object CorpusStream {
    * moment the doc arrives. OCCURRENCES are counted, not distinct
    * grams (the batch `contaminationScore` contract): hits = the
    * row-local count of the doc's own n-gram array elements found in
-   * the one-row broadcast benchmark set; ppm = floor(1e6·hits/total),
+   * the fixed benchmark set, via the native hashed [[graftshim
+   * .SetHitCount]] probe — one HashSet lookup per gram inside
+   * codegen, where an `array_contains` HOF lambda would scan the
+   * whole set per gram, interpreted (measured 43.6 s → 0.5 s on the
+   * sf0.1 sweep entry). The set ships like a broadcast: once per
+   * task, hashed once per executor. ppm = floor(1e6·hits/total),
    * integer end to end. Stateless append: no state store, no
    * watermark (spec-asserted).
    */
   def contaminationScoreStream(docs: DataFrame, idCol: String,
-      textCol: String, benchSet: DataFrame, n: Int): DataFrame =
-    docs.crossJoin(broadcast(benchSet))
-      .select(col(idCol), TextAnalysis.wordNGrams(col(textCol), n).as("g"),
-        col("bench_set"))
+      textCol: String, benchGrams: Seq[String], n: Int): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.wordNGrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
       .select(col(idCol), size(col("g")).cast("long").as("n_grams"),
-        size(filter(col("g"), g => array_contains(col("bench_set"), g)))
+        graft.functions.VectorExpressions.setHitCount(col("g"), benchGrams)
           .cast("long").as("n_hits"))
       .select(col(idCol), col("n_grams"), col("n_hits"),
         expr("(n_hits * CAST(1000000 AS BIGINT)) div n_grams")

@@ -436,6 +436,64 @@ case class BloomMightContain(
  * floor(x + 0.5) rounding makes the integers engine-portable (no
  * half-even ambiguity). A zero vector quantizes to zeros.
  */
+/**
+ * Membership-hit count of a string array against a FIXED string set —
+ * the stateless-streaming form of a broadcast semi-join probe (st19's
+ * ingest-time contamination scoring; the batch twin t23 uses a real
+ * broadcast join, which a stateless append stream cannot). Counts the
+ * elements of `child` contained in `set`. The set ships once per task
+ * as a plan-time referenced object and is hashed ONCE lazily per
+ * executor, so each element costs one HashSet probe — where
+ * `array_contains` inside a HOF lambda is an interpreted LINEAR scan
+ * per element (measured: 43.6 s → sub-second on st19's sweep entry at
+ * ~9 k benchmark grams × ~100 grams/doc × ~1900 docs). Same
+ * referenced-object codegen shape as [[CellArgmin]].
+ */
+case class SetHitCount(child: Expression, set: Array[String]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_set_hits"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val hashed = {
+    val h = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(4, set.length * 2))
+    set.foreach(s => h.add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    h
+  }
+
+  /** codegen entry point (public for the generated class). */
+  def evalHits(v: ArrayData): Int = {
+    var i = 0
+    var c = 0
+    val n = v.numElements()
+    while (i < n) {
+      if (!v.isNullAt(i) && hashed.contains(v.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def nullSafeEval(v: Any): Any = evalHits(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("setHits", this, classOf[SetHitCount].getName)
+      s"${ev.value} = $self.evalHits($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SetHitCount =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: SetHitCount => h.child == child && h.set.toSeq == set.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + set.toSeq.hashCode()
+}
+
 case class Int8Quantize(child: Expression) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 

@@ -22,6 +22,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(r2.getDouble(3) - 1.0 / 8) < 1e-12)
   }
 
+  test("SetHitCount: hashed membership counts OCCURRENCES and equals the " +
+      "HOF array_contains formulation") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.setHitCount
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c")),   // a counted twice, c once
+      (2L, Seq.empty[String]),
+      (3L, Seq("x", "y"))).toDF("id", "g")
+    val got = df.select(col("id"), setHitCount(col("g"), Seq("a", "c", "zz")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 0, 3L -> 0))
+    // empty set: always zero
+    val z = df.select(setHitCount(col("g"), Seq.empty).as("h"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(z == Seq(0, 0, 0))
+    // random cross-check vs the interpreted filter/array_contains form
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))))
+    val set = rnd.shuffle(vocab).take(17)
+    val ddf = docs.toDF("id", "g")
+    val native = ddf.select(col("id"), setHitCount(col("g"), set).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hof = ddf.select(col("id"),
+        size(filter(col("g"), x => array_contains(typedlit(set), x))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == hof)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")

@@ -143,10 +143,11 @@ class CorpusStreamSpec extends SparkTestBase {
       .toSet
     assert(batch.exists(r => r._1 == 1L && r._3 == 2L), s"fixture sanity: $batch")
 
-    val benchSet = benchmarkNGramSet(bench, "text", n = 4)
+    val benchGrams = benchmarkNGramSet(bench, "text", n = 4)
+      .collect()(0).getSeq[String](0)
     val input = MemoryStream[(Long, String)]
     val q = contaminationScoreStream(input.toDS().toDF("doc_id", "text"),
-        "doc_id", "text", benchSet, n = 4)
+        "doc_id", "text", benchGrams, n = 4)
       .writeStream.format("memory").queryName("contam_score")
       .outputMode("append").start()
     try {
