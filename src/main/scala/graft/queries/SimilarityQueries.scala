@@ -1013,8 +1013,16 @@ object SimilarityQueries {
         // star min/members), and without sharing, the whole
         // explode+aggregate featurizer pipeline re-executes per
         // branch — measured 13.3 s vs 2.8 s at sf0.1 (d10's lesson;
-        // d08 doesn't need it because its input is a parquet scan)
-        val d = Tables(s, dir).documents
+        // d08 doesn't need it because its input is a parquet scan).
+        // The gate corpus caps at the sf0.1 base id range (a no-op at
+        // every driver SF): with the plane count PINNED for the
+        // static oracle, in-bucket pair volume is Σg² — quadratic in
+        // n (7.2× measured at 10× rows uncapped, 54.7 s in-sweep).
+        // At real scale the operator's knob is planes ∝ log₂(n),
+        // which holds per-bucket occupancy linear (a13's note); the
+        // cap keeps the driver gate SF-independent instead of
+        // silently measuring that quadratic.
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 5000)
         val vecs = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
           graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64))
         graft.ops.Dedup.cosineCandidatePairs(vecs, "doc_id", "tf_vec",
@@ -1023,7 +1031,8 @@ object SimilarityQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH toks AS (SELECT doc_id,
-              |    unnest(string_split(text, ' ')) AS tok FROM documents),
+              |    unnest(string_split(text, ' ')) AS tok FROM documents
+              |    WHERE doc_id < 5000),
               |tf AS (SELECT doc_id,
               |    CAST(${OracleSql.md5Fold52("'tfb:' || tok")} % 64 AS INT) AS j,
               |    CASE WHEN ${OracleSql.md5Fold52("'tfs:' || tok")} % 2 = 0
