@@ -71,6 +71,21 @@ object Graph {
     (InternalFrame.ofInternalRdd(df, rdd), rdd)
   }
 
+  /** One persisted node-state snapshot for the converged iterators
+    * ([[pageRankConverged]]/[[labelPropagationConverged]]): lineage-
+    * truncating persist + honest (rowCount, rowBytes) statistics so
+    * small state frames broadcast at plan time. The callers manage a
+    * two-slot prev/cur window themselves — the period-2 stop test
+    * compares t+1 against t-1, which the single-slot Rotation cannot
+    * hold. */
+  private def persistConvergedState(df: DataFrame,
+      rowBytes: Int): (RDD[InternalRow], DataFrame) = {
+    val rdd = InternalFrame.toInternalRdd(df)
+      .map(_.copy()).persist(StorageLevel.MEMORY_AND_DISK)
+    (rdd, InternalFrame.ofInternalRdd(df, rdd,
+      rowCount = rdd.count(), rowBytes = rowBytes))
+  }
+
   /**
    * `iters` rounds of damped PageRank over `edges(src: long, dst: long,
    * w: long)` (parallel edges are pre-summed). Returns (node, rank_nano)
@@ -184,20 +199,22 @@ object Graph {
     // must stay alive while `next` materializes — the single-slot
     // Rotation (which drops the previous round on materialize) can't
     // manage the lifecycle here
-    def persistState(df: DataFrame): (RDD[InternalRow], DataFrame) = {
-      val rdd = InternalFrame.toInternalRdd(df)
-        .map(_.copy()).persist(StorageLevel.MEMORY_AND_DISK)
-      (rdd, InternalFrame.ofInternalRdd(df, rdd,
-        rowCount = rdd.count(), rowBytes = 24))
-    }
-    var (curRdd, cur) = persistState(nodes.select(col("node"),
-      lit(math.floor(scale.toDouble / n + 0.5).toLong).as("r")))
+    var (curRdd, cur) = persistConvergedState(nodes.select(col("node"),
+      lit(math.floor(scale.toDouble / n + 0.5).toLong).as("r")), rowBytes = 24)
     var prevRdd: RDD[InternalRow] = null; var prev: DataFrame = null
     var rounds = 0
     var done = false
     while (!done) {
-      require(rounds < maxRounds,
-        s"pageRankConverged: no period-<=2 attractor within $maxRounds rounds")
+      if (rounds >= maxRounds) {
+        // release every pinned block BEFORE failing: a longer-period
+        // attractor would otherwise leave the full edge set plus up to
+        // two node-state snapshots in the block manager per retry
+        eoRdd.unpersist(blocking = false)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        curRdd.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"pageRankConverged: no period-<=2 attractor within $maxRounds rounds")
+      }
       val dshare =
         if (danglingCount == 0) 0L
         else {
@@ -209,10 +226,11 @@ object Graph {
         .select(col("dst").as("node"),
           floor(lit(damping) * col("r") * col("w") / col("ow") + lit(0.5)).as("c"))
         .groupBy("node").agg(sum("c").as("c"))
-      val (nextRdd, nextF) = persistState(
+      val (nextRdd, nextF) = persistConvergedState(
         nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(base + dshare) + coalesce(col("c"), lit(0L))).as("r")))
+            (lit(base + dshare) + coalesce(col("c"), lit(0L))).as("r")),
+        rowBytes = 24)
       // state(t+1) == state(t-1) ⇒ the deterministic map is in a
       // period-1 or period-2 attractor from t-1 on
       val settled = prev != null && nextF
@@ -465,21 +483,21 @@ object Graph {
           struct(col("v").as("src"), col("u").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .repartition(col("dst")))
-    def persistState(df: DataFrame): (RDD[InternalRow], DataFrame) = {
-      val rdd = InternalFrame.toInternalRdd(df)
-        .map(_.copy()).persist(StorageLevel.MEMORY_AND_DISK)
-      (rdd, InternalFrame.ofInternalRdd(df, rdd,
-        rowCount = rdd.count(), rowBytes = 16))
-    }
-    var (curRdd, cur) = persistState(
+    var (curRdd, cur) = persistConvergedState(
       e.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label")))
+        .select(col("node"), col("node").as("label")), rowBytes = 16)
     var prevRdd: RDD[InternalRow] = null; var prev: DataFrame = null
     var rounds = 0
     var done = false
     while (!done) {
-      require(rounds < maxRounds,
-        s"labelPropagationConverged: no period-<=2 attractor within $maxRounds rounds")
+      if (rounds >= maxRounds) {
+        // same release-before-fail discipline as pageRankConverged
+        eRdd.unpersist(blocking = false)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        curRdd.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"labelPropagationConverged: no period-<=2 attractor within $maxRounds rounds")
+      }
       val best = e
         .join(cur.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src"), col("label"))
@@ -487,11 +505,12 @@ object Graph {
         .groupBy("src")
         .agg(min(struct(-col("n"), col("label"))).as("b"))
         .select(col("src").as("node"), col("b.label").as("label"))
-      val (nextRdd, nextF) = persistState(
+      val (nextRdd, nextF) = persistConvergedState(
         cur.select(col("node"), col("label").as("old"))
           .join(best.select(col("node"), col("label").as("new")),
             Seq("node"), "left")
-          .select(col("node"), coalesce(col("new"), col("old")).as("label")))
+          .select(col("node"), coalesce(col("new"), col("old")).as("label")),
+        rowBytes = 16)
       val settled = prev != null && nextF
         .join(prev.withColumnRenamed("label", "l0"), Seq("node"))
         .filter(col("label") =!= col("l0")).isEmpty

@@ -18,6 +18,20 @@ object TextAnalysis {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /**
+   * THE deterministic train/val/test rule (p06's contract, shared by
+   * every batch and streaming consumer — d15's leakage audit computes
+   * it directly on candidate-pair ids, so the thresholds must never
+   * drift between call sites): md5 of the decimal id, first two hex
+   * chars as a 256-way bucket; < 'cd' (204) train ~80%, < 'e6' (230)
+   * val ~10%, rest test. Pure hash arithmetic — no rand, no shuffle,
+   * reproducible at any scale in any engine.
+   */
+  def hashSplit(id: Column): Column = {
+    val bucket = substring(md5(id.cast("string").cast("binary")), 1, 2)
+    when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Ratio of stopword tokens to all tokens (0 when empty). */

@@ -232,15 +232,13 @@ object CorpusOps {
             .cast("double") / length(col("text"))
         val stopHits = size(filter(split(col("text"), " "),
           t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
-        val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
         Tables(s, dir).documents
           .filter(nTok.between(10, 100000) && alphaRatio >= 0.6 && stopHits >= lit(2))
           .groupBy(col("text"))
           .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
           .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"), col("text"))
           .select(
-            when(bucket < "cd", "train").when(bucket < "e6", "val")
-              .otherwise("test").as("split"),
+            graft.ops.TextAnalysis.hashSplit(col("doc_id")).as("split"),
             col("lang"),
             size(split(col("text"), " ")).as("n_tokens"))
           .groupBy("split", "lang")
@@ -290,7 +288,6 @@ object CorpusOps {
             .cast("double") / length(col("text"))
         val stopHits = size(filter(split(col("text"), " "),
           t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
-        val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
         val deduped = pool
           .filter(nTok.between(10, 100000) && alphaRatio >= 0.6 && stopHits >= lit(2))
           .groupBy(col("text"))
@@ -299,8 +296,7 @@ object CorpusOps {
         val flagged = decontaminate(deduped, bench, "doc_id", "text", n = 4)
         deduped.join(broadcast(flagged), Seq("doc_id"), "left_anti")
           .select(
-            when(bucket < "cd", "train").when(bucket < "e6", "val")
-              .otherwise("test").as("split"),
+            graft.ops.TextAnalysis.hashSplit(col("doc_id")).as("split"),
             col("lang"),
             size(split(col("text"), " ")).as("n_tokens"))
           .groupBy("split", "lang")
@@ -382,11 +378,9 @@ object CorpusOps {
         // engine (and any rerun at any scale) assigns each id the same
         // split, with no rand() and no global shuffle. 256 hex buckets:
         // < 'cd' (204) train ~80%, < 'e6' (230) val ~10%, rest test.
-        val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
         Tables(s, dir).documents
           .select(col("doc_id"),
-            when(bucket < "cd", "train").when(bucket < "e6", "val")
-              .otherwise("test").as("split"))
+            graft.ops.TextAnalysis.hashSplit(col("doc_id")).as("split"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,

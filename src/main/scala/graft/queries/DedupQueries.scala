@@ -131,13 +131,10 @@ object DedupQueries {
         // pass however large the corpus, and the planted near-dups
         // whose md5 buckets happen to cross the boundary are exactly
         // what it must surface.
-        def splitOf(c: org.apache.spark.sql.Column) = {
-          val b = substring(md5(c.cast("string").cast("binary")), 1, 2)
-          when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
-        }
+        import graft.ops.TextAnalysis.hashSplit
         minHashCandidatePairs(withNearDups(s, dir, drop = 3), "doc_id", "text")
           .select(col("id_a"), col("id_b"),
-            splitOf(col("id_a")).as("split_a"), splitOf(col("id_b")).as("split_b"))
+            hashSplit(col("id_a")).as("split_a"), hashSplit(col("id_b")).as("split_b"))
           .filter(col("split_a") =!= col("split_b"))
           .orderBy("id_a", "id_b")
       },

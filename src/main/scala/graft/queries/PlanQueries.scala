@@ -862,13 +862,20 @@ object PlanQueries {
         // predicate and the oracle computes the same aggregate from
         // the raw table.
         val t = Tables(s, dir)
-        val base = s"${sys.props("java.io.tmpdir")}/graft_l12_${math.abs(dir.hashCode)}"
+        // & 0x7fffffff, not math.abs: abs(Int.MinValue) is negative
+        val base = s"${sys.props("java.io.tmpdir")}/graft_l12_${dir.hashCode & 0x7fffffff}"
         val slice = t.orders
           .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
         slice.repartition(48).write.mode("overwrite").parquet(s"$base/small")
         graft.ops.Layout.compactParquet(
           s, s"$base/small", s"$base/compact",
           targetBytes = 512L * 1024, sortCols = Seq("o_orderdate"))
+        // compactParquet consumed the fragmented input eagerly — drop it
+        // so repeated runs against distinct data dirs don't accumulate
+        // orders copies in the tmpdir (the compacted dir must outlive
+        // this function: the returned frame reads it lazily, l01's
+        // lifecycle)
+        deleteRecursively(s"$base/small")
         s.read.parquet(s"$base/compact")
           .filter(col("o_orderdate") >= lit("1996-01-01") &&
             col("o_orderdate") < lit("1997-01-01"))

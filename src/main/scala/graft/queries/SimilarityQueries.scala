@@ -56,6 +56,32 @@ object SimilarityQueries {
       |      FROM hits)
       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+
+  /** The hashing-TF featurizer replay (tokenize → bucket → sign →
+    * assemble), shared by a18 and a19 so the two oracles cannot drift
+    * (the a05IvfFlatSql discipline). `docFilter` is the gate-corpus
+    * predicate — TRUE for a18, a19's sf0.1 base-range cap. Produces
+    * CTEs toks/tf/cells/grid/vecs with vecs(doc_id, v DOUBLE[64]). */
+  private def hashingTfSql(docFilter: String): String =
+    s"""toks AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents
+      |    WHERE $docFilter),
+      |tf AS (SELECT doc_id,
+      |    CAST(${OracleSql.md5Fold52("'tfb:' || tok")} % 64 AS INT) AS j,
+      |    CASE WHEN ${OracleSql.md5Fold52("'tfs:' || tok")} % 2 = 0
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM toks WHERE length(tok) > 0),
+      |cells AS (SELECT doc_id, j, sum(s) AS x
+      |          FROM tf GROUP BY doc_id, j),
+      |grid AS (SELECT d.doc_id, r.i
+      |  FROM (SELECT DISTINCT doc_id FROM cells) d
+      |  CROSS JOIN (SELECT unnest(range(64)) AS i) r),
+      |vecs AS (SELECT g.doc_id,
+      |    list(CAST(coalesce(c.x, 0) AS DOUBLE) ORDER BY g.i) AS v
+      |  FROM grid g LEFT JOIN cells c
+      |    ON c.doc_id = g.doc_id AND c.j = g.i
+      |  GROUP BY g.doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q(
       "a01_knn_bruteforce",
@@ -959,23 +985,7 @@ object SimilarityQueries {
             fround(col("cos"), 4).as("tf_cos"))
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH toks AS (SELECT doc_id,
-              |    unnest(string_split(text, ' ')) AS tok FROM documents),
-              |tf AS (SELECT doc_id,
-              |    CAST(${OracleSql.md5Fold52("'tfb:' || tok")} % 64 AS INT) AS j,
-              |    CASE WHEN ${OracleSql.md5Fold52("'tfs:' || tok")} % 2 = 0
-              |         THEN 1 ELSE -1 END AS s
-              |  FROM toks WHERE length(tok) > 0),
-              |cells AS (SELECT doc_id, j, sum(s) AS x
-              |          FROM tf GROUP BY doc_id, j),
-              |grid AS (SELECT d.doc_id, r.i
-              |  FROM (SELECT DISTINCT doc_id FROM cells) d
-              |  CROSS JOIN (SELECT unnest(range(64)) AS i) r),
-              |vecs AS (SELECT g.doc_id,
-              |    list(CAST(coalesce(c.x, 0) AS DOUBLE) ORDER BY g.i) AS v
-              |  FROM grid g LEFT JOIN cells c
-              |    ON c.doc_id = g.doc_id AND c.j = g.i
-              |  GROUP BY g.doc_id),
+      Some(s"""WITH ${hashingTfSql("TRUE")},
               |scored AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
               |    list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS dot,
               |    list_sum(list_transform(range(64), i -> a.v[i+1] * a.v[i+1])) AS na,
@@ -1021,7 +1031,12 @@ object SimilarityQueries {
         // At real scale the operator's knob is planes ∝ log₂(n),
         // which holds per-bucket occupancy linear (a13's note); the
         // cap keeps the driver gate SF-independent instead of
-        // silently measuring that quadratic.
+        // silently measuring that quadratic. The all-pairs oracle
+        // assumes no bucket exceeds the operator's maxBucket (4096)
+        // on the gated slice — true by construction here (≤5000 docs
+        // total) but the d08-family caveat stands: a mass-duplicated
+        // corpus would star-collapse engine-side while the oracle
+        // enumerates the clique.
         val d = Tables(s, dir).documents.filter(col("doc_id") < 5000)
         val vecs = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
           graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64))
@@ -1030,24 +1045,7 @@ object SimilarityQueries {
           .distinct()
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH toks AS (SELECT doc_id,
-              |    unnest(string_split(text, ' ')) AS tok FROM documents
-              |    WHERE doc_id < 5000),
-              |tf AS (SELECT doc_id,
-              |    CAST(${OracleSql.md5Fold52("'tfb:' || tok")} % 64 AS INT) AS j,
-              |    CASE WHEN ${OracleSql.md5Fold52("'tfs:' || tok")} % 2 = 0
-              |         THEN 1 ELSE -1 END AS s
-              |  FROM toks WHERE length(tok) > 0),
-              |cells AS (SELECT doc_id, j, sum(s) AS x
-              |          FROM tf GROUP BY doc_id, j),
-              |grid AS (SELECT d.doc_id, r.i
-              |  FROM (SELECT DISTINCT doc_id FROM cells) d
-              |  CROSS JOIN (SELECT unnest(range(64)) AS i) r),
-              |vecs AS (SELECT g.doc_id,
-              |    list(CAST(coalesce(c.x, 0) AS DOUBLE) ORDER BY g.i) AS v
-              |  FROM grid g LEFT JOIN cells c
-              |    ON c.doc_id = g.doc_id AND c.j = g.i
-              |  GROUP BY g.doc_id),
+      Some(s"""WITH ${hashingTfSql("doc_id < 5000")},
               |kb AS MATERIALIZED (
               |  ${(0 until 4).map(t =>
                    s"SELECT doc_id, v, $t AS tbl, " +

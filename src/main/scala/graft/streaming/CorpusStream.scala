@@ -73,8 +73,9 @@ object CorpusStream {
    * the fixed benchmark set, via the native hashed [[graftshim
    * .SetHitCount]] probe — one HashSet lookup per gram inside
    * codegen, where an `array_contains` HOF lambda would scan the
-   * whole set per gram, interpreted (measured 43.6 s → 0.5 s on the
-   * sf0.1 sweep entry). The set ships like a broadcast: once per
+   * whole set per gram, interpreted (measured 43.6 s → 4.0 s on the
+   * sf0.1 sweep entry, the residue being MemoryStream harness
+   * constants st18 pays identically). The set ships like a broadcast: once per
    * task, hashed once per executor. ppm = floor(1e6·hits/total),
    * integer end to end. Stateless append: no state store, no
    * watermark (spec-asserted).
@@ -103,9 +104,7 @@ object CorpusStream {
     * stateless, so the same doc_id lands in the same split whether it
     * arrives on the stream or in a batch backfill. */
   def withSplit(docs: DataFrame): DataFrame = {
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-    docs.withColumn("split",
-      when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+    docs.withColumn("split", TextAnalysis.hashSplit(col("doc_id")))
   }
 
   /**
