@@ -432,6 +432,65 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q(
+      "a21_mips_lsh",
+      (s, dir) => {
+        // APPROXIMATE maximum-inner-product search — a10's norm-
+        // augmentation reduction composed with a02's hyperplane-LSH
+        // (Similarity.mipsLsh): the recommender/reranker serving
+        // recipe where neither the corpus nor the dot scores are
+        // normalized and a full scan per query is off the table.
+        // Augmentation happens BEFORE bucketing, so the 65-dim
+        // augmented vectors bucket under the same hyperplane keys the
+        // oracle replays; candidates form only inside equi-keyed
+        // (table, bucket) groups — never all-pairs — and rerank by
+        // exact augmented cosine (∝ inner product per query). Every
+        // stage is closed-form: M is a corpus max, the augmented
+        // coordinate deterministic double arithmetic, the planes
+        // seeded — DuckDB rebuilds vectors, buckets, and ranking
+        // bit-for-bit. Misses vs a10's exact top-k are possible by
+        // construction (recall spec'd in OpsSpec).
+        val e = Tables(s, dir).embeddings
+        graft.ops.Similarity.mipsLsh(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, dim = 64)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            fround(col("cos"), 4).as("aug_cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT max(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mn
+             |      FROM e0 WHERE vec_id >= 10),
+             |ea AS (SELECT vec_id,
+             |    CASE WHEN vec_id >= 10 THEN
+             |      v || [sqrt(greatest(0.0, mn * mn - list_sum(list_transform(v, x -> x * x))))]
+             |    ELSE v || [0.0] END AS v
+             |  FROM e0, m),
+             |cb AS (
+             |  ${(0 until 12).map(t =>
+                  s"SELECT vec_id AS neighbor_id, v AS cv, $t AS tbl, " +
+                  OracleSql.hyperplaneBucket("v", dim = 65, planes = 8,
+                    seed = 100 + t) +
+                  " AS bucket FROM ea WHERE vec_id >= 10").mkString("\n  UNION ALL\n  ")}),
+             |qb AS (
+             |  ${(0 until 12).map(t =>
+                  s"SELECT vec_id AS query_id, v AS qv, $t AS tbl, " +
+                  OracleSql.hyperplaneBucket("v", dim = 65, planes = 8,
+                    seed = 100 + t) +
+                  " AS bucket FROM ea WHERE vec_id < 10").mkString("\n  UNION ALL\n  ")}),
+             |hits AS (SELECT qb.query_id, cb.neighbor_id,
+             |    list_sum(list_transform(list_zip(qb.qv, cb.cv), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(qb.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(cb.cv, x -> x * x)))) AS cos
+             |  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket),
+             |best AS (SELECT query_id, neighbor_id, max(cos) AS cos FROM hits GROUP BY 1, 2),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |  FROM best)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  floor(cos * 10000.0 + 0.5) / 10000.0 AS aug_cos
+             |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
       "a11_embedding_outliers",
       (s, dir) => {
         // Embedding-space OUTLIER detection — the quality gate that
