@@ -969,4 +969,51 @@ object Graph {
     eRdd.unpersist(blocking = false)
     out.select(col("node"), col("d").as("dist"))
   }
+
+  /**
+   * Harmonic closeness centrality from a fixed seed panel — the
+   * sampled-pivot estimator (Eppstein & Wang 2001) of the harmonic
+   * variant (Boldi & Vigna 2014, "Axioms for Centrality", which is
+   * well-defined on disconnected graphs where classic closeness is
+   * not). Per-seed BFS with state keyed (seed, node), then
+   * `harmonic_ppm(v) = Σ_seeds ⌊1e6 / d(s,v)⌋` over seeds reached at
+   * d ≥ 1 — integer end to end (distances are hop counts, the
+   * reciprocal is a floor division), so any engine replays the
+   * numbers exactly; `reached` counts contributing seeds so a
+   * consumer can renormalize per-node coverage.
+   *
+   * Scale shape: [[shortestPaths]]'s rounds with a composite key —
+   * edges materialize ONCE and never move; rotated state is
+   * (seed, node, d) = 24 B × |seeds| × reached nodes, shrink-proof
+   * bounded by k·|V|. The seed-panel size is the accuracy/cost knob
+   * (error ~ O(1/√k) uniformly, Eppstein-Wang): state and relax
+   * traffic are linear in k while the edge side is k-independent, so
+   * at 100 TB one picks k to fit the state budget, not the graph.
+   */
+  def harmonicCloseness(edges: DataFrame, seeds: Seq[Long],
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val (e, eRdd) = materializeEdges(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct()
+        .repartition(col("src")))
+    import spark.implicits._
+    var dist: DataFrame = seeds.distinct.map(s => (s, s, 0L))
+      .toDF("seed", "node", "d")
+    val rot = new Rotation
+    for (_ <- 1 to rounds) {
+      val (cur, _) = rot.materialize(dist, rowBytes = 24)
+      val relaxed = e.join(cur.withColumnRenamed("node", "src"), "src")
+        .select(col("seed"), col("dst").as("node"),
+          (col("d") + lit(1L)).as("d"))
+      dist = cur.union(relaxed).groupBy("seed", "node").agg(min("d").as("d"))
+    }
+    val (out, _) = rot.materialize(dist, rowBytes = 24)
+    rot.release()
+    eRdd.unpersist(blocking = false)
+    out.filter(col("d") >= 1)
+      .groupBy("node")
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("1000000 div d")).as("harmonic_ppm"))
+  }
 }

@@ -368,4 +368,62 @@ object TextAnalysis {
       size(regexp_extract_all(
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         lit(DigitRunPattern), lit(0)))).cast("int")
+
+  /**
+   * Fixed-step, quantized logistic-regression fit — the learned
+   * document-filter shape every curation pipeline runs (CCNet trains a
+   * linear model over hashed text features to score crawl documents,
+   * Wenzek et al. 2019; GPT-3's quality classifier is the same idea,
+   * Brown et al. 2020 App. A) under `GPCore.gdHyperFit`'s
+   * unrolled-oracle discipline: `steps` full-batch GD iterations on
+   * MEAN logistic loss, the aggregated per-dimension mean gradient
+   * snapped to the 1e-6 grid before each update and the updated weight
+   * re-snapped, so a SQL oracle replaying the same closed forms lands
+   * on bit-identical weights. Mean (not summed) gradients make the
+   * step size corpus-size-invariant — the same `lr` learns at every
+   * SF. Returns the weight trajectory w0..w_steps (w0 = 0, so step 1's
+   * probabilities are exactly 0.5 — the first gradient is pure
+   * rational arithmetic in any engine).
+   *
+   * Scale shape: `steps` map-side-combinable treeAggregate passes over
+   * a feature frame the caller should wrap in
+   * [[org.apache.spark.sql.graftshim.InternalFrame.sharedScan]] (one
+   * featurization, steps+1 consumers); per pass the model (dim
+   * doubles) broadcasts out and ONE dim-vector per partition comes
+   * back — no shuffle touches the corpus. The fit is O(steps) scans at
+   * 100 TB and the trajectory is driver-sized.
+   */
+  def logisticFitGd(feats: DataFrame, vecCol: String, labelCol: String,
+      dim: Int, steps: Int, lr: Double): Seq[Array[Double]] = {
+    require(dim >= 1 && steps >= 0 && lr > 0,
+      s"logisticFitGd: bad dim=$dim steps=$steps lr=$lr")
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = feats
+      .select(col(vecCol).cast("array<double>"), col(labelCol).cast("double"))
+      .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val n = rows.count().toDouble
+    require(n > 0, "logisticFitGd: empty feature frame")
+    var w = Array.fill(dim)(0.0)
+    val traj = scala.collection.mutable.ArrayBuffer(w.clone())
+    for (_ <- 1 to steps) {
+      val bw = w
+      val g = rows.treeAggregate(Array.fill(dim)(0.0))(
+        seqOp = { case (acc, (x, y)) =>
+          var m = 0.0
+          var j = 0
+          while (j < dim) { m += bw(j) * x(j); j += 1 }
+          val p = 1.0 / (1.0 + math.exp(-m))
+          j = 0
+          while (j < dim) { acc(j) += x(j) * (p - y); j += 1 }
+          acc
+        },
+        combOp = { (a, b) =>
+          var j = 0; while (j < dim) { a(j) += b(j); j += 1 }; a
+        },
+        depth = 2)
+      w = Array.tabulate(dim)(j => q6(w(j) - lr * q6(g(j) / n)))
+      traj += w.clone()
+    }
+    traj.toSeq
+  }
 }

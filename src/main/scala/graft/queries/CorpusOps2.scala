@@ -659,7 +659,155 @@ object CorpusOps2 {
              |  CAST(coalesce(c5, 0) * 1000000 // n_chars AS BIGINT) AS dup5_ppm
              |FROM d LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
              |  LEFT JOIN c5 USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "t25_quality_classifier",
+      (s, dir) => {
+        // A LEARNED quality scorer distilled from the t16 heuristic
+        // gate — the CCNet / DataComp-LM pattern (Wenzek et al. 2019;
+        // Li et al. 2024: label documents with a cheap rule or seed
+        // corpus, train a linear classifier over hashed text features,
+        // keep the calibrated SCORE for soft filtering where the rule
+        // only gave a hard 0/1). Features are the a18 hashing-TF
+        // vectors L2-normalized per doc; the fit is 4 full-batch
+        // quantized-GD rounds (`TextAnalysis.logisticFitGd` — mean
+        // gradients snapped to the 1e-6 grid, so the oracle unrolls
+        // all 4 rounds to bit-identical weights). Train AUC ≈ 0.97 at
+        // sf0.01 (LogisticSpec asserts the floor), so the gate proves
+        // the fit LEARNED, not just replayed. sharedScan: one
+        // featurization feeds the count, 4 gradient passes, and the
+        // scoring projection.
+        import org.apache.spark.sql.graftshim.InternalFrame
+        val d = Tables(s, dir).documents
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val y = (nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)).cast("int").cast("double")
+        val feats = InternalFrame.sharedScan(
+          graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64)
+            .join(d.select(col("doc_id"), y.as("y")), "doc_id")
+            .withColumn("nrm",
+              sqrt(graft.ops.Similarity.dot(col("tf_vec"), col("tf_vec"))))
+            .filter(col("nrm") > 0)
+            .select(col("doc_id"), col("y"),
+              transform(col("tf_vec"), e => e / col("nrm")).as("v")))
+        val traj = graft.ops.TextAnalysis.logisticFitGd(
+          feats, "v", "y", dim = 64, steps = 4, lr = 16.0)
+        val w = traj.last.toSeq
+        feats.select(col("doc_id"), col("y").as("label"),
+          fround(lit(1.0) / (lit(1.0) +
+              exp(-graft.ops.Similarity.dot(col("v"), typedlit(w)))), 6)
+            .as("score"))
+          .orderBy("doc_id")
+      },
+      Some(t25OracleSql)),
+
+    Q(
+      "st21_stream_quality_scoring",
+      (s, dir) => {
+        // STREAMING learned-quality scoring under the DuckDB oracle:
+        // t25's classifier frozen and applied at ingest
+        // (CorpusStream.learnedQualityStream — train-offline /
+        // score-at-ingest, st08's deployment shape). The fit runs on
+        // the STATIC corpus exactly as t25 runs it, the stream scores
+        // row-locally against the broadcast-in-plan weights — a
+        // stateless append whose drained sink hash-matches t25's own
+        // oracle (stream ≡ batch row-identical, LogisticSpec).
+        // collect() is the MemoryStream feeding harness.
+        import org.apache.spark.sql.graftshim.InternalFrame
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val d = Tables(s, dir).documents
+        val feats = InternalFrame.sharedScan(
+          graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64)
+            .withColumn("nrm",
+              sqrt(graft.ops.Similarity.dot(col("tf_vec"), col("tf_vec"))))
+            .filter(col("nrm") > 0)
+            .join(d.select(col("doc_id"),
+              (size(split(col("text"), " ")).between(10, 100000) &&
+                (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+                  .cast("double") / length(col("text")) >= 0.6 &&
+                size(filter(split(col("text"), " "),
+                  t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+                  >= lit(2)).cast("int").cast("double").as("y")), "doc_id")
+            .select(col("doc_id"), col("y"),
+              transform(col("tf_vec"), e => e / col("nrm")).as("v")))
+        val w = graft.ops.TextAnalysis.logisticFitGd(
+          feats, "v", "y", dim = 64, steps = 4, lr = 16.0).last.toSeq
+        val rows = d.orderBy("doc_id").select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.CorpusStream.learnedQualityStream(
+            stream.toDS().toDF("doc_id", "text"), "doc_id", "text", w, dim = 64)
+          .writeStream.format("memory").queryName("st21_scores")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st21_scores").orderBy("doc_id")
+      },
+      Some(t25OracleSql)))
+
+  /** t25's full unrolled oracle — shared verbatim by st21 (the stream
+    * is bit-parity with the batch scorer, st08's discipline). */
+  private def t25OracleSql: String =
+    s"""WITH ${SimilarityQueries.hashingTfSql("TRUE")},
+       |lab AS (SELECT doc_id, CAST(CAST(
+       |    len(string_split(text, ' ')) BETWEEN 10 AND 100000
+       |    AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+       |      / length(text) >= 0.6
+       |    AND len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the','a','of','and','to','in','is','it')))
+       |      >= 2 AS INT) AS DOUBLE) AS y
+       |  FROM documents),
+       |f AS MATERIALIZED (SELECT vecs.doc_id,
+       |    list_transform(vecs.v, a -> a / sqrt(list_sum(
+       |      list_transform(vecs.v, b -> b * b)))) AS v, lab.y
+       |  FROM vecs JOIN lab USING (doc_id)
+       |  WHERE list_sum(list_transform(vecs.v, b -> b * b)) > 0),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |u AS MATERIALIZED (SELECT doc_id, y, unnest(v) AS x,
+       |    generate_subscripts(v, 1) AS j FROM f),
+       |${(1 to 4).map(lrCte).mkString(",\n")},
+       |mfin AS (SELECT u.doc_id, sum(w4.w * u.x) AS m
+       |    FROM u JOIN w4 USING (j) GROUP BY u.doc_id)
+       |SELECT f.doc_id, f.y AS label,
+       |  floor((1.0 / (1.0 + exp(-mfin.m))) * 1e6 + 0.5) / 1e6 AS score
+       |FROM f JOIN mfin USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** One unrolled logistic-GD round for the t25 oracle: margins under
+    * w{i-1}, quantized mean gradient g{i}, snapped weights w{i}.
+    * Round 1 folds σ(0) = 0.5 directly — w0 = 0, so the first gradient
+    * is pure rational arithmetic (gp11's discipline at each seam). */
+  private def lrCte(i: Int): String = {
+    val lr = "16.0"
+    if (i == 1)
+      s"""g1 AS (SELECT j, floor(sum(x * (0.5 - y)) / n * 1e6 + 0.5) / 1e6 AS g
+         |    FROM u CROSS JOIN nn GROUP BY j, n),
+         |w1 AS (SELECT j, floor((0.0 - $lr * g) * 1e6 + 0.5) / 1e6 AS w
+         |    FROM g1)""".stripMargin
+    else {
+      val p = i - 1
+      s"""m$p AS (SELECT u.doc_id, sum(w$p.w * u.x) AS m
+         |    FROM u JOIN w$p USING (j) GROUP BY u.doc_id),
+         |g$i AS (SELECT u.j, floor(sum(u.x * (1.0 / (1.0 + exp(-m$p.m))
+         |      - u.y)) / n * 1e6 + 0.5) / 1e6 AS g
+         |  FROM u JOIN m$p USING (doc_id) CROSS JOIN nn GROUP BY u.j, n),
+         |w$i AS (SELECT j, floor((w$p.w - $lr * g$i.g) * 1e6 + 0.5) / 1e6 AS w
+         |    FROM w$p JOIN g$i USING (j))""".stripMargin
+    }
+  }
 
   /** Merge table for t20: `Bpe.trainOnSample(documents@sf0.01, first
     * 100 docs by id, 30 merges)` — pinned by BpeSpec so drift between

@@ -882,6 +882,52 @@ object GraphQueries {
               |${(1 to 13).map(lpCte).mkString(",\n")}
               |SELECT a.node, least(a.label, b.label) AS label
               |FROM l12 a JOIN l13 b USING (node)
-              |ORDER BY node""".stripMargin))
+              |ORDER BY node""".stripMargin)),
+
+    Q(
+      "x17_harmonic_closeness",
+      (s, dir) => {
+        // Sampled harmonic closeness over the symmetrized trade graph
+        // (x02's edges): 3 BFS rounds from a 4-supplier seed panel,
+        // harmonic_ppm = Σ ⌊1e6/d⌋ over reached seeds — the
+        // Eppstein-Wang pivot estimator in pure integer arithmetic, so
+        // the oracle unrolls the per-seed BFS exactly. `reached`
+        // rides along so a consumer can renormalize coverage.
+        val t = Tables(s, dir)
+        val pairs = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (lit(1000000000L) + col("l_suppkey")).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        graft.ops.Graph.harmonicCloseness(edges,
+          seeds = Seq(1000000001L, 1000000002L, 1000000003L, 1000000004L),
+          rounds = 3)
+          .orderBy("node")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+             |    1000000000 + l_suppkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+             |     UNION SELECT p AS src, c AS dst FROM pairs),
+             |h0 AS (SELECT s AS seed, s AS node, CAST(0 AS BIGINT) AS d
+             |  FROM (SELECT unnest([1000000001, 1000000002,
+             |                      1000000003, 1000000004]) AS s)),
+             |h1 AS (SELECT seed, node, min(d) AS d FROM (
+             |    SELECT seed, node, d FROM h0
+             |    UNION ALL SELECT h0.seed, e.dst AS node, h0.d + 1 AS d
+             |    FROM e JOIN h0 ON e.src = h0.node) GROUP BY seed, node),
+             |h2 AS (SELECT seed, node, min(d) AS d FROM (
+             |    SELECT seed, node, d FROM h1
+             |    UNION ALL SELECT h1.seed, e.dst AS node, h1.d + 1 AS d
+             |    FROM e JOIN h1 ON e.src = h1.node) GROUP BY seed, node),
+             |h3 AS (SELECT seed, node, min(d) AS d FROM (
+             |    SELECT seed, node, d FROM h2
+             |    UNION ALL SELECT h2.seed, e.dst AS node, h2.d + 1 AS d
+             |    FROM e JOIN h2 ON e.src = h2.node) GROUP BY seed, node)
+             |SELECT node, count(*) AS reached,
+             |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_ppm
+             |FROM h3 WHERE d >= 1 GROUP BY node ORDER BY node""".stripMargin))
   )
 }

@@ -62,7 +62,7 @@ object SimilarityQueries {
     * (the a05IvfFlatSql discipline). `docFilter` is the gate-corpus
     * predicate — TRUE for a18, a19's sf0.1 base-range cap. Produces
     * CTEs toks/tf/cells/grid/vecs with vecs(doc_id, v DOUBLE[64]). */
-  private def hashingTfSql(docFilter: String): String =
+  private[queries] def hashingTfSql(docFilter: String): String =
     s"""toks AS (SELECT doc_id,
       |    unnest(string_split(text, ' ')) AS tok FROM documents
       |    WHERE $docFilter),

@@ -100,6 +100,60 @@ object CorpusStream {
       .select(explode(TextAnalysis.wordNGrams(col(textCol), n)).as("g"))
       .agg(collect_set(col("g")).as("bench_set"))
 
+  /**
+   * Streaming LEARNED-quality scoring — t25's distilled classifier
+   * applied at ingest (train-offline / score-at-ingest, st08's
+   * deployment shape for the CCNet-style document filter): each
+   * arriving doc is featurized, L2-normalized and scored ROW-LOCALLY
+   * against the frozen weight vector, so the plan is a STATELESS
+   * append — no state store, no watermark, and the model is `dim`
+   * doubles in the plan itself.
+   *
+   * Bit-parity with the batch scorer: the per-row array aggregate
+   * below folds `TextAnalysis.hashingTf`'s explode→groupBy into one
+   * narrow pass — bucket sums are exact integers carried in doubles,
+   * so accumulation order cannot move a bit, and the normalize →
+   * dot → sigmoid chain reuses the identical expressions t25 runs,
+   * making stream ≡ batch row-identical (spec-asserted) and the t25
+   * DuckDB oracle valid for the drained sink.
+   */
+  def learnedQualityStream(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Double], dim: Int): DataFrame = {
+    import graft.functions.VectorExpressions.md5Hash52
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    // one md5 pair per token, then dim adds per token
+    val cells = transform(toks, t => struct(
+      pmod(md5Hash52(concat(lit("tfb:"), t)), lit(dim.toLong))
+        .cast("int").as("b"),
+      when(pmod(md5Hash52(concat(lit("tfs:"), t)), lit(2L)) === 0,
+        lit(1.0)).otherwise(lit(-1.0)).as("s")))
+    val v = aggregate(cells, array_repeat(lit(0.0), dim),
+      (acc, c) => transform(acc, (a, i) =>
+        a + when(c.getField("b") === i, c.getField("s")).otherwise(lit(0.0))))
+    val nTok = size(split(col(textCol), " "))
+    val alphaRatio =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "[A-Za-z ]", "")))
+        .cast("double") / length(col(textCol))
+    val stopHits = size(filter(split(col(textCol), " "),
+      t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+    val label = (nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+      stopHits >= lit(2)).cast("int").cast("double")
+    docs
+      .select(col(idCol), label.as("label"), v.as("tf_vec"))
+      .withColumn("nrm", sqrt(
+        graft.functions.VectorExpressions.dot(col("tf_vec"), col("tf_vec"))))
+      .filter(col("nrm") > 0)
+      .select(col(idCol), col("label"),
+        transform(col("tf_vec"), e => e / col("nrm")).as("v"))
+      .select(col(idCol), col("label"),
+        // queries.fround's floor(x·1e6 + 0.5)/1e6 inlined — streaming
+        // stays independent of the queries package
+        (floor((lit(1.0) / (lit(1.0) +
+          exp(-graft.functions.VectorExpressions.dot(col("v"),
+            typedlit(weights))))) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("score"))
+  }
+
   /** Deterministic md5 train/val/test assignment — the p06 buckets,
     * stateless, so the same doc_id lands in the same split whether it
     * arrives on the stream or in a batch backfill. */

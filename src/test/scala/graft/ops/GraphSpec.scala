@@ -545,4 +545,30 @@ class GraphSpec extends SparkTestBase {
     val phys = qe.executedPlan.toString
     assert(!phys.contains("NestedLoop"), phys)
   }
+
+  test("harmonicCloseness: exact ⌊1e6/d⌋ sums on a planted path graph") {
+    import spark.implicits._
+    // path 1—2—3—4 (symmetrized); seeds {1, 4}, 3 rounds reach all
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.harmonicCloseness(edges, seeds = Seq(1L, 4L), rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // node: (reached seeds at d>=1, Σ ⌊1e6/d⌋)
+    assert(got === Map(
+      1L -> (1L, 333333L),            // d(4,1)=3
+      2L -> (2L, 1000000L + 500000L), // d(1,2)=1, d(4,2)=2
+      3L -> (2L, 500000L + 1000000L), // d(1,3)=2, d(4,3)=1
+      4L -> (1L, 333333L)))           // d(1,4)=3
+  }
+
+  test("harmonicCloseness: seed-panel rows exclude d=0 and a too-short " +
+      "horizon leaves distant nodes unscored, not misscored") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.harmonicCloseness(edges, seeds = Seq(1L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // rounds=2 never reaches node 4; node 1 is the seed itself (d=0)
+    assert(got === Map(2L -> 1000000L, 3L -> 500000L))
+  }
 }
