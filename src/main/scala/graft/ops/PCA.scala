@@ -92,6 +92,63 @@ object PCA {
    * Components come back sign-fixed like `fit`'s, and the same
    * `projectColumn` serves both models.
    */
+  // (n, Σx, Σ x·(xᵀM)) for a broadcast d×lm probe matrix M
+  private def momentPass(rows: org.apache.spark.rdd.RDD[Array[Double]],
+      d: Int, m: BDM[Double]): (Long, Array[Double], BDM[Double]) = {
+    val lm = m.cols
+    val bc = rows.sparkContext.broadcast(m)
+    val (n, sx, t) = rows.treeAggregate(
+      (0L, new Array[Double](d), BDM.zeros[Double](d, lm)))(
+      seqOp = { case ((cnt, s, acc), x) =>
+        val mm = bc.value
+        val xv = BDV(x)
+        val proj = mm.t * xv // lm
+        var i = 0
+        while (i < d) {
+          s(i) += x(i)
+          var j = 0
+          while (j < lm) { acc(i, j) += x(i) * proj(j); j += 1 }
+          i += 1
+        }
+        (cnt + 1L, s, acc)
+      },
+      combOp = { case ((n1, s1, a1), (n2, s2, a2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        (n1 + n2, s1, a1 += a2)
+      })
+    bc.destroy()
+    (n, sx, t)
+  }
+
+  // C·M without forming C: (T − n·μ(μᵀM))/(n−1)
+  private def covTimesRdd(rows: org.apache.spark.rdd.RDD[Array[Double]],
+      d: Int, m: BDM[Double]): (Long, Array[Double], BDM[Double]) = {
+    val (n, sx, t) = momentPass(rows, d, m)
+    require(n > 1, "PCA needs at least 2 rows")
+    val mu = BDV(sx.map(_ / n))
+    val s = (t - (mu * (mu.t * m)) * n.toDouble) / (n - 1.0)
+    (n, sx, s)
+  }
+
+  /**
+   * The randomized range-finder's SKETCH pass in isolation: S = C·Ω
+   * for a caller-supplied d×l probe matrix, never forming the d×d
+   * covariance — ONE treeAggregate carrying a d×l accumulator
+   * (`fitRandomized`'s pass 1, exposed so the a22 gate can replay the
+   * multiply under the DuckDB oracle with Ω embedded as literals).
+   * Returns (n, mean, S).
+   */
+  def covSketch(df: DataFrame, vecCol: String,
+      omega: Array[Array[Double]]): (Long, Array[Double], BDM[Double]) = {
+    val rows = df.select(col(vecCol).cast("array<double>")).na.drop()
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val d = omega.length
+    val m = BDM.tabulate(d, omega.head.length)((i, j) => omega(i)(j))
+    val (n, sx, s) = covTimesRdd(rows, d, m)
+    (n, sx.map(_ / n), s)
+  }
+
   def fitRandomized(df: DataFrame, vecCol: String, k: Int,
       oversample: Int = 8, powerIters: Int = 1, seed: Long = 7L): PCAModel = {
     val rows = df.select(col(vecCol).cast("array<double>")).na.drop()
@@ -99,43 +156,8 @@ object PCA {
     val d = rows.first().length
     require(k >= 1 && k <= d, s"k=$k must be in [1, $d]")
     val l = math.min(d, k + oversample)
-
-    // (n, Σx, Σ x·(xᵀM)) for a broadcast d×lm probe matrix M
-    def momentPass(m: BDM[Double]): (Long, Array[Double], BDM[Double]) = {
-      val lm = m.cols
-      val bc = rows.sparkContext.broadcast(m)
-      val (n, sx, t) = rows.treeAggregate(
-        (0L, new Array[Double](d), BDM.zeros[Double](d, lm)))(
-        seqOp = { case ((cnt, s, acc), x) =>
-          val mm = bc.value
-          val xv = BDV(x)
-          val proj = mm.t * xv // lm
-          var i = 0
-          while (i < d) {
-            s(i) += x(i)
-            var j = 0
-            while (j < lm) { acc(i, j) += x(i) * proj(j); j += 1 }
-            i += 1
-          }
-          (cnt + 1L, s, acc)
-        },
-        combOp = { case ((n1, s1, a1), (n2, s2, a2)) =>
-          var i = 0
-          while (i < d) { s1(i) += s2(i); i += 1 }
-          (n1 + n2, s1, a1 += a2)
-        })
-      bc.destroy()
-      (n, sx, t)
-    }
-
-    // C·M without forming C
-    def covTimes(m: BDM[Double]): (Long, Array[Double], BDM[Double]) = {
-      val (n, sx, t) = momentPass(m)
-      require(n > 1, "PCA needs at least 2 rows")
-      val mu = BDV(sx.map(_ / n))
-      val s = (t - (mu * (mu.t * m)) * n.toDouble) / (n - 1.0)
-      (n, sx, s)
-    }
+    def covTimes(m: BDM[Double]): (Long, Array[Double], BDM[Double]) =
+      covTimesRdd(rows, d, m)
 
     // seeded Box–Muller Gaussian test matrix
     val rnd = new java.util.Random(seed)

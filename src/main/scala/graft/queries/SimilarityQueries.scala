@@ -1174,6 +1174,59 @@ object SimilarityQueries {
             col("nb.id").as("neighbor_id"), fround(col("nb.score"), 4).as("cos"))
           .orderBy("query_id", "rank")
       },
-      Some(a05IvfFlatSql))
+      Some(a05IvfFlatSql)),
+
+    Q(
+      "a22_pca_sketch",
+      (s, dir) => {
+        // The randomized range-finder's SKETCH pass (Halko et al.
+        // 2011) under the DuckDB oracle: S = C·Ω for the seeded
+        // Gaussian probe below, computed WITHOUT forming the d×d
+        // covariance — fitRandomized's pass 1 (PCA.covSketch, one
+        // treeAggregate with a d×l accumulator), the part of
+        // randomized PCA that touches data and the part that matters
+        // at 100 TB (d = 4096 makes fit's d² moments 134 MB/task; the
+        // sketch is d×l). The full fit on top — QR, power pass, small
+        // eig — is driver-sized and PcaSpec pins it against the exact
+        // eigensolver; this gate replays the distributed multiply
+        // bit-for-bit (Ω as literals, sums quantized at 1e-6, the
+        // gp11 discipline).
+        val d = 64
+        val l = 8
+        val rnd = new java.util.Random(11L)
+        val omega = Array.fill(d, l)(rnd.nextGaussian())
+        val (_, _, sk) = graft.ops.PCA.covSketch(
+          Tables(s, dir).embeddings, "embedding", omega)
+        import s.implicits._
+        (for { i <- 0 until d; j <- 0 until l }
+          yield (i, j, math.floor(sk(i, j) * 1e6 + 0.5) / 1e6))
+          .toDF("i", "j", "s").orderBy("i", "j")
+      },
+      Some {
+        val d = 64
+        val l = 8
+        val rnd = new java.util.Random(11L)
+        val omega = Array.fill(d, l)(rnd.nextGaussian())
+        val omLit = (for { i <- 0 until d; j <- 0 until l }
+          yield s"($i,$j,${omega(i)(j)})").mkString(",")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings),
+           |cells AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+           |          unnest(v) AS x FROM e),
+           |om(i, j, w) AS (SELECT * FROM (VALUES $omLit)),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+           |t AS (SELECT c.vec_id, o.j, sum(c.x * o.w) AS t
+           |      FROM cells c JOIN om o USING (i) GROUP BY c.vec_id, o.j),
+           |xt AS (SELECT c.i, t.j, sum(c.x * t.t) AS xt
+           |       FROM cells c JOIN t USING (vec_id) GROUP BY c.i, t.j),
+           |mu AS (SELECT i, sum(x) / n AS m
+           |       FROM cells CROSS JOIN nn GROUP BY i, n),
+           |tmu AS (SELECT o.j, sum(mu.m * o.w) AS tm
+           |        FROM mu JOIN om o USING (i) GROUP BY o.j)
+           |SELECT CAST(xt.i AS INT) AS i, CAST(xt.j AS INT) AS j,
+           |  floor((xt.xt - n * mu.m * tmu.tm) / (n - 1) * 1e6 + 0.5) / 1e6 AS s
+           |FROM xt JOIN mu USING (i) JOIN tmu USING (j) CROSS JOIN nn
+           |ORDER BY i, j""".stripMargin
+      })
   )
 }

@@ -96,6 +96,27 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("covSketch equals the densely-formed covariance times omega") {
+    import spark.implicits._
+    val rows = data(400, 31)
+    val d = rows.head.length
+    val rnd = new java.util.Random(5L)
+    val omega = Array.fill(d, 3)(rnd.nextGaussian())
+    val (n, mean, s) = PCA.covSketch(rows.toDF("v"), "v", omega)
+    assert(n == 400L)
+    // dense reference: C·Ω from driver-side moments
+    val mu = Array.tabulate(d)(i => rows.map(_(i)).sum / n)
+    mean.zip(mu).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    for (i <- 0 until d; j <- 0 until 3) {
+      val ref = (0 until d).map { q =>
+        val cij = rows.map(r => (r(i) - mu(i)) * (r(q) - mu(q))).sum / (n - 1.0)
+        cij * omega(q)(j)
+      }.sum
+      assert(math.abs(s(i, j) - ref) < 1e-7 * (1 + math.abs(ref)),
+        s"sketch ($i,$j): ${s(i, j)} vs dense $ref")
+    }
+  }
+
   test("transform projects onto the components, preserving planted variance") {
     import spark.implicits._
     val df = data(2000, 21).toDF("v")
