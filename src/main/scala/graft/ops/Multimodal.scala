@@ -718,19 +718,28 @@ object Multimodal {
 
   /** One decoded frame's exact per-channel pixel sums — the per-frame
     * grain [[decodeAviFrames]] emits for temporal analysis (scene cuts,
-    * motion estimates) that [[VideoStats]]' whole-video totals erase. */
+    * motion estimates) that [[VideoStats]]' whole-video totals erase —
+    * plus the frame's perceptual average-hash (`ahash`): the
+    * [[imageAHash]] bit rule over the 4×4-block gray means of the
+    * grid-aligned crop (block = (w/4, h/4) floor pixels — video dims
+    * need not divide evenly the way mm11's stills do), integer end to
+    * end, the per-frame fingerprint mm13's video near-dup keys on. */
   final case class VideoFrameStats(
       media_id: Long,
       frame: Int,
       sum_r: Long,
       sum_g: Long,
-      sum_b: Long)
+      sum_b: Long,
+      ahash: Long)
 
   /** Deterministic RGB of pixel (x, y) in frame f of video `id` — pure
     * integer arithmetic, so a SQL oracle recomputes every pixel. BI_RGB
-    * is uncompressed: encode → decode round-trips exactly. */
-  private[ops] def frameRgb(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
-    ((id * 31 + f * 23 + x * 7 + y * 13) % 256).toInt,
+    * is uncompressed: encode → decode round-trips exactly. `jit` is a
+    * saturating red shift (the [[pixelRgb]] jitter rule) for planting
+    * perceptual near-copies that break byte identity. */
+  private[ops] def frameRgb(id: Long, f: Int, x: Int, y: Int,
+      jit: Int = 0): (Int, Int, Int) = (
+    math.min(255, ((id * 31 + f * 23 + x * 7 + y * 13) % 256).toInt + jit),
     ((id * 17 + f * 29 + x * 11 + y * 3) % 256).toInt,
     ((id * 7 + f * 37 + x * 5 + y * 19) % 256).toInt)
 
@@ -763,7 +772,7 @@ object Multimodal {
     * strf(BITMAPINFOHEADER, BI_RGB 24-bit)}} → LIST(movi){'00db'
     * uncompressed bottom-up BGR frames, rows padded to 4 bytes} →
     * idx1 keyframe index. Layout per the public AVI/RIFF format. */
-  private[ops] def encodeAvi(id: Long): Array[Byte] = {
+  private[ops] def encodeAvi(id: Long, jit: Int = 0): Array[Byte] = {
     val (w, h, nFrames) = videoParams(id)
     val stride = (w * 3 + 3) / 4 * 4
     val frameSize = stride * h
@@ -774,7 +783,7 @@ object Multimodal {
         val rowOff = (h - 1 - y) * stride // bottom-up row order
         var x = 0
         while (x < w) {
-          val (r, g, bl) = frameRgb(id, f, x, y)
+          val (r, g, bl) = frameRgb(id, f, x, y, jit)
           b(rowOff + 3 * x) = bl.toByte     // BGR byte order
           b(rowOff + 3 * x + 1) = g.toByte
           b(rowOff + 3 * x + 2) = r.toByte
@@ -822,6 +831,23 @@ object Multimodal {
     ids.select(col(idCol).cast("long").as("media_id"))
       .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map(id => VideoRow(id, encodeAvi(id))))
+  }
+
+  /** [[synthesizeAvis]] with the video CONTENT decoupled from the row
+    * id: frames derive from `seedCol` (optionally perturbed by
+    * `jitterCol`'s saturating red shift) — [[synthesizePngsSeeded]]'s
+    * copy-planting rule at video grain, how mm13 plants perceptual
+    * near-duplicate re-uploads under fresh ids. */
+  def synthesizeAvisSeeded(rows: DataFrame, idCol: String, seedCol: String,
+      jitterCol: String): Dataset[VideoRow] = {
+    implicit val enc = Encoders.product[VideoRow]
+    implicit val tEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaInt)
+    rows.select(col(idCol).cast("long"), col(seedCol).cast("long"),
+        col(jitterCol).cast("int"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(it =>
+        it.map { case (id, seed, j) => VideoRow(id, encodeAvi(seed, jit = j)) })
   }
 
   private def leU32(b: Array[Byte], o: Int): Long =
@@ -923,7 +949,46 @@ object Multimodal {
                   }
                   y += 1
                 }
-                perFrame += VideoFrameStats(id, frames, fr, fg, fb)
+                // perceptual aHash of this frame: 4×4 gray block means
+                // over the grid-aligned crop (bw/bh floor), the
+                // imageAHash bit rule — integer end to end
+                val grid = 4
+                val bw = width / grid
+                val bh = height / grid
+                var fhash = 0L
+                if (bw > 0 && bh > 0) {
+                  val ms = new Array[Long](grid * grid)
+                  var bi = 0
+                  while (bi < grid * grid) {
+                    val gx = bi % grid
+                    val gy = bi / grid
+                    var s = 0L
+                    var dy = 0
+                    while (dy < bh) {
+                      val yy = gy * bh + dy
+                      val rowOff = body + (height - 1 - yy) * stride
+                      var dx = 0
+                      while (dx < bw) {
+                        val xx = gx * bw + dx
+                        val gr = ((b(rowOff + 3 * xx + 2) & 0xff) +
+                          (b(rowOff + 3 * xx + 1) & 0xff) +
+                          (b(rowOff + 3 * xx) & 0xff)) / 3
+                        s += gr
+                        dx += 1
+                      }
+                      dy += 1
+                    }
+                    ms(bi) = s / (bw * bh)
+                    bi += 1
+                  }
+                  val mean = ms.sum / (grid * grid)
+                  bi = 0
+                  while (bi < ms.length) {
+                    if (ms(bi) >= mean) fhash |= 1L << bi
+                    bi += 1
+                  }
+                }
+                perFrame += VideoFrameStats(id, frames, fr, fg, fb, fhash)
                 sr += fr; sg += fg; sb += fb
                 frames += 1
               }

@@ -542,6 +542,100 @@ object MultimodalQueries {
              |  SELECT media_id, ahash,
              |    row_number() OVER (PARTITION BY ahash ORDER BY media_id) AS rn
              |  FROM ah)
-             |WHERE rn = 1 ORDER BY media_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY media_id""".stripMargin)),
+
+    Q(
+      "mm13_video_neardup",
+      (s, dir) => {
+        // VIDEO near-dup detection over the REAL decode path — mm11's
+        // perceptual recipe lifted to video grain (the re-upload
+        // problem: same content, fresh container bytes): each decoded
+        // frame fingerprints to its 4×4-block average-hash
+        // (decodeAviFrames' ahash), a video's signature is its
+        // DISTINCT frame-hash SET, and near-dups are pairs whose
+        // signatures overlap at ≥ 50% containment of the smaller side
+        // (d10's containment semantics on perceptual keys). The
+        // corpus plants re-uploads of every 5th video under fresh ids
+        // with a +1 saturating red shift — byte-identity breaks, the
+        // perceptual signature survives. Scale shape: the join keys
+        // on (frame hash) — the LSH-bucket shape, shuffling
+        // (hash, id) pairs only, never frames; signature sets are
+        // |frames|-bounded; a viral hash caps by d03's star rule.
+        // Integer end to end, so both engines replay every bit
+        // including the true-collision pairs among the gradient
+        // corpus.
+        import graft.ops.Multimodal
+        val base = Tables(s, dir).documents.filter(col("doc_id") < 150)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+            lit(0).as("jit"))
+        val copies = Tables(s, dir).documents
+          .filter(col("doc_id") < 150 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("media_id"),
+            col("doc_id").as("seed"), lit(1).as("jit"))
+        val avis = Multimodal.synthesizeAvisSeeded(
+          base.unionByName(copies), "media_id", "seed", "jit")
+        val fh = Multimodal.decodeAviFrames(avis).toDF()
+          .select(col("media_id"), col("ahash")).distinct()
+        val sz = fh.groupBy("media_id").agg(count(lit(1)).as("n"))
+        val shared = fh.as("a").join(fh.as("b"),
+            col("a.ahash") === col("b.ahash") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        shared
+          .join(sz.select(col("media_id").as("id_a"), col("n").as("na")), "id_a")
+          .join(sz.select(col("media_id").as("id_b"), col("n").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"), col("shared"),
+            expr("shared * CAST(1000000 AS BIGINT) div least(na, nb)")
+              .as("containment_ppm"))
+          .filter(col("containment_ppm") >= 500000)
+          .orderBy("id_a", "id_b")
+      },
+      // replay: per-frame gray block means from the frameRgb formulas
+      // (+ saturating red jitter on copies), the imageAHash bit rule,
+      // then the distinct-signature containment join
+      Some("""WITH vids AS (
+             |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS j
+             |  FROM documents WHERE doc_id < 150
+             |  UNION ALL
+             |  SELECT doc_id + 10000, doc_id, 1
+             |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
+             |hs AS (SELECT media_id, seed, j,
+             |    CAST(7 + (seed % 3) * 4 AS BIGINT) AS w,
+             |    CAST(6 + (seed % 2) * 4 AS BIGINT) AS h,
+             |    CAST(2 + (seed % 3) AS BIGINT) AS nf
+             |  FROM vids),
+             |pf AS (SELECT media_id, seed, j, w, h,
+             |       unnest(range(nf)) AS f FROM hs),
+             |ms AS (SELECT media_id, f,
+             |    list_transform(range(16), bi ->
+             |      list_sum(flatten(list_transform(range(h // 4), dy ->
+             |        list_transform(range(w // 4), dx ->
+             |          (least(255, (seed * 31 + f * 23 + ((bi % 4) * (w // 4) + dx) * 7
+             |                       + ((bi // 4) * (h // 4) + dy) * 13) % 256 + j)
+             |           + (seed * 17 + f * 29 + ((bi % 4) * (w // 4) + dx) * 11
+             |              + ((bi // 4) * (h // 4) + dy) * 3) % 256
+             |           + (seed * 7 + f * 37 + ((bi % 4) * (w // 4) + dx) * 5
+             |              + ((bi // 4) * (h // 4) + dy) * 19) % 256) // 3))))
+             |      // ((w // 4) * (h // 4))) AS m
+             |  FROM pf),
+             |fh AS (SELECT DISTINCT media_id,
+             |    CAST(list_sum(list_transform(range(16), i ->
+             |      CASE WHEN m[CAST(i AS INT) + 1] >= list_sum(m) // 16
+             |           THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ahash
+             |  FROM ms),
+             |sz AS (SELECT media_id, count(*) AS n FROM fh GROUP BY media_id),
+             |sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |       count(*) AS shared
+             |  FROM fh a JOIN fh b
+             |    ON a.ahash = b.ahash AND a.media_id < b.media_id
+             |  GROUP BY 1, 2)
+             |SELECT sh.id_a, sh.id_b, CAST(sh.shared AS BIGINT) AS shared,
+             |  CAST(sh.shared * 1000000 // least(na.n, nb.n) AS BIGINT)
+             |    AS containment_ppm
+             |FROM sh JOIN sz na ON na.media_id = sh.id_a
+             |        JOIN sz nb ON nb.media_id = sh.id_b
+             |WHERE sh.shared * 1000000 // least(na.n, nb.n) >= 500000
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -1389,4 +1389,38 @@ class MultimodalSpec extends SparkTestBase {
       Array.tabulate[Byte](64)(i => (i * 7).toByte))).toDS()
     assert(decodeAviFrames(garbage).collect().isEmpty)
   }
+
+  test("video frame aHash: matches the driver-side block-mean rule; a " +
+      "seeded +1-red re-upload keeps the perceptual signature") {
+    import spark.implicits._
+    val ids = Seq(3L, 4L).toDF("doc_id")
+    val frames = decodeAviFrames(synthesizeAvis(ids, "doc_id")).collect()
+      .map(f => (f.media_id, f.frame) -> f.ahash).toMap
+    // driver-side reference of the 4x4 grid-aligned-crop hash
+    for (((id, f), got) <- frames) {
+      val (w, h, _) = Multimodal.videoParams(id)
+      val (bw, bh) = (w / 4, h / 4)
+      val ms = Array.tabulate(16) { bi =>
+        val (gx, gy) = (bi % 4, bi / 4)
+        val px = for (dy <- 0 until bh; dx <- 0 until bw) yield {
+          val (r, g, b) = Multimodal.frameRgb(id, f, gx * bw + dx, gy * bh + dy)
+          (r + g + b) / 3L
+        }
+        px.sum / (bw * bh)
+      }
+      val mean = ms.sum / 16
+      val want = ms.indices.foldLeft(0L)((a, i) =>
+        if (ms(i) >= mean) a | (1L << i) else a)
+      assert(got == want, s"video $id frame $f: $got vs $want")
+    }
+    // planted copy: same seed, fresh id, +1 saturating red
+    val planted = Seq((3L, 3L, 0), (7003L, 3L, 1))
+      .toDF("media_id", "seed", "jit")
+    val sigs = decodeAviFrames(
+        synthesizeAvisSeeded(planted, "media_id", "seed", "jit"))
+      .collect().groupBy(_.media_id)
+      .map { case (k, v) => k -> v.map(_.ahash).toSet }
+    assert(sigs(3L) == sigs(7003L),
+      "the +1-red re-upload must keep the full perceptual signature")
+  }
 }
