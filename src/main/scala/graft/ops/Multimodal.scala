@@ -772,7 +772,7 @@ object Multimodal {
     * strf(BITMAPINFOHEADER, BI_RGB 24-bit)}} → LIST(movi){'00db'
     * uncompressed bottom-up BGR frames, rows padded to 4 bytes} →
     * idx1 keyframe index. Layout per the public AVI/RIFF format. */
-  private[ops] def encodeAvi(id: Long, jit: Int = 0): Array[Byte] = {
+  private[graft] def encodeAvi(id: Long, jit: Int = 0): Array[Byte] = {
     val (w, h, nFrames) = videoParams(id)
     val stride = (w * 3 + 3) / 4 * 4
     val frameSize = stride * h
@@ -1004,6 +1004,15 @@ object Multimodal {
         perFrame.result()))
     else None
   }
+
+  /** Row-local perceptual SIGNATURE of one AVI blob: the distinct
+    * per-frame aHashes ([[VideoFrameStats]]' rule), sorted and joined
+    * — the video-grain content fingerprint mm13 sets against and the
+    * streaming first-seen gate (`streaming/MediaStream`) keys on.
+    * None for undecodable blobs (crawl posture). */
+  private[graft] def aviSignature(id: Long, avi: Array[Byte]): Option[String] =
+    (try decodeOneAvi(id, avi) catch { case scala.util.control.NonFatal(_) => None })
+      .map(_.frames.map(_.ahash).distinct.sorted.mkString("-"))
 
   /** Deterministic fake decode: 8-dim feature from byte statistics. */
   private[ops] def stubDecode(bytes: Array[Byte]): Array[Double] = {

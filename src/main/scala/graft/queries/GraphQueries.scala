@@ -928,6 +928,79 @@ object GraphQueries {
              |    FROM e JOIN h2 ON e.src = h2.node) GROUP BY seed, node)
              |SELECT node, count(*) AS reached,
              |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_ppm
-             |FROM h3 WHERE d >= 1 GROUP BY node ORDER BY node""".stripMargin))
+             |FROM h3 WHERE d >= 1 GROUP BY node ORDER BY node""".stripMargin)),
+
+    Q(
+      "x18_diameter_sweep",
+      (s, dir) => {
+        // Bounded DOUBLE-SWEEP diameter estimation (Magnien, Latapy &
+        // Habib 2009 — the standard cheap lower bound: BFS from any
+        // seed, re-BFS from the farthest node found; the second
+        // sweep's eccentricity bounds the diameter from below, and on
+        // real graphs is usually exact). Both sweeps run x02's
+        // 3-round bounded BFS; the pivot is a DATA-DRIVEN driver-side
+        // 1-row argmax (max dist, ties to the smallest node id — the
+        // PPR dangling-mass scalar posture), which the oracle replays
+        // as ORDER BY d DESC, node LIMIT 1. Output is the second
+        // sweep's per-distance census with the pivot riding along, so
+        // max(dist) IS the certified bound and the census proves the
+        // whole frontier, not just its edge.
+        val t = Tables(s, dir)
+        val pairs = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (lit(1000000000L) + col("l_suppkey")).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        val d1 = graft.ops.Graph.shortestPaths(edges,
+          sources = Seq(1000000001L), rounds = 3)
+        val pivot = d1.orderBy(col("dist").desc, col("node"))
+          .limit(1).head.getLong(0)
+        graft.ops.Graph.shortestPaths(edges, sources = Seq(pivot), rounds = 3)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), sum("node").as("id_sum"))
+          .select(lit(pivot).as("pivot_node"), col("dist"),
+            col("n_nodes"), col("id_sum"))
+          .orderBy("dist")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+             |    1000000000 + l_suppkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+             |     UNION SELECT p AS src, c AS dst FROM pairs),
+             |d0 AS (SELECT CAST(1000000001 AS BIGINT) AS node,
+             |       CAST(0 AS BIGINT) AS d),
+             |r1 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM d0
+             |    UNION ALL SELECT e.dst AS node, d0.d + 1 AS d
+             |    FROM e JOIN d0 ON e.src = d0.node) GROUP BY node),
+             |r2 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM r1
+             |    UNION ALL SELECT e.dst AS node, r1.d + 1 AS d
+             |    FROM e JOIN r1 ON e.src = r1.node) GROUP BY node),
+             |r3 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM r2
+             |    UNION ALL SELECT e.dst AS node, r2.d + 1 AS d
+             |    FROM e JOIN r2 ON e.src = r2.node) GROUP BY node),
+             |pv AS (SELECT node AS pivot_node FROM r3
+             |       ORDER BY d DESC, node LIMIT 1),
+             |s0 AS (SELECT pivot_node AS node, CAST(0 AS BIGINT) AS d FROM pv),
+             |s1 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM s0
+             |    UNION ALL SELECT e.dst AS node, s0.d + 1 AS d
+             |    FROM e JOIN s0 ON e.src = s0.node) GROUP BY node),
+             |s2 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM s1
+             |    UNION ALL SELECT e.dst AS node, s1.d + 1 AS d
+             |    FROM e JOIN s1 ON e.src = s1.node) GROUP BY node),
+             |s3 AS (SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM s2
+             |    UNION ALL SELECT e.dst AS node, s2.d + 1 AS d
+             |    FROM e JOIN s2 ON e.src = s2.node) GROUP BY node)
+             |SELECT pv.pivot_node, d AS dist, count(*) AS n_nodes,
+             |  CAST(sum(node) AS BIGINT) AS id_sum
+             |FROM s3 CROSS JOIN pv GROUP BY pv.pivot_node, d
+             |ORDER BY dist""".stripMargin))
   )
 }

@@ -594,36 +594,7 @@ object MultimodalQueries {
       // replay: per-frame gray block means from the frameRgb formulas
       // (+ saturating red jitter on copies), the imageAHash bit rule,
       // then the distinct-signature containment join
-      Some("""WITH vids AS (
-             |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS j
-             |  FROM documents WHERE doc_id < 150
-             |  UNION ALL
-             |  SELECT doc_id + 10000, doc_id, 1
-             |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
-             |hs AS (SELECT media_id, seed, j,
-             |    CAST(7 + (seed % 3) * 4 AS BIGINT) AS w,
-             |    CAST(6 + (seed % 2) * 4 AS BIGINT) AS h,
-             |    CAST(2 + (seed % 3) AS BIGINT) AS nf
-             |  FROM vids),
-             |pf AS (SELECT media_id, seed, j, w, h,
-             |       unnest(range(nf)) AS f FROM hs),
-             |ms AS (SELECT media_id, f,
-             |    list_transform(range(16), bi ->
-             |      list_sum(flatten(list_transform(range(h // 4), dy ->
-             |        list_transform(range(w // 4), dx ->
-             |          (least(255, (seed * 31 + f * 23 + ((bi % 4) * (w // 4) + dx) * 7
-             |                       + ((bi // 4) * (h // 4) + dy) * 13) % 256 + j)
-             |           + (seed * 17 + f * 29 + ((bi % 4) * (w // 4) + dx) * 11
-             |              + ((bi // 4) * (h // 4) + dy) * 3) % 256
-             |           + (seed * 7 + f * 37 + ((bi % 4) * (w // 4) + dx) * 5
-             |              + ((bi // 4) * (h // 4) + dy) * 19) % 256) // 3))))
-             |      // ((w // 4) * (h // 4))) AS m
-             |  FROM pf),
-             |fh AS (SELECT DISTINCT media_id,
-             |    CAST(list_sum(list_transform(range(16), i ->
-             |      CASE WHEN m[CAST(i AS INT) + 1] >= list_sum(m) // 16
-             |           THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ahash
-             |  FROM ms),
+      Some(s"""WITH $videoHashCtes,
              |sz AS (SELECT media_id, count(*) AS n FROM fh GROUP BY media_id),
              |sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
              |       count(*) AS shared
@@ -636,6 +607,111 @@ object MultimodalQueries {
              |FROM sh JOIN sz na ON na.media_id = sh.id_a
              |        JOIN sz nb ON nb.media_id = sh.id_b
              |WHERE sh.shared * 1000000 // least(na.n, nb.n) >= 500000
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
+      "st22_stream_video_dedup",
+      (s, dir) => {
+        // STREAMING first-seen VIDEO dedup — st15's perceptual gate at
+        // video grain (MediaStream.firstSeenVideos): each arriving AVI
+        // demuxes + fingerprints ROW-LOCALLY to its signature (sorted
+        // distinct frame aHashes — the batch mm13 rule, bit-matching),
+        // and dropDuplicatesWithinWatermark keyed on the signature
+        // keeps one row per distinct CONTENT — a re-uploaded video
+        // with fresh container bytes drops at ingest. mm13's corpus,
+        // fed id-ordered in two micro-batches split at the median id:
+        // every planted re-upload arrives in batch 2 while its source
+        // arrived in batch 1, so copies drop ONLY if per-signature
+        // state survived the batch boundary. Survivors = min media_id
+        // per signature, which the oracle replays from the generator
+        // formulas. collect() is the MemoryStream feeding harness.
+        import graft.ops.Multimodal
+        import graft.streaming.MediaStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val arrEnc =
+          org.apache.spark.sql.Encoders.product[MediaStream.MediaArrival]
+        val base = Tables(s, dir).documents.filter(col("doc_id") < 150)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+            lit(0).as("jit"))
+        val copies = Tables(s, dir).documents
+          .filter(col("doc_id") < 150 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("media_id"),
+            col("doc_id").as("seed"), lit(1).as("jit"))
+        val rows = Multimodal.synthesizeAvisSeeded(
+            base.unionByName(copies), "media_id", "seed", "jit")
+          .collect().sortBy(_.media_id)
+          .map(r => MediaStream.MediaArrival(r.media_id,
+            new java.sql.Timestamp(1700000000000L + r.media_id * 1000L), r.avi))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[MediaStream.MediaArrival]
+        val ckpt = java.nio.file.Files.createTempDirectory("st22_ckpt").toString
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try MediaStream.firstSeenVideos(stream.toDS(), watermark = "24 hours")
+            .writeStream.format("memory").queryName("st22_survivors")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { b =>
+            stream.addData(b.toSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st22_survivors").orderBy("media_id")
+      },
+      // mm13's per-frame hash replay; signature = sorted distinct frame
+      // hashes joined '-'; first-seen on an id-ordered feed = minimum
+      // media_id per signature
+      Some(s"""WITH $videoHashCtes,
+             |sig AS (SELECT media_id,
+             |    string_agg(ahash, '-' ORDER BY ahash) AS sig
+             |  FROM fh GROUP BY media_id)
+             |SELECT media_id, sig FROM (
+             |  SELECT media_id, sig,
+             |    row_number() OVER (PARTITION BY sig ORDER BY media_id) AS rn
+             |  FROM sig)
+             |WHERE rn = 1 ORDER BY media_id""".stripMargin))
   )
+
+  /** mm13/st22's shared replay prefix: the planted-copy video corpus,
+    * per-frame gray block means from the generator formulas, the
+    * imageAHash bit rule, ending at fh(media_id, ahash) = each video's
+    * DISTINCT frame-hash set. */
+  private def videoHashCtes: String =
+    """vids AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS j
+      |  FROM documents WHERE doc_id < 150
+      |  UNION ALL
+      |  SELECT doc_id + 10000, doc_id, 1
+      |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
+      |hs AS (SELECT media_id, seed, j,
+      |    CAST(7 + (seed % 3) * 4 AS BIGINT) AS w,
+      |    CAST(6 + (seed % 2) * 4 AS BIGINT) AS h,
+      |    CAST(2 + (seed % 3) AS BIGINT) AS nf
+      |  FROM vids),
+      |pf AS (SELECT media_id, seed, j, w, h,
+      |       unnest(range(nf)) AS f FROM hs),
+      |ms AS (SELECT media_id, f,
+      |    list_transform(range(16), bi ->
+      |      list_sum(flatten(list_transform(range(h // 4), dy ->
+      |        list_transform(range(w // 4), dx ->
+      |          (least(255, (seed * 31 + f * 23 + ((bi % 4) * (w // 4) + dx) * 7
+      |                       + ((bi // 4) * (h // 4) + dy) * 13) % 256 + j)
+      |           + (seed * 17 + f * 29 + ((bi % 4) * (w // 4) + dx) * 11
+      |              + ((bi // 4) * (h // 4) + dy) * 3) % 256
+      |           + (seed * 7 + f * 37 + ((bi % 4) * (w // 4) + dx) * 5
+      |              + ((bi // 4) * (h // 4) + dy) * 19) % 256) // 3))))
+      |      // ((w // 4) * (h // 4))) AS m
+      |  FROM pf),
+      |fh AS (SELECT DISTINCT media_id,
+      |    CAST(list_sum(list_transform(range(16), i ->
+      |      CASE WHEN m[CAST(i AS INT) + 1] >= list_sum(m) // 16
+      |           THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ahash
+      |  FROM ms)""".stripMargin
 }

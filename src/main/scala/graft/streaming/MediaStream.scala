@@ -50,4 +50,28 @@ object MediaStream {
       .dropDuplicatesWithinWatermark("ahash")
       .select(col("media_id"), col("ahash"))
   }
+
+  private final case class SignedArrival(media_id: Long, ts: Timestamp, sig: String)
+
+  /**
+   * FIRST-SEEN streaming VIDEO dedup — [[firstSeenImages]]' gate at
+   * video grain (the re-upload problem at ingest): each arriving AVI
+   * demuxes and fingerprints row-locally to its perceptual SIGNATURE
+   * (sorted distinct per-frame aHashes, the batch mm13 rule — stream
+   * and batch signatures bit-match), and only the first arrival of
+   * each signature inside the watermark horizon survives. State is one
+   * (signature, marker) row per distinct CONTENT — never frames, never
+   * bytes — expiring at the horizon; undecodable blobs drop.
+   */
+  def firstSeenVideos(vids: Dataset[MediaArrival],
+      watermark: String = "1 hour"): DataFrame = {
+    implicit val enc = Encoders.product[SignedArrival]
+    vids
+      .mapPartitions(it => it.flatMap(m =>
+        Multimodal.aviSignature(m.media_id, m.img)
+          .map(s => SignedArrival(m.media_id, m.ts, s))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
+      .select(col("media_id"), col("sig"))
+  }
 }

@@ -561,6 +561,22 @@ class GraphSpec extends SparkTestBase {
       4L -> (1L, 333333L)))           // d(1,4)=3
   }
 
+  test("double-sweep pivot: farthest-node argmax from a mid-path seed " +
+      "finds an end, and the second sweep certifies the diameter") {
+    import spark.implicits._
+    // path 1—2—3—4—5; seed at 3 (eccentricity 2); ends 1 and 5 are
+    // farthest, min-id tie-break picks 1; sweep from 1 reaches d=4
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val d1 = Graph.shortestPaths(edges, sources = Seq(3L), rounds = 4)
+    val pivot = d1.orderBy(col("dist").desc, col("node")).limit(1).head.getLong(0)
+    assert(pivot == 1L, s"mid-path seed must pick the min-id end, got $pivot")
+    val d2 = Graph.shortestPaths(edges, sources = Seq(pivot), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2.values.max == 4L, "second sweep must certify the true diameter")
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
   test("harmonicCloseness: seed-panel rows exclude d=0 and a too-short " +
       "horizon leaves distant nodes unscored, not misscored") {
     import spark.implicits._

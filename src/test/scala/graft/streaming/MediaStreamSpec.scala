@@ -58,4 +58,45 @@ class MediaStreamSpec extends SparkTestBase {
     val expect = batchHashes.groupBy(_._2).values.map(_.map(_._1).min).toSet
     assert(survivors == expect, s"streaming != batch replay: $survivors vs $expect")
   }
+
+  test("first-seen video dedup: a cross-batch re-upload drops on its " +
+      "perceptual signature; new content and distinct videos survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def vid(id: Long, seed: Long, jit: Int = 0): MediaStream.MediaArrival =
+      MediaStream.MediaArrival(id,
+        new Timestamp(1700000000000L + id * 1000L),
+        Multimodal.encodeAvi(seed, jit = jit))
+    val b1 = Seq(vid(1L, 1L), vid(2L, 2L), vid(3L, 3L))
+    // batch 2: +1-red re-upload of video 3, byte-exact re-upload of 1,
+    // new content, and a corrupt blob
+    val b2 = Seq(vid(203L, 3L, jit = 1), vid(201L, 1L), vid(220L, 20L),
+      MediaStream.MediaArrival(999L,
+        new Timestamp(1700000000000L + 999000L), Array[Byte](9, 9, 9)))
+
+    val stream = MemoryStream[MediaStream.MediaArrival]
+    val ckpt = java.nio.file.Files.createTempDirectory("media_spec_v").toString
+    val q = MediaStream.firstSeenVideos(stream.toDS(), watermark = "24 hours")
+      .writeStream.format("memory").queryName("media_spec_vid")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      graft.queries.deleteRecursively(ckpt)
+    }
+    val out = spark.table("media_spec_vid").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.contains(203L), "perceptual re-upload must drop cross-batch")
+    assert(!out.contains(201L), "byte-exact re-upload must drop cross-batch")
+    assert(out.contains(220L), "new content must survive")
+    assert(!out.contains(999L), "corrupt blob must drop")
+    assert(Set(1L, 2L, 3L).subsetOf(out.keySet))
+    // streamed signature == the batch decodeAviFrames replay
+    val sig3 = Multimodal.decodeAviFrames(
+        Seq(Multimodal.VideoRow(3L, Multimodal.encodeAvi(3L))).toDS())
+      .collect().map(_.ahash).distinct.sorted.mkString("-")
+    assert(out(3L) == sig3, s"stream signature ${out(3L)} != batch $sig3")
+  }
 }
