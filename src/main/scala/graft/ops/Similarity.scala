@@ -432,6 +432,64 @@ object Similarity {
   }
 
   /**
+   * BINARY-quantized kNN — 1-bit scalar quantization (the sign bit per
+   * dimension) + Hamming-distance shortlist + exact cosine rerank: the
+   * most aggressive compression tier in the a09→a12 quantization
+   * ladder (int8 → PQ → 1 bit), the recipe binary passage retrieval
+   * and FAISS's IndexBinaryFlat+refine run when the index must be 32×
+   * smaller than float32 and the scan distance must be XOR+popcount
+   * instead of d multiplies. Bits pack into ⌈d/32⌉ LONG words (32 bits
+   * per word, so no sign-bit arithmetic anywhere); Hamming is
+   * Σ bit_count(xor) over the words — pure integer, so the shortlist
+   * membership (ham asc, id tie-break) replays exactly in SQL and the
+   * rerank is a20's broadcast id-equi probe of the original vectors.
+   * At 100 TB: the packed index is 8·⌈d/32⌉ B/vector, the brute
+   * Hamming scan is the flat tier — bucket it under l03's IVF layout
+   * when even that scan is too wide. Size `kShort` past the expected
+   * Hamming TIE plateau (near-duplicate content collapses to equal
+   * sketches; a narrower shortlist cuts on the id tie-break, not
+   * similarity — spec'd on planted clusters).
+   */
+  def knnBinary(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, kShort: Int, dim: Int = 64): DataFrame = {
+    require(kShort >= k, s"shortlist kShort=$kShort must be >= k=$k")
+    require(dim >= 1, s"dim=$dim")
+    val words = (dim + 31) / 32
+    def packExprs(vc: String, pfx: String): Seq[Column] =
+      (0 until words).map { w =>
+        val lo = w * 32
+        val hi = math.min(dim, lo + 32) - 1
+        expr(s"aggregate(sequence($lo, $hi), 0L, (acc, i) -> acc + " +
+          s"IF(element_at($vc, i + 1) > 0D, shiftleft(1L, i - $lo), 0L))")
+          .as(s"${pfx}_$w")
+      }
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qp = q.select(col("query_id") +: packExprs("qv", "q"): _*)
+    val cp = c.select(col("neighbor_id") +: packExprs("cv", "c"): _*)
+    val ham = expr((0 until words).map(w => s"bit_count(q_$w ^ c_$w)")
+      .mkString(" + ")).cast("double")
+    val shortlist = cp.crossJoin(broadcast(qp))
+      .select(col("query_id"), col("neighbor_id"), ham.as("ham"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), -col("ham"), kShort).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"))
+    broadcast(shortlist).join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(cosine(col("qv"), col("cv")) * 1e6) / 1e6).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
+  }
+
+  /**
    * Train PQ codebooks on a bounded id-ordered sample: per subspace,
    * driver-side Lloyd over the sample's sub-vectors (the [[knnIvf]]
    * sampling argument — codebooks need the coarse shape only, and m

@@ -1227,6 +1227,52 @@ object SimilarityQueries {
            |  floor((xt.xt - n * mu.m * tmu.tm) / (n - 1) * 1e6 + 0.5) / 1e6 AS s
            |FROM xt JOIN mu USING (i) JOIN tmu USING (j) CROSS JOIN nn
            |ORDER BY i, j""".stripMargin
-      })
+      }),
+
+    Q(
+      "a23_knn_binary",
+      (s, dir) => {
+        // BINARY-quantized kNN (Similarity.knnBinary): sign-bit
+        // packing into ⌈d/32⌉ long words, XOR+popcount Hamming
+        // shortlist (30-wide), exact cosine rerank — the 1-bit tier
+        // completing the a09→a12→a23 quantization ladder. Hamming and
+        // the shortlist membership are pure integers (ham asc, id
+        // tie-break), so the oracle replays the shortlist from the
+        // raw sign disagreements without modeling the packed words,
+        // then reruns a20's quantized-cosine rerank.
+        val e = Tables(s, dir).embeddings
+        graft.ops.Similarity.knnBinary(
+            e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+            "vec_id", "embedding", k = 5, kShort = 30)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            fround(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+             |      FROM embeddings WHERE vec_id >= 10),
+             |hd AS (SELECT qid, nid,
+             |    len(list_filter(range(64), i ->
+             |      (qv[CAST(i AS INT) + 1] > 0) <> (cv[CAST(i AS INT) + 1] > 0)))
+             |      AS ham
+             |  FROM q, c),
+             |short AS (SELECT qid, nid FROM (
+             |    SELECT qid, nid,
+             |      row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+             |    FROM hd) WHERE rn <= 30),
+             |rr AS (SELECT s.qid, s.nid,
+             |    floor(list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(cv, x -> x * x)))) * 1e6) / 1e6
+             |      AS cos
+             |  FROM short s JOIN q ON q.qid = s.qid JOIN c ON c.nid = s.nid)
+             |SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+             |  nid AS neighbor_id,
+             |  floor(cos * 1e4 + 0.5) / 1e4 AS cos
+             |FROM (SELECT qid, nid, cos,
+             |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+             |      FROM rr)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -895,6 +895,39 @@ class SimilaritySpec extends SparkTestBase {
       "partition-variant rerank result")
   }
 
+  test("binary kNN: packed-word Hamming equals the sign-disagreement " +
+      "count; full-width shortlist is exact; recall holds on clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian() * 2))
+    def near(c: Array[Double]) = c.map(_ + 0.3 * rnd.nextGaussian()).toSeq
+    val corpus = (100L until 300L).map(i => (i, near(centers((i % 4).toInt))))
+    val queries = (0L until 8L).map(i => (i, near(centers((i % 4).toInt))))
+    val cdf = corpus.toDF("vec_id", "v")
+    val qdf = queries.toDF("vec_id", "v")
+    val exact = knnBruteForce(qdf, cdf, "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 1. full-width shortlist ⇒ the rerank sees everything: exact
+    //    ranking regardless of how lossy the 1-bit sketch is
+    val full = Similarity.knnBinary(qdf, cdf, "vec_id", "v",
+        k = 5, kShort = corpus.size)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact, "full-width binary rerank must equal exact search")
+    // 2. shortlist sized past the same-cluster tie plateau (all ~50
+    //    same-cluster members sit at near-zero Hamming, so a shortlist
+    //    narrower than the cluster cuts on the id tie-break, not
+    //    similarity — kShort must exceed the expected tie-bucket)
+    val got = Similarity.knnBinary(qdf, cdf, "vec_id", "v", k = 5, kShort = 60)
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(gotSet.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"binary recall $recall")
+    // 3. partition invariance (integer Hamming keys, quantized rerank)
+    val again = Similarity.knnBinary(qdf.repartition(3), cdf.repartition(7),
+      "vec_id", "v", k = 5, kShort = 60).collect().map(_.toSeq).toSet
+    assert(again == got.collect().map(_.toSeq).toSet,
+      "partition-variant binary kNN result")
+  }
+
   test("IVF-PQ composite: probed-cell pruning + ADC keep cluster precision") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
