@@ -972,4 +972,75 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
+
+  /**
+   * Exact duplicate-SPAN removal at the overlapping-window grain (Lee
+   * et al. 2021's ExactSubstr rule, token-window variant): any `w`-token
+   * window whose text occurs MORE THAN ONCE in the corpus — across
+   * documents or repeated inside one document — is a duplicated span;
+   * every occurrence EXCEPT the global first (min (doc, position) in
+   * corpus order) marks its `w` token positions as duplicate, and each
+   * document is rewritten keeping only unmarked tokens. Returns one row
+   * per input document:
+   * (idCol, n_tokens, dup_tokens, dup_ppm, cleaned_text).
+   *
+   * This completes the sub-document dedup triptych: [[spanCensus]]
+   * COUNTS shared overlapping windows (no rewrite), [[paragraphDedup]]
+   * rewrites at the DISJOINT chunk grain (a repeated span straddling a
+   * chunk boundary survives), and this op rewrites at the overlapping
+   * grain — the exact semantics of the suffix-array ExactSubstr pass,
+   * reached here by the n-gram-window equivalence (a duplicated
+   * substring of length ≥ w duplicates every w-window inside it, and
+   * the union of marked windows reconstructs the span; spans shorter
+   * than w are intentionally below the grain, as in the paper's
+   * length-threshold k).
+   *
+   * Scale shape: windows assemble narrowly (split + positional explode
+   * + element_at — no token shuffle) and reduce to the engine-portable
+   * 52-bit md5 BEFORE any exchange, so the census shuffle carries
+   * (hash) with map-side combine and the occurrence join is equi-keyed
+   * on the hash (AQE skew-split applies; a viral boilerplate span
+   * shrinks per-partition in the census). Position marking shuffles
+   * (id, position) INTEGER pairs — never window text — and the only
+   * exchange carrying text is the final per-document reassembly join,
+   * which is output data, irreducible. The window frame is computed
+   * once and shared between census and probe via
+   * [[InternalFrame.sharedScan]]. The (id, i) occurrence order packs
+   * into id * 1000000 + i (the [[paragraphDedup]] bound: documents
+   * < 10^6 windows), replayed exactly by the oracle.
+   */
+  def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    import graft.functions.VectorExpressions.md5Hash52
+    val toks = docs
+      .select(col(idCol).cast("long").as("id"), split(col(textCol), " ").as("t"))
+    val spanText = concat_ws(" ",
+      (0 until w).map(j => element_at(col("t"), col("i") + lit(j))): _*)
+    val windowed = InternalFrame.sharedScan(toks
+      .where(size(col("t")) >= w)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (w - 1))).as("i"))
+      .select(col("id"), col("i"), md5Hash52(spanText).as("h")))
+    val occKey = col("id") * 1000000L + col("i")
+    val census = windowed.groupBy("h")
+      .agg(min(occKey).as("wkey"), count(lit(1)).as("nocc"))
+    // every non-first occurrence of a repeated window marks its w positions
+    val covered = windowed.join(census, "h")
+      .filter(col("nocc") > 1 && occKey =!= col("wkey"))
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .distinct()
+    val covPerDoc = covered.groupBy("id")
+      .agg(array_sort(collect_list(col("p"))).as("cov"))
+    toks.join(covPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("dup_tokens"),
+        floor(coalesce(size(col("cov")), lit(0)).cast("double")
+          * 1000000.0 / size(col("t")) + 0.5).cast("long").as("dup_ppm"),
+        concat_ws(" ", filter(col("t"),
+          (tok, i) => not(array_contains(
+            coalesce(col("cov"), array().cast("array<int>")), i + 1))))
+          .as("cleaned_text"))
+  }
 }

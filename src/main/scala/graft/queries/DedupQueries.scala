@@ -915,7 +915,64 @@ object DedupQueries {
              |WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
              |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
              |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.3
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
+      "d16_dupspan_removal",
+      (s, dir) => {
+        // ExactSubstr at the overlapping-window grain: every 8-token
+        // window occurring more than once in the corpus marks all its
+        // positions in every NON-FIRST occurrence; documents rewrite
+        // keeping only unmarked tokens. Planted remixes for doc_id<40
+        // embed the original's first-12-token span between per-id
+        // unique filler words: the span's interior windows repeat, so
+        // the remix must come back with exactly that span removed and
+        // its fillers kept — a PARTIAL rewrite d13's disjoint-chunk
+        // grain can miss when the span straddles a chunk boundary.
+        // The small shared vocabulary also makes organic cross-doc
+        // 8-gram repeats, which the oracle replays identically.
+        val d = Tables(s, dir).documents.select("doc_id", "text")
+        val corpus = d.union(d.filter(col("doc_id") < 40).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ",
+            concat(lit("u"), col("doc_id"), lit("a")),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 12)),
+            concat(lit("u"), col("doc_id"), lit("b"))).as("text")))
+        graft.ops.Dedup.dupSpanRemoval(corpus, "doc_id", "text", w = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    'u' || CAST(doc_id AS VARCHAR) || 'a ' ||
+             |    array_to_string(string_split(text, ' ')[1:12], ' ') ||
+             |    ' u' || CAST(doc_id AS VARCHAR) || 'b'
+             |  FROM documents WHERE doc_id < 40),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+             |win AS (SELECT doc_id, i,
+             |    ${OracleSql.md5Fold52("array_to_string(t[i : i + 7], ' ')")} AS h
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+             |        FROM toks WHERE len(t) >= 8)),
+             |census AS (SELECT h, min(doc_id * 1000000 + i) AS wkey,
+             |    count(*) AS nocc FROM win GROUP BY h),
+             |cov AS (SELECT DISTINCT doc_id, i + j AS p
+             |  FROM win JOIN census USING (h)
+             |  CROSS JOIN (SELECT unnest(range(8)) AS j)
+             |  WHERE nocc > 1 AND doc_id * 1000000 + i <> wkey),
+             |covdoc AS (SELECT doc_id, list_sort(list(p)) AS cov
+             |  FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS dup_tokens,
+             |  CAST(floor(coalesce(len(c.cov), 0) * 1000000.0 / len(t.t) + 0.5)
+             |    AS BIGINT) AS dup_ppm,
+             |  coalesce(array_to_string(list_transform(
+             |    list_filter(range(1, len(t.t) + 1),
+             |      p -> NOT coalesce(list_contains(c.cov, p), FALSE)),
+             |    p -> t.t[p]), ' '), '') AS cleaned_text
+             |FROM toks t LEFT JOIN covdoc c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
 }

@@ -154,6 +154,44 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("dupSpanRemoval: overlapping-window grain removes embedded spans " +
+      "the disjoint-chunk pass misses; first occurrence survives; " +
+      "within-doc repeats removed; partition-invariant") {
+    import spark.implicits._
+    // doc 1 holds the 6-token span S; doc 2 embeds S mid-document
+    // between unique filler; doc 3 repeats a 4-window WITHIN itself;
+    // doc 4 shares nothing. w = 4.
+    val S = (1 to 6).map(i => s"s$i").mkString(" ")
+    val R = (1 to 4).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 $S p3"),
+      (2L, s"q1 q2 q3 $S q4 q5"),
+      (3L, s"$R m1 m2 $R"),
+      (4L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val got = dupSpanRemoval(docs, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    // doc 1 is the first occurrence of every S-window: untouched
+    assert(got(1L) === ((9L, 0L, s"p1 p2 $S p3")))
+    // doc 2 loses exactly the 6 embedded S positions, fillers survive
+    // (a chunk-grain pass with the span straddling a boundary would
+    // have left parts of S behind)
+    assert(got(2L) === ((11L, 6L, "q1 q2 q3 q4 q5")))
+    // doc 3's second R occurrence (within the SAME doc) is removed
+    assert(got(3L) === ((10L, 4L, s"$R m1 m2")))
+    assert(got(4L) === ((5L, 0L, "z1 z2 z3 z4 z5")))
+    // shorter than w: no windows, returned intact
+    val short = dupSpanRemoval(Seq((9L, "x1 x2")).toDF("doc_id", "text"),
+      "doc_id", "text", w = 4).collect().head
+    assert(short.getLong(1) === 2L && short.getLong(2) === 0L &&
+      short.getString(4) === "x1 x2")
+    // partition invariance (winner rule is a total order)
+    val again = dupSpanRemoval(docs.repartition(7), "doc_id", "text", w = 4)
+      .collect().map(_.toSeq).toSet
+    assert(again === dupSpanRemoval(docs, "doc_id", "text", w = 4)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val pairs = minHashCandidatePairs(corpusWithDups(), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
