@@ -162,4 +162,24 @@ object VectorExpressions {
   def cellProbes(vec: Column, centers: Array[Array[Double]], nprobe: Int): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.CellProbes(
       ColumnBridge.expression(vec), centers, nprobe))
+
+  /** Whole-document signed hashing-TF vector in ONE native token scan —
+    * bit-identical to the explode→groupBy featurizer but O(tokens) work
+    * and zero shuffle (see [[graftshim.HashingTfVec]]). */
+  def hashingTfVec(text: Column, dim: Int): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.HashingTfVec(
+      ColumnBridge.expression(text), dim))
+
+  /** Sign bits of dimensions [lo, hi] packed into one long — the native
+    * binary-quantization pack (see [[graftshim.PackSignBits]]). */
+  def packSignBits(vec: Column, lo: Int, hi: Int): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.PackSignBits(
+      ColumnBridge.expression(vec), lo, hi))
+
+  /** Space-join of tokens whose 1-based position is NOT in the SORTED
+    * `cov` int array — one linear merge-scan (see
+    * [[graftshim.DropCoveredTokens]]). */
+  def dropCoveredTokens(tokens: Column, cov: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.DropCoveredTokens(
+      ColumnBridge.expression(tokens), ColumnBridge.expression(cov)))
 }

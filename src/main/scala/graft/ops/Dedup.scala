@@ -35,6 +35,21 @@ object Dedup {
     graft.functions.VectorExpressions.polyHash(s)
 
   /**
+   * The corpus-order key `id * 10^6 + idx` used by the keep-global-first
+   * rules ([[paragraphDedup]], [[dupSpanRemoval]]), with the pack bounds
+   * enforced IN-PLAN: a document with ≥ 10^6 chunks/windows, or an id
+   * past Long.MaxValue/10^6, would silently COLLIDE keys and remove the
+   * wrong spans — this raises instead (no extra action, no extra
+   * shuffle; the guard rides the rows that already flow).
+   */
+  private def packedOrderKey(id: Column, idx: Column, op: String): Column =
+    when(idx < lit(1000000L) && id < lit(Long.MaxValue / 1000000L),
+      id * 1000000L + idx)
+      .otherwise(raise_error(concat(lit(s"$op: order-key pack overflow (id="),
+        id, lit(", idx="), idx, lit(") — document beyond the 10^6 "),
+        lit("chunk/window bound or id beyond Long.Max/10^6"))).cast("long"))
+
+  /**
    * Hashed word n-gram shingles: one row per (id, shingle hash). The
    * token array is built once per document and carried through a
    * positional explode (`element_at` picks the n words per shingle), so
@@ -958,7 +973,7 @@ object Dedup {
       .select(col("id"), col("ci"),
         concat_ws(" ", slice(col("t"), col("ci") * w + 1, lit(w))).as("chunk"))
       .withColumn("h", md5Hash52(col("chunk"))))
-    val wkey = col("id") * 1000000L + col("ci")
+    val wkey = packedOrderKey(col("id"), col("ci").cast("long"), "paragraphDedup")
     val winners = chunks.groupBy("h").agg(min(wkey).as("wkey"))
     val kept = chunks.join(winners, "h").filter(wkey === col("wkey"))
     val perDoc = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
@@ -1021,7 +1036,11 @@ object Dedup {
       .select(col("id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - (w - 1))).as("i"))
       .select(col("id"), col("i"), md5Hash52(spanText).as("h")))
-    val occKey = col("id") * 1000000L + col("i")
+    // the pack bound fails LOUDLY in-plan instead of silently colliding
+    // occurrence keys (wrong spans removed): a document with >= 10^6−w+1
+    // tokens or an id past Long.Max/10^6 would otherwise corrupt the
+    // keep-global-first rule
+    val occKey = packedOrderKey(col("id"), col("i"), "dupSpanRemoval")
     val census = windowed.groupBy("h")
       .agg(min(occKey).as("wkey"), count(lit(1)).as("nocc"))
     // every non-first occurrence of a repeated window marks its w positions
@@ -1038,9 +1057,13 @@ object Dedup {
         coalesce(size(col("cov")), lit(0)).cast("long").as("dup_tokens"),
         floor(coalesce(size(col("cov")), lit(0)).cast("double")
           * 1000000.0 / size(col("t")) + 0.5).cast("long").as("dup_ppm"),
-        concat_ws(" ", filter(col("t"),
-          (tok, i) => not(array_contains(
-            coalesce(col("cov"), array().cast("array<int>")), i + 1))))
+        // native merge-scan over the ALREADY-SORTED cov array, O(n + c)
+        // — the filter(..., array_contains(cov, i+1)) HOF this replaces
+        // probed the whole covered array per token, interpreted: O(n·c)
+        // on exactly the docs this op targets (a fully-duplicated
+        // 10k-token doc is 10^8 compares)
+        graft.functions.VectorExpressions.dropCoveredTokens(col("t"),
+          coalesce(col("cov"), array().cast("array<int>")))
           .as("cleaned_text"))
   }
 }

@@ -449,18 +449,29 @@ object Similarity {
    * Hamming TIE plateau (near-duplicate content collapses to equal
    * sketches; a narrower shortlist cuts on the id tie-break, not
    * similarity — spec'd on planted clusters).
+   *
+   * DIM CONTRACT (read this if your corpus is not 64-d): `dim` is NOT
+   * validated against the vectors. Dimensions BEYOND `dim` are ignored
+   * by the Hamming shortlist (truncation — recall silently degrades on
+   * the dropped tail), and vectors SHORTER than `dim` zero-pad their
+   * missing sign bits. The exact rerank still scores full vectors, so
+   * results stay well-formed — but pass the true dimensionality or
+   * accept shortlist recall driven by the first `dim` dims only.
    */
   def knnBinary(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, kShort: Int, dim: Int = 64): DataFrame = {
     require(kShort >= k, s"shortlist kShort=$kShort must be >= k=$k")
     require(dim >= 1, s"dim=$dim")
     val words = (dim + 31) / 32
+    // native codegen'd sign-bit pack — the aggregate(sequence(...)) HOF
+    // this replaces ran <=32 interpreted lambda steps per word per
+    // vector on the hot pack loop of an operator whose whole argument
+    // is scan cheapness
     def packExprs(vc: String, pfx: String): Seq[Column] =
       (0 until words).map { w =>
         val lo = w * 32
         val hi = math.min(dim, lo + 32) - 1
-        expr(s"aggregate(sequence($lo, $hi), 0L, (acc, i) -> acc + " +
-          s"IF(element_at($vc, i + 1) > 0D, shiftleft(1L, i - $lo), 0L))")
+        graft.functions.VectorExpressions.packSignBits(col(vc), lo, hi)
           .as(s"${pfx}_$w")
       }
     val q = queries.select(col(idCol).as("query_id"),

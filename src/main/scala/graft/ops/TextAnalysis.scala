@@ -257,31 +257,25 @@ object TextAnalysis {
    * the featurization bit-for-bit — no floats until a consumer
    * divides.
    *
-   * Scale shape: explode → two map-side-combinable aggregates keyed
-   * (doc, bucket) then (doc); the dense assembly is a transform over
-   * sequence(0, dim−1) against the collected sparse map — no
-   * vocabulary, no fit, no model object, nothing broadcast; the only
-   * shuffles carry (doc, bucket, count) cells, never text.
+   * Scale shape: ONE narrow per-row pass — the native codegen'd
+   * [[org.apache.spark.sql.graftshim.HashingTfVec]] expression folds
+   * the whole token scan into one mutable dim-array (no explode, no
+   * shuffle, no vocabulary, no fit, nothing broadcast; earlier rounds
+   * ran this as explode → two keyed aggregates, which shuffled a
+   * (doc, bucket, count) cell per distinct bucket — correct but two
+   * exchanges where zero are needed). Token-free documents (empty or
+   * all-space text, like null text) produce NO row, matching the
+   * explode semantics this formulation replaced.
    * Output: (idCol, tf_vec: array<double> of integral values).
    */
   def hashingTf(docs: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
     require(dim >= 1, s"hashingTf: dim must be >= 1 (got $dim)")
-    import graft.functions.VectorExpressions.md5Hash52
-    val toks = docs.select(col(idCol),
-        explode(split(col(textCol), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val cells = toks.select(col(idCol),
-        pmod(md5Hash52(concat(lit("tfb:"), col("tok"))), lit(dim.toLong))
-          .cast("int").as("j"),
-        when(pmod(md5Hash52(concat(lit("tfs:"), col("tok"))), lit(2L)) === 0,
-          lit(1L)).otherwise(lit(-1L)).as("s"))
-      .groupBy(col(idCol), col("j")).agg(sum("s").as("x"))
-    cells.groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("j"), col("x")))).as("m"))
-      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
-        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
-        .as("tf_vec"))
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        graft.functions.VectorExpressions.hashingTfVec(col(textCol), dim)
+          .as("tf_vec"))
   }
 
   /**

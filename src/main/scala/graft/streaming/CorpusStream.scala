@@ -109,27 +109,20 @@ object CorpusStream {
    * append — no state store, no watermark, and the model is `dim`
    * doubles in the plan itself.
    *
-   * Bit-parity with the batch scorer: the per-row array aggregate
-   * below folds `TextAnalysis.hashingTf`'s explode→groupBy into one
-   * narrow pass — bucket sums are exact integers carried in doubles,
-   * so accumulation order cannot move a bit, and the normalize →
+   * Bit-parity with the batch scorer: the featurization IS the same
+   * native [[org.apache.spark.sql.graftshim.HashingTfVec]] expression
+   * `TextAnalysis.hashingTf` runs — one codegen'd token scan into one
+   * mutable dim-array per row (an earlier round folded this through an
+   * `aggregate`/`transform` HOF chain: O(tokens × dim) interpreted
+   * lambda evals and a fresh dim-array allocation per token, the same
+   * bug class the st19 SetHitCount fix killed) — and the normalize →
    * dot → sigmoid chain reuses the identical expressions t25 runs,
    * making stream ≡ batch row-identical (spec-asserted) and the t25
    * DuckDB oracle valid for the drained sink.
    */
   def learnedQualityStream(docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[Double], dim: Int): DataFrame = {
-    import graft.functions.VectorExpressions.md5Hash52
-    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
-    // one md5 pair per token, then dim adds per token
-    val cells = transform(toks, t => struct(
-      pmod(md5Hash52(concat(lit("tfb:"), t)), lit(dim.toLong))
-        .cast("int").as("b"),
-      when(pmod(md5Hash52(concat(lit("tfs:"), t)), lit(2L)) === 0,
-        lit(1.0)).otherwise(lit(-1.0)).as("s")))
-    val v = aggregate(cells, array_repeat(lit(0.0), dim),
-      (acc, c) => transform(acc, (a, i) =>
-        a + when(c.getField("b") === i, c.getField("s")).otherwise(lit(0.0))))
+    val v = graft.functions.VectorExpressions.hashingTfVec(col(textCol), dim)
     val nTok = size(split(col(textCol), " "))
     val alphaRatio =
       (length(col(textCol)) - length(regexp_replace(col(textCol), "[A-Za-z ]", "")))

@@ -494,6 +494,194 @@ case class SetHitCount(child: Expression, set: Array[String]) extends
   override def hashCode(): Int = 31 * child.hashCode() + set.toSeq.hashCode()
 }
 
+/**
+ * Signed hashing-trick TF featurization of a whole document in ONE
+ * native token scan (Weinberger et al. 2009): split on single spaces,
+ * and for each non-empty token add ±1 to bucket
+ * `md5_52("tfb:" ⧺ tok) mod dim`, signed by `md5_52("tfs:" ⧺ tok)
+ * mod 2 — bit-identical to the explode→groupBy formulation in
+ * `TextAnalysis.hashingTf` (every entry is an exact small integer, so
+ * accumulation order cannot move a bit) and to the per-row HOF fold
+ * the streaming scorer used before this expression existed. That HOF
+ * rebuilt the whole dim-length array through interpreted lambdas per
+ * token (O(tokens × dim) lambda evals + one fresh array allocation
+ * per token — the st21 bug class); this is one token scan into one
+ * mutable array, O(tokens) md5s and O(dim) output, inside codegen.
+ * The md5-based bucket/sign keeps the value engine-portable: DuckDB
+ * folds the same first-13-hex-chars integer. Tokenization is
+ * byte-level split on 0x20 — exact for UTF-8, where a space byte
+ * never occurs inside a multibyte sequence.
+ */
+case class HashingTfVec(child: Expression, dim: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(dim >= 1, s"HashingTfVec: dim must be >= 1 (got $dim)")
+
+  override def prettyName: String = "graft_hashing_tf"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // MessageDigest is stateful; one instance per executor thread
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 52 bits (13 hex chars) of the digest as a non-negative long —
+    * the native twin of `VectorExpressions.md5Hash52`. */
+  private def h52(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) | ((d(2) & 0xffL) << 28) |
+      ((d(3) & 0xffL) << 20) | ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) |
+      ((d(6) & 0xf0L) >>> 4)
+
+  /** codegen entry point (public for the generated class). */
+  def evalVec(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[Double](dim)
+    val digest = md.get()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { // non-empty token [start, i)
+          digest.reset()
+          digest.update(HashingTfVec.BucketPrefix)
+          digest.update(bytes, start, i - start)
+          val j = (h52(digest.digest()) % dim).toInt
+          digest.reset()
+          digest.update(HashingTfVec.SignPrefix)
+          digest.update(bytes, start, i - start)
+          out(j) += (if (h52(digest.digest()) % 2 == 0) 1.0 else -1.0)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    evalVec(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("hashingTfVec", this, classOf[HashingTfVec].getName)
+      s"${ev.value} = $self.evalVec($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashingTfVec =
+    copy(child = newChild)
+}
+
+object HashingTfVec {
+  private val BucketPrefix = "tfb:".getBytes("UTF-8")
+  private val SignPrefix = "tfs:".getBytes("UTF-8")
+}
+
+/**
+ * Sign bits of dimensions [lo, hi] of a double array packed into one
+ * long: bit (i − lo) is set iff element i (0-based) exists, is
+ * non-null and is > 0 — exactly the `aggregate(sequence(lo, hi), …)`
+ * HOF it replaces in the binary-quantization pack (a23), where every
+ * one of the ≤ 32 lambda steps per word per vector ran interpreted on
+ * the hot pack loop of an operator whose whole argument is scan
+ * cheapness. Out-of-range and null elements contribute a 0 bit (the
+ * non-ANSI `element_at` semantics of the HOF form): vectors SHORTER
+ * than the caller's dim quietly zero-pad, and dimensions beyond hi
+ * are IGNORED — callers passing a non-default-dim corpus must size
+ * (lo, hi) to the real vector length or accept that truncation in
+ * the Hamming shortlist.
+ */
+case class PackSignBits(child: Expression, lo: Int, hi: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(lo >= 0 && hi >= lo && hi - lo < 64,
+    s"PackSignBits: need 0 <= lo <= hi < lo + 64 (got $lo, $hi)")
+
+  override def prettyName: String = "graft_pack_sign_bits"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  /** codegen entry point (public for the generated class). */
+  def evalPack(v: ArrayData): Long = {
+    var bits = 0L
+    val n = v.numElements()
+    var i = lo
+    val top = math.min(hi, n - 1)
+    while (i <= top) {
+      if (!v.isNullAt(i) && v.getDouble(i) > 0) bits |= 1L << (i - lo)
+      i += 1
+    }
+    bits
+  }
+
+  override protected def nullSafeEval(v: Any): Any = evalPack(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("packSignBits", this, classOf[PackSignBits].getName)
+      s"${ev.value} = $self.evalPack($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackSignBits =
+    copy(child = newChild)
+}
+
+/**
+ * Space-join of the tokens whose 1-BASED position is NOT in a SORTED
+ * int position array — the reassembly step of duplicate-span removal
+ * (d16) as one linear merge-scan. The `filter(t, (tok, i) ->
+ * !array_contains(cov, i+1))` HOF it replaces probes the whole
+ * covered-positions array per token, interpreted — O(n·c) on exactly
+ * the documents the op targets (heavily duplicated long docs maximize
+ * c; a fully-duplicated 10k-token doc is 10⁸ compares). Here `cov` is
+ * consumed as the sorted array the caller already builds
+ * (`array_sort` in the census), so one pointer walks it alongside the
+ * token index: O(n + c). Null tokens (impossible from `split`) are
+ * skipped like concat_ws skips them; positions outside [1, n] are
+ * ignored.
+ */
+case class DropCoveredTokens(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_drop_covered"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType),
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  /** codegen entry point (public for the generated class). */
+  def evalJoin(toks: ArrayData, cov: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = toks.numElements()
+    val c = cov.numElements()
+    val kept = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      val pos = i + 1 // 1-based token position, matching the census
+      while (p < c && cov.getInt(p) < pos) p += 1
+      val covered = p < c && cov.getInt(p) == pos
+      if (!covered && !toks.isNullAt(i)) kept.add(toks.getUTF8String(i))
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.concatWs(
+      org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+      kept.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](kept.size())): _*)
+  }
+
+  override protected def nullSafeEval(t: Any, c: Any): Any =
+    evalJoin(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      val self = ctx.addReferenceObj("dropCovered", this, classOf[DropCoveredTokens].getName)
+      s"${ev.value} = $self.evalJoin($t, $c);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DropCoveredTokens =
+    copy(left = newLeft, right = newRight)
+}
+
 case class Int8Quantize(child: Expression) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 

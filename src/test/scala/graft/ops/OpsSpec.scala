@@ -192,6 +192,48 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("dupSpanRemoval: reassembly is linear on a heavily-duplicated LONG " +
+      "doc (the merge-scan bound), and the result is the exact rewrite") {
+    import spark.implicits._
+    // 4,000-token doc that is ONE span repeated 400 times: coverage c is
+    // ~n, the worst case for the old O(n·c) per-token array_contains
+    // probe (~1.6e7 interpreted compares here; 1e8 at 10k tokens). The
+    // native sorted merge-scan walks tokens and cov once each — this
+    // must complete in seconds, and the rewrite must keep exactly the
+    // FIRST occurrence of the repeated unit.
+    val unit = (1 to 10).map(i => s"u$i").mkString(" ")
+    val longDoc = Seq.fill(400)(unit).mkString(" ")
+    val t0 = System.nanoTime()
+    val row = dupSpanRemoval(Seq((1L, longDoc)).toDF("doc_id", "text"),
+      "doc_id", "text", w = 8).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(row.getLong(1) === 4000L)
+    // every window past the first unit repeats -> all but the first-
+    // occurrence prefix is covered; the survivor is the leading tokens
+    // whose positions no later window claimed
+    assert(row.getString(4) === unit, s"survivor was '${row.getString(4)}'")
+    assert(row.getLong(2) === 3990L)
+    assert(secs < 30.0, f"reassembly took $secs%.1f s — n·c shape is back")
+  }
+
+  test("dupSpanRemoval/paragraphDedup: order-key pack overflow fails " +
+      "LOUDLY instead of silently colliding keys") {
+    import spark.implicits._
+    // id past Long.Max/10^6: the packed key id*10^6+i would collide/
+    // overflow; the in-plan guard must raise, not mis-deduplicate
+    val bigId = Long.MaxValue / 1000000L + 1L
+    val docs = Seq((bigId, (1 to 12).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      dupSpanRemoval(docs, "doc_id", "text", w = 4).collect()
+    }
+    assert(e1.getMessage != null || e1.getCause != null)
+    val e2 = intercept[Exception] {
+      paragraphDedup(docs, "doc_id", "text", w = 4).collect()
+    }
+    assert(e2.getMessage != null || e2.getCause != null)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val pairs = minHashCandidatePairs(corpusWithDups(), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
