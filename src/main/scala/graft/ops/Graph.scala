@@ -105,16 +105,16 @@ object Graph {
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
     val (eo, eoRdd) = materializeEdges(
       e.join(outw, "src").repartition(col("src")))
-    val nodeRot = new Rotation
-    val (nodes, n) = nodeRot.materialize(
+    // keep the RDD handles (persistConvergedState, not Rotation+release)
+    // so the snapshots can be unpersisted once the final state
+    // materializes instead of lingering until GC
+    val (nodesRdd, nodes) = persistConvergedState(
       eo.select(col("src").as("node"))
         .union(eo.select(col("dst").as("node"))).distinct(), rowBytes = 16)
-    nodeRot.release() // nodes stays live for every round's outer join
-    val dangRot = new Rotation
-    val (dangling, _) = dangRot.materialize(
+    val n = nodesRdd.count()
+    val (dangRdd, dangling) = persistConvergedState(
       nodes.join(eo.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti"), rowBytes = 16)
-    dangRot.release()
     require(n > 0, "pageRank: empty graph")
     val base = math.floor((1 - damping) * scale.toDouble / n + 0.5).toLong
 
@@ -137,6 +137,8 @@ object Graph {
     val (out, _) = rot.materialize(ranks, rowBytes = 24)
     rot.release() // final blocks reclaimed by the ContextCleaner via GC
     eoRdd.unpersist(blocking = false)
+    nodesRdd.unpersist(blocking = false)
+    dangRdd.unpersist(blocking = false)
     out.select(col("node"), col("r").as("rank_nano"))
   }
 
@@ -181,16 +183,19 @@ object Graph {
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
     val (eo, eoRdd) = materializeEdges(
       e.join(outw, "src").repartition(col("src")))
-    val nodeRot = new Rotation
-    val (nodes, n) = nodeRot.materialize(
+    // persistConvergedState (not Rotation+release) so the snapshots keep
+    // their RDD handles: these blocks must be unpersisted on BOTH exits
+    // below — a Rotation released here would leave them pinned until GC
+    // on every maxRounds retry (the leak this function's failure branch
+    // exists to prevent)
+    val (nodesRdd, nodes) = persistConvergedState(
       eo.select(col("src").as("node"))
         .union(eo.select(col("dst").as("node"))).distinct(), rowBytes = 16)
-    nodeRot.release()
-    val dangRot = new Rotation
-    val (dangling, danglingCount) = dangRot.materialize(
+    val n = nodesRdd.count()
+    val (dangRdd, dangling) = persistConvergedState(
       nodes.join(eo.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti"), rowBytes = 16)
-    dangRot.release()
+    val danglingCount = dangRdd.count()
     require(n > 0, "pageRankConverged: empty graph")
     val base = math.floor((1 - damping) * scale.toDouble / n + 0.5).toLong
 
@@ -206,10 +211,13 @@ object Graph {
     var done = false
     while (!done) {
       if (rounds >= maxRounds) {
-        // release every pinned block BEFORE failing: a longer-period
-        // attractor would otherwise leave the full edge set plus up to
-        // two node-state snapshots in the block manager per retry
+        // release EVERY pinned block before failing: a longer-period
+        // attractor would otherwise leave the full edge set, the node/
+        // dangling snapshots, and up to two state snapshots in the
+        // block manager per retry
         eoRdd.unpersist(blocking = false)
+        nodesRdd.unpersist(blocking = false)
+        dangRdd.unpersist(blocking = false)
         if (prevRdd != null) prevRdd.unpersist(blocking = false)
         curRdd.unpersist(blocking = false)
         throw new IllegalArgumentException(
@@ -243,6 +251,11 @@ object Graph {
       if (settled) done = true
     }
     eoRdd.unpersist(blocking = false)
+    // the returned envelope references only cur/prev (left to the
+    // ContextCleaner — the caller consumes them lazily); the node and
+    // dangling snapshots are done the moment the loop exits
+    nodesRdd.unpersist(blocking = false)
+    dangRdd.unpersist(blocking = false)
     // phase-invariant envelope over the (possibly period-2) attractor
     val out = cur.join(prev.withColumnRenamed("r", "rp"), Seq("node"))
       .select(col("node"), greatest(col("r"), col("rp")).as("rank_nano"))

@@ -714,16 +714,23 @@ object CorpusOps2 {
         // t25's classifier frozen and applied at ingest
         // (CorpusStream.learnedQualityStream — train-offline /
         // score-at-ingest, st08's deployment shape). The fit runs on
-        // the STATIC corpus exactly as t25 runs it, the stream scores
-        // row-locally against the broadcast-in-plan weights — a
-        // stateless append whose drained sink hash-matches t25's own
-        // oracle (stream ≡ batch row-identical, LogisticSpec).
-        // collect() is the MemoryStream feeding harness.
+        // the STATIC corpus slice exactly as t25 runs it, the stream
+        // scores row-locally against the broadcast-in-plan weights — a
+        // stateless append whose drained sink hash-matches the capped
+        // t25 oracle (stream ≡ batch row-identical, LogisticSpec).
+        // The WHOLE query universe caps at doc_id < 2000, an ABSOLUTE
+        // bound (st18/st22's discipline, a hash-no-op at the driver
+        // SF where every doc_id < 500): a deployed scorer's training
+        // slice is a FIXED artifact and the MemoryStream harness must
+        // not scale with SF — pre-cap, the full corpus streamed
+        // through the sink and the full fit re-ran first, making st21
+        // the sweep's slowest entry at sf0.1 and quadratically worse
+        // at sf1. collect() is the MemoryStream feeding harness.
         import org.apache.spark.sql.graftshim.InternalFrame
         implicit val sqlCtx = s.sqlContext
         implicit val rowEnc =
           org.apache.spark.sql.Encoders.product[(Long, String)]
-        val d = Tables(s, dir).documents
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 2000)
         val feats = InternalFrame.sharedScan(
           graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64)
             .withColumn("nrm",
@@ -757,12 +764,16 @@ object CorpusOps2 {
         } finally q.stop()
         s.table("st21_scores").orderBy("doc_id")
       },
-      Some(t25OracleSql)))
+      Some(t25OracleSqlWhere("doc_id < 2000"))))
 
-  /** t25's full unrolled oracle — shared verbatim by st21 (the stream
-    * is bit-parity with the batch scorer, st08's discipline). */
-  private def t25OracleSql: String =
-    s"""WITH ${SimilarityQueries.hashingTfSql("TRUE")},
+  /** t25's full unrolled oracle (uncapped). */
+  private def t25OracleSql: String = t25OracleSqlWhere("TRUE")
+
+  /** t25's unrolled oracle over a filtered document slice — st21 passes
+    * its absolute feed cap (the stream is bit-parity with the batch
+    * scorer over the same slice, st08's discipline). */
+  private def t25OracleSqlWhere(docFilter: String): String =
+    s"""WITH ${SimilarityQueries.hashingTfSql(docFilter)},
        |lab AS (SELECT doc_id, CAST(CAST(
        |    len(string_split(text, ' ')) BETWEEN 10 AND 100000
        |    AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
@@ -770,7 +781,7 @@ object CorpusOps2 {
        |    AND len(list_filter(string_split(text, ' '),
        |      x -> x IN ('the','a','of','and','to','in','is','it')))
        |      >= 2 AS INT) AS DOUBLE) AS y
-       |  FROM documents),
+       |  FROM documents WHERE $docFilter),
        |f AS MATERIALIZED (SELECT vecs.doc_id,
        |    list_transform(vecs.v, a -> a / sqrt(list_sum(
        |      list_transform(vecs.v, b -> b * b)))) AS v, lab.y

@@ -619,12 +619,16 @@ object MultimodalQueries {
         // and dropDuplicatesWithinWatermark keyed on the signature
         // keeps one row per distinct CONTENT — a re-uploaded video
         // with fresh container bytes drops at ingest. mm13's corpus,
-        // fed id-ordered in two micro-batches split at the median id:
-        // every planted re-upload arrives in batch 2 while its source
-        // arrived in batch 1, so copies drop ONLY if per-signature
-        // state survived the batch boundary. Survivors = min media_id
-        // per signature, which the oracle replays from the generator
-        // formulas. collect() is the MemoryStream feeding harness.
+        // fed id-ordered in two micro-batches split at the BASE/COPY
+        // id boundary (media_id < 150 in batch 1, the 10000+ copies in
+        // batch 2): every one of the 30 planted re-uploads arrives in
+        // batch 2 while its source arrived in batch 1, so copies drop
+        // ONLY if per-signature state survived the batch boundary (a
+        // median split would land 12 of the 30 copies in the same
+        // batch as their sources, exercising within-batch dedup
+        // instead). Survivors = min media_id per signature, which the
+        // oracle replays from the generator formulas. collect() is
+        // the MemoryStream feeding harness.
         import graft.ops.Multimodal
         import graft.streaming.MediaStream
         implicit val sqlCtx = s.sqlContext
@@ -654,8 +658,8 @@ object MultimodalQueries {
             .outputMode("append").start()
           finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
         try {
-          val chunk = math.max(1, (rows.length + 1) / 2)
-          rows.grouped(chunk).foreach { b =>
+          val (bases, copyRows) = rows.partition(_.media_id < 150)
+          Seq(bases, copyRows).filter(_.nonEmpty).foreach { b =>
             stream.addData(b.toSeq)
             q.processAllAvailable()
           }

@@ -862,8 +862,15 @@ object PlanQueries {
         // predicate and the oracle computes the same aggregate from
         // the raw table.
         val t = Tables(s, dir)
-        // & 0x7fffffff, not math.abs: abs(Int.MinValue) is negative
-        val base = s"${sys.props("java.io.tmpdir")}/graft_l12_${dir.hashCode & 0x7fffffff}"
+        // per-RUN unique scratch root (not a hash of the data dir, which
+        // can collide across dirs and RACES concurrent runs over the
+        // same dir — one process deleting/rewriting $base while the
+        // other's returned frame still lazily reads it), deleted on JVM
+        // exit so repeated runs don't accumulate orders copies in tmpdir
+        val base = java.nio.file.Files.createTempDirectory("graft_l12_")
+          .toAbsolutePath.toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try deleteRecursively(base) catch { case _: Throwable => () }))
         val slice = t.orders
           .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
         slice.repartition(48).write.mode("overwrite").parquet(s"$base/small")
