@@ -1029,4 +1029,95 @@ object Graph {
       .agg(count(lit(1)).as("reached"),
         sum(expr("1000000 div d")).as("harmonic_ppm"))
   }
+
+  /**
+   * Sampled BETWEENNESS centrality from a fixed seed panel — Brandes'
+   * dependency accumulation (Brandes 2001) over the pivot-sampled
+   * estimator (Brandes & Pich 2007: k pivots instead of all-sources,
+   * error O(1/√k) like [[harmonicCloseness]]'s panel), bounded to
+   * `rounds` BFS levels. Two phases, both exact integer arithmetic so
+   * a SQL oracle replays every step:
+   *
+   *  1. FORWARD — layered BFS with INTEGER path counts: level t's
+   *     frontier relaxes along the edges, σ(v) = Σ σ(u) over the
+   *     predecessors that reach v first (exact longs; the min-d +
+   *     anti-join construction places each (seed, node) at exactly its
+   *     first-reach level).
+   *  2. BACKWARD — per level t from the deepest settled level down:
+   *     δppm(v) = Σ_{(v,w) edge, d(w)=d(v)+1} ⌊σ(v)·(10⁶ + δppm(w)) /
+   *     σ(w)⌋ — Brandes' (σv/σw)(1 + δ(w)) with the unit carried as
+   *     ppm and every division floored, so accumulation order cannot
+   *     move a bit.
+   *
+   * Output: (node, bet_ppm) = Σ over seeds of δppm, EXCLUDING each
+   * seed's own level-0 row (Brandes sums δ_s(v) for v ≠ s); nodes on
+   * no sampled shortest path are absent. Deeper-than-`rounds` paths
+   * are out of scope, exactly like [[harmonicCloseness]]'s horizon.
+   *
+   * Scale shape: edges materialize ONCE src-partitioned and never
+   * move; forward state is (seed, node, d, σ) = 32 B × k·|reached|
+   * rotated through lineage-truncated leaves; each backward level is
+   * one equi-join of two LEVEL-sized slices against the immovable
+   * edge set plus a map-side-combinable sum. The seed-panel size k is
+   * the accuracy/cost knob — state and relax traffic are linear in k,
+   * the edge side k-independent (σ fits a long within the horizon:
+   * path counts grow by at most max-degree per level).
+   */
+  def betweennessSampled(edges: DataFrame, seeds: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(rounds >= 2,
+      s"betweennessSampled: rounds must be >= 2 (got $rounds) — " +
+        "within 1 hop there are no intermediate vertices")
+    val spark = edges.sparkSession
+    val (e, eRdd) = materializeEdges(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct()
+        .repartition(col("src")))
+    import spark.implicits._
+    // forward: layered BFS with exact integer path counts
+    var vis = InternalFrame.sharedScan(seeds.distinct.map(s => (s, s, 0L, 1L))
+      .toDF("seed", "node", "d", "sigma"))
+    for (t <- 1 to rounds) {
+      val frontier = vis.filter(col("d") === (t - 1))
+      val reached = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+      val fresh = reached.join(vis.select("seed", "node"),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(t.toLong).as("d"), col("sigma"))
+      vis = InternalFrame.sharedScan(vis.union(fresh))
+    }
+    // backward: dependency accumulation from the deepest level; the
+    // level-(t+1) deltas feed level t through one left join
+    var deltaNext: DataFrame = null // (seed, node, delta_ppm) at level t+1
+    var acc: DataFrame = null       // union of levels rounds-1 .. 1
+    for (t <- (rounds - 1) to 1 by -1) {
+      val cur = vis.filter(col("d") === t)
+        .select(col("seed"), col("node").as("src"), col("sigma").as("sv"))
+      val nxt0 = vis.filter(col("d") === (t + 1))
+        .select(col("seed"), col("node").as("dst"), col("sigma").as("sw"))
+      val nxt =
+        if (deltaNext == null) nxt0.withColumn("dw", lit(0L))
+        else nxt0.join(
+            deltaNext.select(col("seed"), col("node").as("dst"),
+              col("delta_ppm")), Seq("seed", "dst"), "left")
+          .withColumn("dw", coalesce(col("delta_ppm"), lit(0L)))
+          .select("seed", "dst", "sw", "dw")
+      val level = e.join(cur, "src").join(nxt, Seq("seed", "dst"))
+        .select(col("seed"), col("src").as("node"),
+          expr("(sv * (1000000 + dw)) div sw").as("term"))
+        .groupBy("seed", "node").agg(sum("term").as("delta_ppm"))
+      deltaNext = InternalFrame.sharedScan(level)
+      acc = if (acc == null) deltaNext else acc.union(deltaNext)
+    }
+    val result = acc.groupBy("node")
+      .agg(sum("delta_ppm").as("bet_ppm"))
+    // materialize before dropping the edge blocks: the result plan
+    // references the edge leaf, which would otherwise recompute
+    val rot = new Rotation
+    val (out, _) = rot.materialize(result, rowBytes = 16)
+    rot.release()
+    eRdd.unpersist(blocking = false)
+    out
+  }
 }

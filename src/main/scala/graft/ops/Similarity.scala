@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.InternalFrame
 
 /**
  * Similarity search over embedding columns (array<float>/array<double>).
@@ -672,6 +673,82 @@ object Similarity {
       ranked.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
       .select("src", "rank", "dst", "cos")
+  }
+
+  /**
+   * DETERMINISTIC beam search over a [[knnGraph]] adjacency — the QUERY
+   * side of graph-based ANN (the greedy walk HNSW/NSG/DiskANN run at
+   * their base layer; Malkov & Yashunin 2018 §4, Fu et al. 2019): start
+   * every query's beam at the fixed `entries` nodes, and each round
+   * expand the beam one hop along the graph, score candidates by EXACT
+   * cosine against the query, and keep the best `beam` nodes by
+   * (cos desc, id asc) — a monotone beam (the current beam always
+   * competes with its expansion, so quality never regresses), with
+   * every choice a pure function of floor-quantized scores and ids.
+   * That determinism is the point: a production walker would use a
+   * priority queue and visited set per query; this formulation makes
+   * each round ONE equi-join + ONE bounded-heap aggregate, identical
+   * under any partitioning, and lets a SQL oracle replay every hop
+   * (x13's hash-min discipline applied to beam ANN). Returns top `k`
+   * of the final beam as (query_id, rank, neighbor_id, cos).
+   *
+   * Recall is governed by the substrate (a kNN graph reaches the true
+   * neighbors only along monotone-improving paths from the entries —
+   * the published behavior) and by `beam`/`rounds`; misses are possible
+   * by construction, gauged with [[annRecall]] like every ANN tier.
+   *
+   * 100 TB posture: queries broadcast (model-sized); the beam state is
+   * (queries × beam) rows — model-sized however large the corpus; each
+   * expansion is a broadcast equi-join INTO the src-partitioned graph
+   * (the corpus-sized side never moves), and candidate scoring probes
+   * the vector table by a broadcast id-equi join (a20's shortlist
+   * shape: the 100 TB side is filtered by a broadcast hash, never
+   * shuffled). Rounds iterate on a lineage-truncated beam leaf, so the
+   * plan does not deepen with rounds.
+   */
+  def knnGraphSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, graph: DataFrame, entries: Seq[Long], k: Int,
+      beam: Int, rounds: Int): DataFrame = {
+    require(beam >= k, s"beam=$beam must be >= k=$k")
+    require(rounds >= 1, s"rounds=$rounds")
+    require(entries.nonEmpty, "need at least one entry point")
+    val c = InternalFrame.sharedScan(corpus.select(
+      col(idCol).cast("long").as("nid"),
+      col(vecCol).cast("array<double>").as("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val g = InternalFrame.sharedScan(
+      graph.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val score = (floor(cosine(col("qv"), col("cv")) * 1e6) / 1e6).as("cos")
+    var beamDf = InternalFrame.sharedScan(
+      c.filter(col("nid").isin(entries: _*))
+        .crossJoin(broadcast(q))
+        .select(col("query_id"), col("nid"), score))
+    for (_ <- 1 to rounds) {
+      val expandIds = beamDf.select(col("query_id"), col("nid").as("src"))
+      val cand = g.join(broadcast(expandIds), Seq("src"))
+        .select(col("query_id"), col("dst").as("nid")).distinct()
+      val scored = c.join(broadcast(cand), Seq("nid"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("nid"), score)
+      beamDf = InternalFrame.sharedScan(
+        beamDf.union(scored)
+          // a node reachable both ways carries ONE identical cos
+          .groupBy("query_id", "nid").agg(max("cos").as("cos"))
+          .groupBy("query_id")
+          .agg(graft.functions.VectorExpressions
+            .topKByScore(col("nid"), col("cos"), beam).as("topk"))
+          .select(col("query_id"), explode(col("topk")).as("nb"))
+          .select(col("query_id"), col("nb.id").as("nid"),
+            col("nb.score").as("cos")))
+    }
+    beamDf.groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("nid"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("cos"))
   }
 
   /**

@@ -1001,6 +1001,77 @@ object GraphQueries {
              |SELECT pv.pivot_node, d AS dist, count(*) AS n_nodes,
              |  CAST(sum(node) AS BIGINT) AS id_sum
              |FROM s3 CROSS JOIN pv GROUP BY pv.pivot_node, d
-             |ORDER BY dist""".stripMargin))
+             |ORDER BY dist""".stripMargin)),
+
+    Q(
+      "x19_betweenness",
+      (s, dir) => {
+        // Sampled BETWEENNESS centrality (Graph.betweennessSampled):
+        // Brandes' dependency accumulation from x17's 4-supplier seed
+        // panel over the same symmetrized trade graph, 3 BFS levels.
+        // Forward: layered BFS with exact integer path counts σ.
+        // Backward: δppm(v) = Σ ⌊σv·(1e6 + δppm(w))/σw⌋ over the
+        // level-(d+1) successors — integer end to end, so the oracle
+        // unrolls BOTH phases as CTEs (forward like x17's h-chain but
+        // carrying σ through the first-reach anti-join; backward one
+        // CTE per level). Seeds' own level-0 rows are excluded
+        // (Brandes sums δ_s(v) for v ≠ s).
+        val t = Tables(s, dir)
+        val pairs = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (lit(1000000000L) + col("l_suppkey")).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        graft.ops.Graph.betweennessSampled(edges,
+          seeds = Seq(1000000001L, 1000000002L, 1000000003L, 1000000004L),
+          rounds = 3)
+          .orderBy("node")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+             |    1000000000 + l_suppkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+             |     UNION SELECT p AS src, c AS dst FROM pairs),
+             |v0 AS (SELECT s AS seed, s AS node, CAST(0 AS BIGINT) AS d,
+             |       CAST(1 AS BIGINT) AS sigma
+             |  FROM (SELECT unnest([1000000001, 1000000002,
+             |                      1000000003, 1000000004]) AS s)),
+             |c1 AS (SELECT v.seed, e.dst AS node, sum(v.sigma) AS sigma
+             |  FROM e JOIN v0 v ON e.src = v.node WHERE v.d = 0 GROUP BY 1, 2),
+             |v1 AS (SELECT * FROM v0 UNION ALL
+             |  SELECT c1.seed, c1.node, 1, c1.sigma FROM c1
+             |  WHERE NOT EXISTS (SELECT 1 FROM v0
+             |    WHERE v0.seed = c1.seed AND v0.node = c1.node)),
+             |c2 AS (SELECT v.seed, e.dst AS node, sum(v.sigma) AS sigma
+             |  FROM e JOIN v1 v ON e.src = v.node WHERE v.d = 1 GROUP BY 1, 2),
+             |v2 AS (SELECT * FROM v1 UNION ALL
+             |  SELECT c2.seed, c2.node, 2, c2.sigma FROM c2
+             |  WHERE NOT EXISTS (SELECT 1 FROM v1
+             |    WHERE v1.seed = c2.seed AND v1.node = c2.node)),
+             |c3 AS (SELECT v.seed, e.dst AS node, sum(v.sigma) AS sigma
+             |  FROM e JOIN v2 v ON e.src = v.node WHERE v.d = 2 GROUP BY 1, 2),
+             |v3 AS MATERIALIZED (SELECT * FROM v2 UNION ALL
+             |  SELECT c3.seed, c3.node, 3, c3.sigma FROM c3
+             |  WHERE NOT EXISTS (SELECT 1 FROM v2
+             |    WHERE v2.seed = c3.seed AND v2.node = c3.node)),
+             |d2 AS (SELECT cur.seed, cur.node,
+             |    sum((cur.sigma * 1000000) // nxt.sigma) AS delta_ppm
+             |  FROM v3 cur JOIN e ON e.src = cur.node
+             |  JOIN v3 nxt ON nxt.seed = cur.seed AND nxt.node = e.dst
+             |    AND nxt.d = 3
+             |  WHERE cur.d = 2 GROUP BY 1, 2),
+             |d1 AS (SELECT cur.seed, cur.node,
+             |    sum((cur.sigma * (1000000 + coalesce(dn.delta_ppm, 0)))
+             |        // nxt.sigma) AS delta_ppm
+             |  FROM v3 cur JOIN e ON e.src = cur.node
+             |  JOIN v3 nxt ON nxt.seed = cur.seed AND nxt.node = e.dst
+             |    AND nxt.d = 2
+             |  LEFT JOIN d2 dn ON dn.seed = nxt.seed AND dn.node = nxt.node
+             |  WHERE cur.d = 1 GROUP BY 1, 2)
+             |SELECT node, CAST(sum(delta_ppm) AS BIGINT) AS bet_ppm
+             |FROM (SELECT * FROM d2 UNION ALL SELECT * FROM d1)
+             |GROUP BY node ORDER BY node""".stripMargin))
   )
 }

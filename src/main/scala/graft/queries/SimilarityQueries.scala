@@ -1273,6 +1273,87 @@ object SimilarityQueries {
              |FROM (SELECT qid, nid, cos,
              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
              |      FROM rr)
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "a24_knn_graph_search",
+      (s, dir) => {
+        // Graph-ANN QUERY side (Similarity.knnGraphSearch): a13 built
+        // the kNN-graph substrate; this searches it — deterministic
+        // 3-round beam search (beam 6) from fixed entry points 10/11
+        // over the DIRECTED 3-NN graph (mutual=false: search wants
+        // out-edges everywhere, not the dedup-clustering mutual
+        // filter). Every hop is (floor-quantized cos desc, id asc) —
+        // x13's hash-min discipline applied to beam ANN — so the
+        // oracle replays the graph (a13's CTEs sans the mutual
+        // filter), then each beam round as UNION-expand + rank.
+        // Corpus caps at the a13 base range (oracle-SF no-op; same
+        // Σg² quadratic-candidate argument).
+        val e = Tables(s, dir).embeddings
+        val corpus = e.filter(col("vec_id") >= 10 && col("vec_id") < 2000)
+        val queries = e.filter(col("vec_id") < 10)
+        val graph = graft.ops.Similarity.knnGraph(
+          corpus, "vec_id", "embedding", k = 3, dim = 64,
+          planes = 8, tables = 4, mutual = false)
+        graft.ops.Similarity.knnGraphSearch(
+            queries, corpus, "vec_id", "embedding", graph,
+            entries = Seq(10L, 11L), k = 3, beam = 6, rounds = 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            fround(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |kb AS (
+             |  ${lshKeyedSql("vec_id >= 10", "id", "kv", dim = 64, planes = 8, tables = 4)}),
+             |hits AS (SELECT a.id AS src, b.id AS dst,
+             |    list_sum(list_transform(list_zip(a.kv, b.kv), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(a.kv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(b.kv, x -> x * x)))) AS cos
+             |  FROM kb a JOIN kb b
+             |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
+             |best AS (SELECT src, dst, max(cos) AS cos FROM hits GROUP BY 1, 2),
+             |g AS (SELECT src, dst FROM (SELECT src, dst,
+             |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             |  FROM best) WHERE rn <= 3),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS nid, v AS cv FROM e WHERE vec_id >= 10),
+             |sc AS MATERIALIZED (SELECT q.query_id, c.nid,
+             |    floor(list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) * 1e6) / 1e6
+             |      AS cos
+             |  FROM q CROSS JOIN c),
+             |b0 AS (SELECT query_id, nid FROM sc WHERE nid IN (10, 11)),
+             |u1 AS (SELECT query_id, nid FROM b0 UNION
+             |       SELECT b.query_id, g.dst FROM b0 b JOIN g ON g.src = b.nid),
+             |b1 AS (SELECT query_id, nid FROM (
+             |    SELECT u.query_id, u.nid,
+             |      row_number() OVER (PARTITION BY u.query_id
+             |        ORDER BY sc.cos DESC, u.nid) AS rn
+             |    FROM u1 u JOIN sc ON sc.query_id = u.query_id AND sc.nid = u.nid)
+             |  WHERE rn <= 6),
+             |u2 AS (SELECT query_id, nid FROM b1 UNION
+             |       SELECT b.query_id, g.dst FROM b1 b JOIN g ON g.src = b.nid),
+             |b2 AS (SELECT query_id, nid FROM (
+             |    SELECT u.query_id, u.nid,
+             |      row_number() OVER (PARTITION BY u.query_id
+             |        ORDER BY sc.cos DESC, u.nid) AS rn
+             |    FROM u2 u JOIN sc ON sc.query_id = u.query_id AND sc.nid = u.nid)
+             |  WHERE rn <= 6),
+             |u3 AS (SELECT query_id, nid FROM b2 UNION
+             |       SELECT b.query_id, g.dst FROM b2 b JOIN g ON g.src = b.nid),
+             |b3 AS (SELECT query_id, nid FROM (
+             |    SELECT u.query_id, u.nid,
+             |      row_number() OVER (PARTITION BY u.query_id
+             |        ORDER BY sc.cos DESC, u.nid) AS rn
+             |    FROM u3 u JOIN sc ON sc.query_id = u.query_id AND sc.nid = u.nid)
+             |  WHERE rn <= 6)
+             |SELECT query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id,
+             |  floor(cos * 1e4 + 0.5) / 1e4 AS cos
+             |FROM (SELECT b.query_id, b.nid, sc.cos,
+             |        row_number() OVER (PARTITION BY b.query_id
+             |          ORDER BY sc.cos DESC, b.nid) AS rn
+             |      FROM b3 b JOIN sc ON sc.query_id = b.query_id AND sc.nid = b.nid)
+             |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin))
   )
 }

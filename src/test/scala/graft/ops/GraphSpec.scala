@@ -587,4 +587,37 @@ class GraphSpec extends SparkTestBase {
     // rounds=2 never reaches node 4; node 1 is the seed itself (d=0)
     assert(got === Map(2L -> 1000000L, 3L -> 500000L))
   }
+
+  test("betweennessSampled: Brandes deltas on a planted path — interior " +
+      "nodes carry pairs-through counts in ppm, ends and seed excluded") {
+    import spark.implicits._
+    // path 1—2—3—4—5, seed {1}, 4 rounds reach everything. δ_1(v) =
+    // number of targets whose shortest path passes v: 2 carries
+    // {3,4,5} → 3e6, 3 carries {4,5} → 2e6, 4 carries {5} → 1e6;
+    // node 5 lies on no path (absent), node 1 is the seed (excluded).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.betweennessSampled(edges, seeds = Seq(1L), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L))
+  }
+
+  test("betweennessSampled: path-count splitting on a diamond — two " +
+      "equal shortest paths halve the dependency; multi-seed sums") {
+    import spark.implicits._
+    // diamond 1—2—4, 1—3—4 (symmetrized): σ(4 from 1) = 2, so each
+    // middle node carries ⌊1e6·1/2⌋ per seed side. Seeds {1, 4}: both
+    // middles get 500000 from each sweep → 1000000 total; 1 and 4
+    // appear only as seeds or path ENDPOINTS, never interior (absent).
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.betweennessSampled(edges, seeds = Seq(1L, 4L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1000000L, 3L -> 1000000L))
+    // partition invariance: the accumulation is aggregate-exact
+    val again = Graph.betweennessSampled(edges.repartition(7),
+      seeds = Seq(1L, 4L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
 }

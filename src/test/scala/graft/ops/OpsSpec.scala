@@ -1096,6 +1096,46 @@ class SimilaritySpec extends SparkTestBase {
       .filter(col("query_id") === 1L).collect().head
     assert((dedup.getLong(1), dedup.getLong(2)) == ((3L, 750000L)))
   }
+
+  test("knnGraphSearch: the beam walks a monotone-improving chain from a " +
+      "poor entry to the true NN; partition-invariant; beam >= k enforced") {
+    import spark.implicits._
+    // corpus on the unit circle at shrinking angles from the query
+    // (1, 0): cos improves 1 -> 2 -> 3 -> 4. The graph is ONLY the
+    // chain 1->2->3->4, so reaching the true NN (4) from entry 1
+    // requires three expand/score/trim rounds — exactly what beam
+    // search provides and a flat bucket probe would miss.
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    val corpus = Seq((1L, at(60)), (2L, at(40)), (3L, at(20)), (4L, at(5)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, at(0))).toDF("vec_id", "embedding")
+    val graph = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Similarity.knnGraphSearch(queries, corpus, "vec_id",
+        "embedding", graph, entries = Seq(1L), k = 2, beam = 2, rounds = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSortedByRank
+    assert(got == Seq((1, 4L), (2, 3L)),
+      s"beam must reach the true NN through the chain, got $got")
+    // fewer rounds than the chain is long: the horizon honestly truncates
+    val shallow = Similarity.knnGraphSearch(queries, corpus, "vec_id",
+        "embedding", graph, entries = Seq(1L), k = 1, beam = 2, rounds = 1)
+      .collect().map(_.getLong(2)).toSeq
+    assert(shallow == Seq(2L), s"1 round reaches only the entry's edge: $shallow")
+    // partition invariance (floor-quantized scores + id tie-breaks)
+    val again = Similarity.knnGraphSearch(queries, corpus.repartition(5),
+        "vec_id", "embedding", graph.repartition(3), entries = Seq(1L),
+        k = 2, beam = 2, rounds = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSortedByRank
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphSearch(queries, corpus, "vec_id", "embedding",
+        graph, entries = Seq(1L), k = 3, beam = 2, rounds = 1)
+    }
+  }
+
+  private implicit class RankSort(rs: Array[(Int, Long)]) {
+    def toSortedByRank: Seq[(Int, Long)] = rs.sortBy(_._1).toSeq
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
