@@ -182,4 +182,11 @@ object VectorExpressions {
   def dropCoveredTokens(tokens: Column, cov: Column): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.DropCoveredTokens(
       ColumnBridge.expression(tokens), ColumnBridge.expression(cov)))
+
+  /** The string with the characters at sorted 1-based code-point
+    * positions `cov` removed — the char-grain twin (see
+    * [[graftshim.DropCoveredChars]]). */
+  def dropCoveredChars(text: Column, cov: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.DropCoveredChars(
+      ColumnBridge.expression(text), ColumnBridge.expression(cov)))
 }

@@ -1066,4 +1066,69 @@ object Dedup {
           coalesce(col("cov"), array().cast("array<int>")))
           .as("cleaned_text"))
   }
+
+  /**
+   * Exact duplicate-span removal at CHARACTER grain — [[dupSpanRemoval]]
+   * below its token-window threshold: any `w`-CHARACTER substring
+   * occurring more than once corpus-wide is a duplicated span; every
+   * occurrence except the global first (min (doc, char position))
+   * marks its `w` character positions, and each document is rewritten
+   * keeping unmarked characters. This is the grain that catches short
+   * boilerplate SNIPPETS (cookie banners, nav fragments, signatures)
+   * sitting below any useful token-window size, and the punctuation-
+   * glued repeats token splitting never sees — the remaining member of
+   * the sub-document family (d09 counts, d13 chunk-rewrites, d16
+   * token-window-rewrites). Returns one row per input document:
+   * (idCol, n_chars, dup_chars, dup_ppm, cleaned_text).
+   *
+   * Scale shape: identical to [[dupSpanRemoval]] one level down —
+   * windows assemble narrowly (positional explode + `substring`, no
+   * text shuffle beyond the w-char windows' own hashes: each window
+   * reduces to the 52-bit md5 BEFORE the census exchange), marking
+   * shuffles (id, position) integer pairs, and the only text-carrying
+   * exchange is the final per-document rewrite join (output data,
+   * irreducible). Reassembly is the native O(n + c)
+   * [[org.apache.spark.sql.graftshim.DropCoveredChars]] merge-scan.
+   * Char-grain windows are ~5× denser than token windows on prose —
+   * the census volume is length-of-corpus rows of (hash) longs with
+   * map-side combine, the explicit cost of the finer grain. The
+   * (id, i) occurrence order packs with the same loudly-guarded
+   * 10^6 bound ([[packedOrderKey]]); documents longer than 10^6
+   * CHARS hit the guard sooner than d16's token bound — split such
+   * documents upstream or raise the grain.
+   */
+  def charSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame = {
+    import graft.functions.VectorExpressions.md5Hash52
+    require(w >= 2, s"charSpanRemoval: w must be >= 2 (got $w)")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("txt"))
+    val windowed = InternalFrame.sharedScan(base
+      .where(length(col("txt")) >= w)
+      .select(col("id"), col("txt"),
+        explode(sequence(lit(1), length(col("txt")) - (w - 1))).as("i"))
+      .select(col("id"), col("i"),
+        md5Hash52(col("txt").substr(col("i"), lit(w))).as("h")))
+    val occKey = packedOrderKey(col("id"), col("i").cast("long"),
+      "charSpanRemoval")
+    val census = windowed.groupBy("h")
+      .agg(min(occKey).as("wkey"), count(lit(1)).as("nocc"))
+    val covered = windowed.join(census, "h")
+      .filter(col("nocc") > 1 && occKey =!= col("wkey"))
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .distinct()
+    val covPerDoc = covered.groupBy("id")
+      .agg(array_sort(collect_list(col("p"))).as("cov"))
+    base.join(covPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        length(col("txt")).cast("long").as("n_chars"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("dup_chars"),
+        floor(coalesce(size(col("cov")), lit(0)).cast("double")
+          * 1000000.0 / greatest(length(col("txt")), lit(1)) + 0.5)
+          .cast("long").as("dup_ppm"), // greatest: empty docs score 0, not NaN
+        graft.functions.VectorExpressions.dropCoveredChars(col("txt"),
+          coalesce(col("cov"), array().cast("array<int>")))
+          .as("cleaned_text"))
+  }
 }

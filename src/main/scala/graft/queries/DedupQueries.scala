@@ -972,6 +972,61 @@ object DedupQueries {
              |      p -> NOT coalesce(list_contains(c.cov, p), FALSE)),
              |    p -> t.t[p]), ' '), '') AS cleaned_text
              |FROM toks t LEFT JOIN covdoc c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "d17_charspan_removal",
+      (s, dir) => {
+        // ExactSubstr at CHARACTER grain (Dedup.charSpanRemoval, w=20):
+        // the sub-token-window pass that catches short boilerplate
+        // SNIPPETS d16's 8-token grain is blind to. Planted remixes
+        // for doc_id < 40 splice the original's first 25 CHARACTERS —
+        // about 4 words, well under any 8-token window — between
+        // per-id unique markers: the snippet's 6 interior char-windows
+        // repeat, so the remix comes back with exactly those 25
+        // characters excised while d16 on the same corpus would leave
+        // them untouched. The shared word salad also repeats 20-char
+        // runs organically across documents; the oracle replays the
+        // census, marking, and character-merge rewrite identically.
+        val d = Tables(s, dir).documents.select("doc_id", "text")
+        val corpus = d.union(d.filter(col("doc_id") < 40).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("x"), col("doc_id"), lit(" "),
+            substring(col("text"), 1, 25),
+            lit(" y"), col("doc_id")).as("text")))
+        graft.ops.Dedup.charSpanRemoval(corpus, "doc_id", "text", w = 20)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000,
+             |    'x' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 25)
+             |      || ' y' || CAST(doc_id AS VARCHAR)
+             |  FROM documents WHERE doc_id < 40),
+             |win AS (SELECT doc_id, i,
+             |    ${OracleSql.md5Fold52("substr(text, CAST(i AS INT), 20)")} AS h
+             |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 18)) AS i
+             |        FROM corpus WHERE length(text) >= 20)),
+             |census AS (SELECT h, min(doc_id * 1000000 + i) AS wkey,
+             |    count(*) AS nocc FROM win GROUP BY h),
+             |cov AS (SELECT DISTINCT doc_id, i + j AS p
+             |  FROM win JOIN census USING (h)
+             |  CROSS JOIN (SELECT unnest(range(20)) AS j)
+             |  WHERE nocc > 1 AND doc_id * 1000000 + i <> wkey),
+             |covdoc AS (SELECT doc_id, list_sort(list(p)) AS cov
+             |  FROM cov GROUP BY doc_id)
+             |SELECT c.doc_id,
+             |  CAST(length(c.text) AS BIGINT) AS n_chars,
+             |  CAST(coalesce(len(v.cov), 0) AS BIGINT) AS dup_chars,
+             |  CAST(floor(coalesce(len(v.cov), 0) * 1000000.0
+             |    / greatest(length(c.text), 1) + 0.5) AS BIGINT) AS dup_ppm,
+             |  coalesce(array_to_string(list_transform(
+             |    list_filter(range(1, length(c.text) + 1),
+             |      p -> NOT coalesce(list_contains(v.cov, p), FALSE)),
+             |    p -> substr(c.text, CAST(p AS INT), 1)), ''), '')
+             |    AS cleaned_text
+             |FROM corpus c LEFT JOIN covdoc v USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
   )
 

@@ -682,6 +682,60 @@ case class DropCoveredTokens(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * The string with the characters at SORTED 1-based code-point
+ * positions `cov` removed — [[DropCoveredTokens]]' twin at CHARACTER
+ * grain (the reassembly step of char-window duplicate-span removal):
+ * one merge-scan over the code points alongside the sorted position
+ * array, O(n + c). Positions count CODE POINTS (the `substring`
+ * semantics both engines use), not UTF-16 units, so supplementary
+ * characters drop whole.
+ */
+case class DropCoveredChars(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_drop_covered_chars"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType,
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  /** codegen entry point (public for the generated class). */
+  def evalDrop(s: org.apache.spark.unsafe.types.UTF8String,
+      cov: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val c = cov.numElements()
+    val out = new java.lang.StringBuilder(str.length)
+    var p = 0
+    var pos = 0 // 0-based code-point index
+    var i = 0   // UTF-16 index
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val pos1 = pos + 1
+      while (p < c && cov.getInt(p) < pos1) p += 1
+      if (!(p < c && cov.getInt(p) == pos1)) out.appendCodePoint(cp)
+      i += Character.charCount(cp)
+      pos += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+
+  override protected def nullSafeEval(t: Any, c: Any): Any =
+    evalDrop(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      val self = ctx.addReferenceObj("dropCoveredChars", this,
+        classOf[DropCoveredChars].getName)
+      s"${ev.value} = $self.evalDrop($t, $c);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DropCoveredChars =
+    copy(left = newLeft, right = newRight)
+}
+
 case class Int8Quantize(child: Expression) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 

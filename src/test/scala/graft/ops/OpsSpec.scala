@@ -216,6 +216,42 @@ class DedupSpec extends SparkTestBase {
     assert(secs < 30.0, f"reassembly took $secs%.1f s — n·c shape is back")
   }
 
+  test("charSpanRemoval: catches a short boilerplate snippet BELOW the " +
+      "token-window grain that dupSpanRemoval is blind to; first " +
+      "occurrence survives; partition-invariant") {
+    import spark.implicits._
+    // the 24-char snippet is ~4 words — under d16's 8-token grain —
+    // embedded mid-doc between unique text; w=20 char windows inside
+    // it repeat, so char-grain removal excises it exactly
+    val snippet = "accept all cookies now!" // 23 chars
+    val docs = Seq(
+      (1L, s"first page $snippet body one unique aaa"),
+      (2L, s"other page text $snippet more unique bbb"),
+      (3L, "completely unrelated content here zzz")).toDF("doc_id", "text")
+    val got = Dedup.charSpanRemoval(docs, "doc_id", "text", w = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    // doc 1 holds the global first occurrence: untouched
+    assert(got(1L)._1 === 0L && got(1L)._2 ===
+      s"first page $snippet body one unique aaa")
+    // doc 2 loses a contiguous char span covering the snippet (the
+    // union of its repeated 20-char windows, which may extend into
+    // the identical surrounding spaces); the unique tail survives
+    assert(got(2L)._2.endsWith("more unique bbb") &&
+      !got(2L)._2.contains("cookies"), s"got '${got(2L)._2}'")
+    assert(got(2L)._1 >= snippet.length.toLong)
+    assert(got(3L) === ((0L, "completely unrelated content here zzz")))
+    // the TOKEN grain at w=8 sees no repeated 8-token window here
+    val tokenGrain = Dedup.dupSpanRemoval(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tokenGrain.values.forall(_ == 0L),
+      s"8-token grain must be blind to the 4-word snippet: $tokenGrain")
+    val again = Dedup.charSpanRemoval(docs.repartition(5),
+      "doc_id", "text", w = 20).collect().map(_.toSeq).toSet
+    assert(again === Dedup.charSpanRemoval(docs, "doc_id", "text", w = 20)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("dupSpanRemoval/paragraphDedup: order-key pack overflow fails " +
       "LOUDLY instead of silently colliding keys") {
     import spark.implicits._
