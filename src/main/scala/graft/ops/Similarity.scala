@@ -721,27 +721,29 @@ object Similarity {
       graph.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct())
     val score = (floor(cosine(col("qv"), col("cv")) * 1e6) / 1e6).as("cos")
-    var beamDf = InternalFrame.sharedScan(
-      c.filter(col("nid").isin(entries: _*))
-        .crossJoin(broadcast(q))
-        .select(col("query_id"), col("nid"), score))
+    var beamDf: DataFrame = c.filter(col("nid").isin(entries: _*))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("nid"), score)
     for (_ <- 1 to rounds) {
-      val expandIds = beamDf.select(col("query_id"), col("nid").as("src"))
+      // share at loop ENTRY: the incoming beam is referenced twice (as
+      // the expansion seed and in the union); the round's own output is
+      // consumed once, so the final round's join plan stays inspectable
+      val prev = InternalFrame.sharedScan(beamDf)
+      val expandIds = prev.select(col("query_id"), col("nid").as("src"))
       val cand = g.join(broadcast(expandIds), Seq("src"))
         .select(col("query_id"), col("dst").as("nid")).distinct()
       val scored = c.join(broadcast(cand), Seq("nid"))
         .join(broadcast(q), Seq("query_id"))
         .select(col("query_id"), col("nid"), score)
-      beamDf = InternalFrame.sharedScan(
-        beamDf.union(scored)
-          // a node reachable both ways carries ONE identical cos
-          .groupBy("query_id", "nid").agg(max("cos").as("cos"))
-          .groupBy("query_id")
-          .agg(graft.functions.VectorExpressions
-            .topKByScore(col("nid"), col("cos"), beam).as("topk"))
-          .select(col("query_id"), explode(col("topk")).as("nb"))
-          .select(col("query_id"), col("nb.id").as("nid"),
-            col("nb.score").as("cos")))
+      beamDf = prev.union(scored)
+        // a node reachable both ways carries ONE identical cos
+        .groupBy("query_id", "nid").agg(max("cos").as("cos"))
+        .groupBy("query_id")
+        .agg(graft.functions.VectorExpressions
+          .topKByScore(col("nid"), col("cos"), beam).as("topk"))
+        .select(col("query_id"), explode(col("topk")).as("nb"))
+        .select(col("query_id"), col("nb.id").as("nid"),
+          col("nb.score").as("cos"))
     }
     beamDf.groupBy("query_id")
       .agg(graft.functions.VectorExpressions

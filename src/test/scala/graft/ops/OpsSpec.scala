@@ -1169,6 +1169,22 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("knnGraphSearch: beam expansion and corpus probes are BROADCAST " +
+      "joins — the graph and vector sides never shuffle") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val graph = (1L to 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    val plan = Similarity.knnGraphSearch(queries, corpus, "vec_id",
+        "embedding", graph, entries = Seq(1L), k = 1, beam = 2, rounds = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"beam/candidate sides must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the search path:\n$plan")
+  }
+
   private implicit class RankSort(rs: Array[(Int, Long)]) {
     def toSortedByRank: Seq[(Int, Long)] = rs.sortBy(_._1).toSeq
   }

@@ -41,6 +41,15 @@ class TextPipelineSpec extends SparkTestBase {
     assert(got(5L).map(math.abs).max == 3.0)
   }
 
+  test("hashingTf plans as ONE narrow pass — zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val plan = TextAnalysis.hashingTf(docs, "doc_id", "text", dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the native HashingTfVec featurizer must not shuffle:\n$plan")
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
