@@ -189,4 +189,10 @@ object VectorExpressions {
   def dropCoveredChars(text: Column, cov: Column): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.DropCoveredChars(
       ColumnBridge.expression(text), ColumnBridge.expression(cov)))
+
+  /** 62-bit order-sensitive document fingerprint in one native byte
+    * scan (see [[graftshim.Fingerprint62]]). */
+  def fingerprint62(text: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.Fingerprint62(
+      ColumnBridge.expression(text)))
 }

@@ -59,25 +59,14 @@ object TextAnalysis {
    * polynomial rolling hashes modulo Mersenne-ish primes, packed into
    * one long. Modular form keeps every intermediate < 2^52, so it is
    * safe under ANSI arithmetic (a plain wrapping `acc*k ^ h` would
-   * throw ARITHMETIC_OVERFLOW on Spark 4). Pure expression, no UDF;
-   * identical token sequences — and only those — collide (w.h.p.).
+   * throw ARITHMETIC_OVERFLOW on Spark 4). One NATIVE byte scan
+   * ([[org.apache.spark.sql.graftshim.Fingerprint62]] — earlier
+   * rounds folded this through an `aggregate` HOF: one interpreted
+   * lambda step and a fresh two-field struct per token); identical
+   * token sequences — and only those — collide (w.h.p.).
    */
-  def fingerprint(text: Column): Column = {
-    val p1 = 2147483629L
-    val p2 = 2147483647L
-    aggregate(
-      tokens(text),
-      struct(lit(17L).as("a"), lit(19L).as("b")),
-      (acc, t) => {
-        // native portable polynomial byte hash mod p2 (engine-portable,
-        // unlike xxhash64; ~4x cheaper than an md5+conv detour)
-        val h = pmod(graft.functions.VectorExpressions.polyHash(t), lit(p2))
-        struct(
-          pmod(acc("a") * lit(1000003L) + h, lit(p1)).as("a"),
-          pmod(acc("b") * lit(1000033L) + h, lit(p2)).as("b"))
-      },
-      acc => acc("a") * lit(1L << 31) + acc("b"))
-  }
+  def fingerprint(text: Column): Column =
+    graft.functions.VectorExpressions.fingerprint62(text)
 
   /** Word n-grams (as space-joined strings) of a text column. */
   def wordNGrams(text: Column, n: Int): Column = {

@@ -736,6 +736,66 @@ case class DropCoveredChars(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * 62-bit order-sensitive document fingerprint in ONE native byte scan:
+ * for each split-on-space segment (EMPTY segments included — the
+ * `split(text, ' ')` contract the folded-HOF formulation had),
+ * h = polyhash(segment) mod p2 (the [[StringPolyHash]] fold), then
+ * a = (a·1000003 + h) mod p1, b = (b·1000033 + h) mod p2, seeded
+ * (17, 19); result a·2³¹ + b. Bit-identical to the `aggregate` HOF it
+ * replaces — which ran one interpreted lambda step per token with a
+ * fresh two-field struct per step — and to the DuckDB oracle's
+ * list_reduce replay. All intermediates stay < 2^52: safe under ANSI
+ * arithmetic in both engines.
+ */
+case class Fingerprint62(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  import Fingerprint62._
+
+  override def prettyName: String = "graft_fingerprint"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  /** codegen entry point (public for the generated class). */
+  def evalFp(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var a = 17L
+    var b = 19L
+    var h = 0L // rolling polyhash of the current segment
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val hm = h % P2
+        a = (a * 1000003L + hm) % P1
+        b = (b * 1000033L + hm) % P2
+        h = 0L
+      } else {
+        h = (h * StringPolyHash.Mult + (bytes(i) & 0xff)) % StringPolyHash.Prime
+      }
+      i += 1
+    }
+    a * (1L << 31) + b
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    evalFp(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("fingerprint62", this, classOf[Fingerprint62].getName)
+      s"${ev.value} = $self.evalFp($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint62 =
+    copy(child = newChild)
+}
+
+object Fingerprint62 {
+  val P1 = 2147483629L
+  val P2 = 2147483647L
+}
+
 case class Int8Quantize(child: Expression) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 
