@@ -195,4 +195,11 @@ object VectorExpressions {
   def fingerprint62(text: Column): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.Fingerprint62(
       ColumnBridge.expression(text)))
+
+  /** Dense matrix × vector (out[r] = Σᵢ m[r][i]·v[i], i ascending) as
+    * one native expression — the rotation / many-component-projection
+    * primitive (see [[graftshim.MatVecMul]]). */
+  def matVecMul(vec: Column, matrix: Array[Array[Double]]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.MatVecMul(
+      ColumnBridge.expression(vec), matrix))
 }

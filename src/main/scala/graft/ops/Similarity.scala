@@ -392,6 +392,38 @@ object Similarity {
   }
 
   /**
+   * OPQ-style product quantization — [[knnPq]] behind a fixed
+   * orthonormal ROTATION (Ge et al. 2013 "Optimized Product
+   * Quantization"; the structured-rotation fast variant FAISS's
+   * OPQ-Fast and ScaNN run): plain PQ quantizes each dim-block
+   * independently, so correlated/unbalanced dimensions concentrate
+   * error in a few subspaces — rotating first spreads variance evenly
+   * and the SAME codebook budget buys visibly lower distortion. A
+   * scaled Walsh–Hadamard rotation (entries ±2⁻ᵏ) is the parametric
+   * choice for near-Gaussian embeddings: orthonormal (distances are
+   * preserved exactly, so ranking semantics are unchanged), dense (it
+   * mixes every input dim into every subspace), and every product is
+   * an exact exponent shift, keeping the rotated coordinates
+   * engine-portable sums.
+   *
+   * Rotation is ONE native [[org.apache.spark.sql.graftshim.MatVecMul]]
+   * per side (the per-row `dot(v, typedlit(row))` alternative expands
+   * to d codegen'd dots — the HyperplaneKey Janino lesson); everything
+   * downstream is [[knnPq]] verbatim in rotated space, including the
+   * broadcast-codebook encode and the model-sized query side. Pass
+   * `codebooks` TRAINED ON ROTATED VECTORS (rotate the training sample
+   * with the same matrix first).
+   */
+  def knnOpq(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rotation: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    def rot(df: DataFrame): DataFrame = df.select(col(idCol),
+      graft.functions.VectorExpressions.matVecMul(
+        col(vecCol).cast("array<double>"), rotation).as("__rv"))
+    knnPq(rot(queries), rot(corpus), idCol, "__rv", k, codebooks)
+  }
+
+  /**
    * Two-stage PQ retrieval — the FAISS `IndexRefineFlat` production
    * recipe (Jégou et al. 2011 §V): stage 1 ranks the whole corpus by
    * the cheap asymmetric-distance approximation over the m-byte codes

@@ -1354,6 +1354,71 @@ object SimilarityQueries {
              |        row_number() OVER (PARTITION BY b.query_id
              |          ORDER BY sc.cos DESC, b.nid) AS rn
              |      FROM b3 b JOIN sc ON sc.query_id = b.query_id AND sc.nid = b.nid)
-             |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "a25_knn_opq",
+      (s, dir) => {
+        // OPQ-style PQ (Similarity.knnOpq): a12's deterministic-
+        // codebook PQ behind the scaled Walsh-Hadamard rotation
+        // H64/8 — orthonormal, entries ±2⁻³, so every product is an
+        // exact exponent shift and the rotated coordinates are
+        // engine-portable sequential sums. Codebooks come from the
+        // SAME rotated space (rotated seed vectors 10..25, sliced per
+        // subspace — collected from the engine so driver and plan
+        // arithmetic are one code path). The oracle computes H
+        // in-SQL from the bit_count parity rule and replays rotation,
+        // per-subspace argmin encode, reconstruction, and ADC ranking.
+        val e = Tables(s, dir).embeddings
+        val h = Array.tabulate(64, 64)((r, i) =>
+          if (java.lang.Integer.bitCount(r & i) % 2 == 0) 0.125 else -0.125)
+        val rotSeeds = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(graft.functions.VectorExpressions.matVecMul(
+            col("embedding").cast("array<double>"), h))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val dsub = 16
+        val codebooks = Array.tabulate(4)(j =>
+          rotSeeds.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+        graft.ops.Similarity.knnOpq(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, h, codebooks)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |rot AS MATERIALIZED (SELECT vec_id, list_transform(range(64), r ->
+             |    list_sum(list_transform(range(64), i ->
+             |      v[CAST(i AS INT) + 1] *
+             |      (CASE WHEN bit_count(r & i) % 2 = 0
+             |            THEN 0.125 ELSE -0.125 END)))) AS v
+             |  FROM e),
+             |cb AS (SELECT vec_id - 10 AS code, v FROM rot
+             |       WHERE vec_id >= 10 AND vec_id < 26),
+             |c AS (SELECT vec_id AS neighbor_id, v FROM rot WHERE vec_id >= 10),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM rot WHERE vec_id < 10),
+             |assign AS (SELECT neighbor_id, j, code FROM (
+             |    SELECT c.neighbor_id, s.j, cb.code,
+             |      row_number() OVER (PARTITION BY c.neighbor_id, s.j ORDER BY
+             |        list_sum(list_transform(list_zip(
+             |            c.v[s.j*16+1 : s.j*16+16], cb.v[s.j*16+1 : s.j*16+16]),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), cb.code) AS rn
+             |    FROM c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) s CROSS JOIN cb)
+             |  WHERE rn = 1),
+             |slices AS (SELECT a.neighbor_id, a.j,
+             |    cb.v[a.j*16+1 : a.j*16+16] AS sl
+             |  FROM assign a JOIN cb USING (code)),
+             |recon AS (SELECT neighbor_id, flatten(list(sl ORDER BY j)) AS rv
+             |  FROM slices GROUP BY neighbor_id),
+             |hits AS (SELECT q.query_id, r.neighbor_id,
+             |    floor(list_sum(list_transform(list_zip(q.qv, r.rv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000.0 + 0.5)
+             |      / 1000000.0 AS adist
+             |  FROM q CROSS JOIN recon r)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adist
+             |FROM (SELECT query_id, neighbor_id, adist,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY adist, neighbor_id) AS rn
+             |      FROM hits)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -796,6 +796,65 @@ object Fingerprint62 {
   val P2 = 2147483647L
 }
 
+/**
+ * Dense matrix × vector as ONE native expression: out[r] = Σᵢ
+ * m[r][i]·v[i], i ascending (the summation order every DuckDB
+ * `list_sum` replay assumes). The matrix rides along as a single
+ * referenced object — the per-row `dot(v, typedlit(row))` formulation
+ * expands to rows× separate codegen'd dots whose generated class
+ * Janino-compiles longer than the query runs past ~a dozen rows (the
+ * [[HyperplaneKey]] lesson); this is one nested loop. The rotation /
+ * many-component-projection primitive (OPQ rotations, full-width PCA
+ * projections). Rows shorter than the vector fold over the common
+ * prefix; both sides assumed non-null (embedding vectors).
+ */
+case class MatVecMul(
+    child: Expression,
+    matrix: Array[Array[Double]]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(matrix.nonEmpty, "need at least one matrix row")
+
+  override def prettyName: String = "graft_matvec"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  /** codegen entry point (public for the generated class). */
+  def evalMul(v: ArrayData): ArrayData = {
+    val out = new Array[Double](matrix.length)
+    var r = 0
+    while (r < matrix.length) {
+      val row = matrix(r)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += row(i) * v.getDouble(i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = evalMul(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("matVecMul", this, classOf[MatVecMul].getName)
+      s"${ev.value} = $self.evalMul($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecMul =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: MatVecMul =>
+      h.child == child && h.matrix.length == matrix.length &&
+        h.matrix.zip(matrix).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + matrix.map(java.util.Arrays.hashCode).toSeq.hashCode()
+}
+
 case class Int8Quantize(child: Expression) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 

@@ -1169,6 +1169,54 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("MatVecMul matches a driver-side replay; the Hadamard rotation is " +
+      "orthonormal (distances preserved), so OPQ ranking semantics hold") {
+    import spark.implicits._
+    val h = Array.tabulate(64, 64)((r, i) =>
+      if (java.lang.Integer.bitCount(r & i) % 2 == 0) 0.125 else -0.125)
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(5)(Array.fill(64)(rnd.nextGaussian()))
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.VectorExpressions.matVecMul(col("v"), h).as("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // bit-identical to the same sequential loop on the driver
+    for ((v, i) <- vs.zipWithIndex) {
+      val want = h.map(row => {
+        var s = 0.0; var j = 0
+        while (j < 64) { s += row(j) * v(j); j += 1 }; s
+      })
+      assert(got(i.toLong) == want.toSeq, s"row $i diverged")
+    }
+    // orthonormal: pairwise squared distances preserved to fp tolerance
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- 0 until 4) {
+      val before = sq(vs(i).toSeq, vs(i + 1).toSeq)
+      val after = sq(got(i.toLong), got((i + 1).toLong))
+      assert(math.abs(before - after) < 1e-9 * math.max(1.0, before))
+    }
+    // the composed OPQ pipeline: k rows per query, partition-invariant
+    val corpus = (10L to 49L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian()).toSeq)).toDF("vec_id", "embedding")
+    val queries = (0L to 2L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian()).toSeq)).toDF("vec_id", "embedding")
+    val seeds = corpus.orderBy("vec_id").limit(16)
+      .select(graft.functions.VectorExpressions.matVecMul(
+        col("embedding").cast("array<double>"), h))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbs = Array.tabulate(4)(j =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, j * 16, (j + 1) * 16)))
+    val res = Similarity.knnOpq(queries, corpus, "vec_id", "embedding",
+      k = 3, h, cbs).collect()
+    assert(res.length == 9 && res.map(_.getLong(0)).distinct.length == 3)
+    val again = Similarity.knnOpq(queries.repartition(4),
+      corpus.repartition(7), "vec_id", "embedding", k = 3, h, cbs)
+      .collect().map(_.toSeq).toSet
+    assert(again == res.map(_.toSeq).toSet)
+  }
+
   test("knnGraphSearch: beam expansion and corpus probes are BROADCAST " +
       "joins — the graph and vector sides never shuffle") {
     import spark.implicits._
