@@ -606,13 +606,18 @@ object Multimodal {
     ((8000 + (id % 3) * 4000).toInt, (400 + (id % 5) * 100).toInt)
 
   /** Encode one deterministic clip to real WAV bytes (16-bit PCM
-    * signed little-endian mono) via AudioSystem. */
-  private[ops] def encodeWav(id: Long): Array[Byte] = {
+    * signed little-endian mono) via AudioSystem. `jit != 0` adds the
+    * saturating ±1 sample perturbation ((id+i) mod 3 − 1) — how
+    * [[synthesizeWavsSeeded]] plants re-encoded near-duplicates whose
+    * byte identity breaks but whose window-energy CONTOUR survives. */
+  private[ops] def encodeWav(id: Long, jit: Int = 0): Array[Byte] = {
     val (rate, n) = audioParams(id)
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = sampleValue(id, i)
+      val v0 = sampleValue(id, i)
+      val v = if (jit == 0) v0
+        else math.max(-1000, math.min(1000, v0 + (((id + i) % 3) - 1).toInt))
       pcm(2 * i) = (v & 0xff).toByte
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
@@ -637,6 +642,99 @@ object Multimodal {
     ids.select(col(idCol).cast("long").as("media_id"))
       .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map(id => AudioRow(id, encodeWav(id))))
+  }
+
+  /** [[synthesizeWavs]] with the audio CONTENT decoupled from the row
+    * id: samples (and the format params) derive from `seedCol`,
+    * optionally perturbed by `jitterCol`'s saturating ±1 pattern, while
+    * the row keeps `idCol` — how mm14 plants re-encoded near-duplicate
+    * clips of existing audio under fresh ids (the
+    * [[synthesizePngsSeeded]] move at audio grain). */
+  def synthesizeWavsSeeded(rows: DataFrame, idCol: String, seedCol: String,
+      jitterCol: String): Dataset[AudioRow] = {
+    implicit val enc = Encoders.product[AudioRow]
+    implicit val tEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaInt)
+    rows.select(col(idCol).cast("long"), col(seedCol).cast("long"),
+        col(jitterCol).cast("int"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(it => it.map { case (id, seed, j) =>
+        AudioRow(id, encodeWav(seed, jit = j)) })
+  }
+
+  /**
+   * AUDIO near-duplicate detection over the REAL decode path — the
+   * energy-contour fingerprint of Haitsma & Kalker 2002 ("A Highly
+   * Robust Audio Fingerprint System") reduced to its time-axis core:
+   * decode PCM16 ([[decodeWavWindows]]' exact per-window
+   * sum-of-squares), fingerprint bit w = 1 iff E(w+1) > E(w) — the
+   * SIGN of the frame-to-frame energy delta, invariant to the small
+   * amplitude perturbations a re-encode introduces where d01's byte
+   * fingerprint is not. Clips match when they have the SAME window
+   * count and Hamming(fp_a, fp_b) ≤ ⌊len/`hamDenom`⌋.
+   *
+   * Candidate generation is banded Hamming-LSH (the same pigeonhole
+   * PSTL runs for SimHash, d04): the ≤63-bit fingerprint splits into
+   * `bands` contiguous bit-ranges of ⌈len/bands⌉ bits; any pair within
+   * the Hamming budget t < `bands` disagrees in at most t bands, so
+   * SOME band matches exactly — the band equi-join is LOSSLESS for
+   * t < bands, never all-pairs. The verify stage re-probes candidates
+   * with one `bit_count(xor)` per pair: pure integer end to end, so an
+   * oracle replays every bit including any true amplitude-offset twins
+   * the corpus carries.
+   *
+   * Scale shape: decode is a narrow batched `mapPartitions`; the only
+   * shuffles carry (media_id, win, energy) rows to per-clip partitions
+   * (clip-bounded) and then (band bits, id)-only candidate keys — the
+   * LSH-bucket discipline; audio bytes never shuffle. Requires
+   * len ≤ 63 (fingerprints pack into one long word); longer clips
+   * would band at segment grain first.
+   *
+   * Output: (id_a, id_b, n_win, hamming), id_a < id_b, one row per
+   * candidate pair within the budget.
+   */
+  def audioNearDup(clips: Dataset[AudioRow], windowSamples: Int = 25,
+      bands: Int = 4, hamDenom: Int = 10): DataFrame = {
+    require(bands >= 2 && hamDenom >= 1 && windowSamples >= 1,
+      s"audioNearDup: bands=$bands hamDenom=$hamDenom w=$windowSamples")
+    val winE = decodeWavWindows(clips, windowSamples).toDF()
+    val byClip = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win")
+    // delta-sign bits packed LSB-first into one long; len <= 63 guarded
+    // in-plan (raise_error, the packedOrderKey discipline)
+    val fp = winE
+      .select(col("media_id"), col("win"), col("sum_sq"),
+        lead(col("sum_sq"), 1).over(byClip).as("nxt"))
+      .where(col("nxt").isNotNull)
+      .select(col("media_id"), col("win"),
+        (col("nxt") > col("sum_sq")).cast("long").as("bit"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).cast("int").as("len"),
+        sum(expr("shiftleft(bit, win)")).as("bits"))
+      .select(col("media_id"),
+        when(col("len") <= 63, col("len")).otherwise(raise_error(concat(
+          lit("audioNearDup: fingerprint len "), col("len"),
+          lit(" exceeds the one-word bound — band at segment grain")))
+          .cast("int")).as("len"),
+        col("bits"))
+    val banded = fp.select(col("media_id"), col("len"), col("bits"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        ceil(col("len") / lit(bands)).cast("int").as("bw"))
+      .select(col("media_id"), col("len"), col("bits"), col("band"),
+        expr(s"shiftright(bits, band * bw) & (shiftleft(CAST(1 AS BIGINT), bw) - 1)")
+          .as("bbits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.len") === col("b.len") && col("a.band") === col("b.band") &&
+          col("a.bbits") === col("b.bbits") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.len").as("len"), col("a.bits").as("ba"), col("b.bits").as("bb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), (col("len") + 1).as("n_win"),
+        expr("bit_count(ba ^ bb)").cast("long").as("hamming"),
+        col("len"))
+      .where(col("hamming") <= expr(s"len div $hamDenom"))
+      .drop("len")
   }
 
   /**

@@ -610,6 +610,72 @@ object MultimodalQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q(
+      "mm14_audio_neardup",
+      (s, dir) => {
+        // AUDIO near-dup detection over the REAL decode path —
+        // completing the perceptual-dedup modality matrix (image mm11,
+        // video mm13, audio here): Multimodal.audioNearDup runs the
+        // Haitsma-Kalker energy-delta-sign fingerprint (one bit per
+        // 25-sample window: does the next window carry more energy?)
+        // over AudioSystem-decoded PCM16, then a banded Hamming-LSH
+        // candidate join (lossless for budget < bands by pigeonhole)
+        // and a bit_count(xor) verify. The corpus plants re-encoded
+        // copies of every 5th clip under fresh ids with a saturating
+        // ±1 sample perturbation — byte identity breaks, the energy
+        // CONTOUR survives. Bases stay within one phase period of the
+        // synthetic generator (doc_id < 60) so the planted pairs are
+        // the only contour twins; the fingerprint itself would
+        // (correctly) also match the generator's amplitude-offset
+        // twins at id+65. Integer end to end — the oracle regenerates
+        // every sample from the (seed, i) formula, refolds window
+        // energies, delta bits, and the Hamming verify bit-for-bit;
+        // it replays the VERIFY tier directly (the band tier is
+        // provably lossless, spec'd against brute force).
+        import graft.ops.Multimodal
+        val base = Tables(s, dir).documents.filter(col("doc_id") < 60)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+            lit(0).as("jit"))
+        val copies = Tables(s, dir).documents
+          .filter(col("doc_id") < 60 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("media_id"),
+            col("doc_id").as("seed"), lit(1).as("jit"))
+        val wavs = Multimodal.synthesizeWavsSeeded(
+          base.unionByName(copies), "media_id", "seed", "jit")
+        Multimodal.audioNearDup(wavs, windowSamples = 25,
+            bands = 4, hamDenom = 10)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+             |u AS (SELECT doc_id AS media_id, doc_id AS seed, 0 AS jit FROM ids
+             |      UNION ALL
+             |      SELECT doc_id + 10000, doc_id, 1 FROM ids WHERE doc_id % 5 = 0),
+             |idx AS (SELECT media_id, seed, jit,
+             |    unnest(range(CAST(400 + (seed % 5) * 100 AS BIGINT))) AS i FROM u),
+             |samp AS (SELECT media_id, i,
+             |    CASE WHEN jit = 0 THEN v
+             |         ELSE greatest(-1000, least(1000, v + ((seed + i) % 3 - 1)))
+             |    END AS v
+             |  FROM (SELECT media_id, seed, jit, i,
+             |          ((seed*31 + i*17) % 2001) - 1000 AS v FROM idx)),
+             |winE AS (SELECT media_id, i // 25 AS win, sum(v*v) AS e
+             |  FROM samp GROUP BY 1, 2),
+             |delta AS (SELECT media_id, win,
+             |    CASE WHEN lead(e) OVER (PARTITION BY media_id ORDER BY win) > e
+             |         THEN 1 ELSE 0 END AS bit,
+             |    lead(e) OVER (PARTITION BY media_id ORDER BY win) AS nxt
+             |  FROM winE),
+             |fp AS (SELECT media_id, CAST(count(*) AS INT) AS len,
+             |    sum(CAST(bit AS BIGINT) << CAST(win AS INT)) AS bits
+             |  FROM delta WHERE nxt IS NOT NULL GROUP BY 1),
+             |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |    a.len AS len, bit_count(xor(a.bits, b.bits)) AS ham
+             |  FROM fp a JOIN fp b ON a.len = b.len AND a.media_id < b.media_id)
+             |SELECT id_a, id_b, CAST(len + 1 AS INT) AS n_win,
+             |  CAST(ham AS BIGINT) AS hamming
+             |FROM pairs WHERE ham <= len // 10
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
       "st22_stream_video_dedup",
       (s, dir) => {
         // STREAMING first-seen VIDEO dedup — st15's perceptual gate at

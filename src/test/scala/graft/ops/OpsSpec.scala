@@ -1676,4 +1676,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(sigs(3L) == sigs(7003L),
       "the +1-red re-upload must keep the full perceptual signature")
   }
+
+  test("audioNearDup: planted ±1 re-encodes match at Hamming 0; the " +
+      "banded candidate tier is lossless vs brute force; partition-invariant") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i => (i, i, 0))
+    val copies = (0L until 40L by 5L).map(i => (i + 10000L, i, 1))
+    val rows = (base ++ copies).toDF("media_id", "seed", "jit")
+    val wavs = synthesizeWavsSeeded(rows, "media_id", "seed", "jit")
+    val got = audioNearDup(wavs, windowSamples = 25, bands = 4, hamDenom = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // every planted pair present, at Hamming 0 (the contour survives ±1)
+    for (i <- 0L until 40L by 5L)
+      assert(got.exists(p => p._1 == i && p._2 == i + 10000L && p._4 == 0L),
+        s"planted pair ($i, ${i + 10000L}) missing")
+    // brute-force replay on the driver from the sample formula: banding
+    // must lose nothing (Hamming budget < bands -> pigeonhole)
+    def fp(seed: Long, jit: Int): Seq[Int] = {
+      val n = (400 + (seed % 5) * 100).toInt
+      val s = (0 until n).map { i =>
+        val v = ((seed * 31 + i.toLong * 17) % 2001 - 1000).toInt
+        if (jit == 0) v
+        else math.max(-1000, math.min(1000, v + (((seed + i) % 3) - 1).toInt))
+      }
+      val e = s.grouped(25).map(_.map(v => v.toLong * v).sum).toSeq
+      (0 until e.length - 1).map(w => if (e(w + 1) > e(w)) 1 else 0)
+    }
+    val all = (base ++ copies).map { case (id, seed, jit) => id -> fp(seed, jit) }
+    val brute = (for {
+      (a, fa) <- all; (b, fb) <- all
+      if a < b && fa.length == fb.length
+      ham = fa.zip(fb).count(p => p._1 != p._2)
+      if ham <= fa.length / 10
+    } yield (a, b, fa.length + 1, ham.toLong)).toSet
+    assert(got.toSet == brute.map(t => (t._1, t._2, t._3, t._4)))
+    val again = audioNearDup(wavs.repartition(7), windowSamples = 25,
+      bands = 4, hamDenom = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(again == got.toSet)
+  }
 }
