@@ -369,6 +369,99 @@ object CorpusOps2 {
              |GROUP BY w.source, r.n_raw ORDER BY source""".stripMargin)),
 
     Q(
+      "p15_source_datacard",
+      (s, dir) => {
+        // Per-source DATA CARD — the one-page profile a dataset owner
+        // publishes per ingest source (Gebru et al. 2021 "Datasheets
+        // for Datasets", the per-source accounting every curation
+        // report opens with), composed from the family's own signals
+        // so the card and the pipeline can never disagree: volume
+        // (docs, whitespace tokens, exact integer mean), language mix
+        // (distinct langs + plurality lang with min-lang tie-break and
+        // its ppm share), t16's quality-gate pass rate, within-source
+        // exact-dup rate (n_docs − distinct md5 keys), and dc01's
+        // benchmark 4-gram contamination rate. Scale shape: every leg
+        // is a map-side-combinable per-source aggregate over one scan
+        // of the corpus — the lang plurality adds one (source, lang)
+        // key step, contamination reuses decontaminate's broadcast
+        // n-gram probe (ids-only output) joined back to the doc→source
+        // spine; the final join fans 20 source-sized frames together.
+        // Integer end to end (ppm and x1e3 fields via BIGINT div).
+        val d = Tables(s, dir).documents
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val passes = (nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)).cast("long")
+        val stats = d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok.cast("long")).as("total_tokens"),
+          sum(passes).as("n_pass"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          countDistinct(col("lang")).as("n_langs"))
+        val langTop = d.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("source")
+          .agg(min(struct((-col("n")).as("negn"), col("lang").as("lang"))).as("b"))
+          .select(col("source"), col("b.lang").as("top_lang"),
+            (-col("b.negn")).as("top_n"))
+        val cont = graft.ops.TextAnalysis.decontaminate(
+            d.filter(col("doc_id") % 23 =!= 0), d.filter(col("doc_id") % 23 === 0),
+            "doc_id", "text", n = 4)
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source").agg(count(lit(1)).as("n_cont"))
+        stats.join(langTop, "source").join(cont, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            expr("total_tokens * 1000 div n_docs").as("avg_tokens_x1e3"),
+            col("n_langs"), col("top_lang"),
+            expr("top_n * 1000000 div n_docs").as("top_lang_ppm"),
+            expr("n_pass * 1000000 div n_docs").as("gate_pass_ppm"),
+            expr("(n_docs - n_distinct) * 1000000 div n_docs").as("exact_dup_ppm"),
+            expr("coalesce(n_cont, CAST(0 AS BIGINT)) * 1000000 div n_docs")
+              .as("contaminated_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH stats AS (SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |    CAST(sum(CAST(len(string_split(text, ' ')) BETWEEN 10 AND 100000
+             |      AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+             |        / length(text) >= 0.6
+             |      AND len(list_filter(string_split(text, ' '),
+             |        x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2
+             |      AS INT)) AS BIGINT) AS n_pass,
+             |    count(DISTINCT md5(text)) AS n_distinct,
+             |    count(DISTINCT lang) AS n_langs
+             |  FROM documents GROUP BY source),
+             |lt AS (SELECT source, lang, count(*) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |top AS (SELECT source, lang AS top_lang, n AS top_n FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY source
+             |      ORDER BY n DESC, lang) AS rn FROM lt) WHERE rn = 1),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |ng AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 4 + 2),
+             |         i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ngram
+             |       FROM toks WHERE len(w) >= 4),
+             |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 23 = 0),
+             |cids AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bench b
+             |    ON n.ngram = b.ngram WHERE n.doc_id % 23 <> 0),
+             |cont AS (SELECT d.source, count(*) AS n_cont
+             |  FROM cids c JOIN documents d USING (doc_id) GROUP BY 1)
+             |SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs, s.total_tokens,
+             |  s.total_tokens * 1000 // s.n_docs AS avg_tokens_x1e3,
+             |  CAST(s.n_langs AS BIGINT) AS n_langs, t.top_lang,
+             |  t.n * 1000000 // s.n_docs AS top_lang_ppm,
+             |  s.n_pass * 1000000 // s.n_docs AS gate_pass_ppm,
+             |  (s.n_docs - s.n_distinct) * 1000000 // s.n_docs AS exact_dup_ppm,
+             |  coalesce(c.n_cont, 0) * 1000000 // s.n_docs AS contaminated_ppm
+             |FROM stats s
+             |JOIN (SELECT source, top_lang, top_n AS n FROM top) t USING (source)
+             |LEFT JOIN cont c USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    Q(
       "t18_zipf_slope",
       (s, dir) => {
         // Per-source Zipf slope — the power-law corpus-QA statistic
