@@ -150,6 +150,12 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.CellArgmin(
       ColumnBridge.expression(vec), centers))
 
+  /** Minimum squared distance to any center — [[cellArgmin]]'s VALUE
+    * twin (the k-means|| per-point cost), one native expression. */
+  def cellMinDist(vec: Column, centers: Array[Array[Double]]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.CellMinDist(
+      ColumnBridge.expression(vec), centers))
+
   /** Count of `arr` elements contained in the fixed string `set` — one
     * hashed probe per element inside codegen (the stateless-stream form
     * of a broadcast semi-join probe; see [[graftshim.SetHitCount]]). */

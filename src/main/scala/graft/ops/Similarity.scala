@@ -209,6 +209,96 @@ object Similarity {
   }
 
   /**
+   * k-means|| initialization (Bahmani et al. 2012, "Scalable
+   * k-means++" — the init Spark MLlib itself defaults to): instead of
+   * k-means++'s k SEQUENTIAL full-corpus passes, each of `rounds`
+   * passes samples an expected `ell` points with probability
+   * ∝ their squared distance to the current candidate set, the
+   * oversampled candidates are weighted by how many corpus points they
+   * own, and a driver-side weighted recluster (here: Gonzalez's
+   * farthest-point traversal, weight × distance objective) reduces
+   * them to k centers. This is THE 100 TB init — O(rounds) scans,
+   * model-sized driver state — where [[kmeansFitDistributed]]'s
+   * first-k-by-id init is the small-data placeholder.
+   *
+   * Determinism (the oracle discipline): the random coin is the salted
+   * portable hash — point x joins the candidate set in round r iff
+   * md5Hash52("a26:r:" || id) < ⌊min(1, ell·cost_q(x)/φ)·2^52⌋ — with
+   * per-point costs FLOOR-QUANTIZED to 1/`quant` units (exact longs, so
+   * φ is an exact integer in any aggregation order; p09's sampling
+   * trick at vector grain). Candidate order is (round asc, id asc);
+   * seed = the min-id vector. A point at distance 0 to the candidate
+   * set has threshold 0 and can never re-sample — duplicates
+   * self-exclude. The greedy recluster maximizes
+   * ⌊weight·d²·quant+0.5⌋ to the chosen set (tie → lowest candidate
+   * index; all-zero scores fall through to lowest index), so every
+   * choice replays as closed-form SQL.
+   *
+   * Scale shape per round: ONE narrow pass (native [[graftshim.CellMinDist]]
+   * cost + exact-long sum for φ, then the hash-coin filter) with
+   * model-sized collects — the codebook-fit posture; the weighting
+   * pass is one [[graftshim.CellArgmin]] census. No corpus shuffle
+   * anywhere; the candidate set (≈ 1 + rounds·ell) broadcasts inside
+   * the referenced-object expressions.
+   *
+   * Returns the k centers in SELECTION ORDER (cell index = selection
+   * rank, so downstream assignment is deterministic).
+   */
+  def kmeansParallelInit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, ell: Int, quant: Double = 1e6): Array[Array[Double]] = {
+    import graft.functions.VectorExpressions.{cellArgmin, cellMinDist, md5Hash52}
+    require(k >= 1 && rounds >= 1 && ell >= 1,
+      s"kmeansParallelInit: k=$k rounds=$rounds ell=$ell")
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seed = vecs.orderBy(col("id"), col("v")).limit(1).collect()
+    require(seed.nonEmpty, "kmeansParallelInit: empty corpus")
+    val cands = scala.collection.mutable.ArrayBuffer(
+      seed(0).getSeq[Double](1).toArray)
+    for (r <- 1 to rounds) {
+      val c = cands.toArray
+      val costF = vecs.select(col("id"), col("v"),
+        floor(cellMinDist(col("v"), c) * quant + lit(0.5)).cast("long").as("cost_q"))
+      val phi = costF.agg(sum("cost_q")).collect()(0).getLong(0)
+      if (phi > 0) {
+        val thr = floor(least(lit(1.0),
+            lit(ell.toDouble) * col("cost_q").cast("double") / lit(phi.toDouble))
+          * lit(4503599627370496.0)).cast("long")
+        val coin = md5Hash52(concat(lit(s"a26:$r:"), col("id").cast("string")))
+        cands ++= costF.where(coin < thr)
+          .select(col("id"), col("v")).orderBy("id")
+          .collect().map(_.getSeq[Double](1).toArray)
+      }
+    }
+    val all = cands.toArray
+    require(all.length >= k,
+      s"kmeansParallelInit: only ${all.length} candidates for k=$k — raise ell/rounds")
+    val wRows = vecs.select(cellArgmin(col("v"), all).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n")).collect()
+    val w = new Array[Long](all.length)
+    wRows.foreach(r => w(r.getInt(0)) = r.getLong(1))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      w.indices.minBy(i => (-w(i), i)))
+    while (chosen.length < k) {
+      val scores = all.indices.map { i =>
+        if (chosen.contains(i)) -1L
+        else {
+          val mind2 = chosen.map(j => sq(all(i), all(j))).min
+          math.floor(w(i) * mind2 * quant + 0.5).toLong
+        }
+      }
+      chosen += all.indices.minBy(i => (-scores(i), i))
+    }
+    chosen.map(all).toArray
+  }
+
+  /**
    * ORACLE-REPLAYABLE IVF quantizer: driver Lloyd like [[knnIvf]]'s,
    * but every step is closed-form in SQL — the sample is the first
    * `sampleN` corpus vectors by id (a deterministic total order, not a

@@ -22,6 +22,12 @@ object SimilarityQueries {
         s"${lshBucketSql("v", dim, planes, seed = 100 + t)} AS bucket FROM e WHERE $filter"
     }.mkString("\n  UNION ALL\n  ")
 
+  /** DuckDB squared-euclidean over 64-d DOUBLE[] lists, ascending-i
+    * summation — the same order every native distance expression and
+    * every existing kmeans oracle folds. */
+  private def sq64(a: String, b: String): String =
+    s"list_sum(list_transform(range(64), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1])))"
+
   /** a05's full closed-form replay (assignment → probing → ranking)
     * — shared verbatim by st17, whose streamed shard-local candidates
     * merge to the identical result (top-k of a union = top-k of the
@@ -1419,6 +1425,104 @@ object SimilarityQueries {
              |        row_number() OVER (PARTITION BY query_id
              |          ORDER BY adist, neighbor_id) AS rn
              |      FROM hits)
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "a26_kmeans_parallel",
+      (s, dir) => {
+        // k-means|| initialization (Similarity.kmeansParallelInit) +
+        // final assignment census — the scalable init Spark MLlib
+        // defaults to, made oracle-replayable: 2 oversampling rounds
+        // (ell=8) whose random coin is the salted md5 hash against a
+        // threshold built from exact-long quantized costs, candidates
+        // weighted by one CellArgmin census, then the deterministic
+        // Gonzalez weighted recluster down to k=4 (max weight·d²,
+        // lowest-index ties). The census fingerprints the final
+        // assignment exactly like a08: (cell, n_points, id_sum).
+        import graft.functions.VectorExpressions.cellArgmin
+        val emb = Tables(s, dir).embeddings
+        val centers = graft.ops.Similarity.kmeansParallelInit(
+          emb, "vec_id", "embedding", k = 4, rounds = 2, ell = 8)
+        emb.select(col("vec_id"),
+          cellArgmin(col("embedding").cast("array<double>"), centers).as("cell"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_points"), sum("vec_id").as("id_sum"))
+          .orderBy("cell")
+      },
+      // full closed-form replay: both oversampling rounds (exact-long
+      // quantized costs, md5-hash coins), candidate indexing by
+      // (round, id), the CellArgmin weight census, all four Gonzalez
+      // selections, and the final assignment census
+      Some(s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |seed AS (SELECT v FROM (SELECT v,
+             |    row_number() OVER (ORDER BY id, v) AS rn FROM e) WHERE rn = 1),
+             |cost1 AS (SELECT e.id, e.v,
+             |    CAST(floor(${sq64("e.v", "s.v")} * 1000000.0 + 0.5) AS BIGINT) AS cq
+             |  FROM e CROSS JOIN seed s),
+             |phi1 AS (SELECT sum(cq) AS phi FROM cost1),
+             |samp1 AS (SELECT c.id, c.v FROM cost1 c CROSS JOIN phi1 p
+             |  WHERE ${OracleSql.md5Fold52("'a26:1:' || CAST(c.id AS VARCHAR)")}
+             |      < CAST(floor(least(1.0, 8.0 * c.cq / p.phi)
+             |          * 4503599627370496.0) AS BIGINT)),
+             |cand2 AS (SELECT 0 AS idx, v FROM seed
+             |  UNION ALL SELECT CAST(row_number() OVER (ORDER BY id) AS INT), v
+             |    FROM samp1),
+             |cost2 AS (SELECT id, v,
+             |    CAST(floor(min(d) * 1000000.0 + 0.5) AS BIGINT) AS cq FROM
+             |    (SELECT e.id, e.v, ${sq64("e.v", "c.v")} AS d
+             |     FROM e CROSS JOIN cand2 c)
+             |  GROUP BY id, v),
+             |phi2 AS (SELECT sum(cq) AS phi FROM cost2),
+             |samp2 AS (SELECT c.id, c.v FROM cost2 c CROSS JOIN phi2 p
+             |  WHERE ${OracleSql.md5Fold52("'a26:2:' || CAST(c.id AS VARCHAR)")}
+             |      < CAST(floor(least(1.0, 8.0 * c.cq / p.phi)
+             |          * 4503599627370496.0) AS BIGINT)),
+             |n2 AS (SELECT count(*) AS n FROM cand2),
+             |cand AS (SELECT idx, v FROM cand2
+             |  UNION ALL SELECT CAST(n2.n - 1 + row_number() OVER (ORDER BY id) AS INT), v
+             |    FROM samp2 CROSS JOIN n2),
+             |wt AS (SELECT c.idx, count(a.id) AS w FROM cand c LEFT JOIN (
+             |    SELECT id, idx FROM (SELECT e.id, c.idx,
+             |        row_number() OVER (PARTITION BY e.id
+             |          ORDER BY ${sq64("e.v", "c.v")}, c.idx) AS rn
+             |      FROM e CROSS JOIN cand c) WHERE rn = 1) a USING (idx)
+             |  GROUP BY c.idx),
+             |cd AS (SELECT a.idx AS ia, b.idx AS ib, ${sq64("a.v", "b.v")} AS d
+             |  FROM cand a CROSS JOIN cand b),
+             |g1 AS (SELECT idx FROM wt ORDER BY w DESC, idx LIMIT 1),
+             |g2 AS (SELECT w.idx FROM wt w JOIN cd ON cd.ia = w.idx
+             |  JOIN g1 ON cd.ib = g1.idx WHERE w.idx <> g1.idx
+             |  ORDER BY CAST(floor(w.w * cd.d * 1000000.0 + 0.5) AS BIGINT) DESC,
+             |    w.idx LIMIT 1),
+             |ch2 AS (SELECT idx FROM g1 UNION ALL SELECT idx FROM g2),
+             |g3 AS (SELECT idx FROM (
+             |    SELECT w.idx, CAST(floor(w.w * min(cd.d) * 1000000.0 + 0.5) AS BIGINT) AS s
+             |    FROM wt w JOIN cd ON cd.ia = w.idx
+             |    WHERE cd.ib IN (SELECT idx FROM ch2)
+             |      AND w.idx NOT IN (SELECT idx FROM ch2)
+             |    GROUP BY w.idx, w.w)
+             |  ORDER BY s DESC, idx LIMIT 1),
+             |ch3 AS (SELECT idx FROM ch2 UNION ALL SELECT idx FROM g3),
+             |g4 AS (SELECT idx FROM (
+             |    SELECT w.idx, CAST(floor(w.w * min(cd.d) * 1000000.0 + 0.5) AS BIGINT) AS s
+             |    FROM wt w JOIN cd ON cd.ia = w.idx
+             |    WHERE cd.ib IN (SELECT idx FROM ch3)
+             |      AND w.idx NOT IN (SELECT idx FROM ch3)
+             |    GROUP BY w.idx, w.w)
+             |  ORDER BY s DESC, idx LIMIT 1),
+             |chosen AS (SELECT 0 AS cell, idx FROM g1
+             |  UNION ALL SELECT 1, idx FROM g2
+             |  UNION ALL SELECT 2, idx FROM g3
+             |  UNION ALL SELECT 3, idx FROM g4),
+             |ctr AS (SELECT ch.cell, c.v FROM chosen ch JOIN cand c USING (idx)),
+             |assign AS (SELECT id, cell FROM (
+             |    SELECT e.id, t.cell,
+             |      row_number() OVER (PARTITION BY e.id
+             |        ORDER BY ${sq64("e.v", "t.v")}, t.cell) AS rn
+             |    FROM e CROSS JOIN ctr t) WHERE rn = 1)
+             |SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+             |  CAST(sum(id) AS BIGINT) AS id_sum
+             |FROM assign GROUP BY cell ORDER BY cell""".stripMargin))
   )
 }

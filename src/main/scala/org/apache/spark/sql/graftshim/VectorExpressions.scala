@@ -333,6 +333,60 @@ case class CellArgmin(
 }
 
 /**
+ * Minimum squared distance from the input vector to any of the
+ * referenced centers — [[CellArgmin]]'s VALUE twin (argmin gives the
+ * cell, this gives the cost), the per-point quantity k-means||'s
+ * sampling probability is proportional to. Same referenced-object
+ * codegen shape: one nested loop, no per-center literal expansion.
+ */
+case class CellMinDist(
+    child: Expression,
+    centers: Array[Array[Double]]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(centers.nonEmpty, "need at least one center")
+
+  override def prettyName: String = "graft_cell_mindist"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  /** codegen entry point (public for the generated class). */
+  def evalMin(v: ArrayData): Double = {
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(ctr.length, v.numElements())
+      while (i < n) { val d = v.getDouble(i) - ctr(i); s += d * d; i += 1 }
+      if (s < bestD) bestD = s
+      c += 1
+    }
+    bestD
+  }
+
+  override protected def nullSafeEval(v: Any): Any = evalMin(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("cellMinDist", this, classOf[CellMinDist].getName)
+      s"${ev.value} = $self.evalMin($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CellMinDist =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: CellMinDist =>
+      h.child == child && h.centers.length == centers.length &&
+        h.centers.zip(centers).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + centers.map(java.util.Arrays.hashCode).toSeq.hashCode()
+}
+
+/**
  * IVF probe list: the `nprobe` nearest center indices ordered by
  * (distance asc, index asc) — deterministic ties, identical to a
  * stable sort over (dist, index). Same referenced-object codegen shape

@@ -1217,6 +1217,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == res.map(_.toSeq).toSet)
   }
 
+  test("kmeansParallelInit: picks one center per planted blob, never " +
+      "duplicates a candidate, and is partition-invariant") {
+    import spark.implicits._
+    // 4 tight, well-separated blobs of 25 points each: the weighted
+    // Gonzalez recluster over oversampled candidates must land exactly
+    // one chosen center in each blob (k-means||'s whole point)
+    val rnd = new scala.util.Random(11)
+    def blobCenter(b: Int): Array[Double] =
+      Array.tabulate(8)(i => if (i == b * 2) 50.0 else 0.0)
+    val pts = for (b <- 0 until 4; j <- 0 until 25) yield {
+      val c = blobCenter(b)
+      ((b * 25 + j).toLong, c.map(_ + rnd.nextGaussian() * 0.5).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val centers = Similarity.kmeansParallelInit(
+      df, "vec_id", "embedding", k = 4, rounds = 2, ell = 8)
+    assert(centers.length == 4)
+    def nearestBlob(v: Array[Double]): Int =
+      (0 until 4).minBy(b => v.zip(blobCenter(b))
+        .map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(centers.map(nearestBlob).toSet == Set(0, 1, 2, 3),
+      "each planted blob must own exactly one chosen center")
+    // candidates never duplicate: every center is one of the input
+    // points (cost-0 self-exclusion means re-sampling a candidate is
+    // impossible, so all four are distinct corpus vectors)
+    assert(centers.map(_.toSeq).distinct.length == 4)
+    val again = Similarity.kmeansParallelInit(
+      df.repartition(13), "vec_id", "embedding", k = 4, rounds = 2, ell = 8)
+    assert(again.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq,
+      "init must not depend on partitioning")
+  }
+
   test("knnGraphSearch: beam expansion and corpus probes are BROADCAST " +
       "joins — the graph and vector sides never shuffle") {
     import spark.implicits._
