@@ -857,7 +857,65 @@ object CorpusOps2 {
         } finally q.stop()
         s.table("st21_scores").orderBy("doc_id")
       },
-      Some(t25OracleSqlWhere("doc_id < 2000"))))
+      Some(t25OracleSqlWhere("doc_id < 2000"))),
+
+    Q(
+      "st23_stream_source_quota",
+      (s, dir) => {
+        // STREAMING per-source quota admission under the DuckDB
+        // oracle — p04's corpus quotas enforced AT INGEST
+        // (CorpusStream.quotaAdmission): each source admits its first
+        // `quota` docs BY ARRIVAL, later fetches drop before they
+        // cost storage or dedup state; state is ONE integer per
+        // source, the minimal-state end of the streaming family.
+        // The feed is id-ordered in two micro-batches split at the
+        // row median of the CAPPED universe (doc_id < 2000 absolute,
+        // st18's discipline), so the wider quotas admit from BOTH
+        // batches — the counter provably survives the state
+        // boundary. Arrival order ≡ doc_id order, so the oracle is
+        // the per-source row_number ≤ quota prefix. collect() is the
+        // MemoryStream feeding harness.
+        import graft.streaming.CorpusStream
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[CorpusStream.SourcedDoc]
+        val quotas = (0 until 20).map(i => s"src$i" -> (5 * (i % 4 + 1))).toMap
+        val rows = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+          .select(col("doc_id"), col("source")).orderBy("doc_id")
+          .collect().map(r => CorpusStream.SourcedDoc(r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[CorpusStream.SourcedDoc]
+        val ckpt = java.nio.file.Files.createTempDirectory("st23_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try CorpusStream.quotaAdmission(stream.toDS(), quotas, defaultQuota = 5)
+            .writeStream.format("memory").queryName("st23_admitted")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st23_admitted").orderBy("doc_id")
+      },
+      Some(s"""WITH quotas(source, quota) AS (VALUES
+             |  ${(0 until 20).map(i => s"('src$i', ${5 * (i % 4 + 1)})").mkString(", ")}),
+             |u AS (SELECT doc_id, source FROM documents WHERE doc_id < 2000),
+             |r AS (SELECT u.doc_id, u.source,
+             |    row_number() OVER (PARTITION BY u.source ORDER BY u.doc_id) AS rn,
+             |    q.quota
+             |  FROM u JOIN quotas q USING (source))
+             |SELECT doc_id, source FROM r WHERE rn <= quota
+             |ORDER BY doc_id""".stripMargin)))
 
   /** t25's full unrolled oracle (uncapped). */
   private def t25OracleSql: String = t25OracleSqlWhere("TRUE")

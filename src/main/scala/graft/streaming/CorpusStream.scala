@@ -169,4 +169,56 @@ object CorpusStream {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
   }
+
+  /** One arriving document for [[quotaAdmission]]. */
+  final case class SourcedDoc(doc_id: Long, source: String)
+
+  /** Per-source admission counter — [[quotaAdmission]]'s WHOLE state:
+    * one int per source, regardless of stream volume. */
+  final case class QuotaState(admitted: Int)
+
+  /** An admitted document. */
+  final case class AdmittedDoc(doc_id: Long, source: String)
+
+  /**
+   * Streaming per-source QUOTA ADMISSION — the online twin of p04's
+   * corpus quotas, enforced AT INGEST (the crawl-frontier posture:
+   * once a source has contributed its cap, later fetches are dropped
+   * before they cost storage or dedup state; p04 then picks the
+   * weighted mix offline). Admission is FIRST-`quota`-BY-ARRIVAL:
+   * `flatMapGroupsWithState` keyed by source admits each arriving doc
+   * while the source's counter is below its cap, where p04 ranks by
+   * hash — the two are complementary (online admission control vs.
+   * offline mix selection). Within a micro-batch the group's slice is
+   * ordered by doc_id before admitting (the harness feeds id-ordered
+   * batches, so this IS arrival order — and it makes the operator
+   * deterministic under shuffle-order nondeterminism, the d02 rule).
+   *
+   * State per source: ONE integer, never expiring (quotas are
+   * lifetime caps; a windowed variant would add a timeout) — the
+   * minimal-state end of the streaming family's spectrum. The quota
+   * table rides in the closure (model-sized, like st08's GP and
+   * st21's weights). Unknown sources admit up to `defaultQuota`.
+   */
+  def quotaAdmission(docs: Dataset[SourcedDoc], quotas: Map[String, Int],
+      defaultQuota: Int): Dataset[AdmittedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[AdmittedDoc]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[QuotaState]
+    implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source, it, state) =>
+          val cap = quotas.getOrElse(source, defaultQuota)
+          var n = if (state.exists) state.get.admitted else 0
+          val out = Seq.newBuilder[AdmittedDoc]
+          for (d <- it.toArray.sortBy(_.doc_id) if n < cap) {
+            n += 1
+            out += AdmittedDoc(d.doc_id, d.source)
+          }
+          state.update(QuotaState(n))
+          out.result().iterator
+      }
+  }
 }

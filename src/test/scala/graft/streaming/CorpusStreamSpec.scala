@@ -165,4 +165,35 @@ class CorpusStreamSpec extends SparkTestBase {
       s"missing=${batch -- streamed} extra=${streamed -- batch}")
     assert(!streamed.exists(_._1 == 3L), "short doc must be absent, like batch")
   }
+
+  test("quotaAdmission: per-source counter survives the micro-batch " +
+      "boundary and never over-admits; unknown sources get the default") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SourcedDoc]
+    val q = quotaAdmission(input.toDS(),
+        Map("a" -> 3, "b" -> 1), defaultQuota = 2)
+      .writeStream.format("memory").queryName("quota_admitted")
+      .outputMode("append").start()
+    try {
+      // batch 1: a gets 2 of its 3, b exhausts, unknown c gets 1 of 2
+      input.addData(
+        SourcedDoc(1, "a"), SourcedDoc(2, "a"),
+        SourcedDoc(3, "b"), SourcedDoc(4, "b"),
+        SourcedDoc(5, "c"))
+      q.processAllAvailable()
+      // batch 2: a's counter must resume at 2 (admit exactly one more),
+      // b stays closed, c admits its second and then closes
+      input.addData(
+        SourcedDoc(6, "a"), SourcedDoc(7, "a"),
+        SourcedDoc(8, "b"),
+        SourcedDoc(9, "c"), SourcedDoc(10, "c"))
+      q.processAllAvailable()
+      val got = spark.table("quota_admitted").as[AdmittedDoc]
+        .collect().map(d => (d.doc_id, d.source)).toSet
+      assert(got == Set((1L, "a"), (2L, "a"), (3L, "b"), (5L, "c"),
+        (6L, "a"), (9L, "c")),
+        s"got $got")
+    } finally q.stop()
+  }
 }
