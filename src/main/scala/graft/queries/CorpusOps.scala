@@ -91,6 +91,67 @@ object CorpusOps {
              |FROM tri GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "t26_char_entropy",
+      (s, dir) => {
+        // Character-grain Shannon entropy + distinct-bigram ratio —
+        // the cheap compressibility pair (the gzip-ratio quality
+        // signal several curation pipelines run, approximated without
+        // a codec: low char entropy OR a low distinct-bigram share
+        // means the byte stream compresses well, i.e., templated or
+        // looping text; the inverse extreme flags gibberish).
+        // Complements t15's word-trigram ratio one grain down. All
+        // integer: each char's ln(c/n) quantizes to 1e-6-nat units
+        // BEFORE the Σ c·q fold (t17's trick — an engine ulp flips a
+        // quantized value only within ~1e-16 of a grid boundary), so
+        // ent_unats = −Σc·q div n (micro-nats per char) is exact in
+        // any order. Scale shape: two narrow positional explodes into
+        // (doc, key) map-side-combinable aggregates — no token
+        // shuffle, the t15/t04 shape; docs under 2 chars carry no
+        // bigram evidence and route out.
+        val d = Tables(s, dir).documents
+          .filter(length(col("text")) >= 2)
+          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        val cc = d
+          .select(col("doc_id"), col("n"), col("text"),
+            explode(sequence(lit(1), col("n"))).as("i"))
+          .select(col("doc_id"), col("n"), expr("substring(text, i, 1)").as("ch"))
+          .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+        val ent = cc
+          .select(col("doc_id"), col("n"),
+            (col("c") * floor(log(col("c").cast("double") / col("n").cast("double"))
+              * 1e6 + lit(0.5)).cast("long")).as("term"))
+          .groupBy("doc_id", "n").agg((-sum("term")).as("es"))
+        val bga = d
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), col("n") - 1)).as("i"))
+          .select(col("doc_id"), expr("substring(text, i, 2)").as("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nb"), countDistinct(col("b")).as("ub"))
+        ent.join(bga, "doc_id")
+          .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+            expr("es div n").as("ent_unats"),
+            expr("ub * CAST(1000000 AS BIGINT) div nb").as("bigram_distinct_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents WHERE length(text) >= 2),
+             |cc AS (SELECT doc_id, n, ch, count(*) AS c FROM
+             |    (SELECT doc_id, n, substr(text, CAST(i AS INT) + 1, 1) AS ch
+             |     FROM (SELECT doc_id, text, n, unnest(range(n)) AS i FROM d))
+             |  GROUP BY 1, 2, 3),
+             |ent AS (SELECT doc_id, n,
+             |    -sum(c * CAST(floor(ln(c * 1.0 / n) * 1000000.0 + 0.5) AS BIGINT)) AS es
+             |  FROM cc GROUP BY 1, 2),
+             |bga AS (SELECT doc_id, count(*) AS nb, count(DISTINCT b) AS ub FROM
+             |    (SELECT doc_id, substr(text, CAST(i AS INT) + 1, 2) AS b
+             |     FROM (SELECT doc_id, text, unnest(range(n - 1)) AS i FROM d))
+             |  GROUP BY 1)
+             |SELECT e.doc_id, CAST(e.n AS BIGINT) AS n_chars,
+             |  e.es // e.n AS ent_unats,
+             |  b.ub * 1000000 // b.nb AS bigram_distinct_ppm
+             |FROM ent e JOIN bga b USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    Q(
       "t16_quality_gate",
       (s, dir) => {
         // Composite Gopher-style quality gate: token-count band, alpha
