@@ -326,6 +326,35 @@ object TextAnalysis {
         expr("coalesce(c5, 0L) * 1000000L div n_chars").as("dup5_ppm"))
   }
 
+  /**
+   * Exact Mann–Whitney AUC as one integer census row — the
+   * threshold-free ranking metric every learned-filter evaluation
+   * reports, computed WITHOUT a per-pair join: counts group by the
+   * (already-quantized) score FIRST, so with scores on the 1e-6 grid
+   * in [0, 1] the rank window runs over ≤ 1e6+1 distinct values
+   * however large the scored set — bounded at any corpus size — and
+   * ties weight half via U×2 = Σ_s p_s·(2·cum_neg_below(s) + g_s),
+   * all exact longs. Returns (n_test, n_pos, auc_ppm) with auc_ppm =
+   * U×2 · 1e6 div (2·n_pos·n_neg), NULL when a class is absent.
+   * `labelCol` must be 0/1 (numeric).
+   */
+  def aucPpm(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val byScore = scored.groupBy(scoreCol)
+      .agg(sum(col(labelCol).cast("double")).cast("long").as("p"),
+        sum(lit(1.0) - col(labelCol).cast("double")).cast("long").as("g"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(scoreCol).rowsBetween(Long.MinValue, -1)
+    byScore
+      .select(col("p"), col("g"),
+        coalesce(sum(col("g")).over(cum), lit(0L)).as("cn"))
+      .agg(sum(col("p")).as("np"), sum(col("g")).as("ng"),
+        sum(col("p") * (lit(2L) * col("cn") + col("g"))).as("u2"))
+      .select((col("np") + col("ng")).as("n_test"), col("np").as("n_pos"),
+        expr("CASE WHEN np * ng = 0 THEN NULL " +
+          "ELSE u2 * CAST(1000000 AS BIGINT) div (2 * np * ng) END")
+          .as("auc_ppm"))
+  }
+
   /** Email-address pattern, identical under Java regex and RE2 (plain
     * character classes, no backreferences). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"

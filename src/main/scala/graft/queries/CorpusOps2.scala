@@ -801,6 +801,68 @@ object CorpusOps2 {
       Some(t25OracleSql)),
 
     Q(
+      "t27_quality_cv",
+      (s, dir) => {
+        // Deterministic k-FOLD CROSS-VALIDATION of the learned quality
+        // classifier — the eval harness every learned-filter
+        // deployment runs before trusting t25's scores (does the
+        // model generalize, or did it memorize its slice?): folds are
+        // md5-hash-assigned (p06's split discipline — stable under
+        // reruns, backfills, engines), each fold's model fits on the
+        // OTHER two via the same 4-round quantized-GD closed form,
+        // and the held-out fold scores against its own frozen
+        // weights. Output: per-fold test size, positive count,
+        // correct count at the 0.5 threshold, accuracy ppm. One
+        // sharedScan featurization feeds all three fits and all
+        // three scoring passes; each fit is O(steps) map-side
+        // treeAggregate scans — 3 folds = 12 passes, zero corpus
+        // shuffles, the t25 scale shape times k.
+        import org.apache.spark.sql.graftshim.InternalFrame
+        val d = Tables(s, dir).documents
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val y = (nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)).cast("int").cast("double")
+        val fold = (graft.functions.VectorExpressions.md5Hash52(
+          concat(lit("t27:"), col("doc_id").cast("string"))) % 3).cast("int")
+        val feats = InternalFrame.sharedScan(
+          graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64)
+            .join(d.select(col("doc_id"), y.as("y"), fold.as("fold")), "doc_id")
+            .withColumn("nrm",
+              sqrt(graft.ops.Similarity.dot(col("tf_vec"), col("tf_vec"))))
+            .filter(col("nrm") > 0)
+            .select(col("doc_id"), col("fold"), col("y"),
+              transform(col("tf_vec"), e => e / col("nrm")).as("v")))
+        // held-out metric = exact Mann-Whitney AUC (ties at half
+        // weight), the threshold-free statistic — at 4 GD rounds the
+        // sigmoid is uncalibrated around 0.5 (every test doc scores
+        // positive there), so ranking quality IS the generalization
+        // evidence. Integer-exact: counts group by the 1e-6-quantized
+        // score FIRST (≤ 1e6+1 distinct values however large the test
+        // fold — the rank window is bounded at any corpus size), then
+        // U×2 = Σ p·(2·cum_neg_below + g) in longs.
+        val perFold = (0 until 3).map { f =>
+          val w = graft.ops.TextAnalysis.logisticFitGd(
+            feats.filter(col("fold") =!= f), "v", "y",
+            dim = 64, steps = 4, lr = 16.0).last.toSeq
+          val scored = feats.filter(col("fold") === f)
+            .select(col("y"),
+              fround(lit(1.0) / (lit(1.0) +
+                exp(-graft.ops.Similarity.dot(col("v"), typedlit(w)))), 6)
+                .as("score"))
+          graft.ops.TextAnalysis.aucPpm(scored, "y", "score")
+            .select(lit(f).as("fold"), col("n_test"), col("n_pos"),
+              col("auc_ppm"))
+        }
+        perFold.reduce(_.unionByName(_)).orderBy("fold")
+      },
+      Some(t27OracleSql)),
+
+    Q(
       "st21_stream_quality_scoring",
       (s, dir) => {
         // STREAMING learned-quality scoring under the DuckDB oracle:
@@ -947,6 +1009,74 @@ object CorpusOps2 {
        |SELECT f.doc_id, f.y AS label,
        |  floor((1.0 / (1.0 + exp(-mfin.m))) * 1e6 + 0.5) / 1e6 AS score
        |FROM f JOIN mfin USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** t27's oracle: the t25 unroll replayed once per fold — fit CTEs
+    * restricted to fold ≠ f, scoring restricted to fold = f, the three
+    * per-fold count rows unioned. */
+  private def t27OracleSql: String = {
+    val foldExpr =
+      s"CAST(${OracleSql.md5Fold52("'t27:' || CAST(vecs.doc_id AS VARCHAR)")} % 3 AS INT)"
+    def foldCtes(f: Int): String = {
+      val lr = "16.0"
+      val rounds = (1 to 4).map { i =>
+        if (i == 1)
+          s"""g1f$f AS (SELECT j, floor(sum(x * (0.5 - y)) / n * 1e6 + 0.5) / 1e6 AS g
+             |    FROM uf$f CROSS JOIN nnf$f GROUP BY j, n),
+             |w1f$f AS (SELECT j, floor((0.0 - $lr * g) * 1e6 + 0.5) / 1e6 AS w
+             |    FROM g1f$f)""".stripMargin
+        else {
+          val p = i - 1
+          s"""m${p}f$f AS (SELECT u.doc_id, sum(w.w * u.x) AS m
+             |    FROM uf$f u JOIN w${p}f$f w USING (j) GROUP BY u.doc_id),
+             |g${i}f$f AS (SELECT u.j, floor(sum(u.x * (1.0 / (1.0 + exp(-m.m))
+             |      - u.y)) / n * 1e6 + 0.5) / 1e6 AS g
+             |  FROM uf$f u JOIN m${p}f$f m USING (doc_id) CROSS JOIN nnf$f
+             |  GROUP BY u.j, n),
+             |w${i}f$f AS (SELECT j, floor((w.w - $lr * g.g) * 1e6 + 0.5) / 1e6 AS w
+             |    FROM w${p}f$f w JOIN g${i}f$f g USING (j))""".stripMargin
+        }
+      }.mkString(",\n")
+      s"""uf$f AS (SELECT * FROM u WHERE fold <> $f),
+         |nnf$f AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f WHERE fold <> $f),
+         |$rounds,
+         |mtf$f AS (SELECT u.doc_id, sum(w.w * u.x) AS m
+         |    FROM u JOIN w4f$f w USING (j) WHERE u.fold = $f GROUP BY u.doc_id),
+         |sc$f AS (SELECT floor((1.0 / (1.0 + exp(-m.m))) * 1e6 + 0.5) / 1e6 AS score,
+         |    CAST(sum(y) AS BIGINT) AS p,
+         |    CAST(sum(1.0 - y) AS BIGINT) AS g
+         |  FROM f JOIN mtf$f m USING (doc_id) WHERE f.fold = $f GROUP BY 1),
+         |cu$f AS (SELECT p, g, coalesce(sum(g) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+         |  FROM sc$f),
+         |r$f AS (SELECT $f AS fold, CAST(sum(p) + sum(g) AS BIGINT) AS n_test,
+         |    CAST(sum(p) AS BIGINT) AS n_pos,
+         |    CASE WHEN sum(p) * sum(g) = 0 THEN NULL
+         |         ELSE sum(p * (2 * cn + g)) * 1000000 // (2 * sum(p) * sum(g))
+         |    END AS auc_ppm
+         |  FROM cu$f)""".stripMargin
+    }
+    s"""WITH ${SimilarityQueries.hashingTfSql("TRUE")},
+       |lab AS (SELECT doc_id, CAST(CAST(
+       |    len(string_split(text, ' ')) BETWEEN 10 AND 100000
+       |    AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+       |      / length(text) >= 0.6
+       |    AND len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the','a','of','and','to','in','is','it')))
+       |      >= 2 AS INT) AS DOUBLE) AS y
+       |  FROM documents),
+       |f AS MATERIALIZED (SELECT vecs.doc_id, $foldExpr AS fold,
+       |    list_transform(vecs.v, a -> a / sqrt(list_sum(
+       |      list_transform(vecs.v, b -> b * b)))) AS v, lab.y
+       |  FROM vecs JOIN lab USING (doc_id)
+       |  WHERE list_sum(list_transform(vecs.v, b -> b * b)) > 0),
+       |u AS MATERIALIZED (SELECT doc_id, fold, y, unnest(v) AS x,
+       |    generate_subscripts(v, 1) AS j FROM f),
+       |${(0 until 3).map(foldCtes).mkString(",\n")}
+       |SELECT fold, n_test, n_pos, CAST(auc_ppm AS BIGINT) AS auc_ppm
+       |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+       |      UNION ALL SELECT * FROM r2)
+       |ORDER BY fold""".stripMargin
+  }
 
   /** One unrolled logistic-GD round for the t25 oracle: margins under
     * w{i-1}, quantized mean gradient g{i}, snapped weights w{i}.

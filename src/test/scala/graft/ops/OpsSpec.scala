@@ -22,6 +22,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(r2.getDouble(3) - 1.0 / 8) < 1e-12)
   }
 
+  test("aucPpm: exact Mann-Whitney with half-weight ties — perfect " +
+      "separation 1e6, constant score 500000, mixed case hand-checked") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Double)]): (Long, Long, Option[Long]) = {
+      val r = aucPpm(rows.toDF("y", "score"), "y", "score").collect()(0)
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // every positive above every negative
+    assert(auc(Seq((1.0, 0.9), (1.0, 0.8), (0.0, 0.2), (0.0, 0.1)))
+      == ((4L, 2L, Some(1000000L))))
+    // one constant score: all ties at half weight
+    assert(auc(Seq((1.0, 0.5), (1.0, 0.5), (0.0, 0.5)))
+      == ((3L, 2L, Some(500000L))))
+    // hand-check: pos at .9/.3, neg at .5/.3 ->
+    // U2 = (.9: 2*2+0=4) + (.3 tie: 2*0+1=1) = 5; 5*1e6/(2*2*2) floor
+    assert(auc(Seq((1.0, 0.9), (1.0, 0.3), (0.0, 0.5), (0.0, 0.3)))
+      == ((4L, 2L, Some(625000L))))
+    // a class absent -> NULL
+    assert(auc(Seq((1.0, 0.7), (1.0, 0.2))) == ((2L, 2L, None)))
+  }
+
   test("SetHitCount: hashed membership counts OCCURRENCES and equals the " +
       "HOF array_contains formulation") {
     import spark.implicits._
