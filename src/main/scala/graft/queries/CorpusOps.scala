@@ -152,6 +152,102 @@ object CorpusOps {
              |FROM ent e JOIN bga b USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     Q(
+      "t28_drift_psi",
+      (s, dir) => {
+        // Population Stability Index drift audit — the standard
+        // production monitor for distribution shift (credit-risk
+        // lineage, now the go-to data-drift score: PSI < 0.1 stable,
+        // > 0.2 action), here measuring the shift the pipeline ITSELF
+        // introduces: reference = the raw corpus, current = the
+        // t16-gated survivors, per feature (token count, alpha
+        // ratio) over 10 fixed bins with add-one smoothing (zero
+        // bins stay finite, the textbook treatment). Integer
+        // discipline: ln(p/q) quantizes to 1e-6 per bin, each bin's
+        // (p−q)·lnq term floors to an exact 1e-9 unit long, and the
+        // per-feature PSI is the exact sum — any engine lands the
+        // same integer. Scale: two map-side-combinable bin censuses
+        // per feature + a 10-row literal bin spine; nothing but
+        // counts ever shuffles.
+        val d = Tables(s, dir).documents
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val gate = nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)
+        val base = d.select(
+          least(lit(9), nTok.cast("long") / 20L).cast("int").as("bin_tok"),
+          least(lit(9), floor(alphaRatio * 10).cast("int")).as("bin_alpha"),
+          gate.as("kept"))
+        val bins = s.range(0, 10).select(col("id").cast("int").as("bin"))
+        def psiOf(binCol: String, feature: String) = {
+          val ref = base.groupBy(col(binCol).as("bin"))
+            .agg(count(lit(1)).as("nr"))
+          val cur = base.filter(col("kept")).groupBy(col(binCol).as("bin"))
+            .agg(count(lit(1)).as("nc"))
+          bins.join(ref, Seq("bin"), "left").join(cur, Seq("bin"), "left")
+            .select(col("bin"), coalesce(col("nr"), lit(0L)).as("nr"),
+              coalesce(col("nc"), lit(0L)).as("nc"))
+            .crossJoin(base.agg(count(lit(1)).as("tr"),
+              sum(col("kept").cast("long")).as("tc")))
+            .select(
+              ((col("nr") + 1).cast("double") / (col("tr") + 10)).as("p"),
+              ((col("nc") + 1).cast("double") / (col("tc") + 10)).as("q"),
+              col("nr"), col("nc"))
+            .select(col("nr"), col("nc"), col("p"), col("q"),
+              (floor(log(col("p") / col("q")) * 1e6 + lit(0.5)) / 1e6).as("lnq"))
+            .agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"),
+              sum(floor((col("p") - col("q")) * col("lnq") * 1e9 + lit(0.5))
+                .cast("long")).as("psi_x1e9"))
+            .select(lit(feature).as("feature"), col("n_ref"), col("n_cur"),
+              col("psi_x1e9"))
+        }
+        psiOf("bin_tok", "n_tokens")
+          .unionByName(psiOf("bin_alpha", "alpha_ratio"))
+          .orderBy("feature")
+      },
+      Some("""WITH base AS (SELECT
+             |    least(9, CAST(len(string_split(text, ' ')) AS BIGINT) // 20) AS bin_tok,
+             |    least(9, CAST(floor((length(text) - length(regexp_replace(text,
+             |      '[A-Za-z ]', '', 'g'))) * 1.0 / length(text) * 10) AS INT)) AS bin_alpha,
+             |    (len(string_split(text, ' ')) BETWEEN 10 AND 100000
+             |      AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+             |        / length(text) >= 0.6
+             |      AND len(list_filter(string_split(text, ' '),
+             |        x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2) AS kept
+             |  FROM documents),
+             |bins AS (SELECT unnest(range(10)) AS bin),
+             |tot AS (SELECT count(*) AS tr,
+             |    sum(CAST(kept AS BIGINT)) AS tc FROM base),
+             |tok AS (SELECT 'n_tokens' AS feature, b.bin,
+             |    coalesce(r.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+             |  FROM bins b
+             |  LEFT JOIN (SELECT bin_tok AS bin, count(*) AS nr FROM base
+             |             GROUP BY 1) r USING (bin)
+             |  LEFT JOIN (SELECT bin_tok AS bin, count(*) AS nc FROM base
+             |             WHERE kept GROUP BY 1) c USING (bin)),
+             |alp AS (SELECT 'alpha_ratio' AS feature, b.bin,
+             |    coalesce(r.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+             |  FROM bins b
+             |  LEFT JOIN (SELECT bin_alpha AS bin, count(*) AS nr FROM base
+             |             GROUP BY 1) r USING (bin)
+             |  LEFT JOIN (SELECT bin_alpha AS bin, count(*) AS nc FROM base
+             |             WHERE kept GROUP BY 1) c USING (bin)),
+             |terms AS (SELECT feature, nr, nc,
+             |    (nr + 1) * 1.0 / (tot.tr + 10) AS p,
+             |    (nc + 1) * 1.0 / (tot.tc + 10) AS q
+             |  FROM (SELECT * FROM tok UNION ALL SELECT * FROM alp)
+             |  CROSS JOIN tot)
+             |SELECT feature, CAST(sum(nr) AS BIGINT) AS n_ref,
+             |  CAST(sum(nc) AS BIGINT) AS n_cur,
+             |  CAST(sum(CAST(floor((p - q) *
+             |      (floor(ln(p / q) * 1e6 + 0.5) / 1e6) * 1e9 + 0.5)
+             |    AS BIGINT)) AS BIGINT) AS psi_x1e9
+             |FROM terms GROUP BY feature ORDER BY feature""".stripMargin)),
+
+    Q(
       "t16_quality_gate",
       (s, dir) => {
         // Composite Gopher-style quality gate: token-count band, alpha
