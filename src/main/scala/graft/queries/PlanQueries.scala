@@ -753,6 +753,107 @@ object PlanQueries {
       Some(AnnOracle)),
 
     Q(
+      "l14_ann_tombstones",
+      (s, dir) => {
+        // DELETION support for the ANN-as-layout index — the vector-DB
+        // lifecycle leg l10's appends left open (GDPR erasure, content
+        // takedowns, re-crawl invalidation): deletes land as an
+        // ids-only TOMBSTONE SET, the live index stays immutable, and
+        // every probe masks tombstoned rows with one broadcast
+        // anti-join (O(deletes) memory, zero index rewrite — the
+        // LSM/Lucene delete posture). When the tombstone fraction
+        // justifies it, COMPACTION rewrites only the affected cell
+        // partitions minus their dead rows and the mask drops. The
+        // query probes BOTH phases — masked-live and compacted — and
+        // emits both under a phase column: they must agree row-for-row
+        // with the delete-aware oracle (relayout and masking never
+        // change the answer, l01's contract; quantizer centroids stay
+        // frozen — deletion doesn't retrain, a17 gauges staleness).
+        import graft.functions.VectorExpressions.{cellArgmin, cellProbes, cosine, topKByScore}
+        val e = Tables(s, dir).embeddings
+        val centers = e.filter(col("vec_id") >= 10 && col("vec_id") < 26)
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        // per-run unique scratch (the l12 discipline), cleaned on exit
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_l14_").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          deleteRecursively(base)))
+        val live = s"$base/live"
+        val compacted = s"$base/compact"
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("neighbor_id"),
+            col("embedding").cast("array<double>").as("cv"))
+          .withColumn("cell", cellArgmin(col("cv"), centers))
+          .write.mode("overwrite").partitionBy("cell").parquet(live)
+        val tombstones = e.filter(col("vec_id") >= 10 && col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("neighbor_id"))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("qv"))
+          .withColumn("cell", explode(cellProbes(col("qv"), centers, 6)))
+        val probedCells = probes.select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted // model-sized: ≤ queries×nprobe
+        def search(idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = idx
+          .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+          .join(broadcast(probes), Seq("cell"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("qv"), col("cv")).as("cos"))
+          .groupBy("query_id")
+          .agg(topKByScore(col("neighbor_id"), col("cos"), 5).as("topk"))
+          .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("nb.id").as("neighbor_id"), fround(col("nb.score"), 4).as("cos"))
+        val masked = search(s.read.parquet(live)
+          .join(broadcast(tombstones), Seq("neighbor_id"), "left_anti"))
+        // compaction: rewrite cells minus dead rows, then probe unmasked
+        s.read.parquet(live)
+          .join(broadcast(tombstones), Seq("neighbor_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cell").parquet(compacted)
+        val post = search(s.read.parquet(compacted))
+        masked.select(lit("masked").as("phase"), col("*"))
+          .unionByName(post.select(lit("compacted").as("phase"), col("*")))
+          .orderBy("phase", "query_id", "rank")
+      },
+      // the delete-aware a05 replay, emitted once per phase: masking
+      // the live index and probing the compacted one are the same query
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+             |          WHERE vec_id >= 10 AND vec_id < 26),
+             |assign AS (SELECT neighbor_id, v, cell FROM (
+             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(c.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id >= 10 AND vec_id % 7 <> 0) c,
+             |      cents t)
+             |  WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(q.v, t.cv),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id < 10) q, cents t)
+             |  WHERE rn <= 6),
+             |hits AS (SELECT p.query_id, a.neighbor_id,
+             |    list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+             |  FROM probes p JOIN assign a ON p.cell = a.cell),
+             |res AS (SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |    floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+             |  FROM (SELECT query_id, neighbor_id, cos,
+             |          row_number() OVER (PARTITION BY query_id
+             |            ORDER BY cos DESC, neighbor_id) AS rn
+             |        FROM hits)
+             |  WHERE rn <= 5)
+             |SELECT ph.phase, r.query_id, r.rank, r.neighbor_id, r.cos
+             |FROM (SELECT unnest(['masked', 'compacted']) AS phase) ph
+             |CROSS JOIN res r
+             |ORDER BY phase, query_id, rank""".stripMargin)),
+
+    Q(
       "l11_column_stats",
       (s, dir) => {
         // ANALYZE-style table statistics (the maintenance pass feeding
