@@ -977,7 +977,106 @@ object CorpusOps2 {
              |    q.quota
              |  FROM u JOIN quotas q USING (source))
              |SELECT doc_id, source FROM r WHERE rn <= quota
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "st24_stream_drift",
+      (s, dir) => {
+        // STREAMING drift monitor under the DuckDB oracle — t28's PSI
+        // audit as an INGEST gauge (the production deployment: the
+        // reference histogram is a frozen offline artifact; the live
+        // feed maintains running bin counters and the dashboard reads
+        // PSI off the counters): the t16 gate runs in-stream
+        // (stateless narrow filter), survivors fold into a
+        // complete-mode per-bin census — state = AT MOST 10 counter
+        // rows however long the stream runs — and the drained
+        // snapshot joins the frozen reference for the same exact
+        // integer PSI fold as t28. Integer counter merge makes the
+        // result micro-batching-invariant (st20's argument). The
+        // WHOLE universe caps at doc_id < 2000 ABSOLUTE (st18's
+        // discipline); the reference fetch is 10 collected rows.
+        // collect() is the MemoryStream feeding harness + that
+        // model-sized reference.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        import s.implicits._
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+        val nTok = size(split(col("text"), " "))
+        val binTok = least(lit(9), nTok.cast("long") / 20L).cast("int")
+        val refRows = d.select(binTok.as("bin")).groupBy("bin")
+          .agg(count(lit(1)).as("nr"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val tRef = refRows.map(_._2).sum
+        val rows = d.orderBy("doc_id").select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val gate = nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)
+        val counts = stream.toDS().toDF("doc_id", "text")
+          .filter(gate)
+          .select(binTok.as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("nc"))
+        val q = counts.writeStream.format("memory").queryName("st24_bins")
+          .outputMode("complete").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val ref = refRows.toSeq.toDF("bin", "nr")
+        val bins = s.range(0, 10).select(col("id").cast("int").as("bin"))
+        bins.join(broadcast(ref), Seq("bin"), "left")
+          .join(broadcast(s.table("st24_bins")), Seq("bin"), "left")
+          .select(coalesce(col("nr"), lit(0L)).as("nr"),
+            coalesce(col("nc"), lit(0L)).as("nc"))
+          .crossJoin(s.table("st24_bins").agg(sum("nc").as("tc")))
+          .select(col("nr"), col("nc"),
+            ((col("nr") + 1).cast("double") / (tRef + 10)).as("p"),
+            ((col("nc") + 1).cast("double") / (col("tc") + 10)).as("q"))
+          .select(col("nr"), col("nc"), col("p"), col("q"),
+            (floor(log(col("p") / col("q")) * 1e6 + lit(0.5)) / 1e6).as("lnq"))
+          .agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"),
+            sum(floor((col("p") - col("q")) * col("lnq") * 1e9 + lit(0.5))
+              .cast("long")).as("psi_x1e9"))
+          .select(lit("n_tokens").as("feature"), col("n_ref"), col("n_cur"),
+            col("psi_x1e9"))
+      },
+      Some("""WITH base AS (SELECT
+             |    least(9, CAST(len(string_split(text, ' ')) AS BIGINT) // 20) AS bin,
+             |    (len(string_split(text, ' ')) BETWEEN 10 AND 100000
+             |      AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+             |        / length(text) >= 0.6
+             |      AND len(list_filter(string_split(text, ' '),
+             |        x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2) AS kept
+             |  FROM documents WHERE doc_id < 2000),
+             |bins AS (SELECT unnest(range(10)) AS bin),
+             |tot AS (SELECT count(*) AS tr,
+             |    sum(CAST(kept AS BIGINT)) AS tc FROM base),
+             |j AS (SELECT b.bin, coalesce(r.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+             |  FROM bins b
+             |  LEFT JOIN (SELECT bin, count(*) AS nr FROM base GROUP BY 1) r
+             |    USING (bin)
+             |  LEFT JOIN (SELECT bin, count(*) AS nc FROM base WHERE kept
+             |             GROUP BY 1) c USING (bin)),
+             |terms AS (SELECT nr, nc,
+             |    (nr + 1) * 1.0 / (tot.tr + 10) AS p,
+             |    (nc + 1) * 1.0 / (tot.tc + 10) AS q
+             |  FROM j CROSS JOIN tot)
+             |SELECT 'n_tokens' AS feature, CAST(sum(nr) AS BIGINT) AS n_ref,
+             |  CAST(sum(nc) AS BIGINT) AS n_cur,
+             |  CAST(sum(CAST(floor((p - q) *
+             |      (floor(ln(p / q) * 1e6 + 0.5) / 1e6) * 1e9 + 0.5)
+             |    AS BIGINT)) AS BIGINT) AS psi_x1e9
+             |FROM terms""".stripMargin)))
 
   /** t25's full unrolled oracle (uncapped). */
   private def t25OracleSql: String = t25OracleSqlWhere("TRUE")
