@@ -176,6 +176,14 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.HashingTfVec(
       ColumnBridge.expression(text), dim))
 
+  /** Row-local frozen bigram-LM scoring — `[n_bigrams, nll_unats]` per
+    * text in one native token scan (see [[graftshim.BigramLmScore]]);
+    * null when the text has fewer than two tokens. */
+  def bigramLmScore(text: Column, terms: Array[String], hist: Array[Long],
+      pairKeys: Array[Long], pairCounts: Array[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.BigramLmScore(
+      ColumnBridge.expression(text), terms, hist, pairKeys, pairCounts))
+
   /** Sign bits of dimensions [lo, hi] packed into one long — the native
     * binary-quantization pack (see [[graftshim.PackSignBits]]). */
   def packSignBits(vec: Column, lo: Int, hi: Int): Column =

@@ -438,4 +438,123 @@ object TextAnalysis {
     }
     traj.toSeq
   }
+
+  /**
+   * Frozen add-one bigram language model — the CCNet quality-filter
+   * shape (Wenzek et al. 2020: score every document by its perplexity
+   * under a small LM trained on a trusted reference slice; keep the
+   * low-perplexity head). The model is THREE model-sized frames, each
+   * bounded by the `minCount` vocabulary cap rather than by corpus
+   * size — the knob that keeps it broadcastable at 100 TB, where the
+   * reference slice is a fixed curated artifact anyway:
+   *   vocab(tok)        — words with reference count >= minCount
+   *   pair(m1, m2, c2)  — bigram counts over the VOCAB-MAPPED stream
+   *                       (OOV -> "<unk>"), <= |V|^2 rows
+   *   hist(m1, c1)      — history counts, derived c1 = SUM_w2 c2(m1,w2)
+   *                       so P(w2|w1) = (c2+1)/(c1+V) is self-consistent
+   *   vsz(v)            — |V| + 1 (the <unk> row), kept IN-PLAN so the
+   *                       fit is one job with zero driver round-trips
+   * Bigrams never cross a document boundary (positional pairs from the
+   * per-doc token array — t15's narrow explode shape, no token shuffle;
+   * the only exchanges aggregate model-sized count frames).
+   */
+  final case class BigramLm(vocab: DataFrame, hist: DataFrame,
+      pair: DataFrame, vsz: DataFrame)
+
+  /** Adjacent vocab-mapped token pairs of `textCol`, one row per bigram,
+    * carrying `keep` extra columns; docs under 2 tokens drop (they carry
+    * no bigram evidence). Assembly is narrow; mapping is two broadcast
+    * left joins against the model-sized vocab. */
+  private def mappedPairs(docs: DataFrame, textCol: String,
+      keep: Seq[Column], vocab: DataFrame): DataFrame = {
+    val unk = lit("<unk>")
+    docs
+      .select(keep :+ tokens(col(textCol)).as("w"): _*)
+      .where(size(col("w")) >= 2)
+      .select(keep :+ col("w") :+
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"): _*)
+      .select(keep :+ element_at(col("w"), col("i")).as("t1") :+
+        element_at(col("w"), col("i") + 1).as("t2"): _*)
+      .join(broadcast(vocab.select(col("tok").as("t1"), lit(1).as("iv1"))),
+        Seq("t1"), "left")
+      .join(broadcast(vocab.select(col("tok").as("t2"), lit(1).as("iv2"))),
+        Seq("t2"), "left")
+      .select(keep :+ when(col("iv1") === 1, col("t1")).otherwise(unk).as("m1")
+        :+ when(col("iv2") === 1, col("t2")).otherwise(unk).as("m2"): _*)
+  }
+
+  /** Fit the bigram LM on a reference frame (pass the quality-gated
+    * slice; determinism needs no sampling — the gate IS the slice). */
+  def bigramLmFit(ref: DataFrame, textCol: String, minCount: Int = 5): BigramLm = {
+    require(minCount >= 1, s"bigramLmFit: minCount=$minCount")
+    val vocab = ref
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("tok")
+    val pair = mappedPairs(ref, textCol, Seq.empty, vocab)
+      .groupBy("m1", "m2").agg(count(lit(1)).as("c2"))
+    val hist = pair.groupBy("m1").agg(sum("c2").as("c1"))
+    val vsz = vocab.agg((count(lit(1)) + 1).as("v"))
+    BigramLm(vocab, hist, pair, vsz)
+  }
+
+  /**
+   * Score documents under the frozen LM: per bigram,
+   * `q = floor(ln((c2+1)/(c1+V)) * 1e6 + 0.5)` (always <= 0 — the
+   * smoothed probability never exceeds 1 because c2 <= c1 and V >= 1,
+   * so the final integer division is engine-portable), then
+   * `nll_unats = (-SUM q) div n_bigrams` — average negative log
+   * likelihood in micro-nats per bigram, exact in any fold order
+   * (t17's quantize-before-sum discipline; perplexity = e^(nll/1e6)
+   * for human eyes, kept off the hash surface). Corpus side is ONE
+   * narrow pipeline (pair assembly + three broadcast probes) into one
+   * map-side-combinable per-doc aggregate — no shuffle ever carries
+   * text or tokens, so the scan scales linearly to 100 TB while the
+   * model rides the broadcast plane.
+   */
+  /** The frozen LM as plain arrays — the deployed-artifact form the
+    * native row-local scorer consumes (see graftshim.BigramLmScore for
+    * the layout: `terms(i)` has id i+1, id 0 = <unk>). */
+  final case class FrozenBigramLm(terms: Array[String], hist: Array[Long],
+      pairKeys: Array[Long], pairCounts: Array[Long])
+
+  /**
+   * Collect the model frames to driver arrays (model-sized by the
+   * minCount cap — the score-at-ingest deployment ships exactly this
+   * artifact). A literal `"<unk>"` TOKEN in the reference text is
+   * indistinguishable from the OOV symbol after mapping (both engines
+   * merge them in string space), so it is excluded from `terms` and
+   * folds onto id 0 — keeping the frozen scorer bit-parity with the
+   * broadcast-join path.
+   */
+  def bigramLmFreeze(lm: BigramLm): FrozenBigramLm = {
+    val terms = lm.vocab.filter(col("tok") =!= "<unk>").orderBy("tok")
+      .collect().map(_.getString(0))
+    val id = terms.iterator.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val v = terms.length + 1
+    val hist = new Array[Long](v)
+    lm.hist.collect().foreach { r =>
+      hist(id.getOrElse(r.getString(0), 0)) += r.getLong(1) }
+    val pairs = lm.pair.collect()
+      .map { r => (id.getOrElse(r.getString(0), 0).toLong * v +
+        id.getOrElse(r.getString(1), 0), r.getLong(2)) }
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+    FrozenBigramLm(terms, hist, pairs.map(_._1), pairs.map(_._2))
+  }
+
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame =
+    mappedPairs(docs, textCol, Seq(col(idCol)), lm.vocab)
+      .join(broadcast(lm.pair), Seq("m1", "m2"), "left")
+      .join(broadcast(lm.hist), Seq("m1"), "left")
+      .crossJoin(broadcast(lm.vsz))
+      .select(col(idCol),
+        floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          * 1e6 + lit(0.5)).cast("long").as("q"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("q"))).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("s div n_bigrams").as("nll_unats"))
 }

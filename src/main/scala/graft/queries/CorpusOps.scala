@@ -248,6 +248,38 @@ object CorpusOps {
              |FROM terms GROUP BY feature ORDER BY feature""".stripMargin)),
 
     Q(
+      "t29_lm_perplexity",
+      (s, dir) => {
+        // CCNet-style LM quality scoring (Wenzek et al. 2020): an
+        // add-one bigram LM fit on the TRUSTED slice (the t16 gate
+        // survivors — deterministic, no sampling), then every document
+        // scored by average negative log likelihood in integer
+        // micro-nats. Low nll = reads like the reference (keep);
+        // high = off-distribution (gibberish, wrong register) — the
+        // classic perplexity filter, oracle-exact because ln
+        // quantizes per bigram BEFORE the fold (t17's discipline).
+        // Scale: the model is three minCount-capped broadcast frames,
+        // the corpus side one narrow pair-assembly pipeline into a
+        // map-side-combinable per-doc aggregate — no shuffle carries
+        // text, so the fit is reference-slice-sized and the scan
+        // linear at 100 TB (TextAnalysis.bigramLmFit/Score).
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val gate = nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)
+        val d = Tables(s, dir).documents
+        val lm = graft.ops.TextAnalysis.bigramLmFit(
+          d.filter(gate), "text", minCount = 5)
+        graft.ops.TextAnalysis.bigramLmScore(d, "doc_id", "text", lm)
+          .orderBy("doc_id")
+      },
+      Some(lmPerplexityOracleSql("TRUE"))),
+
+    Q(
       "t16_quality_gate",
       (s, dir) => {
         // Composite Gopher-style quality gate: token-count band, alpha
@@ -584,4 +616,46 @@ object CorpusOps {
              |SELECT doc_id, n AS n_tokens, count(*) AS n_distinct,
              |  floor(CAST(sum(e_u) AS DOUBLE) / 1e6 * 10000.0 + 0.5) / 10000.0 AS entropy_nats
              |FROM t GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)))
+
+  /** t29's oracle over a filtered document slice — the train slice is
+    * the t16 gate WITHIN the same filter, so st25 can pass its absolute
+    * feed cap and replay the identical model (stream ≡ batch bit-parity
+    * over the frozen-artifact path, spec-asserted). */
+  def lmPerplexityOracleSql(docFilter: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |    (len(string_split(text, ' ')) BETWEEN 10 AND 100000
+       |     AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+       |       / length(text) >= 0.6
+       |     AND len(list_filter(string_split(text, ' '),
+       |       x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2) AS keep
+       |  FROM documents WHERE $docFilter),
+       |vocab AS (SELECT tok FROM (SELECT unnest(w) AS tok FROM toks WHERE keep)
+       |  GROUP BY tok HAVING count(*) >= 5),
+       |vsz AS (SELECT count(*) + 1 AS v FROM vocab),
+       |rm AS (SELECT
+       |    CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE rp.t1 END AS m1,
+       |    CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE rp.t2 END AS m2
+       |  FROM (SELECT w[i] AS t1, w[i + 1] AS t2
+       |        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks
+       |              WHERE keep AND len(w) >= 2)) rp
+       |  LEFT JOIN vocab v1 ON rp.t1 = v1.tok
+       |  LEFT JOIN vocab v2 ON rp.t2 = v2.tok),
+       |c2 AS (SELECT m1, m2, count(*) AS c2 FROM rm GROUP BY 1, 2),
+       |c1 AS (SELECT m1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+       |am AS (SELECT ap.doc_id,
+       |    CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE ap.t1 END AS m1,
+       |    CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE ap.t2 END AS m2
+       |  FROM (SELECT doc_id, w[i] AS t1, w[i + 1] AS t2
+       |        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks
+       |              WHERE len(w) >= 2)) ap
+       |  LEFT JOIN vocab v1 ON ap.t1 = v1.tok
+       |  LEFT JOIN vocab v2 ON ap.t2 = v2.tok),
+       |sc AS (SELECT am.doc_id,
+       |    CAST(floor(ln((coalesce(c2.c2, 0) + 1) * 1.0 /
+       |      (coalesce(c1.c1, 0) + vsz.v)) * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM am LEFT JOIN c2 USING (m1, m2) LEFT JOIN c1 USING (m1)
+       |  CROSS JOIN vsz)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  (-sum(q)) // count(*) AS nll_unats
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

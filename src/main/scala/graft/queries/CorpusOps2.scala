@@ -1076,7 +1076,59 @@ object CorpusOps2 {
              |  CAST(sum(CAST(floor((p - q) *
              |      (floor(ln(p / q) * 1e6 + 0.5) / 1e6) * 1e9 + 0.5)
              |    AS BIGINT)) AS BIGINT) AS psi_x1e9
-             |FROM terms""".stripMargin)))
+             |FROM terms""".stripMargin)),
+
+    Q(
+      "st25_stream_lm_scoring",
+      (s, dir) => {
+        // STREAMING LM-perplexity scoring under the DuckDB oracle —
+        // t29's add-one bigram LM frozen and applied at ingest
+        // (CorpusStream.lmScoringStream — the CCNet deployment:
+        // train-offline on the trusted slice, score-at-ingest). The
+        // fit runs on the STATIC capped slice exactly as t29 runs it,
+        // freezes to driver arrays (the shipped-artifact form,
+        // TextAnalysis.bigramLmFreeze), and the stream scores each doc
+        // in ONE native token scan (graftshim.BigramLmScore: per-
+        // bigram q precomputed at plan build, hot loop = one hash
+        // probe per token — never an interpreted HOF fold, the st21
+        // lesson) as a stateless append whose drained sink
+        // hash-matches the capped t29 oracle. The WHOLE universe caps
+        // at doc_id < 2000 ABSOLUTE (st18/st21's discipline — a
+        // hash-no-op at the driver SF): a deployed LM is a FIXED
+        // artifact and the MemoryStream harness must not scale with
+        // SF. collect() is the freeze + the feeding harness.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val gate = nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)
+        val lm = graft.ops.TextAnalysis.bigramLmFreeze(
+          graft.ops.TextAnalysis.bigramLmFit(d.filter(gate), "text", minCount = 5))
+        val rows = d.orderBy("doc_id").select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.CorpusStream.lmScoringStream(
+            stream.toDS().toDF("doc_id", "text"), "doc_id", "text", lm)
+          .writeStream.format("memory").queryName("st25_scores")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st25_scores").orderBy("doc_id")
+      },
+      Some(CorpusOps.lmPerplexityOracleSql("doc_id < 2000"))))
 
   /** t25's full unrolled oracle (uncapped). */
   private def t25OracleSql: String = t25OracleSqlWhere("TRUE")

@@ -171,6 +171,30 @@ object CorpusStream {
   }
 
   /** One arriving document for [[quotaAdmission]]. */
+  /**
+   * Streaming LM-perplexity scoring — t29's frozen add-one bigram LM
+   * applied at ingest (the CCNet deployment: the LM is a shipped
+   * artifact, every arriving doc scored row-locally, so the plan is a
+   * STATELESS append — no state store, no watermark). The scorer is
+   * ONE native token scan per row
+   * ([[org.apache.spark.sql.graftshim.BigramLmScore]]: per-bigram q
+   * precomputed at plan build, hot loop = one hash probe per token),
+   * the st21/HashingTfVec discipline — never an interpreted HOF fold.
+   * Bit-parity with `TextAnalysis.bigramLmScore` over the same slice
+   * is spec-asserted, making the batch DuckDB oracle valid for the
+   * drained sink. Docs under 2 tokens route out (no bigram evidence),
+   * exactly the batch path's `size(w) >= 2`.
+   */
+  def lmScoringStream(docs: DataFrame, idCol: String, textCol: String,
+      lm: TextAnalysis.FrozenBigramLm): DataFrame =
+    docs
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol),
+        graft.functions.VectorExpressions.bigramLmScore(col(textCol),
+          lm.terms, lm.hist, lm.pairKeys, lm.pairCounts).as("r"))
+      .select(col(idCol), element_at(col("r"), 1).as("n_bigrams"),
+        element_at(col("r"), 2).as("nll_unats"))
+
   final case class SourcedDoc(doc_id: Long, source: String)
 
   /** Per-source admission counter — [[quotaAdmission]]'s WHOLE state:

@@ -941,3 +941,125 @@ case class Int8Quantize(child: Expression) extends
   override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
     copy(child = newChild)
 }
+
+/**
+ * Row-local bigram-LM scoring of a whole document in ONE native token
+ * scan — the frozen-model twin of `TextAnalysis.bigramLmScore` for
+ * score-at-ingest streams (st25), where the add-one bigram LM ships as
+ * a deployed artifact instead of riding broadcast joins. Output is
+ * `[n_bigrams, nll_unats]` (longs): per adjacent token pair,
+ * `q = floor(ln((c2+1)/(c1+V)) * 1e6 + 0.5)` exactly as the batch
+ * scorer and the DuckDB oracle fold it — q is precomputed ONCE per
+ * distinct model bigram at plan build (seen pairs) or per history id
+ * (the unseen-bigram default `ln(1/(c1+V))`), so the hot loop is one
+ * vocab-id hash probe per token and one long-key map probe per pair:
+ * O(tokens) with zero allocation beyond the 2-slot result. Token
+ * boundaries are EVERY space byte, empty segments included — exact
+ * parity with `split(text, ' ')`, whose adjacent-pair semantics the
+ * batch path pairs through (a run of two spaces yields an empty token
+ * that maps to <unk>, byte-safe in UTF-8 where 0x20 never occurs
+ * inside a multibyte sequence). Texts with fewer than two tokens
+ * return null (no bigram evidence — callers filter them out, the
+ * batch path's `size(w) >= 2` route).
+ *
+ * Model layout: `terms(i)` has vocab id i+1, id 0 = <unk>;
+ * `hist(id) = c1`; `pairKeys(k) = id1 * V + id2` with count
+ * `pairCounts(k)`, V = terms.length + 1.
+ */
+case class BigramLmScore(child: Expression, terms: Array[String],
+    hist: Array[Long], pairKeys: Array[Long], pairCounts: Array[Long]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(hist.length == terms.length + 1,
+    s"BigramLmScore: hist length ${hist.length} != |vocab|+1 = ${terms.length + 1}")
+  require(pairKeys.length == pairCounts.length,
+    s"BigramLmScore: ${pairKeys.length} pair keys vs ${pairCounts.length} counts")
+
+  override def prettyName: String = "graft_bigram_lm"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val vSize: Long = terms.length + 1L
+
+  @transient private lazy val idx = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+      math.max(4, terms.length * 2))
+    var i = 0
+    while (i < terms.length) {
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(terms(i)), i + 1)
+      i += 1
+    }
+    m
+  }
+
+  private def q6(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+
+  @transient private lazy val qSeen = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.max(4, pairKeys.length * 2))
+    var k = 0
+    while (k < pairKeys.length) {
+      val id1 = (pairKeys(k) / vSize).toInt
+      m.put(pairKeys(k), q6((pairCounts(k) + 1).toDouble / (hist(id1) + vSize).toDouble))
+      k += 1
+    }
+    m
+  }
+
+  @transient private lazy val qDef: Array[Long] =
+    Array.tabulate(hist.length)(id => q6(1.0 / (hist(id) + vSize).toDouble))
+
+  /** codegen entry point (public for the generated class). */
+  def evalScore(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var prev = -1
+    var n = 0L
+    var sum = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        // token [start, i) — possibly empty (split(" ") parity)
+        val t = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start)
+        val boxed = idx.get(t)
+        val id = if (boxed == null) 0 else boxed.intValue()
+        if (prev >= 0) {
+          val q = qSeen.get(prev.toLong * vSize + id)
+          sum += (if (q == null) qDef(prev) else q.longValue())
+          n += 1
+        }
+        prev = id
+        start = i + 1
+      }
+      i += 1
+    }
+    if (n == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](n, -sum / n))
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    evalScore(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("bigramLm", this, classOf[BigramLmScore].getName)
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalScore($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BigramLmScore =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case b: BigramLmScore => b.child == child && b.terms.toSeq == terms.toSeq &&
+      b.hist.toSeq == hist.toSeq && b.pairKeys.toSeq == pairKeys.toSeq &&
+      b.pairCounts.toSeq == pairCounts.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + terms.toSeq.hashCode() + hist.toSeq.hashCode()
+}

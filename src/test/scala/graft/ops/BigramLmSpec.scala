@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/**
+ * t29/st25's add-one bigram LM: hand-computed counts on a tiny corpus,
+ * then bit-parity between the batch broadcast-join scorer
+ * (TextAnalysis.bigramLmScore) and the frozen native row-local scorer
+ * (graftshim.BigramLmScore via bigramLmFreeze) — the property that
+ * makes the t29 oracle valid for st25's drained sink.
+ */
+class BigramLmSpec extends SparkTestBase {
+  import TextAnalysis._
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("hand-computed scores on a tiny reference") {
+    // ref doc: "a b a b a" -> tokens a,b,a,b,a (a:3, b:2; minCount=2
+    // keeps both). Bigrams: (a,b) x2, (b,a) x2 -> c2=2 each; c1(a)=2,
+    // c1(b)=2; V = 3 (a, b, <unk>).
+    val ref = docsDf(0L -> "a b a b a")
+    val lm = bigramLmFit(ref, "text", minCount = 2)
+    val v = lm.vsz.collect()(0).getLong(0)
+    assert(v == 3)
+    val pairs = lm.pair.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map(("a", "b") -> 2L, ("b", "a") -> 2L))
+
+    def q(c2: Long, c1: Long): Long =
+      math.floor(math.log((c2 + 1.0) / (c1 + 3.0)) * 1e6 + 0.5).toLong
+    // score "a b c": (a,b) seen c2=2,c1=2 -> ln(3/5); (b,c) unseen with
+    // history b -> ln(1/5)
+    val scored = bigramLmScore(docsDf(1L -> "a b c"), "doc_id", "text", lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = -(q(2, 2) + q(0, 2)) / 2
+    assert(scored.toSeq == Seq((1L, 2L, expected)))
+  }
+
+  test("frozen native scorer is bit-parity with the batch scorer") {
+    val base = (0L until 60L).map { i =>
+      i -> (s"tok${i % 7} tok${(i * 3) % 7} rare$i tok${(i + 1) % 7} " +
+        s"tok${(i * 5) % 7} tok${i % 7}")
+    }
+    // a doc with a double space (empty token) and one with a literal
+    // <unk> word — the two mapping edge cases
+    val docs = docsDf(base ++ Seq(100L -> "tok1  tok2 <unk> tok3", 101L -> "solo"): _*)
+    val lm = bigramLmFit(docs, "text", minCount = 5)
+    val frozen = bigramLmFreeze(lm)
+    assert(frozen.terms.nonEmpty && !frozen.terms.contains("<unk>"))
+
+    val batch = bigramLmScore(docs, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val native = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.bigramLmScore(col("text"),
+          frozen.terms, frozen.hist, frozen.pairKeys, frozen.pairCounts).as("r"))
+      .select(col("doc_id"), element_at(col("r"), 1).as("n_bigrams"),
+        element_at(col("r"), 2).as("nll_unats"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.nonEmpty && batch.toSeq == native.toSeq)
+    // the 1-token doc carries no bigram evidence on either path
+    assert(!batch.exists(_._1 == 101L))
+  }
+
+  test("native scorer handles all-OOV and sub-2-token texts") {
+    val ref = docsDf(0L -> "a b a b a b a b a b")
+    val frozen = bigramLmFreeze(bigramLmFit(ref, "text", minCount = 2))
+    val out = docsDf(1L -> "x y z", 2L -> "a", 3L -> "")
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.bigramLmScore(col("text"),
+          frozen.terms, frozen.hist, frozen.pairKeys, frozen.pairCounts).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    // doc 1: two <unk>-history bigrams, both unseen; docs 2/3: null
+    assert(out.toMap.view.mapValues(_.isDefined).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false))
+  }
+}
