@@ -184,6 +184,13 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.BigramLmScore(
       ColumnBridge.expression(text), terms, hist, pairKeys, pairCounts))
 
+  /** Row-local frozen DSIR scoring — `[n_tokens, dsir_unats]` per text
+    * in one native token scan (see [[graftshim.DsirScore]]); null when
+    * the text has no non-empty token. */
+  def dsirScore(text: Column, lam: Array[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.DsirScore(
+      ColumnBridge.expression(text), lam))
+
   /** Sign bits of dimensions [lo, hi] packed into one long — the native
     * binary-quantization pack (see [[graftshim.PackSignBits]]). */
   def packSignBits(vec: Column, lo: Int, hi: Int): Column =

@@ -989,6 +989,54 @@ object Dedup {
   }
 
   /**
+   * Corpus-frequency boilerplate removal at chunk grain — the
+   * C4/RefinedWeb rule [[paragraphDedup]] deliberately is NOT: a chunk
+   * occurring `minOcc`-or-more times across the corpus is boilerplate
+   * (cookie banners, nav bars, license headers) and is removed from
+   * EVERY document, first occurrence included (C4 drops any three-
+   * sentence span occurring ≥ 2× in the corpus; Raffel et al. 2020
+   * §2.2 — where paragraphDedup's keep-global-first is the dedup
+   * semantics, this is the cleaning semantics: boilerplate is noise
+   * everywhere, not content someone should own one copy of).
+   *
+   * Scale shape: the chunk census groups by the 52-bit hash (hash-only
+   * shuffle after the map-side combine); the banned set — census rows
+   * with count ≥ minOcc — is BOILERPLATE-sized, not corpus-sized (a
+   * chunk must repeat corpus-wide to enter), so it broadcasts and the
+   * removal pass is a narrow anti-probe of each doc's chunk stream.
+   * Reassembly is [[paragraphDedup]]'s per-doc sort of surviving
+   * chunks. A legitimate popular quote crossing the threshold is the
+   * op's documented false-positive class — tune `minOcc` per corpus.
+   */
+  def boilerplateChunkRemoval(docs: DataFrame, idCol: String,
+      textCol: String, w: Int = 10, minOcc: Long = 3): DataFrame = {
+    require(w >= 1 && minOcc >= 2,
+      s"boilerplateChunkRemoval: w=$w minOcc=$minOcc")
+    import graft.functions.VectorExpressions.md5Hash52
+    val chunks = InternalFrame.sharedScan(docs
+      .select(col(idCol).cast("long").as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / w).cast("int"))).as("ci"))
+      .select(col("id"), col("ci"),
+        concat_ws(" ", slice(col("t"), col("ci") * w + 1, lit(w))).as("chunk"))
+      .withColumn("h", md5Hash52(col("chunk"))))
+    val banned = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOcc).select("h")
+    val kept = chunks.join(broadcast(banned), Seq("h"), "left_anti")
+    val perDoc = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    val keptPerDoc = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("ci"), col("chunk")))),
+        c => c.getField("chunk")), " ").as("cleaned_text"))
+    perDoc.join(keptPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /**
    * Exact duplicate-SPAN removal at the overlapping-window grain (Lee
    * et al. 2021's ExactSubstr rule, token-window variant): any `w`-token
    * window whose text occurs MORE THAN ONCE in the corpus — across

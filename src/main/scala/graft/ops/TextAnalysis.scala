@@ -557,4 +557,77 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), (-sum(col("q"))).as("s"))
       .select(col(idCol), col("n_bigrams"),
         expr("s div n_bigrams").as("nll_unats"))
+
+  /**
+   * DSIR hashed-bucket importance weights (Xie et al. 2023, "Data
+   * Selection for Language Models via Importance Resampling"): score
+   * every document by how much more likely its hashed token-bucket
+   * stream is under a TARGET distribution (the trusted/domain slice)
+   * than under the RAW corpus distribution; resample/filter by the
+   * weight. `dsirFit` builds the per-bucket log-ratio table λ_b in ONE
+   * census pass over the corpus — each token's bucket is
+   * `md5Hash52(tok) % buckets` (the engine-portable hash plane every
+   * dedup oracle already replays), and the two add-one-smoothed
+   * distributions share the pass because target membership is just a
+   * boolean column:
+   *
+   *   λ_b = ⌊ln((ct_b+1)/(Nt+B))·1e6⌉ − ⌊ln((cr_b+1)/(Nr+B))·1e6⌉
+   *
+   * Each log quantizes to integer micro-nats SEPARATELY (t17's
+   * quantize-before-fold discipline), so λ is exact integer and the
+   * per-doc weight `dsir_unats = Σ_tokens λ_bucket(token)` folds
+   * identically in any engine and any order. The λ table is B rows
+   * however large the corpus — the broadcast plane; the scoring scan
+   * is one narrow token explode into a map-side-combinable per-doc
+   * aggregate. Totals (Nt, Nr) stay IN-PLAN (crossJoin of a 1-row
+   * aggregate — zero driver round-trips, the t29 shape).
+   */
+  def dsirFit(docs: DataFrame, textCol: String, targetFilter: Column,
+      buckets: Int = 512): DataFrame = {
+    require(buckets >= 1, s"dsirFit: buckets=$buckets")
+    import graft.functions.VectorExpressions.md5Hash52
+    val toks = docs
+      .select(targetFilter.cast("long").as("tgt"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("tgt"), (md5Hash52(col("tok")) % buckets).as("b"))
+    val census = toks.groupBy("b")
+      .agg(sum(col("tgt")).as("ct"), count(lit(1)).as("cr"))
+    val totals = census.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val spine = docs.sparkSession.range(buckets).select(col("id").as("b"))
+    spine.join(census, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (floor(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+           (col("nt") + buckets).cast("double")) * 1e6 + lit(0.5)).cast("long")
+         - floor(log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+             (col("nr") + buckets).cast("double")) * 1e6 + lit(0.5)).cast("long"))
+          .as("lam"))
+  }
+
+  /** Score documents under a fitted λ table: one token explode, one
+    * broadcast bucket probe, one map-side-combinable per-doc fold.
+    * Documents with zero non-empty tokens produce no row (no evidence —
+    * the bigram-LM convention). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      lambda: DataFrame, buckets: Int): DataFrame = {
+    import graft.functions.VectorExpressions.md5Hash52
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), (md5Hash52(col("tok")) % buckets).as("b"))
+      .join(broadcast(lambda), "b")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("lam").as("dsir_unats"))
+  }
+
+  /** Collect λ to the deployed-artifact array the native row-local
+    * scorer consumes (`lam(b)` = the bucket-b log-ratio; B-sized by
+    * construction — the score-at-ingest deployment ships exactly
+    * this). */
+  def dsirFreeze(lambda: DataFrame, buckets: Int): Array[Long] = {
+    val out = new Array[Long](buckets)
+    lambda.collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
 }

@@ -185,6 +185,26 @@ object CorpusStream {
    * drained sink. Docs under 2 tokens route out (no bigram evidence),
    * exactly the batch path's `size(w) >= 2`.
    */
+  /**
+   * Streaming DSIR annotation — t31's frozen λ table applied at ingest
+   * (the selection-at-crawl deployment: fit offline on the trusted
+   * slice, ship the B-long array, annotate every arriving doc with its
+   * importance weight). One native token scan per row
+   * ([[org.apache.spark.sql.graftshim.DsirScore]]: md5 bucket probe +
+   * λ array index per token), stateless append, no state store. Docs
+   * with zero non-empty tokens route out (no evidence — the batch
+   * groupBy produces no row for them either), keeping the drained sink
+   * hash-valid against the capped t31 oracle.
+   */
+  def dsirScoringStream(docs: DataFrame, idCol: String, textCol: String,
+      lam: Array[Long]): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.VectorExpressions.dsirScore(col(textCol), lam).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col(idCol), element_at(col("r"), 1).as("n_tokens"),
+        element_at(col("r"), 2).as("dsir_unats"))
+
   def lmScoringStream(docs: DataFrame, idCol: String, textCol: String,
       lm: TextAnalysis.FrozenBigramLm): DataFrame =
     docs

@@ -1063,3 +1063,90 @@ case class BigramLmScore(child: Expression, terms: Array[String],
   override def hashCode(): Int =
     31 * child.hashCode() + terms.toSeq.hashCode() + hist.toSeq.hashCode()
 }
+
+/**
+ * Row-local DSIR scoring of a whole document in ONE native token scan —
+ * the frozen-artifact twin of `TextAnalysis.dsirWeights` for
+ * score-at-ingest streams (st26), where the per-bucket log-ratio table
+ * λ ships as a deployed array instead of riding a broadcast join.
+ * Output is `[n_tokens, dsir_unats]` (longs): per non-empty token,
+ * bucket = first-52-bits(md5(token)) mod B — bit-identical to the
+ * column-plane `md5Hash52(tok) % B` the batch path and the DuckDB
+ * oracle fold — and the weight is `Σ λ(bucket)` in exact longs. Token
+ * boundaries are every space byte with EMPTY segments skipped — parity
+ * with the batch path's `explode(split) … length(tok) > 0` route
+ * (byte-safe in UTF-8 where 0x20 never occurs inside a multibyte
+ * sequence). Texts with zero non-empty tokens return null (no
+ * evidence — the batch groupBy produces no row for them either).
+ * Hot loop: one MD5 + one array index per token, zero allocation
+ * beyond the 2-slot result — never an interpreted HOF fold.
+ */
+case class DsirScore(child: Expression, lam: Array[Long]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(lam.nonEmpty, "DsirScore: empty lambda table")
+
+  override def prettyName: String = "graft_dsir_score"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  // MessageDigest is stateful; one instance per executor thread
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 52 bits (13 hex chars) of the digest as a non-negative long —
+    * the native twin of `VectorExpressions.md5Hash52`. */
+  private def h52(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) | ((d(2) & 0xffL) << 28) |
+      ((d(3) & 0xffL) << 20) | ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) |
+      ((d(6) & 0xf0L) >>> 4)
+
+  /** codegen entry point (public for the generated class). */
+  def evalScore(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val digest = md.get()
+    val b = lam.length
+    var n = 0L
+    var sum = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { // non-empty token [start, i)
+          digest.reset()
+          digest.update(bytes, start, i - start)
+          sum += lam((h52(digest.digest()) % b).toInt)
+          n += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (n == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](n, sum))
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    evalScore(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("dsirScore", this, classOf[DsirScore].getName)
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalScore($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case d: DsirScore => d.child == child && d.lam.toSeq == lam.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + lam.toSeq.hashCode()
+}

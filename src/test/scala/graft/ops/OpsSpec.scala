@@ -292,6 +292,42 @@ class DedupSpec extends SparkTestBase {
     assert(e2.getMessage != null || e2.getCause != null)
   }
 
+  test("boilerplateChunkRemoval: a chunk at/over minOcc is removed from " +
+      "EVERY doc including the first occurrence (the C4 cleaning rule " +
+      "paragraphDedup's keep-global-first is not); under-threshold " +
+      "repeats survive; partition-invariant") {
+    import spark.implicits._
+    // banner B is exactly one w=4 chunk, prepended to docs 1-3 (3
+    // occurrences = minOcc); pair P repeats only twice (docs 4-5,
+    // chunk-aligned) and must SURVIVE at minOcc=3
+    val B = "accept all cookies now"
+    val P = "only two copies here"
+    val docs = Seq(
+      (1L, s"$B a1 a2 a3 a4"),
+      (2L, s"$B b1 b2 b3 b4"),
+      (3L, s"$B c1 c2 c3 c4"),
+      (4L, s"$P d1 d2 d3 d4"),
+      (5L, s"$P e1 e2 e3 e4"),
+      (6L, "f1 f2 f3 f4")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateChunkRemoval(docs, "doc_id", "text",
+        w = 4, minOcc = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the banner is gone from ALL THREE docs — first occurrence too
+    assert(got(1L) === ((2L, 1L, "a1 a2 a3 a4")))
+    assert(got(2L) === ((2L, 1L, "b1 b2 b3 b4")))
+    assert(got(3L) === ((2L, 1L, "c1 c2 c3 c4")))
+    // two occurrences is below threshold: both copies intact
+    assert(got(4L) === ((2L, 2L, s"$P d1 d2 d3 d4")))
+    assert(got(5L) === ((2L, 2L, s"$P e1 e2 e3 e4")))
+    assert(got(6L) === ((1L, 1L, "f1 f2 f3 f4")))
+    val again = Dedup.boilerplateChunkRemoval(docs.repartition(7),
+        "doc_id", "text", w = 4, minOcc = 3)
+      .collect().map(_.toSeq).toSet
+    assert(again === got.map { case (id, (nc, nk, t)) =>
+      Seq(id, nc, nk, t) }.toSet)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val pairs = minHashCandidatePairs(corpusWithDups(), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
