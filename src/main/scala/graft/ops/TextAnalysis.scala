@@ -586,13 +586,21 @@ object TextAnalysis {
       buckets: Int = 512): DataFrame = {
     require(buckets >= 1, s"dsirFit: buckets=$buckets")
     import graft.functions.VectorExpressions.md5Hash52
+    // tgt is projected ALONE first so the gate evaluates once per DOC:
+    // projected alongside the explode, Catalyst keeps raw text through
+    // the Generate and re-evaluates the full gate (regexp + HOF over
+    // the whole text) per TOKEN row — measured 5× the entire fit
     val toks = docs
       .select(targetFilter.cast("long").as("tgt"),
-        explode(tokens(col(textCol))).as("tok"))
+        tokens(col(textCol)).as("w"))
+      .select(col("tgt"), explode(col("w")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("tgt"), (md5Hash52(col("tok")) % buckets).as("b"))
-    val census = toks.groupBy("b")
-      .agg(sum(col("tgt")).as("ct"), count(lit(1)).as("cr"))
+    // census feeds BOTH the totals aggregate and the spine join; shared
+    // so the token scan runs once (B rows pinned, bucket-bounded)
+    val census = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+      toks.groupBy("b")
+        .agg(sum(col("tgt")).as("ct"), count(lit(1)).as("cr")))
     val totals = census.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val spine = docs.sparkSession.range(buckets).select(col("id").as("b"))
     spine.join(census, Seq("b"), "left")
