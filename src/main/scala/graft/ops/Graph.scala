@@ -400,6 +400,34 @@ object Graph {
   }
 
   /**
+   * Per-node EGO-NETWORK profile: degree, edges among the node's
+   * neighbors (each is a triangle through the node, so the count IS
+   * [[triangleCounts]]), total ego edges (spokes + neighbor edges) and
+   * ego density in ppm of the (deg+1)-clique maximum. One canonical
+   * edge pass feeds both the degree aggregate and the triangle
+   * machinery; every node with an edge appears (triangle-free nodes
+   * score 0, not dropped). Pure integer: (d+1)·d is even, so the ppm
+   * is an exact floor division any engine replays.
+   */
+  def egoDensity(edges: DataFrame): DataFrame = {
+    val und = InternalFrame.sharedScan(edges.select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    deg.join(triangleCounts(
+        und.select(col("u").as("src"), col("v").as("dst"))), Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("triangles"), lit(0L)).as("tri"))
+      .select(col("node"), col("d").as("degree"),
+        col("tri").as("nbr_edges"),
+        (col("d") + col("tri")).as("ego_edges"),
+        expr("(d + tri) * 2000000 div ((d + 1) * d)").as("density_ppm"))
+  }
+
+  /**
    * Deterministic synchronous label propagation (Raghavan et al. 2007's
    * community detection, in the reproducible semi-synchronous variant):
    * every node starts as its own label; each round every node adopts

@@ -638,4 +638,33 @@ object TextAnalysis {
     lambda.collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
     out
   }
+
+  /**
+   * The SCALAR Gopher rule flags (Rae et al. 2021, Table A1) as int
+   * columns over `text` — the row-local subset of t30's battery (word
+   * count, mean word length, alphabetic-word share, distinct-stopword
+   * presence). One definition shared by the batch audit (t30) and the
+   * ingest-time gate (st27) so thresholds can never drift between the
+   * two deployments (d15's leakage-audit rule applied to quality
+   * gates). The repetition family (t24's n-gram coverage) is NOT here:
+   * it needs per-doc gram censuses, which the batch audit joins in and
+   * an ingest gate defers to the batch pass.
+   *
+   * Integer forms throughout: chars = len − n + 1 under single-space
+   * joining, 3n <= chars <= 10n for mean word length in [3,10];
+   * 5·n_alpha >= 4·n for the 80% alphabetic-word share — no float ever
+   * enters the flags, so any engine replays them exactly.
+   */
+  def gopherScalarFlags(text: Column): Seq[(String, Column)] = {
+    val w = split(text, " ")
+    val n = size(w).cast("long")
+    val chars = length(text).cast("long") - n + 1
+    val nAlpha = regexp_count(text, lit("(?:^| )[^ ]*[A-Za-z][^ ]*")).cast("long")
+    val stops = typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+    Seq(
+      "wc_ok" -> n.between(50, 100000).cast("int"),
+      "mwl_ok" -> (chars >= n * 3 && chars <= n * 10).cast("int"),
+      "alpha_ok" -> (nAlpha * 5 >= n * 4).cast("int"),
+      "stop_ok" -> (size(array_intersect(w, stops)) >= 2).cast("int"))
+  }
 }

@@ -710,6 +710,34 @@ object CorpusOps2 {
       Some(t20OracleSql)),
 
     Q(
+      "t32_tokenizer_fertility",
+      (s, dir) => {
+        // Tokenizer FERTILITY audit — subword tokens per word under
+        // t20's fixed merge table, rolled up per language: the
+        // compression-ratio table a tokenizer team reads before
+        // committing a vocab (high-fertility languages pay more
+        // sequence length per word, the signal behind per-language
+        // vocab allocation and the NFC/byte-fallback decisions).
+        // Reuses t20's per-doc BPE accounting verbatim (same merge
+        // table, same normalization), so the only new cost over t20
+        // is one language-keyed aggregate; fertility quantizes to
+        // integer basis points by floor division — no float enters
+        // the hash. At 100 TB the apply step stays the per-partition
+        // vocabulary memo (distinct words, not occurrences).
+        val d = Tables(s, dir).documents
+        graft.ops.Bpe.tokenCounts(d, "doc_id", "text", BpeFixedMerges)
+          .where(col("n_words") > 0)
+          .join(d.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+            expr("n_tokens * 10000 div n_words").as("fertility_bp"))
+          .orderBy("lang")
+      },
+      Some(t32OracleSql)),
+
+    Q(
       "t24_ngram_coverage",
       (s, dir) => {
         // Gopher's within-doc repetition family (Rae et al. 2021 Table
@@ -1264,7 +1292,11 @@ object CorpusOps2 {
     "h" -> "ash", "a" -> "l", "al" -> "l", "l" -> "ow", "m" -> "all",
     "s" -> "low")
 
-  private def t20OracleSql: String = {
+  /** The BPE-apply replay shared by t20's per-doc oracle and t32's
+    * fertility rollup: everything through the per-doc (n_words,
+    * n_tokens) census, so both oracles tokenize under the IDENTICAL
+    * recursive-CTE merge fold. */
+  private def t20OracleCore: String = {
     val vals = BpeFixedMerges.zipWithIndex
       .map { case ((x, y), i) => s"(${i + 1},'$x','$y')" }.mkString(",")
     s"""WITH RECURSIVE merges(rank, x, y) AS (SELECT * FROM (VALUES $vals) t(r, x, y)),
@@ -1286,10 +1318,24 @@ object CorpusOps2 {
        |                  ELSE acc || ' ' || t END) END
        |  FROM step st JOIN merges m ON m.rank = st.r + 1),
        |toklen AS (SELECT w, len(string_split(s, ' ')) AS ntok
-       |  FROM step WHERE r = ${BpeFixedMerges.length})
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  FROM step WHERE r = ${BpeFixedMerges.length}),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
        |FROM words JOIN toklen USING (w)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |GROUP BY doc_id)""".stripMargin
   }
+
+  private def t20OracleSql: String =
+    s"""$t20OracleCore
+       |SELECT doc_id, n_words, n_tokens
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
+  private[queries] def t32OracleSql: String =
+    s"""$t20OracleCore
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_tokens) * 10000 // sum(n_words) AS BIGINT) AS fertility_bp
+       |FROM perdoc JOIN documents USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -91,17 +91,9 @@ object CorpusOps3 {
         // narrow scan plus t24's map-side-combinable gram censuses —
         // per-rule pass rates at 100 TB cost one aggregate more.
         val d = Tables(s, dir).documents
-        val w = split(col("text"), " ")
-        val n = size(w).cast("long")
-        val chars = length(col("text")).cast("long") - n + 1
-        val nAlpha = regexp_count(col("text"), lit("(?:^| )[^ ]*[A-Za-z][^ ]*"))
-          .cast("long")
-        val stops = typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "it"))
-        val base = d.select(col("doc_id"),
-          (n.between(50, 100000)).cast("int").as("wc_ok"),
-          (chars >= n * 3 && chars <= n * 10).cast("int").as("mwl_ok"),
-          (nAlpha * 5 >= n * 4).cast("int").as("alpha_ok"),
-          (size(array_intersect(w, stops)) >= 2).cast("int").as("stop_ok"))
+        val base = d.select(col("doc_id") +:
+          graft.ops.TextAnalysis.gopherScalarFlags(col("text"))
+            .map { case (nm, c) => c.as(nm) }: _*)
         val rep = graft.ops.TextAnalysis.ngramCoverage(d, "doc_id", "text")
         base.join(rep, Seq("doc_id"), "left")
           .select(col("doc_id"), col("wc_ok"), col("mwl_ok"),
@@ -420,5 +412,131 @@ object CorpusOps3 {
              |    sum(pks) // count(*) AS avg_pk_span,
              |    sum(sks) // count(*) AS avg_sk_span FROM ls)
              |SELECT * FROM za UNION ALL SELECT * FROM la
-             |ORDER BY layout""".stripMargin)))
+             |ORDER BY layout""".stripMargin)),
+
+    Q(
+      "p17_unimax_mix",
+      (s, dir) => {
+        // UniMax language/source sampling (Chung et al. 2023): given a
+        // token budget B and an epoch cap E, allocate budget UNIFORMLY
+        // across sources except that no source may contribute more
+        // than E epochs of itself — the fairer alternative to p09/p11's
+        // temperature mixing (which still over-samples the head).
+        // UniMax's sequential waterfilling has a closed PREFIX form:
+        // sort sources by capacity cap=E·c ascending with prefix sums
+        // P_k; source k saturates iff cap_k·(n−k) + P_k <= B, and
+        // f(k) = cap_k·(n−k) + P_k is non-decreasing in k
+        // (f(k+1)−f(k) = (n−k)(cap_{k+1}−cap_k) >= 0), so the
+        // saturated set is exactly a prefix — one window pass + one
+        // sources-sized aggregate replaces the sequential loop, and
+        // every quantity is INTEGER (θ and epochs by floor division),
+        // so any engine replays the allocation bit-for-bit. The
+        // un-allocated floor remainder is < n−k* tokens — noted, not
+        // redistributed (UniMax's own rounding posture). Window is
+        // unpartitioned BY DESIGN: it runs on the sources-sized
+        // census (dozens of rows at 100 TB), never on documents.
+        val docs = Tables(s, dir).documents
+        val bySrc = docs.groupBy("source")
+          .agg(sum(size(split(col("text"), " "))).cast("long").as("c"))
+          .withColumn("cap", col("c") * 2)
+        val tot = bySrc.agg(expr("sum(c) div 2").as("b"),
+          count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("cap", "source")
+        val ranked = bySrc
+          .withColumn("k", row_number().over(w).cast("long"))
+          .withColumn("p", sum("cap").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(tot))
+          .withColumn("sat", (col("cap") * (col("n") - col("k")) + col("p")
+            <= col("b")).cast("int"))
+        val shared = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(ranked)
+        val scalar = shared.agg(
+          coalesce(max(when(col("sat") === 1, col("k"))), lit(0L)).as("kstar"),
+          coalesce(max(when(col("sat") === 1, col("p"))), lit(0L)).as("pstar"))
+        val theta = when(col("n") > col("kstar"),
+          expr("(b - pstar) div (n - kstar)")).otherwise(lit(0L))
+        shared.crossJoin(broadcast(scalar))
+          .withColumn("alloc",
+            when(col("sat") === 1, col("cap")).otherwise(theta))
+          .select(col("source"), col("c").as("n_tokens"),
+            col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
+            expr("alloc * 10000 div c").as("epochs_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) // 2 AS BIGINT) AS b,
+             |    count(*) AS n FROM bysrc),
+             |ranked AS (SELECT source, c, c * 2 AS cap,
+             |    CAST(row_number() OVER (ORDER BY c * 2, source) AS BIGINT) AS k,
+             |    sum(c * 2) OVER (ORDER BY c * 2, source
+             |      ROWS UNBOUNDED PRECEDING) AS p
+             |  FROM bysrc),
+             |flag AS (SELECT r.*, b, n,
+             |    CASE WHEN cap * (n - k) + p <= b THEN 1 ELSE 0 END AS sat
+             |  FROM ranked r CROSS JOIN tot),
+             |scalar AS (SELECT coalesce(max(CASE WHEN sat = 1 THEN k END), 0) AS kstar,
+             |    coalesce(max(CASE WHEN sat = 1 THEN p END), 0) AS pstar FROM flag)
+             |SELECT source, c AS n_tokens, cap AS cap_tokens,
+             |  CAST(CASE WHEN sat = 1 THEN cap
+             |       ELSE (b - pstar) // (n - kstar) END AS BIGINT) AS alloc_tokens,
+             |  CAST((CASE WHEN sat = 1 THEN cap
+             |        ELSE (b - pstar) // (n - kstar) END) * 10000 // c AS BIGINT)
+             |    AS epochs_bp
+             |FROM flag CROSS JOIN scalar
+             |ORDER BY source""".stripMargin)),
+
+    Q(
+      "st27_stream_gopher_gate",
+      (s, dir) => {
+        // STREAMING Gopher gate — the scalar rule subset of t30 applied
+        // at ingest as a stateless per-row annotation
+        // (CorpusStream.gopherGateStream shares the flag definitions
+        // with the batch audit, so the two deployments cannot drift).
+        // The repetition family stays batch-side by design: an ingest
+        // gate is one narrow scan per row, no per-doc grouping state.
+        // Universe capped absolute (st18/st26's discipline); drained
+        // sink hash-matches t30's oracle restricted to the scalar
+        // columns under the same cap.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val rows = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+          .orderBy("doc_id").select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.CorpusStream.gopherGateStream(
+            stream.toDS().toDF("doc_id", "text"), "doc_id", "text")
+          .writeStream.format("memory").queryName("st27_gate")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st27_gate").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(w) BETWEEN 50 AND 100000 AS INT) AS wc_ok,
+             |  CAST(length(text) - len(w) + 1 >= 3 * len(w)
+             |    AND length(text) - len(w) + 1 <= 10 * len(w) AS INT) AS mwl_ok,
+             |  CAST(5 * len(regexp_extract_all(text,
+             |    '(?:^| )[^ ]*[A-Za-z][^ ]*')) >= 4 * len(w) AS INT) AS alpha_ok,
+             |  CAST(len(list_intersect(w,
+             |    ['the','a','of','and','to','in','is','it'])) >= 2 AS INT) AS stop_ok,
+             |  CAST(len(w) BETWEEN 50 AND 100000 AS INT)
+             |    * CAST(length(text) - len(w) + 1 >= 3 * len(w)
+             |        AND length(text) - len(w) + 1 <= 10 * len(w) AS INT)
+             |    * CAST(5 * len(regexp_extract_all(text,
+             |        '(?:^| )[^ ]*[A-Za-z][^ ]*')) >= 4 * len(w) AS INT)
+             |    * CAST(len(list_intersect(w,
+             |        ['the','a','of','and','to','in','is','it'])) >= 2 AS INT)
+             |    AS scalar_pass
+             |FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+             |      FROM documents WHERE doc_id < 2000)
+             |ORDER BY doc_id""".stripMargin)))
 }

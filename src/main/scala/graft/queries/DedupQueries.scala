@@ -69,6 +69,15 @@ object DedupQueries {
           greatest(size(tokens(col("text"))) - drop, lit(1)))).as("text")))
   }
 
+  /** d19's candidate bandings of the same 128 MinHash functions. */
+  private val LshPlannerGrid: Seq[(Int, Int)] =
+    Seq((64, 2), (32, 4), (16, 8), (8, 16), (4, 32))
+
+  /** The S-curve midpoint (1/b)^(1/r) at 4dp — a plan-time constant
+    * inlined identically into the Spark literal and the SQL text. */
+  private def lshThreshold4(b: Int, r: Int): Double =
+    math.floor(math.pow(1.0 / b, 1.0 / r) * 1e4 + 0.5) / 1e4
+
   val queries: Seq[Q] = Seq(
     Q(
       "d01_exact_dedup",
@@ -446,6 +455,85 @@ object DedupQueries {
              |JOIN sets ha ON ha.doc_id = pairs.id_a
              |JOIN sets hb ON hb.doc_id = pairs.id_b
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q(
+      "d19_lsh_planner",
+      (s, dir) => {
+        // LSH BAND PLANNING against the observed candidate population —
+        // the tuning table behind every "which (bands, rows) do we
+        // re-index with?" decision: for each banding of the same 128
+        // MinHash functions, the S-curve capture probability
+        // p = 1 − (1 − s^r)^b evaluated at every observed candidate
+        // pair's signature-estimated similarity s = n_agree/128
+        // (d11's estimate — signatures only, text never re-touched),
+        // summed to the EXPECTED number of caught pairs in ppm. Read
+        // row-by-row it says exactly how much recall each coarser
+        // banding trades for its fewer buckets. Every power is a
+        // REPEATED-SQUARING chain of IEEE multiplies (r and b are
+        // powers of two) — never pow(), whose libm rounding differs
+        // between engines — and s = n_agree/128 is exact binary, so
+        // the per-pair ppm floor replays bit-for-bit in SQL; the
+        // thresholds (1/b)^(1/r) are plan-time Scala constants inlined
+        // into both sides at 4dp. Pairs-only cost on top of d11's
+        // machinery; the 5-config sweep is 5 aggregates over one
+        // shared pairs scan.
+        val corpus = withNearDups(s, dir, drop = 3)
+        val sh = shingleHashes(corpus, "doc_id", "text")
+        val sigs = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          minHashSignatures(sh, "doc_id"))
+        val pairs = minHashCandidatePairsFromSignatures(sigs, "doc_id")
+        val agree = size(filter(
+          zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+        val est = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          pairs
+            .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+            .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+            .select(agree.cast("double").as("na")))
+        def sq(c: org.apache.spark.sql.Column, times: Int) =
+          (1 to times).foldLeft(c)((a, _) => a * a)
+        val log2 = Map(2 -> 1, 4 -> 2, 8 -> 3, 16 -> 4, 32 -> 5, 64 -> 6)
+        LshPlannerGrid.map { case (b, r) =>
+          val sEst = col("na") / lit(128.0)
+          val p = lit(1.0) - sq(lit(1.0) - sq(sEst, log2(r)), log2(b))
+          est.agg(sum(floor(p * lit(1000000.0) + lit(0.5)).cast("long"))
+              .as("exp_caught_ppm"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              lit(lshThreshold4(b, r)).as("threshold"), col("exp_caught_ppm"))
+        }.reduce(_.unionAll(_)).orderBy("bands")
+      },
+      Some {
+        def sqSql(inner: String, v: String, times: Int): String = {
+          // nested single-column subselects: q -> q*q -> ... (linear
+          // text, association identical to the Spark fold)
+          (1 to times).foldLeft(inner) { (acc, _) =>
+            s"(SELECT $v * $v AS $v FROM $acc)"
+          }
+        }
+        val log2 = Map(2 -> 1, 4 -> 2, 8 -> 3, 16 -> 4, 32 -> 5, 64 -> 6)
+        val configs = LshPlannerGrid.map { case (b, r) =>
+          val srChain = sqSql("(SELECT na / 128.0 AS x FROM est)", "x", log2(r))
+          val qChain = sqSql(s"(SELECT 1.0 - x AS x FROM $srChain)", "x", log2(b))
+          s"""SELECT $b AS bands, $r AS rows_per_band,
+             |  CAST(${lshThreshold4(b, r)} AS DOUBLE) AS threshold,
+             |  (SELECT CAST(sum(CAST(floor((1.0 - x) * 1000000.0 + 0.5) AS BIGINT))
+             |          AS BIGINT) FROM $qChain) AS exp_caught_ppm""".stripMargin
+        }
+        s"""WITH ${shingleCtes(drop = 3)},
+           |$minhashSigCte,
+           |bands AS (SELECT doc_id, t.range AS band,
+           |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+           |  FROM sig, range(32) t),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |est AS (SELECT CAST(len(list_filter(range(128),
+           |      i -> sa.sig[i + 1] = sb.sig[i + 1])) AS DOUBLE) AS na
+           |  FROM pairs
+           |  JOIN sig sa ON sa.doc_id = pairs.id_a
+           |  JOIN sig sb ON sb.doc_id = pairs.id_b)
+           |${configs.mkString("\nUNION ALL\n")}
+           |ORDER BY bands""".stripMargin
+      }),
 
     Q(
       "d08_semantic_dedup",

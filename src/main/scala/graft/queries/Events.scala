@@ -1013,6 +1013,56 @@ object Events {
              |SELECT wau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
              |  CAST(wau.wau AS BIGINT) AS wau
              |FROM wau LEFT JOIN dau USING (day)
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    Q(
+      "e16_deadline_funnel",
+      (s, dir) => {
+        // DEADLINE funnel — e07's strict-ordered chain with an SLA
+        // between steps (the conversion-window semantics every product
+        // funnel actually ships with): the click must land within 2
+        // hours of the user's first view, the purchase within 24 hours
+        // of that first qualifying click. Same plan shape as e07 —
+        // three user-keyed min-aggregates chained by equi-joins, the
+        // deadline is one extra timestamp predicate riding each join
+        // (no new shuffle, no window over the stream); at 100 TB each
+        // stage is one user-keyed exchange, exchange-free if events
+        // are bucketed by user_id. Timestamp arithmetic is µs-exact on
+        // both engines, so the oracle replays the cut bit-for-bit.
+        val ev = Tables(s, dir).events
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .where(col("ts") >= col("v_ts") &&
+            col("ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .where(col("ts") >= col("c_ts") &&
+            col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        val one = (df: org.apache.spark.sql.DataFrame, stage: Int, nm: String) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"),
+            lit(nm).as("stage_name"), col("n_users"))
+        one(v, 1, "view").unionAll(one(c, 2, "click_within_2h"))
+          .unionAll(one(p, 3, "purchase_within_24h"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+             |    AND e.ts <= v.v_ts + INTERVAL 2 HOUR GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+             |    AND e.ts <= c.c_ts + INTERVAL 24 HOUR GROUP BY 1)
+             |SELECT CAST(stage AS INT) AS stage, stage_name, n_users FROM (
+             |  SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM v
+             |  UNION ALL
+             |  SELECT 2, 'click_within_2h', count(*) FROM c
+             |  UNION ALL
+             |  SELECT 3, 'purchase_within_24h', count(*) FROM p)
+             |ORDER BY stage""".stripMargin))
   )
 }

@@ -1072,6 +1072,61 @@ object GraphQueries {
              |  WHERE cur.d = 1 GROUP BY 1, 2)
              |SELECT node, CAST(sum(delta_ppm) AS BIGINT) AS bet_ppm
              |FROM (SELECT * FROM d2 UNION ALL SELECT * FROM d1)
-             |GROUP BY node ORDER BY node""".stripMargin))
+             |GROUP BY node ORDER BY node""".stripMargin)),
+
+    Q(
+      "x20_ego_density",
+      (s, dir) => {
+        // Per-node EGO-NETWORK features over the x03 co-purchase graph:
+        // degree, edges among neighbors (= triangles through the node
+        // — each neighbor-neighbor edge closes one), total ego edges
+        // (deg + neighbor edges, the node's own spokes included), and
+        // ego density in ppm of the (deg+1)-clique maximum — the
+        // local-clustering profile curation teams read to separate
+        // organic hub pages (sparse egos) from template/spam clusters
+        // (near-clique egos). Cost = x03's triangle pass + one degree
+        // aggregate, pure integer end to end; (d+1)·d is always even,
+        // so the ppm floor-division replays exactly in SQL.
+        val t = Tables(s, dir)
+        val cp = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_partkey") < 20)
+          .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = cp.as("a").join(cp.as("b"),
+            col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
+          .select(col("a.c").as("src"), col("b.c").as("dst"))
+        graft.ops.Graph.egoDensity(edges).orderBy("node")
+      },
+      Some("""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS pk
+             |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |    WHERE l_partkey < 20),
+             |und AS (SELECT DISTINCT CAST(a.c AS BIGINT) AS u,
+             |    CAST(b.c AS BIGINT) AS v
+             |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.c < b.c),
+             |deg AS (SELECT node, count(*) AS d FROM (
+             |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+             |  GROUP BY node),
+             |o AS (SELECT
+             |    CASE WHEN [du.d, u] < [dv.d, v] THEN u ELSE v END AS a,
+             |    CASE WHEN [du.d, u] < [dv.d, v] THEN v ELSE u END AS b,
+             |    CASE WHEN [du.d, u] < [dv.d, v] THEN dv.d ELSE du.d END AS db
+             |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+             |tri AS (SELECT e1.a AS ta, e1.x AS tx, e2.y AS ty FROM
+             |    (SELECT a, b AS x, db AS dx FROM o) e1
+             |    JOIN (SELECT a, b AS y, db AS dy FROM o) e2
+             |      ON e1.a = e2.a AND [e1.dx, e1.x] < [e2.dy, e2.y]
+             |    JOIN o e3 ON e3.a = e1.x AND e3.b = e2.y),
+             |tc AS (SELECT node, count(*) AS tri FROM (
+             |    SELECT ta AS node FROM tri
+             |    UNION ALL SELECT tx FROM tri UNION ALL SELECT ty FROM tri)
+             |  GROUP BY node)
+             |SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+             |  CAST(coalesce(tc.tri, 0) AS BIGINT) AS nbr_edges,
+             |  CAST(deg.d + coalesce(tc.tri, 0) AS BIGINT) AS ego_edges,
+             |  CAST((deg.d + coalesce(tc.tri, 0)) * 2000000
+             |    // ((deg.d + 1) * deg.d) AS BIGINT) AS density_ppm
+             |FROM deg LEFT JOIN tc USING (node)
+             |ORDER BY node""".stripMargin))
   )
 }

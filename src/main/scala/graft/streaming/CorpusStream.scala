@@ -205,6 +205,23 @@ object CorpusStream {
       .select(col(idCol), element_at(col("r"), 1).as("n_tokens"),
         element_at(col("r"), 2).as("dsir_unats"))
 
+  /**
+   * Ingest-time Gopher gate — the SCALAR rule subset of t30's battery
+   * applied as a stateless per-row annotation (flags, not a drop: the
+   * storage tier decides, and a rejected doc's flag vector says WHICH
+   * rule fired). Shares [[TextAnalysis.gopherScalarFlags]] with the
+   * batch audit so ingest and audit can never disagree on thresholds.
+   * The repetition family (per-doc n-gram censuses) is deliberately
+   * deferred to the batch pass — at ingest the gate must stay one
+   * narrow scan per row, no per-doc grouping state.
+   */
+  def gopherGateStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val flags = TextAnalysis.gopherScalarFlags(col(textCol))
+    docs.select(col(idCol) +: flags.map { case (nm, c) => c.as(nm) }: _*)
+      .withColumn("scalar_pass",
+        flags.map(f => col(f._1)).reduce(_ * _).cast("int"))
+  }
+
   def lmScoringStream(docs: DataFrame, idCol: String, textCol: String,
       lm: TextAnalysis.FrozenBigramLm): DataFrame =
     docs

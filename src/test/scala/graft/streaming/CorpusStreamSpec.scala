@@ -196,4 +196,41 @@ class CorpusStreamSpec extends SparkTestBase {
         s"got $got")
     } finally q.stop()
   }
+
+  test("gopher gate stream flags equal the batch scalar battery bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one doc per rule failure + one passing all four scalar rules
+    val pass = (("the quick brown fox jumps over a lazy dog and " * 6) +
+      "it is of great note in all the annals").trim
+    val docs = Seq(
+      1L -> pass,
+      2L -> "too short for the gate",                     // wc fails
+      3L -> ("a b c d e f g h i j " * 6).trim,            // mwl low + no stops
+      4L -> (("12345 67890 " * 30).trim + " the a of"),   // alpha fails
+      5L -> ("zq wx vk pl mn bc df gh jk lm " * 6).trim)  // stop fails
+    val batch = docs.toDF("doc_id", "text")
+      .select(col("doc_id") +: graft.ops.TextAnalysis
+        .gopherScalarFlags(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .withColumn("scalar_pass",
+        (col("wc_ok") * col("mwl_ok") * col("alpha_ok") * col("stop_ok"))
+          .cast("int"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(batch(1L) == ((1, 1, 1, 1, 1)), s"doc 1 should pass: ${batch(1L)}")
+    assert(batch(2L)._1 == 0 && batch(4L)._3 == 0 && batch(5L)._4 == 0,
+      s"planted failures must fire: $batch")
+    val input = MemoryStream[(Long, String)]
+    val q = gopherGateStream(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("gopher_gate")
+      .outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("gopher_gate").collect().map(r =>
+        r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
 }
