@@ -169,6 +169,20 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.CellProbes(
       ColumnBridge.expression(vec), centers, nprobe))
 
+  /** IVF-SQ8 encode — nearest cell + int8-quantized residual
+    * `(cell, mx, q)` in one native scan (FAISS's
+    * IndexIVFScalarQuantizer storage form; see
+    * [[graftshim.CellResidualSq8]]). */
+  def cellResidualSq8(vec: Column, centers: Array[Array[Double]]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.CellResidualSq8(
+      ColumnBridge.expression(vec), centers))
+
+  /** IVF-SQ8 decode — reconstruct `ctr + q·(mx/127)` from the encode
+    * struct, one native loop (see [[graftshim.Sq8Decode]]). */
+  def sq8Decode(enc: Column, centers: Array[Array[Double]]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.Sq8Decode(
+      ColumnBridge.expression(enc), centers))
+
   /** Whole-document signed hashing-TF vector in ONE native token scan —
     * bit-identical to the explode→groupBy featurizer but O(tokens) work
     * and zero shuffle (see [[graftshim.HashingTfVec]]). */

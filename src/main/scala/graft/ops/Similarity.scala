@@ -162,6 +162,44 @@ object Similarity {
   }
 
   /**
+   * IVF-SQ8 — coarse cells + INT8-QUANTIZED RESIDUALS, the FAISS
+   * IndexIVFScalarQuantizer recipe and the middle rung of the
+   * compression ladder (a09's flat int8 → this → a15's IVF-PQ): 8
+   * bits/dim like a09 but quantizing the residual v − centroid, whose
+   * dynamic range is a cell-diameter instead of the whole space — the
+   * same bits buy finer resolution wherever the coarse quantizer is
+   * doing its job. Encode is ONE native scan per corpus vector
+   * (`CellResidualSq8`: argmin cell, residual, max-abs, quantize —
+   * never three interpreted HOF passes); scoring decodes the probed
+   * cells (`Sq8Decode`) and ranks by exact squared distance to the
+   * RECONSTRUCTION (ADC), so every arithmetic step replays in SQL.
+   * At 100 TB the stored index is cell + scale + d bytes/vector and
+   * the probe plan is knnIvf's: disjoint cells, broadcast queries,
+   * candidates-only shuffle into the native top-k heap.
+   */
+  def knnIvfSq8(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centers: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{cellProbes, cellResidualSq8, sq8Decode}
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"),
+        cellResidualSq8(col(vecCol).cast("array<double>"), centers).as("z"))
+      .select(col("neighbor_id"), col("z.cell").as("cell"),
+        sq8Decode(col("z"), centers).as("vhat"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(cellProbes(col("qv"), centers, nprobe)))
+    enc.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(sqDist(col("qv"), col("vhat")) * 1e6 + lit(0.5)) / 1e6).as("adist"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("neighbor_id"), -col("adist"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), (-col("nb.score")).as("adist"))
+  }
+
+  /**
    * DISTRIBUTED Lloyd k-means over the FULL corpus — the semantic-
    * clustering primitive (corpus balancing, cluster-census curation)
    * where cluster shape must reflect all the data, complementing

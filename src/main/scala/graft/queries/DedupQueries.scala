@@ -256,6 +256,57 @@ object DedupQueries {
              |GROUP BY 1 ORDER BY component""".stripMargin)),
 
     Q(
+      "d20_softdedup_neardup",
+      (s, dir) => {
+        // SOFT NEAR-dedup (p13's DataComp-LM downweighting applied at
+        // d07's cluster grain): every member of a c-member NEAR-dup
+        // cluster keeps floor(1e6/c) ppm sampling weight, so the
+        // cluster contributes one document's probability mass while
+        // the natural distribution survives — the near-dup analogue of
+        // p13, which can only see EXACT copies (a 3-words-trimmed copy
+        // sails through its md5 key at full weight). Pipeline = d07's
+        // machinery verbatim (MinHash-LSH pairs → connected
+        // components) plus one component-size census and an ids-only
+        // left join back to the corpus spine — singletons weigh 1e6,
+        // so p08's weighted sampler consumes the column unchanged at
+        // any dup density.
+        val corpus = withNearDups(s, dir, drop = 3)
+        val pairs = minHashCandidatePairs(corpus, "doc_id", "text")
+        val cc = connectedComponents(pairs)
+        val sizes = cc.groupBy("component").agg(count(lit(1)).as("n"))
+        corpus.select("doc_id")
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .join(sizes, Seq("component"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n"), lit(1L)).as("cluster_size"),
+            expr("1000000 div coalesce(n, 1)").as("weight_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${shingleCtes(drop = 3)},
+             |$minhashSigCte,
+             |bands AS (SELECT doc_id, t.range AS band,
+             |    md5(array_to_string(list_slice(sig, t.range * 4 + 1, t.range * 4 + 4), ',')) AS bucket
+             |  FROM sig, range(32) t),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |        UNION ALL SELECT id_b, id_a FROM pairs),
+             |cc AS (
+             |  SELECT DISTINCT src AS id, src AS lbl FROM sym
+             |  UNION
+             |  SELECT s.src, cc.lbl FROM sym s JOIN cc ON s.dst = cc.id),
+             |resolved AS (SELECT id, min(lbl) AS comp FROM cc GROUP BY id),
+             |sizes AS (SELECT comp, count(*) AS n FROM resolved GROUP BY comp)
+             |SELECT c.doc_id,
+             |  CAST(coalesce(z.n, 1) AS BIGINT) AS cluster_size,
+             |  CAST(1000000 // coalesce(z.n, 1) AS BIGINT) AS weight_ppm
+             |FROM corpus c
+             |LEFT JOIN resolved r ON r.id = c.doc_id
+             |LEFT JOIN sizes z ON z.comp = r.comp
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    Q(
       "d07b_clusters_altstar",
       (s, dir) => {
         // The ALTERNATING large-star/small-star CC loop (Kiveris et al.)

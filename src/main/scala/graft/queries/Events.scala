@@ -1063,6 +1063,173 @@ object Events {
              |  SELECT 2, 'click_within_2h', count(*) FROM c
              |  UNION ALL
              |  SELECT 3, 'purchase_within_24h', count(*) FROM p)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    Q(
+      "e17_markov_attribution",
+      (s, dir) => {
+        // MARKOV-CHAIN multi-touch attribution (Anderl et al. 2016 —
+        // the removal-effect model, the data-driven alternative to
+        // e06's positional rules): user journeys (events to the FIRST
+        // purchase, deterministically ordered by ts then event_id)
+        // become a first-order transition matrix over the FIXED
+        // channel vocabulary; each channel's credit is its REMOVAL
+        // EFFECT — how much the start→conversion probability drops
+        // when journeys may not pass through it. Conversion
+        // probability is an 8-round bounded walk with every quantity
+        // in integer ppm and every per-term product floored BEFORE
+        // the sum, so accumulation order cannot move a bit and the
+        // whole five-variant sweep (base + 4 removals) unrolls as
+        // CTEs. The channel vocabulary is a plan-time PARAMETER (as
+        // configured channel taxonomies are), not discovered. Scale:
+        // journey assembly + transition census are the only
+        // data-sized work (one user-keyed window pass, one (src,dst)
+        // census); the matrix is channels²-sized — it rides to the
+        // driver like a08's codebooks, and the walk is driver
+        // arithmetic on ≤ 7×7 integers.
+        val ev = Tables(s, dir).events
+          .filter(col("event_type").isin(MarkovChannels :+ "purchase": _*))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val seq0 = ev.withColumn("rn", row_number().over(w))
+        val seqd = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(seq0)
+        val fp = seqd.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("rn").as("pn"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("rn")
+        val jr = seqd.join(fp, Seq("user_id"), "left")
+          .filter(col("pn").isNull || col("rn") <= col("pn"))
+          .select(col("user_id"), col("rn"),
+            when(col("event_type") === "purchase", lit("conv"))
+              .otherwise(col("event_type")).as("st"))
+          .withColumn("nx", lead("st", 1).over(wr))
+        val raw = jr.filter(col("rn") === 1)
+            .select(lit("start").as("src"), col("st").as("dst"))
+          .unionAll(jr.filter(col("nx").isNotNull)
+            .select(col("st").as("src"), col("nx").as("dst")))
+          .unionAll(jr.filter(col("nx").isNull && col("st") =!= "conv")
+            .select(col("st").as("src"), lit("drop").as("dst")))
+        val trans = raw.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        val tot = trans.groupBy("src").agg(sum("c").as("tc"))
+        val tppm = trans.join(tot, "src")
+          .select(col("src"), col("dst"), expr("c * 1000000 div tc").as("ppm"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        // 8-round bounded walk, exact integer ppm, per-term floor
+        val states = "start" +: MarkovChannels :+ "conv" :+ "drop"
+        val base = markovWalk(tppm, states, None)
+        val rowsOut = MarkovChannels.map { ch =>
+          val removed = markovWalk(tppm, states, Some(ch))
+          (ch, base, removed,
+            if (base == 0) 0L else (base - removed) * 1000000L / base)
+        }
+        val effSum = rowsOut.map(_._4).sum
+        import s.implicits._
+        rowsOut.map { case (ch, b, r, e) =>
+          (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
+        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
+          .orderBy("channel")
+      },
+      Some(markovOracleSql))
   )
+
+  /** e17's channel vocabulary — a plan-time parameter (configured
+    * taxonomy, not discovered), shared by the Spark walk and the
+    * generated oracle so the two can never disagree on the state
+    * space. (A `def`, not a `val`: `queries` above initializes first
+    * and evaluates the oracle eagerly — the AnnOracle lesson.) */
+  private def MarkovChannels = Seq("click", "error", "signup", "view")
+
+  /** e17's bounded-walk conversion probability in integer ppm: `rounds`
+    * applications of p'(s) = Σ_t ⌊T_ppm(s,t)·p(t)/10⁶⌋ with 'conv'
+    * absorbing at 10⁶ and the removed channel pinned to 0 — every
+    * per-term product floored BEFORE the sum so accumulation order is
+    * irrelevant and the oracle's unrolled CTEs reproduce it exactly. */
+  private[queries] def markovWalk(tppm: Map[(String, String), Long],
+      states: Seq[String], removed: Option[String], rounds: Int = 8): Long = {
+    var p = states.map(st => st -> (if (st == "conv") 1000000L else 0L)).toMap
+    for (_ <- 1 to rounds) {
+      p = states.map { st =>
+        st -> (if (st == "conv") 1000000L
+          else if (removed.contains(st)) 0L
+          else states.map(t => tppm.getOrElse((st, t), 0L) * p(t) / 1000000L).sum)
+      }.toMap
+    }
+    p("start")
+  }
+
+  /** e17's oracle: the identical transition census, then the 8-round
+    * integer-ppm walk UNROLLED per variant (base + one per removed
+    * channel) — every per-term product floored before the sum, exactly
+    * the driver arithmetic. */
+  private def markovOracleSql: String = {
+    val states = ("start" +: MarkovChannels :+ "conv" :+ "drop")
+      .map(s => s"('$s')").mkString(", ")
+    val variants = ("base", None) +: MarkovChannels.map(c => (c, Some(c)))
+    val rounds = variants.map { case (v, removed) =>
+      val zero = removed.map(r => s"WHEN s.st = '$r' THEN 0").getOrElse("")
+      val p0 =
+        s"""p${v}0 AS (SELECT s.st,
+           |    CASE WHEN s.st = 'conv' THEN 1000000 ELSE 0 END AS p
+           |  FROM states s)""".stripMargin
+      val steps = (1 to 8).map { k =>
+        s"""p$v$k AS (SELECT s.st,
+           |    CASE WHEN s.st = 'conv' THEN 1000000 $zero
+           |      ELSE coalesce((SELECT sum(t.ppm * p.p // 1000000)
+           |        FROM tppm t JOIN p$v${k - 1} p ON p.st = t.dst
+           |        WHERE t.src = s.st), 0) END AS p
+           |  FROM states s)""".stripMargin
+      }
+      (p0 +: steps).mkString(",\n")
+    }.mkString(",\n")
+    val effects = MarkovChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT p FROM pbase8 WHERE st = 'start') AS base_ppm,
+         |  (SELECT p FROM p${c}8 WHERE st = 'start') AS removed_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+       |  WHERE event_type IN (${(MarkovChannels :+ "purchase")
+            .map(c => s"'$c'").mkString(", ")})),
+       |seq AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS rn FROM ev),
+       |fp AS (SELECT user_id, min(rn) AS pn FROM seq
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |jr AS (SELECT s.user_id, s.rn,
+       |    CASE WHEN s.event_type = 'purchase' THEN 'conv'
+       |         ELSE s.event_type END AS st
+       |  FROM seq s LEFT JOIN fp USING (user_id)
+       |  WHERE fp.pn IS NULL OR s.rn <= fp.pn),
+       |nxt AS (SELECT user_id, rn, st,
+       |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nx FROM jr),
+       |raw AS (
+       |  SELECT 'start' AS src, st AS dst FROM nxt WHERE rn = 1
+       |  UNION ALL
+       |  SELECT st, nx FROM nxt WHERE nx IS NOT NULL
+       |  UNION ALL
+       |  SELECT st, 'drop' FROM nxt WHERE nx IS NULL AND st <> 'conv'),
+       |trans AS (SELECT src, dst, count(*) AS c FROM raw GROUP BY 1, 2),
+       |tot AS (SELECT src, sum(c) AS tc FROM trans GROUP BY 1),
+       |tppm AS (SELECT src, dst, c * 1000000 // tc AS ppm
+       |  FROM trans JOIN tot USING (src)),
+       |states(st) AS (VALUES $states),
+       |$rounds,
+       |effects AS (
+       |$effects)
+       |SELECT channel, CAST(base_ppm AS BIGINT) AS base_ppm,
+       |  CAST(removed_ppm AS BIGINT) AS removed_ppm,
+       |  CAST(CASE WHEN base_ppm = 0 THEN 0
+       |    ELSE (base_ppm - removed_ppm) * 1000000 // base_ppm END AS BIGINT)
+       |    AS effect_ppm,
+       |  CAST(CASE WHEN sum(CASE WHEN base_ppm = 0 THEN 0
+       |        ELSE (base_ppm - removed_ppm) * 1000000 // base_ppm END) OVER () = 0
+       |    THEN 0
+       |    ELSE (CASE WHEN base_ppm = 0 THEN 0
+       |        ELSE (base_ppm - removed_ppm) * 1000000 // base_ppm END) * 1000000
+       |      // sum(CASE WHEN base_ppm = 0 THEN 0
+       |        ELSE (base_ppm - removed_ppm) * 1000000 // base_ppm END) OVER ()
+       |    END AS BIGINT) AS attr_ppm
+       |FROM effects
+       |ORDER BY channel""".stripMargin
+  }
 }

@@ -1057,7 +1057,90 @@ object PlanQueries {
              |      / 16384.0) AS BIGINT) AS bin
              |  FROM f)
              |SELECT bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes
-             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    Q(
+      "l16_prune_advisor",
+      (s, dir) => {
+        // Partition-column ADVISOR — "which column should this table
+        // partition by, for THIS workload": for each candidate layout
+        // (returnflag dirs, ship-month dirs, partkey÷100 buckets) and
+        // each workload predicate, the fraction of rows a min/max-
+        // pruning reader must scan — partition read iff its [min,max]
+        // of the predicate column overlaps the predicate range, the
+        // exact skipping rule parquet row-groups and Delta/Iceberg
+        // file stats implement. The numbers quantify l01's effect
+        // BEFORE paying any rewrite: a layout that prunes nothing for
+        // the workload is visible as scan_ppm ≈ 1e6. Each layout costs
+        // one partitions-sized aggregate (at 100 TB this harvests from
+        // l11's stats pass, not the data); the 9-way sweep is 9
+        // aggregates over 3 shared partition frames. Integer
+        // end-to-end: row counts and floor-ppm only.
+        val li = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          Tables(s, dir).lineitem.select(
+            col("l_returnflag").as("rf"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("sm"),
+            col("l_partkey").as("pk"), col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price")))
+        val layouts = Seq(
+          "1_returnflag" -> col("rf"),
+          "2_ship_month" -> col("sm"),
+          "3_partkey_b100" -> expr("pk div 100").cast("string"))
+        val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "qty_lt_5" -> (col("qmin") < 5.0),
+          "price_gt_90k" -> (col("pmax") > 90000.0),
+          "partkey_500_520" -> (col("kmin") <= 520L && col("kmax") >= 500L))
+        layouts.map { case (lname, key) =>
+          val parts = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+            li.groupBy(key.as("k")).agg(count(lit(1)).as("rows"),
+              min("qty").as("qmin"), max("qty").as("qmax"),
+              min("price").as("pmin"), max("price").as("pmax"),
+              min("pk").as("kmin"), max("pk").as("kmax")))
+          preds.map { case (pname, hit) =>
+            parts.agg(count(lit(1)).as("parts_total"),
+              sum(when(hit, 1L).otherwise(0L)).as("parts_read"),
+              sum(col("rows")).as("total_rows"),
+              sum(when(hit, col("rows")).otherwise(0L)).as("rows_read"))
+              .select(lit(lname).as("layout"), lit(pname).as("predicate"),
+                col("parts_read"), col("parts_total"),
+                expr("rows_read * 1000000 div total_rows").as("scan_ppm"))
+          }.reduce(_.unionAll(_))
+        }.reduce(_.unionAll(_)).orderBy("layout", "predicate")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf,
+             |    strftime(l_shipdate, '%Y-%m') AS sm,
+             |    CAST(l_partkey AS BIGINT) AS pk, l_quantity AS qty,
+             |    l_extendedprice AS price FROM lineitem),
+             |sweeps(layout, predicate) AS (VALUES
+             |  ('1_returnflag', 'qty_lt_5'), ('1_returnflag', 'price_gt_90k'),
+             |  ('1_returnflag', 'partkey_500_520'),
+             |  ('2_ship_month', 'qty_lt_5'), ('2_ship_month', 'price_gt_90k'),
+             |  ('2_ship_month', 'partkey_500_520'),
+             |  ('3_partkey_b100', 'qty_lt_5'), ('3_partkey_b100', 'price_gt_90k'),
+             |  ('3_partkey_b100', 'partkey_500_520')),
+             |parts AS (
+             |  SELECT '1_returnflag' AS layout, rf AS k, count(*) AS rows,
+             |      min(qty) AS qmin, max(price) AS pmax,
+             |      min(pk) AS kmin, max(pk) AS kmax
+             |    FROM li GROUP BY 2
+             |  UNION ALL
+             |  SELECT '2_ship_month', sm, count(*), min(qty), max(price),
+             |      min(pk), max(pk) FROM li GROUP BY 2
+             |  UNION ALL
+             |  SELECT '3_partkey_b100', CAST(pk // 100 AS VARCHAR), count(*),
+             |      min(qty), max(price), min(pk), max(pk) FROM li GROUP BY 2),
+             |hits AS (SELECT s.layout, s.predicate, p.rows,
+             |    CASE s.predicate
+             |      WHEN 'qty_lt_5' THEN CASE WHEN p.qmin < 5.0 THEN 1 ELSE 0 END
+             |      WHEN 'price_gt_90k' THEN CASE WHEN p.pmax > 90000.0 THEN 1 ELSE 0 END
+             |      ELSE CASE WHEN p.kmin <= 520 AND p.kmax >= 500 THEN 1 ELSE 0 END
+             |    END AS hit
+             |  FROM sweeps s JOIN parts p ON p.layout = s.layout)
+             |SELECT layout, predicate,
+             |  CAST(sum(hit) AS BIGINT) AS parts_read,
+             |  CAST(count(*) AS BIGINT) AS parts_total,
+             |  CAST(sum(hit * rows) * 1000000 // sum(rows) AS BIGINT) AS scan_ppm
+             |FROM hits GROUP BY 1, 2 ORDER BY layout, predicate""".stripMargin))
   )
 
   /** a05's probe-and-rerank oracle, shared VERBATIM by l03 (index

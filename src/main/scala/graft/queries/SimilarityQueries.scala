@@ -1523,6 +1523,94 @@ object SimilarityQueries {
              |    FROM e CROSS JOIN ctr t) WHERE rn = 1)
              |SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
              |  CAST(sum(id) AS BIGINT) AS id_sum
-             |FROM assign GROUP BY cell ORDER BY cell""".stripMargin))
+             |FROM assign GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    Q(
+      "a27_knn_ivf_sq8",
+      (s, dir) => {
+        // IVF-SQ8 under the FULL oracle (Similarity.knnIvfSq8): a04's
+        // hash-checked trained quantizer supplies the cells, the
+        // residual int8 encode/decode are single native scans, and ADC
+        // ranking runs on exact reconstructions — quantizer TRAINING,
+        // assignment, residual quantization, decode, probing, ranking
+        // all replay in DuckDB. The compression ladder is now
+        // complete: flat int8 (a09) / IVF-SQ8 (here) / IVF-PQ (a15) /
+        // binary (a23), each rung hash-checked end to end.
+        val e = Tables(s, dir).embeddings
+        val corpus = e.filter(col("vec_id") >= 10)
+        val centers = graft.ops.Similarity.ivfQuantizerReplayable(
+          corpus, "vec_id", "embedding", clusters = 16, iters = 2)
+        graft.ops.Similarity.knnIvfSq8(
+          e.filter(col("vec_id") < 10), corpus,
+          "vec_id", "embedding", k = 5, centers, nprobe = 6)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v FROM (
+             |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+             |    FROM e WHERE vec_id >= 10) WHERE rn <= 4096),
+             |c0 AS (SELECT rn - 1 AS cell, v AS ctr
+             |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM s)
+             |       WHERE rn <= 16),
+             |a1 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (s.v[i+1]-c.ctr[i+1])*(s.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM s CROSS JOIN c0 c) WHERE rn = 1),
+             |c1 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a1)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c1f AS (SELECT c0.cell, coalesce(c1.ctr, c0.ctr) AS ctr
+             |        FROM c0 LEFT JOIN c1 USING (cell)),
+             |a2 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (s.v[i+1]-c.ctr[i+1])*(s.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM s CROSS JOIN c1f c) WHERE rn = 1),
+             |c2 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a2)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c2f AS (SELECT c1f.cell, coalesce(c2.ctr, c1f.ctr) AS ctr
+             |        FROM c1f LEFT JOIN c2 USING (cell)),
+             |assign AS (SELECT neighbor_id, v, cell FROM (
+             |    SELECT c.vec_id AS neighbor_id, c.v, t.cell,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (c.v[i+1]-t.ctr[i+1])*(c.v[i+1]-t.ctr[i+1]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id >= 10) c CROSS JOIN c2f t)
+             |  WHERE rn = 1),
+             |res AS (SELECT a.neighbor_id, a.cell, t.ctr,
+             |    list_transform(list_zip(a.v, t.ctr), x -> x[1] - x[2]) AS r
+             |  FROM assign a JOIN c2f t USING (cell)),
+             |mxr AS (SELECT neighbor_id, cell, ctr, r,
+             |    list_max(list_transform(r, x -> abs(x))) AS mx FROM res),
+             |codes AS (SELECT neighbor_id, cell, ctr, mx,
+             |    CASE WHEN mx = 0 THEN list_transform(r, x -> 0.0)
+             |         ELSE list_transform(r, x -> floor(x * (127.0 / mx) + 0.5)) END AS q
+             |  FROM mxr),
+             |dec AS (SELECT neighbor_id, cell,
+             |    list_transform(list_zip(ctr, q), x -> x[1] + x[2] * (mx / 127.0)) AS vhat
+             |  FROM codes),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (q.v[i+1]-t.ctr[i+1])*(q.v[i+1]-t.ctr[i+1]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id < 10) q CROSS JOIN c2f t)
+             |  WHERE rn <= 6),
+             |hits AS (SELECT p.query_id, d.neighbor_id,
+             |    floor(list_sum(list_transform(list_zip(p.qv, d.vhat),
+             |      x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1e6 + 0.5) / 1e6 AS adist
+             |  FROM probes p JOIN dec d ON p.cell = d.cell)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adist
+             |FROM (SELECT query_id, neighbor_id, adist,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY adist, neighbor_id) AS rn
+             |      FROM hits)
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -1150,3 +1150,140 @@ case class DsirScore(child: Expression, lam: Array[Long]) extends
   }
   override def hashCode(): Int = 31 * child.hashCode() + lam.toSeq.hashCode()
 }
+
+/**
+ * IVF-SQ8 ENCODE in one native scan — the FAISS
+ * IndexIVFScalarQuantizer storage form: assign the vector to its
+ * nearest coarse cell (CellArgmin's argmin, ties → lowest index),
+ * subtract that centroid, and int8-quantize the RESIDUAL with a
+ * per-vector scale (Int8Quantize's exact formula on the residual).
+ * Output struct `(cell INT, mx DOUBLE, q ARRAY<DOUBLE>)` — mx is the
+ * max-abs residual the decoder needs; codes stay doubles because they
+ * never leave the plan (the decode probe consumes them immediately).
+ * One referenced-object nested loop inside whole-stage codegen; the
+ * interpreted alternative (zip_with residual + aggregate max + second
+ * transform) is 3 HOF passes per corpus vector on the index-build hot
+ * path.
+ */
+case class CellResidualSq8(
+    child: Expression,
+    centers: Array[Array[Double]]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(centers.nonEmpty, "need at least one center")
+
+  override def prettyName: String = "graft_cell_residual_sq8"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("mx", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** codegen entry point (public for the generated class). */
+  def evalEncode(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var s = 0.0
+      var i = 0
+      val m = math.min(ctr.length, n)
+      while (i < m) { val d = v.getDouble(i) - ctr(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    val ctr = centers(best)
+    val m = math.min(ctr.length, n)
+    val r = new Array[Double](m)
+    var mx = 0.0
+    var i = 0
+    while (i < m) {
+      r(i) = v.getDouble(i) - ctr(i)
+      val a = math.abs(r(i)); if (a > mx) mx = a
+      i += 1
+    }
+    val s = if (mx == 0.0) 0.0 else 127.0 / mx
+    val q = new Array[Double](m)
+    i = 0
+    while (i < m) { q(i) = math.floor(r(i) * s + 0.5); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      best, mx, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = evalEncode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("cellResidualSq8", this,
+        classOf[CellResidualSq8].getName)
+      s"${ev.value} = $self.evalEncode($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CellResidualSq8 =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: CellResidualSq8 =>
+      h.child == child && h.centers.length == centers.length &&
+        h.centers.zip(centers).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + centers.map(java.util.Arrays.hashCode).toSeq.hashCode()
+}
+
+/**
+ * IVF-SQ8 DECODE — [[CellResidualSq8]]'s inverse: reconstruct
+ * `v̂ᵢ = ctrᵢ + qᵢ·(mx/127)` from the encode struct, one native loop.
+ * The scale divides ONCE per vector (the per-element division the SQL
+ * replay writes computes the identical IEEE value, so the oracle
+ * matches bit-for-bit). Separate from the ADC probe so the decoded
+ * frame feeds the existing native sqDist/topK plan unchanged.
+ */
+case class Sq8Decode(
+    child: Expression,
+    centers: Array[Array[Double]]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centers.nonEmpty, "need at least one center")
+
+  override def prettyName: String = "graft_sq8_decode"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  /** codegen entry point (public for the generated class). */
+  def evalDecode(row: org.apache.spark.sql.catalyst.InternalRow): ArrayData = {
+    val cell = row.getInt(0)
+    val mx = row.getDouble(1)
+    val q = row.getArray(2)
+    val ctr = centers(cell)
+    val n = math.min(ctr.length, q.numElements())
+    val s = mx / 127.0
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = ctr(i) + q.getDouble(i) * s; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    evalDecode(v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("sq8Decode", this, classOf[Sq8Decode].getName)
+      s"${ev.value} = $self.evalDecode($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Decode =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: Sq8Decode =>
+      h.child == child && h.centers.length == centers.length &&
+        h.centers.zip(centers).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + centers.map(java.util.Arrays.hashCode).toSeq.hashCode()
+}
