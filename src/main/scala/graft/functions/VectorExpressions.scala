@@ -183,6 +183,14 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.Sq8Decode(
       ColumnBridge.expression(enc), centers))
 
+  /** `[n_chunks, n_banned]` of the document under the frozen
+    * boilerplate set — one native boundary scan + one MD5 per disjoint
+    * `w`-token chunk at `boilerplateChunkRemoval`'s exact grain
+    * (see [[graftshim.ChunkHashHits]]). `banned` must be SORTED. */
+  def chunkHashHits(text: Column, w: Int, banned: Array[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.ChunkHashHits(
+      ColumnBridge.expression(text), w, banned))
+
   /** Whole-document signed hashing-TF vector in ONE native token scan —
     * bit-identical to the explode→groupBy featurizer but O(tokens) work
     * and zero shuffle (see [[graftshim.HashingTfVec]]). */

@@ -1037,6 +1037,30 @@ object Dedup {
   }
 
   /**
+   * Collect [[boilerplateChunkRemoval]]'s banned-chunk census to the
+   * SORTED hash array the native ingest probe consumes
+   * (`ChunkHashHits` binary-searches it) — boilerplate-sized by
+   * construction (a chunk must repeat `minOcc`× corpus-wide to
+   * enter), the st26/st25 freeze-and-ship convention.
+   */
+  def boilerplateBannedFreeze(docs: DataFrame, idCol: String,
+      textCol: String, w: Int = 10, minOcc: Long = 3): Array[Long] = {
+    import graft.functions.VectorExpressions.md5Hash52
+    val out = docs
+      .select(col(idCol).cast("long").as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / w).cast("int"))).as("ci"), col("t"))
+      .select(md5Hash52(
+        concat_ws(" ", slice(col("t"), col("ci") * w + 1, lit(w)))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOcc)
+      .select("h").collect().map(_.getLong(0))
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /**
    * Exact duplicate-SPAN removal at the overlapping-window grain (Lee
    * et al. 2021's ExactSubstr rule, token-window variant): any `w`-token
    * window whose text occurs MORE THAN ONCE in the corpus — across

@@ -276,6 +276,54 @@ object CorpusOps2 {
              |FROM sq CROSS JOIN z ORDER BY source""".stripMargin)),
 
     Q(
+      "p18_curriculum_shards",
+      (s, dir) => {
+        // CURRICULUM shard ordering — the data-ordering leg of
+        // curriculum learning (Bengio et al. 2009 applied to corpus
+        // prep): p10's deterministic hash shards, each scored by mean
+        // document quality (stopword density in integer ppm — the
+        // cheap row-local proxy; swap in t25's learned score for the
+        // production run), emitted in easy-first order so the trainer
+        // streams shard 1..N as its curriculum. Everything is one
+        // narrow scan + one shards-sized aggregate + one
+        // shards-sized window; INTEGER end to end (per-doc ppm floor,
+        // per-shard mean by floor division), so the ordering can
+        // never flip on an engine's float summation order.
+        val nShards = 8
+        val h = graft.functions.VectorExpressions.md5Hash52(
+          concat(lit("shuf:"), col("doc_id").cast("string")))
+        val w = split(col("text"), " ")
+        val scored = Tables(s, dir).documents
+          .select(pmod(h, lit(nShards.toLong)).cast("int").as("shard"),
+            size(filter(w, t => t.isin("the", "a", "of", "and", "to",
+              "in", "is", "it"))).cast("long").as("n_stop"),
+            size(w).cast("long").as("n_tok"))
+          .select(col("shard"), expr("n_stop * 1000000 div n_tok").as("q_ppm"))
+        scored.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(q_ppm) div count(*)").as("mean_q_ppm"))
+          .withColumn("curriculum_pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("mean_q_ppm").desc, col("shard"))).cast("int"))
+          .select("curriculum_pos", "shard", "n_docs", "mean_q_ppm")
+          .orderBy("curriculum_pos")
+      },
+      Some(s"""WITH scored AS (SELECT
+             |    CAST(${OracleSql.md5Fold52("'shuf:' || CAST(doc_id AS VARCHAR)")}
+             |      % 8 AS INT) AS shard,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |        x -> x IN ('the','a','of','and','to','in','is','it')))
+             |      * 1000000 // len(string_split(text, ' ')) AS BIGINT) AS q_ppm
+             |  FROM documents),
+             |shards AS (SELECT shard, count(*) AS n_docs,
+             |    CAST(sum(q_ppm) // count(*) AS BIGINT) AS mean_q_ppm
+             |  FROM scored GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY mean_q_ppm DESC, shard)
+             |    AS INT) AS curriculum_pos,
+             |  shard, n_docs, mean_q_ppm
+             |FROM shards ORDER BY curriculum_pos""".stripMargin)),
+
+    Q(
       "p13_softdedup_weights",
       (s, dir) => {
         // SOFT dedup (the DataComp-LM move): duplicates are kept but

@@ -538,5 +538,68 @@ object CorpusOps3 {
              |    AS scalar_pass
              |FROM (SELECT doc_id, text, string_split(text, ' ') AS w
              |      FROM documents WHERE doc_id < 2000)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "st28_stream_boilerplate_gate",
+      (s, dir) => {
+        // STREAMING boilerplate probe — d18's corpus-frequency banned
+        // set frozen and applied at ingest (the crawl-frontier
+        // deployment: fit the census offline, ship the sorted hash
+        // array, annotate every arriving doc with how much of it is
+        // boilerplate before storage decides). One native scan per
+        // row (ChunkHashHits: token-boundary walk + one MD5 per
+        // disjoint 10-token chunk + binary-search probe — the chunk
+        // grain, banner planting, and hash are d18's EXACTLY, so the
+        // batch census CTEs oracle the stream verbatim). Stateless
+        // append; universe capped absolute (st18/st26's discipline)
+        // while the banned set is fitted on the FULL planted corpus —
+        // a deployed artifact does not scale with the feed.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val banner = "please accept cookie terms before you continue reading this page"
+        val d = Tables(s, dir).documents.select("doc_id", "text")
+        val corpus = d.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(banner + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        val banned = graft.ops.Dedup.boilerplateBannedFreeze(
+          corpus, "doc_id", "text", w = 10, minOcc = 3)
+        val rows = corpus.filter(col("doc_id") < 2000).orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.CorpusStream.boilerplateGateStream(
+            stream.toDS().toDF("doc_id", "text"), "doc_id", "text", banned)
+          .writeStream.format("memory").queryName("st28_gate")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st28_gate").orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN
+             |      'please accept cookie terms before you continue reading this page '
+             |        || text ELSE text END AS text
+             |  FROM documents),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+             |chunks AS (SELECT doc_id, ci,
+             |    array_to_string(t[ci*10+1 : ci*10+10], ' ') AS chunk
+             |  FROM (SELECT doc_id, t, unnest(range((len(t) + 9) // 10)) AS ci
+             |        FROM toks)),
+             |hashed AS (SELECT doc_id, ci,
+             |    ${md5FoldSql("chunk")} AS h
+             |  FROM chunks),
+             |banned AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= 3)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN h IN (SELECT h FROM banned)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_banned
+             |FROM hashed WHERE doc_id < 2000
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -1131,7 +1131,79 @@ object Events {
         }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
           .orderBy("channel")
       },
-      Some(markovOracleSql))
+      Some(markovOracleSql)),
+
+    Q(
+      "e18_session_paths",
+      (s, dir) => {
+        // SESSION-PATH census — journey mining's first question ("what
+        // do sessions actually look like?"): each session's ordered
+        // event-type sequence, truncated to its first 4 steps, counted
+        // corpus-wide and ranked. Session rule is e02's VERBATIM
+        // (30-min inactivity gap, (ts, event_id) total order — the
+        // d15 no-drift rule applied to sessionization). The path
+        // assembly sorts ≤ 4 (rn, type) structs per session — the
+        // only lambda is a 4-element transform AFTER the size cap,
+        // never over the raw stream. Scale: two user-keyed window
+        // passes (one partitioning reused), then a paths-sized census;
+        // the top-20 cut is rank-qualified, not LIMIT, so ties are
+        // deterministic.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        val sess = Tables(s, dir).events
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            when(lag(col("ts"), 1).over(w).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+                > 1800000000L, 1).otherwise(0).as("new_session"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            sum("new_session").over(wRun).cast("long").as("session_id"))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        val paths = sess.withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= 4)
+          .groupBy("user_id", "session_id")
+          .agg(concat_ws(">", transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            st => st.getField("event_type"))).as("path"))
+        val census = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        census
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n_sessions").desc, col("path"))).cast("int"))
+          .filter(col("rank") <= 20)
+          .select("rank", "path", "n_sessions")
+          .orderBy("rank")
+      },
+      Some("""WITH sess AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS session_id
+             |  FROM (
+             |    SELECT *, CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) IS NULL
+             |        OR date_diff('microsecond', lag(ts, 1) OVER (
+             |             PARTITION BY user_id ORDER BY ts, event_id), ts)
+             |           > 1800000000
+             |      THEN 1 ELSE 0 END AS new_session
+             |    FROM events)),
+             |steps AS (SELECT user_id, session_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id, session_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM sess),
+             |paths AS (SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM steps WHERE rn <= 4 GROUP BY user_id, session_id),
+             |census AS (SELECT path, count(*) AS n_sessions
+             |  FROM paths GROUP BY 1)
+             |SELECT CAST(rank AS INT) AS rank, path, n_sessions FROM (
+             |  SELECT path, n_sessions,
+             |    row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+             |  FROM census)
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin))
   )
 
   /** e17's channel vocabulary — a plan-time parameter (configured

@@ -222,6 +222,26 @@ object CorpusStream {
         flags.map(f => col(f._1)).reduce(_ * _).cast("int"))
   }
 
+  /**
+   * Ingest-time BOILERPLATE probe — the frozen banned-chunk set
+   * (fitted batch-side by `Dedup.boilerplateChunkRemoval`'s census,
+   * shipped via `boilerplateBannedFreeze`) applied to every arriving
+   * document as a stateless annotation: `[n_chunks, n_banned]` in one
+   * native scan (`ChunkHashHits` — boundary walk + one MD5 per chunk
+   * + binary-search probe, zero interpreted HOFs). Annotate, don't
+   * rewrite: the removal pass stays batch-side where the census
+   * lives; ingest only needs to know HOW MUCH of a doc is boilerplate
+   * to route it.
+   */
+  def boilerplateGateStream(docs: DataFrame, idCol: String, textCol: String,
+      banned: Array[Long], w: Int = 10): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.VectorExpressions
+          .chunkHashHits(col(textCol), w, banned).as("r"))
+      .select(col(idCol), element_at(col("r"), 1).as("n_chunks"),
+        element_at(col("r"), 2).as("n_banned"))
+
   def lmScoringStream(docs: DataFrame, idCol: String, textCol: String,
       lm: TextAnalysis.FrozenBigramLm): DataFrame =
     docs

@@ -1287,3 +1287,92 @@ case class Sq8Decode(
   override def hashCode(): Int =
     31 * child.hashCode() + centers.map(java.util.Arrays.hashCode).toSeq.hashCode()
 }
+
+/**
+ * Row-local BOILERPLATE probe in one native scan — the frozen-set twin
+ * of `Dedup.boilerplateChunkRemoval`'s census probe for
+ * score-at-ingest streams (st28): the corpus-frequency banned set (52-
+ * bit chunk hashes) ships as a deployed artifact, and every arriving
+ * document is scanned once — disjoint `w`-token chunks at the batch
+ * op's exact grain (split on single space, empties kept, short tail
+ * chunk included), each chunk's bytes digested IN PLACE (rejoining
+ * single-space tokens reproduces the original byte span, so no chunk
+ * string is ever built) and probed against the sorted banned array by
+ * binary search. Output `[n_chunks, n_banned]` longs. Hot loop: one
+ * boundary scan + one MD5 per chunk, zero interpreted HOFs.
+ */
+case class ChunkHashHits(child: Expression, w: Int, banned: Array[Long]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(w >= 1, s"w=$w")
+
+  override def prettyName: String = "graft_chunk_hash_hits"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def h52(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) | ((d(2) & 0xffL) << 28) |
+      ((d(3) & 0xffL) << 20) | ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) |
+      ((d(6) & 0xf0L) >>> 4)
+
+  /** codegen entry point (public for the generated class). */
+  def evalChunks(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    // token boundaries under the single-space rule (empties kept):
+    // nTok = spaces + 1; starts(i)/ends(i) delimit token i's bytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val nChunks = (nTok - 1) / w + 1
+    val digest = md.get()
+    var hits = 0L
+    var ci = 0
+    while (ci < nChunks) {
+      val from = starts(ci * w)
+      val to = ends(math.min(nTok, ci * w + w) - 1)
+      digest.reset()
+      digest.update(bytes, from, to - from)
+      if (java.util.Arrays.binarySearch(banned, h52(digest.digest())) >= 0)
+        hits += 1
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](nChunks.toLong, hits))
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    evalChunks(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("chunkHashHits", this, classOf[ChunkHashHits].getName)
+      s"${ev.value} = $self.evalChunks($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashHits =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: ChunkHashHits =>
+      h.child == child && h.w == w && java.util.Arrays.equals(h.banned, banned)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + w) + java.util.Arrays.hashCode(banned)
+}

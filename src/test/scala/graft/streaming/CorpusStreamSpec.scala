@@ -233,4 +233,45 @@ class CorpusStreamSpec extends SparkTestBase {
       assert(streamed == batch, s"stream $streamed != batch $batch")
     } finally q.stop()
   }
+
+  test("boilerplate gate stream: native chunk probe equals the batch " +
+      "census grain, banner hits counted, clean docs zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val banner = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10" // exactly one chunk wide
+    val docs = Seq(
+      1L -> s"$banner alpha beta gamma delta",
+      2L -> s"$banner epsilon zeta",
+      3L -> s"$banner eta theta iota kappa lam mu nu xi omicron pi",
+      4L -> "clean doc with no shared chunk at all",
+      5L -> "double  space and trailing tail words only here")
+      .toDF("doc_id", "text")
+    val banned = graft.ops.Dedup.boilerplateBannedFreeze(
+      docs, "doc_id", "text", w = 10, minOcc = 3)
+    assert(banned.length == 1, s"only the banner chunk repeats 3x: ${banned.length}")
+    val input = MemoryStream[(Long, String)]
+    val q = boilerplateGateStream(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", banned)
+      .writeStream.format("memory").queryName("bp_gate")
+      .outputMode("append").start()
+    try {
+      docs.collect().map(r => (r.getLong(0), r.getString(1)))
+        .grouped(2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("bp_gate").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // chunk counts at the batch grain: ceil(nTok / 10), empties kept
+      assert(got(1L) == ((2L, 1L)), got(1L).toString)
+      assert(got(2L) == ((2L, 1L)))
+      assert(got(3L) == ((2L, 1L)))
+      assert(got(4L) == ((1L, 0L)))
+      assert(got(5L) == ((1L, 0L)))
+      // parity with the batch op itself: banned chunks removed there
+      val batch = graft.ops.Dedup.boilerplateChunkRemoval(
+          docs, "doc_id", "text", w = 10, minOcc = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(1) - r.getLong(2)))).toMap
+      assert(got == batch,
+        s"stream (n_chunks, n_banned) $got != batch (n_chunks, removed) $batch")
+    } finally q.stop()
+  }
 }
