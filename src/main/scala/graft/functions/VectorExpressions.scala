@@ -191,6 +191,15 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.ChunkHashHits(
       ColumnBridge.expression(text), w, banned))
 
+  /** `[n_bigrams, kn_nll_unats]` under the frozen Kneser-Ney bigram
+    * model — one native token scan, one map probe + ln per bigram
+    * (see [[graftshim.KnLmScore]]). */
+  def knLmScore(text: Column, terms: Array[String], c1: Array[Long],
+      n1: Array[Long], cont: Array[Long], ct: Long,
+      pairKeys: Array[Long], pairC2: Array[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.KnLmScore(
+      ColumnBridge.expression(text), terms, c1, n1, cont, ct, pairKeys, pairC2))
+
   /** Whole-document signed hashing-TF vector in ONE native token scan —
     * bit-identical to the explode→groupBy featurizer but O(tokens) work
     * and zero shuffle (see [[graftshim.HashingTfVec]]). */

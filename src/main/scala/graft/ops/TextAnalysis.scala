@@ -543,6 +543,94 @@ object TextAnalysis {
     FrozenBigramLm(terms, hist, pairs.map(_._1), pairs.map(_._2))
   }
 
+  /**
+   * INTERPOLATED KNESER-NEY bigram scoring (Kneser & Ney 1995; Chen &
+   * Goodman 1999's interpolated form) — the smoothing KenLM ships and
+   * CCNet's production filter actually runs, upgrading t29's add-one
+   * baseline: P(w2|w1) = max(c2 − D, 0)/c1 + D·N1+(w1·)/c1 · Pcont(w2),
+   * with the continuation distribution Pcont(w2) ∝ how many DISTINCT
+   * contexts w2 follows (the "San Francisco" insight: frequent-but-
+   * bound words score low as continuations). D = 3/4 exactly, so with
+   * add-one smoothing on Pcont every probability is ONE exact integer
+   * ratio:
+   *
+   *   c1 > 0:  num = max(4·c2−3, 0)·(ct+V) + 3·n1·(cont2+1)
+   *            den = 4·c1·(ct+V)
+   *   c1 = 0:  num = cont2+1, den = ct+V      (pure continuation)
+   *
+   * (ct = distinct bigram types, V = |vocab|+1, n1 = distinct
+   * continuations of w1, cont2 = distinct contexts of w2). P ≤ 1
+   * always (n1 ≤ c1−c2+1 gives P ≤ (0.25·c2 + 0.75·c1)/c1), so
+   * q = ⌊ln(num/den)·1e6⌉ ≤ 0 and the per-doc fold matches t29's sign
+   * discipline. num/den stay exact in doubles up to ~2^53 — beyond
+   * the reference-slice scale by construction (the model is fitted on
+   * the gated slice, not the corpus); all four model frames ride the
+   * broadcast plane, the corpus scan is t29's narrow pipeline.
+   */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame = {
+    val n1 = lm.pair.groupBy("m1").agg(count(lit(1)).as("n1"))
+    val cont = lm.pair.groupBy("m2").agg(count(lit(1)).as("cont"))
+    val ctot = lm.pair.agg(count(lit(1)).as("ct"))
+    val c2v = coalesce(col("c2"), lit(0L))
+    val c1v = coalesce(col("c1"), lit(0L))
+    val n1v = coalesce(col("n1"), lit(0L))
+    val contv = coalesce(col("cont"), lit(0L))
+    val ctv = col("ct") + col("v")
+    val num = when(c1v > 0,
+      greatest(c2v * 4 - 3, lit(0L)) * ctv + lit(3L) * n1v * (contv + 1))
+      .otherwise(contv + 1)
+    val den = when(c1v > 0, lit(4L) * c1v * ctv).otherwise(ctv)
+    mappedPairs(docs, textCol, Seq(col(idCol)), lm.vocab)
+      .join(broadcast(lm.pair), Seq("m1", "m2"), "left")
+      .join(broadcast(lm.hist), Seq("m1"), "left")
+      .join(broadcast(n1), Seq("m1"), "left")
+      .join(broadcast(cont), Seq("m2"), "left")
+      .crossJoin(broadcast(ctot)).crossJoin(broadcast(lm.vsz))
+      .select(col(idCol),
+        floor(log(num.cast("double") / den.cast("double")) * 1e6 + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("q"))).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("s div n_bigrams").as("kn_nll_unats"))
+  }
+
+  /** The frozen KN model as plain arrays ([[graftshim.KnLmScore]]'s
+    * layout: `terms(i)` has id i+1, id 0 = <unk>; c1/n1/cont are
+    * id-indexed, `pairKeys(k) = id1·V + id2` sorted with `pairC2`
+    * aligned). */
+  final case class KnFrozenLm(terms: Array[String], c1: Array[Long],
+      n1: Array[Long], cont: Array[Long], ct: Long,
+      pairKeys: Array[Long], pairC2: Array[Long])
+
+  /** Collect the KN model frames to driver arrays — model-sized by the
+    * minCount cap, the score-at-ingest artifact (st26/st25's
+    * freeze-and-ship convention; the literal-"<unk>" exclusion rule of
+    * [[bigramLmFreeze]] applies identically). */
+  def knFreeze(lm: BigramLm): KnFrozenLm = {
+    val terms = lm.vocab.filter(col("tok") =!= "<unk>").orderBy("tok")
+      .collect().map(_.getString(0))
+    val id = terms.iterator.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val v = terms.length + 1
+    val c1 = new Array[Long](v)
+    lm.hist.collect().foreach { r =>
+      c1(id.getOrElse(r.getString(0), 0)) += r.getLong(1) }
+    val rawPairs = lm.pair.collect()
+      .map { r => (id.getOrElse(r.getString(0), 0).toLong * v +
+        id.getOrElse(r.getString(1), 0), r.getLong(2)) }
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+    // type counts AFTER the <unk> fold, so the frozen model and the
+    // broadcast-join path see the same distinct-pair universe
+    val n1 = new Array[Long](v)
+    val cont = new Array[Long](v)
+    rawPairs.foreach { case (k, _) =>
+      n1((k / v).toInt) += 1; cont((k % v).toInt) += 1 }
+    KnFrozenLm(terms, c1, n1, cont, rawPairs.length.toLong,
+      rawPairs.map(_._1), rawPairs.map(_._2))
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
       lm: BigramLm): DataFrame =
     mappedPairs(docs, textCol, Seq(col(idCol)), lm.vocab)

@@ -280,6 +280,81 @@ object CorpusOps {
       Some(lmPerplexityOracleSql("TRUE"))),
 
     Q(
+      "t33_kn_perplexity",
+      (s, dir) => {
+        // KNESER-NEY perplexity filter — t29's production upgrade: the
+        // interpolated KN smoothing KenLM ships (and CCNet's real
+        // filter runs), where an unseen bigram backs off to how
+        // PROMISCUOUS its second word is across contexts rather than
+        // to a uniform add-one floor ("San Francisco": 'Francisco' is
+        // frequent but bound to one context, so it scores LOW as a
+        // novel continuation — add-one can't see the difference).
+        // Same fit frames as t29 plus three type-count aggregates;
+        // D = 3/4 exactly, every probability one exact integer ratio,
+        // ln quantized per bigram before the fold
+        // (TextAnalysis.knBigramScore).
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val gate = nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)
+        val d = Tables(s, dir).documents
+        val lm = graft.ops.TextAnalysis.bigramLmFit(
+          d.filter(gate), "text", minCount = 5)
+        graft.ops.TextAnalysis.knBigramScore(d, "doc_id", "text", lm)
+          .orderBy("doc_id")
+      },
+      Some(knPerplexityOracleSql("TRUE"))),
+
+    Q(
+      "st29_stream_kn_scoring",
+      (s, dir) => {
+        // STREAMING KN scoring — t33's model frozen and applied at
+        // ingest, twinning st25 exactly (fit on the static capped
+        // slice, freeze to driver arrays, score each arriving doc in
+        // ONE native token scan — graftshim.KnLmScore computes the
+        // same exact integer num/den per bigram the batch joins
+        // build, one map probe + ln per pair, zero interpreted HOFs).
+        // Stateless append; universe capped absolute (st25's
+        // discipline).
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val gate = nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)
+        val lm = graft.ops.TextAnalysis.knFreeze(
+          graft.ops.TextAnalysis.bigramLmFit(d.filter(gate), "text", minCount = 5))
+        val rows = d.filter(size(split(col("text"), " ")) >= 2)
+          .orderBy("doc_id").select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.CorpusStream.knScoringStream(
+            stream.toDS().toDF("doc_id", "text"), "doc_id", "text", lm)
+          .writeStream.format("memory").queryName("st29_scores")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st29_scores").orderBy("doc_id")
+      },
+      Some(knPerplexityOracleSql("doc_id < 2000"))),
+
+    Q(
       "t16_quality_gate",
       (s, dir) => {
         // Composite Gopher-style quality gate: token-count band, alpha
@@ -658,4 +733,31 @@ object CorpusOps {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |  (-sum(q)) // count(*) AS nll_unats
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** t33/st29's oracle: the t29 fit CTEs + the three KN type-count
+    * aggregates + the exact integer num/den per scored bigram (the
+    * knBigramScore formula verbatim). */
+  def knPerplexityOracleSql(docFilter: String): String = {
+    val shared = lmPerplexityOracleSql(docFilter)
+    val upToAm = shared.substring(0, shared.indexOf(",\nsc AS ("))
+    s"""$upToAm,
+       |n1 AS (SELECT m1, count(*) AS n1 FROM c2 GROUP BY 1),
+       |cont AS (SELECT m2, count(*) AS cont FROM c2 GROUP BY 1),
+       |ctot AS (SELECT count(*) AS ct FROM c2),
+       |sc AS (SELECT am.doc_id,
+       |    CAST(floor(ln(
+       |      (CASE WHEN coalesce(c1.c1, 0) > 0
+       |        THEN greatest(4 * coalesce(c2.c2, 0) - 3, 0) * (ctot.ct + vsz.v)
+       |          + 3 * coalesce(n1.n1, 0) * (coalesce(cont.cont, 0) + 1)
+       |        ELSE coalesce(cont.cont, 0) + 1 END) * 1.0 /
+       |      (CASE WHEN coalesce(c1.c1, 0) > 0
+       |        THEN 4 * coalesce(c1.c1, 0) * (ctot.ct + vsz.v)
+       |        ELSE ctot.ct + vsz.v END)) * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM am LEFT JOIN c2 USING (m1, m2) LEFT JOIN c1 USING (m1)
+       |  LEFT JOIN n1 USING (m1) LEFT JOIN cont USING (m2)
+       |  CROSS JOIN ctot CROSS JOIN vsz)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  (-sum(q)) // count(*) AS kn_nll_unats
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1611,6 +1611,89 @@ object SimilarityQueries {
              |        row_number() OVER (PARTITION BY query_id
              |          ORDER BY adist, neighbor_id) AS rn
              |      FROM hits)
-             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q(
+      "a28_ivf_occupancy",
+      (s, dir) => {
+        // IVF cell-OCCUPANCY audit — the index-maintenance pass every
+        // serving deployment schedules (FAISS's imbalance_factor
+        // check): per coarse cell, how many vectors live there and
+        // whether the cell needs a SPLIT (> 2× the mean — a hot cell
+        // makes every probe touching it scan double) or a MERGE (< ½
+        // mean, empty cells included via the 16-row spine — dead
+        // cells waste nprobe budget). The l12/l05 compaction shape
+        // applied to the a04 quantizer: one native-assignment census
+        // (cells-sized result), integer thresholds (n·16 vs 2·total),
+        // the rebalance DECISION table a re-train consumes. At 100 TB
+        // the census rides the existing assignment pass — zero extra
+        // corpus scans.
+        val e = Tables(s, dir).embeddings
+        val corpus = e.filter(col("vec_id") >= 10)
+        val centers = graft.ops.Similarity.ivfQuantizerReplayable(
+          corpus, "vec_id", "embedding", clusters = 16, iters = 2)
+        val cells = corpus.select(
+          graft.functions.VectorExpressions.cellArgmin(
+            col("embedding").cast("array<double>"), centers).as("cell"))
+          .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        val spine = s.range(16).select(col("id").cast("int").as("cell"))
+        val tot = cells.agg(sum("n_vecs").as("total"))
+        spine.join(cells, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+          .crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vecs"),
+            when(col("n_vecs") * 16 > col("total") * 2, "split")
+              .when(col("n_vecs") * 32 < col("total"), "merge")
+              .otherwise("ok").as("action"))
+          .orderBy("cell")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v FROM (
+             |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+             |    FROM e WHERE vec_id >= 10) WHERE rn <= 4096),
+             |c0 AS (SELECT rn - 1 AS cell, v AS ctr
+             |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM s)
+             |       WHERE rn <= 16),
+             |a1 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (s.v[i+1]-c.ctr[i+1])*(s.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM s CROSS JOIN c0 c) WHERE rn = 1),
+             |c1 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a1)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c1f AS (SELECT c0.cell, coalesce(c1.ctr, c0.ctr) AS ctr
+             |        FROM c0 LEFT JOIN c1 USING (cell)),
+             |a2 AS (SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (s.v[i+1]-c.ctr[i+1])*(s.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+             |    FROM s CROSS JOIN c1f c) WHERE rn = 1),
+             |c2 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i FROM a2)
+             |    GROUP BY cell, i) GROUP BY cell),
+             |c2f AS (SELECT c1f.cell, coalesce(c2.ctr, c1f.ctr) AS ctr
+             |        FROM c1f LEFT JOIN c2 USING (cell)),
+             |assign AS (SELECT neighbor_id, cell FROM (
+             |    SELECT c.vec_id AS neighbor_id, t.cell,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(range(64),
+             |          i -> (c.v[i+1]-t.ctr[i+1])*(c.v[i+1]-t.ctr[i+1]))), t.cell) AS rn
+             |    FROM (SELECT * FROM e WHERE vec_id >= 10) c CROSS JOIN c2f t)
+             |  WHERE rn = 1),
+             |census AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY 1),
+             |tot AS (SELECT sum(n_vecs) AS total FROM census)
+             |SELECT CAST(sp.cell AS INT) AS cell,
+             |  CAST(coalesce(census.n_vecs, 0) AS BIGINT) AS n_vecs,
+             |  CASE WHEN coalesce(census.n_vecs, 0) * 16 > tot.total * 2 THEN 'split'
+             |       WHEN coalesce(census.n_vecs, 0) * 32 < tot.total THEN 'merge'
+             |       ELSE 'ok' END AS action
+             |FROM (SELECT unnest(range(16)) AS cell) sp
+             |LEFT JOIN census ON census.cell = sp.cell CROSS JOIN tot
+             |ORDER BY sp.cell""".stripMargin))
   )
 }

@@ -252,6 +252,19 @@ object CorpusStream {
       .select(col(idCol), element_at(col("r"), 1).as("n_bigrams"),
         element_at(col("r"), 2).as("nll_unats"))
 
+  /** st29's stateless KN scoring — [[lmScoringStream]]'s twin under
+    * the Kneser-Ney model (the KenLM/CCNet production smoothing). */
+  def knScoringStream(docs: DataFrame, idCol: String, textCol: String,
+      lm: TextAnalysis.KnFrozenLm): DataFrame =
+    docs
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol),
+        graft.functions.VectorExpressions.knLmScore(col(textCol),
+          lm.terms, lm.c1, lm.n1, lm.cont, lm.ct,
+          lm.pairKeys, lm.pairC2).as("r"))
+      .select(col(idCol), element_at(col("r"), 1).as("n_bigrams"),
+        element_at(col("r"), 2).as("kn_nll_unats"))
+
   final case class SourcedDoc(doc_id: Long, source: String)
 
   /** Per-source admission counter — [[quotaAdmission]]'s WHOLE state:

@@ -1376,3 +1376,113 @@ case class ChunkHashHits(child: Expression, w: Int, banned: Array[Long]) extends
   override def hashCode(): Int =
     31 * (31 * child.hashCode() + w) + java.util.Arrays.hashCode(banned)
 }
+
+/**
+ * Row-local KNESER-NEY bigram scoring in one native token scan — the
+ * frozen-model twin of `TextAnalysis.knBigramScore` for
+ * score-at-ingest streams (st29), exactly as [[BigramLmScore]] twins
+ * the add-one scorer. Output `[n_bigrams, kn_nll_unats]`. Unlike the
+ * add-one case, an unseen pair's probability depends on BOTH ends
+ * (the history's discount mass × the continuation weight of w2), so q
+ * is computed per pair from the exact integer num/den the batch side
+ * builds — max(4·c2−3,0)·(ct+V) + 3·n1₁·(cont₂+1) over 4·c1₁·(ct+V),
+ * pure-continuation fallback at c1=0 — one map probe, a few long
+ * multiplies and one ln per bigram. Token boundaries are every space
+ * byte, empties included (split-parity).
+ */
+case class KnLmScore(child: Expression, terms: Array[String],
+    c1: Array[Long], n1: Array[Long], cont: Array[Long], ct: Long,
+    pairKeys: Array[Long], pairC2: Array[Long]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(c1.length == terms.length + 1 && n1.length == c1.length &&
+    cont.length == c1.length, "KnLmScore: id-indexed arrays must be |vocab|+1")
+  require(pairKeys.length == pairC2.length, "KnLmScore: keys vs counts")
+
+  override def prettyName: String = "graft_kn_lm"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val vSize: Long = terms.length + 1L
+
+  @transient private lazy val idx = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+      math.max(4, terms.length * 2))
+    var i = 0
+    while (i < terms.length) {
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(terms(i)), i + 1)
+      i += 1
+    }
+    m
+  }
+
+  @transient private lazy val c2Map = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.max(4, pairKeys.length * 2))
+    var k = 0
+    while (k < pairKeys.length) { m.put(pairKeys(k), pairC2(k)); k += 1 }
+    m
+  }
+
+  private def qPair(id1: Int, id2: Int): Long = {
+    val boxed = c2Map.get(id1.toLong * vSize + id2)
+    val c2 = if (boxed == null) 0L else boxed.longValue()
+    val ctv = ct + vSize
+    val (num, den) =
+      if (c1(id1) > 0)
+        (math.max(4 * c2 - 3, 0L) * ctv + 3L * n1(id1) * (cont(id2) + 1),
+          4L * c1(id1) * ctv)
+      else (cont(id2) + 1, ctv)
+    math.floor(math.log(num.toDouble / den.toDouble) * 1e6 + 0.5).toLong
+  }
+
+  /** codegen entry point (public for the generated class). */
+  def evalScore(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var prev = -1
+    var n = 0L
+    var sum = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val t = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start)
+        val boxed = idx.get(t)
+        val id = if (boxed == null) 0 else boxed.intValue()
+        if (prev >= 0) { sum += qPair(prev, id); n += 1 }
+        prev = id
+        start = i + 1
+      }
+      i += 1
+    }
+    if (n == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](n, -sum / n))
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    evalScore(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("knLm", this, classOf[KnLmScore].getName)
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalScore($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): KnLmScore =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case b: KnLmScore => b.child == child && b.terms.toSeq == terms.toSeq &&
+      b.c1.toSeq == c1.toSeq && b.n1.toSeq == n1.toSeq &&
+      b.cont.toSeq == cont.toSeq && b.ct == ct &&
+      b.pairKeys.toSeq == pairKeys.toSeq && b.pairC2.toSeq == pairC2.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + terms.toSeq.hashCode() + c1.toSeq.hashCode()
+}
