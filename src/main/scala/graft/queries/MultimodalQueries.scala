@@ -746,7 +746,106 @@ object MultimodalQueries {
              |  SELECT media_id, sig,
              |    row_number() OVER (PARTITION BY sig ORDER BY media_id) AS rn
              |  FROM sig)
-             |WHERE rn = 1 ORDER BY media_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY media_id""".stripMargin)),
+
+    Q(
+      "mm15_av_sync_audit",
+      (s, dir) => {
+        // A/V SYNC audit — the badly-muxed-file detector a video
+        // curation pass runs before trusting any clip: the video's
+        // strongest scene transition (mm09's exact inter-frame delta,
+        // argmax with lowest-frame ties) and the audio's loudest
+        // window (mm10's exact sum-of-squares, lowest-win ties) each
+        // normalize to a CLIP-POSITION in ppm, and the audit flags
+        // clips whose peaks disagree by more than half the clip —
+        // streams that plainly don't belong together. Both legs are
+        // the REAL decode paths (AVI DIB frames, PCM16 windows);
+        // positions are exact integer floor-divisions, so the whole
+        // audit replays in SQL. One bounded window per modality +
+        // a media-keyed join of two clips-sized frames.
+        val ids = Tables(s, dir).documents
+          .filter(col("doc_id") < 300).select(col("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame")
+        val vPeak = Multimodal.decodeAviFrames(
+            Multimodal.synthesizeAvis(ids, "doc_id")).toDF()
+          .select(col("media_id"), col("frame"),
+            (col("sum_r") + col("sum_g") + col("sum_b")).as("s"))
+          .withColumn("delta", col("s") - lag(col("s"), 1).over(w))
+          .filter(col("delta").isNotNull)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+              .orderBy(abs(col("delta")).desc, col("frame"))))
+          .withColumn("nf", max("frame").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("media_id")))
+          .filter(col("rn") === 1)
+          .select(col("media_id"),
+            expr("frame * 1000000 div nf").as("v_ppm"))
+        val aPeak = Multimodal.decodeWavWindows(
+            Multimodal.synthesizeWavs(ids, "doc_id"), windowSamples = 200).toDF()
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+              .orderBy(col("sum_sq").desc, col("win"))))
+          .withColumn("nw", max("win").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("media_id")))
+          .filter(col("rn") === 1)
+          .select(col("media_id"),
+            expr("win * 1000000 div nw").as("a_ppm"))
+        vPeak.join(aPeak, "media_id")
+          .select(col("media_id"), col("v_ppm"), col("a_ppm"),
+            abs(col("v_ppm") - col("a_ppm")).as("skew_ppm"))
+          .withColumn("flagged",
+            (col("skew_ppm") > 500000L).cast("int"))
+          .orderBy("media_id")
+      },
+      Some("""WITH vids AS (SELECT doc_id AS media_id,
+             |    CAST(7 + (doc_id % 3) * 4 AS INT) AS width,
+             |    CAST(6 + (doc_id % 2) * 4 AS INT) AS height,
+             |    CAST(2 + (doc_id % 3) AS INT) AS n_frames
+             |  FROM documents WHERE doc_id < 300),
+             |pf AS (SELECT media_id, width, height, n_frames,
+             |    unnest(range(n_frames)) AS f FROM vids),
+             |fs AS (SELECT media_id, CAST(f AS INT) AS frame,
+             |    CAST(list_sum(flatten(list_transform(range(height), y ->
+             |      list_transform(range(width), x ->
+             |          (media_id * 31 + f * 23 + x * 7 + y * 13) % 256
+             |        + (media_id * 17 + f * 29 + x * 11 + y * 3) % 256
+             |        + (media_id * 7 + f * 37 + x * 5 + y * 19) % 256))))
+             |      AS BIGINT) AS s
+             |  FROM pf),
+             |vd AS (SELECT media_id, frame,
+             |    s - lag(s) OVER (PARTITION BY media_id ORDER BY frame) AS delta
+             |  FROM fs),
+             |vp AS (SELECT media_id,
+             |    CAST(frame * 1000000 // nf AS BIGINT) AS v_ppm
+             |  FROM (SELECT media_id, frame,
+             |          row_number() OVER (PARTITION BY media_id
+             |            ORDER BY abs(delta) DESC, frame) AS rn,
+             |          max(frame) OVER (PARTITION BY media_id) AS nf
+             |        FROM vd WHERE delta IS NOT NULL)
+             |  WHERE rn = 1),
+             |clips AS (SELECT doc_id AS media_id,
+             |    CAST(400 + (doc_id % 5) * 100 AS INT) AS n
+             |  FROM documents WHERE doc_id < 300),
+             |sm AS (SELECT media_id, unnest(range(n)) AS i FROM clips),
+             |av AS (SELECT media_id, CAST(i // 200 AS INT) AS win,
+             |    ((media_id * 31 + i * 17) % 2001) - 1000 AS val
+             |  FROM sm),
+             |aw AS (SELECT media_id, win, sum(val * val) AS sum_sq
+             |  FROM av GROUP BY 1, 2),
+             |ap AS (SELECT media_id,
+             |    CAST(win * 1000000 // nw AS BIGINT) AS a_ppm
+             |  FROM (SELECT media_id, win,
+             |          row_number() OVER (PARTITION BY media_id
+             |            ORDER BY sum_sq DESC, win) AS rn,
+             |          max(win) OVER (PARTITION BY media_id) AS nw
+             |        FROM aw)
+             |  WHERE rn = 1)
+             |SELECT vp.media_id, v_ppm, a_ppm,
+             |  abs(v_ppm - a_ppm) AS skew_ppm,
+             |  CAST(abs(v_ppm - a_ppm) > 500000 AS INT) AS flagged
+             |FROM vp JOIN ap USING (media_id)
+             |ORDER BY media_id""".stripMargin))
   )
 
   /** mm13/st22's shared replay prefix: the planted-copy video corpus,

@@ -506,6 +506,72 @@ object Windows {
              |SELECT b.c_mktsegment, b.decile, b.n_customers, b.dec_cents,
              |  floor(b.dec_cents * 1.0 / t.seg_cents * 10000.0 + 0.5) / 10000.0 AS rev_share
              |FROM byd b JOIN tot t USING (c_mktsegment)
-             |ORDER BY c_mktsegment, decile""".stripMargin))
+             |ORDER BY c_mktsegment, decile""".stripMargin)),
+
+    Q(
+      "w12_theilsen_trend",
+      (s, dir) => {
+        // THEIL-SEN robust trend per event type — the median of all
+        // pairwise day-slopes (Theil 1950; Sen 1968), the trend
+        // estimator monitoring teams use where one promo-day outlier
+        // would wreck least squares (w11's EWMA smooths level, this
+        // estimates drift). Exactness: per-event values quantize to
+        // integer CENTS before any sum (w09's discipline — a float
+        // day-total's engine-order ulp could flip a near-tied pair's
+        // slope sign), each pair slope is floor((Δcents·1e6)/Δdays)
+        // via explicit floor on the exact double ratio (both engines
+        // floor toward −∞ — integer `div` truncates negatives and
+        // would disagree), and the median is the LOWER median by
+        // (slope, d1, d2) total order — deterministic, no averaging.
+        // The pair join is days² per type (~4k pairs here) — the
+        // audit grain; at 100 TB you run it on the daily AGGREGATE
+        // (365 rows/type/year), never raw events, so days² stays
+        // tiny however large the event log.
+        val daily = Tables(s, dir).events
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy("event_type", "day").agg(sum("cents").as("v"))
+        val shared = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(daily)
+        val pairs = shared.as("a").join(shared.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.day").as("d1"), col("b.day").as("d2"),
+            floor(((col("b.v") - col("a.v")) * 1000000L).cast("double") /
+              datediff(col("b.day"), col("a.day"))).cast("long").as("slope"))
+        val ranked = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          pairs.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+              .orderBy("slope", "d1", "d2"))))
+        val counts = ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"))
+        val nDays = shared.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+        ranked.join(counts, "event_type")
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+          .join(nDays, "event_type")
+          .select(col("event_type"), col("n_days"), col("n_pairs"),
+            col("slope").as("ts_slope_ucents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+             |  FROM events GROUP BY 1, 2),
+             |pairs AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+             |    CAST(floor((b.v - a.v) * 1000000 * 1.0
+             |      / date_diff('day', a.day, b.day)) AS BIGINT) AS slope
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.day < b.day),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope, d1, d2) AS rn
+             |  FROM pairs),
+             |counts AS (SELECT event_type, count(*) AS n_pairs
+             |  FROM ranked GROUP BY 1),
+             |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+             |SELECT r.event_type, nd.n_days, c.n_pairs,
+             |  r.slope AS ts_slope_ucents
+             |FROM ranked r JOIN counts c USING (event_type)
+             |JOIN nd USING (event_type)
+             |WHERE r.rn = (c.n_pairs + 1) // 2
+             |ORDER BY r.event_type""".stripMargin))
   )
 }

@@ -36,4 +36,44 @@ class Wave6Spec extends SparkTestBase {
     val total = graft.tables.Tables(spark, dir).documents.count()
     assert(out.map(_._3).sum == total, "shards must partition the corpus")
   }
+
+  test("mm15: positions are clip-relative ppm, flag matches the skew rule") {
+    val out = run("mm15_av_sync_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(out.length == 300)
+    out.foreach { case (id, v, a, skew, f) =>
+      assert(v >= 0 && v <= 1000000 && a >= 0 && a <= 1000000, s"$id")
+      assert(skew == math.abs(v - a), s"$id: skew $skew != |$v - $a|")
+      assert(f == (if (skew > 500000) 1 else 0), s"$id: flag $f at skew $skew")
+    }
+    // both flagged and unflagged clips exist at this corpus (the audit
+    // discriminates, it doesn't rubber-stamp)
+    assert(out.exists(_._5 == 1) && out.exists(_._5 == 0))
+  }
+
+  test("w12: pair counts are exact and the median slope is the lower median") {
+    val out = run("w12_theilsen_trend").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (et, nDays, nPairs, _) =>
+      assert(nPairs == nDays * (nDays - 1) / 2, s"$et: $nPairs vs $nDays days")
+    }
+    // driver-side replay of one type: quantize, pair, floor-slope, sort
+    val et = out.head._1
+    val daily = graft.tables.Tables(spark, dir).events
+      .filter(col("event_type") === et)
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+      dd = daily(j)._1.toEpochDay - daily(i)._1.toEpochDay
+    } yield math.floor((daily(j)._2 - daily(i)._2) * 1000000.0 / dd).toLong)
+      .sorted
+    val ref = slopes((slopes.length + 1) / 2 - 1)
+    assert(out.head._4 == ref, s"$et: query ${out.head._4} != reference $ref")
+  }
 }
