@@ -1074,14 +1074,19 @@ object PlanQueries {
         // the workload is visible as scan_ppm ≈ 1e6. Each layout costs
         // one partitions-sized aggregate (at 100 TB this harvests from
         // l11's stats pass, not the data); the 9-way sweep is 9
-        // aggregates over 3 shared partition frames. Integer
-        // end-to-end: row counts and floor-ppm only.
-        val li = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
-          Tables(s, dir).lineitem.select(
-            col("l_returnflag").as("rf"),
-            date_format(col("l_shipdate"), "yyyy-MM").as("sm"),
-            col("l_partkey").as("pk"), col("l_quantity").as("qty"),
-            col("l_extendedprice").as("price")))
+        // aggregates over 3 small shared partition frames. The FACT
+        // projection deliberately re-scans parquet per layout (3
+        // narrow pushed-down scans) instead of sharedScan-caching it:
+        // pinning a fact-sized block set for a stats pass starves the
+        // block manager for everything after it in a long-lived
+        // session — measured as a 10-38x inflation of the queries
+        // that FOLLOWED this one in the sf1 sweep before the cache
+        // was dropped. Integer end-to-end: row counts and floor-ppm.
+        val li = Tables(s, dir).lineitem.select(
+          col("l_returnflag").as("rf"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("sm"),
+          col("l_partkey").as("pk"), col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price"))
         val layouts = Seq(
           "1_returnflag" -> col("rf"),
           "2_ship_month" -> col("sm"),
