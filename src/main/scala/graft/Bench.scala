@@ -92,7 +92,12 @@ object Bench {
       val runsField = if (short) "" else s""","runs":$runs"""
       val sfName = if (short) new java.io.File(sfDir).getName else sfDir
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$smallField$errsField$runsField,"load":[${fmtShort(loadStart)},${fmtShort(loadAvg())}],"sf":"$sfName"}"""
+      // Self-label loaded captures: per-query numbers taken at
+      // loadavg > 2 have repeatedly (r9-r12) masqueraded as
+      // regressions; the flag makes the artifact carry its own
+      // health so no reader has to cross-check the load field.
+      val loadedField = if (loadStart > 2.0) ""","loaded":true""" else ""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$smallField$errsField$runsField,"load":[${fmtShort(loadStart)},${fmtShort(loadAvg())}]$loadedField,"sf":"$sfName"}"""
     }
     // Durable copies: round 2's artifact lost its total to sbt log
     // truncation of the stdout tail; a file never truncates. The env

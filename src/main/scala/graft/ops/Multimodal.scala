@@ -687,8 +687,10 @@ object Multimodal {
    * shuffles carry (media_id, win, energy) rows to per-clip partitions
    * (clip-bounded) and then (band bits, id)-only candidate keys — the
    * LSH-bucket discipline; audio bytes never shuffle. Requires
-   * len ≤ 63 (fingerprints pack into one long word); longer clips
-   * would band at segment grain first.
+   * len ≤ 63 (fingerprints pack into one long word) AND
+   * len div `hamDenom` < `bands` (the pigeonhole guarantee) — BOTH
+   * enforced in-plan with raise_error; longer clips would band at
+   * segment grain first, and a larger budget needs more bands.
    *
    * Output: (id_a, id_b, n_win, hamming), id_a < id_b, one row per
    * candidate pair within the budget.
@@ -712,9 +714,13 @@ object Multimodal {
       .agg(count(lit(1)).cast("int").as("len"),
         sum(expr("shiftleft(bit, win)")).as("bits"))
       .select(col("media_id"),
-        when(col("len") <= 63, col("len")).otherwise(raise_error(concat(
-          lit("audioNearDup: fingerprint len "), col("len"),
-          lit(" exceeds the one-word bound — band at segment grain")))
+        when(col("len") <= 63 && col("len") / hamDenom < bands, col("len"))
+          .otherwise(raise_error(concat(
+            lit("audioNearDup: fingerprint len "), col("len"),
+            lit(s" breaks a bound (len <= 63 one-word pack, or budget "),
+            lit(s"len div $hamDenom >= bands=$bands — the pigeonhole "),
+            lit("guarantee dies and band-LSH silently drops pairs "),
+            lit("differing in every band; raise bands or segment)")))
           .cast("int")).as("len"),
         col("bits"))
     val banded = fp.select(col("media_id"), col("len"), col("bits"),

@@ -611,18 +611,24 @@ object Similarity {
    * sketches; a narrower shortlist cuts on the id tie-break, not
    * similarity — spec'd on planted clusters).
    *
-   * DIM CONTRACT (read this if your corpus is not 64-d): `dim` is NOT
-   * validated against the vectors. Dimensions BEYOND `dim` are ignored
-   * by the Hamming shortlist (truncation — recall silently degrades on
-   * the dropped tail), and vectors SHORTER than `dim` zero-pad their
-   * missing sign bits. The exact rerank still scores full vectors, so
-   * results stay well-formed — but pass the true dimensionality or
-   * accept shortlist recall driven by the first `dim` dims only.
+   * DIM CONTRACT: `dim` must equal the actual vector length, and that
+   * is enforced IN-PLAN (the [[Dedup.packedOrderKey]] raise_error
+   * discipline — the guard rides rows that already flow, no extra
+   * action): a longer vector would silently drop its tail from the
+   * Hamming shortlist and a shorter one would zero-pad phantom sign
+   * bits, both of which corrupt shortlist recall without any visible
+   * failure. Pass the corpus's true dimensionality.
    */
   def knnBinary(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, kShort: Int, dim: Int = 64): DataFrame = {
     require(kShort >= k, s"shortlist kShort=$kShort must be >= k=$k")
     require(dim >= 1, s"dim=$dim")
+    def dimChecked(vc: Column): Column =
+      when(size(vc) === dim, vc)
+        .otherwise(raise_error(concat(
+          lit(s"knnBinary: vector length "), size(vc).cast("string"),
+          lit(s" != dim=$dim — the Hamming shortlist would silently "),
+          lit("truncate or zero-pad"))).cast("array<double>"))
     val words = (dim + 31) / 32
     // native codegen'd sign-bit pack — the aggregate(sequence(...)) HOF
     // this replaces ran <=32 interpreted lambda steps per word per
@@ -636,9 +642,9 @@ object Similarity {
           .as(s"${pfx}_$w")
       }
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+      dimChecked(col(vecCol).cast("array<double>")).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+      dimChecked(col(vecCol).cast("array<double>")).as("cv"))
     val qp = q.select(col("query_id") +: packExprs("qv", "q"): _*)
     val cp = c.select(col("neighbor_id") +: packExprs("cv", "c"): _*)
     val ham = expr((0 until words).map(w => s"bit_count(q_$w ^ c_$w)")

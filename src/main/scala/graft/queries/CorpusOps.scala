@@ -147,7 +147,7 @@ object CorpusOps {
              |     FROM (SELECT doc_id, text, unnest(range(n - 1)) AS i FROM d))
              |  GROUP BY 1)
              |SELECT e.doc_id, CAST(e.n AS BIGINT) AS n_chars,
-             |  e.es // e.n AS ent_unats,
+             |  CAST(e.es // e.n AS BIGINT) AS ent_unats,
              |  b.ub * 1000000 // b.nb AS bigram_distinct_ppm
              |FROM ent e JOIN bga b USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
@@ -731,7 +731,7 @@ object CorpusOps {
        |  FROM am LEFT JOIN c2 USING (m1, m2) LEFT JOIN c1 USING (m1)
        |  CROSS JOIN vsz)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  (-sum(q)) // count(*) AS nll_unats
+       |  CAST((-sum(q)) // count(*) AS BIGINT) AS nll_unats
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** t33/st29's oracle: the t29 fit CTEs + the three KN type-count
@@ -757,7 +757,7 @@ object CorpusOps {
        |  LEFT JOIN n1 USING (m1) LEFT JOIN cont USING (m2)
        |  CROSS JOIN ctot CROSS JOIN vsz)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  (-sum(q)) // count(*) AS kn_nll_unats
+       |  CAST((-sum(q)) // count(*) AS BIGINT) AS kn_nll_unats
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

@@ -406,11 +406,11 @@ object CorpusOps3 {
              |ls AS (SELECT lfile AS f, max(pk) - min(pk) AS pks,
              |    max(sk) - min(sk) AS sks FROM z GROUP BY 1),
              |za AS (SELECT 'zorder' AS layout, count(*) AS n_files,
-             |    sum(pks) // count(*) AS avg_pk_span,
-             |    sum(sks) // count(*) AS avg_sk_span FROM zs),
+             |    CAST(sum(pks) // count(*) AS BIGINT) AS avg_pk_span,
+             |    CAST(sum(sks) // count(*) AS BIGINT) AS avg_sk_span FROM zs),
              |la AS (SELECT 'linear' AS layout, count(*) AS n_files,
-             |    sum(pks) // count(*) AS avg_pk_span,
-             |    sum(sks) // count(*) AS avg_sk_span FROM ls)
+             |    CAST(sum(pks) // count(*) AS BIGINT) AS avg_pk_span,
+             |    CAST(sum(sks) // count(*) AS BIGINT) AS avg_sk_span FROM ls)
              |SELECT * FROM za UNION ALL SELECT * FROM la
              |ORDER BY layout""".stripMargin)),
 

@@ -1102,6 +1102,31 @@ class SimilaritySpec extends SparkTestBase {
       "partition-variant binary kNN result")
   }
 
+  test("binary kNN: dim contract raises in-plan on short and long vectors") {
+    import spark.implicits._
+    val ok = (0L until 4L).map(i => (i, Seq.fill(8)(i.toDouble + 0.5)))
+    val cdf = ok.toDF("vec_id", "v")
+    // short vector in the corpus: would zero-pad phantom sign bits
+    val short = (cdf.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      :+ (99L, Seq.fill(5)(1.0))).toSeq.toDF("vec_id", "v")
+    val eShort = intercept[Exception] {
+      Similarity.knnBinary(cdf, short, "vec_id", "v",
+        k = 2, kShort = 4, dim = 8).collect()
+    }
+    assert(eShort.getMessage.contains("!= dim=8"), eShort.getMessage)
+    // long vector on the query side: Hamming would silently truncate
+    val long = (ok :+ (98L, Seq.fill(12)(1.0))).toDF("vec_id", "v")
+    val eLong = intercept[Exception] {
+      Similarity.knnBinary(long, cdf, "vec_id", "v",
+        k = 2, kShort = 4, dim = 8).collect()
+    }
+    assert(eLong.getMessage.contains("!= dim=8"), eLong.getMessage)
+    // matching dim still goes through untouched
+    val fine = Similarity.knnBinary(cdf, cdf, "vec_id", "v",
+      k = 2, kShort = 4, dim = 8)
+    assert(fine.count() == 8L)
+  }
+
   test("IVF-PQ composite: probed-cell pruning + ADC keep cluster precision") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

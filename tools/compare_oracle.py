@@ -44,6 +44,18 @@ def main():
         try:
             odf = con.execute(oracle[name]).fetchall()
             ocols = [d[0] for d in con.description]
+            # Type gate: the driver's compare is type-sensitive, ours
+            # stringifies — so catch DuckDB integer-promotion (sum() ->
+            # HUGEINT) and DECIMAL output columns here, the x01/t29/l15
+            # failure class that value-level compares cannot see.
+            otypes = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
+            bad = [(c, t) for c, t, *_ in otypes
+                   if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))]
+            if bad:
+                print(f"FAIL {name}: oracle output typed {bad} — "
+                      f"CAST the projection (driver gate hashes types)")
+                failures += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
@@ -52,6 +64,12 @@ def main():
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             failures += 1
             continue
+        stypes = dict((c, str(t).upper()) for c, t, *_ in
+                      con.execute(f"DESCRIBE (SELECT * FROM '{files[0]}')").fetchall())
+        for c, t, *_ in otypes:
+            st, ot = stypes.get(c, "?"), str(t).upper()
+            if st != ot and {st, ot} not in ({"INTEGER", "BIGINT"}, {"FLOAT", "DOUBLE"}):
+                print(f"  WARN {name}: column '{c}' spark={st} oracle={ot}")
         a, b = canon(sdf, scols), canon(odf, ocols)
         if a != b:
             failures += 1
