@@ -200,6 +200,14 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.KnLmScore(
       ColumnBridge.expression(text), terms, c1, n1, cont, ct, pairKeys, pairC2))
 
+  /** `[n_trigrams, kn3_nll_unats]` under the frozen Kneser-Ney TRIGRAM
+    * model — one native token scan, two map probes + ln per trigram
+    * (see [[graftshim.Kn3LmScore]]). */
+  def kn3LmScore(text: Column, lm: graft.ops.TextAnalysis.Kn3FrozenLm): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.Kn3LmScore(
+      ColumnBridge.expression(text), lm.terms, lm.histKeys, lm.histC2h,
+      lm.histN1h, lm.bch, lm.bn1, lm.cont3, lm.ct, lm.triKeys, lm.triC3))
+
   /** Whole-document signed hashing-TF vector in ONE native token scan —
     * bit-identical to the explode→groupBy featurizer but O(tokens) work
     * and zero shuffle (see [[graftshim.HashingTfVec]]). */

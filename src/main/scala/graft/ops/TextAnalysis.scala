@@ -647,6 +647,186 @@ object TextAnalysis {
         expr("s div n_bigrams").as("nll_unats"))
 
   /**
+   * Frozen TRIGRAM Kneser-Ney model: the vocab (shared with the bigram
+   * fits), the trigram count frame over the vocab-mapped stream (OOV →
+   * "<unk>", trigrams never cross a document boundary), and |V|+1 —
+   * everything [[knTrigramScore]] needs; every lower-order statistic
+   * (history counts, type counts, continuation counts) derives from
+   * `tri` inside the score plan, so the two levels can never disagree
+   * with their own training data. Model-sized by the `minCount` cap:
+   * `tri` ≤ (distinct trigram types of the reference slice) rows, the
+   * broadcastable deployed artifact at 100 TB.
+   */
+  final case class TrigramLm(vocab: DataFrame, tri: DataFrame, vsz: DataFrame)
+
+  /** Adjacent vocab-mapped token TRIPLES of `textCol`, one row per
+    * trigram, carrying `keep` extra columns; docs under 3 tokens drop
+    * (no trigram evidence). Same narrow positional-explode shape as
+    * [[mappedPairs]] — three broadcast vocab probes, no token shuffle. */
+  private def mappedTriples(docs: DataFrame, textCol: String,
+      keep: Seq[Column], vocab: DataFrame): DataFrame = {
+    val unk = lit("<unk>")
+    docs
+      .select(keep :+ tokens(col(textCol)).as("w"): _*)
+      .where(size(col("w")) >= 3)
+      .select(keep :+ col("w") :+
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"): _*)
+      .select(keep :+ element_at(col("w"), col("i")).as("t1") :+
+        element_at(col("w"), col("i") + 1).as("t2") :+
+        element_at(col("w"), col("i") + 2).as("t3"): _*)
+      .join(broadcast(vocab.select(col("tok").as("t1"), lit(1).as("iv1"))),
+        Seq("t1"), "left")
+      .join(broadcast(vocab.select(col("tok").as("t2"), lit(1).as("iv2"))),
+        Seq("t2"), "left")
+      .join(broadcast(vocab.select(col("tok").as("t3"), lit(1).as("iv3"))),
+        Seq("t3"), "left")
+      .select(keep :+ when(col("iv1") === 1, col("t1")).otherwise(unk).as("m1")
+        :+ when(col("iv2") === 1, col("t2")).otherwise(unk).as("m2")
+        :+ when(col("iv3") === 1, col("t3")).otherwise(unk).as("m3"): _*)
+  }
+
+  /** Fit the trigram KN model on a reference frame (pass the
+    * quality-gated slice — [[bigramLmFit]]'s convention; the vocab rule
+    * is IDENTICAL so t29/t33/t34 share one vocabulary per gate). */
+  def trigramLmFit(ref: DataFrame, textCol: String,
+      minCount: Int = 5): TrigramLm = {
+    require(minCount >= 1, s"trigramLmFit: minCount=$minCount")
+    val vocab = ref
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("tok")
+    val tri = mappedTriples(ref, textCol, Seq.empty, vocab)
+      .groupBy("m1", "m2", "m3").agg(count(lit(1)).as("c3"))
+    val vsz = vocab.agg((count(lit(1)) + 1).as("v"))
+    TrigramLm(vocab, tri, vsz)
+  }
+
+  /**
+   * INTERPOLATED KNESER-NEY **trigram** scoring — t33's smoothing at
+   * KenLM's minimum production order (order ≥ 3): one more backoff
+   * level, same exact-integer-ratio discipline. With D = 3/4 at both
+   * levels and add-one smoothing on the deepest continuation
+   * distribution (t33's floor), every probability is ONE exact integer
+   * num/den:
+   *
+   *   level 2 (continuation bigram, estimated on TYPE counts — the KN
+   *   insight applied to the middle order: c'(w2,w3) = N1+(·w2w3)):
+   *     bch > 0:  num2 = max(4·bcf−3, 0)·(ct+V) + 3·bn1·(cont3+1)
+   *               den2 = 4·bch·(ct+V)
+   *     bch = 0:  num2 = cont3+1, den2 = ct+V
+   *   level 3:
+   *     c2h > 0:  num3 = max(4·c3−3, 0)·den2 + 3·n1h·num2
+   *               den3 = 4·c2h·den2
+   *     c2h = 0:  num3 = num2, den3 = den2
+   *
+   * where c3 = trigram count, c2h = Σ_w3 c3 (self-consistent history
+   * mass), n1h = N1+(w1w2·) distinct continuations of the history,
+   * bcf = N1+(·w2w3) distinct left-contexts of the bigram,
+   * bch = N1+(·w2·) = Σ_w3 bcf, bn1 = distinct w3 in (w2,·) TYPE space,
+   * cont3 = N1+(·w3) distinct type-level predecessors of w3 over the
+   * (m2,m3) type universe, ct = |{(m2,m3) types}|, V = |vocab|+1.
+   * P ≤ 1 always (bcf ≤ bch, bn1 ≤ bch, cont3 < ct+V, c3 ≤ c2h,
+   * n1h ≤ c2h — each level is a convex-ish mixture of ≤1 terms), so
+   * q = ⌊ln(num3/den3)·1e6⌉ ≤ 0: t29/t33's sign discipline, and
+   * `kn3_nll_unats = (−Σq) div n_trigrams` is engine-portable in any
+   * fold order. Magnitudes: num3 ≤ 4·c3·den2 ≈ 16·c3·bch·(ct+V) —
+   * exact in longs and in the long→double conversion both engines
+   * apply, far below 2^53 at reference-slice scale (the model is
+   * fitted on the GATED slice, never the corpus).
+   *
+   * Scale shape: all six model frames derive from `tri` (model-sized,
+   * broadcast); the corpus side is one narrow triple-assembly pipeline
+   * (positional explode, three broadcast vocab probes) into five
+   * broadcast model probes and a map-side-combinable per-doc aggregate
+   * — no shuffle ever carries text or tokens.
+   */
+  def knTrigramScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: TrigramLm): DataFrame = {
+    val h3 = lm.tri.groupBy("m1", "m2")
+      .agg(sum("c3").as("c2h"), count(lit(1)).as("n1h"))
+    val bcf = lm.tri.groupBy("m2", "m3").agg(count(lit(1)).as("bcf"))
+    val mid = bcf.groupBy("m2")
+      .agg(sum("bcf").as("bch"), count(lit(1)).as("bn1"))
+    val cont3 = bcf.groupBy("m3").agg(count(lit(1)).as("cont3"))
+    val ctot = bcf.agg(count(lit(1)).as("ct"))
+    val c3v = coalesce(col("c3"), lit(0L))
+    val c2hv = coalesce(col("c2h"), lit(0L))
+    val n1hv = coalesce(col("n1h"), lit(0L))
+    val bcfv = coalesce(col("bcf"), lit(0L))
+    val bchv = coalesce(col("bch"), lit(0L))
+    val bn1v = coalesce(col("bn1"), lit(0L))
+    val cont3v = coalesce(col("cont3"), lit(0L))
+    val ctv = col("ct") + col("v")
+    val num2 = when(bchv > 0,
+      greatest(bcfv * 4 - 3, lit(0L)) * ctv + lit(3L) * bn1v * (cont3v + 1))
+      .otherwise(cont3v + 1)
+    val den2 = when(bchv > 0, lit(4L) * bchv * ctv).otherwise(ctv)
+    val num3 = when(c2hv > 0,
+      greatest(c3v * 4 - 3, lit(0L)) * den2 + lit(3L) * n1hv * num2)
+      .otherwise(num2)
+    val den3 = when(c2hv > 0, lit(4L) * c2hv * den2).otherwise(den2)
+    mappedTriples(docs, textCol, Seq(col(idCol)), lm.vocab)
+      .join(broadcast(lm.tri), Seq("m1", "m2", "m3"), "left")
+      .join(broadcast(h3), Seq("m1", "m2"), "left")
+      .join(broadcast(bcf), Seq("m2", "m3"), "left")
+      .join(broadcast(mid), Seq("m2"), "left")
+      .join(broadcast(cont3), Seq("m3"), "left")
+      .crossJoin(broadcast(ctot)).crossJoin(broadcast(lm.vsz))
+      .select(col(idCol),
+        floor(log(num3.cast("double") / den3.cast("double")) * 1e6 + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), (-sum(col("q"))).as("s"))
+      .select(col(idCol), col("n_trigrams"),
+        expr("s div n_trigrams").as("kn3_nll_unats"))
+  }
+
+  /** The frozen trigram KN model as plain arrays
+    * ([[graftshim.Kn3LmScore]]'s layout: `terms(i)` has id i+1, id 0 =
+    * <unk>; `histKeys(k) = id1·V + id2` sorted with c2h/n1h aligned;
+    * `triKeys(k) = (id1·V + id2)·V + id3` sorted with c3 aligned;
+    * bch/bn1 indexed by id2, cont3 by id3). */
+  final case class Kn3FrozenLm(terms: Array[String],
+      histKeys: Array[Long], histC2h: Array[Long], histN1h: Array[Long],
+      bch: Array[Long], bn1: Array[Long], cont3: Array[Long], ct: Long,
+      triKeys: Array[Long], triC3: Array[Long])
+
+  /** Collect the trigram KN frames to driver arrays — model-sized by
+    * the minCount cap, the score-at-ingest artifact. All type counts
+    * are taken AFTER the literal-"<unk>" fold ([[bigramLmFreeze]]'s
+    * rule) so the frozen scorer is bit-parity with the broadcast-join
+    * path. */
+  def kn3Freeze(lm: TrigramLm): Kn3FrozenLm = {
+    val terms = lm.vocab.filter(col("tok") =!= "<unk>").orderBy("tok")
+      .collect().map(_.getString(0))
+    val id = terms.iterator.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val v = terms.length + 1L
+    require(v < 2097151L, s"kn3Freeze: |V|+1=$v overflows the packed " +
+      "triple key (id1*V^2 bound) — raise minCount")
+    val rawTris = lm.tri.collect()
+      .map { r => ((id.getOrElse(r.getString(0), 0).toLong * v +
+        id.getOrElse(r.getString(1), 0)) * v +
+        id.getOrElse(r.getString(2), 0), r.getLong(3)) }
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+    val hists = rawTris.groupBy(_._1 / v)
+      .map { case (h, g) => (h, g.map(_._2).sum, g.length.toLong) }
+      .toArray.sortBy(_._1)
+    val bch = new Array[Long](v.toInt)
+    val bn1 = new Array[Long](v.toInt)
+    val cont3 = new Array[Long](v.toInt)
+    // (m2,m3) TYPE universe after the fold: distinct low-two-id pairs
+    val pairTypes = rawTris.map(t => t._1 % (v * v)).distinct.sorted
+    val perMid = pairTypes.groupBy(k => (k / v).toInt)
+    perMid.foreach { case (m2, ks) => bn1(m2) = ks.length.toLong }
+    rawTris.foreach { case (k, _) => bch(((k % (v * v)) / v).toInt) += 1 }
+    pairTypes.foreach { k => cont3((k % v).toInt) += 1 }
+    Kn3FrozenLm(terms, hists.map(_._1), hists.map(_._2), hists.map(_._3),
+      bch, bn1, cont3, pairTypes.length.toLong,
+      rawTris.map(_._1), rawTris.map(_._2))
+  }
+
+  /**
    * DSIR hashed-bucket importance weights (Xie et al. 2023, "Data
    * Selection for Language Models via Importance Resampling"): score
    * every document by how much more likely its hashed token-bucket

@@ -310,6 +310,81 @@ object CorpusOps {
       Some(knPerplexityOracleSql("TRUE"))),
 
     Q(
+      "t34_kn3_perplexity",
+      (s, dir) => {
+        // KNESER-NEY TRIGRAM perplexity — t33 at KenLM's minimum
+        // production order (KenLM ships order >= 3): one more backoff
+        // level, same exact-integer-ratio discipline (D = 3/4 at both
+        // levels, add-one Pcont at the deepest, ln quantized per
+        // trigram before the fold). The middle order is estimated on
+        // TYPE counts (the KN insight applied recursively: an unseen
+        // history backs off to how many distinct left-contexts the
+        // (w2,w3) bigram has, not to its raw frequency). All six model
+        // frames derive from ONE trigram count table, broadcast;
+        // the corpus scan is the narrow triple-assembly pipeline
+        // (TextAnalysis.knTrigramScore).
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val gate = nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)
+        val d = Tables(s, dir).documents
+        val lm = graft.ops.TextAnalysis.trigramLmFit(
+          d.filter(gate), "text", minCount = 5)
+        graft.ops.TextAnalysis.knTrigramScore(d, "doc_id", "text", lm)
+          .orderBy("doc_id")
+      },
+      Some(kn3PerplexityOracleSql("TRUE"))),
+
+    Q(
+      "st30_stream_kn3_scoring",
+      (s, dir) => {
+        // STREAMING TRIGRAM KN scoring — t34's model frozen and applied
+        // at ingest, twinning st29 exactly (fit on the static capped
+        // slice, freeze to driver arrays, score each arriving doc in
+        // ONE native token scan — graftshim.Kn3LmScore computes the
+        // same exact integer num/den per trigram the batch joins
+        // build: two map probes + ln, zero interpreted HOFs).
+        // Stateless append; universe capped absolute (st25/st29's
+        // discipline).
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+        val nTok = size(split(col("text"), " "))
+        val alphaRatio =
+          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+            .cast("double") / length(col("text"))
+        val stopHits = size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        val gate = nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+          stopHits >= lit(2)
+        val lm = graft.ops.TextAnalysis.kn3Freeze(
+          graft.ops.TextAnalysis.trigramLmFit(d.filter(gate), "text", minCount = 5))
+        val rows = d.filter(size(split(col("text"), " ")) >= 3)
+          .orderBy("doc_id").select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.CorpusStream.kn3ScoringStream(
+            stream.toDS().toDF("doc_id", "text"), "doc_id", "text", lm)
+          .writeStream.format("memory").queryName("st30_scores")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st30_scores").orderBy("doc_id")
+      },
+      Some(kn3PerplexityOracleSql("doc_id < 2000"))),
+
+    Q(
       "st29_stream_kn_scoring",
       (s, dir) => {
         // STREAMING KN scoring — t33's model frozen and applied at
@@ -760,4 +835,74 @@ object CorpusOps {
        |  CAST((-sum(q)) // count(*) AS BIGINT) AS kn_nll_unats
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** t34/st30's oracle: the shared gate/vocab CTEs, the trigram count
+    * table over the vocab-mapped stream, the five derived lower-order
+    * frames, and the exact two-level integer num/den per scored trigram
+    * (the knTrigramScore formula verbatim). Every sum() is CAST back to
+    * BIGINT at birth — the x01/t29 DuckDB HUGEINT-promotion lesson. */
+  def kn3PerplexityOracleSql(docFilter: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |    (len(string_split(text, ' ')) BETWEEN 10 AND 100000
+       |     AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
+       |       / length(text) >= 0.6
+       |     AND len(list_filter(string_split(text, ' '),
+       |       x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2) AS keep
+       |  FROM documents WHERE $docFilter),
+       |vocab AS (SELECT tok FROM (SELECT unnest(w) AS tok FROM toks WHERE keep)
+       |  GROUP BY tok HAVING count(*) >= 5),
+       |vsz AS (SELECT count(*) + 1 AS v FROM vocab),
+       |rm AS (SELECT
+       |    CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE rp.t1 END AS m1,
+       |    CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE rp.t2 END AS m2,
+       |    CASE WHEN v3.tok IS NULL THEN '<unk>' ELSE rp.t3 END AS m3
+       |  FROM (SELECT w[i] AS t1, w[i + 1] AS t2, w[i + 2] AS t3
+       |        FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM toks
+       |              WHERE keep AND len(w) >= 3)) rp
+       |  LEFT JOIN vocab v1 ON rp.t1 = v1.tok
+       |  LEFT JOIN vocab v2 ON rp.t2 = v2.tok
+       |  LEFT JOIN vocab v3 ON rp.t3 = v3.tok),
+       |c3 AS (SELECT m1, m2, m3, count(*) AS c3 FROM rm GROUP BY 1, 2, 3),
+       |h3 AS (SELECT m1, m2, CAST(sum(c3) AS BIGINT) AS c2h,
+       |    count(*) AS n1h FROM c3 GROUP BY 1, 2),
+       |bcf AS (SELECT m2, m3, count(*) AS bcf FROM c3 GROUP BY 1, 2),
+       |mid AS (SELECT m2, CAST(sum(bcf) AS BIGINT) AS bch,
+       |    count(*) AS bn1 FROM bcf GROUP BY 1),
+       |cont3 AS (SELECT m3, count(*) AS cont3 FROM bcf GROUP BY 1),
+       |ctot AS (SELECT count(*) AS ct FROM bcf),
+       |am AS (SELECT ap.doc_id,
+       |    CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE ap.t1 END AS m1,
+       |    CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE ap.t2 END AS m2,
+       |    CASE WHEN v3.tok IS NULL THEN '<unk>' ELSE ap.t3 END AS m3
+       |  FROM (SELECT doc_id, w[i] AS t1, w[i + 1] AS t2, w[i + 2] AS t3
+       |        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+       |              FROM toks WHERE len(w) >= 3)) ap
+       |  LEFT JOIN vocab v1 ON ap.t1 = v1.tok
+       |  LEFT JOIN vocab v2 ON ap.t2 = v2.tok
+       |  LEFT JOIN vocab v3 ON ap.t3 = v3.tok),
+       |lvl2 AS (SELECT am.doc_id,
+       |    coalesce(c3.c3, 0) AS c3v, coalesce(h3.c2h, 0) AS c2hv,
+       |    coalesce(h3.n1h, 0) AS n1hv,
+       |    CASE WHEN coalesce(mid.bch, 0) > 0
+       |      THEN greatest(4 * coalesce(bcf.bcf, 0) - 3, 0) * (ctot.ct + vsz.v)
+       |        + 3 * coalesce(mid.bn1, 0) * (coalesce(cont3.cont3, 0) + 1)
+       |      ELSE coalesce(cont3.cont3, 0) + 1 END AS num2,
+       |    CASE WHEN coalesce(mid.bch, 0) > 0
+       |      THEN 4 * coalesce(mid.bch, 0) * (ctot.ct + vsz.v)
+       |      ELSE ctot.ct + vsz.v END AS den2
+       |  FROM am LEFT JOIN c3 USING (m1, m2, m3) LEFT JOIN h3 USING (m1, m2)
+       |  LEFT JOIN bcf USING (m2, m3) LEFT JOIN mid USING (m2)
+       |  LEFT JOIN cont3 USING (m3)
+       |  CROSS JOIN ctot CROSS JOIN vsz),
+       |sc AS (SELECT doc_id,
+       |    CAST(floor(ln(
+       |      (CASE WHEN c2hv > 0
+       |        THEN greatest(4 * c3v - 3, 0) * den2 + 3 * n1hv * num2
+       |        ELSE num2 END) * 1.0 /
+       |      (CASE WHEN c2hv > 0 THEN 4 * c2hv * den2 ELSE den2 END))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM lvl2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST((-sum(q)) // count(*) AS BIGINT) AS kn3_nll_unats
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -1118,9 +1118,9 @@ object Events {
           .toMap
         // 8-round bounded walk, exact integer ppm, per-term floor
         val states = "start" +: MarkovChannels :+ "conv" :+ "drop"
-        val base = markovWalk(tppm, states, None)
+        val base = markovWalk(tppm, states, Set.empty)
         val rowsOut = MarkovChannels.map { ch =>
-          val removed = markovWalk(tppm, states, Some(ch))
+          val removed = markovWalk(tppm, states, Set(ch))
           (ch, base, removed,
             if (base == 0) 0L else (base - removed) * 1000000L / base)
         }
@@ -1203,8 +1203,87 @@ object Events {
              |  SELECT path, n_sessions,
              |    row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
              |  FROM census)
-             |WHERE rank <= 20 ORDER BY rank""".stripMargin))
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    Q(
+      "e19_markov2_attribution",
+      (s, dir) => {
+        // SECOND-ORDER Markov attribution — e17 with pair states
+        // (prev|cur), capturing the path dependence a first-order
+        // chain cannot express (Anderl et al. 2016 evaluate orders
+        // 1-4 and production systems ship order 2-3: "view after
+        // click" and "view after error" convert differently, and a
+        // first-order chain is structurally blind to it). Same
+        // journey assembly, same 8-round integer-ppm bounded walk,
+        // same removal-effect credit — the only change is the state
+        // space: 'start' + (start+channels)×channels pair states +
+        // absorbing conv/drop, and removing a channel blocks every
+        // pair state whose CURRENT component is that channel (its
+        // prev-component states are unreachable once those are
+        // blocked, so blocking cur alone is complete). Scale: the
+        // census is still one user-keyed window pass and a
+        // (src,dst)-sized aggregate; the matrix is (5·4+3)²-sized
+        // driver arithmetic — order k grows the matrix, never the
+        // data-side work.
+        val ev = Tables(s, dir).events
+          .filter(col("event_type").isin(MarkovChannels :+ "purchase": _*))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val seq0 = ev.withColumn("rn", row_number().over(w))
+        val seqd = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(seq0)
+        val fp = seqd.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("rn").as("pn"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("rn")
+        val jr = seqd.join(fp, Seq("user_id"), "left")
+          .filter(col("pn").isNull || col("rn") <= col("pn"))
+          .select(col("user_id"), col("rn"),
+            when(col("event_type") === "purchase", lit("conv"))
+              .otherwise(col("event_type")).as("st"))
+        val lbl = jr
+          .withColumn("pv", lag("st", 1).over(wr))
+          .select(col("user_id"), col("rn"),
+            when(col("st") === "conv", lit("conv"))
+              .otherwise(concat_ws("|", coalesce(col("pv"), lit("start")),
+                col("st"))).as("st"))
+          .withColumn("nx", lead("st", 1).over(wr))
+        val raw = lbl.filter(col("rn") === 1)
+            .select(lit("start").as("src"), col("st").as("dst"))
+          .unionAll(lbl.filter(col("nx").isNotNull)
+            .select(col("st").as("src"), col("nx").as("dst")))
+          .unionAll(lbl.filter(col("nx").isNull && col("st") =!= "conv")
+            .select(col("st").as("src"), lit("drop").as("dst")))
+        val trans = raw.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        val tot = trans.groupBy("src").agg(sum("c").as("tc"))
+        val tppm = trans.join(tot, "src")
+          .select(col("src"), col("dst"), expr("c * 1000000 div tc").as("ppm"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val states = "start" +: Markov2Pairs :+ "conv" :+ "drop"
+        val base = markovWalk(tppm, states, Set.empty)
+        val rowsOut = MarkovChannels.map { ch =>
+          val removed = markovWalk(tppm, states,
+            Markov2Pairs.filter(_.endsWith("|" + ch)).toSet)
+          (ch, base, removed,
+            if (base == 0) 0L else (base - removed) * 1000000L / base)
+        }
+        val effSum = rowsOut.map(_._4).sum
+        import s.implicits._
+        rowsOut.map { case (ch, b, r, e) =>
+          (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
+        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
+          .orderBy("channel")
+      },
+      Some(markov2OracleSql))
   )
+
+  /** e19's pair-state vocabulary: (start+channels) × channels, the
+    * second-order transient states (a `def` — the MarkovChannels
+    * initialization-order rule). */
+  private def Markov2Pairs: Seq[String] =
+    for (pv <- "start" +: MarkovChannels; cur <- MarkovChannels)
+      yield s"$pv|$cur"
 
   /** e17's channel vocabulary — a plan-time parameter (configured
     * taxonomy, not discovered), shared by the Spark walk and the
@@ -1213,18 +1292,20 @@ object Events {
     * and evaluates the oracle eagerly — the AnnOracle lesson.) */
   private def MarkovChannels = Seq("click", "error", "signup", "view")
 
-  /** e17's bounded-walk conversion probability in integer ppm: `rounds`
-    * applications of p'(s) = Σ_t ⌊T_ppm(s,t)·p(t)/10⁶⌋ with 'conv'
-    * absorbing at 10⁶ and the removed channel pinned to 0 — every
-    * per-term product floored BEFORE the sum so accumulation order is
-    * irrelevant and the oracle's unrolled CTEs reproduce it exactly. */
+  /** e17/e19's bounded-walk conversion probability in integer ppm:
+    * `rounds` applications of p'(s) = Σ_t ⌊T_ppm(s,t)·p(t)/10⁶⌋ with
+    * 'conv' absorbing at 10⁶ and every `blocked` state pinned to 0 —
+    * every per-term product floored BEFORE the sum so accumulation
+    * order is irrelevant and the oracle's unrolled CTEs reproduce it
+    * exactly. (e17 blocks the removed channel itself; e19 blocks every
+    * pair state whose CURRENT component is the removed channel.) */
   private[queries] def markovWalk(tppm: Map[(String, String), Long],
-      states: Seq[String], removed: Option[String], rounds: Int = 8): Long = {
+      states: Seq[String], blocked: Set[String], rounds: Int = 8): Long = {
     var p = states.map(st => st -> (if (st == "conv") 1000000L else 0L)).toMap
     for (_ <- 1 to rounds) {
       p = states.map { st =>
         st -> (if (st == "conv") 1000000L
-          else if (removed.contains(st)) 0L
+          else if (blocked.contains(st)) 0L
           else states.map(t => tppm.getOrElse((st, t), 0L) * p(t) / 1000000L).sum)
       }.toMap
     }
@@ -1274,6 +1355,90 @@ object Events {
        |  WHERE fp.pn IS NULL OR s.rn <= fp.pn),
        |nxt AS (SELECT user_id, rn, st,
        |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nx FROM jr),
+       |raw AS (
+       |  SELECT 'start' AS src, st AS dst FROM nxt WHERE rn = 1
+       |  UNION ALL
+       |  SELECT st, nx FROM nxt WHERE nx IS NOT NULL
+       |  UNION ALL
+       |  SELECT st, 'drop' FROM nxt WHERE nx IS NULL AND st <> 'conv'),
+       |trans AS (SELECT src, dst, count(*) AS c FROM raw GROUP BY 1, 2),
+       |tot AS (SELECT src, sum(c) AS tc FROM trans GROUP BY 1),
+       |tppm AS (SELECT src, dst, c * 1000000 // tc AS ppm
+       |  FROM trans JOIN tot USING (src)),
+       |states(st) AS (VALUES $states),
+       |$rounds,
+       |effects AS (
+       |$effects)
+       |SELECT channel, CAST(base_ppm AS BIGINT) AS base_ppm,
+       |  CAST(removed_ppm AS BIGINT) AS removed_ppm,
+       |  CAST(CASE WHEN base_ppm = 0 THEN 0
+       |    ELSE (base_ppm - removed_ppm) * 1000000 // base_ppm END AS BIGINT)
+       |    AS effect_ppm,
+       |  CAST(CASE WHEN sum(CASE WHEN base_ppm = 0 THEN 0
+       |        ELSE (base_ppm - removed_ppm) * 1000000 // base_ppm END) OVER () = 0
+       |    THEN 0
+       |    ELSE (CASE WHEN base_ppm = 0 THEN 0
+       |        ELSE (base_ppm - removed_ppm) * 1000000 // base_ppm END) * 1000000
+       |      // sum(CASE WHEN base_ppm = 0 THEN 0
+       |        ELSE (base_ppm - removed_ppm) * 1000000 // base_ppm END) OVER ()
+       |    END AS BIGINT) AS attr_ppm
+       |FROM effects
+       |ORDER BY channel""".stripMargin
+  }
+
+  /** e19's oracle: the pair-state transition census (lag for the prev
+    * component, e17's three-branch raw union on the PAIR labels), then
+    * the 8-round integer-ppm walk unrolled per variant with every pair
+    * state ending in the removed channel pinned to 0 — exactly the
+    * driver arithmetic. */
+  private def markov2OracleSql: String = {
+    val states = ("start" +: Markov2Pairs :+ "conv" :+ "drop")
+      .map(s => s"('$s')").mkString(", ")
+    val variants = ("base", None) +: MarkovChannels.map(c => (c, Some(c)))
+    val rounds = variants.map { case (v, removed) =>
+      val zero = removed.map { r =>
+        val blocked = Markov2Pairs.filter(_.endsWith("|" + r))
+          .map(b => s"'$b'").mkString(", ")
+        s"WHEN s.st IN ($blocked) THEN 0"
+      }.getOrElse("")
+      val p0 =
+        s"""p${v}0 AS (SELECT s.st,
+           |    CASE WHEN s.st = 'conv' THEN 1000000 ELSE 0 END AS p
+           |  FROM states s)""".stripMargin
+      val steps = (1 to 8).map { k =>
+        s"""p$v$k AS (SELECT s.st,
+           |    CASE WHEN s.st = 'conv' THEN 1000000 $zero
+           |      ELSE coalesce((SELECT sum(t.ppm * p.p // 1000000)
+           |        FROM tppm t JOIN p$v${k - 1} p ON p.st = t.dst
+           |        WHERE t.src = s.st), 0) END AS p
+           |  FROM states s)""".stripMargin
+      }
+      (p0 +: steps).mkString(",\n")
+    }.mkString(",\n")
+    val effects = MarkovChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT p FROM pbase8 WHERE st = 'start') AS base_ppm,
+         |  (SELECT p FROM p${c}8 WHERE st = 'start') AS removed_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+       |  WHERE event_type IN (${(MarkovChannels :+ "purchase")
+            .map(c => s"'$c'").mkString(", ")})),
+       |seq AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS rn FROM ev),
+       |fp AS (SELECT user_id, min(rn) AS pn FROM seq
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |jr AS (SELECT s.user_id, s.rn,
+       |    CASE WHEN s.event_type = 'purchase' THEN 'conv'
+       |         ELSE s.event_type END AS st
+       |  FROM seq s LEFT JOIN fp USING (user_id)
+       |  WHERE fp.pn IS NULL OR s.rn <= fp.pn),
+       |lbl AS (SELECT user_id, rn,
+       |    CASE WHEN st = 'conv' THEN 'conv'
+       |         ELSE coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+       |           'start') || '|' || st END AS st
+       |  FROM jr),
+       |nxt AS (SELECT user_id, rn, st,
+       |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nx FROM lbl),
        |raw AS (
        |  SELECT 'start' AS src, st AS dst FROM nxt WHERE rn = 1
        |  UNION ALL

@@ -265,6 +265,20 @@ object CorpusStream {
       .select(col(idCol), element_at(col("r"), 1).as("n_bigrams"),
         element_at(col("r"), 2).as("kn_nll_unats"))
 
+  /** st30's stateless TRIGRAM KN scoring — [[knScoringStream]] at
+    * KenLM's minimum production order: the frozen trigram model
+    * (t34's fit) applied per arriving document in one native token
+    * scan, two map probes + ln per trigram. Stateless append; the
+    * model rides the closure exactly like every frozen twin. */
+  def kn3ScoringStream(docs: DataFrame, idCol: String, textCol: String,
+      lm: TextAnalysis.Kn3FrozenLm): DataFrame =
+    docs
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol),
+        graft.functions.VectorExpressions.kn3LmScore(col(textCol), lm).as("r"))
+      .select(col(idCol), element_at(col("r"), 1).as("n_trigrams"),
+        element_at(col("r"), 2).as("kn3_nll_unats"))
+
   final case class SourcedDoc(doc_id: Long, source: String)
 
   /** Per-source admission counter — [[quotaAdmission]]'s WHOLE state:

@@ -1486,3 +1486,163 @@ case class KnLmScore(child: Expression, terms: Array[String],
   override def hashCode(): Int =
     31 * child.hashCode() + terms.toSeq.hashCode() + c1.toSeq.hashCode()
 }
+
+/**
+ * Row-local KNESER-NEY **trigram** scoring in one native token scan —
+ * the frozen-model twin of `TextAnalysis.knTrigramScore` for
+ * score-at-ingest streams (st30), extending [[KnLmScore]] by one
+ * backoff level. Output `[n_trigrams, kn3_nll_unats]`. Per trigram the
+ * exact integer num/den the batch side builds: the level-2
+ * continuation-bigram ratio from (bcf, bch, bn1, cont3, ct, V) type
+ * counts, interpolated into the level-3 ratio from (c3, c2h, n1h) —
+ * two map probes (trigram key, history key), a few long multiplies and
+ * one ln per trigram, zero interpreted HOFs. Token boundaries are
+ * every space byte, empties included (split-parity).
+ */
+case class Kn3LmScore(child: Expression, terms: Array[String],
+    histKeys: Array[Long], histC2h: Array[Long], histN1h: Array[Long],
+    bch: Array[Long], bn1: Array[Long], cont3: Array[Long], ct: Long,
+    triKeys: Array[Long], triC3: Array[Long]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(bch.length == terms.length + 1 && bn1.length == bch.length &&
+    cont3.length == bch.length, "Kn3LmScore: id-indexed arrays must be |vocab|+1")
+  require(histKeys.length == histC2h.length && histKeys.length == histN1h.length,
+    "Kn3LmScore: history keys vs counts")
+  require(triKeys.length == triC3.length, "Kn3LmScore: trigram keys vs counts")
+
+  override def prettyName: String = "graft_kn3_lm"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val vSize: Long = terms.length + 1L
+
+  @transient private lazy val idx = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+      math.max(4, terms.length * 2))
+    var i = 0
+    while (i < terms.length) {
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(terms(i)), i + 1)
+      i += 1
+    }
+    m
+  }
+
+  @transient private lazy val triMap = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.max(4, triKeys.length * 2))
+    var k = 0
+    while (k < triKeys.length) { m.put(triKeys(k), triC3(k)); k += 1 }
+    m
+  }
+
+  // history key -> c2h and -> n1h: two parallel maps keep the longs
+  // exact with zero bit-packing assumptions
+  @transient private lazy val histMapC2h = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.max(4, histKeys.length * 2))
+    var k = 0
+    while (k < histKeys.length) { m.put(histKeys(k), histC2h(k)); k += 1 }
+    m
+  }
+  @transient private lazy val histMapN1h = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.max(4, histKeys.length * 2))
+    var k = 0
+    while (k < histKeys.length) { m.put(histKeys(k), histN1h(k)); k += 1 }
+    m
+  }
+
+  private def qTriple(id1: Int, id2: Int, id3: Int): Long = {
+    val histKey = id1.toLong * vSize + id2
+    val triBoxed = triMap.get(histKey * vSize + id3)
+    val c3 = if (triBoxed == null) 0L else triBoxed.longValue()
+    val c2hBoxed = histMapC2h.get(histKey)
+    val c2h = if (c2hBoxed == null) 0L else c2hBoxed.longValue()
+    val n1hBoxed = histMapN1h.get(histKey)
+    val n1h = if (n1hBoxed == null) 0L else n1hBoxed.longValue()
+    val bcfBoxed = bcfMap.get(id2.toLong * vSize + id3)
+    val bcf = if (bcfBoxed == null) 0L else bcfBoxed.longValue()
+    val ctv = ct + vSize
+    val (num2, den2) =
+      if (bch(id2) > 0)
+        (math.max(4 * bcf - 3, 0L) * ctv + 3L * bn1(id2) * (cont3(id3) + 1),
+          4L * bch(id2) * ctv)
+      else (cont3(id3) + 1, ctv)
+    val (num3, den3) =
+      if (c2h > 0)
+        (math.max(4 * c3 - 3, 0L) * den2 + 3L * n1h * num2,
+          4L * c2h * den2)
+      else (num2, den2)
+    math.floor(math.log(num3.toDouble / den3.toDouble) * 1e6 + 0.5).toLong
+  }
+
+  /** bcf per (m2,m3) pair type: rebuilt from triKeys at open time (the
+    * keys already carry the full type universe, so the artifact ships
+    * nothing extra). */
+  @transient private lazy val bcfMap = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.max(4, triKeys.length * 2))
+    var k = 0
+    while (k < triKeys.length) {
+      val pairKey = java.lang.Long.valueOf(triKeys(k) % (vSize * vSize))
+      val prev = m.get(pairKey)
+      m.put(pairKey, if (prev == null) 1L else prev.longValue() + 1L)
+      k += 1
+    }
+    m
+  }
+
+  /** codegen entry point (public for the generated class). */
+  def evalScore(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var prev2 = -1
+    var prev1 = -1
+    var n = 0L
+    var sum = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val t = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start)
+        val boxed = idx.get(t)
+        val id = if (boxed == null) 0 else boxed.intValue()
+        if (prev2 >= 0) { sum += qTriple(prev2, prev1, id); n += 1 }
+        prev2 = prev1
+        prev1 = id
+        start = i + 1
+      }
+      i += 1
+    }
+    if (n == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](n, -sum / n))
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    evalScore(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("kn3Lm", this, classOf[Kn3LmScore].getName)
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalScore($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Kn3LmScore =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case b: Kn3LmScore => b.child == child && b.terms.toSeq == terms.toSeq &&
+      b.histKeys.toSeq == histKeys.toSeq && b.histC2h.toSeq == histC2h.toSeq &&
+      b.histN1h.toSeq == histN1h.toSeq && b.bch.toSeq == bch.toSeq &&
+      b.bn1.toSeq == bn1.toSeq && b.cont3.toSeq == cont3.toSeq && b.ct == ct &&
+      b.triKeys.toSeq == triKeys.toSeq && b.triC3.toSeq == triC3.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + terms.toSeq.hashCode() + histKeys.toSeq.hashCode()
+}
