@@ -1087,15 +1087,28 @@ object Graph {
    * rotated through lineage-truncated leaves; each backward level is
    * one equi-join of two LEVEL-sized slices against the immovable
    * edge set plus a map-side-combinable sum. The seed-panel size k is
-   * the accuracy/cost knob — state and relax traffic are linear in k,
-   * the edge side k-independent (σ fits a long within the horizon:
-   * path counts grow by at most max-degree per level).
+   * the FIRST accuracy/cost knob — state and relax traffic are linear
+   * in k, the edge side k-independent (σ fits a long within the
+   * horizon: path counts grow by at most max-degree per level).
+   *
+   * `maxFrontier` is the SECOND 100 TB knob: on a small-world graph a
+   * BFS frontier is near-whole-graph by level 3–4, so per-seed level
+   * state is O(|V|) however small the panel — the cap bounds each
+   * seed's NEWLY-SETTLED level to its `maxFrontier` highest-σ nodes
+   * (σ desc, node asc — deterministic, replayable; highest-σ keeps
+   * the mass that dominates the dependency sums), making forward
+   * state ≤ k·rounds·cap rows at ANY graph size. None (the default,
+   * and x19's oracled configuration) = exact Brandes-Pich. Capped
+   * runs are a further estimate UNDER the sampled estimator — the
+   * spec pins cap ≥ frontier ⇒ bit-identical, plus determinism.
    */
   def betweennessSampled(edges: DataFrame, seeds: Seq[Long],
-      rounds: Int): DataFrame = {
+      rounds: Int, maxFrontier: Option[Int] = None): DataFrame = {
     require(rounds >= 2,
       s"betweennessSampled: rounds must be >= 2 (got $rounds) — " +
         "within 1 hop there are no intermediate vertices")
+    require(maxFrontier.forall(_ >= 1),
+      s"betweennessSampled: maxFrontier must be >= 1 (got $maxFrontier)")
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
       edges.select(col("src").cast("long").as("src"),
@@ -1110,9 +1123,20 @@ object Graph {
       val reached = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum("sigma").as("sigma"))
-      val fresh = reached.join(vis.select("seed", "node"),
+      val fresh0 = reached.join(vis.select("seed", "node"),
           Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(t.toLong).as("d"), col("sigma"))
+      // frontier cap: keep each seed's maxFrontier highest-σ fresh
+      // nodes (σ desc, node asc — deterministic at any partitioning);
+      // one level-sized window, the price of bounding state at 100 TB
+      val fresh = maxFrontier match {
+        case Some(cap) =>
+          fresh0.withColumn("fr", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("seed")
+                .orderBy(col("sigma").desc, col("node"))))
+            .filter(col("fr") <= cap).drop("fr")
+        case None => fresh0
+      }
       vis = InternalFrame.sharedScan(vis.union(fresh))
     }
     // backward: dependency accumulation from the deepest level; the

@@ -620,4 +620,35 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === got)
   }
+
+  test("betweennessSampled: maxFrontier cap — identity when the cap " +
+      "covers every frontier, deterministic highest-σ keep when it cuts") {
+    import spark.implicits._
+    // seed 1 → level 1 {2, 8} (fits cap=2); level 2 fresh {9, 5, 6}
+    // where σ(9)=2 (via both 2 and 8) and σ(5)=σ(6)=1. Cap=2 must
+    // keep 9 FIRST despite its larger id (σ desc beats node asc) then
+    // 5 (node asc among the σ=1 ties), dropping 6's dependency.
+    val und = Seq((1L, 2L), (1L, 8L), (2L, 9L), (8L, 9L), (2L, 5L), (2L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // exact: δ(2) = ⌊1e6·1/2⌋ [via 9] + 1e6 [5] + 1e6 [6] = 2500000;
+    // δ(8) = 500000 [via 9]
+    val exact = Graph.betweennessSampled(edges, Seq(1L), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact === Map(2L -> 2500000L, 8L -> 500000L))
+    // cap >= every frontier => bit-identical to uncapped
+    val wide = Graph.betweennessSampled(edges, Seq(1L), rounds = 3,
+        maxFrontier = Some(100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide === exact)
+    // cap=2 keeps {9, 5} at level 2: node 6's 1e6 leaves δ(2)
+    val cut = Graph.betweennessSampled(edges, Seq(1L), rounds = 3,
+        maxFrontier = Some(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cut === Map(2L -> 1500000L, 8L -> 500000L), s"got $cut")
+    // determinism under repartitioning (the keep order is total)
+    val cutAgain = Graph.betweennessSampled(edges.repartition(5), Seq(1L),
+        rounds = 3, maxFrontier = Some(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cutAgain === cut)
+  }
 }

@@ -60,10 +60,10 @@ class Wave5Spec extends SparkTestBase {
       ("start", "view") -> 1000000L, ("view", "click") -> 666666L,
       ("view", "drop") -> 333333L, ("click", "conv") -> 1000000L)
     val states = Seq("start", "view", "click", "conv", "drop")
-    val base = Events.markovWalk(t, states, None)
+    val base = Events.markovWalk(t, states, Set.empty)
     assert(base == 666666L, s"base $base")
-    assert(Events.markovWalk(t, states, Some("click")) == 0L)
-    assert(Events.markovWalk(t, states, Some("view")) == 0L)
+    assert(Events.markovWalk(t, states, Set("click")) == 0L)
+    assert(Events.markovWalk(t, states, Set("view")) == 0L)
     // and on the real table: effects in [0, 1e6], attribution sums to
     // ~1e6 (floor slack), base consistent across rows
     val out = run("e17_markov_attribution").collect()
