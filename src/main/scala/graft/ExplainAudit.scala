@@ -23,9 +23,25 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    // "--exchanges" as the first query name switches to the one-line-
+    // per-query Exchange/Broadcast skeleton — the audit reduced to the
+    // lines that matter at 100 TB (every Exchange is a shuffle; model-
+    // frame joins must read BroadcastExchange). Full formatted plans
+    // otherwise.
+    val (summary, sel) = names.partition(_ == "--exchanges")
+    sel.foreach { n =>
+      if (summary.nonEmpty) {
+        val plan = SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ex = plan.linesIterator.map(_.trim)
+          .filter(_.contains("Exchange")).toSeq
+        val shuffles = ex.count(!_.contains("Broadcast"))
+        println(s"== $n: $shuffles shuffle Exchange(s), " +
+          s"${ex.size - shuffles} BroadcastExchange(s)")
+      } else {
+        println(s"\n========== $n ==========")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }
