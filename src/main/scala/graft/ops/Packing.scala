@@ -29,6 +29,19 @@ object Packing {
     pmod(graft.functions.VectorExpressions.md5Hash52(
       concat(lit("pack:"), idCol.cast("string"))), lit(buckets.toLong)).cast("int")
 
+  /** Scala-side twin of [[shardBucket]] for typed streaming groupers
+    * (st31's `groupByKey` runs on deserialized rows, not columns) —
+    * bit-identical: the first 52 bits of md5("pack:" + id) mod
+    * `buckets`, the d15 no-drift rule applied to the packing plane. */
+  def shardBucketLocal(id: Long, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pack:$id".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) |
+      ((d(2) & 0xffL) << 28) | ((d(3) & 0xffL) << 20) |
+      ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) | ((d(6) & 0xf0L) >>> 4)
+    (h % buckets).toInt
+  }
+
   /**
    * `docs` (shardCol, idCol, tokensCol) + (bucket, first_chunk,
    * last_chunk): within each (shardCol, bucket) sub-shard, documents

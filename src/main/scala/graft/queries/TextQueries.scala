@@ -636,6 +636,60 @@ object TextQueries {
              |ORDER BY source, bucket, doc_id""".stripMargin)),
 
     Q(
+      "st31_stream_packing",
+      (s, dir) => {
+        // STREAMING sequence packing — p05's writer-side packing at
+        // ingest (CorpusStream.packingStream): each (source, bucket)
+        // sub-shard carries its running token offset as ONE long of
+        // flatMapGroupsWithState state and assigns chunk spans as
+        // documents land. The id-ordered feed (the append-log
+        // contract) makes the drained assignment bit-identical to the
+        // batch cumsum, so p05's oracle replays it verbatim under the
+        // cap. Universe capped absolute (st25's discipline).
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[
+            graft.streaming.CorpusStream.PackInDoc]
+        val rows = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).cast("long").as("n_tokens"))
+          .orderBy("doc_id").collect()
+          .map(r => graft.streaming.CorpusStream.PackInDoc(
+            r.getLong(0), r.getString(1), r.getLong(2)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.CorpusStream.PackInDoc]
+        val q = graft.streaming.CorpusStream
+          .packingStream(stream.toDS(), budget = 512, buckets = 4)
+          .toDF()
+          .writeStream.format("memory").queryName("st31_packed")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st31_packed")
+          .select("source", "bucket", "doc_id", "n_tokens",
+            "first_chunk", "last_chunk")
+          .orderBy("source", "bucket", "doc_id")
+      },
+      Some(s"""WITH keyed AS (SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(${OracleSql.md5Fold52("'pack:' || CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS bucket
+             |  FROM documents WHERE doc_id < 2000)
+             |SELECT source, bucket, doc_id, n_tokens,
+             |  CAST(floor(off / 512) AS BIGINT) AS first_chunk,
+             |  CAST(floor((off + n_tokens - 1) / 512) AS BIGINT) AS last_chunk
+             |FROM (SELECT source, bucket, doc_id, n_tokens,
+             |        coalesce(sum(n_tokens) OVER (
+             |          PARTITION BY source, bucket ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |      FROM keyed)
+             |ORDER BY source, bucket, doc_id""".stripMargin)),
+
+    Q(
       "t06_fingerprint",
       (s, dir) => {
         Tables(s, dir).documents

@@ -279,6 +279,58 @@ object CorpusStream {
       .select(col(idCol), element_at(col("r"), 1).as("n_trigrams"),
         element_at(col("r"), 2).as("kn3_nll_unats"))
 
+  /** One arriving document for [[packingStream]] (token count only —
+    * the writer packs token BUDGETS; text stays with the writer task). */
+  final case class PackInDoc(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Per-sub-shard packing state: the running token offset — ONE long
+    * per (source, bucket) however many documents stream through. */
+  final case class PackState(off: Long)
+
+  final case class PackedChunk(source: String, bucket: Int, doc_id: Long,
+      n_tokens: Long, first_chunk: Long, last_chunk: Long)
+
+  /**
+   * STREAMING sequence packing — `Packing.packChunks` at ingest: each
+   * (source, hash-bucket) sub-shard carries its running token offset
+   * as `flatMapGroupsWithState` state (one long per sub-shard) and
+   * assigns every arriving document its chunk span
+   * [⌊off/budget⌋, ⌊(off+n−1)/budget⌋] — the writer-side packing a
+   * streaming ingestion pipeline runs so causal-LM chunks close as
+   * data lands instead of waiting for a batch repack. Documents sort
+   * by doc_id WITHIN each microbatch group; with an id-ordered feed
+   * (the append-log contract every st harness replays) the drained
+   * assignment is BIT-IDENTICAL to the batch window cumsum — spec'd,
+   * and the oracle replays p05's SQL under the cap. State is
+   * sub-shard-count-sized (sources × buckets longs), the smallest
+   * state of any stateful stream here.
+   */
+  def packingStream(docs: Dataset[PackInDoc], budget: Int,
+      buckets: Int): Dataset[PackedChunk] = {
+    require(budget > 0 && buckets > 0, s"budget=$budget buckets=$buckets")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[PackedChunk]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[PackState]
+    implicit val keyEnc =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaInt)
+    docs.groupByKey(d =>
+        (d.source, graft.ops.Packing.shardBucketLocal(d.doc_id, buckets)))
+      .flatMapGroupsWithState[PackState, PackedChunk](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((source, bucket), it, state) =>
+          var off = if (state.exists) state.get.off else 0L
+          val out = Seq.newBuilder[PackedChunk]
+          for (d <- it.toArray.sortBy(_.doc_id)) {
+            out += PackedChunk(source, bucket, d.doc_id, d.n_tokens,
+              off / budget, (off + d.n_tokens - 1) / budget)
+            off += d.n_tokens
+          }
+          state.update(PackState(off))
+          out.result().iterator
+      }
+  }
+
   final case class SourcedDoc(doc_id: Long, source: String)
 
   /** Per-source admission counter — [[quotaAdmission]]'s WHOLE state:
