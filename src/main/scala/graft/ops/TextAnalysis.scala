@@ -485,24 +485,26 @@ object TextAnalysis {
 
   /** Fit the bigram LM on a reference frame (pass the quality-gated
     * slice; determinism needs no sampling — the gate IS the slice).
-    * The vocab and pair frames are [[graftshim.InternalFrame.sharedScan]]
-    * materialized: every consumer (pair assembly's two probes, hist,
-    * vsz, and the scorer's n1/cont/ctot type counts) would otherwise
-    * re-run the reference-slice census from the raw text — ~7 corpus
-    * passes where 2 suffice. Both frames are minCount-capped
-    * MODEL-sized (the l16 sharedScan lesson: pin model frames, never
-    * fact-sized ones), and every downstream join wraps them in an
-    * explicit broadcast() hint, so the stats-less leaf cannot demote
-    * a broadcast to a shuffle-merge. */
+    *
+    * Deliberately NOT sharedScan-pinned: an r13 experiment pinned the
+    * vocab/pair frames to save the repeated reference-slice census,
+    * and the 10× sweep promptly reproduced the l16 failure mode — in
+    * THESE queries the "reference slice" is the gate survivors of the
+    * whole corpus, so the pinned frames grow with SF (the sf1 sweep
+    * read +200 s concentrated in the alphabetically-later x-family,
+    * the same block-manager starvation l16 caused). Within one query
+    * Spark's ReuseExchange already dedups the identical census
+    * subtrees at runtime; a production deployment with a FIXED
+    * curated slice should fit once, [[bigramLmFreeze]], and ship the
+    * arrays — the frozen path never re-scans anything. */
   def bigramLmFit(ref: DataFrame, textCol: String, minCount: Int = 5): BigramLm = {
     require(minCount >= 1, s"bigramLmFit: minCount=$minCount")
-    val vocab = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(ref
+    val vocab = ref
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount).select("tok"))
-    val pair = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
-      mappedPairs(ref, textCol, Seq.empty, vocab)
-        .groupBy("m1", "m2").agg(count(lit(1)).as("c2")))
+      .filter(col("c") >= minCount).select("tok")
+    val pair = mappedPairs(ref, textCol, Seq.empty, vocab)
+      .groupBy("m1", "m2").agg(count(lit(1)).as("c2"))
     val hist = pair.groupBy("m1").agg(sum("c2").as("c1"))
     val vsz = vocab.agg((count(lit(1)) + 1).as("v"))
     BigramLm(vocab, hist, pair, vsz)
@@ -701,19 +703,17 @@ object TextAnalysis {
   def trigramLmFit(ref: DataFrame, textCol: String,
       minCount: Int = 5): TrigramLm = {
     require(minCount >= 1, s"trigramLmFit: minCount=$minCount")
-    // vocab and tri materialize once (sharedScan): the scorer derives
-    // FIVE lower-order frames from tri and probes vocab three more
-    // times — without the pin that is ~8 reference-slice censuses
-    // from raw text. Both are minCount-capped model-sized (the l16
-    // rule), and every consumer joins them under an explicit
-    // broadcast() hint.
-    val vocab = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(ref
+    // NOT sharedScan-pinned — see [[bigramLmFit]]'s note: the frames
+    // grow with the gated corpus, so pinning them reproduces the l16
+    // block-manager starvation at 10×; ReuseExchange dedups the
+    // identical census subtrees within the query, and the deployment
+    // path is fit-once → kn3Freeze → ship arrays.
+    val vocab = ref
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount).select("tok"))
-    val tri = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
-      mappedTriples(ref, textCol, Seq.empty, vocab)
-        .groupBy("m1", "m2", "m3").agg(count(lit(1)).as("c3")))
+      .filter(col("c") >= minCount).select("tok")
+    val tri = mappedTriples(ref, textCol, Seq.empty, vocab)
+      .groupBy("m1", "m2", "m3").agg(count(lit(1)).as("c3"))
     val vsz = vocab.agg((count(lit(1)) + 1).as("v"))
     TrigramLm(vocab, tri, vsz)
   }
