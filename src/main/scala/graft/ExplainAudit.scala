@@ -33,8 +33,12 @@ object ExplainAudit {
       if (summary.nonEmpty) {
         val plan = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.executedPlan.toString
+        // ReusedExchange nodes are references to an Exchange counted
+        // elsewhere in the plan, not extra shuffles — tallying them
+        // would inflate exactly the count this audit is meant to pin
         val ex = plan.linesIterator.map(_.trim)
-          .filter(_.contains("Exchange")).toSeq
+          .filter(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+          .toSeq
         val shuffles = ex.count(!_.contains("Broadcast"))
         println(s"== $n: $shuffles shuffle Exchange(s), " +
           s"${ex.size - shuffles} BroadcastExchange(s)")

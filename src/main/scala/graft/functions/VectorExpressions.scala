@@ -194,11 +194,10 @@ object VectorExpressions {
   /** `[n_bigrams, kn_nll_unats]` under the frozen Kneser-Ney bigram
     * model — one native token scan, one map probe + ln per bigram
     * (see [[graftshim.KnLmScore]]). */
-  def knLmScore(text: Column, terms: Array[String], c1: Array[Long],
-      n1: Array[Long], cont: Array[Long], ct: Long,
-      pairKeys: Array[Long], pairC2: Array[Long]): Column =
+  def knLmScore(text: Column, lm: graft.ops.TextAnalysis.KnFrozenLm): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.KnLmScore(
-      ColumnBridge.expression(text), terms, c1, n1, cont, ct, pairKeys, pairC2))
+      ColumnBridge.expression(text), lm.terms, lm.c1, lm.n1, lm.cont, lm.ct,
+      lm.pairKeys, lm.pairC2, lm.vSize))
 
   /** `[n_trigrams, kn3_nll_unats]` under the frozen Kneser-Ney TRIGRAM
     * model — one native token scan, two map probes + ln per trigram
@@ -206,7 +205,8 @@ object VectorExpressions {
   def kn3LmScore(text: Column, lm: graft.ops.TextAnalysis.Kn3FrozenLm): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.Kn3LmScore(
       ColumnBridge.expression(text), lm.terms, lm.histKeys, lm.histC2h,
-      lm.histN1h, lm.bch, lm.bn1, lm.cont3, lm.ct, lm.triKeys, lm.triC3))
+      lm.histN1h, lm.bch, lm.bn1, lm.cont3, lm.ct, lm.triKeys, lm.triC3,
+      lm.vSize))
 
   /** Whole-document signed hashing-TF vector in ONE native token scan —
     * bit-identical to the explode→groupBy featurizer but O(tokens) work
@@ -218,10 +218,11 @@ object VectorExpressions {
   /** Row-local frozen bigram-LM scoring — `[n_bigrams, nll_unats]` per
     * text in one native token scan (see [[graftshim.BigramLmScore]]);
     * null when the text has fewer than two tokens. */
-  def bigramLmScore(text: Column, terms: Array[String], hist: Array[Long],
-      pairKeys: Array[Long], pairCounts: Array[Long]): Column =
+  def bigramLmScore(text: Column,
+      lm: graft.ops.TextAnalysis.FrozenBigramLm): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.BigramLmScore(
-      ColumnBridge.expression(text), terms, hist, pairKeys, pairCounts))
+      ColumnBridge.expression(text), lm.terms, lm.hist, lm.pairKeys,
+      lm.pairCounts, lm.vSize))
 
   /** Row-local frozen DSIR scoring — `[n_tokens, dsir_unats]` per text
     * in one native token scan (see [[graftshim.DsirScore]]); null when

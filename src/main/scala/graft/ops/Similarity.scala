@@ -623,8 +623,13 @@ object Similarity {
       vecCol: String, k: Int, kShort: Int, dim: Int = 64): DataFrame = {
     require(kShort >= k, s"shortlist kShort=$kShort must be >= k=$k")
     require(dim >= 1, s"dim=$dim")
+    // NULL vectors pass THROUGH (they drop from the shortlist exactly
+    // as before the guard existed — `size(null)` is null, so without
+    // the isNull arm they would fall into the raise_error branch with
+    // an unreadable concat-with-null message and fail the whole query)
     def dimChecked(vc: Column): Column =
-      when(size(vc) === dim, vc)
+      when(vc.isNull, vc)
+        .when(size(vc) === dim, vc)
         .otherwise(raise_error(concat(
           lit(s"knnBinary: vector length "), size(vc).cast("string"),
           lit(s" != dim=$dim — the Hamming shortlist would silently "),

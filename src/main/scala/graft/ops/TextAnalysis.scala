@@ -528,7 +528,7 @@ object TextAnalysis {
     * native row-local scorer consumes (see graftshim.BigramLmScore for
     * the layout: `terms(i)` has id i+1, id 0 = <unk>). */
   final case class FrozenBigramLm(terms: Array[String], hist: Array[Long],
-      pairKeys: Array[Long], pairCounts: Array[Long])
+      pairKeys: Array[Long], pairCounts: Array[Long], vSize: Long)
 
   /**
    * Collect the model frames to driver arrays (model-sized by the
@@ -537,14 +537,20 @@ object TextAnalysis {
    * indistinguishable from the OOV symbol after mapping (both engines
    * merge them in string space), so it is excluded from `terms` and
    * folds onto id 0 — keeping the frozen scorer bit-parity with the
-   * broadcast-join path.
+   * broadcast-join path. V is taken from the BATCH fit's `vsz` frame,
+   * NOT re-derived as `terms.length + 1`: when the literal token
+   * "<unk>" itself passes the minCount gate the batch V counts it as
+   * a vocab entry while `terms` folds it away, and a recomputed V
+   * would silently shift every smoothed denominator off the batch
+   * scorer by one (stream ≡ batch parity is spec'd on exactly this
+   * corpus).
    */
   def bigramLmFreeze(lm: BigramLm): FrozenBigramLm = {
     val terms = lm.vocab.filter(col("tok") =!= "<unk>").orderBy("tok")
       .collect().map(_.getString(0))
     val id = terms.iterator.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    val v = terms.length + 1
-    val hist = new Array[Long](v)
+    val v = lm.vsz.head.getLong(0)
+    val hist = new Array[Long](terms.length + 1)
     lm.hist.collect().foreach { r =>
       hist(id.getOrElse(r.getString(0), 0)) += r.getLong(1) }
     val pairs = lm.pair.collect()
@@ -552,7 +558,7 @@ object TextAnalysis {
         id.getOrElse(r.getString(1), 0), r.getLong(2)) }
       .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
       .toArray.sortBy(_._1)
-    FrozenBigramLm(terms, hist, pairs.map(_._1), pairs.map(_._2))
+    FrozenBigramLm(terms, hist, pairs.map(_._1), pairs.map(_._2), v)
   }
 
   /**
@@ -614,18 +620,18 @@ object TextAnalysis {
     * aligned). */
   final case class KnFrozenLm(terms: Array[String], c1: Array[Long],
       n1: Array[Long], cont: Array[Long], ct: Long,
-      pairKeys: Array[Long], pairC2: Array[Long])
+      pairKeys: Array[Long], pairC2: Array[Long], vSize: Long)
 
   /** Collect the KN model frames to driver arrays — model-sized by the
     * minCount cap, the score-at-ingest artifact (st26/st25's
-    * freeze-and-ship convention; the literal-"<unk>" exclusion rule of
-    * [[bigramLmFreeze]] applies identically). */
+    * freeze-and-ship convention; the literal-"<unk>" exclusion and
+    * batch-vsz rules of [[bigramLmFreeze]] apply identically). */
   def knFreeze(lm: BigramLm): KnFrozenLm = {
     val terms = lm.vocab.filter(col("tok") =!= "<unk>").orderBy("tok")
       .collect().map(_.getString(0))
     val id = terms.iterator.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    val v = terms.length + 1
-    val c1 = new Array[Long](v)
+    val v = lm.vsz.head.getLong(0)
+    val c1 = new Array[Long](terms.length + 1)
     lm.hist.collect().foreach { r =>
       c1(id.getOrElse(r.getString(0), 0)) += r.getLong(1) }
     val rawPairs = lm.pair.collect()
@@ -635,12 +641,12 @@ object TextAnalysis {
       .toArray.sortBy(_._1)
     // type counts AFTER the <unk> fold, so the frozen model and the
     // broadcast-join path see the same distinct-pair universe
-    val n1 = new Array[Long](v)
-    val cont = new Array[Long](v)
+    val n1 = new Array[Long](terms.length + 1)
+    val cont = new Array[Long](terms.length + 1)
     rawPairs.foreach { case (k, _) =>
       n1((k / v).toInt) += 1; cont((k % v).toInt) += 1 }
     KnFrozenLm(terms, c1, n1, cont, rawPairs.length.toLong,
-      rawPairs.map(_._1), rawPairs.map(_._2))
+      rawPairs.map(_._1), rawPairs.map(_._2), v)
   }
 
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
@@ -806,18 +812,20 @@ object TextAnalysis {
   final case class Kn3FrozenLm(terms: Array[String],
       histKeys: Array[Long], histC2h: Array[Long], histN1h: Array[Long],
       bch: Array[Long], bn1: Array[Long], cont3: Array[Long], ct: Long,
-      triKeys: Array[Long], triC3: Array[Long])
+      triKeys: Array[Long], triC3: Array[Long], vSize: Long)
 
   /** Collect the trigram KN frames to driver arrays — model-sized by
     * the minCount cap, the score-at-ingest artifact. All type counts
     * are taken AFTER the literal-"<unk>" fold ([[bigramLmFreeze]]'s
-    * rule) so the frozen scorer is bit-parity with the broadcast-join
-    * path. */
+    * rule) and V comes from the BATCH fit's `vsz` frame (its other
+    * rule — a recomputed `terms.length + 1` drifts by one when the
+    * literal "<unk>" token itself clears minCount) so the frozen
+    * scorer is bit-parity with the broadcast-join path. */
   def kn3Freeze(lm: TrigramLm): Kn3FrozenLm = {
     val terms = lm.vocab.filter(col("tok") =!= "<unk>").orderBy("tok")
       .collect().map(_.getString(0))
     val id = terms.iterator.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    val v = terms.length + 1L
+    val v = lm.vsz.head.getLong(0)
     require(v < 2097151L, s"kn3Freeze: |V|+1=$v overflows the packed " +
       "triple key (id1*V^2 bound) — raise minCount")
     val rawTris = lm.tri.collect()
@@ -829,9 +837,9 @@ object TextAnalysis {
     val hists = rawTris.groupBy(_._1 / v)
       .map { case (h, g) => (h, g.map(_._2).sum, g.length.toLong) }
       .toArray.sortBy(_._1)
-    val bch = new Array[Long](v.toInt)
-    val bn1 = new Array[Long](v.toInt)
-    val cont3 = new Array[Long](v.toInt)
+    val bch = new Array[Long](terms.length + 1)
+    val bn1 = new Array[Long](terms.length + 1)
+    val cont3 = new Array[Long](terms.length + 1)
     // (m2,m3) TYPE universe after the fold: distinct low-two-id pairs
     val pairTypes = rawTris.map(t => t._1 % (v * v)).distinct.sorted
     val perMid = pairTypes.groupBy(k => (k / v).toInt)
@@ -840,7 +848,7 @@ object TextAnalysis {
     pairTypes.foreach { k => cont3((k % v).toInt) += 1 }
     Kn3FrozenLm(terms, hists.map(_._1), hists.map(_._2), hists.map(_._3),
       bch, bn1, cont3, pairTypes.length.toLong,
-      rawTris.map(_._1), rawTris.map(_._2))
+      rawTris.map(_._1), rawTris.map(_._2), v)
   }
 
   /**

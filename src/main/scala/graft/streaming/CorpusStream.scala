@@ -247,8 +247,8 @@ object CorpusStream {
     docs
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol),
-        graft.functions.VectorExpressions.bigramLmScore(col(textCol),
-          lm.terms, lm.hist, lm.pairKeys, lm.pairCounts).as("r"))
+        graft.functions.VectorExpressions.bigramLmScore(col(textCol), lm)
+          .as("r"))
       .select(col(idCol), element_at(col("r"), 1).as("n_bigrams"),
         element_at(col("r"), 2).as("nll_unats"))
 
@@ -259,9 +259,7 @@ object CorpusStream {
     docs
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol),
-        graft.functions.VectorExpressions.knLmScore(col(textCol),
-          lm.terms, lm.c1, lm.n1, lm.cont, lm.ct,
-          lm.pairKeys, lm.pairC2).as("r"))
+        graft.functions.VectorExpressions.knLmScore(col(textCol), lm).as("r"))
       .select(col(idCol), element_at(col("r"), 1).as("n_bigrams"),
         element_at(col("r"), 2).as("kn_nll_unats"))
 

@@ -964,15 +964,22 @@ case class Int8Quantize(child: Expression) extends
  *
  * Model layout: `terms(i)` has vocab id i+1, id 0 = <unk>;
  * `hist(id) = c1`; `pairKeys(k) = id1 * V + id2` with count
- * `pairCounts(k)`, V = terms.length + 1.
+ * `pairCounts(k)`. V (`vSize`) is the BATCH fit's |vocab|+1 — it
+ * exceeds terms.length+1 exactly when the literal token "<unk>"
+ * cleared the minCount gate (the fold keeps the arrays at
+ * terms.length+1 slots while the smoothing V must match the batch
+ * scorer; see TextAnalysis.bigramLmFreeze).
  */
 case class BigramLmScore(child: Expression, terms: Array[String],
-    hist: Array[Long], pairKeys: Array[Long], pairCounts: Array[Long]) extends
+    hist: Array[Long], pairKeys: Array[Long], pairCounts: Array[Long],
+    vSize: Long) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
   require(hist.length == terms.length + 1,
     s"BigramLmScore: hist length ${hist.length} != |vocab|+1 = ${terms.length + 1}")
   require(pairKeys.length == pairCounts.length,
     s"BigramLmScore: ${pairKeys.length} pair keys vs ${pairCounts.length} counts")
+  require(vSize >= terms.length + 1L,
+    s"BigramLmScore: vSize=$vSize < |terms|+1 = ${terms.length + 1}")
 
   override def prettyName: String = "graft_bigram_lm"
   override def inputTypes: Seq[AbstractDataType] =
@@ -980,8 +987,6 @@ case class BigramLmScore(child: Expression, terms: Array[String],
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
     containsNull = false)
   override def nullable: Boolean = true
-
-  @transient private lazy val vSize: Long = terms.length + 1L
 
   @transient private lazy val idx = {
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
@@ -1057,7 +1062,7 @@ case class BigramLmScore(child: Expression, terms: Array[String],
   override def equals(o: Any): Boolean = o match {
     case b: BigramLmScore => b.child == child && b.terms.toSeq == terms.toSeq &&
       b.hist.toSeq == hist.toSeq && b.pairKeys.toSeq == pairKeys.toSeq &&
-      b.pairCounts.toSeq == pairCounts.toSeq
+      b.pairCounts.toSeq == pairCounts.toSeq && b.vSize == vSize
     case _ => false
   }
   override def hashCode(): Int =
@@ -1392,11 +1397,13 @@ case class ChunkHashHits(child: Expression, w: Int, banned: Array[Long]) extends
  */
 case class KnLmScore(child: Expression, terms: Array[String],
     c1: Array[Long], n1: Array[Long], cont: Array[Long], ct: Long,
-    pairKeys: Array[Long], pairC2: Array[Long]) extends
+    pairKeys: Array[Long], pairC2: Array[Long], vSize: Long) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
   require(c1.length == terms.length + 1 && n1.length == c1.length &&
     cont.length == c1.length, "KnLmScore: id-indexed arrays must be |vocab|+1")
   require(pairKeys.length == pairC2.length, "KnLmScore: keys vs counts")
+  require(vSize >= terms.length + 1L,
+    s"KnLmScore: vSize=$vSize < |terms|+1 = ${terms.length + 1}")
 
   override def prettyName: String = "graft_kn_lm"
   override def inputTypes: Seq[AbstractDataType] =
@@ -1404,8 +1411,6 @@ case class KnLmScore(child: Expression, terms: Array[String],
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
     containsNull = false)
   override def nullable: Boolean = true
-
-  @transient private lazy val vSize: Long = terms.length + 1L
 
   @transient private lazy val idx = {
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
@@ -1480,7 +1485,8 @@ case class KnLmScore(child: Expression, terms: Array[String],
     case b: KnLmScore => b.child == child && b.terms.toSeq == terms.toSeq &&
       b.c1.toSeq == c1.toSeq && b.n1.toSeq == n1.toSeq &&
       b.cont.toSeq == cont.toSeq && b.ct == ct &&
-      b.pairKeys.toSeq == pairKeys.toSeq && b.pairC2.toSeq == pairC2.toSeq
+      b.pairKeys.toSeq == pairKeys.toSeq && b.pairC2.toSeq == pairC2.toSeq &&
+      b.vSize == vSize
     case _ => false
   }
   override def hashCode(): Int =
@@ -1502,13 +1508,15 @@ case class KnLmScore(child: Expression, terms: Array[String],
 case class Kn3LmScore(child: Expression, terms: Array[String],
     histKeys: Array[Long], histC2h: Array[Long], histN1h: Array[Long],
     bch: Array[Long], bn1: Array[Long], cont3: Array[Long], ct: Long,
-    triKeys: Array[Long], triC3: Array[Long]) extends
+    triKeys: Array[Long], triC3: Array[Long], vSize: Long) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
   require(bch.length == terms.length + 1 && bn1.length == bch.length &&
     cont3.length == bch.length, "Kn3LmScore: id-indexed arrays must be |vocab|+1")
   require(histKeys.length == histC2h.length && histKeys.length == histN1h.length,
     "Kn3LmScore: history keys vs counts")
   require(triKeys.length == triC3.length, "Kn3LmScore: trigram keys vs counts")
+  require(vSize >= terms.length + 1L,
+    s"Kn3LmScore: vSize=$vSize < |terms|+1 = ${terms.length + 1}")
 
   override def prettyName: String = "graft_kn3_lm"
   override def inputTypes: Seq[AbstractDataType] =
@@ -1516,8 +1524,6 @@ case class Kn3LmScore(child: Expression, terms: Array[String],
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
     containsNull = false)
   override def nullable: Boolean = true
-
-  @transient private lazy val vSize: Long = terms.length + 1L
 
   @transient private lazy val idx = {
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
@@ -1640,7 +1646,8 @@ case class Kn3LmScore(child: Expression, terms: Array[String],
       b.histKeys.toSeq == histKeys.toSeq && b.histC2h.toSeq == histC2h.toSeq &&
       b.histN1h.toSeq == histN1h.toSeq && b.bch.toSeq == bch.toSeq &&
       b.bn1.toSeq == bn1.toSeq && b.cont3.toSeq == cont3.toSeq && b.ct == ct &&
-      b.triKeys.toSeq == triKeys.toSeq && b.triC3.toSeq == triC3.toSeq
+      b.triKeys.toSeq == triKeys.toSeq && b.triC3.toSeq == triC3.toSeq &&
+      b.vSize == vSize
     case _ => false
   }
   override def hashCode(): Int =

@@ -59,8 +59,8 @@ class BigramLmSpec extends SparkTestBase {
     val native = docs
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"),
-        graft.functions.VectorExpressions.bigramLmScore(col("text"),
-          frozen.terms, frozen.hist, frozen.pairKeys, frozen.pairCounts).as("r"))
+        graft.functions.VectorExpressions.bigramLmScore(col("text"), frozen)
+          .as("r"))
       .select(col("doc_id"), element_at(col("r"), 1).as("n_bigrams"),
         element_at(col("r"), 2).as("nll_unats"))
       .orderBy("doc_id").collect()
@@ -70,13 +70,54 @@ class BigramLmSpec extends SparkTestBase {
     assert(!batch.exists(_._1 == 101L))
   }
 
+  test("frozen V follows the batch vsz when the literal <unk> token " +
+      "clears the minCount gate (the ADVICE r13 parity hole)") {
+    // '<unk>' appears 6x in the reference — ABOVE minCount=2 — so the
+    // batch vocab holds it as an entry and vsz counts it, while the
+    // frozen terms fold it onto id 0. A frozen V re-derived as
+    // |terms|+1 would read one low and shift every denominator.
+    val ref = docsDf(
+      0L -> "the <unk> cat sat on the <unk> mat and the <unk> cat ran",
+      1L -> "a <unk> dog sat on a <unk> rug and a <unk> dog ran")
+    val lm = bigramLmFit(ref, "text", minCount = 2)
+    val vocab = lm.vocab.collect().map(_.getString(0)).toSet
+    assert(vocab.contains("<unk>"), "test premise: <unk> must clear the gate")
+    val frozen = bigramLmFreeze(lm)
+    assert(!frozen.terms.contains("<unk>"))
+    assert(frozen.vSize == frozen.terms.length + 2L,
+      s"vSize ${frozen.vSize} must count the folded <unk> vocab entry")
+    assert(frozen.vSize == lm.vsz.head.getLong(0))
+    val docs = docsDf(10L -> "the <unk> cat sat on a rug",
+      11L -> "<unk> <unk> <unk>", 12L -> "zz qq oov text")
+    val batch = bigramLmScore(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val native = docs.select(col("doc_id"),
+        graft.functions.VectorExpressions.bigramLmScore(col("text"), frozen)
+          .as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), element_at(col("r"), 1), element_at(col("r"), 2))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(native == batch, s"native $native != batch $batch")
+    // same corpus through the KN freeze: V and all three scores parity
+    val knF = knFreeze(lm)
+    assert(knF.vSize == frozen.vSize)
+    val knBatch = knBigramScore(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val knNative = docs.select(col("doc_id"),
+        graft.functions.VectorExpressions.knLmScore(col("text"), knF).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), element_at(col("r"), 1), element_at(col("r"), 2))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(knNative == knBatch, s"KN native $knNative != batch $knBatch")
+  }
+
   test("native scorer handles all-OOV and sub-2-token texts") {
     val ref = docsDf(0L -> "a b a b a b a b a b")
     val frozen = bigramLmFreeze(bigramLmFit(ref, "text", minCount = 2))
     val out = docsDf(1L -> "x y z", 2L -> "a", 3L -> "")
       .select(col("doc_id"),
-        graft.functions.VectorExpressions.bigramLmScore(col("text"),
-          frozen.terms, frozen.hist, frozen.pairKeys, frozen.pairCounts).as("r"))
+        graft.functions.VectorExpressions.bigramLmScore(col("text"), frozen)
+          .as("r"))
       .collect().map(r => r.getLong(0) -> Option(r.get(1)))
     // doc 1: two <unk>-history bigrams, both unseen; docs 2/3: null
     assert(out.toMap.view.mapValues(_.isDefined).toMap ==
@@ -97,9 +138,8 @@ class BigramLmSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val frozen = graft.ops.TextAnalysis.knFreeze(lm)
     val native = docs.select(col("doc_id"),
-        graft.functions.VectorExpressions.knLmScore(col("text"),
-          frozen.terms, frozen.c1, frozen.n1, frozen.cont, frozen.ct,
-          frozen.pairKeys, frozen.pairC2).as("r"))
+        graft.functions.VectorExpressions.knLmScore(col("text"), frozen)
+          .as("r"))
       .filter(col("r").isNotNull)
       .select(col("doc_id"), element_at(col("r"), 1), element_at(col("r"), 2))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -84,6 +84,34 @@ class Kn3LmSpec extends SparkTestBase {
     assert(batch.forall(_._3 >= 0L), "q <= 0 sign discipline violated")
   }
 
+  test("frozen V follows the batch vsz when the literal <unk> token " +
+      "clears the minCount gate") {
+    // '<unk>' occurs 4x >= minCount=2 — a vocab entry in the batch fit,
+    // folded onto id 0 in the frozen arrays; the frozen V must still be
+    // the batch vsz or every smoothed denominator shifts by one.
+    val ref = docsDf(
+      0L -> "the <unk> cat sat on the <unk> mat and the cat ran",
+      1L -> "a <unk> dog sat on a <unk> rug and a dog ran")
+    val lm = trigramLmFit(ref, "text", minCount = 2)
+    assert(lm.vocab.collect().map(_.getString(0)).contains("<unk>"),
+      "test premise: <unk> must clear the gate")
+    val frozen = kn3Freeze(lm)
+    assert(!frozen.terms.contains("<unk>"))
+    assert(frozen.vSize == frozen.terms.length + 2L &&
+      frozen.vSize == lm.vsz.head.getLong(0),
+      s"vSize ${frozen.vSize} must count the folded <unk> vocab entry")
+    val docs = docsDf(10L -> "the <unk> cat sat on a rug",
+      11L -> "<unk> <unk> <unk> <unk>", 12L -> "zz qq oov text")
+    val batch = knTrigramScore(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val native = docs.select(col("doc_id"),
+        graft.functions.VectorExpressions.kn3LmScore(col("text"), frozen).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), element_at(col("r"), 1), element_at(col("r"), 2))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(native == batch, s"native $native != batch $batch")
+  }
+
   test("native scorer nulls out on sub-3-token and empty texts") {
     val ref = docsDf(0L -> "a b c a b c a b c a b c")
     val frozen = kn3Freeze(trigramLmFit(ref, "text", minCount = 2))
