@@ -1075,6 +1075,89 @@ object GraphQueries {
              |GROUP BY node ORDER BY node""".stripMargin)),
 
     Q(
+      "x21_betweenness_capped",
+      (s, dir) => {
+        // x19's Brandes-Pich instance with the `maxFrontier` 100 TB
+        // state knob ACTIVE and BINDING: cap=8 per seed per level,
+        // while each seed supplier reaches dozens-to-hundreds of
+        // distinct customers at level 1 even at sf0.001 — so the cap
+        // genuinely cuts the frontier (spec-asserted: x21 ≠ x19 on
+        // this graph) and forward state is ≤ seeds·rounds·8 rows at
+        // ANY scale. The keep is deterministic (σ desc, node asc) and
+        // the oracle replays it level by level with the same
+        // row_number ≤ 8 over the anti-joined fresh set, so the
+        // capped estimator itself is hash-oracled, not just spec'd.
+        val t = Tables(s, dir)
+        val pairs = t.orders.join(t.lineitem,
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (lit(1000000000L) + col("l_suppkey")).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        graft.ops.Graph.betweennessSampled(edges,
+          seeds = Seq(1000000001L, 1000000002L, 1000000003L, 1000000004L),
+          rounds = 3, maxFrontier = Some(8))
+          .orderBy("node")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+             |    1000000000 + l_suppkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+             |     UNION SELECT p AS src, c AS dst FROM pairs),
+             |v0 AS (SELECT s AS seed, s AS node, CAST(0 AS BIGINT) AS d,
+             |       CAST(1 AS BIGINT) AS sigma
+             |  FROM (SELECT unnest([1000000001, 1000000002,
+             |                      1000000003, 1000000004]) AS s)),
+             |c1 AS (SELECT v.seed, e.dst AS node, sum(v.sigma) AS sigma
+             |  FROM e JOIN v0 v ON e.src = v.node WHERE v.d = 0 GROUP BY 1, 2),
+             |f1 AS (SELECT seed, node, sigma FROM (
+             |    SELECT c1.seed, c1.node, c1.sigma, row_number() OVER (
+             |        PARTITION BY c1.seed ORDER BY c1.sigma DESC, c1.node) AS fr
+             |    FROM c1 WHERE NOT EXISTS (SELECT 1 FROM v0
+             |      WHERE v0.seed = c1.seed AND v0.node = c1.node))
+             |  WHERE fr <= 8),
+             |v1 AS (SELECT * FROM v0 UNION ALL
+             |  SELECT seed, node, 1, sigma FROM f1),
+             |c2 AS (SELECT v.seed, e.dst AS node, sum(v.sigma) AS sigma
+             |  FROM e JOIN v1 v ON e.src = v.node WHERE v.d = 1 GROUP BY 1, 2),
+             |f2 AS (SELECT seed, node, sigma FROM (
+             |    SELECT c2.seed, c2.node, c2.sigma, row_number() OVER (
+             |        PARTITION BY c2.seed ORDER BY c2.sigma DESC, c2.node) AS fr
+             |    FROM c2 WHERE NOT EXISTS (SELECT 1 FROM v1
+             |      WHERE v1.seed = c2.seed AND v1.node = c2.node))
+             |  WHERE fr <= 8),
+             |v2 AS (SELECT * FROM v1 UNION ALL
+             |  SELECT seed, node, 2, sigma FROM f2),
+             |c3 AS (SELECT v.seed, e.dst AS node, sum(v.sigma) AS sigma
+             |  FROM e JOIN v2 v ON e.src = v.node WHERE v.d = 2 GROUP BY 1, 2),
+             |f3 AS (SELECT seed, node, sigma FROM (
+             |    SELECT c3.seed, c3.node, c3.sigma, row_number() OVER (
+             |        PARTITION BY c3.seed ORDER BY c3.sigma DESC, c3.node) AS fr
+             |    FROM c3 WHERE NOT EXISTS (SELECT 1 FROM v2
+             |      WHERE v2.seed = c3.seed AND v2.node = c3.node))
+             |  WHERE fr <= 8),
+             |v3 AS MATERIALIZED (SELECT * FROM v2 UNION ALL
+             |  SELECT seed, node, 3, sigma FROM f3),
+             |d2 AS (SELECT cur.seed, cur.node,
+             |    sum((cur.sigma * 1000000) // nxt.sigma) AS delta_ppm
+             |  FROM v3 cur JOIN e ON e.src = cur.node
+             |  JOIN v3 nxt ON nxt.seed = cur.seed AND nxt.node = e.dst
+             |    AND nxt.d = 3
+             |  WHERE cur.d = 2 GROUP BY 1, 2),
+             |d1 AS (SELECT cur.seed, cur.node,
+             |    sum((cur.sigma * (1000000 + coalesce(dn.delta_ppm, 0)))
+             |        // nxt.sigma) AS delta_ppm
+             |  FROM v3 cur JOIN e ON e.src = cur.node
+             |  JOIN v3 nxt ON nxt.seed = cur.seed AND nxt.node = e.dst
+             |    AND nxt.d = 2
+             |  LEFT JOIN d2 dn ON dn.seed = nxt.seed AND dn.node = nxt.node
+             |  WHERE cur.d = 1 GROUP BY 1, 2)
+             |SELECT node, CAST(sum(delta_ppm) AS BIGINT) AS bet_ppm
+             |FROM (SELECT * FROM d2 UNION ALL SELECT * FROM d1)
+             |GROUP BY node ORDER BY node""".stripMargin)),
+
+    Q(
       "x20_ego_density",
       (s, dir) => {
         // Per-node EGO-NETWORK features over the x03 co-purchase graph:

@@ -651,4 +651,23 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cutAgain === cut)
   }
+
+  test("x21: the gated maxFrontier cap BINDS on the trade graph — the " +
+      "capped query differs from exact x19 and its state stays bounded") {
+    val dir = "/root/testdata/sf0.001"
+    def run(name: String) = graft.queries.Q.all.find(_.name == name).get
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = run("x19_betweenness")
+    val capped = run("x21_betweenness_capped")
+    assert(capped.nonEmpty)
+    // the cap must genuinely cut: a seed supplier reaches far more
+    // than 8 customers at level 1 even at sf0.001, so the capped
+    // estimator diverges from exact Brandes-Pich on this graph
+    assert(capped !== exact,
+      "maxFrontier=8 must bind on the trade graph (did the data shrink?)")
+    // every capped-survivor node also exists in the exact run (the cap
+    // only DROPS frontier mass, never invents paths)
+    assert(capped.keySet.subsetOf(exact.keySet))
+  }
 }
