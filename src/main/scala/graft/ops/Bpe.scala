@@ -118,14 +118,19 @@ object Bpe {
    */
   def trainOnSample(docs: DataFrame, idCol: String, textCol: String,
       sampleDocs: Int, numMerges: Int): Seq[(String, String)] = {
-    val wf = docs
-      .orderBy(col(idCol)).limit(sampleDocs)
+    val wf = wordFreq(docs.orderBy(col(idCol)).limit(sampleDocs), textCol)
+    train(wf, numMerges)
+  }
+
+  /** Normalized word-frequency census of `textCol`, collected to the
+    * driver — the model-sized training input (the aggregate itself is
+    * distributed; only the vocabulary-sized table collects). */
+  def wordFreq(rows: DataFrame, textCol: String): Map[String, Long] =
+    rows
       .select(explode(split(normText(col(textCol)), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("f"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    train(wf, numMerges)
-  }
 
   /**
    * Per-document BPE token counts: (idCol, n_words, n_tokens), one

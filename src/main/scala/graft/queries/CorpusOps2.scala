@@ -758,6 +758,40 @@ object CorpusOps2 {
       Some(t20OracleSql)),
 
     Q(
+      "t35_bpe_1k_fertility",
+      (s, dir) => {
+        // The PRODUCTION-SHAPED BPE gate (r13 verdict item 2): t20's
+        // apply path under a 1024-merge table — 34× t20's 30 merges,
+        // the scale where per-word encode cost (merges × symbols) and
+        // the oracle's one-CTE-level-per-rank replay actually get
+        // exercised. The documents corpus cannot host this gate (31
+        // distinct words total — any table past ~89 merges collapses
+        // every word to one token and the hash degenerates), so the
+        // apply runs over the CUSTOMER NAME vocabulary (1500 distinct
+        // digit-bearing words at sf0.01, 150k at sf1 — SF-scaling
+        // where documents' vocab is SF-flat), rolled up per nation as
+        // t32's fertility table. Same mapPartitions apply, same
+        // per-partition word memo, same broadcast ranks — the memo
+        // argument is STRONGER here because every occurrence is
+        // distinct (names are unique), so the apply cost is exactly
+        // vocab × merges with zero memo amortization: the worst case.
+        val c = Tables(s, dir).customer
+        graft.ops.Bpe.tokenCounts(c, "c_custkey", "c_name", BpeMerges1k)
+          .where(col("n_words") > 0)
+          .join(c.select("c_custkey", "c_nationkey"), "c_custkey")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_names"),
+            sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"),
+            min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"),
+            expr("sum(n_tokens) * 10000 div sum(n_words)").as("fertility_bp"))
+          .select(col("c_nationkey").as("nationkey"), col("n_names"),
+            col("n_words"), col("n_tokens"), col("min_tokens"),
+            col("max_tokens"), col("fertility_bp"))
+          .orderBy("nationkey")
+      },
+      Some(t35OracleSql)),
+
+    Q(
       "t32_tokenizer_fertility",
       (s, dir) => {
         // Tokenizer FERTILITY audit — subword tokens per word under
@@ -1328,9 +1362,16 @@ object CorpusOps2 {
     }
   }
 
-  /** Merge table for t20: `Bpe.trainOnSample(documents@sf0.01, first
-    * 100 docs by id, 30 merges)` — pinned by BpeSpec so drift between
-    * this literal and the trainer fails the build, not the oracle. */
+  /** Merge table for t20/t32: `Bpe.trainOnSample(documents@sf0.01,
+    * first 100 docs by id, 30 merges)` — pinned by BpeSpec so drift
+    * between this literal and the trainer fails the build, not the
+    * oracle. 30 is NOT arbitrary smallness: the synthetic document
+    * corpus holds only 31 distinct words TOTAL, so any table past ~89
+    * merges collapses every document word to a single token (measured
+    * r14 — the trainer runs dry at 89 and the t20 hash degenerates to
+    * n_tokens = n_words, unable to catch partial-merge bugs). The
+    * production-shaped ≥1k merge count is gated by [[BpeMerges1k]] /
+    * t35 on the one testdata vocabulary that supports it. */
   lazy val BpeFixedMerges: Seq[(String, String)] = Seq(
     "e" -> "r", "o" -> "w", "s" -> "t", "i" -> "n", "o" -> "r",
     "l" -> "u", "m" -> "er", "a" -> "t", "a" -> "r", "p" -> "ar",
@@ -1339,6 +1380,32 @@ object CorpusOps2 {
     "c" -> "o", "co" -> "lu", "colu" -> "m", "colum" -> "n",
     "h" -> "ash", "a" -> "l", "al" -> "l", "l" -> "ow", "m" -> "all",
     "s" -> "low")
+
+  /** The bounded deterministic training sample behind [[BpeMerges1k]]:
+    * the first 1000 customer names — the only testdata vocabulary
+    * wide enough for a production-shaped merge count (1500 distinct
+    * 17-char digit-bearing words at sf0.01 vs the documents corpus's
+    * 31 words total). Total-order bounded by key, so the sample — and
+    * therefore the pinned table — is reproducible at any SF ≥ 0.01. */
+  def bpe1kTrainingSource(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir).customer.filter(col("c_custkey") < 1000)
+      .select(col("c_name").as("text"))
+
+  /** The PRODUCTION-SHAPED merge table for t35: `Bpe.train(wordFreq(
+    * bpe1kTrainingSource(sf0.01)), 1024 merges)` — r13 verdict: a
+    * 30-merge table demonstrates nothing about apply cost at
+    * KenLM/HF-tokenizer scale (30k–100k merges); 1024 is the largest
+    * count the testdata supports with a non-degenerate apply, and the
+    * recursive-CTE oracle replays all 1024 ranks (measured 4.7 s over
+    * the sf0.01 name vocabulary). Pinned by BpeSpec against the
+    * trainer. Stored one `x y` pair per line (post-normalization
+    * symbols never contain spaces). */
+  lazy val BpeMerges1k: Seq[(String, String)] =
+    BpeMerges1kTable.raw.linesIterator.filter(_.nonEmpty).map { l =>
+      val sp = l.indexOf(' ')
+      (l.substring(0, sp), l.substring(sp + 1))
+    }.toSeq
 
   /** The BPE-apply replay shared by t20's per-doc oracle and t32's
     * fertility rollup: everything through the per-doc (n_words,
@@ -1377,6 +1444,46 @@ object CorpusOps2 {
     s"""$t20OracleCore
        |SELECT doc_id, n_words, n_tokens
        |FROM perdoc ORDER BY doc_id""".stripMargin
+
+  /** t35's oracle: the t20 recursive-CTE fold at 1024 ranks over the
+    * customer-name vocabulary — every merge level replayed exactly as
+    * t20's, just 34× deeper (measured 4.7 s in DuckDB at sf0.01). */
+  private def t35OracleSql: String = {
+    val vals = BpeMerges1k.zipWithIndex
+      .map { case ((x, y), i) => s"(${i + 1},'$x','$y')" }.mkString(",")
+    s"""WITH RECURSIVE merges(rank, x, y) AS (SELECT * FROM (VALUES $vals) t(r, x, y)),
+       |words AS (
+       |  SELECT c_custkey, w
+       |  FROM (SELECT c_custkey, unnest(string_split(trim(regexp_replace(regexp_replace(
+       |          lower(c_name), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) AS w
+       |        FROM customer)
+       |  WHERE w <> ''),
+       |vocab AS (SELECT DISTINCT w FROM words),
+       |step(w, r, s) AS (
+       |  SELECT w, 0, array_to_string(regexp_split_to_array(w, ''), ' ') FROM vocab
+       |  UNION ALL
+       |  SELECT st.w, st.r + 1,
+       |    CASE WHEN st.s NOT LIKE '%' || m.x || ' ' || m.y || '%' THEN st.s ELSE
+       |    list_reduce(string_split(st.s, ' '),
+       |      (acc, t) -> CASE WHEN (acc = m.x OR ends_with(acc, ' ' || m.x)) AND t = m.y
+       |                  THEN substr(acc, 1, len(acc) - len(m.x)) || m.x || m.y
+       |                  ELSE acc || ' ' || t END) END
+       |  FROM step st JOIN merges m ON m.rank = st.r + 1),
+       |toklen AS (SELECT w, len(string_split(s, ' ')) AS ntok
+       |  FROM step WHERE r = ${BpeMerges1k.length}),
+       |perkey AS (SELECT c_custkey, count(*) AS n_words,
+       |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |    min(ntok) AS mn, max(ntok) AS mx
+       |  FROM words JOIN toklen USING (w) GROUP BY 1)
+       |SELECT c_nationkey AS nationkey, count(*) AS n_names,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(min(mn) AS BIGINT) AS min_tokens,
+       |  CAST(max(mx) AS BIGINT) AS max_tokens,
+       |  CAST(sum(n_tokens) * 10000 // sum(n_words) AS BIGINT) AS fertility_bp
+       |FROM perkey JOIN customer USING (c_custkey)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   private[queries] def t32OracleSql: String =
     s"""$t20OracleCore

@@ -38,6 +38,18 @@ class BpeSpec extends SparkTestBase {
       s"literal drifted from trainer output: $trained")
   }
 
+  test("pinned 1024-merge table IS the trainer's output on the sf0.01 " +
+      "customer-name sample, and the trainer does NOT run dry") {
+    val src = graft.queries.CorpusOps2.bpe1kTrainingSource(
+      spark, "/root/testdata/sf0.01")
+    val trained = Bpe.train(Bpe.wordFreq(src, "text"), numMerges = 1024)
+    assert(trained.length == 1024,
+      s"name vocabulary exhausted at ${trained.length} merges")
+    assert(trained == graft.queries.CorpusOps2.BpeMerges1k,
+      "pinned 1k table drifted from trainer output — regenerate with " +
+        "graft.tools.BpeDump 1024")
+  }
+
   test("tokenCounts is partition-independent and bounded by word length") {
     import spark.implicits._
     val docs = Seq(
