@@ -16,9 +16,12 @@ object Verify {
       if (rest.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(rest.contains).toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // tmpfs temp plane for streaming checkpoints — see TmpWork
+    TmpWork.install("graft_verify_")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", TmpWork.diskTmp)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

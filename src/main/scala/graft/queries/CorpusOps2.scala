@@ -1133,8 +1133,15 @@ object CorpusOps2 {
           .filter(gate)
           .select(binTok.as("bin"))
           .groupBy("bin").agg(count(lit(1)).as("nc"))
-        val q = counts.writeStream.format("memory").queryName("st24_bins")
-          .outputMode("complete").start()
+        // 4 state partitions for the harness — see st01's note (this
+        // census holds <= 10 counter rows; 32 state stores were pure
+        // per-batch commit constant, the r13 idle-drift finding)
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try counts.writeStream.format("memory").queryName("st24_bins")
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>

@@ -658,11 +658,16 @@ object TextQueries {
             r.getLong(0), r.getString(1), r.getLong(2)))
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.CorpusStream.PackInDoc]
-        val q = graft.streaming.CorpusStream
-          .packingStream(stream.toDS(), budget = 512, buckets = 4)
-          .toDF()
-          .writeStream.format("memory").queryName("st31_packed")
-          .outputMode("append").start()
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.streaming.CorpusStream
+            .packingStream(stream.toDS(), budget = 512, buckets = 4)
+            .toDF()
+            .writeStream.format("memory").queryName("st31_packed")
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>
