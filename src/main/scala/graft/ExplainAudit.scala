@@ -27,21 +27,38 @@ object ExplainAudit {
     // per-query Exchange/Broadcast skeleton — the audit reduced to the
     // lines that matter at 100 TB (every Exchange is a shuffle; model-
     // frame joins must read BroadcastExchange). Full formatted plans
-    // otherwise.
-    val (summary, sel) = names.partition(_ == "--exchanges")
+    // otherwise. With no explicit names, "--exchanges" sweeps the
+    // WHOLE registry in sorted order — the shape behind the tracked
+    // EXCHANGES.txt artifact (regenerate per round:
+    //   ExplainAudit <sfDir> --exchanges > EXCHANGES.txt
+    // so exchange-count regressions diff mechanically). Streaming
+    // harnesses and iterative fits RUN during query construction, so
+    // the sweep costs about one Verify pass.
+    val (summary, explicitSel) = names.partition(_ == "--exchanges")
+    val sel =
+      if (summary.nonEmpty && args.length <= 2)
+        SparkEntry.queries.keys.toSeq.sorted
+      else explicitSel
     sel.foreach { n =>
       if (summary.nonEmpty) {
-        val plan = SparkEntry.queries(n)(spark, sfDir)
-          .queryExecution.executedPlan.toString
-        // ReusedExchange nodes are references to an Exchange counted
-        // elsewhere in the plan, not extra shuffles — tallying them
-        // would inflate exactly the count this audit is meant to pin
-        val ex = plan.linesIterator.map(_.trim)
-          .filter(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
-          .toSeq
-        val shuffles = ex.count(!_.contains("Broadcast"))
-        println(s"== $n: $shuffles shuffle Exchange(s), " +
-          s"${ex.size - shuffles} BroadcastExchange(s)")
+        val counts =
+          try {
+            val plan = SparkEntry.queries(n)(spark, sfDir)
+              .queryExecution.executedPlan.toString
+            // ReusedExchange nodes are references to an Exchange
+            // counted elsewhere in the plan, not extra shuffles —
+            // tallying them would inflate exactly the count this
+            // audit is meant to pin
+            val ex = plan.linesIterator.map(_.trim)
+              .filter(l => l.contains("Exchange") &&
+                !l.contains("ReusedExchange"))
+              .toSeq
+            val shuffles = ex.count(!_.contains("Broadcast"))
+            s"$shuffles shuffle Exchange(s), " +
+              s"${ex.size - shuffles} BroadcastExchange(s)"
+          } catch { case e: Throwable =>
+            s"ERROR ${e.getClass.getSimpleName}" }
+        println(s"== $n: $counts")
       } else {
         println(s"\n========== $n ==========")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
