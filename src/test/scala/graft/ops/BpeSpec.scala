@@ -72,6 +72,59 @@ class BpeSpec extends SparkTestBase {
     assert(nt1 >= nw1 && nt1 <= "the newest lowest offer".count(_ != ' '))
   }
 
+  test("heap encoder (encodeFast) is bit-identical to the sequential " +
+      "reference on random trained tables, the pinned tables, and edges") {
+    val rnd = new scala.util.Random(7)
+    // 40 random corpora -> trained tables (always well-formed) ->
+    // every distinct word encodes identically under both algorithms
+    for (trial <- 0 until 40) {
+      val alpha = "abcde".take(2 + rnd.nextInt(3))
+      val words = (0 until 30).map { _ =>
+        (0 until (1 + rnd.nextInt(10)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val wf = words.groupBy(identity).view
+        .mapValues(g => (g.size + rnd.nextInt(5)).toLong).toMap
+      val merges = Bpe.train(wf, numMerges = 1 + rnd.nextInt(40)).toArray
+      assert(Bpe.wellFormed(merges), s"trial $trial: trained table not WF")
+      val ranks = Bpe.rankMap(merges)
+      val probes = words ++ Seq("", "z", "zz", alpha.reverse * 3,
+        words.head + "zq" + words.last)
+      probes.filter(_.nonEmpty).foreach { w =>
+        val a = Bpe.encode(w, merges).toSeq
+        val b = Bpe.encodeFast(w, ranks).toSeq
+        assert(a == b, s"trial $trial word '$w': seq $a != heap $b")
+      }
+    }
+    // both pinned tables are well-formed (so the apply path IS the
+    // heap) and agree with the reference on the real vocabularies
+    for ((tbl, dir, words) <- Seq(
+        (graft.queries.CorpusOps2.BpeFixedMerges, "docs",
+          spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select(explode(split(Bpe.normText(col("text")), " ")).as("w"))
+            .where(col("w") =!= "").distinct()
+            .collect().map(_.getString(0)).toSeq),
+        (graft.queries.CorpusOps2.BpeMerges1k, "names",
+          spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+            .select(Bpe.normText(col("c_name")).as("w"))
+            .collect().map(_.getString(0)).toSeq))) {
+      val arr = tbl.toArray
+      assert(Bpe.wellFormed(arr), s"$dir table must be well-formed")
+      val ranks = Bpe.rankMap(arr)
+      words.foreach { w =>
+        assert(Bpe.encode(w, arr).toSeq == Bpe.encodeFast(w, ranks).toSeq,
+          s"$dir '$w' diverged")
+      }
+    }
+    // a NON-well-formed table (later merge references a never-made
+    // symbol) is detected, so tokenCounts falls back to sequential
+    assert(!Bpe.wellFormed(Array("ab" -> "c")))
+    assert(!Bpe.wellFormed(Array("a" -> "b", "a" -> "b")))
+    // duplicate OUTPUT via different splits: (a,bc) and (ab,c) -> "abc"
+    assert(!Bpe.wellFormed(Array(
+      "b" -> "c", "a" -> "bc", "a" -> "b", "ab" -> "c")))
+  }
+
   test("packing budgets run on BPE token counts through the tokensCol parameter") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

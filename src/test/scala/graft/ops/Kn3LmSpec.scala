@@ -112,6 +112,26 @@ class Kn3LmSpec extends SparkTestBase {
     assert(native == batch, s"native $native != batch $batch")
   }
 
+  test("kn3Freeze fails LOUDLY when |V|+1 overflows the packed triple " +
+      "key instead of silently wrapping ids") {
+    // a vocabulary at the 2^21-1 bound: id1*V^2 with V = 2^21 would
+    // exceed Long range for the largest ids, so the freeze must refuse
+    // — the minCount knob is the documented way back under the bound.
+    // The frames are constructed directly (fitting a 2M-term corpus in
+    // a spec is not the point; the guard is).
+    import spark.implicits._
+    val vocab = spark.range(2097151L)
+      .selectExpr("concat('t', id) AS tok")
+    val tri = Seq.empty[(String, String, String, Long)]
+      .toDF("m1", "m2", "m3", "c3")
+    val vsz = vocab.agg((org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)) + 1).as("v"))
+    val lm = TextAnalysis.TrigramLm(vocab, tri, vsz)
+    val e = intercept[IllegalArgumentException] { kn3Freeze(lm) }
+    assert(e.getMessage.contains("overflows the packed"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("native scorer nulls out on sub-3-token and empty texts") {
     val ref = docsDf(0L -> "a b c a b c a b c a b c")
     val frozen = kn3Freeze(trigramLmFit(ref, "text", minCount = 2))
