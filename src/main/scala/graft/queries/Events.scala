@@ -1275,7 +1275,80 @@ object Events {
         }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
           .orderBy("channel")
       },
-      Some(markov2OracleSql))
+      Some(markov2OracleSql)),
+
+    Q(
+      "e20_markov3_attribution",
+      (s, dir) => {
+        // THIRD-order Markov attribution — e19's pair machinery
+        // extended one more lag (Anderl et al. 2016 evaluate orders
+        // 1–4; each added order is ONE more lag on the same window
+        // and one more component in the state label, exactly the
+        // SURVEY §7 prediction). States are (prev2|prev1|cur)
+        // triples with 'start' padding (pv1='start' forces
+        // pv2='start', so the vocabulary is the 84 REACHABLE
+        // triples, not 100); removing a channel blocks every triple
+        // whose CURRENT component is that channel — the e19
+        // completeness argument verbatim (a triple with the removed
+        // channel in a prev slot is only reachable THROUGH a
+        // cur-blocked state). Scale: the census is STILL one
+        // user-keyed window pass (both lags ride the same window
+        // spec — zero extra shuffles, see EXCHANGES.txt) and one
+        // (src,dst)-sized aggregate; order k grows only the
+        // states²-sized driver matrix (87² here vs e19's 23²).
+        val ev = Tables(s, dir).events
+          .filter(col("event_type").isin(MarkovChannels :+ "purchase": _*))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val seq0 = ev.withColumn("rn", row_number().over(w))
+        val seqd = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(seq0)
+        val fp = seqd.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("rn").as("pn"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("rn")
+        val jr = seqd.join(fp, Seq("user_id"), "left")
+          .filter(col("pn").isNull || col("rn") <= col("pn"))
+          .select(col("user_id"), col("rn"),
+            when(col("event_type") === "purchase", lit("conv"))
+              .otherwise(col("event_type")).as("st"))
+        val lbl = jr
+          .withColumn("pv1", lag("st", 1).over(wr))
+          .withColumn("pv2", lag("st", 2).over(wr))
+          .select(col("user_id"), col("rn"),
+            when(col("st") === "conv", lit("conv"))
+              .otherwise(concat_ws("|",
+                coalesce(col("pv2"), lit("start")),
+                coalesce(col("pv1"), lit("start")), col("st"))).as("st"))
+          .withColumn("nx", lead("st", 1).over(wr))
+        val raw = lbl.filter(col("rn") === 1)
+            .select(lit("start").as("src"), col("st").as("dst"))
+          .unionAll(lbl.filter(col("nx").isNotNull)
+            .select(col("st").as("src"), col("nx").as("dst")))
+          .unionAll(lbl.filter(col("nx").isNull && col("st") =!= "conv")
+            .select(col("st").as("src"), lit("drop").as("dst")))
+        val trans = raw.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        val tot = trans.groupBy("src").agg(sum("c").as("tc"))
+        val tppm = trans.join(tot, "src")
+          .select(col("src"), col("dst"), expr("c * 1000000 div tc").as("ppm"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val states = "start" +: Markov3Triples :+ "conv" :+ "drop"
+        val base = markovWalk(tppm, states, Set.empty)
+        val rowsOut = MarkovChannels.map { ch =>
+          val removed = markovWalk(tppm, states,
+            Markov3Triples.filter(_.endsWith("|" + ch)).toSet)
+          (ch, base, removed,
+            if (base == 0) 0L else (base - removed) * 1000000L / base)
+        }
+        val effSum = rowsOut.map(_._4).sum
+        import s.implicits._
+        rowsOut.map { case (ch, b, r, e) =>
+          (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
+        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
+          .orderBy("channel")
+      },
+      Some(markov3OracleSql))
   )
 
   /** e19's pair-state vocabulary: (start+channels) × channels, the
@@ -1284,6 +1357,18 @@ object Events {
   private def Markov2Pairs: Seq[String] =
     for (pv <- "start" +: MarkovChannels; cur <- MarkovChannels)
       yield s"$pv|$cur"
+
+  /** e20's triple-state vocabulary: the REACHABLE (prev2|prev1|cur)
+    * triples — pv1 = 'start' forces pv2 = 'start' (only the first
+    * event lacks a predecessor), so 84 states, not 100. A `def` for
+    * the same initialization-order reason as [[Markov2Pairs]]. */
+  private def Markov3Triples: Seq[String] =
+    for {
+      pp <- "start" +: MarkovChannels
+      pv <- "start" +: MarkovChannels
+      if !(pv == "start" && pp != "start")
+      cur <- MarkovChannels
+    } yield s"$pp|$pv|$cur"
 
   /** e17's channel vocabulary — a plan-time parameter (configured
     * taxonomy, not discovered), shared by the Spark walk and the
@@ -1391,13 +1476,33 @@ object Events {
     * the 8-round integer-ppm walk unrolled per variant with every pair
     * state ending in the removed channel pinned to 0 — exactly the
     * driver arithmetic. */
-  private def markov2OracleSql: String = {
-    val states = ("start" +: Markov2Pairs :+ "conv" :+ "drop")
+  private def markov2OracleSql: String = markovHigherOracleSql(
+    Markov2Pairs,
+    """coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+      |           'start') || '|' || st""".stripMargin)
+
+  /** e20's oracle: e19's generator at the triple-state vocabulary with
+    * one more lag in the label — nothing else changes. */
+  private def markov3OracleSql: String = markovHigherOracleSql(
+    Markov3Triples,
+    """coalesce(lag(st, 2) OVER (PARTITION BY user_id ORDER BY rn),
+      |           'start') || '|' ||
+      |         coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+      |           'start') || '|' || st""".stripMargin)
+
+  /** The shared higher-order oracle generator: the state-label census
+    * (lag-built labels, e17's three-branch raw union), then the
+    * 8-round integer-ppm walk unrolled per variant with every
+    * transient state ENDING in the removed channel pinned to 0 —
+    * exactly the driver arithmetic of [[markovWalk]]. */
+  private def markovHigherOracleSql(transients: Seq[String],
+      lblSql: String): String = {
+    val states = ("start" +: transients :+ "conv" :+ "drop")
       .map(s => s"('$s')").mkString(", ")
     val variants = ("base", None) +: MarkovChannels.map(c => (c, Some(c)))
     val rounds = variants.map { case (v, removed) =>
       val zero = removed.map { r =>
-        val blocked = Markov2Pairs.filter(_.endsWith("|" + r))
+        val blocked = transients.filter(_.endsWith("|" + r))
           .map(b => s"'$b'").mkString(", ")
         s"WHEN s.st IN ($blocked) THEN 0"
       }.getOrElse("")
@@ -1434,8 +1539,7 @@ object Events {
        |  WHERE fp.pn IS NULL OR s.rn <= fp.pn),
        |lbl AS (SELECT user_id, rn,
        |    CASE WHEN st = 'conv' THEN 'conv'
-       |         ELSE coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
-       |           'start') || '|' || st END AS st
+       |         ELSE $lblSql END AS st
        |  FROM jr),
        |nxt AS (SELECT user_id, rn, st,
        |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nx FROM lbl),

@@ -77,6 +77,59 @@ class Wave5Spec extends SparkTestBase {
       s"attribution must sum to 1e6 minus floor slack: $attrSum")
   }
 
+  test("e20: depth-2 path dependence — order-2 misattributes a channel " +
+      "two steps back, order-3 separates the histories exactly") {
+    // two planted journeys: click→view→signup→CONV and
+    // error→view→signup→DROP. Whether signup converts depends on the
+    // channel TWO steps back; the order-2 state 'view|signup' MIXES
+    // both histories (it converts half the time), so removing 'error'
+    // appears to cost half the click-path conversions too. Order-3
+    // states 'click|view|signup' vs 'error|view|signup' separate them:
+    // removing 'error' has EXACTLY zero effect.
+    val M = 1000000L
+    val t2 = Map(
+      ("start", "start|click") -> M / 2, ("start", "start|error") -> M / 2,
+      ("start|click", "click|view") -> M, ("start|error", "error|view") -> M,
+      ("click|view", "view|signup") -> M, ("error|view", "view|signup") -> M,
+      ("view|signup", "conv") -> M / 2, ("view|signup", "drop") -> M / 2)
+    val s2 = Seq("start", "start|click", "start|error", "click|view",
+      "error|view", "view|signup", "conv", "drop")
+    val base2 = Events.markovWalk(t2, s2, Set.empty)
+    val rm2 = Events.markovWalk(t2, s2,
+      s2.filter(_.endsWith("|error")).toSet)
+    assert(base2 == 500000L && rm2 == 250000L,
+      s"order-2 blames error for half the click conversions: $base2/$rm2")
+    val t3 = Map(
+      ("start", "start|start|click") -> M / 2,
+      ("start", "start|start|error") -> M / 2,
+      ("start|start|click", "start|click|view") -> M,
+      ("start|start|error", "start|error|view") -> M,
+      ("start|click|view", "click|view|signup") -> M,
+      ("start|error|view", "error|view|signup") -> M,
+      ("click|view|signup", "conv") -> M,
+      ("error|view|signup", "drop") -> M)
+    val s3 = Seq("start", "start|start|click", "start|start|error",
+      "start|click|view", "start|error|view", "click|view|signup",
+      "error|view|signup", "conv", "drop")
+    val base3 = Events.markovWalk(t3, s3, Set.empty)
+    val rm3 = Events.markovWalk(t3, s3,
+      s3.filter(_.endsWith("|error")).toSet)
+    assert(base3 == 500000L && rm3 == 500000L,
+      s"order-3 must assign error ZERO effect: $base3/$rm3")
+    // and removing 'click' kills exactly the converting path at both orders
+    assert(Events.markovWalk(t3, s3,
+      s3.filter(_.endsWith("|click")).toSet) == 0L)
+    // on the real table: same invariants as e17/e19
+    val out = run("e20_markov3_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length == 4 && out.map(_._2).distinct.length == 1)
+    assert(out.forall { case (_, b, rm, e, _) =>
+      rm <= b && e >= 0 && e <= 1000000L })
+    val attrSum = out.map(_._5).sum
+    assert(attrSum <= 1000000L && attrSum >= 1000000L - out.length)
+  }
+
   test("a27: SQ8 reconstruction error is bounded by half the " +
       "quantization step; centroid-exact at mx=0") {
     import spark.implicits._
