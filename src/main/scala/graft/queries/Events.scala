@@ -1348,7 +1348,102 @@ object Events {
         }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
           .orderBy("channel")
       },
-      Some(markov3OracleSql))
+      Some(markov3OracleSql)),
+
+    Q(
+      "st32_stream_attribution",
+      (s, dir) => {
+        // STREAMING Markov attribution under the DuckDB oracle — the
+        // live-dashboard deployment of e17's removal-effect model:
+        // journey edges extract AT INGEST (EventStreams.
+        // markovCensusStream — fMGWS with ONE small row of state per
+        // user: last label + converted flag + last event time), the
+        // drained census is channels²-sized, and the walk is the
+        // same 8-round integer-ppm driver arithmetic as e17. The
+        // journey grain is SESSIONIZED (a stream has no end-of-data,
+        // so journeys close after 60 min of event-time inactivity —
+        // the in-fold gap check makes the split identical wherever
+        // the micro-batch boundary falls, and the event-time TIMEOUT
+        // emits the final drop edge of journeys with no further
+        // events, fired here by two watermark-advancing sentinel
+        // batches whose 'noop' type the operator ignores). The
+        // oracle replays the sessionized census (cumulative-sum
+        // session ids) + the identical unrolled walk. Universe caps
+        // ABSOLUTE at user_id < 300 (st18's discipline). collect()
+        // is the MemoryStream feeding harness.
+        import graft.streaming.EventStreams
+        implicit val sqlCtx = s.sqlContext
+        implicit val evEnc =
+          org.apache.spark.sql.Encoders.product[EventStreams.Event]
+        val rows = Tables(s, dir).events
+          .filter(col("user_id") < 300 &&
+            col("event_type").isin(MarkovChannels :+ "purchase": _*))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy("ts", "event_id")
+          .as[EventStreams.Event].collect()
+        val maxTsMs = rows.map(_.ts.getTime).max
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        val ckpt = java.nio.file.Files.createTempDirectory("st32_ckpt").toString
+        // 4 state partitions for the harness — see st01's note
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try EventStreams.markovCensusStream(stream.toDS(), MarkovChannels)
+            .toDF()
+            .writeStream.format("memory").queryName("st32_edges")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          // two watermark-advancing sentinel batches (st09's flush
+          // pattern): the first moves the watermark past every
+          // journey's close-out; the second's processing fires the
+          // timeouts that emit the final drop edges
+          for (off <- Seq(100L, 101L)) {
+            stream.addData(IndexedSeq(EventStreams.Event(-1L,
+              new java.sql.Timestamp(maxTsMs + off * 3600L * 1000L),
+              -1L, "noop", 0.0)))
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        val tppm = {
+          val trans = s.table("st32_edges")
+            .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+          // explicit re-alias: the memory-sink table's self-derived
+          // attributes collide under the bare string-key join
+          val tot = trans.select(col("src").as("tsrc"), col("c").as("tc0"))
+            .groupBy("tsrc").agg(sum("tc0").as("tc"))
+          trans.join(tot, col("src") === col("tsrc"))
+            .select(col("src"), col("dst"),
+              expr("c * 1000000 div tc").as("ppm"))
+            .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+            .toMap
+        }
+        val states = "start" +: MarkovChannels :+ "conv" :+ "drop"
+        val base = markovWalk(tppm, states, Set.empty)
+        val rowsOut = MarkovChannels.map { ch =>
+          val removed = markovWalk(tppm, states, Set(ch))
+          (ch, base, removed,
+            if (base == 0) 0L else (base - removed) * 1000000L / base)
+        }
+        val effSum = rowsOut.map(_._4).sum
+        import s.implicits._
+        rowsOut.map { case (ch, b, r, e) =>
+          (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
+        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
+          .orderBy("channel")
+      },
+      Some(markovSessionOracleSql("user_id < 300", gapMinutes = 60)))
   )
 
   /** e19's pair-state vocabulary: (start+channels) × channels, the
@@ -1401,7 +1496,21 @@ object Events {
     * integer-ppm walk UNROLLED per variant (base + one per removed
     * channel) — every per-term product floored before the sum, exactly
     * the driver arithmetic. */
-  private def markovOracleSql: String = {
+  private def markovOracleSql: String = markovFirstOrderOracleSql("TRUE", None)
+
+  /** st32's oracle: e17's model over the SESSIONIZED journey grain —
+    * the pre-conversion event stream splits where the event-time gap
+    * exceeds `gapMinutes` (cumulative-sum session ids, e02's idiom);
+    * each session emits its own start edge, within-session
+    * transitions, and a drop edge unless it ends in conv. The walk /
+    * effects suffix is e17's verbatim. */
+  private def markovSessionOracleSql(filter: String, gapMinutes: Int): String =
+    markovFirstOrderOracleSql(filter, Some(gapMinutes))
+
+  /** The first-order oracle generator behind e17 (one journey per
+    * user, `sessionGapMinutes = None`) and st32 (sessionized). */
+  private def markovFirstOrderOracleSql(filter: String,
+      sessionGapMinutes: Option[Int]): String = {
     val states = ("start" +: MarkovChannels :+ "conv" :+ "drop")
       .map(s => s"('$s')").mkString(", ")
     val variants = ("base", None) +: MarkovChannels.map(c => (c, Some(c)))
@@ -1426,26 +1535,53 @@ object Events {
          |  (SELECT p FROM pbase8 WHERE st = 'start') AS base_ppm,
          |  (SELECT p FROM p${c}8 WHERE st = 'start') AS removed_ppm""".stripMargin
     }.mkString("\nUNION ALL\n")
+    val censusSql = sessionGapMinutes match {
+      case None =>
+        """nxt AS (SELECT user_id, rn, st,
+          |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nx FROM jr),
+          |raw AS (
+          |  SELECT 'start' AS src, st AS dst FROM nxt WHERE rn = 1
+          |  UNION ALL
+          |  SELECT st, nx FROM nxt WHERE nx IS NOT NULL
+          |  UNION ALL
+          |  SELECT st, 'drop' FROM nxt WHERE nx IS NULL AND st <> 'conv'),"""
+          .stripMargin
+      case Some(gap) =>
+        s"""brk AS (SELECT user_id, rn, st,
+           |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY rn)
+           |           IS NULL
+           |         OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+           |           ORDER BY rn) > ${gap * 60L * 1000000L}
+           |         THEN 1 ELSE 0 END AS b
+           |  FROM jr),
+           |sess AS (SELECT user_id, rn, st, b,
+           |    CAST(sum(b) OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT)
+           |      AS sid
+           |  FROM brk),
+           |nxt AS (SELECT user_id, sid, rn, st, b,
+           |    lead(st) OVER (PARTITION BY user_id, sid ORDER BY rn) AS nx
+           |  FROM sess),
+           |raw AS (
+           |  SELECT 'start' AS src, st AS dst FROM nxt WHERE b = 1
+           |  UNION ALL
+           |  SELECT st, nx FROM nxt WHERE nx IS NOT NULL
+           |  UNION ALL
+           |  SELECT st, 'drop' FROM nxt WHERE nx IS NULL AND st <> 'conv'),"""
+          .stripMargin
+    }
     s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
-       |  WHERE event_type IN (${(MarkovChannels :+ "purchase")
+       |  WHERE ($filter) AND event_type IN (${(MarkovChannels :+ "purchase")
             .map(c => s"'$c'").mkString(", ")})),
        |seq AS (SELECT *, row_number() OVER (PARTITION BY user_id
        |    ORDER BY ts, event_id) AS rn FROM ev),
        |fp AS (SELECT user_id, min(rn) AS pn FROM seq
        |  WHERE event_type = 'purchase' GROUP BY 1),
-       |jr AS (SELECT s.user_id, s.rn,
+       |jr AS (SELECT s.user_id, s.rn, epoch_us(s.ts) AS ts_us,
        |    CASE WHEN s.event_type = 'purchase' THEN 'conv'
        |         ELSE s.event_type END AS st
        |  FROM seq s LEFT JOIN fp USING (user_id)
        |  WHERE fp.pn IS NULL OR s.rn <= fp.pn),
-       |nxt AS (SELECT user_id, rn, st,
-       |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nx FROM jr),
-       |raw AS (
-       |  SELECT 'start' AS src, st AS dst FROM nxt WHERE rn = 1
-       |  UNION ALL
-       |  SELECT st, nx FROM nxt WHERE nx IS NOT NULL
-       |  UNION ALL
-       |  SELECT st, 'drop' FROM nxt WHERE nx IS NULL AND st <> 'conv'),
+       |$censusSql
        |trans AS (SELECT src, dst, count(*) AS c FROM raw GROUP BY 1, 2),
        |tot AS (SELECT src, sum(c) AS tc FROM trans GROUP BY 1),
        |tppm AS (SELECT src, dst, c * 1000000 // tc AS ppm

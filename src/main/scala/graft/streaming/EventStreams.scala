@@ -104,6 +104,124 @@ object EventStreams {
         unix_micros(col("w.start")).as("start_us"),
         col("n_events"), col("value_cents"))
 
+  final case class MarkovState(lastLabel: String, converted: Boolean,
+      lastTsMicros: Long)
+
+  /** One journey edge of the streaming Markov census (user_id rides
+    * along so the harness can exclude its watermark-sentinel user;
+    * the census itself aggregates on (src, dst) only). */
+  final case class MarkovEdge(user_id: Long, src: String, dst: String)
+
+  /**
+   * STREAMING SESSION-SCOPED Markov-attribution census — the live-
+   * attribution-dashboard deployment of e17's model: journey edges
+   * are extracted AT INGEST, the edge counters accumulate as events
+   * arrive, and the dashboard re-runs the driver-side removal-effect
+   * walk over the drained channels²-sized census whenever it
+   * refreshes. State is ONE small row per active user (last journey
+   * label + converted flag + last event time) — the [[sessionize]]
+   * bound.
+   *
+   * Journey semantics (the sessionized-attribution convention — a
+   * stream has no "end of data", so e17's journeys-end-at-end-of-
+   * data rule becomes an explicit inactivity close-out, exactly as
+   * e02 sessionizes what a batch would treat as one unbroken
+   * sequence):
+   *   - events outside `channels` + "purchase" are IGNORED
+   *     in-operator (not just pre-filtered), so watermark-advancing
+   *     sentinel rows ride the feed without touching the census;
+   *   - a journey's FIRST event emits start→label; each later event
+   *     emits lastLabel→label, ordered by (event-time micros,
+   *     event_id) within a batch — the e02 sub-millisecond
+   *     discipline — and by arrival across batches (the append-log
+   *     contract);
+   *   - an event-time gap > `gapMinutes` CLOSES the running journey
+   *     with its lastLabel→drop edge and restarts from 'start' —
+   *     checked IN-FOLD against the state's last event time, so the
+   *     split lands identically wherever the micro-batch boundary
+   *     falls (stream ≡ batch bit-exactly; the oracle replays the
+   *     same gap rule with a window cumulative sum);
+   *   - "purchase" maps to the absorbing conv edge and the USER
+   *     truncates — every later event of that user drops forever
+   *     (e17's rn ≤ pn rule: post-conversion behavior is out of
+   *     attribution scope);
+   *   - a non-converted journey quiet past `gapMinutes` with NO
+   *     further events ever gets its drop edge from the event-time
+   *     timeout (the only case the in-fold check cannot see).
+   *
+   * Scale: the output is an append stream of (src, dst) edges — the
+   * downstream census is a channels²-sized aggregate, and the walk
+   * is driver arithmetic over that matrix (e17's posture); nothing
+   * anywhere holds per-event state beyond the one row per user.
+   */
+  def markovCensusStream(events: Dataset[Event], channels: Seq[String],
+      gapMinutes: Int = 60, watermark: String = "1 hour"): Dataset[MarkovEdge] = {
+    implicit val outEnc = Encoders.product[MarkovEdge]
+    implicit val stEnc = Encoders.product[MarkovState]
+    val chan = channels.toSet
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[MarkovState, MarkovEdge](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[MarkovState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.converted) {
+              // a stray timeout set before conversion: stay absorbed —
+              // the batch census truncates at the FIRST purchase, so a
+              // converted user never re-enters the journey space
+              state.update(st)
+              Iterator.empty
+            } else {
+              // close out the quiet journey with its drop edge; the
+              // user restarts from 'start' (tombstone, no timeout —
+              // the sessionize rule: state stays bounded by distinct
+              // users, never grows per event)
+              state.update(MarkovState("start", converted = false, Long.MinValue))
+              if (st.lastLabel != "start")
+                Iterator.single(MarkovEdge(userId, st.lastLabel, "drop"))
+              else Iterator.empty
+            }
+          } else {
+            def micros(t: Timestamp): Long =
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val gapMicros = gapMinutes * 60L * 1000000L
+            val counted = batch
+              .filter(e => chan.contains(e.event_type) || e.event_type == "purchase")
+              .toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption
+              .getOrElse(MarkovState("start", converted = false, Long.MinValue))
+            val out = Seq.newBuilder[MarkovEdge]
+            counted.foreach { e =>
+              if (!st.converted) {
+                val tsMic = micros(e.ts)
+                // in-fold gap split: the running journey closes with
+                // its drop edge BEFORE this event starts a new one —
+                // state carries the last event time, so the split is
+                // identical wherever the micro-batch boundary falls
+                if (st.lastLabel != "start" &&
+                    st.lastTsMicros != Long.MinValue &&
+                    tsMic - st.lastTsMicros > gapMicros) {
+                  out += MarkovEdge(userId, st.lastLabel, "drop")
+                  st = MarkovState("start", converted = false, Long.MinValue)
+                }
+                val dst = if (e.event_type == "purchase") "conv" else e.event_type
+                out += MarkovEdge(userId, st.lastLabel, dst)
+                st = MarkovState(dst, converted = dst == "conv", tsMic)
+              }
+            }
+            if (counted.nonEmpty) {
+              state.update(st)
+              if (!st.converted)
+                state.setTimeoutTimestamp(
+                  st.lastTsMicros / 1000L + gapMinutes * 60L * 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /**
    * Gap-based sessionization with explicit state — the batch twin is
    * `e02_sessionize` (30-minute gap there too). Emits an update per

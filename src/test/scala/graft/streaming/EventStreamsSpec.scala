@@ -212,4 +212,67 @@ class EventStreamsSpec extends SparkTestBase {
       assert(unmatched.head.isNullAt(4), "click_id must be null-padded")
     } finally query.stop()
   }
+
+  /** Run markovCensusStream over the given micro-batches (plus the
+    * two watermark-advancing sentinel close-out batches) and return
+    * the drained edge BAG as a sorted seq. */
+  private def markovBag(name: String,
+      batches: Seq[Seq[Event]]): Seq[(Long, String, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = markovCensusStream(input.toDS(),
+        channels = Seq("click", "error", "signup", "view"))
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      // st09's flush pattern: the first sentinel advances the
+      // watermark past every journey's close-out, the second's
+      // processing fires the timeouts; 'noop' is ignored in-operator
+      for (h <- Seq(18, 19)) {
+        input.addData(Event(-1, tsH(h, 0), -1L, "noop", 0.0))
+        query.processAllAvailable()
+      }
+      spark.table(name).as[(Long, String, String)].collect().toSeq.sorted
+    } finally query.stop()
+  }
+
+  test("markovCensusStream: gap split, conversion absorption, timeout " +
+      "drop edges — and the census is micro-batch-cut invariant") {
+    // time-ordered feed (the append-log contract):
+    //   10:00 u10 view | 10:01 u12 purchase | 10:05 u11 click
+    //   10:10 u11 purchase | 10:20 u11 view | 10:30 u10 click
+    //   12:40 u10 view
+    // u10: the 2h10m gap closes journey 1 with click->drop; journey 2
+    //      (the 12:40 view) ends view->drop at timeout.
+    // u11: converts at 10:10; the 10:20 view is absorbed forever.
+    // u12: lone purchase -> start->conv, no drop.
+    val evs = Seq(
+      Event(1, tsH(10, 0), 10, "view", 0.0),
+      Event(7, tsH(10, 1), 12, "purchase", 0.0),
+      Event(4, tsH(10, 5), 11, "click", 0.0),
+      Event(5, tsH(10, 10), 11, "purchase", 0.0),
+      Event(6, tsH(10, 20), 11, "view", 0.0),
+      Event(2, tsH(10, 30), 10, "click", 0.0),
+      Event(3, tsH(12, 40), 10, "view", 0.0))
+    val expected = Seq(
+      (10L, "start", "view"), (10L, "view", "click"), (10L, "click", "drop"),
+      (10L, "start", "view"), (10L, "view", "drop"),
+      (11L, "start", "click"), (11L, "click", "conv"),
+      (12L, "start", "conv")).sorted
+    val oneBatch = markovBag("mk_one", Seq(evs))
+    assert(oneBatch == expected, s"got $oneBatch")
+    // the SAME census when the feed cuts mid-journey (after 10:10 and
+    // after 10:30 — both inside running journeys): the in-fold gap
+    // check + per-user state carry make the cuts invisible
+    val threeBatches = markovBag("mk_three",
+      Seq(evs.take(4), evs.slice(4, 6), evs.drop(6)))
+    assert(threeBatches == oneBatch,
+      s"micro-batch cut moved the census: $threeBatches vs $oneBatch")
+  }
 }
