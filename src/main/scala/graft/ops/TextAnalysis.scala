@@ -822,12 +822,14 @@ object TextAnalysis {
     * literal "<unk>" token itself clears minCount) so the frozen
     * scorer is bit-parity with the broadcast-join path. */
   def kn3Freeze(lm: TrigramLm): Kn3FrozenLm = {
-    val terms = lm.vocab.filter(col("tok") =!= "<unk>").orderBy("tok")
-      .collect().map(_.getString(0))
-    val id = terms.iterator.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    // overflow guard FIRST — vsz is a 1-row aggregate, so the refusal
+    // on a 2M-term vocabulary is O(1), not a 2M-string driver collect
     val v = lm.vsz.head.getLong(0)
     require(v < 2097151L, s"kn3Freeze: |V|+1=$v overflows the packed " +
       "triple key (id1*V^2 bound) — raise minCount")
+    val terms = lm.vocab.filter(col("tok") =!= "<unk>").orderBy("tok")
+      .collect().map(_.getString(0))
+    val id = terms.iterator.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val rawTris = lm.tri.collect()
       .map { r => ((id.getOrElse(r.getString(0), 0).toLong * v +
         id.getOrElse(r.getString(1), 0)) * v +

@@ -112,15 +112,12 @@ object CorpusOps2 {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[SpanStream.Doc]
         val ckpt = java.nio.file.Files.createTempDirectory("st05_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try SpanStream.sharedSpans(stream.toDS(), watermark = "10 minutes")
+        val q = Q.withHarnessPartitions(s) {
+          SpanStream.sharedSpans(stream.toDS(), watermark = "10 minutes")
             .writeStream.format("memory").queryName("st05_spans")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
@@ -695,14 +692,12 @@ object CorpusOps2 {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[CorpusStream.Doc]
         val ckpt = java.nio.file.Files.createTempDirectory("st11_ckpt").toString
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try CorpusStream.prepPipeline(stream.toDS(), watermark = "1 hour")
+        val q = Q.withHarnessPartitions(s) {
+          CorpusStream.prepPipeline(stream.toDS(), watermark = "1 hour")
             .writeStream.format("memory").queryName("st11_prep")
             .option("checkpointLocation", ckpt)
             .outputMode("update").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           batches.zipWithIndex.foreach { case (batch, i) =>
             stream.addData(batch.map { case (id, t) =>
@@ -1058,15 +1053,12 @@ object CorpusOps2 {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[CorpusStream.SourcedDoc]
         val ckpt = java.nio.file.Files.createTempDirectory("st23_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try CorpusStream.quotaAdmission(stream.toDS(), quotas, defaultQuota = 5)
+        val q = Q.withHarnessPartitions(s) {
+          CorpusStream.quotaAdmission(stream.toDS(), quotas, defaultQuota = 5)
             .writeStream.format("memory").queryName("st23_admitted")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>
@@ -1136,12 +1128,10 @@ object CorpusOps2 {
         // 4 state partitions for the harness — see st01's note (this
         // census holds <= 10 counter rows; 32 state stores were pure
         // per-batch commit constant, the r13 idle-drift finding)
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try counts.writeStream.format("memory").queryName("st24_bins")
+        val q = Q.withHarnessPartitions(s) {
+          counts.writeStream.format("memory").queryName("st24_bins")
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>
@@ -1479,14 +1469,13 @@ object CorpusOps2 {
        |toklen AS (SELECT w, len(string_split(s, ' ')) AS ntok
        |  FROM step WHERE r = ${BpeMerges1k.length}),
        |perkey AS (SELECT c_custkey, count(*) AS n_words,
-       |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
-       |    min(ntok) AS mn, max(ntok) AS mx
+       |    CAST(sum(ntok) AS BIGINT) AS n_tokens
        |  FROM words JOIN toklen USING (w) GROUP BY 1)
        |SELECT c_nationkey AS nationkey, count(*) AS n_names,
        |  CAST(sum(n_words) AS BIGINT) AS n_words,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       |  CAST(min(mn) AS BIGINT) AS min_tokens,
-       |  CAST(max(mx) AS BIGINT) AS max_tokens,
+       |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
        |  CAST(sum(n_tokens) * 10000 // sum(n_words) AS BIGINT) AS fertility_bp
        |FROM perkey JOIN customer USING (c_custkey)
        |GROUP BY 1 ORDER BY 1""".stripMargin

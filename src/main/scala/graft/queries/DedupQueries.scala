@@ -826,14 +826,12 @@ object DedupQueries {
         // per-micro-batch cost at 4 state-store commits instead of
         // shuffle.partitions-many (the dominant harness cost, ~2 s/batch
         // at 32); production streams size this to their cluster
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try DedupStream.candidatePairs(stream.toDS(), watermark = "10 minutes")
+        val q = Q.withHarnessPartitions(s) {
+          DedupStream.candidatePairs(stream.toDS(), watermark = "10 minutes")
             .writeStream.format("memory").queryName("st01_pairs")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           // two micro-batches: the minimum that still proves cross-batch
           // bucket state (pairs whose docs arrive in different batches);
@@ -890,15 +888,12 @@ object DedupQueries {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[DedupStream.Doc]
         val ckpt = java.nio.file.Files.createTempDirectory("st12_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try DedupStream.firstSeen(stream.toDS(), watermark = "10 minutes")
+        val q = Q.withHarnessPartitions(s) {
+          DedupStream.firstSeen(stream.toDS(), watermark = "10 minutes")
             .writeStream.format("memory").queryName("st12_kept")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           Seq(base, replays).zipWithIndex.foreach { case (batch, i) =>
             stream.addData(batch.map { case (id, t) =>
@@ -939,15 +934,12 @@ object DedupQueries {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[FuzzyStream.Rec]
         val ckpt = java.nio.file.Files.createTempDirectory("st13_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try FuzzyStream.matches(stream.toDS(), watermark = "10 minutes")
+        val q = Q.withHarnessPartitions(s) {
+          FuzzyStream.matches(stream.toDS(), watermark = "10 minutes")
             .writeStream.format("memory").queryName("st13_matches")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>
@@ -1011,16 +1003,13 @@ object DedupQueries {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[SemanticDedupStream.Vec]
         val ckpt = java.nio.file.Files.createTempDirectory("st04_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try SemanticDedupStream.candidatePairs(stream.toDS(),
+        val q = Q.withHarnessPartitions(s) {
+          SemanticDedupStream.candidatePairs(stream.toDS(),
               threshold = 0.3, dim = 64, planes = 12, tables = 4, seed = 5L)
             .writeStream.format("memory").queryName("st04_pairs")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).zipWithIndex.foreach { case (batch, i) =>

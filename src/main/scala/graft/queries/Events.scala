@@ -292,15 +292,12 @@ object Events {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[EventStreams.Event]
         val ckpt = java.nio.file.Files.createTempDirectory("st02_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try EventStreams.sessionize(stream.toDS())
+        val q = Q.withHarnessPartitions(s) {
+          EventStreams.sessionize(stream.toDS())
             .writeStream.format("memory").queryName("st02_sessions")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           // two micro-batches: the minimum that still proves cross-batch
           // session-state carry (sessions spanning the chunk boundary)
@@ -375,19 +372,17 @@ object Events {
           .MemoryStream[AsOfStream.Ref]
         val ckpt = java.nio.file.Files.createTempDirectory("st03_ckpt").toString
         // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
         // idleExpiry must exceed the corpus's longest view→click gap:
         // the batch oracle has unbounded lookback, and the default 24 h
         // retention dropped ref buffers for users whose prevailing view
         // was days old (15/408 rows nulled). 90 days > the table's span.
-        val q =
-          try AsOfStream.asofJoin(pStream.toDS(), rStream.toDS(),
+        val q = Q.withHarnessPartitions(s) {
+          AsOfStream.asofJoin(pStream.toDS(), rStream.toDS(),
               watermark = "1 hour", idleExpiryHours = 90L * 24L)
             .writeStream.format("memory").queryName("st03_asof")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           Seq(true, false).foreach { firstHalf =>
             rStream.addData(refs.filter(r => (r.ts.getTime <= thr) == firstHalf).toSeq)
@@ -457,15 +452,12 @@ object Events {
         val pStream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[EventStreams.Event]
         val ckpt = java.nio.file.Files.createTempDirectory("st14_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try EventStreams.attributionJoin(cStream.toDF(), pStream.toDF())
+        val q = Q.withHarnessPartitions(s) {
+          EventStreams.attributionJoin(cStream.toDF(), pStream.toDF())
             .writeStream.format("memory").queryName("st14_pairs")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           Seq(true, false).foreach { firstHalf =>
             cStream.addData(clicks.filter(c => (c.ts.getTime <= thr) == firstHalf).toSeq)
@@ -529,15 +521,12 @@ object Events {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[EventStreams.Event]
         val ckpt = java.nio.file.Files.createTempDirectory("st16_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try EventStreams.enrichedSegmentTotals(stream.toDF(), dim)
+        val q = Q.withHarnessPartitions(s) {
+          EventStreams.enrichedSegmentTotals(stream.toDF(), dim)
             .writeStream.format("memory").queryName("st16_segments")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val half = (rows.length + 1) / 2
           stream.addData(rows.take(half).toIndexedSeq)
@@ -599,11 +588,8 @@ object Events {
         val dimKeys = Tables(s, dir).customer.select(col("c_custkey"))
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[EventStreams.Event]
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try stream.toDF()
+        val q = Q.withHarnessPartitions(s) {
+          stream.toDF()
             .join(broadcast(dimKeys), col("user_id") === col("c_custkey"), "left")
             .groupBy("event_type")
             .agg(count(lit(1)).as("n_events"),
@@ -611,7 +597,7 @@ object Events {
               sum(when(col("value") < 0, 1L).otherwise(0L)).as("range_violations"))
             .writeStream.format("memory").queryName("st20_quality")
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val half = (rows.length + 1) / 2
           stream.addData(rows.take(half).toIndexedSeq)
@@ -699,11 +685,8 @@ object Events {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, java.sql.Timestamp)]
         val ckpt = java.nio.file.Files.createTempDirectory("st09_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try stream.toDS().toDF("event_id", "ts")
+        val q = Q.withHarnessPartitions(s) {
+          stream.toDS().toDF("event_id", "ts")
             .withWatermark("ts", "1 hour")
             .groupBy(window(col("ts"), "1 hour").as("w"))
             .agg(count(lit(1)).as("n_events"))
@@ -711,7 +694,7 @@ object Events {
             .writeStream.format("memory").queryName("st09_windows")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val half = (rows.length + 1) / 2
           stream.addData(rows.take(half).toIndexedSeq)
@@ -762,17 +745,14 @@ object Events {
           .collect().map(r => (r.getLong(0), r.getDouble(1)))
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Double)]
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try stream.toDS().toDF("event_id", "value")
+        val q = Q.withHarnessPartitions(s) {
+          stream.toDS().toDF("event_id", "value")
             .select(col("event_id"),
               floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
             .agg(topKByScore(col("event_id"), col("cents"), 100).as("topk"))
             .writeStream.format("memory").queryName("st10_topk")
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>
@@ -1116,20 +1096,8 @@ object Events {
           .select(col("src"), col("dst"), expr("c * 1000000 div tc").as("ppm"))
           .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
           .toMap
-        // 8-round bounded walk, exact integer ppm, per-term floor
-        val states = "start" +: MarkovChannels :+ "conv" :+ "drop"
-        val base = markovWalk(tppm, states, Set.empty)
-        val rowsOut = MarkovChannels.map { ch =>
-          val removed = markovWalk(tppm, states, Set(ch))
-          (ch, base, removed,
-            if (base == 0) 0L else (base - removed) * 1000000L / base)
-        }
-        val effSum = rowsOut.map(_._4).sum
-        import s.implicits._
-        rowsOut.map { case (ch, b, r, e) =>
-          (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
-        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
-          .orderBy("channel")
+        attributionTable(s, tppm,
+          "start" +: MarkovChannels :+ "conv" :+ "drop", ch => Set(ch))
       },
       Some(markovOracleSql)),
 
@@ -1260,20 +1228,8 @@ object Events {
           .select(col("src"), col("dst"), expr("c * 1000000 div tc").as("ppm"))
           .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
           .toMap
-        val states = "start" +: Markov2Pairs :+ "conv" :+ "drop"
-        val base = markovWalk(tppm, states, Set.empty)
-        val rowsOut = MarkovChannels.map { ch =>
-          val removed = markovWalk(tppm, states,
-            Markov2Pairs.filter(_.endsWith("|" + ch)).toSet)
-          (ch, base, removed,
-            if (base == 0) 0L else (base - removed) * 1000000L / base)
-        }
-        val effSum = rowsOut.map(_._4).sum
-        import s.implicits._
-        rowsOut.map { case (ch, b, r, e) =>
-          (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
-        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
-          .orderBy("channel")
+        attributionTable(s, tppm, "start" +: Markov2Pairs :+ "conv" :+ "drop",
+          ch => Markov2Pairs.filter(_.endsWith("|" + ch)).toSet)
       },
       Some(markov2OracleSql)),
 
@@ -1333,20 +1289,8 @@ object Events {
           .select(col("src"), col("dst"), expr("c * 1000000 div tc").as("ppm"))
           .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
           .toMap
-        val states = "start" +: Markov3Triples :+ "conv" :+ "drop"
-        val base = markovWalk(tppm, states, Set.empty)
-        val rowsOut = MarkovChannels.map { ch =>
-          val removed = markovWalk(tppm, states,
-            Markov3Triples.filter(_.endsWith("|" + ch)).toSet)
-          (ch, base, removed,
-            if (base == 0) 0L else (base - removed) * 1000000L / base)
-        }
-        val effSum = rowsOut.map(_._4).sum
-        import s.implicits._
-        rowsOut.map { case (ch, b, r, e) =>
-          (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
-        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
-          .orderBy("channel")
+        attributionTable(s, tppm, "start" +: Markov3Triples :+ "conv" :+ "drop",
+          ch => Markov3Triples.filter(_.endsWith("|" + ch)).toSet)
       },
       Some(markov3OracleSql)),
 
@@ -1386,16 +1330,13 @@ object Events {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[EventStreams.Event]
         val ckpt = java.nio.file.Files.createTempDirectory("st32_ckpt").toString
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try EventStreams.markovCensusStream(stream.toDS(), MarkovChannels)
+        val q = Q.withHarnessPartitions(s) {
+          EventStreams.markovCensusStream(stream.toDS(), MarkovChannels)
             .toDF()
             .writeStream.format("memory").queryName("st32_edges")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>
@@ -1429,19 +1370,8 @@ object Events {
             .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
             .toMap
         }
-        val states = "start" +: MarkovChannels :+ "conv" :+ "drop"
-        val base = markovWalk(tppm, states, Set.empty)
-        val rowsOut = MarkovChannels.map { ch =>
-          val removed = markovWalk(tppm, states, Set(ch))
-          (ch, base, removed,
-            if (base == 0) 0L else (base - removed) * 1000000L / base)
-        }
-        val effSum = rowsOut.map(_._4).sum
-        import s.implicits._
-        rowsOut.map { case (ch, b, r, e) =>
-          (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
-        }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
-          .orderBy("channel")
+        attributionTable(s, tppm,
+          "start" +: MarkovChannels :+ "conv" :+ "drop", ch => Set(ch))
       },
       Some(markovSessionOracleSql("user_id < 300", gapMinutes = 60)))
   )
@@ -1479,6 +1409,28 @@ object Events {
     * order is irrelevant and the oracle's unrolled CTEs reproduce it
     * exactly. (e17 blocks the removed channel itself; e19 blocks every
     * pair state whose CURRENT component is the removed channel.) */
+  /** The shared driver tail of every Markov-attribution query (e17 /
+    * e19 / e20 / st32): run the 8-round walk once per variant (base +
+    * one per removed channel, `blockedFor` mapping a channel to its
+    * blocked state set at the query's order) over the channels²-sized
+    * collected census, and emit the credit table. */
+  private def attributionTable(s: SparkSession,
+      tppm: Map[(String, String), Long], states: Seq[String],
+      blockedFor: String => Set[String]): org.apache.spark.sql.DataFrame = {
+    val base = markovWalk(tppm, states, Set.empty)
+    val rowsOut = MarkovChannels.map { ch =>
+      val removed = markovWalk(tppm, states, blockedFor(ch))
+      (ch, base, removed,
+        if (base == 0) 0L else (base - removed) * 1000000L / base)
+    }
+    val effSum = rowsOut.map(_._4).sum
+    import s.implicits._
+    rowsOut.map { case (ch, b, r, e) =>
+      (ch, b, r, e, if (effSum == 0) 0L else e * 1000000L / effSum)
+    }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "attr_ppm")
+      .orderBy("channel")
+  }
+
   private[queries] def markovWalk(tppm: Map[(String, String), Long],
       states: Seq[String], blocked: Set[String], rounds: Int = 8): Long = {
     var p = states.map(st => st -> (if (st == "conv") 1000000L else 0L)).toMap

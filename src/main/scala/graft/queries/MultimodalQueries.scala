@@ -489,14 +489,12 @@ object MultimodalQueries {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[MediaStream.MediaArrival]
         val ckpt = java.nio.file.Files.createTempDirectory("st15_ckpt").toString
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try MediaStream.firstSeenImages(stream.toDS(), watermark = "24 hours")
+        val q = Q.withHarnessPartitions(s) {
+          MediaStream.firstSeenImages(stream.toDS(), watermark = "24 hours")
             .writeStream.format("memory").queryName("st15_survivors")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { b =>
@@ -715,14 +713,12 @@ object MultimodalQueries {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[MediaStream.MediaArrival]
         val ckpt = java.nio.file.Files.createTempDirectory("st22_ckpt").toString
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try MediaStream.firstSeenVideos(stream.toDS(), watermark = "24 hours")
+        val q = Q.withHarnessPartitions(s) {
+          MediaStream.firstSeenVideos(stream.toDS(), watermark = "24 hours")
             .writeStream.format("memory").queryName("st22_survivors")
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val (bases, copyRows) = rows.partition(_.media_id < 150)
           Seq(bases, copyRows).filter(_.nonEmpty).foreach { b =>

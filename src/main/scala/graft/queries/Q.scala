@@ -17,6 +17,20 @@ final case class Q(
     oracle: Option[String] = None)
 
 object Q {
+  /** Run `body` — typically a streaming-query `.start()` — with the
+    * session's shuffle partitions pinned to 4, the streaming-HARNESS
+    * state-partition cap: every MemoryStream harness here holds at
+    * most a handful of state rows, and 32 state stores per
+    * micro-batch were pure commit constant (the r13 idle-drift
+    * finding; restored in a finally so a failed start cannot leak the
+    * cap into the surrounding batch queries). */
+  def withHarnessPartitions[T](s: SparkSession)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** All registered queries, in stable order. */
   def all: Seq[Q] =
     Relational.queries ++ Relational2.queries ++ Windows.queries ++ Windows2.queries ++

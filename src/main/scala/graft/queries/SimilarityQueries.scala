@@ -1160,16 +1160,13 @@ object SimilarityQueries {
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Array[Double])]
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try VectorSearchStream.probeStream(
+        val q = Q.withHarnessPartitions(s) {
+          VectorSearchStream.probeStream(
               stream.toDS().toDF("vec_id", "embedding"),
               "vec_id", "embedding", lists, centers, nprobe = 6, k = 5)
             .writeStream.format("memory").queryName("st17_hits")
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>

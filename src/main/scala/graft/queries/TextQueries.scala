@@ -658,16 +658,13 @@ object TextQueries {
             r.getLong(0), r.getString(1), r.getLong(2)))
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.CorpusStream.PackInDoc]
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try graft.streaming.CorpusStream
+        val q = Q.withHarnessPartitions(s) {
+          graft.streaming.CorpusStream
             .packingStream(stream.toDS(), budget = 512, buckets = 4)
             .toDF()
             .writeStream.format("memory").queryName("st31_packed")
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>
@@ -737,18 +734,15 @@ object TextQueries {
           .collect().map(r => (r.getString(1), r.getString(2)))
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(String, String)]
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try stream.toDS().toDF("lang", "text")
+        val q = Q.withHarnessPartitions(s) {
+          stream.toDS().toDF("lang", "text")
             .select(col("lang"), explode(tokens(col("text"))).as("tok"))
             .select(col("lang"), md5Hash52(col("tok")).as("h"))
             .groupBy("lang")
             .agg(fround(hllDistinct(col("h")), 2).as("approx_distinct"))
             .writeStream.format("memory").queryName("st06_hll")
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>
@@ -825,15 +819,12 @@ object TextQueries {
           .select(concat_ws(" ",
             element_at(col("toks"), col("pos")),
             element_at(col("toks"), col("pos") + 1)).as("bigram"))
-        // 4 state partitions for the harness — see st01's note
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try bigramsOf(stream.toDS().toDF("text"))
+        val q = Q.withHarnessPartitions(s) {
+          bigramsOf(stream.toDS().toDF("text"))
             .agg(cmsSketch(polyHash(col("bigram"))).as("sk"))
             .writeStream.format("memory").queryName("st07_cms")
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
         try {
           val chunk = math.max(1, (rows.length + 1) / 2)
           rows.grouped(chunk).foreach { batch =>

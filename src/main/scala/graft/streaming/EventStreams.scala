@@ -211,12 +211,23 @@ object EventStreams {
                 st = MarkovState(dst, converted = dst == "conv", tsMic)
               }
             }
+            // GroupState CLEARS a stored timeout on every invocation
+            // that does not re-set it — and this function is invoked
+            // even when the batch holds only ignored event types for
+            // the key (the filter is in-operator), so the timeout
+            // must be re-armed from whatever state stands or an open
+            // journey would silently never close. Clamped to the
+            // current watermark: a just-due journey whose re-arm
+            // would otherwise throw closes at the next opportunity.
+            def armTimeout(cur: MarkovState): Unit =
+              if (!cur.converted && cur.lastTsMicros != Long.MinValue)
+                state.setTimeoutTimestamp(math.max(
+                  cur.lastTsMicros / 1000L + gapMinutes * 60L * 1000L,
+                  state.getCurrentWatermarkMs() + 1))
             if (counted.nonEmpty) {
               state.update(st)
-              if (!st.converted)
-                state.setTimeoutTimestamp(
-                  st.lastTsMicros / 1000L + gapMinutes * 60L * 1000L)
-            }
+              armTimeout(st)
+            } else state.getOption.foreach(armTimeout)
             out.result().iterator
           }
       }

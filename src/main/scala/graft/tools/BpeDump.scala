@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * changes. Usage: BpeDump [numMerges] [sfDir]. */
 object BpeDump {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(1000)
+    val n = args.headOption.map(_.toInt).getOrElse(1024)
     val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

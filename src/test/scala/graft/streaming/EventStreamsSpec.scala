@@ -275,4 +275,17 @@ class EventStreamsSpec extends SparkTestBase {
     assert(threeBatches == oneBatch,
       s"micro-batch cut moved the census: $threeBatches vs $oneBatch")
   }
+
+  test("markovCensusStream: a batch of only ignored event types must NOT " +
+      "cancel an open journey's close-out timeout (GroupState re-arm)") {
+    // u20 opens a journey; a later batch delivers ONLY an in-operator-
+    // ignored 'noop' row for u20 — GroupState clears a stored timeout
+    // on any invocation that does not re-set it, so without the
+    // re-arm the view->drop edge would silently never emit
+    val got = markovBag("mk_noop", Seq(
+      Seq(Event(1, tsH(10, 0), 20, "view", 0.0)),
+      Seq(Event(2, tsH(10, 10), 20, "noop", 0.0))))
+    assert(got == Seq((20L, "start", "view"), (20L, "view", "drop")).sorted,
+      s"got $got")
+  }
 }
