@@ -1203,4 +1203,80 @@ object Dedup {
           coalesce(col("cov"), array().cast("array<int>")))
           .as("cleaned_text"))
   }
+
+  /**
+   * Cross-source corpus overlap via KMV (k-minimum-values) bottom-k
+   * sketches (Bar-Yossef et al. 2002; Beyer et al. 2007 — the
+   * DataSketches theta-sketch estimator): each source keeps the k
+   * SMALLEST universal-hash values of its distinct 3-gram shingles;
+   * per-source distinct-count estimates read (k−1)/u_k off the kth
+   * value, and per-pair Jaccard is the matched fraction inside the
+   * bottom-k of the sketch UNION. A source (or union) with fewer than
+   * k values keeps everything, so its estimate is EXACT by
+   * construction — the small-set regime degrades to truth, not noise.
+   * The 55-bit polyhash post-mixes through one splitmix-seeded
+   * universal hash (the MinHash family's arithmetic) to be uniform on
+   * [0, 2^31) — KMV's order statistics need uniformity the raw
+   * polynomial fold doesn't give.
+   *
+   * Scale posture: the only corpus-sized work is shingle + distinct;
+   * the bottom-k per source is the row_number ≤ k idiom (auto-rewritten
+   * to the native bounded-heap TopKPerGroup), and every pair
+   * computation runs on sources × k rows — driver-tiny however large
+   * the corpus. All estimator arithmetic is IEEE-deterministic.
+   */
+  def kmvSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int = 128, seed: Long = 77L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (ua, ub) = hashCoefficients(1, seed).head
+    val sk = shingleHashes(docs.select(col(srcCol), col(textCol)), srcCol, textCol)
+      .select(col(srcCol).as("source"),
+        ((lit(ua) * (col("h") % 4294967296L) + lit(ub)) % 2147483647L).as("hv"))
+      .distinct()
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source").orderBy("hv")))
+      .filter(col("rk") <= k)
+      .select("source", "hv")
+    val stats = sk.groupBy("source")
+      .agg(count(lit(1)).as("cnt"), max("hv").as("vk"))
+    def nHat(cnt: Column, vk: Column): Column =
+      when(cnt < k, cnt.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / (vk.cast("double") / lit(2147483647.0)))
+    val pairs = stats.select(col("source").as("src_a"))
+      .crossJoin(stats.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val uni = pairs
+      .join(sk, col("source") === col("src_a") || col("source") === col("src_b"))
+      .select("src_a", "src_b", "hv").distinct()
+    val kset = uni
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("src_a", "src_b").orderBy("hv")))
+      .filter(col("rk") <= k)
+      .select("src_a", "src_b", "hv")
+    val am = sk.select(col("source").as("src_a"), col("hv"), lit(1L).as("in_a"))
+    val bm = sk.select(col("source").as("src_b"), col("hv"), lit(1L).as("in_b"))
+    val perPair = kset
+      .join(am, Seq("src_a", "hv"), "left")
+      .join(bm, Seq("src_b", "hv"), "left")
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("ku"), max("hv").as("vku"),
+        sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+          .cast("long").as("matches"))
+    def fr(c: Column, d: Int): Column = {
+      val p = math.pow(10, d)
+      floor(c * lit(p) + lit(0.5)) / lit(p)
+    }
+    perPair
+      .join(stats.select(col("source").as("src_a"),
+        col("cnt").as("cnt_a"), col("vk").as("vk_a")), Seq("src_a"))
+      .join(stats.select(col("source").as("src_b"),
+        col("cnt").as("cnt_b"), col("vk").as("vk_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("ku"), col("matches"),
+        fr(nHat(col("cnt_a"), col("vk_a")), 3).as("n_a"),
+        fr(nHat(col("cnt_b"), col("vk_b")), 3).as("n_b"),
+        fr(col("matches").cast("double") / col("ku"), 6).as("jaccard"),
+        fr((col("matches").cast("double") / col("ku"))
+          * nHat(col("ku"), col("vku")), 3).as("inter_est"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -601,5 +601,74 @@ object CorpusOps3 {
              |  CAST(sum(CASE WHEN h IN (SELECT h FROM banned)
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_banned
              |FROM hashed WHERE doc_id < 2000
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "t36_kmv_overlap",
+      (s, dir) => {
+        // Cross-source corpus overlap via KMV (k-minimum-values) bottom-k
+        // sketches (Bar-Yossef et al. 2002; Beyer et al. 2007 — the
+        // DataSketches theta-sketch estimator): each source keeps the
+        // k = 128 SMALLEST universal-hash values of its distinct 3-gram
+        // shingles; distinct-count estimates read (k−1)/u_k off the kth
+        // value, and per-pair Jaccard is the matched fraction inside the
+        // bottom-k of the sketch UNION — the WIMBD-style "how much does
+        // source A repeat source B" audit without ever joining corpora.
+        // A source (or union) with fewer than k values keeps everything,
+        // so its estimate is EXACT by construction. The 55-bit polyhash
+        // post-mixes through one splitmix-seeded universal hash (the
+        // MinHash family's arithmetic) to be uniform on [0, 2^31) — KMV's
+        // order statistics need uniformity polyhash alone doesn't give.
+        // Scale: the only corpus-sized work is shingle + distinct; the
+        // bottom-k per source is the native bounded-heap TopKPerGroup
+        // (the row_number ≤ k idiom auto-rewrites), and every pair
+        // computation runs on sources × k rows — driver-tiny however
+        // large the corpus. Estimator math is IEEE-deterministic and
+        // replayed exactly by the oracle. Planted-overlap exactness
+        // and estimator-regime accuracy are spec'd in Wave7Spec.
+        graft.ops.Dedup.kmvSourceOverlap(
+          Tables(s, dir).documents.select(col("source"), col("text")),
+          "source", "text")
+      },
+      Some {
+        val (ua, ub) = graft.ops.Dedup.hashCoefficients(1, 77L).head
+        val shingle = "w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]"
+        def nHatSql(cnt: String, vk: String) =
+          s"CASE WHEN $cnt < 128 THEN CAST($cnt AS DOUBLE) " +
+            s"ELSE 127.0 / (CAST($vk AS DOUBLE) / 2147483647.0) END"
+        s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT source,
+           |    unnest(list_transform(range(len(w) - 2), i -> ${OracleSql.polyFold(shingle)})) AS h
+           |  FROM toks WHERE len(w) >= 3),
+           |hv AS (SELECT DISTINCT source,
+           |    ($ua * (h % 4294967296) + $ub) % 2147483647 AS hv FROM sh),
+           |sk AS (SELECT source, hv FROM (
+           |    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+           |    FROM hv) WHERE rk <= 128),
+           |stats AS (SELECT source, count(*) AS cnt, max(hv) AS vk FROM sk GROUP BY source),
+           |uni AS (SELECT DISTINCT a.source AS src_a, b.source AS src_b, s.hv
+           |  FROM stats a JOIN stats b ON a.source < b.source
+           |  JOIN sk s ON s.source = a.source OR s.source = b.source),
+           |kset AS (SELECT src_a, src_b, hv FROM (
+           |    SELECT src_a, src_b, hv,
+           |      row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rk
+           |    FROM uni) WHERE rk <= 128),
+           |pp AS (SELECT k.src_a, k.src_b, count(*) AS ku, max(k.hv) AS vku,
+           |    CAST(sum((CASE WHEN a.hv IS NOT NULL THEN 1 ELSE 0 END)
+           |      * (CASE WHEN b.hv IS NOT NULL THEN 1 ELSE 0 END)) AS BIGINT) AS matches
+           |  FROM kset k
+           |  LEFT JOIN sk a ON a.source = k.src_a AND a.hv = k.hv
+           |  LEFT JOIN sk b ON b.source = k.src_b AND b.hv = k.hv
+           |  GROUP BY k.src_a, k.src_b)
+           |SELECT p.src_a, p.src_b, p.ku, p.matches,
+           |  floor((${nHatSql("sa.cnt", "sa.vk")}) * 1e3 + 0.5) / 1e3 AS n_a,
+           |  floor((${nHatSql("sb.cnt", "sb.vk")}) * 1e3 + 0.5) / 1e3 AS n_b,
+           |  floor((CAST(p.matches AS DOUBLE) / p.ku) * 1e6 + 0.5) / 1e6 AS jaccard,
+           |  floor(((CAST(p.matches AS DOUBLE) / p.ku)
+           |    * (${nHatSql("p.ku", "p.vku")})) * 1e3 + 0.5) / 1e3 AS inter_est
+           |FROM pp p
+           |JOIN stats sa ON sa.source = p.src_a
+           |JOIN stats sb ON sb.source = p.src_b
+           |ORDER BY src_a, src_b""".stripMargin
+      }))
 }

@@ -1373,7 +1373,182 @@ object Events {
         attributionTable(s, tppm,
           "start" +: MarkovChannels :+ "conv" :+ "drop", ch => Set(ch))
       },
-      Some(markovSessionOracleSql("user_id < 300", gapMinutes = 60)))
+      Some(markovSessionOracleSql("user_id < 300", gapMinutes = 60))),
+
+    Q(
+      "e21_kaplan_meier",
+      (s, dir) => {
+        // KAPLAN–MEIER survival curves for user churn (Kaplan & Meier
+        // 1958 — the product-limit estimator, right-censored): a user's
+        // lifetime runs from their first event day to their last;
+        // users last seen within 7 days of the corpus horizon are
+        // CENSORED (still alive), everyone else churned at their last
+        // day. Cohorts are the Monday week of first activity. At each
+        // duration t the at-risk count n_t is everyone surviving ≥ t
+        // (censored-at-t still at risk — the standard deaths-before-
+        // censors tie rule) and S(t) = Π (1 − d/n). Each ln factor
+        // quantizes to integer micro-nats BEFORE the cumulative sum
+        // (t22's engine-exactness move); a d = n row (everyone at risk
+        // churns) zeroes survival outright rather than passing ln(0).
+        // Scale: ONE user-keyed shuffle; everything after the per-user
+        // rollup is (cohorts × horizon-days)-sized, and the windows
+        // partition by cohort — no single-partition pass over big data.
+        val t = Tables(s, dir)
+        val perUser = t.events
+          .groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("first_day"),
+            max(to_date(col("ts"))).as("last_day"))
+        val horizon = t.events.agg(max(to_date(col("ts"))).as("horizon"))
+        val labeled = perUser.crossJoin(broadcast(horizon))
+          .select(
+            trunc(col("first_day"), "week").as("cohort"),
+            datediff(col("last_day"), col("first_day")).cast("long").as("dur_days"),
+            when(col("last_day") > date_sub(col("horizon"), 7), 0L)
+              .otherwise(1L).as("ch"))
+        val byDur = labeled.groupBy("cohort", "dur_days")
+          .agg(sum("ch").cast("long").as("churned"),
+            sum(lit(1L) - col("ch")).cast("long").as("censored"))
+        val wCum = Window.partitionBy("cohort").orderBy("dur_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPrior = Window.partitionBy("cohort").orderBy("dur_days")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy("cohort")
+        val risk = byDur.withColumn("at_risk",
+          (sum(col("churned") + col("censored")).over(wTot)
+            - coalesce(sum(col("churned") + col("censored")).over(wPrior), lit(0L)))
+            .cast("long"))
+        val lnq = risk
+          .withColumn("ln_micro",
+            when(col("churned") === 0 || col("churned") >= col("at_risk"), lit(0L))
+              .otherwise(floor(
+                log(lit(1.0) - col("churned").cast("double") / col("at_risk"))
+                  * 1e6 + 0.5).cast("long")))
+          .withColumn("z", when(col("churned") >= col("at_risk"), 1L).otherwise(0L))
+        lnq
+          .withColumn("cum_ln", sum("ln_micro").over(wCum))
+          .withColumn("zeros", sum("z").over(wCum))
+          .select(col("cohort"), col("dur_days"), col("at_risk"),
+            col("churned"), col("censored"),
+            when(col("zeros") > 0, lit(0.0))
+              .otherwise(fround(exp(col("cum_ln") / 1e6), 6)).as("surv"))
+          .orderBy("cohort", "dur_days")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+             |         max(CAST(ts AS DATE)) AS last_day
+             |  FROM events GROUP BY user_id),
+             |h AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+             |lab AS (
+             |  SELECT date_trunc('week', first_day) AS cohort,
+             |    CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur_days,
+             |    CASE WHEN last_day > horizon - 7 THEN 0 ELSE 1 END AS ch
+             |  FROM u, h),
+             |byd AS (
+             |  SELECT cohort, dur_days,
+             |    CAST(sum(ch) AS BIGINT) AS churned,
+             |    CAST(sum(1 - ch) AS BIGINT) AS censored
+             |  FROM lab GROUP BY 1, 2),
+             |risk AS (
+             |  SELECT *, CAST(sum(churned + censored) OVER (PARTITION BY cohort)
+             |    - coalesce(sum(churned + censored) OVER (PARTITION BY cohort
+             |        ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) AS at_risk
+             |  FROM byd),
+             |lnq AS (
+             |  SELECT *,
+             |    CASE WHEN churned = 0 OR churned >= at_risk THEN 0
+             |      ELSE CAST(floor(ln(1.0 - CAST(churned AS DOUBLE) / at_risk)
+             |        * 1e6 + 0.5) AS BIGINT) END AS ln_micro,
+             |    CASE WHEN churned >= at_risk THEN 1 ELSE 0 END AS z
+             |  FROM risk),
+             |cum AS (
+             |  SELECT cohort, dur_days, at_risk, churned, censored,
+             |    sum(ln_micro) OVER w AS cum_ln, sum(z) OVER w AS zeros
+             |  FROM lnq
+             |  WINDOW w AS (PARTITION BY cohort ORDER BY dur_days
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT cohort, dur_days, at_risk, churned, censored,
+             |  CASE WHEN zeros > 0 THEN 0.0
+             |    ELSE floor(exp(cum_ln / 1e6) * 1e6 + 0.5) / 1e6 END AS surv
+             |FROM cum ORDER BY cohort, dur_days""".stripMargin)),
+
+    Q(
+      "st33_stream_outer_join",
+      (s, dir) => {
+        // Stream-stream LEFT OUTER join under the DuckDB oracle — the
+        // watermark-FINALIZED emission semantics st14's inner join
+        // never exercises: a purchase with no qualifying click emits
+        // (with null click columns) only once the global watermark
+        // passes its state-expiry bound, proving Spark holds the row
+        // back until no matching click can still arrive. Same slice,
+        // predicate, and eviction math as st14 (user_id < 500 ABSOLUTE
+        // cap; 1 h watermark + 1 h tolerance; time-split feed at the
+        // median ts so cross-boundary pairs prove buffer survival).
+        // Two sentinel flush batches on BOTH streams (st09's pattern —
+        // outer emission needs the min-across-inputs watermark to
+        // advance, and emission uses the previous batch's watermark)
+        // force every unmatched purchase out; the sentinels' user_id
+        // −1 rows are filtered from the drained sink. collect() is the
+        // MemoryStream feeding harness; production uses readStream.
+        import graft.streaming.EventStreams
+        implicit val sqlCtx = s.sqlContext
+        implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
+        val ev = Tables(s, dir).events.filter(col("user_id") < 500)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+        val allTs = (clicks.map(_.ts.getTime) ++ purchases.map(_.ts.getTime)).sorted
+        val thr = allTs(allTs.length / 2)
+        val maxTs = allTs.last
+        val cStream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        val pStream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.Event]
+        val ckpt = java.nio.file.Files.createTempDirectory("st33_ckpt").toString
+        val q = Q.withHarnessPartitions(s) {
+          EventStreams.attributionJoin(cStream.toDF(), pStream.toDF(),
+              leftOuter = true)
+            .writeStream.format("memory").queryName("st33_pairs")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+        }
+        try {
+          Seq(true, false).foreach { firstHalf =>
+            cStream.addData(clicks.filter(c => (c.ts.getTime <= thr) == firstHalf).toSeq)
+            pStream.addData(purchases.filter(p => (p.ts.getTime <= thr) == firstHalf).toSeq)
+            q.processAllAvailable()
+          }
+          for (off <- Seq(72L, 73L)) {
+            val sentinel = EventStreams.Event(-1L,
+              new java.sql.Timestamp(maxTs + off * 3600L * 1000L), -1L, "noop", 0.0)
+            cStream.addData(IndexedSeq(sentinel))
+            pStream.addData(IndexedSeq(sentinel))
+            q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          deleteRecursively(ckpt)
+        }
+        s.table("st33_pairs")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            unix_micros(col("purchase_ts")).as("p_us"),
+            unix_micros(col("click_ts")).as("c_us"),
+            fround(col("value"), 2).as("value"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  c.event_id AS click_id, epoch_us(p.ts) AS p_us,
+             |  epoch_us(c.ts) AS c_us,
+             |  floor(p.value * 100.0 + 0.5) / 100.0 AS value
+             |FROM events p LEFT JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |WHERE p.event_type = 'purchase' AND p.user_id < 500
+             |ORDER BY purchase_id, click_id""".stripMargin))
   )
 
   /** e19's pair-state vocabulary: (start+channels) × channels, the
