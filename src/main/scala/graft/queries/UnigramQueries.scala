@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/**
+ * Unigram-LM tokenizer gate (Kudo 2018 — the SentencePiece unigram
+ * model, the OTHER production subword family next to t20/t35's BPE).
+ * Runs on the customer-name vocabulary for the same reason t35 does:
+ * it is the one testdata vocabulary that SCALES (1500 distinct
+ * 17-char digit-bearing words at sf0.01, 150k at sf1) where the
+ * documents corpus is 31 words flat.
+ */
+object UnigramQueries {
+
+  /** The pinned 82-piece unigram table: `Unigram.train(wordFreq(
+    * bpe1kTrainingSource(sf0.01)), vocabSize = 64)` — 64 learned
+    * multi-char pieces plus the 18-char alphabet. Micro-nat integer
+    * log-probs, so the Viterbi apply and the oracle's unrolled DP do
+    * pure long arithmetic (bit-parity by construction). Pinned by
+    * UnigramSpec against the trainer (the BpeMerges1k discipline). */
+  lazy val UnigramPieces: Seq[(String, Long)] =
+    UnigramPiecesTable.raw.linesIterator.filter(_.nonEmpty).map { l =>
+      val sp = l.indexOf(' ')
+      (l.substring(0, sp), l.substring(sp + 1).toLong)
+    }.toSeq
+
+  /** Oracle DP depth: names post-normalization are 17 chars at every
+    * SF; 20 leaves headroom without bloating the generated SQL. */
+  private val OracleMaxLen = 20
+  private val MaxPieceLen = 8
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "t37_unigram_fertility",
+      (s, dir) => {
+        // Unigram-LM tokenizer fertility per nation — t35's rollup
+        // under the OTHER tokenizer family: each name Viterbi-segments
+        // under the pinned 82-piece table (frozen integer micro-nat
+        // log-probs; max score, then fewest pieces — one packed long
+        // per DP cell, see Unigram.viterbiPacked), and nations roll up
+        // names/chars/pieces/log-prob plus compression in basis
+        // points. Everything in the hash is an integer — no float
+        // crosses the engine boundary at all. The apply broadcasts the
+        // table and memoizes per distinct word per partition (zero
+        // amortization here — names are unique — which makes it the
+        // honest worst case, exactly t35's argument); the oracle
+        // replays the identical packed-long DP as 20 unrolled
+        // position levels over an arcs table.
+        val c = Tables(s, dir).customer
+        graft.ops.Unigram.pieceCounts(c, "c_custkey", "c_name", UnigramPieces)
+          .where(col("n_words") > 0)
+          .join(c.select("c_custkey", "c_nationkey"), "c_custkey")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_names"),
+            sum("n_chars").as("n_chars"),
+            sum("n_pieces").as("n_pieces"),
+            min("n_pieces").as("min_pieces"),
+            max("n_pieces").as("max_pieces"),
+            sum("lp_micro").as("lp_micro"),
+            expr("sum(n_pieces) * 10000 div sum(n_chars)").as("compression_bp"))
+          .select(col("c_nationkey").as("nationkey"), col("n_names"),
+            col("n_chars"), col("n_pieces"), col("min_pieces"),
+            col("max_pieces"), col("lp_micro"), col("compression_bp"))
+          .orderBy("nationkey")
+      },
+      Some(t37OracleSql)))
+
+  /** t37's oracle: the packed-long Viterbi DP (`score*64 − n_pieces`)
+    * unrolled as one CTE level per string position — level i takes
+    * the max over the ≤ 8 predecessor levels joined through the arcs
+    * table (vocabulary pieces as literals; unknown single chars score
+    * the fixed UnkLpMicro). Integer arithmetic end to end — the exact
+    * longs `Unigram.viterbiPacked` computes. */
+  private def t37OracleSql: String = {
+    val vals = UnigramPieces
+      .map { case (p, lp) => s"('$p',CAST($lp AS BIGINT))" }.mkString(",")
+    val levels = (1 to OracleMaxLen).map { i =>
+      val preds = (math.max(0, i - MaxPieceLen) until i)
+        .map(j => s"SELECT name, $j AS j, v FROM d$j")
+        .mkString(" UNION ALL ")
+      s"""d$i AS MATERIALIZED (
+         |  SELECT a.name, max(p.v + 64 * a.lp - 1) AS v
+         |  FROM arcs a JOIN ($preds) p ON p.name = a.name AND p.j = a.j
+         |  WHERE a.i = $i GROUP BY a.name)"""
+    }.mkString(",\n")
+    val allv = (1 to OracleMaxLen)
+      .map(i => s"SELECT name, $i AS i, v FROM d$i").mkString(" UNION ALL ")
+    s"""WITH pieces(p, lp) AS (SELECT * FROM (VALUES $vals) t(p, lp)),
+       |words AS MATERIALIZED (
+       |  SELECT c_custkey, w
+       |  FROM (SELECT c_custkey, unnest(string_split(trim(regexp_replace(regexp_replace(
+       |          lower(c_name), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) AS w
+       |        FROM customer)
+       |  WHERE w <> ''),
+       |vocab AS MATERIALIZED (SELECT DISTINCT w AS name, len(w) AS L FROM words),
+       |arcs AS MATERIALIZED (
+       |  SELECT c.name, c.j, c.i,
+       |    coalesce(pc.lp, CASE WHEN c.i - c.j = 1
+       |      THEN CAST(${graft.ops.Unigram.UnkLpMicro} AS BIGINT) END) AS lp
+       |  FROM (SELECT v.name, r1.range AS j, r2.range AS i
+       |        FROM vocab v CROSS JOIN range($OracleMaxLen) r1
+       |        CROSS JOIN range(1, ${OracleMaxLen + 1}) r2
+       |        WHERE r2.range > r1.range AND r2.range <= v.L
+       |          AND r2.range - r1.range <= $MaxPieceLen) c
+       |  LEFT JOIN pieces pc ON pc.p = substr(c.name, CAST(c.j + 1 AS INT), CAST(c.i - c.j AS INT))
+       |  WHERE coalesce(pc.lp, CASE WHEN c.i - c.j = 1 THEN 0 END) IS NOT NULL),
+       |d0 AS MATERIALIZED (SELECT name, CAST(0 AS BIGINT) AS v FROM vocab),
+       |$levels,
+       |allv AS ($allv),
+       |fin AS (SELECT v.name, a.v FROM vocab v JOIN allv a ON a.name = v.name AND a.i = v.L),
+       |perword AS (SELECT name,
+       |    CAST((-v) % 64 AS BIGINT) AS n_pieces,
+       |    CAST(-((-v) // 64) AS BIGINT) AS lp_micro,
+       |    CAST(len(name) AS BIGINT) AS n_chars
+       |  FROM fin),
+       |perkey AS (SELECT c_custkey,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |    CAST(sum(lp_micro) AS BIGINT) AS lp_micro
+       |  FROM words JOIN perword ON perword.name = words.w GROUP BY 1)
+       |SELECT c_nationkey AS nationkey, count(*) AS n_names,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(min(n_pieces) AS BIGINT) AS min_pieces,
+       |  CAST(max(n_pieces) AS BIGINT) AS max_pieces,
+       |  CAST(sum(lp_micro) AS BIGINT) AS lp_micro,
+       |  CAST(sum(n_pieces) * 10000 // sum(n_chars) AS BIGINT) AS compression_bp
+       |FROM perkey JOIN customer USING (c_custkey)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Unigram-LM tokenizer invariants: trainer pin (the BpeMerges1k
+  * discipline), Viterbi correctness against brute-force enumeration,
+  * the packed tie-break, unk fallback, guards, and apply
+  * partition-independence. */
+class UnigramSpec extends SparkTestBase {
+
+  private def lpMap(pieces: Seq[(String, Long)]) = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    pieces.foreach { case (s, v) => m.put(s, v) }
+    m
+  }
+
+  /** Brute-force optimum: enumerate EVERY segmentation, score with the
+    * same micro-nat table (+ unk for unknown single chars), return the
+    * max (score, then fewest pieces) as the packed long. */
+  private def bruteBest(w: String, pieces: Map[String, Long], maxLen: Int): Long = {
+    def segs(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(maxLen, s.length)).flatMap { l =>
+        segs(s.substring(l)).map(s.substring(0, l) +: _)
+      }
+    segs(w).flatMap { seg =>
+      val scores = seg.map { p =>
+        pieces.get(p).orElse(
+          if (p.length == 1) Some(Unigram.UnkLpMicro) else None)
+      }
+      if (scores.exists(_.isEmpty)) None
+      else Some(64L * scores.map(_.get).sum - seg.length)
+    }.max
+  }
+
+  test("pinned 82-piece table IS the trainer's output on the sf0.01 " +
+      "customer-name sample") {
+    val src = graft.queries.CorpusOps2.bpe1kTrainingSource(
+      spark, "/root/testdata/sf0.01")
+    val trained = Unigram.train(Bpe.wordFreq(src, "text"), vocabSize = 64)
+    assert(trained.count(_._1.length > 1) <= 64, "vocab target respected")
+    assert(trained == graft.queries.UnigramQueries.UnigramPieces,
+      "pinned unigram table drifted from trainer output — regenerate " +
+        "with graft.tools.UnigramDump 64")
+  }
+
+  test("viterbiPacked equals brute-force enumeration on random piece tables") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 60).foreach { trial =>
+      val alphabet = "abcd"
+      // random multi-char pieces over a tiny alphabet force dense tie
+      // structure; scores are multiples the packed radix must order
+      val multis = (1 to 6).map { _ =>
+        val len = 2 + rnd.nextInt(3)
+        (1 to len).map(_ => alphabet(rnd.nextInt(4))).mkString
+      }.distinct
+      val pieces = (alphabet.map(_.toString) ++ multis).distinct
+        .map(p => p -> -(1L + rnd.nextInt(5000000)).toLong).toMap
+      val w = (1 to (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(4))).mkString
+      val got = Unigram.viterbiPacked(w, lpMap(pieces.toSeq), 8)
+      val want = bruteBest(w, pieces, 8)
+      assert(got == want, s"trial $trial word $w: $got != $want")
+    }
+  }
+
+  test("equal-score ties break to FEWER pieces by the packed radix") {
+    // 'ab' scores exactly a+b, so both segmentations tie on score;
+    // the packed long must prefer the single piece
+    val pieces = Seq("a" -> -1000000L, "b" -> -2000000L, "ab" -> -3000000L)
+    val packed = Unigram.viterbiPacked("ab", lpMap(pieces), 8)
+    assert((-packed) % 64 == 1, "tie must resolve to one piece")
+    assert(-((-packed) / 64) == -3000000L)
+  }
+
+  test("unknown single chars score UnkLpMicro; unknown multi-chars never used") {
+    val pieces = Seq("a" -> -1000000L)
+    val packed = Unigram.viterbiPacked("axa", lpMap(pieces), 8)
+    assert((-packed) % 64 == 3)
+    assert(-((-packed) / 64) == -2000000L + Unigram.UnkLpMicro)
+  }
+
+  test("words beyond 63 chars raise loudly (packed-radix bound)") {
+    val pieces = Seq("a" -> -1000000L)
+    intercept[IllegalArgumentException] {
+      Unigram.viterbiPacked("a" * 64, lpMap(pieces), 8)
+    }
+    ()
+  }
+
+  test("pieceCounts is partition-independent and 0s empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Customer#000000042"),
+      (2L, "Customer#000000042 Customer#000000042"),
+      (3L, "###"),
+      (4L, "")).toDF("id", "text")
+    val table = graft.queries.UnigramQueries.UnigramPieces
+    val one = Unigram.pieceCounts(docs.repartition(1), "id", "text", table)
+      .orderBy("id").collect().map(_.toSeq)
+    val many = Unigram.pieceCounts(docs.repartition(7), "id", "text", table)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(one.toSeq == many.toSeq, "partitioning must not change results")
+    val byId = one.map(r => r.head -> r).toMap
+    assert(byId(3L)(1) == 0L && byId(4L)(1) == 0L, "empty docs → 0 words")
+    // doc 2 = two names: exactly double doc 1's piece/char/lp accounting
+    assert(byId(2L)(3) == 2L * byId(1L)(3).asInstanceOf[Long])
+    assert(byId(2L)(4) == 2L * byId(1L)(4).asInstanceOf[Long])
+  }
+}
