@@ -48,6 +48,18 @@ object VectorExpressions {
         org.apache.spark.sql.catalyst.expressions.Literal(k))
         .toAggregateExpression())
 
+  /** `graft_kmv(value, k)` — native bottom-k DISTINCT-value sketch
+    * (KMV / theta bottom-k): set semantics absorb duplicates, partial
+    * aggregation shuffles groups×k longs, merge is a commutative set
+    * union — safe as streaming complete-mode state. Ascending
+    * array<bigint>; all values when fewer than k exist. */
+  def kmvSketch(value: Column, k: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftshim.KmvSketchAgg(
+        ColumnBridge.expression(value),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
+
   /** All `numHashes` MinHash minima of a hashed-element column as one
     * native aggregate (single long[] buffer; see SketchAggregates). */
   def minHashAgg(h: Column, numHashes: Int, seed: Long): Column =

@@ -1219,24 +1219,46 @@ object Dedup {
    * [0, 2^31) — KMV's order statistics need uniformity the raw
    * polynomial fold doesn't give.
    *
-   * Scale posture: the only corpus-sized work is shingle + distinct;
-   * the bottom-k per source is the row_number ≤ k idiom (auto-rewritten
-   * to the native bounded-heap TopKPerGroup), and every pair
-   * computation runs on sources × k rows — driver-tiny however large
-   * the corpus. All estimator arithmetic is IEEE-deterministic.
+   * Scale posture: the only corpus-sized work is the shingle scan; the
+   * bottom-k per source is the native `graft_kmv` sketch aggregate
+   * (set semantics absorb duplicate hashes map-side, partial
+   * aggregation shuffles sources × k longs — no distinct pass, no
+   * window sort), and every pair computation runs on sources × k
+   * rows — driver-tiny however large the corpus. All estimator
+   * arithmetic is IEEE-deterministic.
    */
   def kmvSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
-      k: Int = 128, seed: Long = 77L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int = 128, seed: Long = 77L): DataFrame =
+    kmvOverlapFromSketches(kmvSourceSketches(docs, srcCol, textCol, k, seed), k)
+
+  /** Row-local (source, hv) mixed hashes: 3-gram shingle → 55-bit
+    * polyhash → one splitmix universal-hash post-mix onto [0, 2^31).
+    * Completely narrow (no shuffle) — the piece a streaming ingest
+    * computes per arriving row before the sketch state absorbs it. */
+  def kmvMixedHashes(docs: DataFrame, srcCol: String, textCol: String,
+      seed: Long = 77L): DataFrame = {
     val (ua, ub) = hashCoefficients(1, seed).head
-    val sk = shingleHashes(docs.select(col(srcCol), col(textCol)), srcCol, textCol)
+    shingleHashes(docs.select(col(srcCol), col(textCol)), srcCol, textCol)
       .select(col(srcCol).as("source"),
         ((lit(ua) * (col("h") % 4294967296L) + lit(ub)) % 2147483647L).as("hv"))
-      .distinct()
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("source").orderBy("hv")))
-      .filter(col("rk") <= k)
-      .select("source", "hv")
+  }
+
+  /** Per-source KMV sketch rows (source, hv): the native `graft_kmv`
+    * bottom-k set aggregate over the mixed hashes, exploded back to
+    * rows — duplicates die map-side in the k-entry set buffers and
+    * the shuffle carries sources × k longs. */
+  def kmvSourceSketches(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int = 128, seed: Long = 77L): DataFrame =
+    kmvMixedHashes(docs, srcCol, textCol, seed)
+      .groupBy("source")
+      .agg(graft.functions.VectorExpressions.kmvSketch(col("hv"), k).as("sk"))
+      .select(col("source"), explode(col("sk")).as("hv"))
+
+  /** The estimator tail shared by the batch op and the streaming twin:
+    * pair math over (source, hv) sketch rows — sources × k input, so
+    * every frame here is driver-tiny. */
+  def kmvOverlapFromSketches(sk: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val stats = sk.groupBy("source")
       .agg(count(lit(1)).as("cnt"), max("hv").as("vk"))
     def nHat(cnt: Column, vk: Column): Column =

@@ -630,13 +630,65 @@ object CorpusOps3 {
           Tables(s, dir).documents.select(col("source"), col("text")),
           "source", "text")
       },
-      Some {
+      Some(kmvOracleSql("TRUE"))),
+
+    Q(
+      "st35_stream_kmv_overlap",
+      (s, dir) => {
+        // STREAMING KMV sketches — t36's cross-source overlap audit as
+        // LIVE state (the st06/st07/st10 sketch-family posture: the
+        // sketch is the stream's state, merge-commutative and
+        // duplicate-absorbing, so arrival order and micro-batch cuts
+        // cannot change it): each arriving document's shingle hashes
+        // mix row-locally (kmvMixedHashes — narrow, stateless) and the
+        // native graft_kmv set aggregate holds k = 128 longs per
+        // source as complete-mode state however long the stream runs.
+        // The drained snapshot IS the batch sketch bit-for-bit, so the
+        // estimator tail (kmvOverlapFromSketches) and the oracle are
+        // t36's under the harness cap. Universe capped ABSOLUTE
+        // (doc_id < 2000 — st18's discipline). collect() is the
+        // MemoryStream feeding harness; production uses readStream.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(String, String)]
+        val rows = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+          .orderBy("doc_id").select(col("source"), col("text"))
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, String)]
+        val q = Q.withHarnessPartitions(s) {
+          graft.ops.Dedup.kmvMixedHashes(
+              stream.toDS().toDF("source", "text"), "source", "text")
+            .groupBy("source")
+            .agg(graft.functions.VectorExpressions.kmvSketch(col("hv"), 128).as("sk"))
+            .writeStream.format("memory").queryName("st35_sketches")
+            .outputMode("complete").start()
+        }
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val sk = s.table("st35_sketches")
+          .select(col("source"), explode(col("sk")).as("hv"))
+        graft.ops.Dedup.kmvOverlapFromSketches(sk, 128)
+      },
+      Some(kmvOracleSql("doc_id < 2000"))))
+
+  /** t36/st35's oracle: the full KMV replay — identical shingle fold,
+    * identical splitmix coefficients as literals, bottom-k per source
+    * via row_number (the set semantics fall out of DISTINCT), then the
+    * pair estimator — under the given universe filter. */
+  private def kmvOracleSql(filter: String): String = {
         val (ua, ub) = graft.ops.Dedup.hashCoefficients(1, 77L).head
         val shingle = "w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]"
         def nHatSql(cnt: String, vk: String) =
           s"CASE WHEN $cnt < 128 THEN CAST($cnt AS DOUBLE) " +
             s"ELSE 127.0 / (CAST($vk AS DOUBLE) / 2147483647.0) END"
-        s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
+           |  FROM documents WHERE $filter),
            |sh AS (SELECT source,
            |    unnest(list_transform(range(len(w) - 2), i -> ${OracleSql.polyFold(shingle)})) AS h
            |  FROM toks WHERE len(w) >= 3),
@@ -670,5 +722,5 @@ object CorpusOps3 {
            |JOIN stats sa ON sa.source = p.src_a
            |JOIN stats sb ON sb.source = p.src_b
            |ORDER BY src_a, src_b""".stripMargin
-      }))
+  }
 }

@@ -1378,39 +1378,36 @@ object Events {
     Q(
       "e21_kaplan_meier",
       (s, dir) => {
-        // KAPLAN–MEIER survival curves for user churn (Kaplan & Meier
-        // 1958 — the product-limit estimator, right-censored): a user's
-        // lifetime runs from their first event day to their last;
-        // users last seen within 7 days of the corpus horizon are
-        // CENSORED (still alive), everyone else churned at their last
-        // day. Cohorts are the Monday week of first activity. At each
-        // duration t the at-risk count n_t is everyone surviving ≥ t
-        // (censored-at-t still at risk — the standard deaths-before-
-        // censors tie rule) and S(t) = Π (1 − d/n). Each ln factor
-        // quantizes to integer micro-nats BEFORE the cumulative sum
-        // (t22's engine-exactness move); a d = n row (everyone at risk
-        // churns) zeroes survival outright rather than passing ln(0).
-        // Scale: ONE user-keyed shuffle; everything after the per-user
-        // rollup is (cohorts × horizon-days)-sized, and the windows
-        // partition by cohort — no single-partition pass over big data.
-        val t = Tables(s, dir)
-        val perUser = t.events
-          .groupBy("user_id")
-          .agg(min(to_date(col("ts"))).as("first_day"),
-            max(to_date(col("ts"))).as("last_day"))
-        val horizon = t.events.agg(max(to_date(col("ts"))).as("horizon"))
-        val labeled = perUser.crossJoin(broadcast(horizon))
-          .select(
-            trunc(col("first_day"), "week").as("cohort"),
-            datediff(col("last_day"), col("first_day")).cast("long").as("dur_days"),
-            when(col("last_day") > date_sub(col("horizon"), 7), 0L)
-              .otherwise(1L).as("ch"))
-        val byDur = labeled.groupBy("cohort", "dur_days")
+        // KAPLAN–MEIER survival analysis (Kaplan & Meier 1958 — the
+        // right-censored product-limit estimator) of TIME TO
+        // CONVERSION at session grain: each session (e02's VERBATIM
+        // 30-min rule — the d15 no-drift discipline) is a subject
+        // whose clock runs from its first event; a session that
+        // purchases "dies" at its first purchase minute, one that ends
+        // without purchasing is CENSORED at its last event — the
+        // honest right-censoring this corpus actually produces (user
+        // lifetimes never censor here: every user stays active to the
+        // horizon and every user eventually purchases). Cohorts are
+        // the session-start date. At each duration t the at-risk count
+        // n_t is every session surviving ≥ t (censored-at-t still at
+        // risk — the deaths-before-censors tie rule) and
+        // S(t) = Π (1 − d/n). Each ln factor quantizes to integer
+        // micro-nats BEFORE the cumulative sum (t22's engine-exactness
+        // move); a d = n row zeroes survival outright rather than
+        // passing ln(0). Durations are exact integer minute floors
+        // (micros div 6e7 — no engine date_diff semantics in the
+        // hash). Scale: ONE user-keyed shuffle shared by the
+        // sessionize window and the rollup; everything after is
+        // (cohorts × minutes)-sized and the KM windows partition by
+        // cohort.
+        val labeled = sessionSubjects(s, dir)
+          .select(col("cohort"), col("dur_min"), col("ch"))
+        val byDur = labeled.groupBy("cohort", "dur_min")
           .agg(sum("ch").cast("long").as("churned"),
             sum(lit(1L) - col("ch")).cast("long").as("censored"))
-        val wCum = Window.partitionBy("cohort").orderBy("dur_days")
+        val wCum = Window.partitionBy("cohort").orderBy("dur_min")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wPrior = Window.partitionBy("cohort").orderBy("dur_days")
+        val wPrior = Window.partitionBy("cohort").orderBy("dur_min")
           .rowsBetween(Window.unboundedPreceding, -1)
         val wTot = Window.partitionBy("cohort")
         val risk = byDur.withColumn("at_risk",
@@ -1427,31 +1424,22 @@ object Events {
         lnq
           .withColumn("cum_ln", sum("ln_micro").over(wCum))
           .withColumn("zeros", sum("z").over(wCum))
-          .select(col("cohort"), col("dur_days"), col("at_risk"),
+          .select(col("cohort"), col("dur_min"), col("at_risk"),
             col("churned"), col("censored"),
             when(col("zeros") > 0, lit(0.0))
               .otherwise(fround(exp(col("cum_ln") / 1e6), 6)).as("surv"))
-          .orderBy("cohort", "dur_days")
+          .orderBy("cohort", "dur_min")
       },
-      Some("""WITH u AS (
-             |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
-             |         max(CAST(ts AS DATE)) AS last_day
-             |  FROM events GROUP BY user_id),
-             |h AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
-             |lab AS (
-             |  SELECT date_trunc('week', first_day) AS cohort,
-             |    CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur_days,
-             |    CASE WHEN last_day > horizon - 7 THEN 0 ELSE 1 END AS ch
-             |  FROM u, h),
+      Some(s"""WITH $sessionSubjectsSql,
              |byd AS (
-             |  SELECT cohort, dur_days,
+             |  SELECT cohort, dur_min,
              |    CAST(sum(ch) AS BIGINT) AS churned,
              |    CAST(sum(1 - ch) AS BIGINT) AS censored
-             |  FROM lab GROUP BY 1, 2),
+             |  FROM subj GROUP BY 1, 2),
              |risk AS (
              |  SELECT *, CAST(sum(churned + censored) OVER (PARTITION BY cohort)
              |    - coalesce(sum(churned + censored) OVER (PARTITION BY cohort
-             |        ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              |      0) AS BIGINT) AS at_risk
              |  FROM byd),
              |lnq AS (
@@ -1462,15 +1450,119 @@ object Events {
              |    CASE WHEN churned >= at_risk THEN 1 ELSE 0 END AS z
              |  FROM risk),
              |cum AS (
-             |  SELECT cohort, dur_days, at_risk, churned, censored,
+             |  SELECT cohort, dur_min, at_risk, churned, censored,
              |    sum(ln_micro) OVER w AS cum_ln, sum(z) OVER w AS zeros
              |  FROM lnq
-             |  WINDOW w AS (PARTITION BY cohort ORDER BY dur_days
+             |  WINDOW w AS (PARTITION BY cohort ORDER BY dur_min
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             |SELECT cohort, dur_days, at_risk, churned, censored,
+             |SELECT cohort, dur_min, at_risk, churned, censored,
              |  CASE WHEN zeros > 0 THEN 0.0
              |    ELSE floor(exp(cum_ln / 1e6) * 1e6 + 0.5) / 1e6 END AS surv
-             |FROM cum ORDER BY cohort, dur_days""".stripMargin)),
+             |FROM cum ORDER BY cohort, dur_min""".stripMargin)),
+
+    Q(
+      "e22_logrank",
+      (s, dir) => {
+        // LOG-RANK test (Mantel 1966 — the standard two-sample
+        // comparison of survival curves, e21's statistical sibling):
+        // do sessions that OPEN with a 'view' convert on a different
+        // clock than sessions opening any other way? Subjects,
+        // durations (integer minutes to first purchase), and
+        // censoring (session ends unconverted) are e21's EXACT
+        // session frame — shared code, the d15 no-drift rule. At each
+        // conversion time t the observed group-A conversions compare
+        // against the hypergeometric expectation E_A = d·n_A/n with
+        // variance d·n_A·n_B·(n−d) / (n²·(n−1)); the running
+        // statistic χ² = (Σ(O−E))²/ΣV rides every output row, the
+        // last row being the test. E_A is EXACT integer micro
+        // arithmetic (d·n_A·10^6 div n); V uses one double expression
+        // written identically in both engines (IEEE ops are
+        // deterministic), quantized to micro before the cumulative
+        // sum. Scale: the one user-keyed sessionize shuffle; the
+        // spine after the rollup is ≤ max-session-minutes rows.
+        val labeled = sessionSubjects(s, dir)
+          .select(
+            when(col("first_type") === "view", lit("a")).otherwise(lit("b")).as("grp"),
+            col("dur_min"), col("ch"))
+        val spine = labeled.groupBy("dur_min")
+          .agg(
+            sum(when(col("grp") === "a", col("ch")).otherwise(0L)).cast("long").as("d_a"),
+            sum(when(col("grp") === "a", lit(1L) - col("ch")).otherwise(0L)).cast("long").as("c_a"),
+            sum(when(col("grp") === "b", col("ch")).otherwise(0L)).cast("long").as("d_b"),
+            sum(when(col("grp") === "b", lit(1L) - col("ch")).otherwise(0L)).cast("long").as("c_b"))
+        val wPrior = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        val risk = spine
+          .withColumn("n_a", (sum(col("d_a") + col("c_a")).over(wAll)
+            - coalesce(sum(col("d_a") + col("c_a")).over(wPrior), lit(0L))).cast("long"))
+          .withColumn("n_b", (sum(col("d_b") + col("c_b")).over(wAll)
+            - coalesce(sum(col("d_b") + col("c_b")).over(wPrior), lit(0L))).cast("long"))
+          .withColumn("d", col("d_a") + col("d_b"))
+          .withColumn("n", col("n_a") + col("n_b"))
+        val terms = risk
+          .withColumn("ea_micro", expr("d * n_a * 1000000 div n"))
+          .withColumn("v_micro",
+            when(col("n") > 1, floor(
+              col("d").cast("double") * col("n_a") * col("n_b") * (col("n") - col("d"))
+                / (col("n").cast("double") * col("n") * (col("n") - 1))
+                * 1e6 + 0.5).cast("long"))
+              .otherwise(lit(0L)))
+          .withColumn("oe_micro", col("d_a") * 1000000L - col("ea_micro"))
+        terms
+          .withColumn("oe_cum_micro", sum("oe_micro").over(wCum))
+          .withColumn("v_cum_micro", sum("v_micro").over(wCum))
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("n_a"), col("d_a"), col("n_b"), col("d_b"),
+            col("ea_micro"), col("v_micro"), col("oe_cum_micro"), col("v_cum_micro"),
+            when(col("v_cum_micro") > 0, fround(
+              (col("oe_cum_micro") / 1e6) * (col("oe_cum_micro") / 1e6)
+                / (col("v_cum_micro") / 1e6), 6)).otherwise(lit(0.0)).as("chi2"))
+          .orderBy("dur_min")
+      },
+      Some(s"""WITH $sessionSubjectsSql,
+             |lab AS (
+             |  SELECT CASE WHEN first_type = 'view' THEN 'a' ELSE 'b' END AS grp,
+             |    dur_min, ch
+             |  FROM subj),
+             |spine AS (
+             |  SELECT dur_min,
+             |    CAST(sum(CASE WHEN grp = 'a' THEN ch ELSE 0 END) AS BIGINT) AS d_a,
+             |    CAST(sum(CASE WHEN grp = 'a' THEN 1 - ch ELSE 0 END) AS BIGINT) AS c_a,
+             |    CAST(sum(CASE WHEN grp = 'b' THEN ch ELSE 0 END) AS BIGINT) AS d_b,
+             |    CAST(sum(CASE WHEN grp = 'b' THEN 1 - ch ELSE 0 END) AS BIGINT) AS c_b
+             |  FROM lab GROUP BY 1),
+             |risk AS (
+             |  SELECT *,
+             |    CAST(sum(d_a + c_a) OVER () - coalesce(sum(d_a + c_a) OVER wp, 0) AS BIGINT) AS n_a,
+             |    CAST(sum(d_b + c_b) OVER () - coalesce(sum(d_b + c_b) OVER wp, 0) AS BIGINT) AS n_b,
+             |    d_a + d_b AS d
+             |  FROM spine
+             |  WINDOW wp AS (ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |terms AS (
+             |  SELECT *, n_a + n_b AS n,
+             |    d * n_a * 1000000 // (n_a + n_b) AS ea_micro,
+             |    CASE WHEN n_a + n_b > 1 THEN CAST(floor(
+             |      CAST(d AS DOUBLE) * n_a * n_b * (n_a + n_b - d)
+             |        / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b) * (n_a + n_b - 1))
+             |        * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS v_micro,
+             |    d_a * 1000000 - (d * n_a * 1000000 // (n_a + n_b)) AS oe_micro
+             |  FROM risk),
+             |cum AS (
+             |  SELECT dur_min, n_a, d_a, n_b, d_b, d, ea_micro, v_micro,
+             |    sum(oe_micro) OVER wc AS oe_cum_micro,
+             |    sum(v_micro) OVER wc AS v_cum_micro
+             |  FROM terms
+             |  WINDOW wc AS (ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT dur_min, n_a, d_a, n_b, d_b, ea_micro, v_micro,
+             |  CAST(oe_cum_micro AS BIGINT) AS oe_cum_micro,
+             |  CAST(v_cum_micro AS BIGINT) AS v_cum_micro,
+             |  CASE WHEN v_cum_micro > 0 THEN floor(
+             |    (oe_cum_micro / 1e6) * (oe_cum_micro / 1e6) / (v_cum_micro / 1e6)
+             |      * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS chi2
+             |FROM cum WHERE d > 0 ORDER BY dur_min""".stripMargin)),
 
     Q(
       "st33_stream_outer_join",
@@ -1550,6 +1642,64 @@ object Events {
              |WHERE p.event_type = 'purchase' AND p.user_id < 500
              |ORDER BY purchase_id, click_id""".stripMargin))
   )
+
+  /** Session-grain survival subjects shared by e21/e22 (the d15
+    * no-drift rule — one frame, two consumers): one row per e02
+    * session (VERBATIM 30-min rule, (ts, event_id) order) with the
+    * session-start date (cohort), the session's FIRST event type (the
+    * ns = 1 row is by construction the session opener), the duration
+    * in exact integer minutes (micros div 6e7 — no engine date_diff
+    * semantics) to the first purchase when one occurs (ch = 1) or to
+    * the session's last event otherwise (ch = 0, right-censored). */
+  private def sessionSubjects(s: SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(
+          lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L,
+          1).otherwise(0).as("ns"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("ns"),
+        sum("ns").over(wRun).cast("long").as("sid"))
+      .groupBy("user_id", "sid")
+      .agg(
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("conv_us"),
+        max(when(col("ns") === 1, col("event_type"))).as("first_type"))
+      .select(
+        to_date(timestamp_micros(col("start_us"))).as("cohort"),
+        col("first_type"),
+        when(col("conv_us").isNotNull, expr("(conv_us - start_us) div 60000000"))
+          .otherwise(expr("(end_us - start_us) div 60000000"))
+          .cast("long").as("dur_min"),
+        when(col("conv_us").isNotNull, 1L).otherwise(0L).as("ch"))
+  }
+
+  /** DuckDB twin of [[sessionSubjects]] — ends in a `subj` CTE with
+    * (cohort, first_type, dur_min, ch). */
+  private def sessionSubjectsSql: String =
+    """sess AS (
+      |  SELECT user_id, ts, event_type, ns,
+      |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM (SELECT user_id, ts, event_id, event_type,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR date_diff('microsecond',
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+      |      THEN 1 ELSE 0 END AS ns
+      |    FROM events)),
+      |subj AS (
+      |  SELECT CAST(make_timestamp(start_us) AS DATE) AS cohort, first_type,
+      |    CAST(CASE WHEN conv_us IS NOT NULL THEN (conv_us - start_us) // 60000000
+      |              ELSE (end_us - start_us) // 60000000 END AS BIGINT) AS dur_min,
+      |    CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS ch
+      |  FROM (
+      |    SELECT min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+      |      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv_us,
+      |      max(CASE WHEN ns = 1 THEN event_type END) AS first_type
+      |    FROM sess GROUP BY user_id, sid))""".stripMargin
 
   /** e19's pair-state vocabulary: (start+channels) × channels, the
     * second-order transient states (a `def` — the MarkovChannels

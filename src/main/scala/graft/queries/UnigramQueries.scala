@@ -65,15 +65,55 @@ object UnigramQueries {
             col("max_pieces"), col("lp_micro"), col("compression_bp"))
           .orderBy("nationkey")
       },
-      Some(t37OracleSql)))
+      Some(t37OracleSql)),
 
-  /** t37's oracle: the packed-long Viterbi DP (`score*64 − n_pieces`)
-    * unrolled as one CTE level per string position — level i takes
-    * the max over the ≤ 8 predecessor levels joined through the arcs
-    * table (vocabulary pieces as literals; unknown single chars score
-    * the fixed UnkLpMicro). Integer arithmetic end to end — the exact
-    * longs `Unigram.viterbiPacked` computes. */
-  private def t37OracleSql: String = {
+    Q(
+      "st34_stream_unigram_scoring",
+      (s, dir) => {
+        // STREAMING unigram tokenization — t37's pinned piece table
+        // applied at ingest, twinning st25/st29/st30's frozen-model
+        // posture for the tokenizer itself (the ingestion shape a
+        // sequence-packing writer needs: piece counts must exist the
+        // moment a document lands, not after a batch repack; st31
+        // consumes exactly these counts). Stateless append — the
+        // frozen table rides the closure, the per-word packed-long
+        // Viterbi runs row-locally, no state store at all. Universe
+        // capped ABSOLUTE (c_custkey < 2000 — st13's discipline: the
+        // feed is ~2k rows at ANY SF ≥ 0.1). collect() is the
+        // MemoryStream feeding harness; production uses readStream.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val rows = Tables(s, dir).customer.filter(col("c_custkey") < 2000)
+          .orderBy("c_custkey").select(col("c_custkey"), col("c_name"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.ops.Unigram.pieceCounts(
+            stream.toDS().toDF("c_custkey", "c_name"),
+            "c_custkey", "c_name", UnigramPieces)
+          .filter(col("n_words") > 0)
+          .writeStream.format("memory").queryName("st34_pieces")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st34_pieces").orderBy("c_custkey")
+      },
+      Some(st34OracleSql)))
+
+  /** Shared replay core for t37/st34: the packed-long Viterbi DP
+    * (`score*64 − n_pieces`) unrolled as one CTE level per string
+    * position — level i takes the max over the ≤ 8 predecessor levels
+    * joined through the arcs table (vocabulary pieces as literals;
+    * unknown single chars score the fixed UnkLpMicro). Integer
+    * arithmetic end to end — the exact longs `Unigram.viterbiPacked`
+    * computes — down to the per-key `perkey` census. */
+  private def unigramOracleCore(filter: String): String = {
     val vals = UnigramPieces
       .map { case (p, lp) => s"('$p',CAST($lp AS BIGINT))" }.mkString(",")
     val levels = (1 to OracleMaxLen).map { i =>
@@ -92,7 +132,7 @@ object UnigramQueries {
        |  SELECT c_custkey, w
        |  FROM (SELECT c_custkey, unnest(string_split(trim(regexp_replace(regexp_replace(
        |          lower(c_name), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) AS w
-       |        FROM customer)
+       |        FROM customer WHERE $filter)
        |  WHERE w <> ''),
        |vocab AS MATERIALIZED (SELECT DISTINCT w AS name, len(w) AS L FROM words),
        |arcs AS MATERIALIZED (
@@ -116,10 +156,15 @@ object UnigramQueries {
        |    CAST(len(name) AS BIGINT) AS n_chars
        |  FROM fin),
        |perkey AS (SELECT c_custkey,
+       |    CAST(count(*) AS BIGINT) AS n_words,
        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
        |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
        |    CAST(sum(lp_micro) AS BIGINT) AS lp_micro
-       |  FROM words JOIN perword ON perword.name = words.w GROUP BY 1)
+       |  FROM words JOIN perword ON perword.name = words.w GROUP BY 1)""".stripMargin
+  }
+
+  private def t37OracleSql: String =
+    s"""${unigramOracleCore("TRUE")}
        |SELECT c_nationkey AS nationkey, count(*) AS n_names,
        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
        |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
@@ -129,5 +174,12 @@ object UnigramQueries {
        |  CAST(sum(n_pieces) * 10000 // sum(n_chars) AS BIGINT) AS compression_bp
        |FROM perkey JOIN customer USING (c_custkey)
        |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** st34's oracle: the identical per-key census under the absolute
+    * harness cap — the streaming apply must emit exactly the batch
+    * accounting for every arriving key. */
+  private def st34OracleSql: String =
+    s"""${unigramOracleCore("c_custkey < 2000")}
+       |SELECT c_custkey, n_words, n_chars, n_pieces, lp_micro
+       |FROM perkey ORDER BY c_custkey""".stripMargin
 }

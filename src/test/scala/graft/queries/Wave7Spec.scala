@@ -16,10 +16,13 @@ class Wave7Spec extends SparkTestBase {
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5)))
     assert(out.nonEmpty)
-    val users = graft.tables.Tables(spark, dir).events
-      .select("user_id").distinct().count()
-    assert(out.map(t => t._4 + t._5).sum == users,
-      "every user appears in exactly one (cohort, duration) cell")
+    // subjects are e02's sessions — the census must cover each exactly once
+    val sessions = run("e02_sessionize").count()
+    assert(out.map(t => t._4 + t._5).sum == sessions,
+      "every session appears in exactly one (cohort, duration) cell")
+    assert(out.map(_._4).sum > 0 && out.map(_._5).sum > 0,
+      "both conversions and censored sessions must exist — the corpus " +
+        "genuinely right-censors at this grain")
     out.groupBy(_._1).foreach { case (cohort, rows0) =>
       val rows = rows0.sortBy(_._2)
       // at-risk telescopes: next n = n - churned - censored, first n = cohort size
@@ -47,6 +50,37 @@ class Wave7Spec extends SparkTestBase {
     }
   }
 
+  test("e22: hypergeometric terms and the running chi-square recompute " +
+      "from the row outputs") {
+    val out = run("e22_logrank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getDouble(9)))
+    assert(out.nonEmpty)
+    var oeCum = 0L
+    var vCum = 0L
+    out.foreach { case (dur, nA, dA, nB, dB, eaMicro, vMicro, oeC, vC, chi2) =>
+      val d = dA + dB
+      val n = nA + nB
+      assert(d > 0, s"$dur: only conversion times appear")
+      assert(dA <= nA && dB <= nB, s"$dur: observed cannot exceed at-risk")
+      assert(eaMicro == d * nA * 1000000L / n, s"$dur: E_A mismatch")
+      if (n > 1) {
+        val v = math.floor(d.toDouble * nA * nB * (n - d)
+          / (n.toDouble * n * (n - 1)) * 1e6 + 0.5).toLong
+        assert(vMicro == v, s"$dur: V mismatch")
+      }
+      oeCum += dA * 1000000L - eaMicro
+      vCum += vMicro
+      assert(oeC == oeCum && vC == vCum, s"$dur: cumulative sums must telescope")
+      val expect =
+        if (vCum > 0)
+          math.floor((oeCum / 1e6) * (oeCum / 1e6) / (vCum / 1e6) * 1e6 + 0.5) / 1e6
+        else 0.0
+      assert(chi2 == expect, s"$dur: chi2 $chi2 != recomputed $expect")
+    }
+  }
+
   test("kmv: below k the sketch is the whole set — planted overlap is EXACT") {
     import spark.implicits._
     // A = w0..w29 (28 shingle starts), B = w20..w49 (28); shared shingles
@@ -62,6 +96,20 @@ class Wave7Spec extends SparkTestBase {
     assert(r.getAs[Double]("n_a") == 28.0 && r.getAs[Double]("n_b") == 28.0)
     assert(math.abs(r.getAs[Double]("jaccard") - 8.0 / 48.0) < 2e-6)
     assert(math.abs(r.getAs[Double]("inter_est") - 8.0) < 0.01)
+  }
+
+  test("kmv buffer: set semantics, cap, and commutative merge") {
+    val a = new org.apache.spark.sql.graftshim.KmvBuffer(4)
+    Seq(9L, 5L, 9L, 7L, 5L, 3L, 8L, 3L).foreach(a.add)
+    assert(a.elements == Seq(3L, 5L, 7L, 8L), "duplicates absorb, k smallest kept")
+    val b = new org.apache.spark.sql.graftshim.KmvBuffer(4)
+    Seq(1L, 7L, 2L).foreach(b.add)
+    val ab = new org.apache.spark.sql.graftshim.KmvBuffer(4)
+    ab.addAll(a); ab.addAll(b)
+    val ba = new org.apache.spark.sql.graftshim.KmvBuffer(4)
+    ba.addAll(b); ba.addAll(a)
+    assert(ab.elements == Seq(1L, 2L, 3L, 5L) && ba.elements == ab.elements,
+      "merge is a commutative set union trimmed to k")
   }
 
   test("kmv: estimator regime tracks planted overlap within sketch error") {
