@@ -619,13 +619,14 @@ object CorpusOps3 {
         // post-mixes through one splitmix-seeded universal hash (the
         // MinHash family's arithmetic) to be uniform on [0, 2^31) — KMV's
         // order statistics need uniformity polyhash alone doesn't give.
-        // Scale: the only corpus-sized work is shingle + distinct; the
-        // bottom-k per source is the native bounded-heap TopKPerGroup
-        // (the row_number ≤ k idiom auto-rewrites), and every pair
-        // computation runs on sources × k rows — driver-tiny however
-        // large the corpus. Estimator math is IEEE-deterministic and
-        // replayed exactly by the oracle. Planted-overlap exactness
-        // and estimator-regime accuracy are spec'd in Wave7Spec.
+        // Scale: the only corpus-sized work is the shingle scan; the
+        // bottom-k per source is the native graft_kmv SET aggregate
+        // (duplicates die map-side in k-entry buffers, the shuffle
+        // carries sources × k longs), and every pair computation runs
+        // on sources × k rows — driver-tiny however large the corpus.
+        // Estimator math is IEEE-deterministic and replayed exactly by
+        // the oracle. Planted-overlap exactness and estimator-regime
+        // accuracy are spec'd in Wave7Spec.
         graft.ops.Dedup.kmvSourceOverlap(
           Tables(s, dir).documents.select(col("source"), col("text")),
           "source", "text")

@@ -1396,25 +1396,14 @@ object Events {
         // move); a d = n row zeroes survival outright rather than
         // passing ln(0). Durations are exact integer minute floors
         // (micros div 6e7 — no engine date_diff semantics in the
-        // hash). Scale: ONE user-keyed shuffle shared by the
-        // sessionize window and the rollup; everything after is
-        // (cohorts × minutes)-sized and the KM windows partition by
-        // cohort.
-        val labeled = sessionSubjects(s, dir)
-          .select(col("cohort"), col("dur_min"), col("ch"))
-        val byDur = labeled.groupBy("cohort", "dur_min")
-          .agg(sum("ch").cast("long").as("churned"),
-            sum(lit(1L) - col("ch")).cast("long").as("censored"))
+        // hash). Scale: two single-pass event-sized shuffles (the
+        // user-keyed sessionize window, then the (user, sid) rollup —
+        // hash(user) and hash(user, sid) cannot co-partition);
+        // everything after is (cohorts × minutes)-sized and the KM
+        // windows partition by cohort.
         val wCum = Window.partitionBy("cohort").orderBy("dur_min")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wPrior = Window.partitionBy("cohort").orderBy("dur_min")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wTot = Window.partitionBy("cohort")
-        val risk = byDur.withColumn("at_risk",
-          (sum(col("churned") + col("censored")).over(wTot)
-            - coalesce(sum(col("churned") + col("censored")).over(wPrior), lit(0L)))
-            .cast("long"))
-        val lnq = risk
+        val lnq = survivalRisk(s, dir)
           .withColumn("ln_micro",
             when(col("churned") === 0 || col("churned") >= col("at_risk"), lit(0L))
               .otherwise(floor(
@@ -1430,18 +1419,7 @@ object Events {
               .otherwise(fround(exp(col("cum_ln") / 1e6), 6)).as("surv"))
           .orderBy("cohort", "dur_min")
       },
-      Some(s"""WITH $sessionSubjectsSql,
-             |byd AS (
-             |  SELECT cohort, dur_min,
-             |    CAST(sum(ch) AS BIGINT) AS churned,
-             |    CAST(sum(1 - ch) AS BIGINT) AS censored
-             |  FROM subj GROUP BY 1, 2),
-             |risk AS (
-             |  SELECT *, CAST(sum(churned + censored) OVER (PARTITION BY cohort)
-             |    - coalesce(sum(churned + censored) OVER (PARTITION BY cohort
-             |        ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |      0) AS BIGINT) AS at_risk
-             |  FROM byd),
+      Some(s"""WITH $survivalRiskSql,
              |lnq AS (
              |  SELECT *,
              |    CASE WHEN churned = 0 OR churned >= at_risk THEN 0
@@ -1461,6 +1439,54 @@ object Events {
              |FROM cum ORDER BY cohort, dur_min""".stripMargin)),
 
     Q(
+      "e23_nelson_aalen",
+      (s, dir) => {
+        // NELSON–AALEN cumulative hazard (Nelson 1972; Aalen 1978 —
+        // the other canonical survival estimator, completing the
+        // classic trio with e21's KM and e22's log-rank): on e21's
+        // EXACT shared risk frame, H(t) = Σ d/n accumulates in exact
+        // integer micro (d·10^6 div n — unlike KM's ln factors,
+        // NOTHING here needs a transcendental), the standard variance
+        // Σ d/n² in exact integer nano, and the Fleming–Harrington
+        // survival S = exp(−H) quantizes like e21's surv. Only
+        // conversion-time rows emit (the estimator steps nowhere
+        // else). Spec cross-checks the textbook dominance S_FH ≥ S_KM
+        // row-for-row against e21. Same two event-sized shuffles as
+        // e21; everything past the shared rollup is spine-sized.
+        val wCum = Window.partitionBy("cohort").orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        survivalRisk(s, dir)
+          .withColumn("h_micro", expr("churned * 1000000 div at_risk"))
+          .withColumn("v_nano",
+            expr("churned * 1000000000 div (at_risk * at_risk)"))
+          .withColumn("hazard_cum_micro", sum("h_micro").over(wCum))
+          .withColumn("var_cum_nano", sum("v_nano").over(wCum))
+          .filter(col("churned") > 0)
+          .select(col("cohort"), col("dur_min"), col("at_risk"), col("churned"),
+            col("hazard_cum_micro"), col("var_cum_nano"),
+            fround(exp(-col("hazard_cum_micro") / 1e6), 6).as("surv_fh"))
+          .orderBy("cohort", "dur_min")
+      },
+      Some(s"""WITH $survivalRiskSql,
+             |terms AS (
+             |  SELECT *,
+             |    churned * 1000000 // at_risk AS h_micro,
+             |    churned * 1000000000 // (at_risk * at_risk) AS v_nano
+             |  FROM risk),
+             |cum AS (
+             |  SELECT cohort, dur_min, at_risk, churned,
+             |    CAST(sum(h_micro) OVER w AS BIGINT) AS hazard_cum_micro,
+             |    CAST(sum(v_nano) OVER w AS BIGINT) AS var_cum_nano
+             |  FROM terms
+             |  WINDOW w AS (PARTITION BY cohort ORDER BY dur_min
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT cohort, dur_min, at_risk, churned,
+             |  hazard_cum_micro, var_cum_nano,
+             |  floor(exp(-hazard_cum_micro / 1e6) * 1e6 + 0.5) / 1e6 AS surv_fh
+             |FROM cum WHERE churned > 0
+             |ORDER BY cohort, dur_min""".stripMargin)),
+
+    Q(
       "e22_logrank",
       (s, dir) => {
         // LOG-RANK test (Mantel 1966 — the standard two-sample
@@ -1478,8 +1504,9 @@ object Events {
         // arithmetic (d·n_A·10^6 div n); V uses one double expression
         // written identically in both engines (IEEE ops are
         // deterministic), quantized to micro before the cumulative
-        // sum. Scale: the one user-keyed sessionize shuffle; the
-        // spine after the rollup is ≤ max-session-minutes rows.
+        // sum. Scale: e21's two event-sized shuffles (sessionize
+        // window + session rollup); the spine after them is
+        // ≤ max-session-minutes rows, so the global windows are free.
         val labeled = sessionSubjects(s, dir)
           .select(
             when(col("first_type") === "view", lit("a")).otherwise(lit("b")).as("grp"),
@@ -1642,6 +1669,40 @@ object Events {
              |WHERE p.event_type = 'purchase' AND p.user_id < 500
              |ORDER BY purchase_id, click_id""".stripMargin))
   )
+
+  /** The (cohort, dur_min, churned, censored, at_risk) risk frame
+    * shared by e21 (Kaplan–Meier) and e23 (Nelson–Aalen): the
+    * [[sessionSubjects]] census grouped per (cohort, duration) with
+    * the at-risk count telescoped off the cohort totals. */
+  private def survivalRisk(s: SparkSession, dir: String) = {
+    val byDur = sessionSubjects(s, dir)
+      .groupBy("cohort", "dur_min")
+      .agg(sum("ch").cast("long").as("churned"),
+        sum(lit(1L) - col("ch")).cast("long").as("censored"))
+    val wPrior = Window.partitionBy("cohort").orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("cohort")
+    byDur.withColumn("at_risk",
+      (sum(col("churned") + col("censored")).over(wTot)
+        - coalesce(sum(col("churned") + col("censored")).over(wPrior), lit(0L)))
+        .cast("long"))
+  }
+
+  /** DuckDB twin of [[survivalRisk]] — `subj` + `byd` + `risk` CTEs;
+    * `risk` carries (cohort, dur_min, churned, censored, at_risk). */
+  private def survivalRiskSql: String =
+    s"""$sessionSubjectsSql,
+       |byd AS (
+       |  SELECT cohort, dur_min,
+       |    CAST(sum(ch) AS BIGINT) AS churned,
+       |    CAST(sum(1 - ch) AS BIGINT) AS censored
+       |  FROM subj GROUP BY 1, 2),
+       |risk AS (
+       |  SELECT *, CAST(sum(churned + censored) OVER (PARTITION BY cohort)
+       |    - coalesce(sum(churned + censored) OVER (PARTITION BY cohort
+       |        ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS at_risk
+       |  FROM byd)""".stripMargin
 
   /** Session-grain survival subjects shared by e21/e22 (the d15
     * no-drift rule — one frame, two consumers): one row per e02

@@ -50,6 +50,36 @@ class Wave7Spec extends SparkTestBase {
     }
   }
 
+  test("e23: hazard/variance telescope exactly and Fleming–Harrington " +
+      "dominates Kaplan–Meier row-for-row") {
+    val na = run("e23_nelson_aalen").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(na.nonEmpty)
+    na.groupBy(_._1).foreach { case (cohort, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      var h = 0L
+      var v = 0L
+      rows.foreach { case (_, dur, n, d, hc, vc, sfh) =>
+        assert(d > 0, s"$cohort/$dur: only event times emit")
+        h += d * 1000000L / n
+        v += d * 1000000000L / (n * n)
+        assert(hc == h && vc == v, s"$cohort/$dur: cumulative terms must telescope")
+        val expect = math.floor(math.exp(-h / 1e6) * 1e6 + 0.5) / 1e6
+        assert(sfh == expect, s"$cohort/$dur: surv_fh $sfh != $expect")
+      }
+    }
+    // exp(−d/n) ≥ 1 − d/n per step, so S_FH ≥ S_KM everywhere — the
+    // textbook dominance, checked against e21's independent output
+    val km = run("e21_kaplan_meier").collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)), r.getDouble(5))).toMap
+    na.foreach { case (cohort, dur, _, _, _, _, sfh) =>
+      val sKm = km((cohort, dur))
+      assert(sfh >= sKm - 1e-6,
+        s"$cohort/$dur: S_FH $sfh must dominate S_KM $sKm")
+    }
+  }
+
   test("e22: hypergeometric terms and the running chi-square recompute " +
       "from the row outputs") {
     val out = run("e22_logrank").collect()
