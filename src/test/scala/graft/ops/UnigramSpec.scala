@@ -44,6 +44,27 @@ class UnigramSpec extends SparkTestBase {
         "with graft.tools.UnigramDump 64")
   }
 
+  test("trainer finds the MLE vocabulary in both regimes: redundant long " +
+      "pieces die, genuinely atomic pieces survive whole") {
+    // Compositional corpus: 'abab' is exactly ab+ab, so the global MLE
+    // gives 'ab' probability ~1 (P(abab)=p(ab)^2 ~ 1 AND P(ab) ~ 1) and
+    // the redundant 'abab' piece must be pruned away, not kept.
+    val comp = Unigram.train(Map("abab" -> 100L, "ab" -> 50L), vocabSize = 2)
+    assert(!comp.exists(_._1 == "abab"),
+      s"'abab' is redundant under p(ab)~1 and must be pruned: $comp")
+    val abLp = comp.find(_._1 == "ab").get._2
+    assert(abLp > -100000L, s"'ab' must carry ~all mass, got lp $abLp: $comp")
+    // Atomic corpus: 'abc' occurring alongside 'ab' and 'bc' words CANNOT
+    // be explained compositionally without splitting probability mass
+    // across competing sub-pieces — the MLE keeps 'abc' whole.
+    val atom = Unigram.train(
+      Map("abc" -> 100L, "ab" -> 10L, "bc" -> 10L), vocabSize = 3)
+    assert(atom.exists(_._1 == "abc"), s"table must keep 'abc': $atom")
+    val packed = Unigram.viterbiPacked("abc", lpMap(atom), 8)
+    assert((-packed) % 64 == 1,
+      s"'abc' must tokenize to ONE piece under $atom, got ${(-packed) % 64}")
+  }
+
   test("viterbiPacked equals brute-force enumeration on random piece tables") {
     val rnd = new scala.util.Random(4242)
     (1 to 60).foreach { trial =>
