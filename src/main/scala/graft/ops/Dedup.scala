@@ -1254,6 +1254,36 @@ object Dedup {
       .agg(graft.functions.VectorExpressions.kmvSketch(col("hv"), k).as("sk"))
       .select(col("source"), explode(col("sk")).as("hv"))
 
+  /** K-way KMV union screen over (source, hv) sketch rows: ONE more
+    * `graft_kmv` fold merges every per-source sketch into the global
+    * union sketch (set semantics absorb cross-source duplicates), and
+    * each source's matched fraction inside the union's bottom-k is
+    * the standard KMV containment estimate of |S_c| / |S_union| — in
+    * EXACT integer ppm. Input is sources × k rows, so everything here
+    * is driver-tiny. Output per source: sketch size, matches,
+    * contain_ppm, n_src and n_union estimates. */
+  def kmvUnionScreen(sk: DataFrame, k: Int): DataFrame = {
+    def nHat(cnt: Column, vk: Column): Column =
+      when(cnt < k, cnt.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / (vk.cast("double") / lit(2147483647.0)))
+    def fr3(c: Column): Column = floor(c * lit(1e3) + lit(0.5)) / lit(1e3)
+    val unionK = sk
+      .agg(graft.functions.VectorExpressions.kmvSketch(col("hv"), k).as("uk"))
+      .select(explode(col("uk")).as("hv"))
+    val ustats = unionK.agg(count(lit(1)).as("ku"), max("hv").as("vku"))
+    val perSrc = unionK.join(sk, Seq("hv"))
+      .groupBy("source").agg(count(lit(1)).as("matches"))
+    sk.groupBy("source").agg(count(lit(1)).as("cnt"), max("hv").as("vk"))
+      .join(perSrc, Seq("source"), "left")
+      .crossJoin(broadcast(ustats))
+      .select(col("source"), col("cnt"),
+        coalesce(col("matches"), lit(0L)).as("matches"),
+        expr("coalesce(matches, 0) * 1000000 div ku").as("contain_ppm"),
+        fr3(nHat(col("cnt"), col("vk"))).as("n_src"),
+        fr3(nHat(col("ku"), col("vku"))).as("n_union"))
+      .orderBy("source")
+  }
+
   /** The estimator tail shared by the batch op and the streaming twin:
     * pair math over (source, hv) sketch rows — sources × k input, so
     * every frame here is driver-tiny. */

@@ -676,29 +676,74 @@ object CorpusOps3 {
           .select(col("source"), explode(col("sk")).as("hv"))
         graft.ops.Dedup.kmvOverlapFromSketches(sk, 128)
       },
-      Some(kmvOracleSql("doc_id < 2000"))))
+      Some(kmvOracleSql("doc_id < 2000"))),
+
+    Q(
+      "t38_kmv_union_screen",
+      (s, dir) => {
+        // K-way KMV union screen — the corpus-WIDE companion to t36's
+        // pairwise audit: ONE more graft_kmv fold merges every
+        // per-source sketch into the global union sketch (the set
+        // semantics absorb cross-source duplicates, exactly the
+        // theta-sketch union), the union's distinct-shingle count
+        // reads off its kth value, and each source's matched fraction
+        // inside the union's bottom-k is the standard containment
+        // estimate of |S_c|/|S_union| — in EXACT integer ppm (matches
+        // · 10^6 div ku; no float until the display estimates). The
+        // mix-share table a curation team reads before setting p09
+        // temperatures. Input is sources × k rows, so every frame
+        // past the shared shingle scan is driver-tiny.
+        graft.ops.Dedup.kmvUnionScreen(
+          graft.ops.Dedup.kmvSourceSketches(
+            Tables(s, dir).documents.select(col("source"), col("text")),
+            "source", "text"),
+          k = 128)
+      },
+      Some(s"""WITH ${kmvSketchCtes("TRUE")},
+             |kunion AS (SELECT hv FROM (
+             |    SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+             |    FROM (SELECT DISTINCT hv FROM sk)) WHERE rk <= 128),
+             |ustats AS (SELECT count(*) AS ku, max(hv) AS vku FROM kunion),
+             |persrc AS (SELECT s.source, count(*) AS matches
+             |  FROM kunion k JOIN sk s ON s.hv = k.hv GROUP BY 1)
+             |SELECT st.source, st.cnt,
+             |  CAST(coalesce(p.matches, 0) AS BIGINT) AS matches,
+             |  CAST(coalesce(p.matches, 0) * 1000000 // u.ku AS BIGINT) AS contain_ppm,
+             |  floor((${nHatSql("st.cnt", "st.vk")}) * 1e3 + 0.5) / 1e3 AS n_src,
+             |  floor((${nHatSql("u.ku", "u.vku")}) * 1e3 + 0.5) / 1e3 AS n_union
+             |FROM stats st
+             |LEFT JOIN persrc p ON p.source = st.source
+             |CROSS JOIN ustats u
+             |ORDER BY st.source""".stripMargin)))
 
   /** t36/st35's oracle: the full KMV replay — identical shingle fold,
     * identical splitmix coefficients as literals, bottom-k per source
     * via row_number (the set semantics fall out of DISTINCT), then the
     * pair estimator — under the given universe filter. */
+  /** The shingle→mix→per-source-bottom-k→stats CTE prefix shared by
+    * t36/st35 (pair estimator) and t38 (union screen). */
+  private def kmvSketchCtes(filter: String): String = {
+    val (ua, ub) = graft.ops.Dedup.hashCoefficients(1, 77L).head
+    val shingle = "w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]"
+    s"""toks AS (SELECT source, string_split(text, ' ') AS w
+       |  FROM documents WHERE $filter),
+       |sh AS (SELECT source,
+       |    unnest(list_transform(range(len(w) - 2), i -> ${OracleSql.polyFold(shingle)})) AS h
+       |  FROM toks WHERE len(w) >= 3),
+       |hv AS (SELECT DISTINCT source,
+       |    ($ua * (h % 4294967296) + $ub) % 2147483647 AS hv FROM sh),
+       |sk AS (SELECT source, hv FROM (
+       |    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+       |    FROM hv) WHERE rk <= 128),
+       |stats AS (SELECT source, count(*) AS cnt, max(hv) AS vk FROM sk GROUP BY source)""".stripMargin
+  }
+
+  private def nHatSql(cnt: String, vk: String) =
+    s"CASE WHEN $cnt < 128 THEN CAST($cnt AS DOUBLE) " +
+      s"ELSE 127.0 / (CAST($vk AS DOUBLE) / 2147483647.0) END"
+
   private def kmvOracleSql(filter: String): String = {
-        val (ua, ub) = graft.ops.Dedup.hashCoefficients(1, 77L).head
-        val shingle = "w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]"
-        def nHatSql(cnt: String, vk: String) =
-          s"CASE WHEN $cnt < 128 THEN CAST($cnt AS DOUBLE) " +
-            s"ELSE 127.0 / (CAST($vk AS DOUBLE) / 2147483647.0) END"
-        s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
-           |  FROM documents WHERE $filter),
-           |sh AS (SELECT source,
-           |    unnest(list_transform(range(len(w) - 2), i -> ${OracleSql.polyFold(shingle)})) AS h
-           |  FROM toks WHERE len(w) >= 3),
-           |hv AS (SELECT DISTINCT source,
-           |    ($ua * (h % 4294967296) + $ub) % 2147483647 AS hv FROM sh),
-           |sk AS (SELECT source, hv FROM (
-           |    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
-           |    FROM hv) WHERE rk <= 128),
-           |stats AS (SELECT source, count(*) AS cnt, max(hv) AS vk FROM sk GROUP BY source),
+        s"""WITH ${kmvSketchCtes(filter)},
            |uni AS (SELECT DISTINCT a.source AS src_a, b.source AS src_b, s.hv
            |  FROM stats a JOIN stats b ON a.source < b.source
            |  JOIN sk s ON s.source = a.source OR s.source = b.source),

@@ -128,6 +128,25 @@ class Wave7Spec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("inter_est") - 8.0) < 0.01)
   }
 
+  test("kmv union screen: below k every number is exact truth") {
+    import spark.implicits._
+    // same planted frame as the pairwise test: |A| = |B| = 28 shingles,
+    // |A∪B| = 48 < k — the union sketch IS the union, so containment is
+    // the exact ppm fraction and n_union the exact distinct count
+    def text(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    val docs = Seq(("A", text(0, 29)), ("B", text(20, 49))).toDF("source", "text")
+    val out = graft.ops.Dedup.kmvUnionScreen(
+      graft.ops.Dedup.kmvSourceSketches(docs, "source", "text"), k = 128)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("matches"),
+        r.getAs[Long]("contain_ppm"), r.getAs[Double]("n_union")))
+    assert(out.length == 2)
+    out.foreach { case (src, matches, ppm, nUnion) =>
+      assert(matches == 28L, s"$src: whole sketch sits inside the union")
+      assert(ppm == 28L * 1000000L / 48L, s"$src: containment must be exact")
+      assert(nUnion == 48.0, s"$src: union estimate must be exact below k")
+    }
+  }
+
   test("kmv buffer: set semantics, cap, and commutative merge") {
     val a = new org.apache.spark.sql.graftshim.KmvBuffer(4)
     Seq(9L, 5L, 9L, 7L, 5L, 3L, 8L, 3L).foreach(a.add)
