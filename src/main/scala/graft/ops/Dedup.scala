@@ -1238,6 +1238,14 @@ object Dedup {
   def kmvMixedHashes(docs: DataFrame, srcCol: String, textCol: String,
       seed: Long = 77L): DataFrame = {
     val (ua, ub) = hashCoefficients(1, seed).head
+    // Overflow headroom is thin and must stay PROVEN, not assumed:
+    // ua·(h % 2^32) + ub < 2^63 requires ua ≤ 2^31−2 and ub < 2^31
+    // (worst case (2^31−2)·(2^32−1) + 2^31−1 ≈ 9.2234e18, ~0.1% below
+    // Long.MaxValue). Spark (non-ANSI) would WRAP silently on a wider
+    // coefficient while the DuckDB oracle errors — assert the bound so
+    // any future widening of the hash family fails loudly instead.
+    require(ua <= 2147483646L && ub <= 2147483647L,
+      s"kmvMixedHashes: coefficients ($ua, $ub) exceed the 2^63 overflow bound")
     shingleHashes(docs.select(col(srcCol), col(textCol)), srcCol, textCol)
       .select(col(srcCol).as("source"),
         ((lit(ua) * (col("h") % 4294967296L) + lit(ub)) % 2147483647L).as("hv"))

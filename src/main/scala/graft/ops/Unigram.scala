@@ -143,10 +143,13 @@ object Unigram {
       entries.map(e => e.getKey -> e.getValue / tot).toMap
     }
 
-    /** Viterbi best log-prob of `w` under `vocab` (None if no path —
-      * only possible when a banned piece breaks coverage). */
-    def viterbi(w: String, vocab: Map[String, Double], banned: String): Option[Double] = {
-      val lp = vocab.map { case (s, p) => s -> StrictMath.log(p) }
+    /** Viterbi best log-prob of `w` under a PRE-BUILT log-prob map
+      * (None if no path — only possible when a banned piece breaks
+      * coverage). Takes the log map, not the vocab: the prune loop
+      * calls this O(pieces × words) times per round, so the log-map
+      * construction hoists to once per round (bit-identical — the
+      * same StrictMath.log values, computed once). */
+    def viterbi(w: String, lp: Map[String, Double], banned: String): Option[Double] = {
       val n = w.length
       val dp = Array.fill(n + 1)(Double.NegativeInfinity)
       dp(0) = 0.0
@@ -170,7 +173,8 @@ object Unigram {
     while (iter < emIters) { pieces = emStep(pieces); iter += 1 }
     // prune multi-char pieces by removal loss until the target size
     while (pieces.count(_._1.length > 1) > vocabSize) {
-      val best = words.map { case (w, c) => (w, c, viterbi(w, pieces, "").get) }
+      val plp = pieces.map { case (s, p) => s -> StrictMath.log(p) }
+      val best = words.map { case (w, c) => (w, c, viterbi(w, plp, "").get) }
       // loss of piece s = count-weighted Viterbi drop when s is banned;
       // only pieces on some best path can have loss > 0, but recompute
       // per piece for exactness (vocab is model-sized)
@@ -178,7 +182,7 @@ object Unigram {
       val loss = multis.map { s =>
         val l = best.map { case (w, c, b) =>
           if (!w.contains(s)) 0.0
-          else c * (b - viterbi(w, pieces, s).getOrElse(Double.NegativeInfinity))
+          else c * (b - viterbi(w, plp, s).getOrElse(Double.NegativeInfinity))
         }.sum
         s -> l
       }

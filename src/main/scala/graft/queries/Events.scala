@@ -1507,29 +1507,9 @@ object Events {
         // sum. Scale: e21's two event-sized shuffles (sessionize
         // window + session rollup); the spine after them is
         // ≤ max-session-minutes rows, so the global windows are free.
-        val labeled = sessionSubjects(s, dir)
-          .select(
-            when(col("first_type") === "view", lit("a")).otherwise(lit("b")).as("grp"),
-            col("dur_min"), col("ch"))
-        val spine = labeled.groupBy("dur_min")
-          .agg(
-            sum(when(col("grp") === "a", col("ch")).otherwise(0L)).cast("long").as("d_a"),
-            sum(when(col("grp") === "a", lit(1L) - col("ch")).otherwise(0L)).cast("long").as("c_a"),
-            sum(when(col("grp") === "b", col("ch")).otherwise(0L)).cast("long").as("d_b"),
-            sum(when(col("grp") === "b", lit(1L) - col("ch")).otherwise(0L)).cast("long").as("c_b"))
-        val wPrior = Window.orderBy("dur_min")
-          .rowsBetween(Window.unboundedPreceding, -1)
         val wCum = Window.orderBy("dur_min")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy()
-        val risk = spine
-          .withColumn("n_a", (sum(col("d_a") + col("c_a")).over(wAll)
-            - coalesce(sum(col("d_a") + col("c_a")).over(wPrior), lit(0L))).cast("long"))
-          .withColumn("n_b", (sum(col("d_b") + col("c_b")).over(wAll)
-            - coalesce(sum(col("d_b") + col("c_b")).over(wPrior), lit(0L))).cast("long"))
-          .withColumn("d", col("d_a") + col("d_b"))
-          .withColumn("n", col("n_a") + col("n_b"))
-        val terms = risk
+        val terms = logrankSpine(s, dir)
           .withColumn("ea_micro", expr("d * n_a * 1000000 div n"))
           .withColumn("v_micro",
             when(col("n") > 1, floor(
@@ -1549,25 +1529,7 @@ object Events {
                 / (col("v_cum_micro") / 1e6), 6)).otherwise(lit(0.0)).as("chi2"))
           .orderBy("dur_min")
       },
-      Some(s"""WITH $sessionSubjectsSql,
-             |lab AS (
-             |  SELECT CASE WHEN first_type = 'view' THEN 'a' ELSE 'b' END AS grp,
-             |    dur_min, ch
-             |  FROM subj),
-             |spine AS (
-             |  SELECT dur_min,
-             |    CAST(sum(CASE WHEN grp = 'a' THEN ch ELSE 0 END) AS BIGINT) AS d_a,
-             |    CAST(sum(CASE WHEN grp = 'a' THEN 1 - ch ELSE 0 END) AS BIGINT) AS c_a,
-             |    CAST(sum(CASE WHEN grp = 'b' THEN ch ELSE 0 END) AS BIGINT) AS d_b,
-             |    CAST(sum(CASE WHEN grp = 'b' THEN 1 - ch ELSE 0 END) AS BIGINT) AS c_b
-             |  FROM lab GROUP BY 1),
-             |risk AS (
-             |  SELECT *,
-             |    CAST(sum(d_a + c_a) OVER () - coalesce(sum(d_a + c_a) OVER wp, 0) AS BIGINT) AS n_a,
-             |    CAST(sum(d_b + c_b) OVER () - coalesce(sum(d_b + c_b) OVER wp, 0) AS BIGINT) AS n_b,
-             |    d_a + d_b AS d
-             |  FROM spine
-             |  WINDOW wp AS (ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      Some(s"""WITH ${logrankSpineSql()},
              |terms AS (
              |  SELECT *, n_a + n_b AS n,
              |    d * n_a * 1000000 // (n_a + n_b) AS ea_micro,
@@ -1590,6 +1552,113 @@ object Events {
              |    (oe_cum_micro / 1e6) * (oe_cum_micro / 1e6) / (v_cum_micro / 1e6)
              |      * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS chi2
              |FROM cum WHERE d > 0 ORDER BY dur_min""".stripMargin)),
+
+    Q(
+      "e24_cox",
+      (s, dir) => {
+        // COX PROPORTIONAL HAZARDS (Cox 1972) with one binary
+        // covariate — does opening a session with a 'view' multiply
+        // the conversion hazard? — completing the survival surface the
+        // r14 trio started: e21/e23 estimate the curves, e22 TESTS the
+        // difference, Cox QUANTIFIES it as a hazard ratio. Newton's
+        // method on the Breslow-ties partial likelihood, fit ON THE
+        // DRIVER over e22's EXACT shared two-group risk spine (the d15
+        // no-drift rule; the spine is ≤ max-session-minutes rows, so
+        // the fit input is bounded however large the corpus — the
+        // e17/gp11 fit-on-driver pattern). For a binary covariate the
+        // per-time score reduces to d_a − d·r1 and the information to
+        // d·r1·(1−r1) with r1 = w·n_a/(w·n_a + n_b), w = e^β — so each
+        // Newton step is one pass over the spine. REPLAYABLE-FIT
+        // discipline: β lives in integer micro-units; w quantizes to
+        // micro via ONE exp per step; r1 is one double expression
+        // written identically in both engines (exact integer→double
+        // conversions, IEEE-deterministic ops); each score/information
+        // term quantizes to micro BEFORE the order-free integer sums;
+        // the update divides truncating-toward-zero in both engines
+        // (Java / = DuckDB //). The oracle unrolls all 6 steps as
+        // CTEs. Overflow bound: |U|·10⁶ ≤ deaths·10¹² — safe through
+        // sf1 (~10¹⁸ at 10⁹ deaths; assert guards the headroom).
+        // Output: one row per Newton step (entry weight, score U,
+        // information I, updated β, hazard ratio) — the fit trajectory
+        // itself is the hash-checked artifact, the gp11 move.
+        val rows = logrankSpine(s, dir)
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("d_a"), col("d"), col("n_a"), col("n_b"))
+          .orderBy("dur_min")
+          .collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        import s.implicits._
+        coxNewton(rows.toSeq).toDF("step", "w_micro", "u_micro", "i_micro",
+          "beta_micro", "hr_micro").orderBy("step")
+      },
+      Some(coxOracleSql)),
+
+    Q(
+      "e25_logrank_strat",
+      (s, dir) => {
+        // STRATIFIED log-rank (the standard confounder control —
+        // compare the two opening-type groups WITHIN each session-start
+        // cohort, then pool): e22's hypergeometric O−E and V accumulate
+        // inside each stratum (each cohort keeps its own at-risk
+        // clock), and the pooled χ² = (Σ_strata ΣO−E)² / Σ_strata ΣV
+        // rides every output row. One more GROUP BY level on the SAME
+        // shared spine — logrankSpine(strata = cohort) — so the
+        // stratified and unstratified tests can never drift in their
+        // subject or censoring semantics. Scale: identical to e22 (the
+        // spine is (cohorts × minutes)-sized; windows partition by
+        // cohort, the pooled sums are spine-sized).
+        val terms = logrankSpine(s, dir, strata = Seq("cohort"))
+          .withColumn("ea_micro", expr("d * n_a * 1000000 div n"))
+          .withColumn("v_micro",
+            when(col("n") > 1, floor(
+              col("d").cast("double") * col("n_a") * col("n_b") * (col("n") - col("d"))
+                / (col("n").cast("double") * col("n") * (col("n") - 1))
+                * 1e6 + 0.5).cast("long"))
+              .otherwise(lit(0L)))
+          .withColumn("oe_micro", col("d_a") * 1000000L - col("ea_micro"))
+        val perStratum = terms
+          .groupBy("cohort")
+          .agg(sum(when(col("d") > 0, col("d_a")).otherwise(0L)).cast("long").as("d_a"),
+            sum(when(col("d") > 0, col("d_b")).otherwise(0L)).cast("long").as("d_b"),
+            max("n_a").as("n_a0"), max("n_b").as("n_b0"),
+            sum("oe_micro").cast("long").as("oe_micro"),
+            sum("v_micro").cast("long").as("v_micro"))
+        val wAll = Window.partitionBy()
+        perStratum
+          .withColumn("oe_pool_micro", sum("oe_micro").over(wAll).cast("long"))
+          .withColumn("v_pool_micro", sum("v_micro").over(wAll).cast("long"))
+          .select(col("cohort"), col("n_a0"), col("n_b0"), col("d_a"), col("d_b"),
+            col("oe_micro"), col("v_micro"),
+            when(col("v_pool_micro") > 0, fround(
+              (col("oe_pool_micro") / 1e6) * (col("oe_pool_micro") / 1e6)
+                / (col("v_pool_micro") / 1e6), 6)).otherwise(lit(0.0)).as("chi2_strat"))
+          .orderBy("cohort")
+      },
+      Some(s"""WITH ${logrankSpineSql(Seq("cohort"))},
+             |terms AS (
+             |  SELECT *, n_a + n_b AS n,
+             |    d * n_a * 1000000 // (n_a + n_b) AS ea_micro,
+             |    CASE WHEN n_a + n_b > 1 THEN CAST(floor(
+             |      CAST(d AS DOUBLE) * n_a * n_b * (n_a + n_b - d)
+             |        / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b) * (n_a + n_b - 1))
+             |        * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS v_micro,
+             |    d_a * 1000000 - (d * n_a * 1000000 // (n_a + n_b)) AS oe_micro
+             |  FROM risk),
+             |per_stratum AS (
+             |  SELECT cohort,
+             |    CAST(sum(CASE WHEN d > 0 THEN d_a ELSE 0 END) AS BIGINT) AS d_a,
+             |    CAST(sum(CASE WHEN d > 0 THEN d_b ELSE 0 END) AS BIGINT) AS d_b,
+             |    CAST(max(n_a) AS BIGINT) AS n_a0,
+             |    CAST(max(n_b) AS BIGINT) AS n_b0,
+             |    CAST(sum(oe_micro) AS BIGINT) AS oe_micro,
+             |    CAST(sum(v_micro) AS BIGINT) AS v_micro
+             |  FROM terms GROUP BY 1)
+             |SELECT cohort, n_a0, n_b0, d_a, d_b, oe_micro, v_micro,
+             |  CASE WHEN sum(v_micro) OVER () > 0 THEN floor(
+             |    (sum(oe_micro) OVER () / 1e6) * (sum(oe_micro) OVER () / 1e6)
+             |      / (sum(v_micro) OVER () / 1e6) * 1e6 + 0.5) / 1e6
+             |    ELSE 0.0 END AS chi2_strat
+             |FROM per_stratum ORDER BY cohort""".stripMargin)),
 
     Q(
       "st33_stream_outer_join",
@@ -1669,6 +1738,136 @@ object Events {
              |WHERE p.event_type = 'purchase' AND p.user_id < 500
              |ORDER BY purchase_id, click_id""".stripMargin))
   )
+
+  /** The per-duration TWO-GROUP risk spine shared by e22 (log-rank)
+    * and e24 (Cox): [[sessionSubjects]] labeled by whether the session
+    * OPENS with a 'view' (group a) or anything else (group b), grouped
+    * per duration minute with deaths/censors per group and the at-risk
+    * counts telescoped off the totals — the d15 no-drift rule, one
+    * frame, two consumers. Optionally stratified: `strata` prepends
+    * grouping columns (e25 passes `cohort`) and the telescoping
+    * windows partition by them, so each stratum carries its own
+    * at-risk clock. Columns: strata… , dur_min, d_a, c_a, d_b, c_b,
+    * n_a, n_b, d, n. */
+  private def logrankSpine(s: SparkSession, dir: String,
+      strata: Seq[String] = Nil) = {
+    val labeled = sessionSubjects(s, dir)
+      .select((strata.map(col) :+
+        when(col("first_type") === "view", lit("a")).otherwise(lit("b")).as("grp") :+
+        col("dur_min") :+ col("ch")): _*)
+    val spine = labeled.groupBy((strata :+ "dur_min").map(col): _*)
+      .agg(
+        sum(when(col("grp") === "a", col("ch")).otherwise(0L)).cast("long").as("d_a"),
+        sum(when(col("grp") === "a", lit(1L) - col("ch")).otherwise(0L)).cast("long").as("c_a"),
+        sum(when(col("grp") === "b", col("ch")).otherwise(0L)).cast("long").as("d_b"),
+        sum(when(col("grp") === "b", lit(1L) - col("ch")).otherwise(0L)).cast("long").as("c_b"))
+    val wPrior = Window.partitionBy(strata.map(col): _*).orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(strata.map(col): _*)
+    spine
+      .withColumn("n_a", (sum(col("d_a") + col("c_a")).over(wAll)
+        - coalesce(sum(col("d_a") + col("c_a")).over(wPrior), lit(0L))).cast("long"))
+      .withColumn("n_b", (sum(col("d_b") + col("c_b")).over(wAll)
+        - coalesce(sum(col("d_b") + col("c_b")).over(wPrior), lit(0L))).cast("long"))
+      .withColumn("d", col("d_a") + col("d_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+  }
+
+  /** DuckDB twin of [[logrankSpine]] — `subj` + `lab` + `spine` +
+    * `risk` CTEs; `risk` carries (strata…, dur_min, d_a, c_a, d_b,
+    * c_b, n_a, n_b, d). (`n` stays inline as n_a + n_b where needed —
+    * e22's original text.) */
+  private def logrankSpineSql(strata: Seq[String] = Nil): String = {
+    val scols = strata.map(c => s"$c, ").mkString
+    val part = if (strata.isEmpty) "" else s"PARTITION BY ${strata.mkString(", ")} "
+    val pb = if (strata.isEmpty) "()" else s"($part)"
+    s"""$sessionSubjectsSql,
+       |lab AS (
+       |  SELECT ${scols}CASE WHEN first_type = 'view' THEN 'a' ELSE 'b' END AS grp,
+       |    dur_min, ch
+       |  FROM subj),
+       |spine AS (
+       |  SELECT ${scols}dur_min,
+       |    CAST(sum(CASE WHEN grp = 'a' THEN ch ELSE 0 END) AS BIGINT) AS d_a,
+       |    CAST(sum(CASE WHEN grp = 'a' THEN 1 - ch ELSE 0 END) AS BIGINT) AS c_a,
+       |    CAST(sum(CASE WHEN grp = 'b' THEN ch ELSE 0 END) AS BIGINT) AS d_b,
+       |    CAST(sum(CASE WHEN grp = 'b' THEN 1 - ch ELSE 0 END) AS BIGINT) AS c_b
+       |  FROM lab GROUP BY ${(1 to strata.length + 1).mkString(", ")}),
+       |risk AS (
+       |  SELECT *,
+       |    CAST(sum(d_a + c_a) OVER $pb - coalesce(sum(d_a + c_a) OVER wp, 0) AS BIGINT) AS n_a,
+       |    CAST(sum(d_b + c_b) OVER $pb - coalesce(sum(d_b + c_b) OVER wp, 0) AS BIGINT) AS n_b,
+       |    d_a + d_b AS d
+       |  FROM spine
+       |  WINDOW wp AS (${part}ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))""".stripMargin
+  }
+
+  /** e24's Newton kernel on a collected spine of (d_a, d, n_a, n_b)
+    * rows: 6 fixed steps from β = 0 on the Breslow partial likelihood,
+    * every quantity in the replayable integer-micro discipline (see
+    * the e24 doc). Exposed at package level so the spec can fit
+    * planted spines with known hazard ratios. Returns one
+    * (step, w_micro, u_micro, i_micro, beta_micro, hr_micro) per step. */
+  private[queries] def coxNewton(rows: Seq[(Long, Long, Long, Long)])
+      : IndexedSeq[(Long, Long, Long, Long, Long, Long)] = {
+    require(rows.map(_._2).sum < 1000000000L,
+      "cox: deaths overflow the micro-integer score bound")
+    var beta = 0L
+    (1 to 6).map { k =>
+      val w = math.floor(StrictMath.exp(beta / 1e6) * 1e6 + 0.5).toLong
+      var u = 0L
+      var inf = 0L
+      rows.foreach { case (dA, d, nA, nB) =>
+        val r1 = (w.toDouble * nA) / (w.toDouble * nA + 1000000.0 * nB)
+        u += dA * 1000000L - math.floor(d * r1 * 1000000.0 + 0.5).toLong
+        inf += math.floor(d * r1 * (1.0 - r1) * 1000000.0 + 0.5).toLong
+      }
+      beta = if (inf == 0L) beta else beta + u * 1000000L / inf
+      val hr = math.floor(StrictMath.exp(beta / 1e6) * 1e6 + 0.5).toLong
+      (k.toLong, w, u, inf, beta, hr)
+    }
+  }
+
+  /** e24's oracle: the shared spine, then all 6 Newton steps UNROLLED
+    * as CTE triples (weight → per-time terms → update) replaying the
+    * driver arithmetic exactly — one exp per step quantized to micro,
+    * r1 as the identical double expression, per-term micro floors
+    * before the order-free sums, truncating integer division in the
+    * update (DuckDB's BIGINT `//` truncates toward zero like Java /,
+    * verified: -7//2 = -3). */
+  private def coxOracleSql: String = {
+    val steps = (1 to 6).map { k =>
+      val b = s"b${k - 1}"
+      s"""w$k AS (SELECT CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w
+         |  FROM $b),
+         |r$k AS (SELECT sp.d_a, sp.d,
+         |    (CAST(w.w AS DOUBLE) * sp.n_a)
+         |      / (CAST(w.w AS DOUBLE) * sp.n_a + 1000000.0 * sp.n_b) AS r1
+         |  FROM sp CROSS JOIN w$k w),
+         |t$k AS (SELECT
+         |    CAST(coalesce(sum(d_a * 1000000
+         |      - CAST(floor(d * r1 * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS u,
+         |    CAST(coalesce(sum(CAST(floor(d * r1 * (1.0 - r1) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS i
+         |  FROM r$k),
+         |b$k AS (SELECT CASE WHEN t.i = 0 THEN b.beta
+         |    ELSE b.beta + t.u * 1000000 // t.i END AS beta, t.u, t.i, w.w
+         |  FROM b${k - 1} b CROSS JOIN t$k t CROSS JOIN w$k w)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 6).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, w AS w_micro, u AS u_micro,
+         |  i AS i_micro, CAST(beta AS BIGINT) AS beta_micro,
+         |  CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS hr_micro
+         |FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${logrankSpineSql()},
+       |sp AS (SELECT dur_min, d_a, d, n_a, n_b FROM risk WHERE d > 0),
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS beta),
+       |$steps
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY step""".stripMargin
+  }
 
   /** The (cohort, dur_min, churned, censored, at_risk) risk frame
     * shared by e21 (Kaplan–Meier) and e23 (Nelson–Aalen): the

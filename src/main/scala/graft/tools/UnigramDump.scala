@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * bounded sample (`CorpusOps2.bpe1kTrainingSource` — the first 1000
   * sf0.01 customer names, the one SF-scaling vocabulary) and print it
   * in the compact `piece lp_micro` per-line form
-  * `CorpusOps2.UnigramPieces` parses — regenerating the pinned
+  * `UnigramQueries.UnigramPieces` parses — regenerating the pinned
   * literal when trainer parameters change.
   * Usage: UnigramDump [vocabSize] [sfDir]. */
 object UnigramDump {

