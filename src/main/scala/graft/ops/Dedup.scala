@@ -1292,6 +1292,46 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** K-way KMV INTERSECTION screen over (source, hv) sketch rows —
+    * the set-algebra completion of [[kmvUnionScreen]]: inside the
+    * union's bottom-k, count how many hashes appear in ≥ m sources
+    * for EVERY m in 1..S at once (m = S is the full k-way
+    * intersection estimate; m = 1 recovers the union, an in-plan
+    * sanity anchor). share_ppm is the exact integer fraction of the
+    * union sketch shared by ≥ m sources and est_shared scales it by
+    * the union distinct-count estimate — "how much content is common
+    * to at least m corpora", the question a mixing team asks before
+    * deduplicating across sources. Below k everything degrades to
+    * exact truth (the union sketch IS the union). Input is
+    * sources × k rows, so every frame here is driver-tiny; the
+    * membership census and the ≥ m rollup never touch the corpus. */
+  def kmvSharedCore(sk: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def nHat(cnt: Column, vk: Column): Column =
+      when(cnt < k, cnt.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / (vk.cast("double") / lit(2147483647.0)))
+    def fr3(c: Column): Column = floor(c * lit(1e3) + lit(0.5)) / lit(1e3)
+    val unionK = sk
+      .agg(graft.functions.VectorExpressions.kmvSketch(col("hv"), k).as("uk"))
+      .select(explode(col("uk")).as("hv"))
+    val ustats = unionK.agg(count(lit(1)).as("ku"), max("hv").as("vku"))
+    // membership census: how many sources hold each union-bottom-k hash
+    val mh = unionK.join(sk, Seq("hv"))
+      .groupBy("hv").agg(count(lit(1)).as("mv"))
+    // one output row per m in 1..S (S = sources with a non-empty sketch)
+    val spine = sk.select("source").distinct()
+      .select(row_number().over(Window.orderBy("source")).cast("long").as("m"))
+    spine.join(broadcast(mh), col("mv") >= col("m"), "left")
+      .groupBy("m").agg(count(col("hv")).as("cnt_ge"))
+      .crossJoin(broadcast(ustats))
+      .select(col("m"), col("cnt_ge"), col("ku"),
+        expr("cnt_ge * 1000000 div ku").as("share_ppm"),
+        fr3((col("cnt_ge").cast("double") / col("ku"))
+          * nHat(col("ku"), col("vku"))).as("est_shared"),
+        fr3(nHat(col("ku"), col("vku"))).as("n_union"))
+      .orderBy("m")
+  }
+
   /** The estimator tail shared by the batch op and the streaming twin:
     * pair math over (source, hv) sketch rows — sources × k input, so
     * every frame here is driver-tiny. */

@@ -714,7 +714,51 @@ object CorpusOps3 {
              |FROM stats st
              |LEFT JOIN persrc p ON p.source = st.source
              |CROSS JOIN ustats u
-             |ORDER BY st.source""".stripMargin)))
+             |ORDER BY st.source""".stripMargin)),
+
+    Q(
+      "t39_kmv_shared_core",
+      (s, dir) => {
+        // K-way KMV INTERSECTION screen — the set-algebra completion
+        // of t36 (pairwise) and t38 (union/containment): inside the
+        // union's bottom-k, count the hashes present in ≥ m sources
+        // for EVERY m at once. m = #sources is the full k-way
+        // intersection estimate; m = 1 recovers the union (an in-plan
+        // sanity anchor: share_ppm = 10^6 by construction); the rows
+        // between profile how much content is common to at least m
+        // corpora — what a mixing team reads before cross-source
+        // dedup. share_ppm is EXACT integer ppm; est_shared scales by
+        // the union estimate; everything degrades to exact truth
+        // below k (spec'd like t36). ONE more fold over the SAME
+        // graft_kmv sketches — the membership census and the ≥ m
+        // rollup run on sources × k rows, driver-tiny at any corpus
+        // size.
+        graft.ops.Dedup.kmvSharedCore(
+          graft.ops.Dedup.kmvSourceSketches(
+            Tables(s, dir).documents.select(col("source"), col("text")),
+            "source", "text"),
+          k = 128)
+      },
+      Some(s"""WITH ${kmvSketchCtes("TRUE")},
+             |kunion AS (SELECT hv FROM (
+             |    SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+             |    FROM (SELECT DISTINCT hv FROM sk)) WHERE rk <= 128),
+             |ustats AS (SELECT count(*) AS ku, max(hv) AS vku FROM kunion),
+             |mh AS (SELECT k.hv, count(*) AS mv
+             |  FROM kunion k JOIN sk s ON s.hv = k.hv GROUP BY 1),
+             |spine AS (SELECT m FROM (
+             |    SELECT row_number() OVER (ORDER BY source) AS m
+             |    FROM (SELECT DISTINCT source FROM sk))),
+             |ge AS (SELECT sp.m, CAST(count(h.hv) AS BIGINT) AS cnt_ge
+             |  FROM spine sp LEFT JOIN mh h ON h.mv >= sp.m GROUP BY 1)
+             |SELECT CAST(g.m AS BIGINT) AS m, g.cnt_ge,
+             |  CAST(u.ku AS BIGINT) AS ku,
+             |  CAST(g.cnt_ge * 1000000 // u.ku AS BIGINT) AS share_ppm,
+             |  floor((CAST(g.cnt_ge AS DOUBLE) / u.ku)
+             |    * (${nHatSql("u.ku", "u.vku")}) * 1e3 + 0.5) / 1e3 AS est_shared,
+             |  floor((${nHatSql("u.ku", "u.vku")}) * 1e3 + 0.5) / 1e3 AS n_union
+             |FROM ge g CROSS JOIN ustats u
+             |ORDER BY m""".stripMargin)))
 
   /** t36/st35's oracle: the full KMV replay — identical shingle fold,
     * identical splitmix coefficients as literals, bottom-k per source

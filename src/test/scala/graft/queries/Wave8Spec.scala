@@ -134,4 +134,37 @@ class Wave8Spec extends SparkTestBase {
     val flat = run("e22_logrank").collect().last.getDouble(9)
     assert(expect > 0 && flat > 0)
   }
+
+  test("kmv shared core: below k every ≥m count is exact truth, m=1 " +
+      "recovers the union, m=S the k-way intersection") {
+    import spark.implicits._
+    // A = w0..w29, B = w20..w49, C = w25..w54 (shingle STARTS w0..w27 /
+    // w20..w47 / w25..w52). Shared by ≥2: starts w20..w47 ∪ w25..w52 →
+    // w20..w52 minus... compute directly: in exactly A∩B = w20..w27 (8),
+    // B∩C = w25..w47 (23), A∩C = w25..w27 (3), A∩B∩C = w25..w27 (3).
+    // ≥2 count = |A∩B ∪ B∩C ∪ A∩C| = |w20..w47| = 28; ≥3 = 3.
+    // Union = w0..w52 = 53 < k = 128 → everything exact.
+    def text(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    val docs = Seq(("A", text(0, 29)), ("B", text(20, 49)), ("C", text(25, 54)))
+      .toDF("source", "text")
+    val out = graft.ops.Dedup.kmvSharedCore(
+      graft.ops.Dedup.kmvSourceSketches(docs, "source", "text"), k = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.length == 3, "one row per m in 1..S")
+    val byM = out.map(t => t._1 -> t).toMap
+    assert(byM(1L)._2 == 53L && byM(1L)._4 == 1000000L,
+      "m=1 must recover the whole union at share 10^6 ppm")
+    assert(byM(2L)._2 == 28L, "exactly 28 shingle starts sit in ≥2 sources")
+    assert(byM(3L)._2 == 3L, "the 3-way intersection holds w25..w27")
+    out.foreach { case (_, cntGe, ku, ppm, est, nUnion) =>
+      assert(ku == 53L && nUnion == 53.0, "below k the union estimate is exact")
+      assert(ppm == cntGe * 1000000L / 53L)
+      assert(math.abs(est - cntGe.toDouble) < 0.01,
+        "below k est_shared must be the exact count")
+    }
+    // monotone: cnt_ge is non-increasing in m
+    val sorted = out.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => b <= a })
+  }
 }
