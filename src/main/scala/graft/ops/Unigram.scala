@@ -237,6 +237,137 @@ object Unigram {
     dp(n)
   }
 
+  /** N-BEST packed path values of `w` (Kudo 2018 §3.2's n-best list):
+    * the list-Viterbi DP — each position keeps its top-`nBest` packed
+    * values WITH MULTIPLICITY (two distinct paths with equal value
+    * both count; a top-n path's prefix is provably within the top n
+    * at every intermediate position, so level-wise truncation is
+    * exact). Returned descending; same packing and unknown-char
+    * fallback as [[viterbiPacked]], so slot 0 IS the Viterbi optimum. */
+  private[ops] def nbestPacked(w: String,
+      lp: java.util.HashMap[String, java.lang.Long], maxPieceLen: Int,
+      nBest: Int): Array[Long] = {
+    val n = w.length
+    require(n <= MaxWordLen,
+      s"unigram nbest: word '${w.take(32)}…' exceeds $MaxWordLen chars")
+    val dp = new Array[Array[Long]](n + 1)
+    dp(0) = Array(0L)
+    var i = 1
+    while (i <= n) {
+      val cand = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var l = 1
+      val lmax = math.min(maxPieceLen, i)
+      while (l <= lmax) {
+        val prev = dp(i - l)
+        if (prev.nonEmpty) {
+          val s = w.substring(i - l, i)
+          val e = lp.get(s)
+          val arc: java.lang.Long =
+            if (e != null) e else if (l == 1) UnkLpMicro else null
+          if (arc != null) {
+            val add = 64L * arc.longValue() - 1L
+            prev.foreach(v => cand += v + add)
+          }
+        }
+        l += 1
+      }
+      dp(i) = cand.toArray.sortBy(v => -v).take(nBest)
+      i += 1
+    }
+    dp(n)
+  }
+
+  /** Plain-JVM twin of the `graft_polyhash` byte fold (`h·131 + code
+    * mod 2^55−55`) for driver/executor scalar use — identical to the
+    * native expression and the oracle's `ascii()` fold on the ASCII
+    * post-normalization alphabet. */
+  private[ops] def polyHash55(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 131L + s.charAt(i).toLong) % 36028797018963913L
+      i += 1
+    }
+    h
+  }
+
+  /** Subword-regularization SAMPLE of one word (Kudo 2018 §3.2:
+    * draw from the n-best segmentations with probability ∝ P^α,
+    * α = 1/2): weights quantize to integer micro via one exp per slot
+    * on the micro-nat score DELTA (slot 0's weight is exactly 10^6 by
+    * construction — no underflow however improbable the word), and
+    * the draw is DETERMINISTIC — the word's 55-bit polyhash post-
+    * mixed through one splitmix universal hash (the x13 hash-min
+    * precedent: partition-invariant, repeatable, oracle-replayable),
+    * reduced mod the weight total and walked down the cumulative
+    * weights. Returns (n_pieces, score_micro, diverse) of the chosen
+    * slot, diverse = 1 when the choice differs from the Viterbi
+    * optimum IN VALUE (equal-value slots emit identical stats, so
+    * tie order is immaterial). */
+  private[ops] def samplePacked(w: String,
+      lp: java.util.HashMap[String, java.lang.Long], maxPieceLen: Int,
+      nBest: Int, ua: Long, ub: Long): (Long, Long, Long) = {
+    val best = nbestPacked(w, lp, maxPieceLen, nBest)
+    val s1 = -((-best(0)) / 64L)
+    val wts = best.map { v =>
+      val s = -((-v) / 64L)
+      math.floor(StrictMath.exp((s - s1) / 2000000.0) * 1e6 + 0.5).toLong
+    }
+    val tot = wts.sum
+    val hv = (ua * (polyHash55(w) % 4294967296L) + ub) % 2147483647L
+    val r = hv % tot
+    var cum = 0L
+    var idx = 0
+    while (cum + wts(idx) <= r) { cum += wts(idx); idx += 1 }
+    val v = best(idx)
+    ((-v) % 64L, -((-v) / 64L), if (v != best(0)) 1L else 0L)
+  }
+
+  /**
+   * Per-document SAMPLED piece accounting — [[pieceCounts]] under
+   * subword-regularization sampling instead of Viterbi: (idCol,
+   * n_words, n_chars, n_pieces, lp_micro, n_diverse), where n_pieces /
+   * lp_micro aggregate the SAMPLED segmentation per word and n_diverse
+   * counts words whose sample differs from the Viterbi optimum. The
+   * draw is per distinct word (deterministic hash), so the memo stays
+   * sound and replicas of a word segment identically — exactly what a
+   * reproducible training-data pipeline wants from "sampling".
+   */
+  def pieceCountsSampled(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Long)], maxPieceLen: Int = 8, nBest: Int = 4,
+      seed: Long = 91L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (ua, ub) = graft.ops.Dedup.hashCoefficients(1, seed).head
+    val bc = spark.sparkContext.broadcast(pieces.toArray)
+    docs
+      .select(col(idCol).cast("long"), split(Bpe.normText(col(textCol)), " ").as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val lp = new java.util.HashMap[String, java.lang.Long]()
+        bc.value.foreach { case (s, v) => lp.put(s, v) }
+        val memo = new java.util.HashMap[String, (Long, Long, Long)]()
+        it.map { case (id, ws0) =>
+          val ws = ws0.filter(_.nonEmpty)
+          var nPieces = 0L
+          var lpSum = 0L
+          var nChars = 0L
+          var nDiverse = 0L
+          ws.foreach { w =>
+            if (memo.size >= (1 << 20)) memo.clear()
+            val (np, sc, dv) = memo.computeIfAbsent(w,
+              k => samplePacked(k, lp, maxPieceLen, nBest, ua, ub))
+            nPieces += np
+            lpSum += sc
+            nChars += w.length
+            nDiverse += dv
+          }
+          (id, ws.size.toLong, nChars, nPieces, lpSum, nDiverse)
+        }
+      }
+      .toDF(idCol, "n_words", "n_chars", "n_pieces", "lp_micro", "n_diverse")
+  }
+
   /**
    * Per-document unigram piece accounting: (idCol, n_words, n_chars,
    * n_pieces, lp_micro), one row per input document (0s for documents

@@ -104,7 +104,46 @@ object UnigramQueries {
         } finally q.stop()
         s.table("st34_pieces").orderBy("c_custkey")
       },
-      Some(st34OracleSql)))
+      Some(st34OracleSql)),
+
+    Q(
+      "t40_unigram_sample",
+      (s, dir) => {
+        // SUBWORD-REGULARIZATION sampling (Kudo 2018 §3.2 — the reason
+        // the unigram LM exists: LLM pipelines train on SAMPLED
+        // segmentations, not Viterbi, for robustness): each name draws
+        // from its 4-best segmentations with probability ∝ P^(1/2).
+        // t37's lattice machinery is the hard part and is reused as
+        // the list-Viterbi n-best DP (top-4 packed values per DP cell,
+        // exact by the prefix property); weights quantize to integer
+        // micro on the score DELTA (the Viterbi slot is exactly 10^6 —
+        // underflow-proof), and the draw is DETERMINISTIC — the word's
+        // polyhash through one splitmix universal hash, mod the weight
+        // total, walked down the cumulative weights (the x13 hash-min
+        // precedent: partition-invariant and oracle-replayable; one
+        // draw per DISTINCT word keeps the apply memo sound). Rolled
+        // up per nation like t37 plus n_diverse — how many names
+        // sampled AWAY from Viterbi, the knob-effectiveness readout.
+        // Scale shape is t37's exactly: broadcast pieces, one narrow
+        // mapPartitions pass, per-partition memo.
+        val c = Tables(s, dir).customer
+        graft.ops.Unigram.pieceCountsSampled(c, "c_custkey", "c_name",
+            UnigramPieces)
+          .where(col("n_words") > 0)
+          .join(c.select("c_custkey", "c_nationkey"), "c_custkey")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_names"),
+            sum("n_chars").as("n_chars"),
+            sum("n_pieces").as("n_pieces"),
+            sum("lp_micro").as("lp_micro"),
+            sum("n_diverse").as("n_diverse"),
+            expr("sum(n_pieces) * 10000 div sum(n_chars)").as("compression_bp"))
+          .select(col("c_nationkey").as("nationkey"), col("n_names"),
+            col("n_chars"), col("n_pieces"), col("lp_micro"),
+            col("n_diverse"), col("compression_bp"))
+          .orderBy("nationkey")
+      },
+      Some(t40OracleSql)))
 
   /** Shared replay core for t37/st34: the packed-long Viterbi DP
     * (`score*64 − n_pieces`) unrolled as one CTE level per string
@@ -182,4 +221,95 @@ object UnigramQueries {
     s"""${unigramOracleCore("c_custkey < 2000")}
        |SELECT c_custkey, n_words, n_chars, n_pieces, lp_micro
        |FROM perkey ORDER BY c_custkey""".stripMargin
+
+  /** t40's oracle: the n-best replay — t37's unrolled DP with each
+    * level keeping its TOP-4 values WITH MULTIPLICITY (row_number ≤ 4
+    * over the candidate multiset; ties carry equal packed values so
+    * the kept multiset is deterministic), then per word the α = 1/2
+    * sampling weights on the micro-nat score deltas, the splitmix-
+    * mixed polyhash draw, and the cumulative-weight walk — exactly
+    * `Unigram.samplePacked`'s integers. */
+  private def t40OracleSql: String = {
+    val vals = UnigramPieces
+      .map { case (p, lp) => s"('$p',CAST($lp AS BIGINT))" }.mkString(",")
+    val (ua, ub) = graft.ops.Dedup.hashCoefficients(1, 91L).head
+    val levels = (1 to OracleMaxLen).map { i =>
+      val preds = (math.max(0, i - MaxPieceLen) until i)
+        .map(j => s"SELECT name, $j AS j, v FROM d$j")
+        .mkString(" UNION ALL ")
+      s"""d$i AS MATERIALIZED (
+         |  SELECT name, v FROM (
+         |    SELECT a.name, p.v + 64 * a.lp - 1 AS v,
+         |      row_number() OVER (PARTITION BY a.name
+         |        ORDER BY p.v + 64 * a.lp - 1 DESC) AS rk
+         |    FROM arcs a JOIN ($preds) p ON p.name = a.name AND p.j = a.j
+         |    WHERE a.i = $i)
+         |  WHERE rk <= 4)"""
+    }.mkString(",\n")
+    val allv = (1 to OracleMaxLen)
+      .map(i => s"SELECT name, $i AS i, v FROM d$i").mkString(" UNION ALL ")
+    s"""WITH pieces(p, lp) AS (SELECT * FROM (VALUES $vals) t(p, lp)),
+       |words AS MATERIALIZED (
+       |  SELECT c_custkey, w
+       |  FROM (SELECT c_custkey, unnest(string_split(trim(regexp_replace(regexp_replace(
+       |          lower(c_name), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) AS w
+       |        FROM customer WHERE TRUE)
+       |  WHERE w <> ''),
+       |vocab AS MATERIALIZED (SELECT DISTINCT w AS name, len(w) AS L FROM words),
+       |arcs AS MATERIALIZED (
+       |  SELECT c.name, c.j, c.i,
+       |    coalesce(pc.lp, CASE WHEN c.i - c.j = 1
+       |      THEN CAST(${graft.ops.Unigram.UnkLpMicro} AS BIGINT) END) AS lp
+       |  FROM (SELECT v.name, r1.range AS j, r2.range AS i
+       |        FROM vocab v CROSS JOIN range($OracleMaxLen) r1
+       |        CROSS JOIN range(1, ${OracleMaxLen + 1}) r2
+       |        WHERE r2.range > r1.range AND r2.range <= v.L
+       |          AND r2.range - r1.range <= $MaxPieceLen) c
+       |  LEFT JOIN pieces pc ON pc.p = substr(c.name, CAST(c.j + 1 AS INT), CAST(c.i - c.j AS INT))
+       |  WHERE coalesce(pc.lp, CASE WHEN c.i - c.j = 1 THEN 0 END) IS NOT NULL),
+       |d0 AS MATERIALIZED (SELECT name, CAST(0 AS BIGINT) AS v FROM vocab),
+       |$levels,
+       |allv AS ($allv),
+       |fin AS (SELECT v.name, a.v FROM vocab v JOIN allv a ON a.name = v.name AND a.i = v.L),
+       |slots AS (SELECT name, v, -((-v) // 64) AS s,
+       |    row_number() OVER (PARTITION BY name ORDER BY v DESC) AS rk
+       |  FROM fin),
+       |wsl AS (SELECT name, v, rk,
+       |    CAST(floor(exp((s - max(s) OVER (PARTITION BY name)) / 2000000.0)
+       |      * 1e6 + 0.5) AS BIGINT) AS wt,
+       |    max(v) OVER (PARTITION BY name) AS v1
+       |  FROM slots),
+       |csl AS (SELECT name, v, v1, wt,
+       |    CAST(sum(wt) OVER (PARTITION BY name ORDER BY rk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(wt) OVER (PARTITION BY name) AS BIGINT) AS tot
+       |  FROM wsl),
+       |drawn AS (SELECT name,
+       |    ($ua * (h % 4294967296) + $ub) % 2147483647 AS hv
+       |  FROM (SELECT name, ${OracleSql.polyFold("name")} AS h FROM vocab)),
+       |pick AS (SELECT c.name, c.v, c.v1
+       |  FROM csl c JOIN drawn dr ON dr.name = c.name
+       |  WHERE (dr.hv % c.tot) >= c.cum - c.wt AND (dr.hv % c.tot) < c.cum),
+       |perword AS (SELECT name,
+       |    CAST((-v) % 64 AS BIGINT) AS n_pieces,
+       |    CAST(-((-v) // 64) AS BIGINT) AS lp_micro,
+       |    CAST(len(name) AS BIGINT) AS n_chars,
+       |    CAST(CASE WHEN v <> v1 THEN 1 ELSE 0 END AS BIGINT) AS diverse
+       |  FROM pick),
+       |perkey AS (SELECT c_custkey,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |    CAST(sum(lp_micro) AS BIGINT) AS lp_micro,
+       |    CAST(sum(diverse) AS BIGINT) AS n_diverse
+       |  FROM words JOIN perword ON perword.name = words.w GROUP BY 1)
+       |SELECT c_nationkey AS nationkey, count(*) AS n_names,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(lp_micro) AS BIGINT) AS lp_micro,
+       |  CAST(sum(n_diverse) AS BIGINT) AS n_diverse,
+       |  CAST(sum(n_pieces) * 10000 // sum(n_chars) AS BIGINT) AS compression_bp
+       |FROM perkey JOIN customer USING (c_custkey)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }
