@@ -1576,8 +1576,9 @@ object Events {
         // term quantizes to micro BEFORE the order-free integer sums;
         // the update divides truncating-toward-zero in both engines
         // (Java / = DuckDB //). The oracle unrolls all 6 steps as
-        // CTEs. Overflow bound: |U|·10⁶ ≤ deaths·10¹² — safe through
-        // sf1 (~10¹⁸ at 10⁹ deaths; assert guards the headroom).
+        // CTEs. Overflow bound: the update computes U·10⁶ with
+        // |U| ≤ Σdeaths·10⁶, so Σdeaths must stay under ~9.2e6
+        // (≈ sf40; ~2e5 at sf1) — the kernel asserts it.
         // Output: one row per Newton step (entry weight, score U,
         // information I, updated β, hazard ratio) — the fit trajectory
         // itself is the hash-checked artifact, the gp11 move.
@@ -1592,6 +1593,50 @@ object Events {
           "beta_micro", "hr_micro").orderBy("step")
       },
       Some(coxOracleSql)),
+
+    Q(
+      "e26_cox_baseline",
+      (s, dir) => {
+        // BRESLOW BASELINE cumulative hazard (Breslow 1972 — the
+        // standard companion estimate to a fitted Cox model): with
+        // β̂ from e24's EXACT Newton fit (same kernel, same spine —
+        // the fit replays deterministically, so two queries cannot
+        // drift), H₀(t) = Σ_{s≤t} d_s / (e^β̂·n_a(s) + n_b(s)) gives
+        // the group-b hazard clock and e^β̂·H₀ the group-a one — the
+        // absolute survival curves the hazard RATIO alone doesn't
+        // give. All hazard arithmetic is EXACT integer micro:
+        // h₀ = d·10¹² div (w·n_a + 10⁶·n_b) with w = e24's final
+        // hr_micro (bound: w·n_a ≤ 2e13 at sf1 — far under 2^63),
+        // cumulated over the ordered spine; the two survival curves
+        // quantize like e21's (one exp per row, micro-rounded). One
+        // more pass over the SHARED spine — nothing new distributed.
+        val spine = logrankSpine(s, dir)
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("d_a"), col("d"), col("n_a"), col("n_b"))
+        val rows = spine.orderBy("dur_min").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        val w = coxNewton(rows.toSeq).last._6
+        // ha_cum·w and w·n_a must stay under 2^63: w < 10⁹ bounds
+        // β̂ < ln(10³) ≈ 6.9 — any real effect is far smaller, and a
+        // fit THAT extreme means the covariate separates the data
+        // (the partial likelihood has no finite MLE); fail loudly
+        require(w < 1000000000L,
+          s"e26: fitted hazard ratio $w micro overflows the integer hazard path")
+        val wCum = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine
+          .withColumn("h0_micro",
+            expr(s"d * 1000000000000 div ($w * n_a + 1000000 * n_b)"))
+          .withColumn("h0_cum_micro", sum("h0_micro").over(wCum).cast("long"))
+          .withColumn("ha_cum_micro",
+            expr(s"h0_cum_micro * $w div 1000000").cast("long"))
+          .select(col("dur_min"), col("d"), col("n_a"), col("n_b"),
+            col("h0_cum_micro"), col("ha_cum_micro"),
+            fround(exp(-col("h0_cum_micro") / 1e6), 6).as("surv_b"),
+            fround(exp(-col("ha_cum_micro") / 1e6), 6).as("surv_a"))
+          .orderBy("dur_min")
+      },
+      Some(coxBaselineOracleSql)),
 
     Q(
       "e25_logrank_strat",
@@ -1810,8 +1855,12 @@ object Events {
     * (step, w_micro, u_micro, i_micro, beta_micro, hr_micro) per step. */
   private[queries] def coxNewton(rows: Seq[(Long, Long, Long, Long)])
       : IndexedSeq[(Long, Long, Long, Long, Long, Long)] = {
-    require(rows.map(_._2).sum < 1000000000L,
-      "cox: deaths overflow the micro-integer score bound")
+    // the Newton update computes U·10⁶ with |U| ≤ Σdeaths·10⁶, so
+    // Σdeaths·10¹² must stay under 2^63: the hard bound is ~9.2e6
+    // total deaths (≈ sf40 — far past any gate; the r15 self-review
+    // caught the original 1e9 guard permitting a 10²¹ overflow)
+    require(rows.map(_._2).sum < 9000000L,
+      "cox: deaths overflow the micro-integer score bound (sum(d)*1e12 >= 2^63)")
     var beta = 0L
     (1 to 6).map { k =>
       val w = math.floor(StrictMath.exp(beta / 1e6) * 1e6 + 0.5).toLong
@@ -1835,7 +1884,10 @@ object Events {
     * before the order-free sums, truncating integer division in the
     * update (DuckDB's BIGINT `//` truncates toward zero like Java /,
     * verified: -7//2 = -3). */
-  private def coxOracleSql: String = {
+  /** The shared e24/e26 oracle prefix: spine → `sp` (conversion-time
+    * rows) → the 6 unrolled Newton-step CTE triples ending in `b6`
+    * (the fitted β) — [[coxNewton]]'s exact integers. */
+  private def coxStepsCtes: String = {
     val steps = (1 to 6).map { k =>
       val b = s"b${k - 1}"
       s"""w$k AS (SELECT CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w
@@ -1854,20 +1906,48 @@ object Events {
          |    ELSE b.beta + t.u * 1000000 // t.i END AS beta, t.u, t.i, w.w
          |  FROM b${k - 1} b CROSS JOIN t$k t CROSS JOIN w$k w)""".stripMargin
     }.mkString(",\n")
+    s"""${logrankSpineSql()},
+       |sp AS (SELECT dur_min, d_a, d, n_a, n_b FROM risk WHERE d > 0),
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS beta),
+       |$steps""".stripMargin
+  }
+
+  private def coxOracleSql: String = {
     val rows = (1 to 6).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS step, w AS w_micro, u AS u_micro,
          |  i AS i_micro, CAST(beta AS BIGINT) AS beta_micro,
          |  CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS hr_micro
          |FROM b$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${logrankSpineSql()},
-       |sp AS (SELECT dur_min, d_a, d, n_a, n_b FROM risk WHERE d > 0),
-       |b0 AS (SELECT CAST(0 AS BIGINT) AS beta),
-       |$steps
+    s"""WITH $coxStepsCtes
        |SELECT * FROM (
        |$rows)
        |ORDER BY step""".stripMargin
   }
+
+  /** e26's oracle: the shared fit CTEs, then the Breslow baseline
+    * pass — w from b6's β exactly as the driver reads e24's final
+    * hr_micro, exact-integer hazard terms, one cumulative window. */
+  private def coxBaselineOracleSql: String =
+    s"""WITH $coxStepsCtes,
+       |wfin AS (SELECT CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w
+       |  FROM b6),
+       |base AS (SELECT sp.dur_min, sp.d, sp.n_a, sp.n_b,
+       |    CAST(sp.d * 1000000000000 // (w.w * sp.n_a + 1000000 * sp.n_b)
+       |      AS BIGINT) AS h0_micro
+       |  FROM sp CROSS JOIN wfin w),
+       |cum AS (SELECT dur_min, d, n_a, n_b,
+       |    CAST(sum(h0_micro) OVER (ORDER BY dur_min
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS h0_cum_micro
+       |  FROM base),
+       |wa AS (SELECT c.*, CAST(c.h0_cum_micro * w.w // 1000000 AS BIGINT)
+       |    AS ha_cum_micro
+       |  FROM cum c CROSS JOIN wfin w)
+       |SELECT dur_min, d, n_a, n_b, h0_cum_micro, ha_cum_micro,
+       |  floor(exp(-h0_cum_micro / 1e6) * 1e6 + 0.5) / 1e6 AS surv_b,
+       |  floor(exp(-ha_cum_micro / 1e6) * 1e6 + 0.5) / 1e6 AS surv_a
+       |FROM wa ORDER BY dur_min""".stripMargin
 
   /** The (cohort, dur_min, churned, censored, at_risk) risk frame
     * shared by e21 (Kaplan–Meier) and e23 (Nelson–Aalen): the

@@ -107,6 +107,44 @@ object UnigramQueries {
       Some(st34OracleSql)),
 
     Q(
+      "st36_stream_unigram_sample",
+      (s, dir) => {
+        // STREAMING subword-regularization sampling — t40's draw at
+        // ingest, st34's posture: because the sample is a PURE
+        // FUNCTION of the word (deterministic hash draw, the whole
+        // point of t40's design), sampling at ingest is stateless
+        // append and bit-matches the batch apply — a property true
+        // RNG could never give a restarting stream (a recovered
+        // micro-batch would re-roll different segmentations; the
+        // hash draw replays identically). Universe capped ABSOLUTE
+        // (c_custkey < 2000 — st13's discipline). collect() is the
+        // MemoryStream feeding harness; production uses readStream.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val rows = Tables(s, dir).customer.filter(col("c_custkey") < 2000)
+          .orderBy("c_custkey").select(col("c_custkey"), col("c_name"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.ops.Unigram.pieceCountsSampled(
+            stream.toDS().toDF("c_custkey", "c_name"),
+            "c_custkey", "c_name", UnigramPieces)
+          .filter(col("n_words") > 0)
+          .writeStream.format("memory").queryName("st36_pieces")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st36_pieces").orderBy("c_custkey")
+      },
+      Some(st36OracleSql)),
+
+    Q(
       "t40_unigram_sample",
       (s, dir) => {
         // SUBWORD-REGULARIZATION sampling (Kudo 2018 §3.2 — the reason
@@ -229,7 +267,7 @@ object UnigramQueries {
     * sampling weights on the micro-nat score deltas, the splitmix-
     * mixed polyhash draw, and the cumulative-weight walk — exactly
     * `Unigram.samplePacked`'s integers. */
-  private def t40OracleSql: String = {
+  private def unigramSampleOracleCore(filter: String): String = {
     val vals = UnigramPieces
       .map { case (p, lp) => s"('$p',CAST($lp AS BIGINT))" }.mkString(",")
     val (ua, ub) = graft.ops.Dedup.hashCoefficients(1, 91L).head
@@ -253,7 +291,7 @@ object UnigramQueries {
        |  SELECT c_custkey, w
        |  FROM (SELECT c_custkey, unnest(string_split(trim(regexp_replace(regexp_replace(
        |          lower(c_name), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')), ' ')) AS w
-       |        FROM customer WHERE TRUE)
+       |        FROM customer WHERE $filter)
        |  WHERE w <> ''),
        |vocab AS MATERIALIZED (SELECT DISTINCT w AS name, len(w) AS L FROM words),
        |arcs AS MATERIALIZED (
@@ -302,7 +340,11 @@ object UnigramQueries {
        |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
        |    CAST(sum(lp_micro) AS BIGINT) AS lp_micro,
        |    CAST(sum(diverse) AS BIGINT) AS n_diverse
-       |  FROM words JOIN perword ON perword.name = words.w GROUP BY 1)
+       |  FROM words JOIN perword ON perword.name = words.w GROUP BY 1)""".stripMargin
+  }
+
+  private def t40OracleSql: String =
+    s"""${unigramSampleOracleCore("TRUE")}
        |SELECT c_nationkey AS nationkey, count(*) AS n_names,
        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
        |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
@@ -311,5 +353,13 @@ object UnigramQueries {
        |  CAST(sum(n_pieces) * 10000 // sum(n_chars) AS BIGINT) AS compression_bp
        |FROM perkey JOIN customer USING (c_custkey)
        |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** st36's oracle: the identical sampled per-key census under the
+    * absolute harness cap — the at-ingest draw must emit exactly the
+    * batch accounting for every arriving key (determinism of the hash
+    * draw is precisely what makes this twin possible). */
+  private def st36OracleSql: String =
+    s"""${unigramSampleOracleCore("c_custkey < 2000")}
+       |SELECT c_custkey, n_words, n_chars, n_pieces, lp_micro, n_diverse
+       |FROM perkey ORDER BY c_custkey""".stripMargin
 }

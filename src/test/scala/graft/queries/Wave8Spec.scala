@@ -135,6 +135,29 @@ class Wave8Spec extends SparkTestBase {
     assert(expect > 0 && flat > 0)
   }
 
+  test("e26: baseline hazard telescopes, curves recompute, and the " +
+      "group-a curve sits on the side e24's beta dictates") {
+    val out = run("e26_cox_baseline").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.nonEmpty)
+    val cox = run("e24_cox").collect()
+    val w = cox.last.getLong(5) // final hr_micro = the baseline's weight
+    val beta = cox.last.getLong(4)
+    var h0 = 0L
+    out.foreach { case (dur, d, nA, nB, h0c, haC, survB, survA) =>
+      assert(d > 0, s"$dur: only conversion times emit")
+      h0 += d * 1000000000000L / (w * nA + 1000000L * nB)
+      assert(h0c == h0, s"$dur: baseline hazard must telescope")
+      assert(haC == h0c * w / 1000000L, s"$dur: group-a hazard = w x baseline")
+      assert(survB == math.floor(math.exp(-h0c / 1e6) * 1e6 + 0.5) / 1e6)
+      assert(survA == math.floor(math.exp(-haC / 1e6) * 1e6 + 0.5) / 1e6)
+      // beta < 0 => group a converts slower => its survival dominates
+      if (beta < 0) assert(survA >= survB, s"$dur: curve side must match beta")
+      else assert(survA <= survB, s"$dur: curve side must match beta")
+    }
+  }
+
   test("kmv shared core: below k every ≥m count is exact truth, m=1 " +
       "recovers the union, m=S the k-way intersection") {
     import spark.implicits._
