@@ -1639,6 +1639,45 @@ object Events {
       Some(coxBaselineOracleSql)),
 
     Q(
+      "e27_cox2",
+      (s, dir) => {
+        // TWO-COVARIATE Cox proportional hazards — §7's named
+        // successor to e24, the same driver pattern one rank up: does
+        // opening with a 'view' (x1) and starting on a WEEKEND (x2)
+        // each multiply the conversion hazard, controlling for the
+        // other? Newton is now a 2×2 solve on the Breslow partial
+        // likelihood over the 4-group spine (the x1×x2 cells of the
+        // SAME sessionSubjects frame — e22/e24's censoring semantics
+        // verbatim). Replayable-fit discipline extended: β₁/β₂ in
+        // integer micro; TWO exps per step quantized to micro (the
+        // cross cell's weight is w₁·w₂ div 10⁶ — integer, no third
+        // exp); per-time score/information terms quantize to micro
+        // before order-free sums; the 2×2 solve runs in DOUBLES from
+        // the integer sums with identically-written expressions (the
+        // products exceed 2^53 so they ROUND, but IEEE rounding is
+        // deterministic and both engines evaluate the same tree);
+        // updates floor(x·10⁶ + 0.5) — exactly replayed by the
+        // oracle's unrolled CTEs. Fits β₁ ≈ e24's view effect
+        // (sign-consistent by construction) with β₂ the weekend
+        // adjustment. Spine is ≤ max-session-minutes rows; the fit
+        // input is bounded at any corpus size.
+        val rows = cox2Spine(s, dir)
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("d00"), col("d01"), col("d10"),
+            col("d11"), col("n00"), col("n01"), col("n10"), col("n11"))
+          .orderBy("dur_min")
+          .collect()
+          .map(r => Cox2Row(r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+            r.getLong(8)))
+        import s.implicits._
+        coxNewton2(rows.toSeq).toDF("step", "b1_micro", "b2_micro",
+          "ua_micro", "ub_micro", "iaa_micro", "iab_micro", "ibb_micro",
+          "hr1_micro", "hr2_micro").orderBy("step")
+      },
+      Some(cox2OracleSql)),
+
+    Q(
       "e25_logrank_strat",
       (s, dir) => {
         // STRATIFIED log-rank (the standard confounder control —
@@ -1884,6 +1923,191 @@ object Events {
     * before the order-free sums, truncating integer division in the
     * update (DuckDB's BIGINT `//` truncates toward zero like Java /,
     * verified: -7//2 = -3). */
+  /** One conversion-time row of e27's 4-group spine: deaths and
+    * at-risk counts per (x1, x2) covariate cell. */
+  private[queries] case class Cox2Row(d00: Long, d01: Long, d10: Long,
+      d11: Long, n00: Long, n01: Long, n10: Long, n11: Long)
+
+  /** e27's 4-group risk spine: [[sessionSubjects]] labeled by the two
+    * binary covariates (x1 = opens with 'view', x2 = session starts
+    * on a weekend), grouped per duration minute with per-cell deaths/
+    * censors and the at-risk counts telescoped off the cell totals —
+    * e22's spine construction at the x1×x2 grain, one dur_min row
+    * carrying all 8 counts. */
+  private def cox2Spine(s: SparkSession, dir: String) = {
+    val labeled = sessionSubjects(s, dir)
+      .select(
+        when(col("first_type") === "view", 1L).otherwise(0L).as("x1"),
+        when(expr("weekday(cohort)") >= 5, 1L).otherwise(0L).as("x2"),
+        col("dur_min"), col("ch"))
+    def cell(x1: Int, x2: Int, dead: Boolean) = {
+      val v = if (dead) col("ch") else lit(1L) - col("ch")
+      sum(when(col("x1") === x1 && col("x2") === x2, v).otherwise(0L))
+        .cast("long")
+    }
+    val spine = labeled.groupBy("dur_min").agg(
+      cell(0, 0, dead = true).as("d00"), cell(0, 0, dead = false).as("c00"),
+      cell(0, 1, dead = true).as("d01"), cell(0, 1, dead = false).as("c01"),
+      cell(1, 0, dead = true).as("d10"), cell(1, 0, dead = false).as("c10"),
+      cell(1, 1, dead = true).as("d11"), cell(1, 1, dead = false).as("c11"))
+    val wPrior = Window.orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    def atRisk(g: String) =
+      (sum(col(s"d$g") + col(s"c$g")).over(wAll)
+        - coalesce(sum(col(s"d$g") + col(s"c$g")).over(wPrior), lit(0L)))
+        .cast("long")
+    spine
+      .withColumn("n00", atRisk("00")).withColumn("n01", atRisk("01"))
+      .withColumn("n10", atRisk("10")).withColumn("n11", atRisk("11"))
+      .withColumn("d", col("d00") + col("d01") + col("d10") + col("d11"))
+  }
+
+  /** DuckDB twin of [[cox2Spine]] — ends in a `sp2` CTE with one row
+    * per conversion-time dur_min carrying (d00..d11, n00..n11, d). */
+  private def cox2SpineSql: String =
+    s"""$sessionSubjectsSql,
+       |lab2 AS (
+       |  SELECT CASE WHEN first_type = 'view' THEN 1 ELSE 0 END AS x1,
+       |    CASE WHEN isodow(cohort) >= 6 THEN 1 ELSE 0 END AS x2,
+       |    dur_min, ch
+       |  FROM subj),
+       |spine2 AS (
+       |  SELECT dur_min,
+       |    CAST(sum(CASE WHEN x1=0 AND x2=0 THEN ch ELSE 0 END) AS BIGINT) AS d00,
+       |    CAST(sum(CASE WHEN x1=0 AND x2=0 THEN 1-ch ELSE 0 END) AS BIGINT) AS c00,
+       |    CAST(sum(CASE WHEN x1=0 AND x2=1 THEN ch ELSE 0 END) AS BIGINT) AS d01,
+       |    CAST(sum(CASE WHEN x1=0 AND x2=1 THEN 1-ch ELSE 0 END) AS BIGINT) AS c01,
+       |    CAST(sum(CASE WHEN x1=1 AND x2=0 THEN ch ELSE 0 END) AS BIGINT) AS d10,
+       |    CAST(sum(CASE WHEN x1=1 AND x2=0 THEN 1-ch ELSE 0 END) AS BIGINT) AS c10,
+       |    CAST(sum(CASE WHEN x1=1 AND x2=1 THEN ch ELSE 0 END) AS BIGINT) AS d11,
+       |    CAST(sum(CASE WHEN x1=1 AND x2=1 THEN 1-ch ELSE 0 END) AS BIGINT) AS c11
+       |  FROM lab2 GROUP BY 1),
+       |tel2 AS (
+       |  SELECT *,
+       |    CAST(sum(d00+c00) OVER () - coalesce(sum(d00+c00) OVER wp, 0) AS BIGINT) AS n00,
+       |    CAST(sum(d01+c01) OVER () - coalesce(sum(d01+c01) OVER wp, 0) AS BIGINT) AS n01,
+       |    CAST(sum(d10+c10) OVER () - coalesce(sum(d10+c10) OVER wp, 0) AS BIGINT) AS n10,
+       |    CAST(sum(d11+c11) OVER () - coalesce(sum(d11+c11) OVER wp, 0) AS BIGINT) AS n11
+       |  FROM spine2
+       |  WINDOW wp AS (ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |sp2 AS (SELECT dur_min, d00, d01, d10, d11, n00, n01, n10, n11,
+       |    d00 + d01 + d10 + d11 AS d
+       |  FROM tel2 WHERE d00 + d01 + d10 + d11 > 0)""".stripMargin
+
+  /** e27's Newton kernel on the collected 4-group spine: 6 fixed 2×2
+    * Newton steps from (0, 0) on the Breslow partial likelihood —
+    * [[coxNewton]]'s replayable integer-micro discipline with the
+    * solve in deterministic doubles (see the e27 query doc). Returns
+    * (step, b1, b2, ua, ub, iaa, iab, ibb, hr1, hr2) per step. */
+  private[queries] def coxNewton2(rows: Seq[Cox2Row])
+      : IndexedSeq[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    require(rows.map(r => r.d00 + r.d01 + r.d10 + r.d11).sum < 9000000L,
+      "cox2: deaths overflow the micro-integer score bound")
+    var b1 = 0L
+    var b2 = 0L
+    (1 to 6).map { k =>
+      val w1 = math.floor(StrictMath.exp(b1 / 1e6) * 1e6 + 0.5).toLong
+      val w2 = math.floor(StrictMath.exp(b2 / 1e6) * 1e6 + 0.5).toLong
+      require(w1 < 1000000000L && w2 < 1000000000L,
+        s"cox2: weight ($w1, $w2) overflows the integer hazard path")
+      val w11 = w1 * w2 / 1000000L
+      var ua = 0L; var ub = 0L
+      var iaa = 0L; var iab = 0L; var ibb = 0L
+      rows.foreach { r =>
+        val s0 = 1000000L * r.n00 + w2 * r.n01 + w1 * r.n10 + w11 * r.n11
+        val s1a = w1 * r.n10 + w11 * r.n11
+        val s1b = w2 * r.n01 + w11 * r.n11
+        val ra = s1a.toDouble / s0
+        val rb = s1b.toDouble / s0
+        val rab = (w11 * r.n11).toDouble / s0
+        val d = r.d00 + r.d01 + r.d10 + r.d11
+        val da = r.d10 + r.d11
+        val db = r.d01 + r.d11
+        ua += da * 1000000L - math.floor(d * ra * 1000000.0 + 0.5).toLong
+        ub += db * 1000000L - math.floor(d * rb * 1000000.0 + 0.5).toLong
+        iaa += math.floor(d * ra * (1.0 - ra) * 1000000.0 + 0.5).toLong
+        ibb += math.floor(d * rb * (1.0 - rb) * 1000000.0 + 0.5).toLong
+        iab += math.floor(d * (rab - ra * rb) * 1000000.0 + 0.5).toLong
+      }
+      val det = iaa.toDouble * ibb - iab.toDouble * iab
+      if (det != 0.0) {
+        b1 += math.floor((ibb.toDouble * ua - iab.toDouble * ub) / det
+          * 1000000.0 + 0.5).toLong
+        b2 += math.floor((iaa.toDouble * ub - iab.toDouble * ua) / det
+          * 1000000.0 + 0.5).toLong
+      }
+      val hr1 = math.floor(StrictMath.exp(b1 / 1e6) * 1e6 + 0.5).toLong
+      val hr2 = math.floor(StrictMath.exp(b2 / 1e6) * 1e6 + 0.5).toLong
+      (k.toLong, b1, b2, ua, ub, iaa, iab, ibb, hr1, hr2)
+    }
+  }
+
+  /** e27's oracle: the 4-group spine, then all 6 2×2 Newton steps
+    * unrolled — two exps per step, the cross-cell weight as integer
+    * w1·w2 // 10⁶, per-term micro floors, the solve in the identical
+    * double expression tree. */
+  private def cox2OracleSql: String = {
+    val steps = (1 to 6).map { k =>
+      s"""w$k AS (SELECT
+         |    CAST(floor(exp(b1 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w1,
+         |    CAST(floor(exp(b2 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w2
+         |  FROM b${k - 1}),
+         |wg$k AS (SELECT w1, w2, w1 * w2 // 1000000 AS w11 FROM w$k),
+         |r$k AS (SELECT
+         |    d00 + d01 + d10 + d11 AS d, d10 + d11 AS da, d01 + d11 AS db,
+         |    CAST(s1a AS DOUBLE) / s0 AS ra,
+         |    CAST(s1b AS DOUBLE) / s0 AS rb,
+         |    CAST(sab AS DOUBLE) / s0 AS rab
+         |  FROM (SELECT sp2.*,
+         |      1000000 * n00 + w.w2 * n01 + w.w1 * n10 + w.w11 * n11 AS s0,
+         |      w.w1 * n10 + w.w11 * n11 AS s1a,
+         |      w.w2 * n01 + w.w11 * n11 AS s1b,
+         |      w.w11 * n11 AS sab
+         |    FROM sp2 CROSS JOIN wg$k w)),
+         |t$k AS (SELECT
+         |    CAST(coalesce(sum(da * 1000000
+         |      - CAST(floor(d * ra * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS ua,
+         |    CAST(coalesce(sum(db * 1000000
+         |      - CAST(floor(d * rb * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS ub,
+         |    CAST(coalesce(sum(CAST(floor(d * ra * (1.0 - ra) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS iaa,
+         |    CAST(coalesce(sum(CAST(floor(d * rb * (1.0 - rb) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS ibb,
+         |    CAST(coalesce(sum(CAST(floor(d * (rab - ra * rb) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS iab
+         |  FROM r$k),
+         |b$k AS (SELECT
+         |    CASE WHEN t.det = 0 THEN b.b1
+         |      ELSE b.b1 + CAST(floor((CAST(t.ibb AS DOUBLE) * t.ua
+         |        - CAST(t.iab AS DOUBLE) * t.ub) / t.det * 1000000.0 + 0.5)
+         |        AS BIGINT) END AS b1,
+         |    CASE WHEN t.det = 0 THEN b.b2
+         |      ELSE b.b2 + CAST(floor((CAST(t.iaa AS DOUBLE) * t.ub
+         |        - CAST(t.iab AS DOUBLE) * t.ua) / t.det * 1000000.0 + 0.5)
+         |        AS BIGINT) END AS b2,
+         |    t.ua, t.ub, t.iaa, t.iab, t.ibb
+         |  FROM b${k - 1} b CROSS JOIN
+         |    (SELECT t.*, CAST(iaa AS DOUBLE) * ibb - CAST(iab AS DOUBLE) * iab
+         |       AS det FROM t$k t) t)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 6).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step,
+         |  CAST(b1 AS BIGINT) AS b1_micro, CAST(b2 AS BIGINT) AS b2_micro,
+         |  ua AS ua_micro, ub AS ub_micro,
+         |  iaa AS iaa_micro, iab AS iab_micro, ibb AS ibb_micro,
+         |  CAST(floor(exp(b1 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS hr1_micro,
+         |  CAST(floor(exp(b2 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS hr2_micro
+         |FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $cox2SpineSql,
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2),
+       |$steps
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY step""".stripMargin
+  }
+
   /** The shared e24/e26 oracle prefix: spine → `sp` (conversion-time
     * rows) → the 6 unrolled Newton-step CTE triples ending in `b6`
     * (the fitted β) — [[coxNewton]]'s exact integers. */

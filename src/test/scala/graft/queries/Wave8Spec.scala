@@ -135,6 +135,64 @@ class Wave8Spec extends SparkTestBase {
     assert(expect > 0 && flat > 0)
   }
 
+  test("e27 kernel: exactly proportional 4-group deaths recover BOTH " +
+      "planted hazard ratios to micro precision") {
+    // rates per cell: base 1%, ×2 for x1, ×1.5 for x2 — the score
+    // vector vanishes exactly at (ln 2, ln 1.5) (same cancellation as
+    // the e24 planted spine, component-wise), so that point IS the
+    // 2-d MLE. Two time rows keep the ratios exact with integers.
+    val spine = Seq(
+      Events.Cox2Row(120L, 180L, 240L, 360L, 12000L, 12000L, 12000L, 12000L),
+      Events.Cox2Row(80L, 120L, 160L, 240L, 8000L, 8000L, 8000L, 8000L))
+    val steps = Events.coxNewton2(spine)
+    val (b1, b2) = (steps.last._2, steps.last._3)
+    assert(math.abs(b1 - 693147L) <= 5L, s"b1 $b1 must sit at ln2 micro")
+    assert(math.abs(b2 - 405465L) <= 5L, s"b2 $b2 must sit at ln1.5 micro")
+    assert(math.abs(steps.last._9 - 2000000L) <= 10L, "hr1 must read 2")
+    assert(math.abs(steps.last._10 - 1500000L) <= 10L, "hr2 must read 1.5")
+    // both score components collapse — quadratic convergence in 2-d
+    assert(math.abs(steps.last._4) < math.abs(steps.head._4) / 100)
+    assert(math.abs(steps.last._5) < math.abs(steps.head._5) / 100)
+  }
+
+  test("e27 kernel: Newton lands where the exact 2-d partial-likelihood " +
+      "gradient vanishes on a non-proportional spine") {
+    val spine = Seq(
+      Events.Cox2Row(20L, 35L, 50L, 30L, 900L, 800L, 700L, 600L),
+      Events.Cox2Row(15L, 25L, 30L, 45L, 850L, 700L, 620L, 550L),
+      Events.Cox2Row(25L, 10L, 40L, 20L, 800L, 650L, 560L, 480L))
+    // exact Breslow gradient: U_a = Σ[d_a − d·S1a/S0], analogous U_b
+    def grad(b1: Double, b2: Double): (Double, Double) =
+      spine.map { r =>
+        val (w1, w2) = (math.exp(b1), math.exp(b2))
+        val s0 = r.n00 + w2 * r.n01 + w1 * r.n10 + w1 * w2 * r.n11
+        val d = (r.d00 + r.d01 + r.d10 + r.d11).toDouble
+        val ga = (r.d10 + r.d11) - d * (w1 * r.n10 + w1 * w2 * r.n11) / s0
+        val gb = (r.d01 + r.d11) - d * (w2 * r.n01 + w1 * w2 * r.n11) / s0
+        (ga, gb)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val steps = Events.coxNewton2(spine)
+    val (b1, b2) = (steps.last._2 / 1e6, steps.last._3 / 1e6)
+    val (ga, gb) = grad(b1, b2)
+    val deaths = spine.map(r => r.d00 + r.d01 + r.d10 + r.d11).sum.toDouble
+    assert(math.abs(ga) / deaths < 1e-4 && math.abs(gb) / deaths < 1e-4,
+      s"gradient at the Newton point must vanish: ($ga, $gb)")
+  }
+
+  test("e27 on testdata: beta1 agrees with e24's single-covariate fit " +
+      "in sign and magnitude") {
+    val c2 = run("e27_cox2").collect()
+    assert(c2.length == 6)
+    val b1 = c2.last.getLong(1)
+    val b2 = c2.last.getLong(2)
+    val e24b = run("e24_cox").collect().last.getLong(4)
+    assert((b1 < 0) == (e24b < 0), "view effect sign must match e24")
+    // controlling for a weak second covariate moves beta1 only slightly
+    assert(math.abs(b1 - e24b) < math.abs(e24b) / 5,
+      s"b1 $b1 must sit near e24's $e24b")
+    assert(b2 != 0L, "the weekend covariate must fit to SOMETHING nonzero")
+  }
+
   test("e26: baseline hazard telescopes, curves recompute, and the " +
       "group-a curve sits on the side e24's beta dictates") {
     val out = run("e26_cox_baseline").collect()
