@@ -527,11 +527,8 @@ object Windows {
         // audit grain; at 100 TB you run it on the daily AGGREGATE
         // (365 rows/type/year), never raw events, so days² stays
         // tiny however large the event log.
-        val daily = Tables(s, dir).events
-          .select(col("event_type"), to_date(col("ts")).as("day"),
-            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-          .groupBy("event_type", "day").agg(sum("cents").as("v"))
-        val shared = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(daily)
+        val shared = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          dailyCents(s, dir))
         val pairs = shared.as("a").join(shared.as("b"),
             col("a.event_type") === col("b.event_type") &&
               col("a.day") < col("b.day"))
@@ -553,9 +550,7 @@ object Windows {
             col("slope").as("ts_slope_ucents"))
           .orderBy("event_type")
       },
-      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-             |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
-             |  FROM events GROUP BY 1, 2),
+      Some(s"""WITH $dailyCentsSql,
              |pairs AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
              |    CAST(floor((b.v - a.v) * 1000000 * 1.0
              |      / date_diff('day', a.day, b.day)) AS BIGINT) AS slope
@@ -572,6 +567,99 @@ object Windows {
              |FROM ranked r JOIN counts c USING (event_type)
              |JOIN nd USING (event_type)
              |WHERE r.rn = (c.n_pairs + 1) // 2
-             |ORDER BY r.event_type""".stripMargin))
+             |ORDER BY r.event_type""".stripMargin)),
+
+    Q(
+      "w13_mann_kendall",
+      (s, dir) => {
+        // MANN–KENDALL trend test per event type (Mann 1945; Kendall
+        // 1975) — w12's significance sibling: Theil–Sen SAYS the
+        // slope, MK says whether the monotone trend is REAL. Shares
+        // w12's EXACT daily integer-cents frame (one `dailyCents`
+        // helper, one SQL CTE — the d15 no-drift rule). S = Σ_{i<j}
+        // sign(v_j − v_i) is pure integer (the sign CASE, not
+        // float signum); the tie-corrected variance stays in exact
+        // integer 18ths (var18 = n(n−1)(2n+5) − Σ_tied t(t−1)(2t+5))
+        // and the z statistic ((S∓1)/√(var18/18)) quantizes to
+        // integer micro — sqrt is IEEE-correctly-rounded, so the one
+        // float step is deterministic in both engines. The pair join
+        // is days² per type on the daily AGGREGATE (w12's audit-grain
+        // argument: 365 rows/type/year at any corpus size).
+        val shared = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          dailyCents(s, dir))
+        val sStat = shared.as("a").join(shared.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(when(col("b.v") > col("a.v"), 1L)
+            .when(col("b.v") < col("a.v"), -1L).otherwise(0L))
+            .cast("long").as("s_stat"))
+        val nd = shared.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_days"))
+        val ties = shared.groupBy("event_type", "v")
+          .agg(count(lit(1)).as("t")).filter(col("t") > 1)
+          .groupBy("event_type")
+          .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).cast("long").as("tie18"))
+        nd.join(sStat, Seq("event_type"), "left")
+          .join(ties, Seq("event_type"), "left")
+          .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+          .withColumn("var18",
+            (expr("n_days * (n_days - 1) * (2 * n_days + 5)")
+              - coalesce(col("tie18"), lit(0L))).cast("long"))
+          .withColumn("z_micro",
+            when(col("var18") <= 0 || col("s_stat") === 0, lit(0L))
+              .when(col("s_stat") > 0, floor(
+                (col("s_stat") - 1) / sqrt(col("var18") / lit(18.0))
+                  * 1000000.0 + 0.5).cast("long"))
+              .otherwise(floor(
+                (col("s_stat") + 1) / sqrt(col("var18") / lit(18.0))
+                  * 1000000.0 + 0.5).cast("long")))
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            col("var18"), col("z_micro"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH $dailyCentsSql,
+             |s AS (SELECT a.event_type,
+             |    CAST(sum(CASE WHEN b.v > a.v THEN 1
+             |                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.day < b.day
+             |  GROUP BY 1),
+             |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             |  FROM daily GROUP BY 1),
+             |ties AS (SELECT event_type,
+             |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+             |  FROM (SELECT event_type, v, count(*) AS t
+             |        FROM daily GROUP BY 1, 2) WHERE t > 1 GROUP BY 1),
+             |f AS (SELECT nd.event_type, nd.n_days,
+             |    coalesce(s.s_stat, 0) AS s_stat,
+             |    CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+             |      - coalesce(t.tie18, 0) AS BIGINT) AS var18
+             |  FROM nd LEFT JOIN s USING (event_type)
+             |  LEFT JOIN ties t USING (event_type))
+             |SELECT event_type, n_days, CAST(s_stat AS BIGINT) AS s_stat, var18,
+             |  CAST(CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0
+             |    WHEN s_stat > 0 THEN floor(
+             |      (s_stat - 1) / sqrt(var18 / 18.0) * 1000000.0 + 0.5)
+             |    ELSE floor(
+             |      (s_stat + 1) / sqrt(var18 / 18.0) * 1000000.0 + 0.5)
+             |    END AS BIGINT) AS z_micro
+             |FROM f ORDER BY event_type""".stripMargin))
   )
+
+  /** The daily integer-cents frame shared by w12 (Theil–Sen) and w13
+    * (Mann–Kendall) — one helper, one SQL CTE, the d15 no-drift rule:
+    * per-event values quantize to cents BEFORE the day sum (w09's
+    * discipline). */
+  private def dailyCents(s: SparkSession, dir: String) =
+    Tables(s, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("v"))
+
+  /** DuckDB twin of [[dailyCents]] — the `daily` CTE. */
+  private def dailyCentsSql: String =
+    """daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2)""".stripMargin
 }

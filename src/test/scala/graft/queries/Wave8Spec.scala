@@ -216,6 +216,49 @@ class Wave8Spec extends SparkTestBase {
     }
   }
 
+  test("w13: S, tie-corrected variance, and z recompute brute-force " +
+      "from the shared daily frame") {
+    // independent reimplementation: daily integer-cents frame rebuilt
+    // with plain SQL here, MK computed by direct O(n²) enumeration
+    import org.apache.spark.sql.functions._
+    val daily = graft.tables.Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val out = run("w13_mann_kendall").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (et, nDays, sStat, var18, zMicro) =>
+      val vs = daily.filter(_._1 == et).sortBy(_._2).map(_._3)
+      assert(nDays == vs.length.toLong, s"$et: day count")
+      var s = 0L
+      for (i <- vs.indices; j <- i + 1 until vs.length)
+        s += java.lang.Long.signum(vs(j) - vs(i))
+      assert(sStat == s, s"$et: S $sStat != brute $s")
+      val n = vs.length.toLong
+      val tie = vs.groupBy(identity).values.map(_.length.toLong)
+        .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+      assert(var18 == n * (n - 1) * (2 * n + 5) - tie, s"$et: var18")
+      val z =
+        if (var18 <= 0 || s == 0) 0L
+        else if (s > 0)
+          math.floor((s - 1) / math.sqrt(var18 / 18.0) * 1e6 + 0.5).toLong
+        else math.floor((s + 1) / math.sqrt(var18 / 18.0) * 1e6 + 0.5).toLong
+      assert(zMicro == z, s"$et: z $zMicro != recomputed $z")
+    }
+    // a decisive S must agree in sign with w12's Theil–Sen slope on
+    // the same shared frame (|S| > n rules out the near-tie zone
+    // where the median pair-slope and the sign census can diverge)
+    val slopes = run("w12_theilsen_trend").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    out.filter { case (_, n, s, _, _) => math.abs(s) > n }
+      .foreach { case (et, _, s, _, _) =>
+        assert((s > 0) == (slopes(et) > 0),
+          s"$et: MK sign must match the Theil–Sen slope sign")
+      }
+  }
+
   test("kmv shared core: below k every ≥m count is exact truth, m=1 " +
       "recovers the union, m=S the k-way intersection") {
     import spark.implicits._
