@@ -1678,6 +1678,89 @@ object Events {
       Some(cox2OracleSql)),
 
     Q(
+      "e28_competing_risks",
+      (s, dir) => {
+        // AALEN–JOHANSEN competing risks (Aalen & Johansen 1978 — the
+        // estimator when subjects can exit for MORE THAN ONE reason,
+        // where a naive per-cause KM overstates every cause): cause 1
+        // = conversion (first purchase, e21's clock verbatim), cause 2
+        // = ABANDONED ON ERROR (the session's final event is an
+        // 'error'), censored otherwise. The cumulative incidence
+        // CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s) splits the all-cause
+        // KM complement BY CAUSE — in EXACT integer micro: the
+        // all-cause survival runs e21's quantized-ln discipline,
+        // S(s−) quantizes once per row, and each increment is the
+        // pure integer (S_prev_micro·d_k) div n, so the two CIFs and
+        // the survival share one arithmetic and the textbook identity
+        // CIF₁+CIF₂ ≈ 1−S holds to quantization. Subjects extend
+        // [[sessionSubjects]]'s construction with a session-FINAL
+        // marker (lead-based, symmetric to the ns opener) so the
+        // terminal event type aggregates as a singleton max — the
+        // same replay trick as first_type. Scale: e21's two
+        // event-sized shuffles; the spine after is minutes-sized.
+        val wCum = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPrev = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = competingRisk(s, dir)
+        val lnq = risk
+          .withColumn("d", col("d1") + col("d2"))
+          .withColumn("ln_micro",
+            when(col("d") === 0 || col("d") >= col("at_risk"), lit(0L))
+              .otherwise(floor(
+                log(lit(1.0) - (col("d1") + col("d2")).cast("double") / col("at_risk"))
+                  * 1e6 + 0.5).cast("long")))
+          .withColumn("z", when(col("d") >= col("at_risk"), 1L).otherwise(0L))
+        val surv = lnq
+          .withColumn("cum_ln_prev", coalesce(sum("ln_micro").over(wPrev), lit(0L)))
+          .withColumn("zeros_prev", coalesce(sum("z").over(wPrev), lit(0L)))
+          .withColumn("s_prev_micro",
+            when(col("zeros_prev") > 0, lit(0L))
+              .otherwise(floor(exp(col("cum_ln_prev") / 1e6) * 1e6 + 0.5).cast("long")))
+          .withColumn("inc1", expr("s_prev_micro * d1 div at_risk"))
+          .withColumn("inc2", expr("s_prev_micro * d2 div at_risk"))
+        surv
+          .withColumn("cif1_micro", sum("inc1").over(wCum).cast("long"))
+          .withColumn("cif2_micro", sum("inc2").over(wCum).cast("long"))
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("at_risk"), col("d1"), col("d2"),
+            col("censored"), col("s_prev_micro"),
+            col("cif1_micro"), col("cif2_micro"))
+          .orderBy("dur_min")
+      },
+      Some(s"""WITH $competingRiskSql,
+             |lnq AS (
+             |  SELECT *, d1 + d2 AS d,
+             |    CASE WHEN d1 + d2 = 0 OR d1 + d2 >= at_risk THEN 0
+             |      ELSE CAST(floor(ln(1.0 - CAST(d1 + d2 AS DOUBLE) / at_risk)
+             |        * 1e6 + 0.5) AS BIGINT) END AS ln_micro,
+             |    CASE WHEN d1 + d2 >= at_risk THEN 1 ELSE 0 END AS z
+             |  FROM risk),
+             |surv AS (
+             |  SELECT *,
+             |    CASE WHEN coalesce(sum(z) OVER wp, 0) > 0 THEN 0
+             |      ELSE CAST(floor(exp(coalesce(sum(ln_micro) OVER wp, 0) / 1e6)
+             |        * 1e6 + 0.5) AS BIGINT) END AS s_prev_micro
+             |  FROM lnq
+             |  WINDOW wp AS (ORDER BY dur_min
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |incs AS (
+             |  SELECT *,
+             |    s_prev_micro * d1 // at_risk AS inc1,
+             |    s_prev_micro * d2 // at_risk AS inc2
+             |  FROM surv),
+             |cum AS (
+             |  SELECT dur_min, at_risk, d1, d2, censored, d, s_prev_micro,
+             |    CAST(sum(inc1) OVER wc AS BIGINT) AS cif1_micro,
+             |    CAST(sum(inc2) OVER wc AS BIGINT) AS cif2_micro
+             |  FROM incs
+             |  WINDOW wc AS (ORDER BY dur_min
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT dur_min, at_risk, d1, d2, censored, s_prev_micro,
+             |  cif1_micro, cif2_micro
+             |FROM cum WHERE d > 0 ORDER BY dur_min""".stripMargin)),
+
+    Q(
       "e25_logrank_strat",
       (s, dir) => {
         // STRATIFIED log-rank (the standard confounder control —
@@ -1923,6 +2006,93 @@ object Events {
     * before the order-free sums, truncating integer division in the
     * update (DuckDB's BIGINT `//` truncates toward zero like Java /,
     * verified: -7//2 = -3). */
+  /** e28's competing-risks frame: (dur_min, d1, d2, censored,
+    * at_risk) at the global grain — the [[sessionSubjects]]
+    * construction extended with a session-FINAL marker (lead-based,
+    * symmetric to the `ns` opener) so the terminal event type
+    * aggregates as a singleton max per session; cause 1 = converted
+    * (first purchase, the clock rule verbatim), cause 2 = last event
+    * is an 'error', cause 0 = censored. */
+  private def competingRisk(s: SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val subj = Tables(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(
+          lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L,
+          1).otherwise(0).as("ns"),
+        when(
+          lead(col("ts"), 1).over(w).isNull ||
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")) > 1800000000L,
+          1).otherwise(0).as("re"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("re"),
+        sum("ns").over(wRun).cast("long").as("sid"))
+      .groupBy("user_id", "sid")
+      .agg(
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("conv_us"),
+        max(when(col("re") === 1, col("event_type"))).as("last_type"))
+      .select(
+        when(col("conv_us").isNotNull, expr("(conv_us - start_us) div 60000000"))
+          .otherwise(expr("(end_us - start_us) div 60000000"))
+          .cast("long").as("dur_min"),
+        when(col("conv_us").isNotNull, 1L)
+          .when(col("last_type") === "error", 2L).otherwise(0L).as("cause"))
+    val byDur = subj.groupBy("dur_min")
+      .agg(sum(when(col("cause") === 1, 1L).otherwise(0L)).cast("long").as("d1"),
+        sum(when(col("cause") === 2, 1L).otherwise(0L)).cast("long").as("d2"),
+        sum(when(col("cause") === 0, 1L).otherwise(0L)).cast("long").as("censored"))
+    val wPrior = Window.orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    byDur.withColumn("at_risk",
+      (sum(col("d1") + col("d2") + col("censored")).over(wAll)
+        - coalesce(sum(col("d1") + col("d2") + col("censored")).over(wPrior), lit(0L)))
+        .cast("long"))
+  }
+
+  /** DuckDB twin of [[competingRisk]] — ends in a `risk` CTE with
+    * (dur_min, d1, d2, censored, at_risk). */
+  private def competingRiskSql: String =
+    """sess AS (
+      |  SELECT user_id, ts, event_type, re,
+      |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM (SELECT user_id, ts, event_id, event_type,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR date_diff('microsecond',
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+      |      THEN 1 ELSE 0 END AS ns,
+      |      CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR date_diff('microsecond',
+      |             ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |      THEN 1 ELSE 0 END AS re
+      |    FROM events)),
+      |subj AS (
+      |  SELECT
+      |    CAST(CASE WHEN conv_us IS NOT NULL THEN (conv_us - start_us) // 60000000
+      |              ELSE (end_us - start_us) // 60000000 END AS BIGINT) AS dur_min,
+      |    CASE WHEN conv_us IS NOT NULL THEN 1
+      |         WHEN last_type = 'error' THEN 2 ELSE 0 END AS cause
+      |  FROM (
+      |    SELECT min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+      |      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv_us,
+      |      max(CASE WHEN re = 1 THEN event_type END) AS last_type
+      |    FROM sess GROUP BY user_id, sid)),
+      |byd AS (
+      |  SELECT dur_min,
+      |    CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS censored
+      |  FROM subj GROUP BY 1),
+      |risk AS (
+      |  SELECT *, CAST(sum(d1 + d2 + censored) OVER ()
+      |    - coalesce(sum(d1 + d2 + censored) OVER (ORDER BY dur_min
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+      |  FROM byd)""".stripMargin
+
   /** One conversion-time row of e27's 4-group spine: deaths and
     * at-risk counts per (x1, x2) covariate cell. */
   private[queries] case class Cox2Row(d00: Long, d01: Long, d10: Long,

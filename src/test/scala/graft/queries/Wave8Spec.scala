@@ -216,6 +216,52 @@ class Wave8Spec extends SparkTestBase {
     }
   }
 
+  test("e28: CIFs telescope from row outputs, stay monotone, and split " +
+      "the KM complement to quantization precision") {
+    val out = run("e28_competing_risks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0,
+      "both competing causes must genuinely occur")
+    // replay the whole chain from (d1, d2, at_risk): quantized all-cause
+    // ln factors, S(s−), integer CIF increments
+    var cumLn = 0L
+    var zeros = 0
+    var cif1 = 0L
+    var cif2 = 0L
+    var prevS = Long.MaxValue
+    out.foreach { case (dur, n, d1, d2, _, sPrev, c1, c2) =>
+      val sExpect =
+        if (zeros > 0) 0L
+        else math.floor(math.exp(cumLn / 1e6) * 1e6 + 0.5).toLong
+      assert(sPrev == sExpect, s"$dur: S(s−) $sPrev != $sExpect")
+      assert(sPrev <= prevS, s"$dur: S(s−) must be non-increasing")
+      prevS = sPrev
+      cif1 += sPrev * d1 / n
+      cif2 += sPrev * d2 / n
+      assert(c1 == cif1 && c2 == cif2, s"$dur: CIFs must telescope")
+      assert(c1 >= 0 && c2 >= 0 && c1 + c2 <= 1000000L + out.length,
+        s"$dur: CIFs bounded")
+      val d = d1 + d2
+      if (d >= n) zeros += 1
+      else if (d > 0)
+        cumLn += math.floor(math.log(1.0 - d.toDouble / n) * 1e6 + 0.5).toLong
+    }
+    // the Aalen–Johansen identity: CIF1 + CIF2 = 1 − S(t) exactly in
+    // real arithmetic; each row contributes ≤ ~2 micro of floor drift
+    val sLast =
+      if (zeros > 0) 0L
+      else math.floor(math.exp(cumLn / 1e6) * 1e6 + 0.5).toLong
+    val gap = math.abs((1000000L - sLast) - (cif1 + cif2))
+    assert(gap <= 3L * out.length,
+      s"complement identity must hold to quantization: gap $gap micro")
+    // CIFs are non-decreasing by construction (increments ≥ 0) — checked
+    // via the telescoping replay above; also monotone in the raw rows
+    out.map(_._7).sliding(2).foreach { p => assert(p(1) >= p(0)) }
+    out.map(_._8).sliding(2).foreach { p => assert(p(1) >= p(0)) }
+  }
+
   test("w13: S, tie-corrected variance, and z recompute brute-force " +
       "from the shared daily frame") {
     // independent reimplementation: daily integer-cents frame rebuilt
