@@ -101,7 +101,13 @@ object Bench {
       // regressions; the flag makes the artifact carry its own
       // health so no reader has to cross-check the load field.
       val loadedField = if (loadStart > 2.0) ""","loaded":true""" else ""
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$smallField$errsField$runsField,"load":[${fmtShort(loadStart)},${fmtShort(loadAvg())}]$loadedField,"sf":"$sfName"}"""
+      // Registry-completeness stamp (r15 verdict task 2): three rounds
+      // in a row a late-landing query missed the closing sweep because
+      // nothing mechanical compared the artifact against the registry.
+      // The artifact now carries the check itself: true iff this run
+      // covered EVERY SparkEntry.queries key.
+      val complete = results.size == SparkEntry.queries.size
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$smallField$errsField$runsField,"load":[${fmtShort(loadStart)},${fmtShort(loadAvg())}]$loadedField,"registry_complete":$complete,"n_queries":${results.size},"sf":"$sfName"}"""
     }
     // Durable copies: round 2's artifact lost its total to sbt log
     // truncation of the stdout tail; a file never truncates. The env

@@ -39,6 +39,13 @@ object ExplainAudit {
       if (summary.nonEmpty && args.length <= 2)
         SparkEntry.queries.keys.toSeq.sorted
       else explicitSel
+    // Registry-completeness stamp (r15 verdict task 2): the tracked
+    // EXCHANGES.txt header states mechanically whether the sweep
+    // covered the whole registry, so a late-landing query can never
+    // silently miss the closing artifact again.
+    if (summary.nonEmpty)
+      println(s"# registry_complete=${sel.size == SparkEntry.queries.size}" +
+        s" queries=${sel.size} of ${SparkEntry.queries.size}")
     sel.foreach { n =>
       if (summary.nonEmpty) {
         val counts =

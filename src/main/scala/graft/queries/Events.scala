@@ -1619,8 +1619,12 @@ object Events {
         // ha_cum·w and w·n_a must stay under 2^63: w < 10⁹ bounds
         // β̂ < ln(10³) ≈ 6.9 — any real effect is far smaller, and a
         // fit THAT extreme means the covariate separates the data
-        // (the partial likelihood has no finite MLE); fail loudly
-        require(w < 1000000000L,
+        // (the partial likelihood has no finite MLE); fail loudly.
+        // Symmetric lower bound: β̂ ≤ −14.5 quantizes w to 0 micro,
+        // zeroing the h0 denominator on tail rows with n_b = 0 —
+        // Spark div would return NULL while DuckDB // raises, a
+        // silent engine divergence instead of this loud failure
+        require(w > 0L && w < 1000000000L,
           s"e26: fitted hazard ratio $w micro overflows the integer hazard path")
         val wCum = Window.orderBy("dur_min")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1999,13 +2003,6 @@ object Events {
     }
   }
 
-  /** e24's oracle: the shared spine, then all 6 Newton steps UNROLLED
-    * as CTE triples (weight → per-time terms → update) replaying the
-    * driver arithmetic exactly — one exp per step quantized to micro,
-    * r1 as the identical double expression, per-term micro floors
-    * before the order-free sums, truncating integer division in the
-    * update (DuckDB's BIGINT `//` truncates toward zero like Java /,
-    * verified: -7//2 = -3). */
   /** e28's competing-risks frame: (dur_min, d1, d2, censored,
     * at_risk) at the global grain — the [[sessionSubjects]]
     * construction extended with a session-FINAL marker (lead-based,
@@ -2306,6 +2303,13 @@ object Events {
        |$steps""".stripMargin
   }
 
+  /** e24's oracle: the shared spine, then all 6 Newton steps UNROLLED
+    * as CTE triples (weight → per-time terms → update) replaying the
+    * driver arithmetic exactly — one exp per step quantized to micro,
+    * r1 as the identical double expression, per-term micro floors
+    * before the order-free sums, truncating integer division in the
+    * update (DuckDB's BIGINT `//` truncates toward zero like Java /,
+    * verified: -7//2 = -3). */
   private def coxOracleSql: String = {
     val rows = (1 to 6).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS step, w AS w_micro, u AS u_micro,
