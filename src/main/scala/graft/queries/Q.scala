@@ -36,7 +36,7 @@ object Q {
     Relational.queries ++ Relational2.queries ++ Windows.queries ++ Windows2.queries ++
       Events.queries ++
       TextQueries.queries ++ CorpusOps.queries ++ CorpusOps2.queries ++
-      CorpusOps3.queries ++ UnigramQueries.queries ++
+      CorpusOps3.queries ++ UnigramQueries.queries ++ WordPieceQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       GPQueries.queries ++ MultimodalQueries.queries ++ PlanQueries.queries ++
       GraphQueries.queries
