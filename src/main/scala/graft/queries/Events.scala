@@ -1920,7 +1920,7 @@ object Events {
     * windows partition by them, so each stratum carries its own
     * at-risk clock. Columns: strata… , dur_min, d_a, c_a, d_b, c_b,
     * n_a, n_b, d, n. */
-  private def logrankSpine(s: SparkSession, dir: String,
+  private[queries] def logrankSpine(s: SparkSession, dir: String,
       strata: Seq[String] = Nil) = {
     val labeled = sessionSubjects(s, dir)
       .select((strata.map(col) :+
@@ -1948,7 +1948,7 @@ object Events {
     * `risk` CTEs; `risk` carries (strata…, dur_min, d_a, c_a, d_b,
     * c_b, n_a, n_b, d). (`n` stays inline as n_a + n_b where needed —
     * e22's original text.) */
-  private def logrankSpineSql(strata: Seq[String] = Nil): String = {
+  private[queries] def logrankSpineSql(strata: Seq[String] = Nil): String = {
     val scols = strata.map(c => s"$c, ").mkString
     val part = if (strata.isEmpty) "" else s"PARTITION BY ${strata.mkString(", ")} "
     val pb = if (strata.isEmpty) "()" else s"($part)"
@@ -2389,7 +2389,7 @@ object Events {
     * in exact integer minutes (micros div 6e7 — no engine date_diff
     * semantics) to the first purchase when one occurs (ch = 1) or to
     * the session's last event otherwise (ch = 0, right-censored). */
-  private def sessionSubjects(s: SparkSession, dir: String) = {
+  private[queries] def sessionSubjects(s: SparkSession, dir: String) = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(s, dir).events
@@ -2405,19 +2405,21 @@ object Events {
         min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"),
         min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("conv_us"),
-        max(when(col("ns") === 1, col("event_type"))).as("first_type"))
+        max(when(col("ns") === 1, col("event_type"))).as("first_type"),
+        count(lit(1)).as("n_ev"))
       .select(
         to_date(timestamp_micros(col("start_us"))).as("cohort"),
         col("first_type"),
         when(col("conv_us").isNotNull, expr("(conv_us - start_us) div 60000000"))
           .otherwise(expr("(end_us - start_us) div 60000000"))
           .cast("long").as("dur_min"),
-        when(col("conv_us").isNotNull, 1L).otherwise(0L).as("ch"))
+        when(col("conv_us").isNotNull, 1L).otherwise(0L).as("ch"),
+        col("n_ev"))
   }
 
   /** DuckDB twin of [[sessionSubjects]] — ends in a `subj` CTE with
     * (cohort, first_type, dur_min, ch). */
-  private def sessionSubjectsSql: String =
+  private[queries] def sessionSubjectsSql: String =
     """sess AS (
       |  SELECT user_id, ts, event_type, ns,
       |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2432,11 +2434,13 @@ object Events {
       |  SELECT CAST(make_timestamp(start_us) AS DATE) AS cohort, first_type,
       |    CAST(CASE WHEN conv_us IS NOT NULL THEN (conv_us - start_us) // 60000000
       |              ELSE (end_us - start_us) // 60000000 END AS BIGINT) AS dur_min,
-      |    CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS ch
+      |    CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS ch,
+      |    n_ev
       |  FROM (
       |    SELECT min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
       |      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv_us,
-      |      max(CASE WHEN ns = 1 THEN event_type END) AS first_type
+      |      max(CASE WHEN ns = 1 THEN event_type END) AS first_type,
+      |      CAST(count(*) AS BIGINT) AS n_ev
       |    FROM sess GROUP BY user_id, sid))""".stripMargin
 
   /** e19's pair-state vocabulary: (start+channels) × channels, the

@@ -34,7 +34,7 @@ object Q {
   /** All registered queries, in stable order. */
   def all: Seq[Q] =
     Relational.queries ++ Relational2.queries ++ Windows.queries ++ Windows2.queries ++
-      Events.queries ++
+      Events.queries ++ Survival.queries ++
       TextQueries.queries ++ CorpusOps.queries ++ CorpusOps2.queries ++
       CorpusOps3.queries ++ UnigramQueries.queries ++ WordPieceQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++

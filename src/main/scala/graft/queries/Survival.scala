@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Survival-analysis extensions past the e21–e28 surface: e29 takes
+ * the Cox family to THREE covariates, where the Newton solve stops
+ * being closed-form and becomes PIVOTED GAUSSIAN ELIMINATION — the
+ * k-covariate path §7 named. Everything rides the e22/e24/e27
+ * machinery: the same sessionSubjects frame, the same
+ * replayable-fit discipline (integer-micro state, one exp per
+ * weight per step, per-term micro floors before order-free sums),
+ * the same fit-on-driver pattern over a spine bounded by
+ * max-session-minutes rows at ANY corpus size.
+ */
+object Survival {
+
+  /** One conversion-time row of the 8-cell spine: deaths and at-risk
+    * counts per (x1, x2, x3) cell, indexed g = 4·x1 + 2·x2 + x3. */
+  private[queries] case class Cox3Row(d: IndexedSeq[Long], n: IndexedSeq[Long]) {
+    require(d.length == 8 && n.length == 8)
+  }
+
+  /** e29's Newton kernel on the collected 8-group spine: 6 fixed 3×3
+    * Newton steps from (0,0,0) on the Breslow partial likelihood.
+    * [[Events.coxNewton]]'s replayable integer-micro discipline —
+    * THREE exps per step quantized to micro, pair/triple cell weights
+    * as truncating integer products, per-term micro floors before the
+    * order-free sums — with the 3×3 solve by PARTIAL-PIVOTED Gaussian
+    * elimination in deterministic doubles: pivots chosen by
+    * |entry| DESC with original-row-index ASC tie-break (abs
+    * comparisons on identically-computed doubles agree across
+    * engines), elimination/back-substitution written as the exact
+    * expression trees the oracle SQL repeats, a zero anywhere on the
+    * pivot diagonal skipping the update (singular information —
+    * fail-soft like e27's det = 0 branch). Returns one 16-tuple per
+    * step: (step, b1, b2, b3, ua, ub, uc, iaa, iab, iac, ibb, ibc,
+    * icc, hr1, hr2, hr3), all integer micro. */
+  private[queries] def coxNewton3(rows: Seq[Cox3Row])
+      : IndexedSeq[(Long, Long, Long, Long, Long, Long, Long, Long,
+          Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    require(rows.map(_.d.sum).sum < 9000000L,
+      "cox3: deaths overflow the micro-integer score bound")
+    val b = Array(0L, 0L, 0L)
+    (1 to 6).map { k =>
+      val w = b.map(bi =>
+        math.floor(StrictMath.exp(bi / 1e6) * 1e6 + 0.5).toLong)
+      require(w.forall(wi => wi > 0L && wi < 1000000000L),
+        s"cox3: weight ${w.toSeq} overflows the integer hazard path")
+      // cell weight W(g) = Π w_i^{x_i(g)} as truncating integer
+      // products (e27's w1·w2 div 10⁶ rule, one more rung for the
+      // triple cell — still zero extra exps)
+      val cw = Array.tabulate(8) { g =>
+        var v = 1000000L
+        if ((g & 4) != 0) v = v * w(0) / 1000000L
+        if ((g & 2) != 0) v = v * w(1) / 1000000L
+        if ((g & 1) != 0) v = v * w(2) / 1000000L
+        v
+      }
+      var ua = 0L; var ub = 0L; var uc = 0L
+      var iaa = 0L; var iab = 0L; var iac = 0L
+      var ibb = 0L; var ibc = 0L; var icc = 0L
+      rows.foreach { r =>
+        def sumIf(p: Int => Boolean) =
+          (0 until 8).map(g => if (p(g)) cw(g) * r.n(g) else 0L).sum
+        val s0 = sumIf(_ => true)
+        val ra = sumIf(g => (g & 4) != 0).toDouble / s0
+        val rb = sumIf(g => (g & 2) != 0).toDouble / s0
+        val rc = sumIf(g => (g & 1) != 0).toDouble / s0
+        val rab = sumIf(g => (g & 6) == 6).toDouble / s0
+        val rac = sumIf(g => (g & 5) == 5).toDouble / s0
+        val rbc = sumIf(g => (g & 3) == 3).toDouble / s0
+        val d = r.d.sum
+        val da = (0 until 8).map(g => if ((g & 4) != 0) r.d(g) else 0L).sum
+        val db = (0 until 8).map(g => if ((g & 2) != 0) r.d(g) else 0L).sum
+        val dc = (0 until 8).map(g => if ((g & 1) != 0) r.d(g) else 0L).sum
+        def fl(x: Double) = math.floor(x * 1000000.0 + 0.5).toLong
+        ua += da * 1000000L - fl(d * ra)
+        ub += db * 1000000L - fl(d * rb)
+        uc += dc * 1000000L - fl(d * rc)
+        iaa += fl(d * ra * (1.0 - ra))
+        ibb += fl(d * rb * (1.0 - rb))
+        icc += fl(d * rc * (1.0 - rc))
+        iab += fl(d * (rab - ra * rb))
+        iac += fl(d * (rac - ra * rc))
+        ibc += fl(d * (rbc - rb * rc))
+      }
+      solve3(
+        Array(
+          Array(iaa.toDouble, iab.toDouble, iac.toDouble, ua.toDouble),
+          Array(iab.toDouble, ibb.toDouble, ibc.toDouble, ub.toDouble),
+          Array(iac.toDouble, ibc.toDouble, icc.toDouble, uc.toDouble)))
+        .foreach { case (d1, d2, d3) =>
+          b(0) += math.floor(d1 * 1000000.0 + 0.5).toLong
+          b(1) += math.floor(d2 * 1000000.0 + 0.5).toLong
+          b(2) += math.floor(d3 * 1000000.0 + 0.5).toLong
+        }
+      val hr = b.map(bi =>
+        math.floor(StrictMath.exp(bi / 1e6) * 1e6 + 0.5).toLong)
+      (k.toLong, b(0), b(1), b(2), ua, ub, uc,
+        iaa, iab, iac, ibb, ibc, icc, hr(0), hr(1), hr(2))
+    }
+  }
+
+  /** The 3×3 pivoted-elimination solve on an augmented matrix
+    * [A | r] (rows of 4 doubles): partial pivoting by |entry| DESC
+    * with original-row-index ASC tie-break, elimination and
+    * back-substitution as fixed expression trees (the exact shapes
+    * the oracle's CTE chain repeats — see [[coxNewton3]]'s doc).
+    * Returns None when any pivot-diagonal entry is exactly zero
+    * (singular system — the caller skips its update). Exposed at
+    * package level so the spec can exercise the pivot/swap paths
+    * directly against an independent solve. */
+  private[queries] def solve3(m: Array[Array[Double]])
+      : Option[(Double, Double, Double)] = {
+    // rows keep their ORIGINAL index for the deterministic tie-break
+    var p1 = 0
+    var i = 1
+    while (i < 3) {
+      if (math.abs(m(i)(0)) > math.abs(m(p1)(0))) p1 = i
+      i += 1
+    }
+    val rest1 = (0 until 3).filter(_ != p1)
+    val e1 = rest1.map { ri =>
+      val r0 = m(ri)
+      val p = m(p1)
+      (ri, Array(
+        r0(1) - (r0(0) / p(0)) * p(1),
+        r0(2) - (r0(0) / p(0)) * p(2),
+        r0(3) - (r0(0) / p(0)) * p(3)))
+    }
+    val p2 = if (math.abs(e1(1)._2(0)) > math.abs(e1(0)._2(0))) 1 else 0
+    val q = e1(p2)._2
+    val o = e1(1 - p2)._2
+    val ea3 = o(1) - (o(0) / q(0)) * q(1)
+    val er = o(2) - (o(0) / q(0)) * q(2)
+    if (m(p1)(0) == 0.0 || q(0) == 0.0 || ea3 == 0.0) None
+    else {
+      val d3 = er / ea3
+      val d2 = (q(2) - q(1) * d3) / q(0)
+      val d1 = (m(p1)(3) - m(p1)(1) * d2 - m(p1)(2) * d3) / m(p1)(0)
+      Some((d1, d2, d3))
+    }
+  }
+
+  /** e29's 8-cell spine: the sessionSubjects frame cut by x1 = opened
+    * with a 'view', x2 = started on a weekend, x3 = multi-event
+    * session (n_ev ≥ 2 — a fixed, SF-stable threshold; the census
+    * reads ~4.6% of sessions at every SF), cells indexed
+    * g = 4·x1 + 2·x2 + x3. One row per dur_min with per-cell deaths
+    * d0..d7, censorings c0..c7, and at-risk counts n0..n7. */
+  private def cox3Spine(s: SparkSession, dir: String) = {
+    val labeled = Events.sessionSubjects(s, dir)
+      .select(
+        when(col("first_type") === "view", 4L).otherwise(0L)
+          .plus(when(expr("weekday(cohort)") >= 5, 2L).otherwise(0L))
+          .plus(when(col("n_ev") >= 2, 1L).otherwise(0L)).as("g"),
+        col("dur_min"), col("ch"))
+    def cell(g: Int, dead: Boolean) = {
+      val v = if (dead) col("ch") else lit(1L) - col("ch")
+      sum(when(col("g") === g, v).otherwise(0L)).cast("long")
+    }
+    val spine = labeled.groupBy("dur_min").agg(
+      cell(0, dead = true).as("d0"), cell(0, dead = false).as("c0"),
+      cell(1, dead = true).as("d1"), cell(1, dead = false).as("c1"),
+      cell(2, dead = true).as("d2"), cell(2, dead = false).as("c2"),
+      cell(3, dead = true).as("d3"), cell(3, dead = false).as("c3"),
+      cell(4, dead = true).as("d4"), cell(4, dead = false).as("c4"),
+      cell(5, dead = true).as("d5"), cell(5, dead = false).as("c5"),
+      cell(6, dead = true).as("d6"), cell(6, dead = false).as("c6"),
+      cell(7, dead = true).as("d7"), cell(7, dead = false).as("c7"))
+    val wPrior = Window.orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    def atRisk(g: Int) =
+      (sum(col(s"d$g") + col(s"c$g")).over(wAll)
+        - coalesce(sum(col(s"d$g") + col(s"c$g")).over(wPrior), lit(0L)))
+        .cast("long")
+    spine
+      .withColumn("n0", atRisk(0)).withColumn("n1", atRisk(1))
+      .withColumn("n2", atRisk(2)).withColumn("n3", atRisk(3))
+      .withColumn("n4", atRisk(4)).withColumn("n5", atRisk(5))
+      .withColumn("n6", atRisk(6)).withColumn("n7", atRisk(7))
+      .withColumn("d",
+        col("d0") + col("d1") + col("d2") + col("d3")
+          + col("d4") + col("d5") + col("d6") + col("d7"))
+  }
+
+  /** DuckDB twin of [[cox3Spine]] — ends in `sp3` with one row per
+    * conversion-time dur_min carrying (d0..d7, n0..n7, d). */
+  private def cox3SpineSql: String = {
+    val cells = (0 to 7).map { g =>
+      s"""    CAST(sum(CASE WHEN g=$g THEN ch ELSE 0 END) AS BIGINT) AS d$g,
+         |    CAST(sum(CASE WHEN g=$g THEN 1-ch ELSE 0 END) AS BIGINT) AS c$g"""
+        .stripMargin
+    }.mkString(",\n")
+    val atRisk = (0 to 7).map { g =>
+      s"""    CAST(sum(d$g+c$g) OVER () - coalesce(sum(d$g+c$g) OVER wp, 0)
+         |      AS BIGINT) AS n$g""".stripMargin
+    }.mkString(",\n")
+    s"""${Events.sessionSubjectsSql},
+       |lab3 AS (
+       |  SELECT (CASE WHEN first_type = 'view' THEN 4 ELSE 0 END
+       |    + CASE WHEN isodow(cohort) >= 6 THEN 2 ELSE 0 END
+       |    + CASE WHEN n_ev >= 2 THEN 1 ELSE 0 END) AS g, dur_min, ch
+       |  FROM subj),
+       |spine3 AS (
+       |  SELECT dur_min,
+       |$cells
+       |  FROM lab3 GROUP BY 1),
+       |tel3 AS (
+       |  SELECT *,
+       |$atRisk
+       |  FROM spine3
+       |  WINDOW wp AS (ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |sp3 AS MATERIALIZED (SELECT *, d0+d1+d2+d3+d4+d5+d6+d7 AS d
+       |  FROM tel3 WHERE d0+d1+d2+d3+d4+d5+d6+d7 > 0)""".stripMargin
+  }
+
+  /** e29's oracle: the 8-group spine, then all 6 Newton steps
+    * unrolled — three exps per step, truncating-integer cell weights,
+    * per-term micro floors, and the PIVOTED ELIMINATION replayed as
+    * a CTE chain per step: the 3 augmented rows materialize with
+    * their original indices, `ORDER BY abs(pivot-column) DESC, i ASC
+    * LIMIT 1` picks each pivot exactly as the driver's strict->
+    * scan, elimination and back-substitution repeat the driver's
+    * expression trees, and a zero on the pivot diagonal skips the
+    * update (divisions CASE-guarded — DuckDB doubles yield NULL on
+    * /0, the guard keeps the placeholder dead). */
+  private def cox3OracleSql: String = {
+    def wn(sel: Int => Boolean) =
+      (0 to 7).filter(sel).map(g => s"w$g * n$g").mkString(" + ")
+    def ds(sel: Int => Boolean) =
+      (0 to 7).filter(sel).map(g => s"d$g").mkString(" + ")
+    val steps = (1 to 6).map { k =>
+      s"""w$k AS (SELECT
+         |    CAST(floor(exp(b1 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS e1,
+         |    CAST(floor(exp(b2 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS e2,
+         |    CAST(floor(exp(b3 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS e3
+         |  FROM b${k - 1}),
+         |wg$k AS (SELECT
+         |    CAST(1000000 AS BIGINT) AS w0, e3 AS w1, e2 AS w2,
+         |    e2 * e3 // 1000000 AS w3, e1 AS w4, e1 * e3 // 1000000 AS w5,
+         |    e1 * e2 // 1000000 AS w6,
+         |    (e1 * e2 // 1000000) * e3 // 1000000 AS w7
+         |  FROM w$k),
+         |r$k AS (SELECT
+         |    ${ds(_ => true)} AS d,
+         |    ${ds(g => (g & 4) != 0)} AS da,
+         |    ${ds(g => (g & 2) != 0)} AS db,
+         |    ${ds(g => (g & 1) != 0)} AS dc,
+         |    CAST(s1a AS DOUBLE) / s0 AS ra,
+         |    CAST(s1b AS DOUBLE) / s0 AS rb,
+         |    CAST(s1c AS DOUBLE) / s0 AS rc,
+         |    CAST(sab AS DOUBLE) / s0 AS rab,
+         |    CAST(sac AS DOUBLE) / s0 AS rac,
+         |    CAST(sbc AS DOUBLE) / s0 AS rbc
+         |  FROM (SELECT sp3.*,
+         |      ${wn(_ => true)} AS s0,
+         |      ${wn(g => (g & 4) != 0)} AS s1a,
+         |      ${wn(g => (g & 2) != 0)} AS s1b,
+         |      ${wn(g => (g & 1) != 0)} AS s1c,
+         |      ${wn(g => (g & 6) == 6)} AS sab,
+         |      ${wn(g => (g & 5) == 5)} AS sac,
+         |      ${wn(g => (g & 3) == 3)} AS sbc
+         |    FROM sp3 CROSS JOIN wg$k w)),
+         |t$k AS MATERIALIZED (SELECT
+         |    CAST(coalesce(sum(da * 1000000
+         |      - CAST(floor(d * ra * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS ua,
+         |    CAST(coalesce(sum(db * 1000000
+         |      - CAST(floor(d * rb * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS ub,
+         |    CAST(coalesce(sum(dc * 1000000
+         |      - CAST(floor(d * rc * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS uc,
+         |    CAST(coalesce(sum(CAST(floor(d * ra * (1.0 - ra) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS iaa,
+         |    CAST(coalesce(sum(CAST(floor(d * rb * (1.0 - rb) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS ibb,
+         |    CAST(coalesce(sum(CAST(floor(d * rc * (1.0 - rc) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS icc,
+         |    CAST(coalesce(sum(CAST(floor(d * (rab - ra * rb) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS iab,
+         |    CAST(coalesce(sum(CAST(floor(d * (rac - ra * rc) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS iac,
+         |    CAST(coalesce(sum(CAST(floor(d * (rbc - rb * rc) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS ibc
+         |  FROM r$k),
+         |m$k AS MATERIALIZED (
+         |  SELECT 0 AS i, CAST(iaa AS DOUBLE) AS a1, CAST(iab AS DOUBLE) AS a2,
+         |    CAST(iac AS DOUBLE) AS a3, CAST(ua AS DOUBLE) AS r FROM t$k
+         |  UNION ALL SELECT 1, CAST(iab AS DOUBLE), CAST(ibb AS DOUBLE),
+         |    CAST(ibc AS DOUBLE), CAST(ub AS DOUBLE) FROM t$k
+         |  UNION ALL SELECT 2, CAST(iac AS DOUBLE), CAST(ibc AS DOUBLE),
+         |    CAST(icc AS DOUBLE), CAST(uc AS DOUBLE) FROM t$k),
+         |p1x$k AS MATERIALIZED (SELECT * FROM m$k ORDER BY abs(a1) DESC, i ASC LIMIT 1),
+         |e1x$k AS MATERIALIZED (SELECT m.i,
+         |    m.a2 - (CASE WHEN p.a1 = 0 THEN 0 ELSE m.a1 / p.a1 END) * p.a2 AS a2,
+         |    m.a3 - (CASE WHEN p.a1 = 0 THEN 0 ELSE m.a1 / p.a1 END) * p.a3 AS a3,
+         |    m.r - (CASE WHEN p.a1 = 0 THEN 0 ELSE m.a1 / p.a1 END) * p.r AS r
+         |  FROM m$k m CROSS JOIN p1x$k p WHERE m.i <> p.i),
+         |p2x$k AS MATERIALIZED (SELECT * FROM e1x$k ORDER BY abs(a2) DESC, i ASC LIMIT 1),
+         |e2x$k AS MATERIALIZED (SELECT
+         |    m.a3 - (CASE WHEN p.a2 = 0 THEN 0 ELSE m.a2 / p.a2 END) * p.a3 AS a3,
+         |    m.r - (CASE WHEN p.a2 = 0 THEN 0 ELSE m.a2 / p.a2 END) * p.r AS r
+         |  FROM e1x$k m CROSS JOIN p2x$k p WHERE m.i <> p.i),
+         |d$k AS MATERIALIZED (SELECT * ,
+         |    CASE WHEN pa1 = 0 THEN 0
+         |      ELSE (pr - pa2 * d2 - pa3 * d3) / pa1 END AS d1 FROM (
+         |  SELECT *, CASE WHEN qa2 = 0 THEN 0
+         |      ELSE (qr - qa3 * d3) / qa2 END AS d2 FROM (
+         |    SELECT p1.a1 AS pa1, p1.a2 AS pa2, p1.a3 AS pa3, p1.r AS pr,
+         |      p2.a2 AS qa2, p2.a3 AS qa3, p2.r AS qr, e2.a3 AS ea3,
+         |      CASE WHEN e2.a3 = 0 THEN 0 ELSE e2.r / e2.a3 END AS d3
+         |    FROM p1x$k p1 CROSS JOIN p2x$k p2 CROSS JOIN e2x$k e2))),
+         |b$k AS MATERIALIZED (SELECT
+         |    CASE WHEN d.pa1 = 0 OR d.qa2 = 0 OR d.ea3 = 0 THEN b.b1
+         |      ELSE b.b1 + CAST(floor(d.d1 * 1000000.0 + 0.5) AS BIGINT) END AS b1,
+         |    CASE WHEN d.pa1 = 0 OR d.qa2 = 0 OR d.ea3 = 0 THEN b.b2
+         |      ELSE b.b2 + CAST(floor(d.d2 * 1000000.0 + 0.5) AS BIGINT) END AS b2,
+         |    CASE WHEN d.pa1 = 0 OR d.qa2 = 0 OR d.ea3 = 0 THEN b.b3
+         |      ELSE b.b3 + CAST(floor(d.d3 * 1000000.0 + 0.5) AS BIGINT) END AS b3
+         |  FROM b${k - 1} b CROSS JOIN d$k d)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 6).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step,
+         |  CAST(b.b1 AS BIGINT) AS b1_micro, CAST(b.b2 AS BIGINT) AS b2_micro,
+         |  CAST(b.b3 AS BIGINT) AS b3_micro,
+         |  t.ua AS ua_micro, t.ub AS ub_micro, t.uc AS uc_micro,
+         |  t.iaa AS iaa_micro, t.iab AS iab_micro, t.iac AS iac_micro,
+         |  t.ibb AS ibb_micro, t.ibc AS ibc_micro, t.icc AS icc_micro,
+         |  CAST(floor(exp(b.b1 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS hr1_micro,
+         |  CAST(floor(exp(b.b2 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS hr2_micro,
+         |  CAST(floor(exp(b.b3 / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS hr3_micro
+         |FROM b$k b CROSS JOIN t$k t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $cox3SpineSql,
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2,
+       |  CAST(0 AS BIGINT) AS b3),
+       |$steps
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY step""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "e29_cox3",
+      (s, dir) => {
+        // THREE-COVARIATE Cox proportional hazards — the k-covariate
+        // rung §7 named, where the Newton solve outgrows e27's
+        // closed-form 2×2 and becomes PIVOTED GAUSSIAN ELIMINATION:
+        // does opening with a 'view' (x1), starting on a weekend
+        // (x2), or running a multi-event session (x3, n_ev ≥ 2) each
+        // multiply the conversion hazard, controlling for the other
+        // two? The 8-cell spine aggregates ONE pass over the shared
+        // sessionSubjects frame (e22/e24/e27's censoring semantics
+        // verbatim; ≤ max-session-minutes rows at ANY corpus size —
+        // the bounded fit-on-driver pattern); the 3×3 solve pivots on
+        // |entry| with an index tie-break and is replayed by the
+        // oracle as an ORDER BY ... LIMIT 1 CTE chain per step — the
+        // elimination path, unlike a closed-form adjugate, is the
+        // shape that scales to ANY k. β₁ must remain sign-consistent
+        // with e24/e27's view effect; the fit trajectory (scores,
+        // information matrix, updated β, hazard ratios) is the
+        // hash-checked artifact, 16 integer columns × 6 steps.
+        val spineRows = cox3Spine(s, dir)
+          .filter(col("d") > 0)
+          .orderBy("dur_min")
+          .collect()
+          .map { r =>
+            Cox3Row(
+              IndexedSeq.tabulate(8)(g => r.getLong(r.fieldIndex(s"d$g"))),
+              IndexedSeq.tabulate(8)(g => r.getLong(r.fieldIndex(s"n$g"))))
+          }
+        import s.implicits._
+        coxNewton3(spineRows.toSeq).toDF("step", "b1_micro", "b2_micro",
+          "b3_micro", "ua_micro", "ub_micro", "uc_micro", "iaa_micro",
+          "iab_micro", "iac_micro", "ibb_micro", "ibc_micro", "icc_micro",
+          "hr1_micro", "hr2_micro", "hr3_micro").orderBy("step")
+      },
+      Some(cox3OracleSql)))
+}
