@@ -343,7 +343,203 @@ object Survival {
        |ORDER BY step""".stripMargin
   }
 
+  /** Shared e30/e31 base: the global logrank spine filtered to
+    * conversion times, with POOLED and PER-GROUP KM log-factors in
+    * integer micro-nats (e21's quantize-before-cumulate move; d = n
+    * rows flag hard zero instead of passing ln(0)). d = 0 rows carry
+    * ln(1) = 0 and S steps only at deaths, so filtering FIRST loses
+    * nothing and keeps every later window spine-sized. */
+  private def kmSpine(s: SparkSession, dir: String) = {
+    def lnFactor(dc: org.apache.spark.sql.Column, nc: org.apache.spark.sql.Column) =
+      when(dc === 0 || dc >= nc, lit(0L))
+        .otherwise(floor(
+          log(lit(1.0) - dc.cast("double") / nc) * 1e6 + 0.5).cast("long"))
+    def zFlag(dc: org.apache.spark.sql.Column, nc: org.apache.spark.sql.Column) =
+      when(dc >= nc && nc > 0, 1L).otherwise(0L)
+    Events.logrankSpine(s, dir)
+      .filter(col("d") > 0)
+      .withColumn("ln_p", lnFactor(col("d"), col("n")))
+      .withColumn("z_p", zFlag(col("d"), col("n")))
+      .withColumn("ln_a", lnFactor(col("d_a"), col("n_a")))
+      .withColumn("z_a", zFlag(col("d_a"), col("n_a")))
+      .withColumn("ln_b", lnFactor(col("d_b"), col("n_b")))
+      .withColumn("z_b", zFlag(col("d_b"), col("n_b")))
+  }
+
+  /** DuckDB twin of [[kmSpine]] — the shared `risk` CTEs plus a `km`
+    * CTE carrying (dur_min, d_a, d_b, n_a, n_b, d, ln_p/z_p, ln_a/z_a,
+    * ln_b/z_b). */
+  private def kmSpineSql: String = {
+    def lnF(d: String, n: String) =
+      s"""CASE WHEN $d = 0 OR $d >= $n THEN 0
+         |      ELSE CAST(floor(ln(1.0 - CAST($d AS DOUBLE) / $n) * 1e6 + 0.5)
+         |        AS BIGINT) END""".stripMargin
+    def zF(d: String, n: String) =
+      s"CASE WHEN $d >= $n AND $n > 0 THEN 1 ELSE 0 END"
+    s"""${Events.logrankSpineSql()},
+       |km AS MATERIALIZED (
+       |  SELECT dur_min, d_a, d_b, n_a, n_b, d,
+       |    ${lnF("d", "(n_a + n_b)")} AS ln_p, ${zF("d", "(n_a + n_b)")} AS z_p,
+       |    ${lnF("d_a", "n_a")} AS ln_a, ${zF("d_a", "n_a")} AS z_a,
+       |    ${lnF("d_b", "n_b")} AS ln_b, ${zF("d_b", "n_b")} AS z_b
+       |  FROM risk WHERE d > 0)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q(
+      "e30_rmst",
+      (s, dir) => {
+        // RESTRICTED MEAN SURVIVAL TIME (Royston & Parmar 2013 made
+        // it the standard reporting companion when proportional
+        // hazards is doubtful — the LAST textbook survival summary
+        // §7 left): RMST(τ) = ∫₀^τ S(t)dt, per group, as a RUNNING
+        // integral over e22's shared spine. The KM step functions are
+        // constant between conversion times, so the integral is the
+        // exact sum Σ S(t_{i−1})·(t_i − t_{i−1}) — with survival in
+        // integer micro (one exp per group per row, e21's
+        // quantization) and durations integer minutes, every
+        // contribution and both running integrals are EXACT integer
+        // micro-minutes; the group gap rmst_a − rmst_b rides each
+        // row. Same two event-sized shuffles as e21; everything past
+        // the shared rollup is spine-sized.
+        val wCum = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLag = Window.orderBy("dur_min")
+        def surv(g: String) =
+          when(sum(col(s"z_$g")).over(wCum) > 0, lit(0L))
+            .otherwise(floor(exp(sum(col(s"ln_$g")).over(wCum) / 1e6) * 1e6 + 0.5)
+              .cast("long"))
+        kmSpine(s, dir)
+          .withColumn("surv_a_micro", surv("a"))
+          .withColumn("surv_b_micro", surv("b"))
+          .withColumn("gap", col("dur_min") - coalesce(
+            lag(col("dur_min"), 1).over(wLag), lit(0L)))
+          .withColumn("prev_a", coalesce(
+            lag(col("surv_a_micro"), 1).over(wLag), lit(1000000L)))
+          .withColumn("prev_b", coalesce(
+            lag(col("surv_b_micro"), 1).over(wLag), lit(1000000L)))
+          .withColumn("rmst_a_micro",
+            sum(col("prev_a") * col("gap")).over(wCum).cast("long"))
+          .withColumn("rmst_b_micro",
+            sum(col("prev_b") * col("gap")).over(wCum).cast("long"))
+          .select(col("dur_min"), col("d_a"), col("d_b"),
+            col("surv_a_micro"), col("surv_b_micro"),
+            col("rmst_a_micro"), col("rmst_b_micro"),
+            (col("rmst_a_micro") - col("rmst_b_micro")).as("gap_micro"))
+          .orderBy("dur_min")
+      },
+      Some(s"""WITH $kmSpineSql,
+             |sv AS (
+             |  SELECT dur_min, d_a, d_b,
+             |    CASE WHEN sum(z_a) OVER wc > 0 THEN 0
+             |      ELSE CAST(floor(exp(sum(ln_a) OVER wc / 1e6) * 1e6 + 0.5)
+             |        AS BIGINT) END AS surv_a_micro,
+             |    CASE WHEN sum(z_b) OVER wc > 0 THEN 0
+             |      ELSE CAST(floor(exp(sum(ln_b) OVER wc / 1e6) * 1e6 + 0.5)
+             |        AS BIGINT) END AS surv_b_micro
+             |  FROM km
+             |  WINDOW wc AS (ORDER BY dur_min
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |iv AS (
+             |  SELECT *,
+             |    dur_min - coalesce(lag(dur_min) OVER wl, 0) AS gap,
+             |    coalesce(lag(surv_a_micro) OVER wl, 1000000) AS prev_a,
+             |    coalesce(lag(surv_b_micro) OVER wl, 1000000) AS prev_b
+             |  FROM sv
+             |  WINDOW wl AS (ORDER BY dur_min)),
+             |ri AS (
+             |  SELECT dur_min, d_a, d_b, surv_a_micro, surv_b_micro,
+             |    CAST(sum(prev_a * gap) OVER wc AS BIGINT) AS rmst_a_micro,
+             |    CAST(sum(prev_b * gap) OVER wc AS BIGINT) AS rmst_b_micro
+             |  FROM iv
+             |  WINDOW wc AS (ORDER BY dur_min
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT *, rmst_a_micro - rmst_b_micro AS gap_micro
+             |FROM ri ORDER BY dur_min""".stripMargin)),
+
+    Q(
+      "e31_fleming_harrington",
+      (s, dir) => {
+        // FLEMING–HARRINGTON G^ρ weighted log-rank, ρ = 1 (Fleming &
+        // Harrington 1991; Peto–Prentice's late-difference
+        // insensitivity made precise): e22's hypergeometric terms
+        // weighted by the POOLED KM survival JUST BEFORE each
+        // conversion time, S(t−) — early conversions weigh ~1, the
+        // tail fades with the at-risk population, the standard
+        // companion when hazards cross late. S(t−) is the pooled ln
+        // cumulation EXCLUDING the current row (first weight exactly
+        // 10⁶ by construction), one exp per row quantized to micro;
+        // the weighted score is the truncating integer product
+        // w·(O−E) div 10⁶ and the weighted variance (w·w div 10⁶)·V
+        // div 10⁶ — both engines truncate toward zero identically —
+        // with the running χ² riding every row like e22. One more
+        // column chain on the SAME spine; nothing new distributed.
+        val wPrior = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        kmSpine(s, dir)
+          .withColumn("w_micro",
+            when(coalesce(sum(col("z_p")).over(wPrior), lit(0L)) > 0, lit(0L))
+              .otherwise(floor(exp(
+                coalesce(sum(col("ln_p")).over(wPrior), lit(0L)) / 1e6)
+                * 1e6 + 0.5).cast("long")))
+          .withColumn("ea_micro", expr("d * n_a * 1000000 div n"))
+          .withColumn("v_micro",
+            when(col("n") > 1, floor(
+              col("d").cast("double") * col("n_a") * col("n_b") * (col("n") - col("d"))
+                / (col("n").cast("double") * col("n") * (col("n") - 1))
+                * 1e6 + 0.5).cast("long"))
+              .otherwise(lit(0L)))
+          .withColumn("woe_micro",
+            expr("w_micro * (d_a * 1000000 - ea_micro) div 1000000"))
+          .withColumn("wv_micro",
+            expr("(w_micro * w_micro div 1000000) * v_micro div 1000000"))
+          .withColumn("woe_cum_micro", sum("woe_micro").over(wCum).cast("long"))
+          .withColumn("wv_cum_micro", sum("wv_micro").over(wCum).cast("long"))
+          .select(col("dur_min"), col("d_a"), col("d_b"), col("w_micro"),
+            col("woe_micro"), col("wv_micro"),
+            col("woe_cum_micro"), col("wv_cum_micro"),
+            when(col("wv_cum_micro") > 0, fround(
+              (col("woe_cum_micro") / 1e6) * (col("woe_cum_micro") / 1e6)
+                / (col("wv_cum_micro") / 1e6), 6)).otherwise(lit(0.0)).as("chi2"))
+          .orderBy("dur_min")
+      },
+      Some(s"""WITH $kmSpineSql,
+             |wt AS (
+             |  SELECT *, n_a + n_b AS n,
+             |    CASE WHEN coalesce(sum(z_p) OVER wp, 0) > 0 THEN 0
+             |      ELSE CAST(floor(exp(coalesce(sum(ln_p) OVER wp, 0) / 1e6)
+             |        * 1e6 + 0.5) AS BIGINT) END AS w_micro
+             |  FROM km
+             |  WINDOW wp AS (ORDER BY dur_min
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |terms AS (
+             |  SELECT *,
+             |    d * n_a * 1000000 // n AS ea_micro,
+             |    CASE WHEN n > 1 THEN CAST(floor(
+             |      CAST(d AS DOUBLE) * n_a * n_b * (n - d)
+             |        / (CAST(n AS DOUBLE) * n * (n - 1)) * 1e6 + 0.5) AS BIGINT)
+             |      ELSE 0 END AS v_micro
+             |  FROM wt),
+             |wterms AS (
+             |  SELECT *,
+             |    w_micro * (d_a * 1000000 - ea_micro) // 1000000 AS woe_micro,
+             |    (w_micro * w_micro // 1000000) * v_micro // 1000000 AS wv_micro
+             |  FROM terms),
+             |cum AS (
+             |  SELECT dur_min, d_a, d_b, w_micro, woe_micro, wv_micro,
+             |    CAST(sum(woe_micro) OVER wc AS BIGINT) AS woe_cum_micro,
+             |    CAST(sum(wv_micro) OVER wc AS BIGINT) AS wv_cum_micro
+             |  FROM wterms
+             |  WINDOW wc AS (ORDER BY dur_min
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT *,
+             |  CASE WHEN wv_cum_micro > 0 THEN floor(
+             |    (woe_cum_micro / 1e6) * (woe_cum_micro / 1e6) / (wv_cum_micro / 1e6)
+             |      * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS chi2
+             |FROM cum ORDER BY dur_min""".stripMargin)),
+
     Q(
       "e29_cox3",
       (s, dir) => {

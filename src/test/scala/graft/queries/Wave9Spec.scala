@@ -102,6 +102,80 @@ class Wave9Spec extends SparkTestBase {
     }
   }
 
+  test("e30: the running integral telescopes exactly from its own " +
+      "curve columns, stays monotone, and its group gap agrees with " +
+      "e22's direction") {
+    val rows = run("e30_rmst").collect()
+    assert(rows.nonEmpty)
+    // exact telescoping: rmst(i) − rmst(i−1) = surv(i−1)·gap — the
+    // integral IS the curve it rides, recomputed from outputs alone
+    var prevT = 0L
+    var prevA = 1000000L
+    var prevB = 1000000L
+    var accA = 0L
+    var accB = 0L
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      accA += prevA * (t - prevT)
+      accB += prevB * (t - prevT)
+      assert(r.getLong(5) == accA && r.getLong(6) == accB,
+        s"rmst must telescope at t=$t: got ${r.getLong(5)}/${r.getLong(6)}")
+      assert(r.getLong(3) <= prevA && r.getLong(4) <= prevB,
+        "KM curves are non-increasing")
+      assert(r.getLong(7) == r.getLong(5) - r.getLong(6))
+      prevT = t; prevA = r.getLong(3); prevB = r.getLong(4)
+    }
+    // first row: S = 1 before the first conversion, so RMST = tau
+    assert(rows.head.getLong(5) == rows.head.getLong(0) * 1000000L)
+    // direction: group a converting LESS (e22's O−E < 0) means its
+    // time-to-conversion survival rides higher, so rmst_a > rmst_b
+    val oe = run("e22_logrank").collect().last.getLong(7)
+    assert(oe != 0L)
+    assert((rows.last.getLong(7) > 0) == (oe < 0),
+      "the RMST gap must sit on the side e22's O−E dictates")
+  }
+
+  test("e31: weights replay the pooled KM S(t−) exactly from e22's " +
+      "columns and the weighted terms are exact integer products") {
+    val e22 = run("e22_logrank").collect()
+    val e31 = run("e31_fleming_harrington").collect()
+    assert(e31.length == e22.length, "same spine, same rows")
+    // independent integer replay of S(t−) from e22's published
+    // (d_a, n_a, d_b, n_b): pooled ln-micro cumulated EXCLUDING the
+    // current row, one exp quantized to micro — then the truncating
+    // products; every value must match e31's bit-for-bit
+    var cumLn = 0L
+    var zeros = 0L
+    var woeCum = 0L
+    var wvCum = 0L
+    e22.zip(e31).foreach { case (a, b) =>
+      val (nA, dA, nB, dB) = (a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4))
+      val (d, n) = (dA + dB, nA + nB)
+      val w = if (zeros > 0) 0L
+        else math.floor(StrictMath.exp(cumLn / 1e6) * 1e6 + 0.5).toLong
+      assert(b.getLong(3) == w, s"w_micro at ${b.getLong(0)}: ${b.getLong(3)} vs $w")
+      val ea = d * nA * 1000000L / n
+      val v = if (n > 1) math.floor(
+        d.toDouble * nA * nB * (n - d) / (n.toDouble * n * (n - 1))
+          * 1e6 + 0.5).toLong else 0L
+      val woe = w * (dA * 1000000L - ea) / 1000000L
+      val wv = (w * w / 1000000L) * v / 1000000L
+      assert(b.getLong(4) == woe && b.getLong(5) == wv,
+        s"weighted terms at ${b.getLong(0)}")
+      woeCum += woe; wvCum += wv
+      assert(b.getLong(6) == woeCum && b.getLong(7) == wvCum)
+      if (d > 0 && d < n)
+        cumLn += math.floor(StrictMath.log(1.0 - d.toDouble / n) * 1e6 + 0.5).toLong
+      else if (d >= n) zeros += 1
+    }
+    // the first conversion time carries weight exactly 1
+    assert(e31.head.getLong(3) == 1000000L)
+    // rho = 1 down-weights the tail: weights are non-increasing
+    e31.map(_.getLong(3)).sliding(2).foreach { p =>
+      assert(p(1) <= p(0), "S(t−) weights must be non-increasing")
+    }
+  }
+
   test("e29 on testdata: trajectory invariants and agreement with " +
       "e24/e27 on the shared covariates") {
     val steps = run("e29_cox3").collect()
