@@ -2278,7 +2278,7 @@ object Events {
   /** The shared e24/e26 oracle prefix: spine → `sp` (conversion-time
     * rows) → the 6 unrolled Newton-step CTE triples ending in `b6`
     * (the fitted β) — [[coxNewton]]'s exact integers. */
-  private def coxStepsCtes: String = {
+  private[queries] def coxStepsCtes: String = {
     val steps = (1 to 6).map { k =>
       val b = s"b${k - 1}"
       s"""w$k AS (SELECT CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w

@@ -385,6 +385,40 @@ object Survival {
        |  FROM risk WHERE d > 0)""".stripMargin
   }
 
+  /** e32's oracle: e24's shared fit CTEs (β̂ from b6 exactly as the
+    * driver reads the final hr_micro — e26's wfin move), the per-time
+    * score residuals under the identical r1 double expression, then
+    * w13's Mann–Kendall integers over the residual/time pairs, the
+    * global statistic cross-joined onto every row. */
+  private def phTestOracleSql: String =
+    s"""WITH ${Events.coxStepsCtes},
+       |wfin AS (SELECT CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w
+       |  FROM b6),
+       |res AS MATERIALIZED (SELECT dur_min, d_a, d,
+       |    d_a * 1000000 - CAST(floor(d * r1 * 1000000.0 + 0.5) AS BIGINT) AS res_micro
+       |  FROM (SELECT sp.dur_min, sp.d_a, sp.d,
+       |      (CAST(w.w AS DOUBLE) * sp.n_a)
+       |        / (CAST(w.w AS DOUBLE) * sp.n_a + 1000000.0 * sp.n_b) AS r1
+       |    FROM sp CROSS JOIN wfin w)),
+       |mks AS (SELECT CAST(coalesce(sum(CASE WHEN b.res_micro > a.res_micro THEN 1
+       |      WHEN b.res_micro < a.res_micro THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+       |  FROM res a JOIN res b ON a.dur_min < b.dur_min),
+       |mkn AS (SELECT CAST(count(*) AS BIGINT) AS n_times FROM res),
+       |mkt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+       |  FROM (SELECT res_micro, count(*) AS t FROM res GROUP BY 1) WHERE t > 1),
+       |mkf AS (SELECT n.n_times, s.s_stat,
+       |    CAST(n.n_times * (n.n_times - 1) * (2 * n.n_times + 5) - t.tie18
+       |      AS BIGINT) AS var18
+       |  FROM mkn n CROSS JOIN mks s CROSS JOIN mkt t)
+       |SELECT r.dur_min, r.d_a, r.d, r.res_micro, f.n_times, f.s_stat, f.var18,
+       |  CAST(CASE WHEN f.var18 <= 0 OR f.s_stat = 0 THEN 0
+       |    WHEN f.s_stat > 0 THEN floor(
+       |      (f.s_stat - 1) / sqrt(f.var18 / 18.0) * 1000000.0 + 0.5)
+       |    ELSE floor(
+       |      (f.s_stat + 1) / sqrt(f.var18 / 18.0) * 1000000.0 + 0.5)
+       |    END AS BIGINT) AS z_micro
+       |FROM res r CROSS JOIN mkf f ORDER BY dur_min""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q(
       "e30_rmst",
@@ -539,6 +573,73 @@ object Survival {
              |    (woe_cum_micro / 1e6) * (woe_cum_micro / 1e6) / (wv_cum_micro / 1e6)
              |      * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS chi2
              |FROM cum ORDER BY dur_min""".stripMargin)),
+
+    Q(
+      "e32_ph_test",
+      (s, dir) => {
+        // PROPORTIONAL-HAZARDS DIAGNOSTIC (the Grambsch–Therneau 1994
+        // question — is e24's β allowed to be ONE number? — answered
+        // with the repo's own exact-integer trend machinery): the
+        // Schoenfeld-type score residual at each conversion time
+        // under the FITTED model, r_t = d_a − d·r1(β̂) in micro
+        // (e24's per-time score term evaluated at the final β̂ — the
+        // same Newton replay e26 rides, so two queries cannot
+        // drift; residuals sum to ~0 by construction since β̂ zeroes
+        // the total score), then w13's Mann–Kendall test for a
+        // monotone trend of those residuals over event time: a real
+        // trend means the hazard ratio moves with time = PH
+        // violated. S and the tie-corrected var18 are pure integer;
+        // the one float step (z via sqrt) is IEEE-deterministic.
+        // The pair join is spine² — ≤ max-session-minutes² driver-
+        // tiny rows at ANY corpus size. The global statistic rides
+        // every row (e22's chi2 pattern).
+        val rows = Events.logrankSpine(s, dir)
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("d_a"), col("d"), col("n_a"), col("n_b"))
+          .orderBy("dur_min")
+          .collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        val w = Events.coxNewton(rows.toSeq).last._6
+        require(w > 0L && w < 1000000000L,
+          s"e32: fitted hazard ratio $w micro overflows the score path")
+        val res = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          Events.logrankSpine(s, dir)
+            .filter(col("d") > 0)
+            .withColumn("res_micro",
+              col("d_a") * 1000000L - floor(col("d") *
+                ((lit(w.toDouble) * col("n_a"))
+                  / (lit(w.toDouble) * col("n_a") + lit(1000000.0) * col("n_b")))
+                * 1000000.0 + 0.5).cast("long"))
+            .select(col("dur_min"), col("d_a"), col("d"), col("res_micro")))
+        val sStat = res.as("a").join(res.as("b"),
+            col("a.dur_min") < col("b.dur_min"))
+          .agg(coalesce(sum(when(col("b.res_micro") > col("a.res_micro"), 1L)
+            .when(col("b.res_micro") < col("a.res_micro"), -1L).otherwise(0L)),
+            lit(0L)).cast("long").as("s_stat"))
+        val nd = res.agg(count(lit(1)).cast("long").as("n_times"))
+        val ties = res.groupBy("res_micro")
+          .agg(count(lit(1)).as("t")).filter(col("t") > 1)
+          .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+            .cast("long").as("tie18"))
+        val stat = nd.crossJoin(sStat).crossJoin(ties)
+          .withColumn("var18",
+            (expr("n_times * (n_times - 1) * (2 * n_times + 5)")
+              - col("tie18")).cast("long"))
+          .withColumn("z_micro",
+            when(col("var18") <= 0 || col("s_stat") === 0, lit(0L))
+              .when(col("s_stat") > 0, floor(
+                (col("s_stat") - 1) / sqrt(col("var18") / lit(18.0))
+                  * 1000000.0 + 0.5).cast("long"))
+              .otherwise(floor(
+                (col("s_stat") + 1) / sqrt(col("var18") / lit(18.0))
+                  * 1000000.0 + 0.5).cast("long")))
+          .select(col("n_times"), col("s_stat"), col("var18"), col("z_micro"))
+        res.crossJoin(stat)
+          .select(col("dur_min"), col("d_a"), col("d"), col("res_micro"),
+            col("n_times"), col("s_stat"), col("var18"), col("z_micro"))
+          .orderBy("dur_min")
+      },
+      Some(phTestOracleSql)),
 
     Q(
       "e29_cox3",

@@ -176,6 +176,51 @@ class Wave9Spec extends SparkTestBase {
     }
   }
 
+  test("e32: residuals total e24's final score bit-for-bit and the " +
+      "Mann-Kendall statistic recomputes brute-force from the rows") {
+    val rows = run("e32_ph_test").collect()
+    assert(rows.nonEmpty)
+    // the residuals are e24's per-time score terms at the FINAL beta
+    // (one evaluation past e24's step-6 score, which uses the step-6
+    // ENTRY weight): replay each bit-for-bit from e22's published
+    // (n_a, d_a, n_b, d_b) and e24's published final hr_micro
+    val e24 = run("e24_cox").collect()
+    val w = e24.last.getLong(5)
+    val e22 = run("e22_logrank").collect()
+    assert(e22.length == rows.length)
+    e22.zip(rows).foreach { case (a, b) =>
+      val (nA, dA, nB, dB) = (a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4))
+      val r1 = (w.toDouble * nA) / (w.toDouble * nA + 1000000.0 * nB)
+      val want = dA * 1000000L -
+        math.floor((dA + dB) * r1 * 1000000.0 + 0.5).toLong
+      assert(b.getLong(3) == want, s"residual at ${b.getLong(0)}")
+    }
+    // the MLE property: the residual TOTAL (the score at beta-hat)
+    // has collapsed far below the step-1 score
+    assert(math.abs(rows.map(_.getLong(3)).sum) <
+      math.abs(e24.head.getLong(2)) / 1000,
+      "sum of residuals must be ~0 at the fitted beta")
+    // brute-force MK replay from the output rows themselves
+    val rs = rows.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    var sS = 0L
+    for (i <- rs.indices; j <- (i + 1) until rs.length)
+      sS += java.lang.Long.signum(rs(j)._2 - rs(i)._2)
+    val n = rs.length.toLong
+    val tie18 = rs.groupBy(_._2).values.map(_.size.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tie18
+    val z = if (var18 <= 0 || sS == 0) 0L
+      else if (sS > 0) math.floor(
+        (sS - 1) / math.sqrt(var18 / 18.0) * 1000000.0 + 0.5).toLong
+      else math.floor(
+        (sS + 1) / math.sqrt(var18 / 18.0) * 1000000.0 + 0.5).toLong
+    rows.foreach { r =>
+      assert(r.getLong(4) == n && r.getLong(5) == sS &&
+        r.getLong(6) == var18 && r.getLong(7) == z,
+        s"global MK stat must ride every row: $r vs ($n, $sS, $var18, $z)")
+    }
+  }
+
   test("e29 on testdata: trajectory invariants and agreement with " +
       "e24/e27 on the shared covariates") {
     val steps = run("e29_cox3").collect()
