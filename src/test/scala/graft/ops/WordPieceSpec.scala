@@ -122,6 +122,23 @@ class WordPieceSpec extends SparkTestBase {
       "oracle arc bound must match the pinned vocabulary")
   }
 
+  test("pinned vocabulary fully covers its training domain: zero " +
+      "unknowns and sane fertility on the sf0.01 name sample") {
+    val src = graft.queries.CorpusOps2.bpe1kTrainingSource(
+      spark, "/root/testdata/sf0.01")
+    val counts = WordPiece.tokenCounts(src.withColumn("id",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+      "id", "text", graft.queries.WordPieceQueries.WordPieceVocab,
+      graft.queries.WordPieceQueries.MaxPieceLen).collect()
+    assert(counts.nonEmpty)
+    counts.foreach { r =>
+      assert(r.getLong(4) == 0L,
+        "the trained alphabet must cover every training word — no [UNK]")
+      assert(r.getLong(3) >= r.getLong(1) && r.getLong(3) <= r.getLong(2),
+        "per-doc pieces must sit between word count and char count")
+    }
+  }
+
   test("census overflow guard fails loudly") {
     intercept[IllegalArgumentException] {
       WordPiece.train(Map("abcdefghij" -> 300000L), numMerges = 1)
