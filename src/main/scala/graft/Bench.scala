@@ -107,7 +107,13 @@ object Bench {
       // The artifact now carries the check itself: true iff this run
       // covered EVERY SparkEntry.queries key.
       val complete = results.size == SparkEntry.queries.size
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$smallField$errsField$runsField,"load":[${fmtShort(loadStart)},${fmtShort(loadAvg())}]$loadedField,"registry_complete":$complete,"n_queries":${results.size},"sf":"$sfName"}"""
+      // registry_complete means ATTEMPTED-not-passed (an errored query
+      // still counts toward coverage — its error is in errs);
+      // registry_green is the stronger stamp: every registry query ran
+      // AND none errored. Readers who only check one flag should check
+      // this one.
+      val green = complete && results.forall(_._3.isEmpty)
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$smallField$errsField$runsField,"load":[${fmtShort(loadStart)},${fmtShort(loadAvg())}]$loadedField,"registry_complete":$complete,"registry_green":$green,"n_queries":${results.size},"sf":"$sfName"}"""
     }
     // Durable copies: round 2's artifact lost its total to sbt log
     // truncation of the stdout tail; a file never truncates. The env

@@ -1582,11 +1582,10 @@ object Events {
         // Output: one row per Newton step (entry weight, score U,
         // information I, updated β, hazard ratio) — the fit trajectory
         // itself is the hash-checked artifact, the gp11 move.
-        val rows = logrankSpine(s, dir)
+        val rows = collectSpine(logrankSpine(s, dir)
           .filter(col("d") > 0)
           .select(col("dur_min"), col("d_a"), col("d"), col("n_a"), col("n_b"))
-          .orderBy("dur_min")
-          .collect()
+          .orderBy("dur_min"), "e24")
           .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         import s.implicits._
         coxNewton(rows.toSeq).toDF("step", "w_micro", "u_micro", "i_micro",
@@ -1613,7 +1612,7 @@ object Events {
         val spine = logrankSpine(s, dir)
           .filter(col("d") > 0)
           .select(col("dur_min"), col("d_a"), col("d"), col("n_a"), col("n_b"))
-        val rows = spine.orderBy("dur_min").collect()
+        val rows = collectSpine(spine.orderBy("dur_min"), "e26")
           .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         val w = coxNewton(rows.toSeq).last._6
         // ha_cum·w and w·n_a must stay under 2^63: w < 10⁹ bounds
@@ -1665,12 +1664,11 @@ object Events {
         // (sign-consistent by construction) with β₂ the weekend
         // adjustment. Spine is ≤ max-session-minutes rows; the fit
         // input is bounded at any corpus size.
-        val rows = cox2Spine(s, dir)
+        val rows = collectSpine(cox2Spine(s, dir)
           .filter(col("d") > 0)
           .select(col("dur_min"), col("d00"), col("d01"), col("d10"),
             col("d11"), col("n00"), col("n01"), col("n10"), col("n11"))
-          .orderBy("dur_min")
-          .collect()
+          .orderBy("dur_min"), "e27")
           .map(r => Cox2Row(r.getLong(1), r.getLong(2), r.getLong(3),
             r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
             r.getLong(8)))
@@ -1920,6 +1918,31 @@ object Events {
     * windows partition by them, so each stratum carries its own
     * at-risk clock. Columns: strata… , dur_min, d_a, c_a, d_b, c_b,
     * n_a, n_b, d, n. */
+  /** Hard cap on rows any fit-on-driver spine collect may return.
+    * The Cox-family / PH-diagnostic collects (e24/e26/e29/e32 and the
+    * Survival consumers) are correct-by-construction ONLY while
+    * sessionization bounds durations to max-session-minutes — a spine
+    * row per distinct minute, thousands at worst. That invariant is
+    * load-bearing across nine queries; this single shared guard turns
+    * a future semantics change (e.g. a per-subject grain leaking into
+    * the spine) from a silent driver-memory risk into a loud failure.
+    * 100k sits far above any real minute grain and far below subject
+    * counts at gate SFs. */
+  private[queries] val MaxSpineRows = 100000
+
+  /** The shared fit-on-driver spine collect: collects the frame and
+    * REQUIREs it stays spine-sized (see [[MaxSpineRows]]). Every
+    * driver-side survival fit routes through this. */
+  private[queries] def collectSpine(df: org.apache.spark.sql.DataFrame,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.collect()
+    require(rows.length <= MaxSpineRows,
+      s"$what: spine collect returned ${rows.length} rows (> $MaxSpineRows)" +
+        " — the max-session-minutes grain invariant no longer holds;" +
+        " the fit-on-driver pattern is unsafe on this frame")
+    rows
+  }
+
   private[queries] def logrankSpine(s: SparkSession, dir: String,
       strata: Seq[String] = Nil) = {
     val labeled = sessionSubjects(s, dir)

@@ -113,8 +113,15 @@ object WordPieceQueries {
     * after position 0 — then walk every word down its arcs in
     * [[OracleMaxLen]] unrolled levels (each level advances every
     * unfinished word by exactly one piece; a position with no arc
-    * marks the word stuck = [UNK]). Ends in a `perkey` CTE with
-    * (c_custkey, n_words, n_chars, n_pieces, n_unk). */
+    * marks the word stuck = [UNK]). A word still UNFINISHED after the
+    * last level (pos < L, stuck = 0 — a normalized word longer than
+    * [[OracleMaxLen]] single-char arcs, impossible for today's 17-char
+    * names but enforced nowhere upstream) is treated as [UNK] rather
+    * than silently counted with a partial piece total: the Spark
+    * greedy scan is unbounded, so the divergence surfaces as a LOUD
+    * hash mismatch instead of a plausible-looking wrong count. Ends in
+    * a `perkey` CTE with (c_custkey, n_words, n_chars, n_pieces,
+    * n_unk). */
   private def wordpieceOracleCore(filter: String): String = {
     val vals = WordPieceVocab.map(p => s"('$p')").mkString(",")
     val levels = (1 to OracleMaxLen).map { k =>
@@ -151,8 +158,9 @@ object WordPieceQueries {
        |    CAST(0 AS BIGINT) AS np, 0 AS stuck FROM vocab),
        |$levels,
        |perword AS (SELECT name, L,
-       |    CASE WHEN stuck = 1 THEN CAST(1 AS BIGINT) ELSE np END AS n_pieces,
-       |    CAST(stuck AS BIGINT) AS unk
+       |    CASE WHEN stuck = 1 OR pos < L THEN CAST(1 AS BIGINT) ELSE np END AS n_pieces,
+       |    CASE WHEN stuck = 1 OR pos < L THEN CAST(1 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS unk
        |  FROM g$OracleMaxLen),
        |perkey AS (SELECT c_custkey, count(*) AS n_words,
        |    CAST(sum(pw.L) AS BIGINT) AS n_chars,

@@ -64,22 +64,33 @@ object Canary {
     val qs = graft.SparkEntry.queries
     val missing = set.filterNot(qs.contains)
     require(missing.isEmpty, s"canary set names unknown queries: $missing")
+    // The artifact must stamp the rep count actually run, and a query
+    // that THROWS must surface in an errs map and stay OUT of the
+    // headline total (Bench's own discipline) — a -1.0 summed into
+    // canary_warm would make a regression that breaks a query read as
+    // a speedup in the one statistic built to compare rounds.
+    val actualReps = math.max(2, reps)
     val results = set.map { name =>
-      val times = (1 to math.max(2, reps)).map { _ =>
+      var err: Option[String] = None
+      val times = (1 to actualReps).map { _ =>
         val t0 = System.nanoTime()
         try { qs(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch { case e: Throwable =>
+          err = Some(e.getClass.getSimpleName); -1.0 }
       }
-      (name, times.head, times.last)
+      (name, times.head, times.last, err)
     }
     def f3(v: Double) = f"$v%.3f"
-    val warm = results.map { case (n, _, w) => "\"" + n + "\":" + f3(w) }
+    val ok = results.filter(_._4.isEmpty)
+    val warm = ok.map { case (n, _, w, _) => "\"" + n + "\":" + f3(w) }
       .mkString("{", ",", "}")
-    val cold = results.map { case (n, c, _) => "\"" + n + "\":" + f3(c) }
+    val cold = ok.map { case (n, c, _, _) => "\"" + n + "\":" + f3(c) }
       .mkString("{", ",", "}")
-    val total = results.map(_._3).sum
+    val errs = results.collect { case (n, _, _, Some(e)) =>
+      "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val total = ok.map(_._3).sum
     val json =
-      s"""{"metric":"canary_warm","value":${f3(total)},"unit":"sec","queries":$warm,"first_rep":$cold,"reps":$reps,"load":[${f3(loadStart)},${f3(loadAvg())}],"registry_size":${qs.size},"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"canary_warm","value":${f3(total)},"unit":"sec","queries":$warm,"first_rep":$cold,"errs":$errs,"canary_green":${errs == "{}"},"reps":$actualReps,"load":[${f3(loadStart)},${f3(loadAvg())}],"registry_size":${qs.size},"sf":"${new java.io.File(sfDir).getName}"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_CANARY_OUT", "BENCH_canary.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
