@@ -390,6 +390,161 @@ object Survival {
        |  FROM risk WHERE d > 0)""".stripMargin
   }
 
+  /** One conversion time's contribution to Harrell's concordance
+    * census (e33) under a fitted binary-covariate Cox model whose
+    * group-a risk weight is `w` micro (group b ≡ 10⁶). Comparable
+    * pairs follow Harrell et al. 1982: (t_i < t_j, i an event) or
+    * (t_i = t_j, i an event, j censored) — same-time event pairs are
+    * unorderable and excluded. For a death at time t the partner
+    * count per group h is exactly n_h(t) − d_h(t) (everyone still at
+    * risk at t except the same-time deaths — which includes the
+    * same-time censored, who are known to outlive the death). With a
+    * binary covariate the prediction only takes two values, so
+    * within-group pairs are risk-ties (worth ½) and cross-group pairs
+    * are concordant iff the earlier-failing subject sits in the
+    * higher-risk group. Returns (comparable, 2·concordant + ties) —
+    * the numerator kept doubled so every quantity is an exact
+    * integer. */
+  private[queries] def harrellCensus(dA: Long, d: Long, nA: Long,
+      nB: Long, w: Long): (Long, Long) = {
+    val dB = d - dA
+    val pa = nA - dA
+    val pb = nB - dB
+    val comp = d * (pa + pb)
+    val cross =
+      if (w > 1000000L) 2L * dA * pb
+      else if (w < 1000000L) 2L * dB * pa
+      else dA * pb + dB * pa
+    (comp, cross + dA * pa + dB * pb)
+  }
+
+  /** e34's Newton kernel: [[Events.coxNewton]]'s 6 fixed steps with
+    * EFRON tie handling (Efron 1977 — the production default in R
+    * `coxph` and lifelines) on the same collected (d_a, d, n_a, n_b)
+    * spine. At a time with d tied deaths the risk-set sums deflate by
+    * j/d of the tied mass for tie rank j = 0..d−1:
+    * E_j = (w·n_a − (j/d)·w·d_a) / (w·n_a + 10⁶·n_b − (j/d)·(w·d_a +
+    * 10⁶·d_b)) — so the score term is d_a·10⁶ − Σ_j ⌊E_j·10⁶⌉ and the
+    * information Σ_j ⌊E_j(1−E_j)·10⁶⌉ (binary covariate ⇒ x² = x),
+    * per-RANK micro floors before the order-free sums. On a tie-free
+    * spine (every d = 1) only j = 0 survives, the (j/d) terms subtract
+    * an exact 0.0, and the kernel reproduces Breslow BIT-FOR-BIT
+    * (spec-pinned). Same replayable discipline as e24: one exp per
+    * step, truncating integer update, the 9e6-deaths overflow bound. */
+  private[queries] def coxNewtonEfron(rows: Seq[(Long, Long, Long, Long)])
+      : IndexedSeq[(Long, Long, Long, Long, Long, Long)] = {
+    require(rows.map(_._2).sum < 9000000L,
+      "efron: deaths overflow the micro-integer score bound")
+    var beta = 0L
+    (1 to 6).map { k =>
+      val w = math.floor(StrictMath.exp(beta / 1e6) * 1e6 + 0.5).toLong
+      var u = 0L
+      var inf = 0L
+      rows.foreach { case (dA, d, nA, nB) =>
+        val dB = d - dA
+        u += dA * 1000000L
+        var j = 0L
+        while (j < d) {
+          val fj = j.toDouble / d
+          val e = (w.toDouble * nA - fj * (w.toDouble * dA)) /
+            ((w.toDouble * nA + 1000000.0 * nB)
+              - fj * (w.toDouble * dA + 1000000.0 * dB))
+          u -= math.floor(e * 1000000.0 + 0.5).toLong
+          inf += math.floor(e * (1.0 - e) * 1000000.0 + 0.5).toLong
+          j += 1
+        }
+      }
+      beta = if (inf == 0L) beta else beta + u * 1000000L / inf
+      val hr = math.floor(StrictMath.exp(beta / 1e6) * 1e6 + 0.5).toLong
+      (k.toLong, w, u, inf, beta, hr)
+    }
+  }
+
+  /** The Efron fit unrolled for e34's oracle, appended AFTER
+    * [[Events.coxStepsCtes]] (which supplies `sp` and the Breslow
+    * chain b1..b6): per step, the tie ranks explode via
+    * unnest(range(d)) — one row per (conversion time, rank j) — the
+    * deflated-risk-set expectation E repeats the driver's exact double
+    * tree, the d_a·10⁶ score credit lands once per time on the j = 0
+    * row, and the update truncates like e24's. */
+  private def efronStepsCtes: String = {
+    val steps = (1 to 6).map { k =>
+      s"""wE$k AS (SELECT CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w
+         |  FROM bE${k - 1}),
+         |rE$k AS (SELECT d_a, d, j,
+         |    (CAST(w AS DOUBLE) * n_a - (CAST(j AS DOUBLE) / d) * (CAST(w AS DOUBLE) * d_a))
+         |      / ((CAST(w AS DOUBLE) * n_a + 1000000.0 * n_b)
+         |         - (CAST(j AS DOUBLE) / d) * (CAST(w AS DOUBLE) * d_a + 1000000.0 * (d - d_a))) AS e
+         |  FROM (SELECT sp.*, w.w, unnest(range(sp.d)) AS j
+         |        FROM sp CROSS JOIN wE$k w)),
+         |tE$k AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN j = 0 THEN d_a * 1000000 ELSE 0 END
+         |      - CAST(floor(e * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS u,
+         |    CAST(coalesce(sum(CAST(floor(e * (1.0 - e) * 1000000.0 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS i
+         |  FROM rE$k),
+         |bE$k AS (SELECT CASE WHEN t.i = 0 THEN b.beta
+         |    ELSE b.beta + t.u * 1000000 // t.i END AS beta, t.u, t.i, w.w
+         |  FROM bE${k - 1} b CROSS JOIN tE$k t CROSS JOIN wE$k w)""".stripMargin
+    }.mkString(",\n")
+    s"""bE0 AS (SELECT CAST(0 AS BIGINT) AS beta),
+       |$steps""".stripMargin
+  }
+
+  /** e34's oracle: BOTH fit chains — e24's shared Breslow CTEs and
+    * the Efron chain above — so every output row carries the Efron
+    * trajectory next to the Breslow β it diverges from. */
+  private def efronOracleSql: String = {
+    val rows = (1 to 6).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, e.w AS w_micro, e.u AS u_micro,
+         |  e.i AS i_micro, CAST(e.beta AS BIGINT) AS beta_micro,
+         |  CAST(floor(exp(e.beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS hr_micro,
+         |  CAST(b.beta AS BIGINT) AS breslow_beta_micro,
+         |  CAST(e.beta - b.beta AS BIGINT) AS diff_micro
+         |FROM bE$k e CROSS JOIN b$k b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${Events.coxStepsCtes},
+       |$efronStepsCtes
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** e33's oracle: e24's shared fit CTEs (β̂ read from b6 as wfin —
+    * e26's move), then the exact-integer concordance census over the
+    * same `sp` spine: per-time partner counts, comparable pairs,
+    * doubled-concordance numerator, running sums, and the global
+    * C in micro riding every row. */
+  private def harrellOracleSql: String =
+    s"""WITH ${Events.coxStepsCtes},
+       |wfin AS (SELECT CAST(floor(exp(beta / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS w
+       |  FROM b6),
+       |cen AS MATERIALIZED (SELECT sp.dur_min, sp.d_a, sp.d - sp.d_a AS d_b,
+       |    sp.d * ((sp.n_a - sp.d_a) + (sp.n_b - (sp.d - sp.d_a))) AS comp,
+       |    2 * (CASE WHEN w.w > 1000000
+       |          THEN sp.d_a * (sp.n_b - (sp.d - sp.d_a)) ELSE 0 END
+       |       + CASE WHEN w.w < 1000000
+       |          THEN (sp.d - sp.d_a) * (sp.n_a - sp.d_a) ELSE 0 END)
+       |    + CASE WHEN w.w = 1000000
+       |        THEN sp.d_a * (sp.n_b - (sp.d - sp.d_a))
+       |           + (sp.d - sp.d_a) * (sp.n_a - sp.d_a) ELSE 0 END
+       |    + sp.d_a * (sp.n_a - sp.d_a)
+       |    + (sp.d - sp.d_a) * (sp.n_b - (sp.d - sp.d_a)) AS num2
+       |  FROM sp CROSS JOIN wfin w),
+       |cum AS (SELECT dur_min, d_a, d_b,
+       |    CAST(comp AS BIGINT) AS comp, CAST(num2 AS BIGINT) AS num2,
+       |    CAST(sum(comp) OVER wc AS BIGINT) AS comp_cum,
+       |    CAST(sum(num2) OVER wc AS BIGINT) AS num2_cum
+       |  FROM cen
+       |  WINDOW wc AS (ORDER BY dur_min
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |tot AS (SELECT CAST(coalesce(sum(comp), 0) AS BIGINT) AS comp_tot,
+       |    CAST(coalesce(sum(num2), 0) AS BIGINT) AS num2_tot FROM cen)
+       |SELECT c.dur_min, c.d_a, c.d_b, c.comp, c.num2, c.comp_cum, c.num2_cum,
+       |  CAST(CASE WHEN t.comp_tot = 0 THEN 0
+       |    ELSE t.num2_tot * 500000 // t.comp_tot END AS BIGINT) AS c_micro
+       |FROM cum c CROSS JOIN tot t ORDER BY dur_min""".stripMargin
+
   /** e32's oracle: e24's shared fit CTEs (β̂ from b6 exactly as the
     * driver reads the final hr_micro — e26's wfin move), the per-time
     * score residuals under the identical r1 double expression, then
@@ -679,5 +834,145 @@ object Survival {
           "iab_micro", "iac_micro", "ibb_micro", "ibc_micro", "icc_micro",
           "hr1_micro", "hr2_micro", "hr3_micro").orderBy("step")
       },
-      Some(cox3OracleSql)))
+      Some(cox3OracleSql)),
+
+    Q(
+      "e33_concordance",
+      (s, dir) => {
+        // HARRELL'S CONCORDANCE INDEX (Harrell et al. 1982) — the
+        // model-QUALITY rung the survival surface lacked: e24/e27/e29
+        // fit and e26 predicts, but nothing scored discrimination.
+        // C = P(the higher-risk subject of a comparable pair fails
+        // first), estimated over e24's own fitted model and SPINE —
+        // the census in [[harrellCensus]] is a pure pair count off the
+        // per-time at-risk/death cells, every quantity an exact
+        // integer (ties worth ½ carried as a DOUBLED numerator;
+        // C itself one truncating division at the end). The fit
+        // replays e24's shared Newton kernel, so the two queries
+        // cannot drift. Fit-on-driver pattern: the only collect is
+        // the bounded spine; per-row census + running sums + the
+        // global C riding every row (e22's chi2 shape).
+        val rows = Events.collectSpine(Events.logrankSpine(s, dir)
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("d_a"), col("d"), col("n_a"), col("n_b"))
+          .orderBy("dur_min"), "e33")
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        val w = Events.coxNewton(
+          rows.map(t => (t._2, t._3, t._4, t._5)).toSeq).last._6
+        require(w > 0L && w < 1000000000L,
+          s"e33: fitted hazard ratio $w micro overflows the census path")
+        val census = rows.map { case (dur, dA, d, nA, nB) =>
+          val (comp, num2) = harrellCensus(dA, d, nA, nB, w)
+          (dur, dA, d - dA, comp, num2)
+        }
+        val compTot = census.map(_._4).sum
+        val num2Tot = census.map(_._5).sum
+        // c = num2·5e5 div comp: num2 ≤ 2·comp, so comp must stay
+        // under ~9.2e12 for the micro numerator to fit 2^63
+        require(compTot < 9000000000000L,
+          s"e33: $compTot comparable pairs overflow the micro division")
+        val cMicro = if (compTot == 0L) 0L else num2Tot * 500000L / compTot
+        var compCum = 0L
+        var num2Cum = 0L
+        val out = census.map { case (dur, dA, dB, comp, num2) =>
+          compCum += comp
+          num2Cum += num2
+          (dur, dA, dB, comp, num2, compCum, num2Cum, cMicro)
+        }
+        import s.implicits._
+        out.toSeq.toDF("dur_min", "d_a", "d_b", "comp", "num2",
+          "comp_cum", "num2_cum", "c_micro").orderBy("dur_min")
+      },
+      Some(harrellOracleSql)),
+
+    Q(
+      "e34_cox_efron",
+      (s, dir) => {
+        // EFRON TIE HANDLING for the Cox fit (Efron 1977) — e24
+        // everywhere uses Breslow, but Efron is the production
+        // default in R coxph and lifelines, and on this corpus's
+        // minute-grain spine the ties are heavy enough that the two
+        // genuinely diverge (Breslow attenuates toward 0; the spec
+        // pins that Efron lands closer to a planted β under heavy
+        // ties and reproduces Breslow BIT-FOR-BIT on a tie-free
+        // spine). Same bounded spine collect, same 6-step replayable
+        // trajectory; each output row carries the Breslow β from the
+        // SAME shared kernel so the divergence is itself part of the
+        // hash-checked artifact.
+        val rows = Events.collectSpine(Events.logrankSpine(s, dir)
+          .filter(col("d") > 0)
+          .select(col("dur_min"), col("d_a"), col("d"), col("n_a"), col("n_b"))
+          .orderBy("dur_min"), "e34")
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSeq
+        val efron = coxNewtonEfron(rows)
+        val breslow = Events.coxNewton(rows)
+        import s.implicits._
+        efron.zip(breslow).map { case ((k, w, u, i, b, hr), bres) =>
+          (k, w, u, i, b, hr, bres._5, b - bres._5)
+        }.toDF("step", "w_micro", "u_micro", "i_micro", "beta_micro",
+          "hr_micro", "breslow_beta_micro", "diff_micro").orderBy("step")
+      },
+      Some(efronOracleSql)),
+
+    Q(
+      "e35_km_greenwood",
+      (s, dir) => {
+        // KAPLAN–MEIER CONFIDENCE BAND via Greenwood's variance
+        // (Greenwood 1926 — the error bar every published KM curve
+        // carries): Var(Ŝ(t)) = Ŝ(t)²·Σ_{u≤t} d_u/(n_u(n_u−d_u)) on
+        // the POOLED curve over the shared spine. The Greenwood
+        // accumulator is EXACT integer pico — d·10¹² div (n·(n−d))
+        // per term, no float ever enters the cumulation — the
+        // survival curve quantizes like e21's (one exp per row), the
+        // standard error takes the one IEEE-exact sqrt, and the
+        // ±1.96·se band is an exact integer product (·196 div 100)
+        // clamped to [0, 10⁶]. Fully distributed — one more column
+        // chain on the same spine, nothing collects.
+        val wCum = Window.orderBy("dur_min")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        kmSpine(s, dir)
+          .withColumn("n", col("n_a") + col("n_b"))
+          .withColumn("s_micro",
+            when(sum(col("z_p")).over(wCum) > 0, lit(0L))
+              .otherwise(floor(
+                exp(sum(col("ln_p")).over(wCum) / 1e6) * 1e6 + 0.5)
+                .cast("long")))
+          .withColumn("g_term",
+            expr("CASE WHEN d >= n THEN 0" +
+              " ELSE d * 1000000000000 div (n * (n - d)) END"))
+          .withColumn("g_pico", sum("g_term").over(wCum).cast("long"))
+          .withColumn("se_micro",
+            floor(col("s_micro") * sqrt(col("g_pico") / lit(1e12)) + 0.5)
+              .cast("long"))
+          .withColumn("lo_micro",
+            greatest(lit(0L), col("s_micro") - expr("se_micro * 196 div 100")))
+          .withColumn("hi_micro",
+            least(lit(1000000L), col("s_micro") + expr("se_micro * 196 div 100")))
+          .select(col("dur_min"), col("d"), col("n"), col("s_micro"),
+            col("g_pico"), col("se_micro"), col("lo_micro"), col("hi_micro"))
+          .orderBy("dur_min")
+      },
+      Some(s"""WITH $kmSpineSql,
+             |gw AS (SELECT dur_min, d, n_a + n_b AS n, z_p, ln_p FROM km),
+             |sv AS (
+             |  SELECT dur_min, d, n,
+             |    CASE WHEN sum(z_p) OVER wc > 0 THEN 0
+             |      ELSE CAST(floor(exp(sum(ln_p) OVER wc / 1e6) * 1e6 + 0.5)
+             |        AS BIGINT) END AS s_micro,
+             |    CAST(sum(CASE WHEN d >= n THEN 0
+             |      ELSE d * 1000000000000 // (n * (n - d)) END) OVER wc
+             |      AS BIGINT) AS g_pico
+             |  FROM gw
+             |  WINDOW wc AS (ORDER BY dur_min
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |se AS (SELECT *,
+             |    CAST(floor(s_micro * sqrt(g_pico / 1e12) + 0.5) AS BIGINT)
+             |      AS se_micro
+             |  FROM sv)
+             |SELECT dur_min, d, n, s_micro, g_pico, se_micro,
+             |  CAST(greatest(0, s_micro - se_micro * 196 // 100) AS BIGINT) AS lo_micro,
+             |  CAST(least(1000000, s_micro + se_micro * 196 // 100) AS BIGINT) AS hi_micro
+             |FROM se ORDER BY dur_min""".stripMargin)))
 }
