@@ -37,6 +37,7 @@ object Q {
       Events.queries ++ Survival.queries ++
       TextQueries.queries ++ CorpusOps.queries ++ CorpusOps2.queries ++
       CorpusOps3.queries ++ UnigramQueries.queries ++ WordPieceQueries.queries ++
+      ByteBpeQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       GPQueries.queries ++ MultimodalQueries.queries ++ PlanQueries.queries ++
       GraphQueries.queries
