@@ -1186,6 +1186,78 @@ object CorpusOps2 {
              |FROM terms""".stripMargin)),
 
     Q(
+      "st39_stream_fertility_drift",
+      (s, dir) => {
+        // STREAMING tokenizer-fertility drift audit — t32's
+        // per-language fertility as an INGEST gauge against a frozen
+        // baseline (the production deployment: a committed vocabulary
+        // ships with its per-language fertility table; the live feed
+        // maintains running (words, tokens) counters per language and
+        // the dashboard reads the drift — rising fertility on a
+        // language is the early signal the corpus mix moved away from
+        // what the vocab was allocated for). Reference = the t20
+        // fixed-table fertility on the FROZEN doc_id < 250 slice
+        // (model-sized, collected once); the feed is the DISJOINT
+        // 250 ≤ doc_id < 500 slice (absolute caps at any SF — st18's
+        // discipline), tokenized at ingest by the stateless narrow
+        // tokenCountsTagged map and folded into complete-mode
+        // per-language counters — state = one row per language
+        // however long the stream runs. Integer counter merge makes
+        // the drained snapshot micro-batching-invariant (st20's
+        // argument); fertilities quantize to basis points by floor
+        // division, so the drift column is exact integer end to end.
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String, String)]
+        import s.implicits._
+        val d = Tables(s, dir).documents
+        val ref = graft.ops.Bpe.tokenCountsTagged(
+            d.filter(col("doc_id") < 250), "doc_id", "lang", "text",
+            BpeFixedMerges)
+          .where(col("n_words") > 0)
+          .groupBy("lang")
+          .agg(sum("n_words").as("ref_words"), sum("n_tokens").as("ref_tokens"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val rows = d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+          .orderBy("doc_id").select(col("doc_id"), col("lang"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String)]
+        val counts = graft.ops.Bpe.tokenCountsTagged(
+            stream.toDS().toDF("doc_id", "lang", "text"),
+            "doc_id", "lang", "text", BpeFixedMerges)
+          .where(col("n_words") > 0)
+          .groupBy("lang")
+          .agg(sum("n_words").as("cur_words"), sum("n_tokens").as("cur_tokens"))
+        val q = Q.withHarnessPartitions(s) {
+          counts.writeStream.format("memory").queryName("st39_fert")
+            .outputMode("complete").start()
+        }
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          q.processAllAvailable()
+        } finally q.stop()
+        val refDf = ref.toSeq.toDF("lang", "ref_words", "ref_tokens")
+        refDf.join(s.table("st39_fert"), Seq("lang"), "full_outer")
+          .select(col("lang"),
+            coalesce(col("ref_words"), lit(0L)).as("ref_words"),
+            coalesce(col("ref_tokens"), lit(0L)).as("ref_tokens"),
+            coalesce(col("cur_words"), lit(0L)).as("cur_words"),
+            coalesce(col("cur_tokens"), lit(0L)).as("cur_tokens"))
+          .withColumn("fert_ref_bp", expr(
+            "CASE WHEN ref_words = 0 THEN 0L ELSE ref_tokens * 10000 div ref_words END"))
+          .withColumn("fert_cur_bp", expr(
+            "CASE WHEN cur_words = 0 THEN 0L ELSE cur_tokens * 10000 div cur_words END"))
+          .withColumn("drift_bp", col("fert_cur_bp") - col("fert_ref_bp"))
+          .orderBy("lang")
+      },
+      Some(st39OracleSql)),
+
+    Q(
       "st25_stream_lm_scoring",
       (s, dir) => {
         // STREAMING LM-perplexity scoring under the DuckDB oracle —
@@ -1480,6 +1552,39 @@ object CorpusOps2 {
        |FROM perkey JOIN customer USING (c_custkey)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** st39's oracle: the t20 per-doc census (the SAME recursive-CTE
+    * fold), rolled to per-language (words, tokens) over the frozen
+    * reference slice and the disjoint feed slice, full-outer joined
+    * so a language missing from either side still reports, fertility
+    * in exact basis points and the drift their difference. */
+  private def st39OracleSql: String =
+    s"""$t20OracleCore,
+       |ref AS (SELECT lang, CAST(sum(n_words) AS BIGINT) AS ref_words,
+       |    CAST(sum(n_tokens) AS BIGINT) AS ref_tokens
+       |  FROM perdoc JOIN documents USING (doc_id)
+       |  WHERE doc_id < 250 GROUP BY 1),
+       |cur AS (SELECT lang, CAST(sum(n_words) AS BIGINT) AS cur_words,
+       |    CAST(sum(n_tokens) AS BIGINT) AS cur_tokens
+       |  FROM perdoc JOIN documents USING (doc_id)
+       |  WHERE doc_id >= 250 AND doc_id < 500 GROUP BY 1),
+       |j AS (SELECT coalesce(r.lang, c.lang) AS lang,
+       |    coalesce(ref_words, 0) AS ref_words,
+       |    coalesce(ref_tokens, 0) AS ref_tokens,
+       |    coalesce(cur_words, 0) AS cur_words,
+       |    coalesce(cur_tokens, 0) AS cur_tokens
+       |  FROM ref r FULL JOIN cur c ON r.lang = c.lang),
+       |f AS (SELECT *,
+       |    CASE WHEN ref_words = 0 THEN 0
+       |      ELSE ref_tokens * 10000 // ref_words END AS fert_ref_bp,
+       |    CASE WHEN cur_words = 0 THEN 0
+       |      ELSE cur_tokens * 10000 // cur_words END AS fert_cur_bp
+       |  FROM j)
+       |SELECT lang, ref_words, ref_tokens, cur_words, cur_tokens,
+       |  CAST(fert_ref_bp AS BIGINT) AS fert_ref_bp,
+       |  CAST(fert_cur_bp AS BIGINT) AS fert_cur_bp,
+       |  CAST(fert_cur_bp - fert_ref_bp AS BIGINT) AS drift_bp
+       |FROM f ORDER BY lang""".stripMargin
 
   private[queries] def t32OracleSql: String =
     s"""$t20OracleCore
