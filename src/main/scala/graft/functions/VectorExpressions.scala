@@ -203,6 +203,15 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.ChunkHashHits(
       ColumnBridge.expression(text), w, banned))
 
+  /** `[n_distinct_ngrams, n_dirty_ngrams]` of the document's SLIDING
+    * `n`-token windows under a frozen benchmark-shingle set —
+    * [[chunkHashHits]]'s decontamination sibling, DISTINCT-counted
+    * within the document (see [[graftshim.NgramHashHits]]). `banned`
+    * must be SORTED. */
+  def ngramHashHits(text: Column, n: Int, banned: Array[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.NgramHashHits(
+      ColumnBridge.expression(text), n, banned))
+
   /** `[n_bigrams, kn_nll_unats]` under the frozen Kneser-Ney bigram
     * model — one native token scan, one map probe + ln per bigram
     * (see [[graftshim.KnLmScore]]). */

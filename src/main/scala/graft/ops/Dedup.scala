@@ -1061,6 +1061,77 @@ object Dedup {
   }
 
   /**
+   * SLIDING word n-gram hashes at the engine-portable md5-52 plane
+   * ([[shingleHashes]]'s shape, [[boilerplateChunkRemoval]]'s hash):
+   * one row per (id, window hash), windows overlapping at stride 1,
+   * single-space split with empties kept. The assembly is a narrow
+   * shuffle-free map (token array built once, `slice` picks each
+   * window); documents with fewer than `n` tokens produce no rows.
+   * This is decontamination's shingle grain — md5-52 rather than the
+   * poly hash because the frozen-set ingest probe (`NgramHashHits`)
+   * digests the window bytes in place and both must read the same
+   * plane.
+   */
+  def ngramHashes52(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"ngramHashes52: n=$n")
+    import graft.functions.VectorExpressions.md5Hash52
+    val positions = when(size(col("t")) >= n,
+      sequence(lit(1), size(col("t")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), col("t"), explode(positions).as("pos"))
+      .select(col(idCol),
+        md5Hash52(concat_ws(" ", slice(col("t"), col("pos"), lit(n)))).as("h"))
+  }
+
+  /**
+   * Benchmark DECONTAMINATION census (Brown et al. 2020 appendix C —
+   * the GPT-3 eval-overlap rule, since standard in every published
+   * pretraining pipeline): a training document is contaminated when
+   * any of its sliding `n`-token windows (n=13 in the paper) occurs
+   * verbatim in the evaluation set. Returns one row per CONTAMINATED
+   * training document: (idCol, total_ngrams, dirty_ngrams), both
+   * counts over the document's DISTINCT windows — a repeated dirty
+   * n-gram is one contamination, not many.
+   *
+   * Scale posture: the benchmark side is artifact-sized by
+   * construction (a held-out eval set, not a corpus slice that grows
+   * with SF), so its distinct shingle set BROADCASTS and the train
+   * side is one narrow shingle pass + one hash-keyed per-doc
+   * aggregate — no corpus×corpus join exists anywhere in the plan.
+   */
+  def benchmarkDecontamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val evalNg = ngramHashes52(eval, idCol, textCol, n)
+      .select(col("h")).distinct().withColumn("dirty", lit(1))
+    ngramHashes52(train, idCol, textCol, n)
+      .distinct()
+      .join(broadcast(evalNg), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("total_ngrams"),
+        count(col("dirty")).as("dirty_ngrams"))
+      .filter(col("dirty_ngrams") > 0)
+  }
+
+  /**
+   * Collect the evaluation set's distinct window hashes to the SORTED
+   * array the native ingest probe consumes (`NgramHashHits` binary-
+   * searches it) — the deployed-artifact posture: a benchmark's
+   * shingle set is KB-scale however large the training corpus, and
+   * screening-at-crawl ships it in the closure like st26's λ table
+   * and st28's banned chunks.
+   */
+  def evalShingleFreeze(eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): Array[Long] = {
+    val out = ngramHashes52(eval, idCol, textCol, n)
+      .select("h").distinct().collect().map(_.getLong(0))
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /**
    * Exact duplicate-SPAN removal at the overlapping-window grain (Lee
    * et al. 2021's ExactSubstr rule, token-window variant): any `w`-token
    * window whose text occurs MORE THAN ONCE in the corpus — across

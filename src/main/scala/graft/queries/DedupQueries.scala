@@ -1155,7 +1155,122 @@ object DedupQueries {
              |    p -> substr(c.text, CAST(p AS INT), 1)), ''), '')
              |    AS cleaned_text
              |FROM corpus c LEFT JOIN covdoc v USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q(
+      "d21_decontamination",
+      (s, dir) => {
+        // Benchmark DECONTAMINATION (Brown et al. 2020 appendix C —
+        // the GPT-3 13-gram eval-overlap rule): a training document
+        // sharing any verbatim 13-token window with the held-out eval
+        // split is contaminated and must be flagged before training.
+        // d15 audits NEAR-dup pairs straddling a split; this is the
+        // complementary EXACT rule every published pipeline applies
+        // against its benchmark suite. Corpus = the planted near-dup
+        // frame, split by p06's hash rule — a planted pair straddling
+        // train/test shares all its interior 13-grams, so positives
+        // are guaranteed while the 20-word salad makes organic
+        // 13-gram collisions essentially impossible. The eval side's
+        // distinct shingle set is benchmark-sized and BROADCASTS; the
+        // train side is one narrow shingle pass + one per-doc
+        // aggregate — no corpus×corpus join at any scale.
+        import graft.ops.TextAnalysis.hashSplit
+        val corpus = withNearDups(s, dir, drop = 3)
+          .select(col("doc_id"), col("text"),
+            hashSplit(col("doc_id")).as("split"))
+        benchmarkDecontamination(
+            corpus.filter(col("split") === "train").select("doc_id", "text"),
+            corpus.filter(col("split") === "test").select("doc_id", "text"),
+            "doc_id", "text", n = 13)
+          .orderBy("doc_id")
+      },
+      Some(decontOracleSql("split = 'train'"))),
+
+    Q(
+      "st40_stream_decontamination",
+      (s, dir) => {
+        // STREAMING decontamination — d21's rule applied at ingest
+        // (the screening-at-crawl deployment: the benchmark's shingle
+        // set is a fixed KB-scale artifact, frozen once and shipped
+        // in the closure like st26's λ table and st28's banned
+        // chunks; every arriving candidate document is scanned ONCE
+        // natively — sliding 13-token windows digested in place,
+        // distinct-counted, binary-searched — and flagged before
+        // storage decides). Stateless append, bit-matching d21's
+        // batch census on the same universe. Universe capped ABSOLUTE
+        // (doc_id < 2000, st13's discipline); planted dups stay in
+        // the EVAL artifact, so the originals arriving on the stream
+        // are exactly the contaminated ones. collect() is the
+        // MemoryStream feeding harness; production uses readStream.
+        import graft.ops.TextAnalysis.hashSplit
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val corpus = withNearDups(s, dir, drop = 3)
+          .select(col("doc_id"), col("text"),
+            hashSplit(col("doc_id")).as("split"))
+        val banned = evalShingleFreeze(
+          corpus.filter(col("split") === "test"), "doc_id", "text", n = 13)
+        val rows = corpus
+          .filter(col("split") === "train" && col("doc_id") < 2000)
+          .orderBy("doc_id").select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = stream.toDS().toDF("doc_id", "text")
+          .select(col("doc_id"),
+            graft.functions.VectorExpressions
+              .ngramHashHits(col("text"), 13, banned).as("nh"))
+          .select(col("doc_id"),
+            element_at(col("nh"), 1).as("total_ngrams"),
+            element_at(col("nh"), 2).as("dirty_ngrams"))
+          .filter(col("dirty_ngrams") > 0)
+          .writeStream.format("memory").queryName("st40_decon")
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("st40_decon").orderBy("doc_id")
+      },
+      Some(decontOracleSql("split = 'train' AND doc_id < 2000")))
   )
+
+  /** d21/st40's shared oracle: the planted corpus, p06's md5 split
+    * rule, every doc's DISTINCT sliding 13-gram md5-52 hashes
+    * (`OracleSql.md5Fold52` — the identical 52-bit integers
+    * `ngramHashes52` and the native ingest probe compute), the eval
+    * split's distinct shingle set, and the per-train-doc total/dirty
+    * census over `trainFilter`'s universe. */
+  private def decontOracleSql(trainFilter: String): String = {
+    val gram13 = "array_to_string(w[i + 1:i + 13], ' ')"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ')
+       |  FROM documents WHERE doc_id < 50),
+       |labeled AS (SELECT doc_id, text,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM corpus),
+       |toks AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM labeled),
+       |ng AS (SELECT doc_id, split,
+       |    list_transform(range(len(w) - 12), i -> ${OracleSql.md5Fold52(gram13)}) AS hs
+       |  FROM toks WHERE len(w) >= 13),
+       |ex AS (SELECT DISTINCT doc_id, split, h
+       |  FROM (SELECT doc_id, split, unnest(hs) AS h FROM ng)),
+       |evalng AS (SELECT DISTINCT h FROM ex WHERE split = 'test'),
+       |trainng AS (SELECT doc_id, h FROM ex WHERE $trainFilter)
+       |SELECT t.doc_id,
+       |  CAST(count(*) AS BIGINT) AS total_ngrams,
+       |  CAST(count(e.h) AS BIGINT) AS dirty_ngrams
+       |FROM trainng t LEFT JOIN evalng e USING (h)
+       |GROUP BY 1 HAVING count(e.h) > 0 ORDER BY 1""".stripMargin
+  }
 
 }

@@ -404,19 +404,32 @@ object Survival {
     * are concordant iff the earlier-failing subject sits in the
     * higher-risk group. Returns (comparable, 2·concordant + ties) —
     * the numerator kept doubled so every quantity is an exact
-    * integer. */
+    * integer. Every product/sum is multiplyExact/addExact: the
+    * per-time cells grow with the corpus, and a silent wrap here
+    * would be a wrong C, not a crash — the oracle's HUGEINT→BIGINT
+    * cast fails equally loudly. */
   private[queries] def harrellCensus(dA: Long, d: Long, nA: Long,
       nB: Long, w: Long): (Long, Long) = {
+    import math.{addExact => add, multiplyExact => mul}
     val dB = d - dA
     val pa = nA - dA
     val pb = nB - dB
-    val comp = d * (pa + pb)
+    val comp = mul(d, add(pa, pb))
     val cross =
-      if (w > 1000000L) 2L * dA * pb
-      else if (w < 1000000L) 2L * dB * pa
-      else dA * pb + dB * pa
-    (comp, cross + dA * pa + dB * pb)
+      if (w > 1000000L) mul(2L, mul(dA, pb))
+      else if (w < 1000000L) mul(2L, mul(dB, pa))
+      else add(mul(dA, pb), mul(dB, pa))
+    (comp, add(cross, add(mul(dA, pa), mul(dB, pb))))
   }
+
+  /** The global C in micro off the census totals — 128-bit exact
+    * (DuckDB computes the identical `num2_tot * 500000 // comp_tot`
+    * in HUGEINT): the r17 two-decade panel measured 1.47e13
+    * comparable pairs at 100× rows, where a Long `num2·5e5` product
+    * silently needs 2^63.7 — no Long bound may live here. */
+  private[queries] def cIndexMicro(num2Tot: Long, compTot: Long): Long =
+    if (compTot == 0L) 0L
+    else (BigInt(num2Tot) * 500000 / BigInt(compTot)).toLong
 
   /** e34's Newton kernel: [[Events.coxNewton]]'s 6 fixed steps with
     * EFRON tie handling (Efron 1977 — the production default in R
@@ -860,24 +873,27 @@ object Survival {
             r.getLong(3), r.getLong(4)))
         val w = Events.coxNewton(
           rows.map(t => (t._2, t._3, t._4, t._5)).toSeq).last._6
-        require(w > 0L && w < 1000000000L,
-          s"e33: fitted hazard ratio $w micro overflows the census path")
+        require(w > 0L,
+          s"e33: fitted hazard ratio $w micro is not a usable weight")
         val census = rows.map { case (dur, dA, d, nA, nB) =>
           val (comp, num2) = harrellCensus(dA, d, nA, nB, w)
           (dur, dA, d - dA, comp, num2)
         }
         val compTot = census.map(_._4).sum
         val num2Tot = census.map(_._5).sum
-        // c = num2·5e5 div comp: num2 ≤ 2·comp, so comp must stay
-        // under ~9.2e12 for the micro numerator to fit 2^63
-        require(compTot < 9000000000000L,
-          s"e33: $compTot comparable pairs overflow the micro division")
-        val cMicro = if (compTot == 0L) 0L else num2Tot * 500000L / compTot
+        // the census totals must fit the BIGINT output columns — the
+        // same bound DuckDB enforces loudly at its HUGEINT→BIGINT cast
+        // (addExact in the cum loop below guards the running sums; the
+        // per-time products are multiplyExact-guarded in the kernel)
+        // — but the C division itself carries NO Long bound: it runs
+        // 128-bit (BigInt here, HUGEINT in the oracle), the r17
+        // two-decade panel's finding at 1.5e13 comparable pairs
+        val cMicro = cIndexMicro(num2Tot, compTot)
         var compCum = 0L
         var num2Cum = 0L
         val out = census.map { case (dur, dA, dB, comp, num2) =>
-          compCum += comp
-          num2Cum += num2
+          compCum = math.addExact(compCum, comp)
+          num2Cum = math.addExact(num2Cum, num2)
           (dur, dA, dB, comp, num2, compCum, num2Cum, cMicro)
         }
         import s.implicits._

@@ -1383,6 +1383,110 @@ case class ChunkHashHits(child: Expression, w: Int, banned: Array[Long]) extends
 }
 
 /**
+ * Row-local SLIDING n-gram probe against a frozen benchmark-shingle
+ * set in one native scan — [[ChunkHashHits]]'s decontamination
+ * sibling (GPT-3-style eval-overlap screening at ingest): where the
+ * boilerplate probe digests DISJOINT `w`-token chunks, contamination
+ * is defined on every OVERLAPPING `n`-token window, and a document is
+ * judged by its DISTINCT windows (a repeated dirty n-gram is one
+ * contamination, not many). Token boundaries are every space byte
+ * (empties kept, split-parity); each window's bytes digest IN PLACE
+ * (single-space rejoin reproduces the original span, so no window
+ * string is built); the 52-bit hashes are sorted in a scratch array
+ * to count uniques and unique∧banned by one linear walk + binary
+ * search. Output `[n_distinct_ngrams, n_dirty_ngrams]` longs; a
+ * document with fewer than `n` tokens reads `[0, 0]`. The banned
+ * array ships sorted (deployed-artifact posture — a benchmark's
+ * shingle set is KB-scale however large the corpus).
+ */
+case class NgramHashHits(child: Expression, n: Int, banned: Array[Long]) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"n=$n")
+
+  override def prettyName: String = "graft_ngram_hash_hits"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def h52(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) | ((d(2) & 0xffL) << 28) |
+      ((d(3) & 0xffL) << 20) | ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) |
+      ((d(6) & 0xf0L) >>> 4)
+
+  /** codegen entry point (public for the generated class). */
+  def evalNgrams(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val nWin = nTok - n + 1
+    if (nWin <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Long](0L, 0L))
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val digest = md.get()
+    val hs = new Array[Long](nWin)
+    var wi = 0
+    while (wi < nWin) {
+      val from = starts(wi)
+      val to = ends(wi + n - 1)
+      digest.reset()
+      digest.update(bytes, from, to - from)
+      hs(wi) = h52(digest.digest())
+      wi += 1
+    }
+    java.util.Arrays.sort(hs)
+    var distinct = 0L
+    var dirty = 0L
+    wi = 0
+    while (wi < nWin) {
+      if (wi == 0 || hs(wi) != hs(wi - 1)) {
+        distinct += 1
+        if (java.util.Arrays.binarySearch(banned, hs(wi)) >= 0) dirty += 1
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](distinct, dirty))
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    evalNgrams(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val self = ctx.addReferenceObj("ngramHashHits", this, classOf[NgramHashHits].getName)
+      s"${ev.value} = $self.evalNgrams($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashHits =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case h: NgramHashHits =>
+      h.child == child && h.n == n && java.util.Arrays.equals(h.banned, banned)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + n) + java.util.Arrays.hashCode(banned)
+}
+
+/**
  * Row-local KNESER-NEY bigram scoring in one native token scan — the
  * frozen-model twin of `TextAnalysis.knBigramScore` for
  * score-at-ingest streams (st29), exactly as [[BigramLmScore]] twins

@@ -53,6 +53,25 @@ class Wave10Spec extends SparkTestBase {
     (comp, num2)
   }
 
+  test("e33 C division is 128-bit: totals past the Long product bound " +
+      "divide exactly, and the census kernel wraps loudly, never silently") {
+    // the r17 two-decade panel's regime: 1.47e13 comparable pairs —
+    // num2·5e5 needs 2^63.7, so a Long product would go negative
+    assert(Survival.cIndexMicro(22000000000000L, 14666282740000L) ==
+      BigInt(22000000000000L) * 500000 / BigInt(14666282740000L))
+    assert(Survival.cIndexMicro(Long.MaxValue - 1, Long.MaxValue / 2)
+      == 1000000L, "C = 1 exactly at the extreme BIGINT edge " +
+      "(num2 = 2·comp with comp = Long.MaxValue/2)")
+    assert(Survival.cIndexMicro(0L, 0L) == 0L)
+    // a per-time cell whose pair product cannot fit 2^63 must throw,
+    // not wrap into a wrong census
+    intercept[ArithmeticException] {
+      // d·(pa+pb) = 3e9·5e9 = 1.5e19 > 2^63
+      Survival.harrellCensus(1500000000L, 3000000000L, 4000000000L,
+        4000000000L, 2000000L)
+    }
+  }
+
   test("e33 census: matches the subject-level pair enumeration on " +
       "random censored data at every weight regime") {
     val rnd = new scala.util.Random(3333)
