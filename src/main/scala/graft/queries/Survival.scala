@@ -431,6 +431,114 @@ object Survival {
     if (compTot == 0L) 0L
     else (BigInt(num2Tot) * 500000 / BigInt(compTot)).toLong
 
+  /** e36's fixed Newton step count — one constant consumed by BOTH
+    * the driver kernel and the oracle's unrolled CTE chain. */
+  private[queries] val WeibullSteps = 14
+
+  /** e36's Newton kernel: WEIBULL AFT regression (log-Weibull /
+    * extreme-value: ln T = μ + β·x + σ·W) on the collected
+    * (dur_min, d_a, c_a, d_b, c_b) spine, fit in the CONCAVE
+    * parametrization θ = (t₁, t₂, h) = (μ/σ, β/σ, 1/σ): with
+    * z = h·y − t₁ − t₂·x affine in θ, the log-likelihood
+    * Σ δ(z + ln h) − e^z is GLOBALLY concave (the classical
+    * extreme-value result), so the observed information is PSD
+    * everywhere and Newton ascends from any start — the property
+    * that makes a fixed replayable trajectory safe, where the naive
+    * (μ, β, ln σ) space has an indefinite Hessian and measured
+    * planted-spine divergence into the flat σ → ∞ valley. The
+    * user-facing (μ, β, σ, e^β) ride along as derived columns.
+    *
+    * [[Events.coxNewton]]'s replayable integer-micro discipline:
+    * times enter as t = dur_min + 1 (the discrete minute grain's
+    * continuity shift — ln needs t > 0), each cell's ln t quantized
+    * to micro at birth; the start is the Gumbel MOMENT estimate
+    * (ȳ, sd·√6/π, the γ shift — survreg's strategy, replayable as a
+    * truncating integer mean + exact second-moment sum + IEEE sqrt);
+    * per step per (time, group) cell ONE exp, e^z quantized to micro
+    * the moment it exists (the e21 per-row discipline); every
+    * gradient/information term is a fixed double expression tree
+    * over exact integers with a per-term micro floor before the
+    * order-free sums (g₁ is even exact-integer); the 3×3 solve is
+    * [[solve3]]'s pivoted elimination exactly as e29, singular ⇒
+    * skip, each increment clamped to ±1.0 (belt-and-suspenders —
+    * concavity already rules out escape). multiplyExact/addExact
+    * throughout — overflow fails loudly, never wraps. Returns one
+    * 16-tuple per step: (step, t₁, t₂, h, μ, β, σ, e^β, g₁, g₂, g_h,
+    * I₁₁, I₁₂, I₁h, I₂h, I_hh), all integer micro. β > 0 means
+    * group a (x = 1) fails LATER by the factor e^β — the AFT
+    * reading, complementary to e24's hazard ratio. */
+  private[queries] def weibullNewton(
+      spine: Seq[(Long, Long, Long, Long, Long)])
+      : IndexedSeq[(Long, Long, Long, Long, Long, Long, Long, Long,
+          Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    import math.{addExact => add, multiplyExact => mul}
+    def fl(x: Double): Long = {
+      val f = math.floor(x + 0.5)
+      require(math.abs(f) < 9.0e18, s"weibull: term $x overflows the micro path")
+      f.toLong
+    }
+    val cells = spine.flatMap { case (dur, dA, cA, dB, cB) =>
+      val lt = fl(StrictMath.log(dur + 1.0) * 1000000.0)
+      Seq((lt, 1L, dA, dA + cA), (lt, 0L, dB, dB + cB)).filter(_._4 > 0L)
+    }
+    val sumM = cells.map(_._4).sum
+    val sumD = cells.map(_._3).sum
+    require(sumM > 0L && sumD > 0L, "weibull: no subjects or no events")
+    require(sumM < 9000000L,
+      "weibull: subjects overflow the micro-integer term bound")
+    val sumLt = cells.map(c => mul(c._4, c._1)).sum
+    val ybar = sumLt / sumM
+    val s2sum = cells.map { c =>
+      mul(c._4, mul(c._1 - ybar, c._1 - ybar)) }.sum
+    require(s2sum > 0L, "weibull: degenerate single-time spine")
+    val sig0 = math.sqrt(s2sum.toDouble / sumM) * (math.sqrt(6.0) / math.Pi)
+    var t1 = fl((ybar.toDouble + 0.5772156649015329 * sig0) / sig0 * 1000000.0)
+    var t2 = 0L
+    var h = fl(1.0e12 / sig0)
+    (1 to WeibullSteps).map { k =>
+      require(h > 0L, s"weibull: rate collapsed at step $k")
+      var g1 = 0L; var g2 = 0L; var gh = 0L
+      var i11 = 0L; var i12 = 0L
+      var i1h = 0L; var i2h = 0L; var ihh = 0L
+      cells.foreach { case (lt, x, dD, mM) =>
+        val zm = mul(h, lt) / 1000000L - t1 - t2 * x
+        val ezm = fl(StrictMath.exp(zm / 1000000.0) * 1000000.0)
+        val q = mul(mM, ezm)
+        val tg1 = q - dD * 1000000L
+        val tgh = add(
+          fl(lt.toDouble * (dD * 1000000L - q) / 1000000.0),
+          fl(dD * 1.0e12 / h))
+        val t1h = fl(-(lt.toDouble * q / 1000000.0))
+        val thh = add(
+          fl(lt.toDouble * lt * q / 1000000000000.0),
+          fl(dD * 1.0e18 / h / h))
+        g1 = add(g1, tg1); gh = add(gh, tgh)
+        i11 = add(i11, q); i1h = add(i1h, t1h); ihh = add(ihh, thh)
+        if (x == 1L) {
+          g2 = add(g2, tg1); i12 = add(i12, q); i2h = add(i2h, t1h)
+        }
+      }
+      val i22 = i12 // binary covariate: x² = x
+      def damp(v: Long): Long = math.max(-1000000L, math.min(1000000L, v))
+      solve3(Array(
+        Array(i11.toDouble, i12.toDouble, i1h.toDouble, g1.toDouble),
+        Array(i12.toDouble, i22.toDouble, i2h.toDouble, g2.toDouble),
+        Array(i1h.toDouble, i2h.toDouble, ihh.toDouble, gh.toDouble)))
+        .foreach { case (d1, d2, d3) =>
+          t1 += damp(fl(d1 * 1000000.0))
+          t2 += damp(fl(d2 * 1000000.0))
+          h += damp(fl(d3 * 1000000.0))
+        }
+      require(h > 0L, s"weibull: rate collapsed after step $k")
+      val mu = fl(t1 * 1000000.0 / h)
+      val be = fl(t2 * 1000000.0 / h)
+      val sg = fl(1.0e12 / h)
+      val af = fl(StrictMath.exp(t2.toDouble / h) * 1000000.0)
+      (k.toLong, t1, t2, h, mu, be, sg, af,
+        g1, g2, gh, i11, i12, i1h, i2h, ihh)
+    }
+  }
+
   /** e34's Newton kernel: [[Events.coxNewton]]'s 6 fixed steps with
     * EFRON tie handling (Efron 1977 — the production default in R
     * `coxph` and lifelines) on the same collected (d_a, d, n_a, n_b)
@@ -990,5 +1098,164 @@ object Survival {
              |SELECT dur_min, d, n, s_micro, g_pico, se_micro,
              |  CAST(greatest(0, s_micro - se_micro * 196 // 100) AS BIGINT) AS lo_micro,
              |  CAST(least(1000000, s_micro + se_micro * 196 // 100) AS BIGINT) AS hi_micro
-             |FROM se ORDER BY dur_min""".stripMargin)))
+             |FROM se ORDER BY dur_min""".stripMargin)),
+
+    Q(
+      "e36_weibull_aft",
+      (s, dir) => {
+        // WEIBULL AFT regression (accelerated failure time — the
+        // PARAMETRIC model family the surface lacked: e24/e27/e29 are
+        // semi-parametric Cox, e21/e23 non-parametric curves; Weibull
+        // AFT is R survreg's and lifelines' default parametric
+        // model, and the one whose coefficients read as TIME ratios
+        // rather than hazard ratios). ln T = μ + β·x + σ·W on the
+        // SAME two-group spine as e22/e24 — x = 1 for the view-opened
+        // group, β̂ > 0 meaning that group converts SLOWER by the
+        // factor e^β̂, directly complementary to e24's hazard ratio
+        // on identical data. Fit-on-driver pattern: the only collect
+        // is the bounded spine (ALL times — censor-only rows carry
+        // likelihood here, unlike the partial-likelihood queries);
+        // [[weibullNewton]] runs the fixed replayable trajectory and
+        // the whole trajectory is the hash-checked artifact.
+        val rows = Events.collectSpine(Events.logrankSpine(s, dir)
+          .select(col("dur_min"), col("d_a"), col("c_a"),
+            col("d_b"), col("c_b"))
+          .orderBy("dur_min"), "e36")
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+          .toSeq
+        import s.implicits._
+        weibullNewton(rows).toDF("step", "t1_micro", "t2_micro",
+          "h_micro", "mu_micro", "beta_micro", "sig_micro", "af_micro",
+          "g1_micro", "g2_micro", "gh_micro", "i11_micro", "i12_micro",
+          "i1h_micro", "i2h_micro", "ihh_micro")
+          .orderBy("step")
+      },
+      Some(weibullOracleSql)))
+
+  /** e36's oracle: the shared spine's (dur_min, group) cells with
+    * deaths/at-hazard counts and the birth-quantized ln(t + 1), the
+    * Gumbel moment start (truncating integer mean, exact
+    * second-moment sum, IEEE sqrt, one quantized ln), then all
+    * [[WeibullSteps]] Newton steps in the CONCAVE (t₁, t₂, h)
+    * parametrization unrolled — per cell one e^z exp (micro at
+    * birth; z replays as the exact integer `h·lt // 10⁶ − t₁ −
+    * t₂·x`), the term sums as the kernel's exact double trees with
+    * per-term floors (g₁/I₁₁/I₁₂ exact integers), e29's
+    * pivoted-elimination CTE chain for the 3×3 solve (ORDER BY abs
+    * DESC, i ASC pivots, CASE-guarded divisions, singular ⇒ keep the
+    * old θ), increments clamped ±1.0, and the user-facing
+    * (μ, β, σ, e^β) derived per step exactly as the driver derives
+    * them. */
+  private def weibullOracleSql: String = {
+    val steps = (1 to WeibullSteps).map { k =>
+      s"""rW$k AS (SELECT c.dd, c.mm, c.x, c.lt, a.h,
+         |    CAST(floor(exp((a.h * c.lt // 1000000 - a.t1 - a.t2 * c.x)
+         |      / 1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS ezm
+         |  FROM cellsW c CROSS JOIN aW${k - 1} a),
+         |tW$k AS MATERIALIZED (SELECT
+         |    CAST(coalesce(sum(mm * ezm - dd * 1000000), 0) AS BIGINT) AS g1,
+         |    CAST(coalesce(sum(CASE WHEN x = 1
+         |      THEN mm * ezm - dd * 1000000 ELSE 0 END), 0) AS BIGINT) AS g2,
+         |    CAST(coalesce(sum(
+         |      CAST(floor(CAST(lt AS DOUBLE) * (dd * 1000000 - mm * ezm)
+         |        / 1000000.0 + 0.5) AS BIGINT)
+         |      + CAST(floor(dd * 1e12 / h + 0.5) AS BIGINT)), 0)
+         |      AS BIGINT) AS gh,
+         |    CAST(coalesce(sum(mm * ezm), 0) AS BIGINT) AS i11,
+         |    CAST(coalesce(sum(CASE WHEN x = 1 THEN mm * ezm ELSE 0 END), 0)
+         |      AS BIGINT) AS i12,
+         |    CAST(coalesce(sum(CAST(floor(-(CAST(lt AS DOUBLE) * (mm * ezm)
+         |      / 1000000.0) + 0.5) AS BIGINT)), 0) AS BIGINT) AS i1h,
+         |    CAST(coalesce(sum(CASE WHEN x = 1 THEN
+         |      CAST(floor(-(CAST(lt AS DOUBLE) * (mm * ezm) / 1000000.0)
+         |        + 0.5) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS i2h,
+         |    CAST(coalesce(sum(
+         |      CAST(floor(CAST(lt AS DOUBLE) * lt * (mm * ezm)
+         |        / 1000000000000.0 + 0.5) AS BIGINT)
+         |      + CAST(floor(dd * 1e18 / h / h + 0.5) AS BIGINT)), 0)
+         |      AS BIGINT) AS ihh
+         |  FROM rW$k),
+         |mW$k AS MATERIALIZED (
+         |  SELECT 0 AS i, CAST(i11 AS DOUBLE) AS a1, CAST(i12 AS DOUBLE) AS a2,
+         |    CAST(i1h AS DOUBLE) AS a3, CAST(g1 AS DOUBLE) AS r FROM tW$k
+         |  UNION ALL SELECT 1, CAST(i12 AS DOUBLE), CAST(i12 AS DOUBLE),
+         |    CAST(i2h AS DOUBLE), CAST(g2 AS DOUBLE) FROM tW$k
+         |  UNION ALL SELECT 2, CAST(i1h AS DOUBLE), CAST(i2h AS DOUBLE),
+         |    CAST(ihh AS DOUBLE), CAST(gh AS DOUBLE) FROM tW$k),
+         |p1W$k AS MATERIALIZED (SELECT * FROM mW$k ORDER BY abs(a1) DESC, i ASC LIMIT 1),
+         |e1W$k AS MATERIALIZED (SELECT m.i,
+         |    m.a2 - (CASE WHEN p.a1 = 0 THEN 0 ELSE m.a1 / p.a1 END) * p.a2 AS a2,
+         |    m.a3 - (CASE WHEN p.a1 = 0 THEN 0 ELSE m.a1 / p.a1 END) * p.a3 AS a3,
+         |    m.r - (CASE WHEN p.a1 = 0 THEN 0 ELSE m.a1 / p.a1 END) * p.r AS r
+         |  FROM mW$k m CROSS JOIN p1W$k p WHERE m.i <> p.i),
+         |p2W$k AS MATERIALIZED (SELECT * FROM e1W$k ORDER BY abs(a2) DESC, i ASC LIMIT 1),
+         |e2W$k AS MATERIALIZED (SELECT
+         |    m.a3 - (CASE WHEN p.a2 = 0 THEN 0 ELSE m.a2 / p.a2 END) * p.a3 AS a3,
+         |    m.r - (CASE WHEN p.a2 = 0 THEN 0 ELSE m.a2 / p.a2 END) * p.r AS r
+         |  FROM e1W$k m CROSS JOIN p2W$k p WHERE m.i <> p.i),
+         |dW$k AS MATERIALIZED (SELECT *,
+         |    CASE WHEN pa1 = 0 THEN 0
+         |      ELSE (pr - pa2 * d2 - pa3 * d3) / pa1 END AS d1 FROM (
+         |  SELECT *, CASE WHEN qa2 = 0 THEN 0
+         |      ELSE (qr - qa3 * d3) / qa2 END AS d2 FROM (
+         |    SELECT p1.a1 AS pa1, p1.a2 AS pa2, p1.a3 AS pa3, p1.r AS pr,
+         |      p2.a2 AS qa2, p2.a3 AS qa3, p2.r AS qr, e2.a3 AS ea3,
+         |      CASE WHEN e2.a3 = 0 THEN 0 ELSE e2.r / e2.a3 END AS d3
+         |    FROM p1W$k p1 CROSS JOIN p2W$k p2 CROSS JOIN e2W$k e2))),
+         |aW$k AS MATERIALIZED (SELECT
+         |    CASE WHEN d.pa1 = 0 OR d.qa2 = 0 OR d.ea3 = 0 THEN a.t1
+         |      ELSE a.t1 + greatest(-1000000, least(1000000,
+         |        CAST(floor(d.d1 * 1000000.0 + 0.5) AS BIGINT))) END AS t1,
+         |    CASE WHEN d.pa1 = 0 OR d.qa2 = 0 OR d.ea3 = 0 THEN a.t2
+         |      ELSE a.t2 + greatest(-1000000, least(1000000,
+         |        CAST(floor(d.d2 * 1000000.0 + 0.5) AS BIGINT))) END AS t2,
+         |    CASE WHEN d.pa1 = 0 OR d.qa2 = 0 OR d.ea3 = 0 THEN a.h
+         |      ELSE a.h + greatest(-1000000, least(1000000,
+         |        CAST(floor(d.d3 * 1000000.0 + 0.5) AS BIGINT))) END AS h
+         |  FROM aW${k - 1} a CROSS JOIN dW$k d)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to WeibullSteps).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, a.t1 AS t1_micro,
+         |  a.t2 AS t2_micro, a.h AS h_micro,
+         |  CAST(floor(a.t1 * 1000000.0 / a.h + 0.5) AS BIGINT) AS mu_micro,
+         |  CAST(floor(a.t2 * 1000000.0 / a.h + 0.5) AS BIGINT) AS beta_micro,
+         |  CAST(floor(1e12 / a.h + 0.5) AS BIGINT) AS sig_micro,
+         |  CAST(floor(exp(CAST(a.t2 AS DOUBLE) / a.h) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS af_micro,
+         |  t.g1 AS g1_micro, t.g2 AS g2_micro, t.gh AS gh_micro,
+         |  t.i11 AS i11_micro, t.i12 AS i12_micro, t.i1h AS i1h_micro,
+         |  t.i2h AS i2h_micro, t.ihh AS ihh_micro
+         |FROM aW$k a CROSS JOIN tW$k t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${Events.logrankSpineSql()},
+       |cellsW AS MATERIALIZED (
+       |  SELECT dur_min, 1 AS x, d_a AS dd, d_a + c_a AS mm,
+       |    CAST(floor(ln(dur_min + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS lt
+       |  FROM risk WHERE d_a + c_a > 0
+       |  UNION ALL
+       |  SELECT dur_min, 0, d_b, d_b + c_b,
+       |    CAST(floor(ln(dur_min + 1.0) * 1000000.0 + 0.5) AS BIGINT)
+       |  FROM risk WHERE d_b + c_b > 0),
+       |ybW AS (SELECT
+       |    CAST(sum(mm * lt) AS BIGINT) // CAST(sum(mm) AS BIGINT) AS ybar,
+       |    CAST(sum(mm) AS BIGINT) AS summ
+       |  FROM cellsW),
+       |sgW AS (SELECT ybar,
+       |    sqrt(CAST(s2sum AS DOUBLE) / summ) * (sqrt(6.0) / pi()) AS sig0
+       |  FROM (SELECT y.ybar, y.summ,
+       |      CAST(sum(c.mm * (c.lt - y.ybar) * (c.lt - y.ybar)) AS BIGINT)
+       |        AS s2sum
+       |    FROM cellsW c CROSS JOIN ybW y GROUP BY y.ybar, y.summ)),
+       |aW0 AS (SELECT
+       |    CAST(floor((ybar + 0.5772156649015329 * sig0) / sig0 * 1000000.0
+       |      + 0.5) AS BIGINT) AS t1,
+       |    CAST(0 AS BIGINT) AS t2,
+       |    CAST(floor(1e12 / sig0 + 0.5) AS BIGINT) AS h
+       |  FROM sgW),
+       |$steps
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY step""".stripMargin
+  }
 }
