@@ -58,6 +58,67 @@ object Similarity {
   }
 
   /**
+   * MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein 1998 —
+   * the standard diversity-aware final stage of a retrieval pipeline;
+   * in an LLM data/RAG context, the rule that keeps a context window
+   * from filling with near-duplicate passages): from each query's
+   * top-`m` candidate pool, greedily select `k` results maximizing
+   * λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s). λ arrives in
+   * TENTHS so every score is an exact integer (score = rel·λ₁₀ −
+   * maxsim·(10−λ₁₀) over micro-quantized cosines — no float ever
+   * ranks), and ties break on the lower id: the whole greedy
+   * trajectory is deterministic and engine-replayable. The selection
+   * unrolls as `k` dataframe stages (anti-join the picked set, join
+   * the running max-sim, window argmax per query) — every frame is
+   * queries×m or queries×m² CANDIDATE-sized however large the
+   * corpus; the corpus is touched only by the top-m stage
+   * ([[knnBruteForce]] here; any ANN ladder rung yields the same
+   * shape). Output: (query_id, pos 1..k, neighbor_id, score).
+   */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int = 20, k: Int = 5,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(m >= k && k >= 1, s"mmrRerank: m=$m k=$k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"mmrRerank: lambdaTenths=$lambdaTenths")
+    import org.apache.spark.sql.expressions.Window
+    val l = lambdaTenths
+    val lm = 10 - lambdaTenths
+    val cand = knnBruteForce(queries, corpus, idCol, vecCol, m)
+      .select(col("query_id"), col("neighbor_id").as("nid"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("rel"))
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+    val cav = cand.join(cv, "nid").select("query_id", "nid", "v")
+    val sims = cav.as("a").join(cav.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.nid") =!= col("b.nid"))
+      .select(col("a.query_id").as("query_id"), col("a.nid").as("nid_a"),
+        col("b.nid").as("nid_b"),
+        floor(cosine(col("a.v"), col("b.v")) * 1e6 + 0.5).cast("long").as("s"))
+    val rn = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("nid").asc))
+    var all = cand.withColumn("score", col("rel") * l)
+      .withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("query_id"), col("nid"), lit(1L).as("pos"), col("score"))
+    (2 to k).foreach { j =>
+      val ms = sims.join(all.select(col("query_id"),
+          col("nid").as("nid_b")), Seq("query_id", "nid_b"))
+        .groupBy("query_id", "nid_a").agg(max("s").as("ms"))
+        .withColumnRenamed("nid_a", "nid")
+      val pick = cand
+        .join(all.select("query_id", "nid"), Seq("query_id", "nid"), "left_anti")
+        .join(ms, Seq("query_id", "nid"))
+        .withColumn("score", col("rel") * l - col("ms") * lm)
+        .withColumn("rn", rn).filter(col("rn") === 1)
+        .select(col("query_id"), col("nid"), lit(j.toLong).as("pos"),
+          col("score"))
+      all = all.union(pick)
+    }
+    all.select(col("query_id"), col("pos"), col("nid").as("neighbor_id"),
+      col("score"))
+  }
+
+  /**
    * Cosine RANGE search: every (query, corpus) pair with cosine ≥ `tau`
    * — the "all sufficiently-similar neighbors" primitive (dedup
    * candidate mining, recall-oriented retrieval), where top-k's fixed

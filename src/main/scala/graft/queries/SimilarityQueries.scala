@@ -1696,6 +1696,68 @@ object SimilarityQueries {
              |       ELSE 'ok' END AS action
              |FROM (SELECT unnest(range(16)) AS cell) sp
              |LEFT JOIN census ON census.cell = sp.cell CROSS JOIN tot
-             |ORDER BY sp.cell""".stripMargin))
+             |ORDER BY sp.cell""".stripMargin)),
+
+    Q(
+      "a29_mmr_rerank",
+      (s, dir) => {
+        // MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein
+        // 1998) — the diversity-aware FINAL stage the ANN ladder
+        // lacked: a01's top-m pool per query, then k greedy picks
+        // maximizing λ·rel − (1−λ)·max-sim-to-picked — the rule that
+        // keeps a RAG context window from filling with near-duplicate
+        // passages. λ = 0.7 in tenths, cosines micro at birth, every
+        // score an exact integer, ties to the lower id — the whole
+        // greedy trajectory hash-checks. All post-candidate frames
+        // are queries×m(²)-sized however large the corpus.
+        val e = Tables(s, dir).embeddings
+        graft.ops.Similarity.mmrRerank(
+            e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+            "vec_id", "embedding", m = 20, k = 5, lambdaTenths = 7)
+          .orderBy("query_id", "pos")
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+             |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
+             |         * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+        val stages = (2 to 5).map { j =>
+          s"""ms$j AS (SELECT s.qid, s.nid_a AS nid, max(s.s) AS ms
+             |  FROM sims s JOIN all${j - 1} t ON s.qid = t.qid AND s.nid_b = t.nid
+             |  GROUP BY 1, 2),
+             |sel$j AS (SELECT qid, nid, CAST($j AS BIGINT) AS pos, score FROM (
+             |  SELECT c.qid, c.nid, c.rel * 7 - m.ms * 3 AS score,
+             |    row_number() OVER (PARTITION BY c.qid
+             |      ORDER BY c.rel * 7 - m.ms * 3 DESC, c.nid) AS rn
+             |  FROM cand c JOIN ms$j m ON m.qid = c.qid AND m.nid = c.nid
+             |  WHERE NOT EXISTS (SELECT 1 FROM all${j - 1} t
+             |    WHERE t.qid = c.qid AND t.nid = c.nid)) WHERE rn = 1),
+             |all$j AS (SELECT * FROM all${j - 1} UNION ALL SELECT * FROM sel$j)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+           |      FROM embeddings WHERE vec_id >= 10),
+           |cand AS (SELECT qid, nid,
+           |    CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS rel
+           |  FROM (SELECT qid, nid, cos,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+           |    FROM (SELECT qid, nid, ${cos("qv", "cv")} AS cos FROM q, c))
+           |  WHERE rn <= 20),
+           |sims AS (SELECT a.qid, a.nid AS nid_a, b.nid AS nid_b,
+           |    CAST(floor(${cos("a.cv", "b.cv")} * 1e6 + 0.5) AS BIGINT) AS s
+           |  FROM (SELECT cand.qid, cand.nid, c.cv FROM cand JOIN c USING (nid)) a
+           |  JOIN (SELECT cand.qid, cand.nid, c.cv FROM cand JOIN c USING (nid)) b
+           |    ON a.qid = b.qid AND a.nid <> b.nid),
+           |all1 AS (SELECT qid, nid, CAST(1 AS BIGINT) AS pos, score FROM (
+           |  SELECT qid, nid, rel * 7 AS score,
+           |    row_number() OVER (PARTITION BY qid ORDER BY rel * 7 DESC, nid) AS rn
+           |  FROM cand) WHERE rn = 1),
+           |$stages
+           |SELECT qid AS query_id, pos, nid AS neighbor_id,
+           |  CAST(score AS BIGINT) AS score
+           |FROM all5 ORDER BY query_id, pos""".stripMargin
+      })
   )
 }
