@@ -212,6 +212,16 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.NgramHashHits(
       ColumnBridge.expression(text), n, banned))
 
+  /** Greedy MMR picks over one query's candidate pool + pairwise-sim
+    * edges, as `array<struct<pos, nid, score>>` — exact-integer
+    * scores, lower-id ties, order-free over both inputs (see
+    * [[graftshim.MmrSelect]]). */
+  def mmrSelect(pool: Column, edges: Column, k: Int,
+      lambdaTenths: Int): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.MmrSelect(
+      ColumnBridge.expression(pool), ColumnBridge.expression(edges),
+      k, lambdaTenths))
+
   /** `[n_bigrams, kn_nll_unats]` under the frozen Kneser-Ney bigram
     * model — one native token scan, one map probe + ln per bigram
     * (see [[graftshim.KnLmScore]]). */

@@ -67,13 +67,17 @@ object Similarity {
    * TENTHS so every score is an exact integer (score = rel·λ₁₀ −
    * maxsim·(10−λ₁₀) over micro-quantized cosines — no float ever
    * ranks), and ties break on the lower id: the whole greedy
-   * trajectory is deterministic and engine-replayable. The selection
-   * unrolls as `k` dataframe stages (anti-join the picked set, join
-   * the running max-sim, window argmax per query) — every frame is
-   * queries×m or queries×m² CANDIDATE-sized however large the
-   * corpus; the corpus is touched only by the top-m stage
-   * ([[knnBruteForce]] here; any ANN ladder rung yields the same
-   * shape). Output: (query_id, pos 1..k, neighbor_id, score).
+   * trajectory is deterministic and engine-replayable. The greedy
+   * itself is ROW-LOCAL: each query's pool + pairwise sims collect
+   * to two arrays (m and m·(m−1) values — candidate-pool-sized
+   * however large the corpus) and one native `MmrSelect` scan emits
+   * the k picks — a k-stage unrolled join/window formulation of the
+   * same selection measured 442 shuffle Exchanges in the r17 plan
+   * audit from its recursive lineage; this plan is one pair join +
+   * two collect aggregates + the native scan. The corpus is touched
+   * only by the top-m stage ([[knnBruteForce]] here; any ANN ladder
+   * rung yields the same shape). Output: (query_id, pos 1..k,
+   * neighbor_id, score).
    */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, m: Int = 20, k: Int = 5,
@@ -81,9 +85,6 @@ object Similarity {
     require(m >= k && k >= 1, s"mmrRerank: m=$m k=$k")
     require(lambdaTenths >= 0 && lambdaTenths <= 10,
       s"mmrRerank: lambdaTenths=$lambdaTenths")
-    import org.apache.spark.sql.expressions.Window
-    val l = lambdaTenths
-    val lm = 10 - lambdaTenths
     val cand = knnBruteForce(queries, corpus, idCol, vecCol, m)
       .select(col("query_id"), col("neighbor_id").as("nid"),
         floor(col("cos") * 1e6 + 0.5).cast("long").as("rel"))
@@ -95,27 +96,19 @@ object Similarity {
       .select(col("a.query_id").as("query_id"), col("a.nid").as("nid_a"),
         col("b.nid").as("nid_b"),
         floor(cosine(col("a.v"), col("b.v")) * 1e6 + 0.5).cast("long").as("s"))
-    val rn = row_number().over(Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("nid").asc))
-    var all = cand.withColumn("score", col("rel") * l)
-      .withColumn("rn", rn).filter(col("rn") === 1)
-      .select(col("query_id"), col("nid"), lit(1L).as("pos"), col("score"))
-    (2 to k).foreach { j =>
-      val ms = sims.join(all.select(col("query_id"),
-          col("nid").as("nid_b")), Seq("query_id", "nid_b"))
-        .groupBy("query_id", "nid_a").agg(max("s").as("ms"))
-        .withColumnRenamed("nid_a", "nid")
-      val pick = cand
-        .join(all.select("query_id", "nid"), Seq("query_id", "nid"), "left_anti")
-        .join(ms, Seq("query_id", "nid"))
-        .withColumn("score", col("rel") * l - col("ms") * lm)
-        .withColumn("rn", rn).filter(col("rn") === 1)
-        .select(col("query_id"), col("nid"), lit(j.toLong).as("pos"),
-          col("score"))
-      all = all.union(pick)
-    }
-    all.select(col("query_id"), col("pos"), col("nid").as("neighbor_id"),
-      col("score"))
+    val pool = cand.groupBy("query_id")
+      .agg(collect_list(struct(col("nid"), col("rel"))).as("pool"))
+    val edges = sims.groupBy("query_id")
+      .agg(collect_list(struct(col("nid_a"), col("nid_b"), col("s"))).as("edges"))
+    // left join + typed empty default: a single-candidate pool has no
+    // pair edges and must still yield its one pick, not vanish
+    pool.join(edges, Seq("query_id"), "left")
+      .select(col("query_id"), explode(graft.functions.VectorExpressions
+        .mmrSelect(col("pool"), coalesce(col("edges"),
+          array().cast("array<struct<nid_a: bigint, nid_b: bigint, s: bigint>>")),
+          k, lambdaTenths)).as("p"))
+      .select(col("query_id"), col("p.pos").as("pos"),
+        col("p.nid").as("neighbor_id"), col("p.score").as("score"))
   }
 
   /**

@@ -1487,6 +1487,128 @@ case class NgramHashHits(child: Expression, n: Int, banned: Array[Long]) extends
 }
 
 /**
+ * Row-local GREEDY MMR selection over one query's candidate pool —
+ * `pool` is array<struct<nid:long, rel:long>> (micro-quantized
+ * relevance), `edges` array<struct<a:long, b:long, s:long>> (the
+ * pool's pairwise micro cosines), output the k picks as
+ * array<struct<pos:long, nid:long, score:long>> with score =
+ * rel·λ₁₀ − maxsim·(10−λ₁₀) — exact integers throughout, ties to
+ * the lower id. ORDER-FREE over both inputs (the pool is sorted
+ * internally, the edges build a map), so the upstream
+ * `collect_list`s need no ordering guarantee. One native scan per
+ * query replaces k unrolled join/window stages whose recursive
+ * lineage was measured at 442 shuffle Exchanges in the r17 plan
+ * audit — the selection is row-local over m + m² candidate-pool
+ * values however large the corpus.
+ */
+case class MmrSelect(pool: Expression, edges: Expression, k: Int,
+    lambdaTenths: Int) extends
+    org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1, s"k=$k")
+  require(lambdaTenths >= 0 && lambdaTenths <= 10, s"lambdaTenths=$lambdaTenths")
+
+  override def left: Expression = pool
+  override def right: Expression = edges
+  override def prettyName: String = "graft_mmr_select"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  /** codegen entry point (public for the generated class). */
+  def evalSelect(p: ArrayData, e: ArrayData): ArrayData = {
+    val n = p.numElements()
+    val ids = new Array[Long](n)
+    val rels = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = p.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      rels(i) = r.getLong(1)
+      i += 1
+    }
+    // deterministic pool order: rel DESC, nid ASC
+    val order = (0 until n).sortBy(j => (-rels(j), ids(j))).toArray
+    val sims = new java.util.HashMap[Long, Long](math.max(4, e.numElements() * 2))
+    i = 0
+    while (i < e.numElements()) {
+      val r = e.getStruct(i, 3)
+      val a = r.getLong(0)
+      val b = r.getLong(1)
+      require(a >= 0L && a < (1L << 31) && b >= 0L && b < (1L << 31),
+        "graft_mmr_select: candidate ids must fit 31 bits for pair keying")
+      sims.put((a << 31) | b, r.getLong(2))
+      i += 1
+    }
+    val l = lambdaTenths.toLong
+    val lm = (10 - lambdaTenths).toLong
+    val picked = new Array[Int](math.min(k, n))
+    val pickedScore = new Array[Long](picked.length)
+    val used = new Array[Boolean](n)
+    var j = 0
+    while (j < picked.length) {
+      var bestIdx = -1
+      var bestScore = Long.MinValue
+      var oi = 0
+      while (oi < n) {
+        val c = order(oi)
+        if (!used(c)) {
+          var ms = 0L
+          var pj = 0
+          while (pj < j) {
+            // getOrDefault + require: a bare get would silently unbox
+            // a missing pair's null to 0 and rank on a phantom sim
+            val s = sims.getOrDefault((ids(c) << 31) | ids(picked(pj)),
+              Long.MinValue)
+            require(s != Long.MinValue,
+              "graft_mmr_select: missing pairwise sim in the edge set")
+            if (pj == 0 || s > ms) ms = s
+            pj += 1
+          }
+          val score = rels(c) * l - ms * lm
+          if (score > bestScore ||
+              (score == bestScore && bestIdx >= 0 && ids(c) < ids(bestIdx))) {
+            bestScore = score
+            bestIdx = c
+          }
+        }
+        oi += 1
+      }
+      picked(j) = bestIdx
+      pickedScore(j) = bestScore
+      used(bestIdx) = true
+      j += 1
+    }
+    val out = new Array[Any](picked.length)
+    j = 0
+    while (j < picked.length) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any]((j + 1).toLong, ids(picked(j)), pickedScore(j)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(p: Any, e: Any): Any =
+    evalSelect(p.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, e) => {
+      val self = ctx.addReferenceObj("mmrSelect", this, classOf[MmrSelect].getName)
+      s"${ev.value} = $self.evalSelect($p, $e);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MmrSelect =
+    copy(pool = newLeft, edges = newRight)
+}
+
+/**
  * Row-local KNESER-NEY bigram scoring in one native token scan — the
  * frozen-model twin of `TextAnalysis.knBigramScore` for
  * score-at-ingest streams (st29), exactly as [[BigramLmScore]] twins
