@@ -875,33 +875,9 @@ object CorpusOps2 {
         // sf0.01 (LogisticSpec asserts the floor), so the gate proves
         // the fit LEARNED, not just replayed. sharedScan: one
         // featurization feeds the count, 4 gradient passes, and the
-        // scoring projection.
-        import org.apache.spark.sql.graftshim.InternalFrame
-        val d = Tables(s, dir).documents
-        val nTok = size(split(col("text"), " "))
-        val alphaRatio =
-          (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
-            .cast("double") / length(col("text"))
-        val stopHits = size(filter(split(col("text"), " "),
-          t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
-        val y = (nTok.between(10, 100000) && alphaRatio >= 0.6 &&
-          stopHits >= lit(2)).cast("int").cast("double")
-        val feats = InternalFrame.sharedScan(
-          graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64)
-            .join(d.select(col("doc_id"), y.as("y")), "doc_id")
-            .withColumn("nrm",
-              sqrt(graft.ops.Similarity.dot(col("tf_vec"), col("tf_vec"))))
-            .filter(col("nrm") > 0)
-            .select(col("doc_id"), col("y"),
-              transform(col("tf_vec"), e => e / col("nrm")).as("v")))
-        val traj = graft.ops.TextAnalysis.logisticFitGd(
-          feats, "v", "y", dim = 64, steps = 4, lr = 16.0)
-        val w = traj.last.toSeq
-        feats.select(col("doc_id"), col("y").as("label"),
-          fround(lit(1.0) / (lit(1.0) +
-              exp(-graft.ops.Similarity.dot(col("v"), typedlit(w)))), 6)
-            .as("score"))
-          .orderBy("doc_id")
+        // scoring projection. (Pipeline shared with t43's calibration
+        // audit — [[t25ScoredFrame]].)
+        t25ScoredFrame(s, dir).orderBy("doc_id")
       },
       Some(t25OracleSql)),
 
@@ -966,6 +942,54 @@ object CorpusOps2 {
         perFold.reduce(_.unionByName(_)).orderBy("fold")
       },
       Some(t27OracleSql)),
+
+    Q(
+      "t43_calibration_audit",
+      (s, dir) => {
+        // CALIBRATION audit of the learned quality scorer —
+        // reliability bins + Brier score + expected calibration error
+        // (Guo et al. 2017's ECE; Brier 1950), the standard check
+        // before a classifier's SCORES (not just its ranking) drive a
+        // soft-filtering decision like p13's downweighting: t27
+        // already warned the 4-round sigmoid is uncalibrated, and
+        // this query MEASURES it. Bins are integer deciles of the
+        // micro score (least(9, sm div 1e5) — binning a float
+        // reconstruction would put boundary scores in different bins
+        // across engines); per bin the mean predicted vs empirical
+        // positive rate, their gap, and the bin Brier; the global
+        // Brier and n-weighted ECE ride every row (e22's shape).
+        // Every statistic is exact integer arithmetic over the
+        // micro scores t25 itself publishes — one groupBy over the
+        // scored frame, nothing new touches the corpus.
+        val scored = t25ScoredFrame(s, dir)
+          .select(col("label").cast("long").as("y"),
+            floor(col("score") * 1e6 + 0.5).cast("long").as("sm"))
+        val bins = scored
+          .withColumn("bin", expr("least(9, sm div 100000)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum("y").cast("long").as("n_pos"),
+            sum("sm").cast("long").as("sum_sm"),
+            sum(expr("(sm - y * 1000000) * (sm - y * 1000000)"))
+              .cast("long").as("sq"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            expr("sum_sm div n").as("mean_pred_micro"),
+            expr("n_pos * 1000000 div n").as("emp_rate_micro"),
+            col("sq"))
+          .withColumn("gap_micro",
+            abs(col("mean_pred_micro") - col("emp_rate_micro")))
+          .withColumn("brier_micro", expr("sq div (n * 1000000)"))
+        val g = bins.agg(
+          expr("sum(sq) div (sum(n) * 1000000)").as("brier_total_micro"),
+          expr("sum(n * gap_micro) div sum(n)").as("ece_micro"))
+        bins.crossJoin(g)
+          .select(col("bin"), col("n"), col("n_pos"),
+            col("mean_pred_micro"), col("emp_rate_micro"),
+            col("gap_micro"), col("brier_micro"),
+            col("brier_total_micro"), col("ece_micro"))
+          .orderBy("bin")
+      },
+      Some(t43OracleSql)),
 
     Q(
       "st21_stream_quality_scoring",
@@ -1310,13 +1334,48 @@ object CorpusOps2 {
       Some(CorpusOps.lmPerplexityOracleSql("doc_id < 2000"))))
 
   /** t25's full unrolled oracle (uncapped). */
+  /** t25's scored frame — (doc_id, label, score 6dp) from the
+    * heuristic-gate labels, L2-normalized hashing-TF features and
+    * the 4-round quantized-GD fit; one sharedScan feeds the fit's
+    * gradient passes and the scoring projection. Shared by t25 and
+    * t43 (the calibration audit must bin EXACTLY the scores t25
+    * publishes). */
+  private def t25ScoredFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftshim.InternalFrame
+    val d = Tables(s, dir).documents
+    val nTok = size(split(col("text"), " "))
+    val alphaRatio =
+      (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+        .cast("double") / length(col("text"))
+    val stopHits = size(filter(split(col("text"), " "),
+      t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+    val y = (nTok.between(10, 100000) && alphaRatio >= 0.6 &&
+      stopHits >= lit(2)).cast("int").cast("double")
+    val feats = InternalFrame.sharedScan(
+      graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64)
+        .join(d.select(col("doc_id"), y.as("y")), "doc_id")
+        .withColumn("nrm",
+          sqrt(graft.ops.Similarity.dot(col("tf_vec"), col("tf_vec"))))
+        .filter(col("nrm") > 0)
+        .select(col("doc_id"), col("y"),
+          transform(col("tf_vec"), e => e / col("nrm")).as("v")))
+    val traj = graft.ops.TextAnalysis.logisticFitGd(
+      feats, "v", "y", dim = 64, steps = 4, lr = 16.0)
+    val w = traj.last.toSeq
+    feats.select(col("doc_id"), col("y").as("label"),
+      fround(lit(1.0) / (lit(1.0) +
+          exp(-graft.ops.Similarity.dot(col("v"), typedlit(w)))), 6)
+        .as("score"))
+  }
+
   private def t25OracleSql: String = t25OracleSqlWhere("TRUE")
 
-  /** t25's unrolled oracle over a filtered document slice — st21 passes
-    * its absolute feed cap (the stream is bit-parity with the batch
-    * scorer over the same slice, st08's discipline). */
-  private def t25OracleSqlWhere(docFilter: String): String =
-    s"""WITH ${SimilarityQueries.hashingTfSql(docFilter)},
+  /** t25's fit/score CTE chain up to `mfin` (per-doc margin under the
+    * step-4 weights) — shared by t25, st21's capped twin, and t43's
+    * calibration audit (which must bin EXACTLY these scores). */
+  private def t25FitCtes(docFilter: String): String =
+    s"""${SimilarityQueries.hashingTfSql(docFilter)},
        |lab AS (SELECT doc_id, CAST(CAST(
        |    len(string_split(text, ' ')) BETWEEN 10 AND 100000
        |    AND (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) * 1.0
@@ -1335,10 +1394,44 @@ object CorpusOps2 {
        |    generate_subscripts(v, 1) AS j FROM f),
        |${(1 to 4).map(lrCte).mkString(",\n")},
        |mfin AS (SELECT u.doc_id, sum(w4.w * u.x) AS m
-       |    FROM u JOIN w4 USING (j) GROUP BY u.doc_id)
+       |    FROM u JOIN w4 USING (j) GROUP BY u.doc_id)""".stripMargin
+
+  /** t25's unrolled oracle over a filtered document slice — st21 passes
+    * its absolute feed cap (the stream is bit-parity with the batch
+    * scorer over the same slice, st08's discipline). */
+  private def t25OracleSqlWhere(docFilter: String): String =
+    s"""WITH ${t25FitCtes(docFilter)}
        |SELECT f.doc_id, f.y AS label,
        |  floor((1.0 / (1.0 + exp(-mfin.m))) * 1e6 + 0.5) / 1e6 AS score
        |FROM f JOIN mfin USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** t43's oracle: t25's fit chain, the micro scores re-derived from
+    * the same margins, integer decile binning and the exact-integer
+    * reliability/Brier/ECE census. */
+  private def t43OracleSql: String =
+    s"""WITH ${t25FitCtes("TRUE")},
+       |sc AS (SELECT CAST(f.y AS BIGINT) AS y,
+       |    CAST(floor((1.0 / (1.0 + exp(-mfin.m))) * 1e6 + 0.5) AS BIGINT) AS sm
+       |  FROM f JOIN mfin USING (doc_id)),
+       |b AS (SELECT CAST(least(9, sm // 100000) AS BIGINT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(sm) AS BIGINT) AS sum_sm,
+       |    CAST(sum((sm - y * 1000000) * (sm - y * 1000000)) AS BIGINT) AS sq
+       |  FROM sc GROUP BY 1),
+       |bg AS (SELECT bin, n, n_pos,
+       |    CAST(sum_sm // n AS BIGINT) AS mean_pred_micro,
+       |    CAST(n_pos * 1000000 // n AS BIGINT) AS emp_rate_micro,
+       |    CAST(abs(sum_sm // n - n_pos * 1000000 // n) AS BIGINT) AS gap_micro,
+       |    CAST(sq // (n * 1000000) AS BIGINT) AS brier_micro, sq
+       |  FROM b),
+       |tot AS (SELECT
+       |    CAST(sum(sq) // (sum(n) * 1000000) AS BIGINT) AS brier_total_micro,
+       |    CAST(sum(n * gap_micro) // sum(n) AS BIGINT) AS ece_micro
+       |  FROM bg)
+       |SELECT bin, n, n_pos, mean_pred_micro, emp_rate_micro, gap_micro,
+       |  brier_micro, brier_total_micro, ece_micro
+       |FROM bg CROSS JOIN tot ORDER BY bin""".stripMargin
 
   /** t27's oracle: the t25 unroll replayed once per fold — fit CTEs
     * restricted to fold ≠ f, scoring restricted to fold = f, the three

@@ -13,6 +13,42 @@ class CorpusOps2Spec extends SparkTestBase {
   private def run(name: String) =
     Q.all.find(_.name == name).get.run(spark, dir)
 
+  test("t43: every bin statistic recomputes from t25's own published " +
+      "scores — census, means, gaps, Brier, ECE, all exact-integer") {
+    val scored = run("t25_quality_classifier").collect()
+      .map(r => (r.getDouble(1).toLong,
+        math.floor(r.getDouble(2) * 1e6 + 0.5).toLong))
+    val audit = run("t43_calibration_audit").collect()
+    val byBin = scored.groupBy { case (_, sm) => math.min(9L, sm / 100000L) }
+    assert(audit.map(_.getLong(1)).sum == scored.length.toLong,
+      "bins must partition the scored corpus")
+    val sqTot = scored.map { case (y, sm) =>
+      val d = sm - y * 1000000L; d * d }.sum
+    val brierTot = sqTot / (scored.length * 1000000L)
+    var gapW = 0L
+    audit.foreach { r =>
+      val bin = r.getLong(0)
+      val cell = byBin(bin)
+      assert(r.getLong(1) == cell.length.toLong, s"n at bin $bin")
+      assert(r.getLong(2) == cell.count(_._1 == 1L).toLong, s"n_pos at bin $bin")
+      val mean = cell.map(_._2).sum / cell.length
+      val emp = cell.count(_._1 == 1L).toLong * 1000000L / cell.length
+      assert(r.getLong(3) == mean && r.getLong(4) == emp,
+        s"mean/emp at bin $bin")
+      assert(r.getLong(5) == math.abs(mean - emp), s"gap at bin $bin")
+      val sq = cell.map { case (y, sm) =>
+        val d = sm - y * 1000000L; d * d }.sum
+      assert(r.getLong(6) == sq / (cell.length * 1000000L), s"brier at bin $bin")
+      assert(r.getLong(7) == brierTot, "global Brier must ride every row")
+      gapW += cell.length * math.abs(mean - emp)
+    }
+    val ece = gapW / scored.length
+    audit.foreach(r => assert(r.getLong(8) == ece, "ECE must ride every row"))
+    // the audit must MEASURE the miscalibration t27 warned about: the
+    // 4-round sigmoid crowds scores above 0.5, so ECE is far from 0
+    assert(ece > 10000L, s"ece $ece: the known miscalibration must register")
+  }
+
   test("d09: planted shared span is found; shared counts bounded by span counts") {
     val d09 = run("d09_span_dedup")
     assert(d09.filter(col("n_shared") > col("n_spans")).isEmpty)
