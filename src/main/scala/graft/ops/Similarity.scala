@@ -112,6 +112,30 @@ object Similarity {
   }
 
   /**
+   * ADJUSTED RAND INDEX census over a clustering contingency table
+   * (Hubert & Arabie 1985): given (a_cell, b_cell, n) counts, returns
+   * (Σ C(n_ij,2), Σ C(a_i,2), Σ C(b_j,2), C(N,2), ARI micro) — every
+   * sum exact BigInt (cn2·sij at corpus scale needs ~2^70; the oracle
+   * computes the identical division in HUGEINT), the final division
+   * truncating toward zero, 0 on a degenerate (single-cluster ×
+   * single-cluster) table.
+   */
+  def ariMicro(cont: Seq[(Int, Int, Long)])
+      : (BigInt, BigInt, BigInt, BigInt, Long) = {
+    def c2(x: BigInt): BigInt = x * (x - 1) / 2
+    val sij = cont.map(c => c2(BigInt(c._3))).sum
+    val sa = cont.groupBy(_._1).values
+      .map(g => c2(BigInt(g.map(_._3).sum))).sum
+    val sb = cont.groupBy(_._2).values
+      .map(g => c2(BigInt(g.map(_._3).sum))).sum
+    val cn2 = c2(BigInt(cont.map(_._3).sum))
+    val denom = cn2 * (sa + sb) - 2 * sa * sb
+    val ari = if (denom == 0) BigInt(0)
+      else BigInt(2000000) * (cn2 * sij - sa * sb) / denom
+    (sij, sa, sb, cn2, ari.toLong)
+  }
+
+  /**
    * Cosine RANGE search: every (query, corpus) pair with cosine ≥ `tau`
    * — the "all sufficiently-similar neighbors" primitive (dedup
    * candidate mining, recall-oriented retrieval), where top-k's fixed

@@ -1758,6 +1758,109 @@ object SimilarityQueries {
            |SELECT qid AS query_id, pos, nid AS neighbor_id,
            |  CAST(score AS BIGINT) AS score
            |FROM all5 ORDER BY query_id, pos""".stripMargin
+      }),
+
+    Q(
+      "a30_cluster_ari",
+      (s, dir) => {
+        // ADJUSTED RAND INDEX between the ladder's two quantizers
+        // (Hubert & Arabie 1985 — the sklearn-standard clustering-
+        // agreement statistic): a08's full-corpus k-means (k = 4) vs
+        // a04's sampled IVF quantizer (k = 16) over the SAME corpus
+        // slice — the audit that tells you whether the coarse ANN
+        // cells respect the semantic clustering (chance-corrected:
+        // ARI ≈ 0 means the index's routing is unrelated to the
+        // clusters; near-uniform sphere embeddings land it low, real
+        // clustered corpora high). The pair census is EXACT INTEGER
+        // (e33's discipline): contingency counts, the three C(·,2)
+        // sums, and the one chance-corrected division in 128-bit
+        // (BigInt here ≡ HUGEINT in the oracle — cn2·sij at corpus
+        // scale needs ~2^70). Distributed shape: two broadcast-center
+        // assignment maps + one (a, b) aggregate; the only collect is
+        // the contingency table, ≤ k_a·k_b rows at ANY corpus size.
+        import graft.functions.VectorExpressions.cellArgmin
+        val corpus = Tables(s, dir).embeddings.filter(col("vec_id") >= 10)
+        val cA = graft.ops.Similarity.kmeansFitDistributed(
+          corpus, "vec_id", "embedding", k = 4, iters = 2)
+        val cB = graft.ops.Similarity.ivfQuantizerReplayable(
+          corpus, "vec_id", "embedding", clusters = 16, iters = 2)
+        val cont = corpus.select(
+            cellArgmin(col("embedding").cast("array<double>"), cA).as("a_cell"),
+            cellArgmin(col("embedding").cast("array<double>"), cB).as("b_cell"))
+          .groupBy("a_cell", "b_cell").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        val (sij, sa, sb, cn2, ari) =
+          graft.ops.Similarity.ariMicro(cont.toSeq)
+        import s.implicits._
+        cont.toSeq.sortBy(c => (c._1, c._2)).map { case (a, b, n) =>
+          (a, b, n, sij.toLong, sa.toLong, sb.toLong, cn2.toLong, ari)
+        }.toDF("a_cell", "b_cell", "n", "sij", "sa", "sb", "cn2",
+          "ari_micro").orderBy("a_cell", "b_cell")
+      },
+      Some {
+        // one Lloyd-2 chain generator serves both quantizers: init =
+        // first `k` of `initSrc` by id, two assign/quantized-mean
+        // rounds over `assignSrc`, final assignment `${p}af`
+        def lloyd2(p: String, initSrc: String, assignSrc: String,
+            k: Int): String = {
+          def assign(out: String, ctrs: String) =
+            s"""$out AS (SELECT vec_id, v, cell FROM (
+               |    SELECT e.vec_id, e.v, c.cell,
+               |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               |        list_sum(list_transform(range(64),
+               |          i -> (e.v[i+1]-c.ctr[i+1])*(e.v[i+1]-c.ctr[i+1]))), c.cell) AS rn
+               |    FROM $assignSrc e CROSS JOIN $ctrs c) WHERE rn = 1)""".stripMargin
+          s"""${p}c0 AS (SELECT rn - 1 AS cell, v AS ctr
+             |  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+             |        FROM $initSrc) WHERE rn <= $k),
+             |${assign(s"${p}a1", s"${p}c0")},
+             |${p}c1 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i
+             |          FROM ${p}a1) GROUP BY cell, i) GROUP BY cell),
+             |${p}c1f AS (SELECT ${p}c0.cell, coalesce(${p}c1.ctr, ${p}c0.ctr) AS ctr
+             |  FROM ${p}c0 LEFT JOIN ${p}c1 USING (cell)),
+             |${assign(s"${p}a2", s"${p}c1f")},
+             |${p}c2 AS (SELECT cell, list(q ORDER BY i) AS ctr FROM (
+             |    SELECT cell, i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS q
+             |    FROM (SELECT cell, unnest(v) AS x, unnest(range(1, 65)) AS i
+             |          FROM ${p}a2) GROUP BY cell, i) GROUP BY cell),
+             |${p}c2f AS (SELECT ${p}c1f.cell, coalesce(${p}c2.ctr, ${p}c1f.ctr) AS ctr
+             |  FROM ${p}c1f LEFT JOIN ${p}c2 USING (cell)),
+             |${assign(s"${p}af", s"${p}c2f")}""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings WHERE vec_id >= 10),
+           |smp AS (SELECT vec_id, v FROM (
+           |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+           |    FROM e) WHERE rn <= 4096),
+           |${lloyd2("ka", "e", "e", 4)},
+           |${lloyd2("qb", "smp", "e", 16)},
+           |cont AS (SELECT a.cell AS a_cell, b.cell AS b_cell,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM kaaf a JOIN qbaf b USING (vec_id) GROUP BY 1, 2),
+           |sums AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS sij
+           |  FROM cont),
+           |ra AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS sa
+           |  FROM (SELECT sum(n) AS m FROM cont GROUP BY a_cell)),
+           |rb AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS sb
+           |  FROM (SELECT sum(n) AS m FROM cont GROUP BY b_cell)),
+           |nt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cont),
+           |base AS (SELECT sums.sij, ra.sa, rb.sb,
+           |    CAST(nt.nn * (nt.nn - 1) // 2 AS BIGINT) AS cn2
+           |  FROM sums CROSS JOIN ra CROSS JOIN rb CROSS JOIN nt),
+           |fin AS (SELECT sij, sa, sb, cn2,
+           |    CAST(CASE WHEN CAST(cn2 AS HUGEINT) * (sa + sb)
+           |        - 2 * CAST(sa AS HUGEINT) * sb = 0 THEN 0
+           |      ELSE 2000000 * (CAST(cn2 AS HUGEINT) * sij
+           |          - CAST(sa AS HUGEINT) * sb)
+           |        // (CAST(cn2 AS HUGEINT) * (sa + sb)
+           |          - 2 * CAST(sa AS HUGEINT) * sb) END AS BIGINT) AS ari_micro
+           |  FROM base)
+           |SELECT CAST(c.a_cell AS INT) AS a_cell,
+           |  CAST(c.b_cell AS INT) AS b_cell, c.n,
+           |  f.sij, f.sa, f.sb, f.cn2, f.ari_micro
+           |FROM cont c CROSS JOIN fin f ORDER BY 1, 2""".stripMargin
       })
   )
 }
