@@ -961,35 +961,68 @@ object CorpusOps2 {
         // Every statistic is exact integer arithmetic over the
         // micro scores t25 itself publishes — one groupBy over the
         // scored frame, nothing new touches the corpus.
-        val scored = t25ScoredFrame(s, dir)
-          .select(col("label").cast("long").as("y"),
-            floor(col("score") * 1e6 + 0.5).cast("long").as("sm"))
-        val bins = scored
-          .withColumn("bin", expr("least(9, sm div 100000)"))
-          .groupBy("bin")
-          .agg(count(lit(1)).as("n"),
-            sum("y").cast("long").as("n_pos"),
-            sum("sm").cast("long").as("sum_sm"),
-            sum(expr("(sm - y * 1000000) * (sm - y * 1000000)"))
-              .cast("long").as("sq"))
-          .select(col("bin"), col("n"), col("n_pos"),
-            expr("sum_sm div n").as("mean_pred_micro"),
-            expr("n_pos * 1000000 div n").as("emp_rate_micro"),
-            col("sq"))
-          .withColumn("gap_micro",
-            abs(col("mean_pred_micro") - col("emp_rate_micro")))
-          .withColumn("brier_micro", expr("sq div (n * 1000000)"))
-        val g = bins.agg(
-          expr("sum(sq) div (sum(n) * 1000000)").as("brier_total_micro"),
-          expr("sum(n * gap_micro) div sum(n)").as("ece_micro"))
-        bins.crossJoin(g)
-          .select(col("bin"), col("n"), col("n_pos"),
-            col("mean_pred_micro"), col("emp_rate_micro"),
-            col("gap_micro"), col("brier_micro"),
-            col("brier_total_micro"), col("ece_micro"))
-          .orderBy("bin")
+        calibrationAssembly(calibrationBins(t25ScoredFrame(s, dir)))
       },
-      Some(t43OracleSql)),
+      Some(t43OracleSqlWhere("TRUE"))),
+
+    Q(
+      "st41_stream_calibration",
+      (s, dir) => {
+        // STREAMING calibration drift gauge — t43's reliability/
+        // Brier/ECE census maintained AT INGEST over st21's frozen
+        // scorer (the deployment where miscalibration is actually
+        // caught: the model ships, the corpus mix moves, and the
+        // dashboard reads the gap off running counters): each
+        // arriving doc scores stateless (learnedQualityStream — the
+        // st21 path exactly), bins by integer decile, and folds into
+        // a complete-mode per-bin (n, n_pos, Σsm, Σ(sm−y)²) census —
+        // state ≤ 10 counter rows forever, every counter an
+        // associative integer merge ⇒ micro-batching-invariant
+        // (st20's argument). The drained snapshot runs t43's static
+        // assembly, so the stream bit-matches the batch audit on the
+        // capped universe. collect() is the MemoryStream feeding
+        // harness; production uses readStream.
+        import org.apache.spark.sql.graftshim.InternalFrame
+        implicit val sqlCtx = s.sqlContext
+        implicit val rowEnc =
+          org.apache.spark.sql.Encoders.product[(Long, String)]
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 2000)
+        val feats = InternalFrame.sharedScan(
+          graft.ops.TextAnalysis.hashingTf(d, "doc_id", "text", dim = 64)
+            .withColumn("nrm",
+              sqrt(graft.ops.Similarity.dot(col("tf_vec"), col("tf_vec"))))
+            .filter(col("nrm") > 0)
+            .join(d.select(col("doc_id"),
+              (size(split(col("text"), " ")).between(10, 100000) &&
+                (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z ]", "")))
+                  .cast("double") / length(col("text")) >= 0.6 &&
+                size(filter(split(col("text"), " "),
+                  t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+                  >= lit(2)).cast("int").cast("double").as("y")), "doc_id")
+            .select(col("doc_id"), col("y"),
+              transform(col("tf_vec"), e => e / col("nrm")).as("v")))
+        val w = graft.ops.TextAnalysis.logisticFitGd(
+          feats, "v", "y", dim = 64, steps = 4, lr = 16.0).last.toSeq
+        val rows = d.orderBy("doc_id").select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val census = calibrationBins(
+          graft.streaming.CorpusStream.learnedQualityStream(
+            stream.toDS().toDF("doc_id", "text"), "doc_id", "text", w, 64))
+        val q = Q.withHarnessPartitions(s)(census
+          .writeStream.format("memory").queryName("st41_cal")
+          .outputMode("complete").start())
+        try {
+          val chunk = math.max(1, (rows.length + 1) / 2)
+          rows.grouped(chunk).foreach { batch =>
+            stream.addData(batch.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        calibrationAssembly(s.table("st41_cal"))
+      },
+      Some(t43OracleSqlWhere("doc_id < 2000"))),
 
     Q(
       "st21_stream_quality_scoring",
@@ -1405,11 +1438,54 @@ object CorpusOps2 {
        |  floor((1.0 / (1.0 + exp(-mfin.m))) * 1e6 + 0.5) / 1e6 AS score
        |FROM f JOIN mfin USING (doc_id) ORDER BY doc_id""".stripMargin
 
-  /** t43's oracle: t25's fit chain, the micro scores re-derived from
-    * the same margins, integer decile binning and the exact-integer
-    * reliability/Brier/ECE census. */
-  private def t43OracleSql: String =
-    s"""WITH ${t25FitCtes("TRUE")},
+  /** t43/st41's shared census grain over a (label, score) scored
+    * frame: integer decile bins of the MICRO score with the exact
+    * (n, n_pos, Σ score, Σ (score − y)²) counters — everything the
+    * assembly below (or a complete-mode streaming aggregate) needs,
+    * all associative integer merges. */
+  private def calibrationBins(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    scored
+      .select(col("label").cast("long").as("y"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("sm"))
+      .withColumn("bin", expr("least(9, sm div 100000)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("y").cast("long").as("n_pos"),
+        sum("sm").cast("long").as("sum_sm"),
+        sum(expr("(sm - y * 1000000) * (sm - y * 1000000)"))
+          .cast("long").as("sq"))
+
+  /** The reliability/Brier/ECE assembly over [[calibrationBins]]'
+    * counters — static math, so st41 can run it on the DRAINED
+    * snapshot of the same counters it maintained in complete mode. */
+  private def calibrationAssembly(binsRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bins = binsRaw
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_sm div n").as("mean_pred_micro"),
+        expr("n_pos * 1000000 div n").as("emp_rate_micro"),
+        col("sq"))
+      .withColumn("gap_micro",
+        abs(col("mean_pred_micro") - col("emp_rate_micro")))
+      .withColumn("brier_micro", expr("sq div (n * 1000000)"))
+    val g = bins.agg(
+      expr("sum(sq) div (sum(n) * 1000000)").as("brier_total_micro"),
+      expr("sum(n * gap_micro) div sum(n)").as("ece_micro"))
+    bins.crossJoin(g)
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("mean_pred_micro"), col("emp_rate_micro"),
+        col("gap_micro"), col("brier_micro"),
+        col("brier_total_micro"), col("ece_micro"))
+      .orderBy("bin")
+  }
+
+  /** t43/st41's oracle: t25's fit chain over `docFilter`'s universe,
+    * the micro scores re-derived from the same margins, integer
+    * decile binning and the exact-integer reliability/Brier/ECE
+    * census. */
+  private def t43OracleSqlWhere(docFilter: String): String =
+    s"""WITH ${t25FitCtes(docFilter)},
        |sc AS (SELECT CAST(f.y AS BIGINT) AS y,
        |    CAST(floor((1.0 / (1.0 + exp(-mfin.m))) * 1e6 + 0.5) AS BIGINT) AS sm
        |  FROM f JOIN mfin USING (doc_id)),
