@@ -171,6 +171,12 @@ object VectorExpressions {
   /** Count of `arr` elements contained in the fixed string `set` — one
     * hashed probe per element inside codegen (the stateless-stream form
     * of a broadcast semi-join probe; see [[graftshim.SetHitCount]]). */
+  /** Space-joined word n-grams in one native byte scan — zero-copy
+    * substrings of the original text (see [[graftshim.WordNGrams]]). */
+  def wordNGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.WordNGrams(
+      ColumnBridge.expression(text), n))
+
   def setHitCount(arr: Column, set: Seq[String]): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.SetHitCount(
       ColumnBridge.expression(arr), set.toArray))

@@ -68,15 +68,12 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.VectorExpressions.fingerprint62(text)
 
-  /** Word n-grams (as space-joined strings) of a text column. */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array().cast("array<string>")).otherwise(
-      transform(
-        sequence(lit(1), count),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-  }
+  /** Word n-grams (as space-joined strings) of a text column — one
+    * native byte scan per row ([[graftshim.WordNGrams]]; the previous
+    * `transform(sequence(...))` HOF re-ran `split(text)` inside the
+    * interpreted lambda for every element of every n-gram). */
+  def wordNGrams(text: Column, n: Int): Column =
+    graft.functions.VectorExpressions.wordNGrams(text, n)
 
   /**
    * Character n-gram language identification.

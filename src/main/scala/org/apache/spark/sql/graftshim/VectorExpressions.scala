@@ -503,6 +503,77 @@ case class BloomMightContain(
  * ~9 k benchmark grams × ~100 grams/doc × ~1900 docs). Same
  * referenced-object codegen shape as [[CellArgmin]].
  */
+/**
+ * Word n-grams (space-joined) of a text column in ONE native byte scan
+ * — the codegen replacement for the `transform(sequence(...), i =>
+ * concat_ws(" ", element_at(split(text)...)))` HOF formulation, whose
+ * interpreted lambda re-ran `split(text)` for EVERY element of every
+ * n-gram (O(positions × n) tokenizations per document — the st21 bug
+ * class; measured 1.8 s → 0.15 s per st19 micro-batch at sf0.1).
+ *
+ * Exact-parity trick: tokens come from `split(text, " ")` (single-space
+ * delimiter, trailing empties kept) and n-grams re-join with " ", so
+ * every n-gram IS the byte substring of the original text from token
+ * i's first byte to token (i+n-1)'s last byte — including the empty
+ * tokens a double space produces. One pass finds the space offsets
+ * (a 0x20 byte never occurs inside a UTF-8 multibyte sequence, the
+ * HashingTfVec argument), then each n-gram is a zero-copy
+ * `UTF8String.fromBytes` view. Bit-identical output to the HOF form
+ * (spec'd in OpsSpec), so every oracle stays valid.
+ */
+case class WordNGrams(child: Expression, n: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"WordNGrams: n must be >= 1 (got $n)")
+
+  override def prettyName: String = "graft_word_ngrams"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  /** codegen entry point (public for the generated class). */
+  def evalGrams(t: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val b = t.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') spaces += 1; i += 1 }
+    val numToks = spaces + 1
+    val count = numToks - (n - 1)
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val starts = new Array[Int](numToks)
+    val ends = new Array[Int](numToks)
+    var ti = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' ') { ends(ti) = i; ti += 1; starts(ti) = i + 1 }
+      i += 1
+    }
+    ends(ti) = b.length
+    val out = new Array[Any](count)
+    var g = 0
+    while (g < count) {
+      out(g) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        b, starts(g), ends(g + n - 1) - starts(g))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    evalGrams(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("wordNGrams", this, classOf[WordNGrams].getName)
+      s"${ev.value} = $self.evalGrams($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
 case class SetHitCount(child: Expression, set: Array[String]) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 

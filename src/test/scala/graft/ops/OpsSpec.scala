@@ -90,6 +90,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Seq("w1 w2 w3", "w2 w3 w4"))
   }
 
+  test("native wordNGrams matches the split/concat_ws HOF formulation bit-for-bit") {
+    import spark.implicits._
+    // The HOF form the native expression replaced: tokens =
+    // split(text, " ") (trailing empties kept), n-grams re-joined
+    // with " ". Edge cases on purpose: double spaces (empty tokens),
+    // leading/trailing spaces, too-short docs, empty string, multibyte
+    // UTF-8, and a null text (native: null out, like the HOF).
+    def hofNGrams(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(text, " ")
+      val count = size(toks) - (n - 1)
+      when(count <= 0, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), count),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    }
+    val texts = Seq("a b c d e", "a  b c", " a b ", "ab", "", "é ü 漢 字 x",
+      "one two", "x  ", "  x").map(Tuple1(_)).toDF("text")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val rows = texts.select(
+          wordNGrams(col("text"), n).as("nat"), hofNGrams(col("text"), n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n row=$r")
+      }
+    }
+    val nullRow = Seq(Tuple1[String](null)).toDF("text")
+      .select(wordNGrams(col("text"), 3)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("langId runs end-to-end and predicts a known lang") {
     import spark.implicits._
     val docs = (0 until 40).map { i =>
