@@ -116,6 +116,9 @@ object FuzzyJoin {
     * s+i ≤ 2 — the FastSS/SymSpell guarantee at d = 2. Deduplicated:
     * repeated characters yield coinciding variants, which would fan
     * the candidate join out for nothing. */
+  /** dev-profiling accessor for [[delete2Keys]] (tools.BatchProfile). */
+  private[graft] def delete2KeysForProfile(s: Column): Column = delete2Keys(s)
+
   private def delete2Keys(s: Column): Column = {
     val idx = when(length(s) >= 1, sequence(lit(1), length(s)))
       .otherwise(array().cast("array<int>"))

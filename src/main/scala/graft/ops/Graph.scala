@@ -99,12 +99,17 @@ object Graph {
    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       scale: Long = 1000000000L): DataFrame = {
+    // ONE exchange for the whole edge prep: hash(src) clusters every
+    // (src, dst) group, so the weight aggregate, the out-weight
+    // aggregate AND the src-keyed join all run on the same shuffle
+    // (ReusedExchange) — the previous agg->agg->join->repartition
+    // chain paid three.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val (eo, eoRdd) = materializeEdges(
-      e.join(outw, "src").repartition(col("src")))
+    val (eo, eoRdd) = materializeEdges(e.join(outw, "src"))
     // keep the RDD handles (persistConvergedState, not Rotation+release)
     // so the snapshots can be unpersisted once the final state
     // materializes instead of lingering until GC
@@ -177,12 +182,17 @@ object Graph {
    */
   def pageRankConverged(edges: DataFrame, damping: Double = 0.85,
       scale: Long = 1000000000L, maxRounds: Int = 100): (DataFrame, Int) = {
+    // ONE exchange for the whole edge prep: hash(src) clusters every
+    // (src, dst) group, so the weight aggregate, the out-weight
+    // aggregate AND the src-keyed join all run on the same shuffle
+    // (ReusedExchange) — the previous agg->agg->join->repartition
+    // chain paid three.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val (eo, eoRdd) = materializeEdges(
-      e.join(outw, "src").repartition(col("src")))
+    val (eo, eoRdd) = materializeEdges(e.join(outw, "src"))
     // persistConvergedState (not Rotation+release) so the snapshots keep
     // their RDD handles: these blocks must be unpersisted on BOTH exits
     // below — a Rotation released here would leave them pinned until GC
@@ -285,12 +295,17 @@ object Graph {
    */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       damping: Double = 0.85, scale: Long = 1000000000L): DataFrame = {
+    // ONE exchange for the whole edge prep: hash(src) clusters every
+    // (src, dst) group, so the weight aggregate, the out-weight
+    // aggregate AND the src-keyed join all run on the same shuffle
+    // (ReusedExchange) — the previous agg->agg->join->repartition
+    // chain paid three.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val (eo, eoRdd) = materializeEdges(
-      e.join(outw, "src").repartition(col("src")))
+    val (eo, eoRdd) = materializeEdges(e.join(outw, "src"))
     // seeds and the out-edge key set both persist across every round
     val seedRot = new Rotation
     val (sd, sCount) = seedRot.materialize(
@@ -644,10 +659,13 @@ object Graph {
     // the round max null/0 and silently propagate null scores through
     // the integer division — fail loudly instead.
     require(iters >= 1, s"hits: iters must be >= 1 (got $iters)")
+    // hash(src) clusters (src, dst) groups: repartition first and the
+    // weight aggregate runs on the same exchange (was agg + repartition)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-    val (eo, eoRdd) = materializeEdges(e.repartition(col("src")))
+    val (eo, eoRdd) = materializeEdges(e)
     val nodeRot = new Rotation
     val (nodes, _) = nodeRot.materialize(
       eo.select(col("src").as("node"))
@@ -763,10 +781,12 @@ object Graph {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
+      // hash(src) clusters (src, dst): one exchange for dedupe-min AND
+      // the src partitioning (was agg exchange + repartition exchange)
       edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-        .groupBy("src", "dst").agg(min("w").as("w"))
-        .repartition(col("src")))
+        .repartition(col("src"))
+        .groupBy("src", "dst").agg(min("w").as("w")))
     val negs = e.filter(col("w") < 0).limit(1).count()
     require(negs == 0, "weightedShortestPaths: negative edge weights")
     import spark.implicits._
@@ -993,9 +1013,13 @@ object Graph {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
+      // hash(src) clusters (src, dst) groups, so the dedupe aggregate
+      // runs on the repartition's own exchange (was distinct exchange
+      // + repartition exchange)
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).distinct()
-        .repartition(col("src")))
+        col("dst").cast("long").as("dst"))
+        .repartition(col("src"))
+        .dropDuplicates(Seq("src", "dst")))
     import spark.implicits._
     var dist: DataFrame = sources.distinct.map(d => (d, 0L)).toDF("node", "d")
     val rot = new Rotation
@@ -1035,9 +1059,13 @@ object Graph {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
+      // hash(src) clusters (src, dst) groups, so the dedupe aggregate
+      // runs on the repartition's own exchange (was distinct exchange
+      // + repartition exchange)
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).distinct()
-        .repartition(col("src")))
+        col("dst").cast("long").as("dst"))
+        .repartition(col("src"))
+        .dropDuplicates(Seq("src", "dst")))
     import spark.implicits._
     var dist: DataFrame = seeds.distinct.map(s => (s, s, 0L))
       .toDF("seed", "node", "d")
@@ -1111,9 +1139,13 @@ object Graph {
       s"betweennessSampled: maxFrontier must be >= 1 (got $maxFrontier)")
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
+      // hash(src) clusters (src, dst) groups, so the dedupe aggregate
+      // runs on the repartition's own exchange (was distinct exchange
+      // + repartition exchange)
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).distinct()
-        .repartition(col("src")))
+        col("dst").cast("long").as("dst"))
+        .repartition(col("src"))
+        .dropDuplicates(Seq("src", "dst")))
     import spark.implicits._
     // forward: layered BFS with exact integer path counts
     var vis = InternalFrame.sharedScan(seeds.distinct.map(s => (s, s, 0L, 1L))

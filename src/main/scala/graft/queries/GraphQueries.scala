@@ -192,8 +192,13 @@ object GraphQueries {
           .select(col("o_custkey").as("c"),
             (lit(1000000000L) + col("l_suppkey")).as("p"))
           .distinct()
-        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        // symmetrize via explode, not union: a union's two branches each
+        // re-run the whole pairs subtree (join + distinct twice); the
+        // explode emits both directions in ONE pass (the labelProp idiom)
+        val edges = pairs.select(explode(array(
+            struct(col("c").as("src"), col("p").as("dst")),
+            struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         graft.ops.Graph.shortestPaths(edges,
           sources = Seq(1000000001L, 1000000002L, 1000000003L), rounds = 3)
           .groupBy("dist")
@@ -490,8 +495,11 @@ object GraphQueries {
           .groupBy(col("o_custkey").as("c"),
             (lit(1000000000L) + col("l_suppkey")).as("p"))
           .agg(count(lit(1)).as("w"))
-        val edges = pairs.select(col("c").as("src"), col("p").as("dst"), col("w"))
-          .union(pairs.select(col("p").as("src"), col("c").as("dst"), col("w")))
+        // explode-symmetrize: one pairs pass, not two (see x02's note)
+        val edges = pairs.select(explode(array(
+            struct(col("c").as("src"), col("p").as("dst"), col("w")),
+            struct(col("p").as("src"), col("c").as("dst"), col("w")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
         graft.ops.Graph.weightedShortestPaths(edges,
           sources = Seq(1000000001L, 1000000002L, 1000000003L), rounds = 3)
           .orderBy("dist", "node")
@@ -899,8 +907,13 @@ object GraphQueries {
           .select(col("o_custkey").as("c"),
             (lit(1000000000L) + col("l_suppkey")).as("p"))
           .distinct()
-        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        // symmetrize via explode, not union: a union's two branches each
+        // re-run the whole pairs subtree (join + distinct twice); the
+        // explode emits both directions in ONE pass (the labelProp idiom)
+        val edges = pairs.select(explode(array(
+            struct(col("c").as("src"), col("p").as("dst")),
+            struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         graft.ops.Graph.harmonicCloseness(edges,
           seeds = Seq(1000000001L, 1000000002L, 1000000003L, 1000000004L),
           rounds = 3)
@@ -951,8 +964,16 @@ object GraphQueries {
           .select(col("o_custkey").as("c"),
             (lit(1000000000L) + col("l_suppkey")).as("p"))
           .distinct()
-        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        // BOTH sweeps consume the same symmetrized edge set; sharedScan
+        // materializes the orders⋈lineitem build once so the second
+        // sweep reads cached blocks instead of re-running the join
+        // (each sweep still owns its internal dedupe/partitioning), and
+        // the explode emits both directions in ONE pass (see x02's note)
+        val edges = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+          pairs.select(explode(array(
+              struct(col("c").as("src"), col("p").as("dst")),
+              struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+            .select(col("e.src").as("src"), col("e.dst").as("dst")))
         val d1 = graft.ops.Graph.shortestPaths(edges,
           sources = Seq(1000000001L), rounds = 3)
         val pivot = d1.orderBy(col("dist").desc, col("node"))
@@ -1022,8 +1043,13 @@ object GraphQueries {
           .select(col("o_custkey").as("c"),
             (lit(1000000000L) + col("l_suppkey")).as("p"))
           .distinct()
-        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        // symmetrize via explode, not union: a union's two branches each
+        // re-run the whole pairs subtree (join + distinct twice); the
+        // explode emits both directions in ONE pass (the labelProp idiom)
+        val edges = pairs.select(explode(array(
+            struct(col("c").as("src"), col("p").as("dst")),
+            struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         graft.ops.Graph.betweennessSampled(edges,
           seeds = Seq(1000000001L, 1000000002L, 1000000003L, 1000000004L),
           rounds = 3)
@@ -1093,8 +1119,13 @@ object GraphQueries {
           .select(col("o_custkey").as("c"),
             (lit(1000000000L) + col("l_suppkey")).as("p"))
           .distinct()
-        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        // symmetrize via explode, not union: a union's two branches each
+        // re-run the whole pairs subtree (join + distinct twice); the
+        // explode emits both directions in ONE pass (the labelProp idiom)
+        val edges = pairs.select(explode(array(
+            struct(col("c").as("src"), col("p").as("dst")),
+            struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         graft.ops.Graph.betweennessSampled(edges,
           seeds = Seq(1000000001L, 1000000002L, 1000000003L, 1000000004L),
           rounds = 3, maxFrontier = Some(8))

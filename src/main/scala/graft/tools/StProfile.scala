@@ -88,6 +88,73 @@ object StProfile {
         spark.table(s"stp_scores_$rep").orderBy("doc_id").count()
       }
     }
+
+    // ---- st33 decomposition (stream-stream left outer join) ----
+    for (rep <- 1 to 2) {
+      println(s"=== st33 rep $rep ===")
+      import graft.streaming.EventStreams
+      implicit val sqlCtx = spark.sqlContext
+      implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
+      val ev = graft.tables.Tables(spark, sfDir).events
+        .filter(col("user_id") < 500)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val clicks = ph("clicks collect") {
+        ev.filter(col("event_type") === "click")
+          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+      }
+      val purchases = ph("purchases collect") {
+        ev.filter(col("event_type") === "purchase")
+          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+      }
+      println(s"[info] clicks=${clicks.length} purchases=${purchases.length}")
+      val allTs = (clicks.map(_.ts.getTime) ++ purchases.map(_.ts.getTime)).sorted
+      val thr = allTs(allTs.length / 2)
+      val maxTs = allTs.last
+      val cStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreams.Event]
+      val pStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EventStreams.Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("stp33_ckpt").toString
+      val q = graft.queries.Q.withHarnessPartitions(spark) {
+        EventStreams.attributionJoin(cStream.toDF(), pStream.toDF(),
+            leftOuter = true)
+          .writeStream.format("memory").queryName(s"stp33_pairs_$rep")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+      }
+      try {
+        var i = 0
+        Seq(true, false).foreach { firstHalf =>
+          i += 1
+          ph(s"data round $i") {
+            cStream.addData(clicks.filter(c => (c.ts.getTime <= thr) == firstHalf).toSeq)
+            pStream.addData(purchases.filter(p => (p.ts.getTime <= thr) == firstHalf).toSeq)
+            q.processAllAvailable()
+          }
+        }
+        for (off <- Seq(72L, 73L)) {
+          i += 1
+          ph(s"sentinel round $i") {
+            val sentinel = EventStreams.Event(-1L,
+              new java.sql.Timestamp(maxTs + off * 3600L * 1000L), -1L, "noop", 0.0)
+            cStream.addData(IndexedSeq(sentinel))
+            pStream.addData(IndexedSeq(sentinel))
+            q.processAllAvailable()
+          }
+        }
+      } finally {
+        q.recentProgress.foreach { p =>
+          println(s"[progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}")
+        }
+        ph("stream stop") { q.stop() }
+        graft.queries.deleteRecursively(ckpt)
+      }
+      ph("sink drain") {
+        spark.table(s"stp33_pairs_$rep").filter(col("user_id") >= 0).count()
+      }
+    }
     spark.stop()
   }
 }
