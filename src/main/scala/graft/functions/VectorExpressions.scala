@@ -171,6 +171,12 @@ object VectorExpressions {
   /** Count of `arr` elements contained in the fixed string `set` — one
     * hashed probe per element inside codegen (the stateless-stream form
     * of a broadcast semi-join probe; see [[graftshim.SetHitCount]]). */
+  /** Qualifying (min id, max id) pairs of an in-bucket entry array by
+    * cosine ≥ threshold, one native scan (see [[graftshim.CosinePairsGE]]). */
+  def cosinePairsGE(entries: Column, threshold: Double): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.CosinePairsGE(
+      ColumnBridge.expression(entries), threshold))
+
   /** Space-joined word n-grams in one native byte scan — zero-copy
     * substrings of the original text (see [[graftshim.WordNGrams]]). */
   def wordNGrams(text: Column, n: Int): Column =

@@ -241,24 +241,35 @@ object Dedup {
     val sizes = keyed.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("n"), min("id").as("mid"))
       .filter(col("n") > 1)
-    // the sizes join partitions by (tbl, bucket); the small-bucket
-    // group-by reuses that partitioning — one effective shuffle
-    val sized = keyed.join(sizes, Seq("tbl", "bucket"))
+    // sharedScan the sized frame: THREE branches consume it (small-
+    // bucket pairs, star minima, star members), and without sharing,
+    // the keyed explode + the sizes aggregate + this join re-execute
+    // per branch. The persisted leaf loses the (tbl, bucket)
+    // partitioning, so smallPairs' group-by pays one bucket-keyed
+    // exchange of the candidate rows — cheaper than recomputing the
+    // upstream pipeline twice at any scale.
+    val sized = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(
+      keyed.join(sizes, Seq("tbl", "bucket")))
+    // in-bucket pair expansion + cosine gate in ONE native scan per
+    // bucket: the explode(unorderedPairs) + filter(cosine) formulation
+    // built an interpreted pair struct carrying BOTH full vectors for
+    // every O(g²) candidate before the gate could drop it (2.3M pairs
+    // on a19's sweep entry); CosinePairsGE emits only the qualifying
+    // (id_a, id_b) pairs — bit-identical gate arithmetic, spec'd
+    // differentially in DedupSpec.
     val smallPairs = sized.filter(col("n") <= maxBucket)
       .groupBy("tbl", "bucket")
       .agg(collect_list(struct(col("id"), col("v"))).as("ids"))
-      .select(explode(unorderedPairs(col("ids"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.a.v").as("va"),
-        col("p.b.id").as("id_b"), col("p.b.v").as("vb"))
+      .select(explode(graft.functions.VectorExpressions
+        .cosinePairsGE(col("ids"), threshold)).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
     val minVecs = sized.filter(col("n") > maxBucket && col("id") === col("mid"))
       .select(col("tbl"), col("bucket"), col("v").as("mv"))
     val starPairs = sized.filter(col("n") > maxBucket && col("id") =!= col("mid"))
       .join(minVecs, Seq("tbl", "bucket"))
-      .select(col("mid").as("id_a"), col("mv").as("va"),
-        col("id").as("id_b"), col("v").as("vb"))
+      .filter(Similarity.cosine(col("mv"), col("v")) >= threshold)
+      .select(col("mid").as("id_a"), col("id").as("id_b"))
     smallPairs.union(starPairs)
-      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
-      .select("id_a", "id_b")
       .distinct()
   }
 

@@ -85,6 +85,22 @@ object BatchProfile {
           "doc_id", "tf_vec", threshold = 0.9, dim = 64, planes = 12,
           tables = 4, seed = 5).distinct())
       }
+      // a19 internals: bucket occupancy + raw pair volume
+      val sv = org.apache.spark.sql.graftshim.InternalFrame.sharedScan(vecs)
+      val base19 = sv.select(col("doc_id").cast("long").as("id"),
+        col("tf_vec").cast("array<double>").as("v"))
+      val tbls19 = (0 until 4).map(tt => struct(lit(tt).as("tbl"),
+        graft.ops.Similarity.hyperplaneKey(col("v"), 64, 12, 5 + tt).as("bucket")))
+      val keyed19 = base19
+        .select(col("id"), col("v"), explode(array(tbls19: _*)).as("tb"))
+        .select(col("id"), col("v"), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"))
+      val sizes19 = keyed19.groupBy("tbl", "bucket")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      ph("a19 sizes agg") {
+        val r = sizes19.agg(sum(expr("n * (n - 1) / 2")), max("n"), count(lit(1))).head()
+        println(s"[info] a19 pairs=${r.get(0)} maxBucket=${r.get(1)} buckets=${r.get(2)}")
+      }
     }
     spark.stop()
   }

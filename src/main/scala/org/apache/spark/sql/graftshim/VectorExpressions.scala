@@ -504,6 +504,111 @@ case class BloomMightContain(
  * referenced-object codegen shape as [[CellArgmin]].
  */
 /**
+ * All unordered in-bucket pairs whose cosine clears a threshold, in ONE
+ * native scan over the collected bucket — the codegen replacement for
+ * `explode(unorderedPairs(entries))` + a cosine filter, which built an
+ * interpreted pair struct CARRYING BOTH FULL VECTORS for every one of
+ * the O(g²) candidate pairs before the filter could drop it (a19's
+ * 2.3M-pair buckets: vectors copied per pair through two interpreted
+ * lambdas, then UnsafeRow-converted, for a ~0.1% survivor rate).
+ * Input: array<struct<id:long, v:array<double>>> (ids distinct within
+ * a bucket). Output: array<struct<a:long, b:long>> with a = min id,
+ * b = max id — exactly `least/greatest` of the id-first structs.
+ * Arithmetic parity with [[ArrayCosine]]: dot/na/nb are independent
+ * accumulators added in ascending index order, so splitting the norm
+ * accumulation out of the pair loop produces bit-identical doubles;
+ * zero-norm pairs score 0.0 and mismatched lengths score null, neither
+ * of which passes `>= threshold`, matching the filter the explode
+ * formulation ran (spec'd differentially in DedupSpec).
+ */
+case class CosinePairsGE(child: Expression, threshold: Double) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "graft_cosine_pairs_ge"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StructType(fs), _)
+          if fs.length == 2 && fs(0).dataType ==
+            org.apache.spark.sql.types.LongType &&
+            (fs(1).dataType match {
+              case ArrayType(DoubleType, _) => true
+              case _ => false
+            }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<struct<long, array<double>>>, got $other")
+    }
+
+  /** codegen entry point (public for the generated class). */
+  def evalPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val vs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toDoubleArray()
+      vs(i) = v
+      var na = 0.0
+      var k = 0
+      while (k < v.length) { val x = v(k); na += x * x; k += 1 }
+      norms(i) = na
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val x = vs(i); val y = vs(j)
+        if (x.length == y.length) {
+          var dot = 0.0
+          var k = 0
+          while (k < x.length) { dot += x(k) * y(k); k += 1 }
+          val denom = math.sqrt(norms(i)) * math.sqrt(norms(j))
+          // exact ArrayCosine semantics incl. the zero-norm case: a
+          // zero vector scores 0.0, which still passes thresholds <= 0
+          val cos = if (denom == 0.0) 0.0 else dot / denom
+          if (cos >= threshold) {
+            val a = math.min(ids(i), ids(j))
+            val b = math.max(ids(i), ids(j))
+            out += new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](a, b))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    evalPairs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("cosPairs", this, classOf[CosinePairsGE].getName)
+      s"${ev.value} = $self.evalPairs($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CosinePairsGE =
+    copy(child = newChild)
+}
+
+/**
  * Word n-grams (space-joined) of a text column in ONE native byte scan
  * — the codegen replacement for the `transform(sequence(...), i =>
  * concat_ws(" ", element_at(split(text)...)))` HOF formulation, whose

@@ -640,6 +640,43 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == starPairs + ((200L, 201L)), s"unexpected pairs: ${pairs -- starPairs - ((200L, 201L))}")
   }
 
+  test("native CosinePairsGE matches the explode(unorderedPairs)+cosine-filter formulation") {
+    import spark.implicits._
+    // Random buckets incl. identical vectors (cosine exactly 1), a zero
+    // vector (denom 0 -> never passes), a mismatched-length vector
+    // (cosine null in the old filter -> never passes), and thresholds
+    // straddling typical scores. The old formulation is rebuilt inline
+    // and the two pair sets must agree bucket-for-bucket.
+    val rnd = new scala.util.Random(7)
+    def vec(d: Int) = Array.fill(d)(rnd.nextInt(5).toDouble - 2.0)
+    val entries = (0L until 40L).map { i =>
+      val v = if (i == 7L) Array.fill(6)(0.0)           // zero vector
+        else if (i == 11L) vec(4)                        // wrong length
+        else if (i % 10 == 3) Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0) // dups
+        else vec(6)
+      (i, v)
+    }
+    val df = entries.toDF("id", "v")
+      .groupBy((col("id") % 3).as("g"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("ids"))
+    for (thr <- Seq(0.0, 0.5, 0.9, 1.0)) {
+      val native = df.select(explode(
+          graft.functions.VectorExpressions.cosinePairsGE(col("ids"), thr)).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the pre-CosinePairsGE formulation, verbatim
+      val hofPairs = flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))), b =>
+          struct(least(a, b).as("a"), greatest(a, b).as("b")))))
+      val old = df.select(explode(hofPairs).as("p"))
+        .select(col("p.a.id").as("id_a"), col("p.a.v").as("va"),
+          col("p.b.id").as("id_b"), col("p.b.v").as("vb"))
+        .filter(graft.functions.VectorExpressions.cosine(col("va"), col("vb")) >= thr)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(native == old, s"thr=$thr native=$native old=$old")
+    }
+  }
+
   test("jaccard matches hand computation") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
