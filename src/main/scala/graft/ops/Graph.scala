@@ -1147,11 +1147,19 @@ object Graph {
         .repartition(col("src"))
         .dropDuplicates(Seq("src", "dst")))
     import spark.implicits._
-    // forward: layered BFS with exact integer path counts
-    var vis = InternalFrame.sharedScan(seeds.distinct.map(s => (s, s, 0L, 1L))
-      .toDF("seed", "node", "d", "sigma"))
+    // forward: layered BFS with exact integer path counts. Each LEVEL
+    // is persisted once and `vis` is a lazy union of the level leaves —
+    // the previous sharedScan(vis.union(fresh)) re-copied and
+    // re-persisted the whole cumulative state every round (level 0's
+    // rows were materialized `rounds` times), and the frontier was a
+    // filter-scan over all settled levels instead of the one frame
+    // that IS the frontier.
+    var levels = Vector(InternalFrame.sharedScan(
+      seeds.distinct.map(s => (s, s, 0L, 1L))
+        .toDF("seed", "node", "d", "sigma")))
+    def vis: DataFrame = levels.reduce(_ union _)
     for (t <- 1 to rounds) {
-      val frontier = vis.filter(col("d") === (t - 1))
+      val frontier = levels.last // exactly the d = t-1 rows
       val reached = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum("sigma").as("sigma"))
@@ -1169,16 +1177,16 @@ object Graph {
             .filter(col("fr") <= cap).drop("fr")
         case None => fresh0
       }
-      vis = InternalFrame.sharedScan(vis.union(fresh))
+      levels = levels :+ InternalFrame.sharedScan(fresh)
     }
     // backward: dependency accumulation from the deepest level; the
     // level-(t+1) deltas feed level t through one left join
     var deltaNext: DataFrame = null // (seed, node, delta_ppm) at level t+1
     var acc: DataFrame = null       // union of levels rounds-1 .. 1
     for (t <- (rounds - 1) to 1 by -1) {
-      val cur = vis.filter(col("d") === t)
+      val cur = levels(t)
         .select(col("seed"), col("node").as("src"), col("sigma").as("sv"))
-      val nxt0 = vis.filter(col("d") === (t + 1))
+      val nxt0 = levels(t + 1)
         .select(col("seed"), col("node").as("dst"), col("sigma").as("sw"))
       val nxt =
         if (deltaNext == null) nxt0.withColumn("dw", lit(0L))

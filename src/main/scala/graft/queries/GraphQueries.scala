@@ -822,9 +822,15 @@ object GraphQueries {
             col("a.pk") === col("b.pk") && col("a.c") < col("b.c"))
           .select(col("a.c").as("src"), col("b.c").as("dst"))
           .distinct()
-        val edges = und
-          .union(und.select(col("dst").as("src"), col("src").as("dst")))
-          .withColumn("w", lit(1L))
+        // symmetrize via explode, not union: a union's two branches each
+        // re-run the whole und subtree (co-purchase join + self-join +
+        // two distincts twice); the explode emits both directions in
+        // ONE pass (the labelProp idiom)
+        val edges = und.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            lit(1L).as("w"))
         val (ranks, _) = graft.ops.Graph.pageRankConverged(edges,
           damping = 0.5, scale = 1000000L, maxRounds = 60)
         ranks.orderBy(col("rank_nano").desc, col("node")).limit(20)
