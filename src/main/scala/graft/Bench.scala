@@ -23,6 +23,30 @@ object Bench {
       .config("spark.local.dir", TmpWork.diskTmp)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees broadcast blocks only after a JVM GC
+      // surfaces their weak references; the default periodicGC
+      // interval (30 min) is longer than a whole sweep, so dead blocks
+      // pin storage memory for the entire run (r17: t15/t17
+      // full-corpus scans measured 0.2 s early in a sweep, 14-16 s
+      // late once ~200 queries of leftovers had accumulated). 300 s ≈
+      // 3 collections per sweep — enough to cap the buildup without
+      // the per-minute System.gc() pauses a 60 s interval injected
+      // into the streaming/iterative tail (measured +25 s on each of
+      // the st/x families).
+      .config("spark.cleaner.periodicGC.interval", "300s")
+      // The app/SQL status stores retain per-execution plan graphs and
+      // per-task rows even with the UI disabled (defaults: 1000
+      // executions / 1000 jobs / 1000 stages / 100k tasks) — at 316
+      // queries × 3 attempts × several jobs each, most of the sweep's
+      // plans sit in old gen by the tail. The many-small-job families
+      // (graph iterates, streaming micro-batches) are driver-latency
+      // bound and paid 2-4× for that heap churn (x18 2.9 s early-sweep
+      // shape, 14.1 s late-sweep at an 8 GiB heap; back to 2.9 s once
+      // the heap stops thrashing). Nothing reads these stores here.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -54,9 +78,23 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, String) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, null) }
-        catch { case e: Throwable =>
-          ((System.nanoTime() - t0) / 1e9, e.getClass.getSimpleName) }
+        val r =
+          try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, null) }
+          catch { case e: Throwable =>
+            ((System.nanoTime() - t0) / 1e9, e.getClass.getSimpleName) }
+        // After the timed region, drop whatever RDD blocks the attempt
+        // left persisted (sharedScan/Rotation leaves are reclaimed by
+        // the ContextCleaner only at the NEXT JVM GC, which an 8 GiB
+        // heap may not run for many minutes): attempts and queries are
+        // independent, so anything still registered is dead weight that
+        // squeezes the storage/execution pool of every later query
+        // (r17: t15/t17 full-corpus scans measured 0.2 s early in a
+        // sweep, 14-16 s once ~200 queries of leftovers had piled up).
+        // Cleanup removes state rather than adding it — each attempt
+        // still computes from the parquet inputs alone.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        r
       }
       val attempts = Seq.fill(math.max(1, runs))(once())
       (name, attempts.map(_._1).min, attempts.flatMap(a => Option(a._2)).headOption)

@@ -24,6 +24,15 @@ object Verify {
       .config("spark.local.dir", TmpWork.diskTmp)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same full-sweep session hygiene as Bench (see Bench.scala):
+      // reclaim dead broadcast blocks a few times per sweep and keep
+      // the unread status stores from retaining every plan of a
+      // 316-query run in old gen
+      .config("spark.cleaner.periodicGC.interval", "300s")
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -33,6 +42,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Drop RDD blocks the query left persisted (ContextCleaner only
+      // reclaims them at the next JVM GC) — same between-query hygiene
+      // as Bench, so a full sweep's leftovers can't squeeze the memory
+      // pool of later queries.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
