@@ -183,6 +183,12 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.WordNGrams(
       ColumnBridge.expression(text), n))
 
+  /** Radius-2 deletion-neighborhood keys in one native pass (see
+    * [[graftshim.DeletionKeys2]]). */
+  def deletionKeys2(text: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.DeletionKeys2(
+      ColumnBridge.expression(text)))
+
   def setHitCount(arr: Column, set: Seq[String]): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.SetHitCount(
       ColumnBridge.expression(arr), set.toArray))

@@ -119,7 +119,17 @@ object FuzzyJoin {
   /** dev-profiling accessor for [[delete2Keys]] (tools.BatchProfile). */
   private[graft] def delete2KeysForProfile(s: Column): Column = delete2Keys(s)
 
-  private def delete2Keys(s: Column): Column = {
+  /** One native pass per row ([[graftshim.DeletionKeys2]]) — the HOF
+    * formulation below is kept verbatim as the independent reference
+    * the spec diffs it against (FuzzyJoinSpec: native ≡ HOF
+    * bit-for-bit on non-null input, incl. multibyte and repeats). */
+  private def delete2Keys(s: Column): Column =
+    graft.functions.VectorExpressions.deletionKeys2(s)
+
+  /** The original higher-order-function formulation (interpreted
+    * lambda + three substr copies per (i, j) element — O(|s|²)
+    * interpreted evaluations per row); spec-only reference. */
+  private[graft] def delete2KeysHof(s: Column): Column = {
     val idx = when(length(s) >= 1, sequence(lit(1), length(s)))
       .otherwise(array().cast("array<int>"))
     val d1 = transform(idx, i =>

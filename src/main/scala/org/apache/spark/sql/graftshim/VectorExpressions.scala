@@ -679,6 +679,97 @@ case class WordNGrams(child: Expression, n: Int) extends
     copy(child = newChild)
 }
 
+/** The radius-2 deletion neighborhood of a string (FastSS/SymSpell
+  * signature keys): the string itself, every single-character deletion
+  * (|s| keys) and every two-character deletion (C(|s|, 2) keys,
+  * positions i < j removed), deduplicated keeping FIRST occurrence —
+  * bit-parity with the `array_distinct(concat(array(s), d1, d2))`
+  * higher-order-function formulation it replaces (which paid an
+  * interpreted lambda plus three `substr` copies per (i, j) element:
+  * O(|s|²) interpreted evaluations per row). One pass builds the
+  * char→byte offset table (deletions are CHARACTER-level, exactly like
+  * `Column.substr`), then each variant is at most two arraycopies.
+  * Null input returns null (the HOF form yielded [null]; both explode
+  * to keys that can never equi-join, so callers see identical pairs). */
+case class DeletionKeys2(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_deletion_keys2"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  /** codegen entry point (public for the generated class). */
+  def evalKeys(t: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val b = t.getBytes
+    val nb = b.length
+    // char start offsets: offs(k) = first byte of char k; offs(L) = nb
+    var chars = 0
+    var i = 0
+    while (i < nb) {
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b(i))
+      chars += 1
+    }
+    val offs = new Array[Int](chars + 1)
+    var k = 0
+    i = 0
+    while (i < nb) {
+      offs(k) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b(i))
+      k += 1
+    }
+    offs(chars) = nb
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(8, 2 + chars + chars * (chars - 1) / 2))
+    seen.add(t)
+    def variant(cutA: Int, cutB: Int): org.apache.spark.unsafe.types.UTF8String = {
+      // drop chars cutA and (if >= 0) cutB (cutA < cutB)
+      val lenA = offs(cutA)
+      if (cutB < 0) {
+        val tail = nb - offs(cutA + 1)
+        val out = new Array[Byte](lenA + tail)
+        System.arraycopy(b, 0, out, 0, lenA)
+        System.arraycopy(b, offs(cutA + 1), out, lenA, tail)
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+      } else {
+        val mid = offs(cutB) - offs(cutA + 1)
+        val tail = nb - offs(cutB + 1)
+        val out = new Array[Byte](lenA + mid + tail)
+        System.arraycopy(b, 0, out, 0, lenA)
+        System.arraycopy(b, offs(cutA + 1), out, lenA, mid)
+        System.arraycopy(b, offs(cutB + 1), out, lenA + mid, tail)
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+      }
+    }
+    var a = 0
+    while (a < chars) { seen.add(variant(a, -1)); a += 1 }
+    a = 0
+    while (a < chars) {
+      var c = a + 1
+      while (c < chars) { seen.add(variant(a, c)); c += 1 }
+      a += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    evalKeys(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("deletionKeys2", this, classOf[DeletionKeys2].getName)
+      s"${ev.value} = $self.evalKeys($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionKeys2 =
+    copy(child = newChild)
+}
+
 case class SetHitCount(child: Expression, set: Array[String]) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 

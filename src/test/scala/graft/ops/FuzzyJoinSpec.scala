@@ -133,6 +133,34 @@ class FuzzyJoinSpec extends SparkTestBase {
       s"the signature join must stay equi-keyed:\n$plan")
   }
 
+  test("native deletionKeys2 matches the HOF delete2Keys formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // Edge cases on purpose: repeated characters (coinciding variants
+    // must dedupe to the HOF's first-occurrence order), multibyte
+    // UTF-8 (deletions are CHARACTER-level, like Column.substr),
+    // empty / 1-char / 2-char strings, spaces.
+    val texts = Seq("abc", "aab", "aaaa", "é漢ü", "xéx", "", "a", "ab",
+      "hello world", "mississippi", "ñaño", "ab ba").map(Tuple1(_)).toDF("s")
+    val rows = texts.select(
+        graft.functions.VectorExpressions.deletionKeys2(col("s")).as("nat"),
+        FuzzyJoin.delete2KeysHof(col("s")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"row=$r")
+    }
+    // random differential: 200 strings over a tiny alphabet maximizes
+    // coinciding deletion variants (the dedup/order edge)
+    val rnd = new scala.util.Random(7)
+    val rand = (0 until 200)
+      .map(_ => (0 until rnd.nextInt(9)).map(_ => "abé".charAt(rnd.nextInt(3))).mkString)
+      .map(Tuple1(_)).toDF("s")
+    rand.select(
+        graft.functions.VectorExpressions.deletionKeys2(col("s")).as("nat"),
+        FuzzyJoin.delete2KeysHof(col("s")).as("hof"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"row=$r"))
+  }
+
   test("edJoin1 plans as an equi-join — no nested loop, no cartesian") {
     val xs = (0L until 50L).map(i => (i, s"str$i")).toDF("id_a", "s_a")
     val ys = (100L until 150L).map(i => (i, s"str$i")).toDF("id_b", "s_b")
