@@ -438,13 +438,17 @@ object Events {
         import graft.streaming.EventStreams
         implicit val sqlCtx = s.sqlContext
         implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
-        val ev = Tables(s, dir).events.filter(col("user_id") < 500)
+        // ONE scan+sort feeds both sides (the driver-side type split
+        // preserves the (ts, event_id) order each side's separate
+        // orderBy produced — filter is stable), instead of two full
+        // events scans
+        val fed = Tables(s, dir).events.filter(col("user_id") < 500)
+          .filter(col("event_type").isin("click", "purchase"))
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
-        val clicks = ev.filter(col("event_type") === "click")
           .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+        val clicks = fed.filter(_.event_type == "click")
+        val purchases = fed.filter(_.event_type == "purchase")
         val allTs = (clicks.map(_.ts.getTime) ++ purchases.map(_.ts.getTime)).sorted
         val thr = allTs(allTs.length / 2)
         val cStream = org.apache.spark.sql.execution.streaming.runtime
@@ -685,7 +689,11 @@ object Events {
         val stream = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, java.sql.Timestamp)]
         val ckpt = java.nio.file.Files.createTempDirectory("st09_ckpt").toString
-        val q = Q.withHarnessPartitions(s) {
+        // keepNoDataBatches: the late-replay drop this query PROVES
+        // needs the default regime's no-data batch to bake the
+        // advanced watermark in before the replays arrive (see
+        // Q.withHarnessPartitions)
+        val q = Q.withHarnessPartitions(s, keepNoDataBatches = true) {
           stream.toDS().toDF("event_id", "ts")
             .withWatermark("ts", "1 hour")
             .groupBy(window(col("ts"), "1 hour").as("w"))
@@ -1850,13 +1858,15 @@ object Events {
         import graft.streaming.EventStreams
         implicit val sqlCtx = s.sqlContext
         implicit val evEnc = org.apache.spark.sql.Encoders.product[EventStreams.Event]
-        val ev = Tables(s, dir).events.filter(col("user_id") < 500)
+        // ONE scan+sort feeds both sides (driver-side stable type
+        // split; see st14) instead of two full events scans
+        val fed = Tables(s, dir).events.filter(col("user_id") < 500)
+          .filter(col("event_type").isin("click", "purchase"))
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
-        val clicks = ev.filter(col("event_type") === "click")
           .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .orderBy("ts", "event_id").as[EventStreams.Event](evEnc).collect()
+        val clicks = fed.filter(_.event_type == "click")
+        val purchases = fed.filter(_.event_type == "purchase")
         val allTs = (clicks.map(_.ts.getTime) ++ purchases.map(_.ts.getTime)).sorted
         val thr = allTs(allTs.length / 2)
         val maxTs = allTs.last
