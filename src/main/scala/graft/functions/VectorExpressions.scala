@@ -189,6 +189,12 @@ object VectorExpressions {
     ColumnBridge.column(org.apache.spark.sql.graftshim.DeletionKeys2(
       ColumnBridge.expression(text)))
 
+  /** edJoin1's provenance-pair expansion over one collected signature
+    * group in one native pass (see [[graftshim.EditPairs1]]). */
+  def editPairs1(es: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftshim.EditPairs1(
+      ColumnBridge.expression(es)))
+
   def setHitCount(arr: Column, set: Seq[String]): Column =
     ColumnBridge.column(org.apache.spark.sql.graftshim.SetHitCount(
       ColumnBridge.expression(arr), set.toArray))

@@ -91,19 +91,31 @@ object FuzzyJoin {
       .unionAll(keyedElements(right, idR, strR, side = 1))
     val grouped = es.groupBy("__k")
       .agg(collect_list(struct(col("side"), col("pos"), col("ch"), col("id"))).as("es"))
-    val ls = filter(col("es"), e => e("side") === 0)
-    val pairs = flatten(transform(ls, a =>
+    // One native pass per group ([[graftshim.EditPairs1]]) — the HOF
+    // formulation below ([[edJoin1PairsHof]]) is kept verbatim as the
+    // independent reference the spec diffs it against (FuzzyJoinSpec:
+    // native ≡ HOF bit-for-bit, incl. order, on random groups).
+    grouped
+      .select(explode(graft.functions.VectorExpressions.editPairs1(col("es"))).as("p"))
+      .select(col("p.l").as(idL), col("p.r").as(idR), col("p.d").as("dist"))
+      .distinct()
+  }
+
+  /** The original higher-order-function pair expansion (interpreted
+    * nested lambdas: O(|L|·|R|) evaluations + a struct copy per
+    * candidate, per signature group); spec-only reference for
+    * [[graftshim.EditPairs1]]. Input column: the collect_list'd
+    * array<struct<side, pos, ch, id>> group. */
+  private[graft] def edJoin1PairsHof(es: Column): Column = {
+    val ls = filter(es, e => e("side") === 0)
+    flatten(transform(ls, a =>
       transform(
-        filter(col("es"), b => b("side") === 1 &&
+        filter(es, b => b("side") === 1 &&
           ((a("pos") === 0 && b("pos") === 0) ||
             (a("pos") === b("pos") && a("ch") =!= b("ch")) ||
             ((a("pos") === 0) =!= (b("pos") === 0)))),
         b => struct(a("id").as("l"), b("id").as("r"),
           when(a("pos") === 0 && b("pos") === 0, 0).otherwise(1).as("d")))))
-    grouped
-      .select(explode(pairs).as("p"))
-      .select(col("p.l").as(idL), col("p.r").as(idR), col("p.d").as("dist"))
-      .distinct()
   }
 
   /** Deletion-neighborhood signature of `s` at radius ≤ 2: the string

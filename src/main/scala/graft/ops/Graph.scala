@@ -99,17 +99,20 @@ object Graph {
    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       scale: Long = 1000000000L): DataFrame = {
-    // ONE exchange for the whole edge prep: hash(src) clusters every
-    // (src, dst) group, so the weight aggregate, the out-weight
-    // aggregate AND the src-keyed join all run on the same shuffle
-    // (ReusedExchange) — the previous agg->agg->join->repartition
-    // chain paid three.
+    // Aggregate FIRST, repartition LAST (r16 shape, restored): the r17
+    // hoist of repartition(src) above the aggregates fused the prep to
+    // one exchange on paper but shuffled the PRE-aggregate edge
+    // multiset with no map-side combine, and the driver bench measured
+    // the family 1.3–4.4× slower at 32 cores (x01 1.77→5.77 s; r18
+    // paired A/B confirms — see OPTIMIZATION_r18.md). Partial
+    // aggregation before the exchanges also keeps a hot src key
+    // combine-able map-side (guide §2.5), which the hoist gave up.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val (eo, eoRdd) = materializeEdges(e.join(outw, "src"))
+    val (eo, eoRdd) = materializeEdges(
+      e.join(outw, "src").repartition(col("src")))
     // keep the RDD handles (persistConvergedState, not Rotation+release)
     // so the snapshots can be unpersisted once the final state
     // materializes instead of lingering until GC
@@ -182,17 +185,14 @@ object Graph {
    */
   def pageRankConverged(edges: DataFrame, damping: Double = 0.85,
       scale: Long = 1000000000L, maxRounds: Int = 100): (DataFrame, Int) = {
-    // ONE exchange for the whole edge prep: hash(src) clusters every
-    // (src, dst) group, so the weight aggregate, the out-weight
-    // aggregate AND the src-keyed join all run on the same shuffle
-    // (ReusedExchange) — the previous agg->agg->join->repartition
-    // chain paid three.
+    // Aggregate FIRST, repartition LAST (r16 shape, restored — see
+    // pageRank's note; the r17 hoist was a measured 32-core regression).
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val (eo, eoRdd) = materializeEdges(e.join(outw, "src"))
+    val (eo, eoRdd) = materializeEdges(
+      e.join(outw, "src").repartition(col("src")))
     // persistConvergedState (not Rotation+release) so the snapshots keep
     // their RDD handles: these blocks must be unpersisted on BOTH exits
     // below — a Rotation released here would leave them pinned until GC
@@ -295,17 +295,14 @@ object Graph {
    */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       damping: Double = 0.85, scale: Long = 1000000000L): DataFrame = {
-    // ONE exchange for the whole edge prep: hash(src) clusters every
-    // (src, dst) group, so the weight aggregate, the out-weight
-    // aggregate AND the src-keyed join all run on the same shuffle
-    // (ReusedExchange) — the previous agg->agg->join->repartition
-    // chain paid three.
+    // Aggregate FIRST, repartition LAST (r16 shape, restored — see
+    // pageRank's note; the r17 hoist was a measured 32-core regression).
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val (eo, eoRdd) = materializeEdges(e.join(outw, "src"))
+    val (eo, eoRdd) = materializeEdges(
+      e.join(outw, "src").repartition(col("src")))
     // seeds and the out-edge key set both persist across every round
     val seedRot = new Rotation
     val (sd, sCount) = seedRot.materialize(
@@ -659,13 +656,12 @@ object Graph {
     // the round max null/0 and silently propagate null scores through
     // the integer division — fail loudly instead.
     require(iters >= 1, s"hits: iters must be >= 1 (got $iters)")
-    // hash(src) clusters (src, dst) groups: repartition first and the
-    // weight aggregate runs on the same exchange (was agg + repartition)
+    // Aggregate FIRST, repartition LAST (r16 shape, restored — see
+    // pageRank's note; the r17 hoist was a measured 32-core regression).
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-    val (eo, eoRdd) = materializeEdges(e)
+    val (eo, eoRdd) = materializeEdges(e.repartition(col("src")))
     val nodeRot = new Rotation
     val (nodes, _) = nodeRot.materialize(
       eo.select(col("src").as("node"))
@@ -781,12 +777,12 @@ object Graph {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
-      // hash(src) clusters (src, dst): one exchange for dedupe-min AND
-      // the src partitioning (was agg exchange + repartition exchange)
+      // Aggregate FIRST, repartition LAST (r16 shape, restored — see
+      // pageRank's note; the r17 hoist was a measured 32-core regression)
       edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-        .repartition(col("src"))
-        .groupBy("src", "dst").agg(min("w").as("w")))
+        .groupBy("src", "dst").agg(min("w").as("w"))
+        .repartition(col("src")))
     val negs = e.filter(col("w") < 0).limit(1).count()
     require(negs == 0, "weightedShortestPaths: negative edge weights")
     import spark.implicits._
@@ -1013,13 +1009,13 @@ object Graph {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
-      // hash(src) clusters (src, dst) groups, so the dedupe aggregate
-      // runs on the repartition's own exchange (was distinct exchange
-      // + repartition exchange)
+      // Dedupe FIRST, repartition LAST (r16 shape, restored — see
+      // pageRank's note; the r17 hoist was a measured 32-core
+      // regression, and deduping before the exchange keeps the
+      // map-side partial aggregate, guide §2.3/§2.5)
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-        .repartition(col("src"))
-        .dropDuplicates(Seq("src", "dst")))
+        col("dst").cast("long").as("dst")).distinct()
+        .repartition(col("src")))
     import spark.implicits._
     var dist: DataFrame = sources.distinct.map(d => (d, 0L)).toDF("node", "d")
     val rot = new Rotation
@@ -1059,13 +1055,13 @@ object Graph {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
-      // hash(src) clusters (src, dst) groups, so the dedupe aggregate
-      // runs on the repartition's own exchange (was distinct exchange
-      // + repartition exchange)
+      // Dedupe FIRST, repartition LAST (r16 shape, restored — see
+      // pageRank's note; the r17 hoist was a measured 32-core
+      // regression, and deduping before the exchange keeps the
+      // map-side partial aggregate, guide §2.3/§2.5)
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-        .repartition(col("src"))
-        .dropDuplicates(Seq("src", "dst")))
+        col("dst").cast("long").as("dst")).distinct()
+        .repartition(col("src")))
     import spark.implicits._
     var dist: DataFrame = seeds.distinct.map(s => (s, s, 0L))
       .toDF("seed", "node", "d")
@@ -1139,13 +1135,13 @@ object Graph {
       s"betweennessSampled: maxFrontier must be >= 1 (got $maxFrontier)")
     val spark = edges.sparkSession
     val (e, eRdd) = materializeEdges(
-      // hash(src) clusters (src, dst) groups, so the dedupe aggregate
-      // runs on the repartition's own exchange (was distinct exchange
-      // + repartition exchange)
+      // Dedupe FIRST, repartition LAST (r16 shape, restored — see
+      // pageRank's note; the r17 hoist was a measured 32-core
+      // regression, and deduping before the exchange keeps the
+      // map-side partial aggregate, guide §2.3/§2.5)
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-        .repartition(col("src"))
-        .dropDuplicates(Seq("src", "dst")))
+        col("dst").cast("long").as("dst")).distinct()
+        .repartition(col("src")))
     import spark.implicits._
     // forward: layered BFS with exact integer path counts. Each LEVEL
     // is persisted once and `vis` is a lazy union of the level leaves —

@@ -355,15 +355,25 @@ object Events {
         implicit val pEnc = org.apache.spark.sql.Encoders.product[AsOfStream.Probe]
         implicit val rEnc = org.apache.spark.sql.Encoders.product[AsOfStream.Ref]
         val ev = Tables(s, dir).events.filter(col("user_id") % 5 === 0)
-        val probes = ev.filter(col("event_type") === "click")
-          .select(col("user_id").as("key"), col("ts"), col("event_id").as("probe_id"))
-          .orderBy("ts", "probe_id")
-          .as[AsOfStream.Probe](pEnc).collect()
-        val refs = ev.filter(col("event_type") === "view")
-          .select(col("user_id").as("key"), col("ts"),
-            col("event_id").cast("double").as("payload"))
-          .orderBy("ts", "payload")
-          .as[AsOfStream.Ref](rEnc).collect()
+        // ONE tagged scan feeds both streams (the st14/st33 fusion,
+        // r18): the probe and ref collects each re-scanned and re-sorted
+        // the events slice. Probes sorted by (ts, probe_id) and refs by
+        // (ts, payload) are both subsequences of the (ts, event_id)
+        // sort — payload IS event_id cast to double (exact to 2^53) —
+        // and a filtered subsequence of a sorted array equals the
+        // independently sorted filter (stable sort, total key), so the
+        // split arrays are bit-identical to the two-scan feed's.
+        val tagged = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), col("user_id").cast("long").as("key"),
+            col("ts"), col("event_id").cast("long").as("event_id"))
+          .orderBy("ts", "event_id")
+          .collect()
+        val probes = tagged.iterator.filter(_.getString(0) == "click")
+          .map(r => AsOfStream.Probe(r.getLong(1), r.getTimestamp(2),
+            r.getLong(3))).toArray
+        val refs = tagged.iterator.filter(_.getString(0) == "view")
+          .map(r => AsOfStream.Ref(r.getLong(1), r.getTimestamp(2),
+            r.getLong(3).toDouble)).toArray
         val allTs = (probes.map(_.ts.getTime) ++ refs.map(_.ts.getTime)).sorted
         val thr = allTs(allTs.length / 2)
         val pStream = org.apache.spark.sql.execution.streaming.runtime

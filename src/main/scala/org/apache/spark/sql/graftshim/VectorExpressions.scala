@@ -770,6 +770,119 @@ case class DeletionKeys2(child: Expression) extends
     copy(child = newChild)
 }
 
+/**
+ * edJoin1's provenance-pair expansion in ONE native pass over the
+ * collected signature group — the codegen replacement for the
+ * `flatten(transform(ls, a => transform(filter(es, b => ...), b =>
+ * struct(...))))` nested-HOF form, which re-ran an interpreted lambda
+ * (plus a struct allocation) for every (left, candidate) element of
+ * every group: O(|L|·|R|) interpreted evaluations per signature key.
+ * Input: array<struct<side:int, pos:int, ch:string, id:long>> (one
+ * collect_list'd signature group). Output: array<struct<l:long,
+ * r:long, d:int>> in exactly the HOF's order (left elements in group
+ * order, right candidates in group order), with the HOF's predicate
+ * and null semantics:
+ *   - identity × identity (pos 0 × pos 0)      → dist 0;
+ *   - same pos > 0, deleted chars differ        → dist 1 (a null ch —
+ *     only possible for a null input string's identity element, which
+ *     has pos 0 — makes `=!=` null, i.e. NOT emitted);
+ *   - exactly one side is the identity element  → dist 1;
+ *   - different deletion positions              → not emitted (true
+ *     distance can be 2; any distance-1 pair shares a covering key).
+ * Bit-parity with the HOF form is spec'd differentially in
+ * FuzzyJoinSpec (the HOF stays in FuzzyJoin as the reference).
+ */
+case class EditPairs1(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "graft_edit_pairs1"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StructType(fs), _)
+          if fs.length == 4 &&
+            fs(0).dataType == org.apache.spark.sql.types.IntegerType &&
+            fs(1).dataType == org.apache.spark.sql.types.IntegerType &&
+            fs(2).dataType == org.apache.spark.sql.types.StringType &&
+            fs(3).dataType == org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<struct<int, int, string, long>>, got $other")
+    }
+
+  /** codegen entry point (public for the generated class). */
+  def evalPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    // decode once: side, pos, ch (null allowed), id (null allowed)
+    val sides = new Array[Int](n)
+    val poss = new Array[Int](n)
+    val chs = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val ids = new Array[Long](n)
+    val idNull = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 4)
+      sides(i) = row.getInt(0)
+      poss(i) = row.getInt(1)
+      chs(i) = if (row.isNullAt(2)) null else row.getUTF8String(2)
+      if (row.isNullAt(3)) idNull(i) = true else ids(i) = row.getLong(3)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      if (sides(i) == 0) {
+        val aIdentity = poss(i) == 0
+        var j = 0
+        while (j < n) {
+          if (sides(j) == 1) {
+            val bIdentity = poss(j) == 0
+            val emit =
+              if (aIdentity && bIdentity) true
+              else if (poss(i) == poss(j))
+                chs(i) != null && chs(j) != null && !chs(i).equals(chs(j))
+              else aIdentity != bIdentity
+            if (emit) {
+              val d = if (aIdentity && bIdentity) 0 else 1
+              out += new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](
+                  if (idNull(i)) null else ids(i),
+                  if (idNull(j)) null else ids(j),
+                  d))
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    evalPairs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("editPairs1", this, classOf[EditPairs1].getName)
+      s"${ev.value} = $self.evalPairs($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): EditPairs1 =
+    copy(child = newChild)
+}
+
 case class SetHitCount(child: Expression, set: Array[String]) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 

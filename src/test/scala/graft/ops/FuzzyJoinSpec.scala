@@ -161,6 +161,45 @@ class FuzzyJoinSpec extends SparkTestBase {
       .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"row=$r"))
   }
 
+  test("native editPairs1 matches the HOF pair expansion bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // Synthetic signature groups that exercise every predicate arm:
+    // identity×identity (dist 0), same-pos substitutions (equal and
+    // differing deleted chars), identity×deletion, different-position
+    // decoys, null chars and null ids, empty and single-side groups.
+    // The comparison is ORDER-SENSITIVE — the native pass must emit
+    // pairs in exactly the HOF's (left group order × right group
+    // order) sequence.
+    val rnd = new scala.util.Random(53)
+    val elems = (0 until 300).flatMap { g =>
+      (0 until rnd.nextInt(8)).map { _ =>
+        val side = rnd.nextInt(2)
+        val pos = rnd.nextInt(4) // 0 = the identity element
+        val ch = if (rnd.nextInt(10) == 0) null
+          else ("a" + ('a' + rnd.nextInt(3)).toChar).toString
+        val id: java.lang.Long =
+          if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(rnd.nextInt(1000).toLong)
+        (g, side, pos, ch, id)
+      }
+    }
+    val grouped = elems.toDF("g", "side", "pos", "ch", "id")
+      .groupBy("g")
+      .agg(collect_list(struct(col("side"), col("pos"), col("ch"), col("id"))).as("es"))
+    val rows = grouped.select(
+        graft.functions.VectorExpressions.editPairs1(col("es")).as("nat"),
+        FuzzyJoin.edJoin1PairsHof(col("es")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    var emitted = 0
+    rows.foreach { r =>
+      val nat = r.getSeq[org.apache.spark.sql.Row](0)
+      val hof = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(nat == hof, s"nat=$nat hof=$hof")
+      emitted += nat.size
+    }
+    assert(emitted > 100, s"fixture must emit pairs (got $emitted)")
+  }
+
   test("edJoin1 plans as an equi-join — no nested loop, no cartesian") {
     val xs = (0L until 50L).map(i => (i, s"str$i")).toDF("id_a", "s_a")
     val ys = (100L until 150L).map(i => (i, s"str$i")).toDF("id_b", "s_b")
